@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Usage example / smoke driver for the SQL surface. Run with:
+  * `sbt "runMain graft.Demo"`.
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    TopnFunctions.register(spark)
+
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .createOrReplaceTempView("orders")
+
+    println("== flagship entry ==")
+    SparkEntry.entry(spark).show(5, truncate = false)
+
+    println("== pure SQL surface ==")
+    spark.sql(
+      """SELECT r.item, r.frequency
+        |FROM (SELECT topn(topn_add_agg(CAST(o_custkey AS STRING)), 5) AS t FROM orders)
+        |LATERAL VIEW explode(t) AS r""".stripMargin).show(false)
+
+    println("== SET conf rebinding (n=3 prunes sketch to 3 entries) ==")
+    spark.sql(s"SET ${GraftConf.NumberOfCountersKey}=3")
+    spark.sql(
+      "SELECT topn_to_json(topn_add_agg(o_orderpriority)) AS sketch FROM orders")
+      .show(false)
+    spark.sql(s"SET ${GraftConf.NumberOfCountersKey}=1000")
+
+    println("== error path: k > number_of_counters ==")
+    try {
+      spark.sql("SELECT topn(topn_add_agg(o_orderpriority), 2000) FROM orders").collect()
+      println("ERROR: should have thrown")
+    } catch {
+      case e: Exception => println(s"got expected error: ${rootCause(e).getMessage}")
+    }
+
+    println("== error path: wrong input type without cast ==")
+    try {
+      spark.sql("SELECT topn_add_agg(o_custkey) FROM orders").collect()
+      println("ERROR: should have thrown")
+    } catch {
+      case e: Exception =>
+        println(s"got expected analysis error: ${e.getMessage.linesIterator.next()}")
+    }
+
+    spark.stop()
+  }
+
+  private def rootCause(e: Throwable): Throwable =
+    if (e.getCause == null || e.getCause == e) e else rootCause(e.getCause)
+}

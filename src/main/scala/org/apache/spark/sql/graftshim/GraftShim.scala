@@ -1,0 +1,45 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.classic.{ClassicConversions, ExpressionUtils}
+import org.apache.spark.sql.internal.SQLConf
+
+/**
+ * Bridge into Spark's `private[sql]` surface, hosted under
+ * `org.apache.spark.sql` the way other Spark-native libraries do it.
+ * Everything funneled through here so the rest of the codebase stays in
+ * package `graft`.
+ */
+object GraftShim {
+
+  /** Catalyst expression behind a user-facing Column. */
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap a Catalyst expression as a user-facing Column. */
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Active SQL conf for the current (driver-side) session / task. */
+  def sqlConf: SQLConf = SQLConf.get
+
+  def getConf(key: String, default: String): String =
+    SQLConf.get.getConfString(key, default)
+
+  /**
+   * Register an Expression-level function so it is usable from both
+   * `spark.sql` and (via [[column]]) the DataFrame API. The builder runs at
+   * analysis time for each query, which is what lets functions late-bind
+   * session configuration the way the reference's GUC does.
+   */
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      usage: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    val session = ClassicConversions.castToImpl(spark)
+    val info = new ExpressionInfo("graft", null, name, usage, "")
+    session.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name), info, builder)
+  }
+}
