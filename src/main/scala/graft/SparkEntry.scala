@@ -95,6 +95,99 @@ object SparkEntry {
         .select($"day", explode(TopnFunctions.topn($"merged", lit(5))).as("r"))
         .select($"day", $"r.item".as("item"), $"r.frequency".as("frequency"))
         .orderBy($"day", $"frequency".desc, $"item")
+    }),
+
+    // --- beyond-reference: training-data pipeline operators --------------
+
+    // text analysis: tokenization, quality, language-ID, fingerprint
+    "text_stats" -> ((spark, dir) => {
+      import spark.implicits._
+      import graft.pipeline.TextAnalysis._
+      tbl(spark, dir, "documents").select(
+        $"doc_id",
+        tokenCount($"text").cast("long").as("n_tokens"),
+        punctCount($"text").cast("long").as("punct_count"),
+        stopwordCount($"text").cast("long").as("stop_count"),
+        qualityScore($"text").as("quality"),
+        languageId($"text").as("lang_pred"),
+        fingerprint($"text").as("fingerprint"))
+        .orderBy($"doc_id")
+    }),
+
+    // exact dedup groups by normalized-md5 fingerprint
+    "dedup_exact" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.pipeline.Dedup.exactGroups(tbl(spark, dir, "documents"), "doc_id", "text")
+        .orderBy($"fingerprint")
+    }),
+
+    // exact word-trigram Jaccard near-dup pairs (shingle-join candidates)
+    "dedup_jaccard_pairs" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.pipeline.Dedup.jaccardPairs(
+        tbl(spark, dir, "documents"), "doc_id", "text", threshold = 0.5)
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
+    // MinHash+LSH near-dup pairs, exact-Jaccard-verified (no SQL oracle —
+    // xxhash64-based; validated against dedup_jaccard_pairs in ScalaTest)
+    "dedup_minhash_lsh" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.pipeline.Dedup.minhashLshPairs(
+        tbl(spark, dir, "documents"), "doc_id", "text", threshold = 0.5)
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
+    // SimHash near-dup pairs at Hamming distance <= 3 (no SQL oracle)
+    "dedup_simhash" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.pipeline.Dedup.simhashPairs(
+        tbl(spark, dir, "documents"), "doc_id", "text", maxDist = 3)
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
+    // exact cosine top-10 neighbors for the first 20 vectors (brute force
+    // via bounded-heap TopKAgg — map-side partial top-k)
+    "ann_bruteforce_top10" -> ((spark, dir) => {
+      import spark.implicits._
+      val emb = tbl(spark, dir, "embeddings")
+      graft.pipeline.Similarity.bruteForceTopK(
+        emb, emb.filter($"vec_id" < 20), "vec_id", "embedding", k = 10)
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // LSH-bucketed approximate neighbors (no SQL oracle — recall checked
+    // against brute force in ScalaTest)
+    "ann_lsh_top10" -> ((spark, dir) => {
+      import spark.implicits._
+      val emb = tbl(spark, dir, "embeddings")
+      graft.pipeline.Similarity.lshTopK(
+        emb, emb.filter($"vec_id" < 20), "vec_id", "embedding", k = 10, dim = 64)
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // top-50 most cosine-similar embedding pairs (embedding near-dup scan)
+    "cosine_neardup_pairs" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.pipeline.Similarity.cosineNearDupPairs(
+        tbl(spark, dir, "embeddings"), "vec_id", "embedding", topPairs = 50)
+        .orderBy($"rank")
+    }),
+
+    // multimodal: typed binary-payload pipeline, stub decoders
+    "multimodal_decode_meta" -> ((spark, dir) => {
+      import spark.implicits._
+      val media = graft.pipeline.Multimodal.mediaFromDocuments(
+        spark, tbl(spark, dir, "documents"))
+      graft.pipeline.Multimodal.decodeMeta(media).toDF().orderBy($"media_id")
+    }),
+
+    "multimodal_frame_sample" -> ((spark, dir) => {
+      import spark.implicits._
+      val media = graft.pipeline.Multimodal.mediaFromDocuments(
+        spark, tbl(spark, dir, "documents"))
+      graft.pipeline.Multimodal.sampleFrames(media).toDF()
+        .orderBy($"media_id", $"frame_idx")
     })
   )
 
@@ -142,6 +235,110 @@ object SparkEntry {
         |         ROW_NUMBER() OVER (PARTITION BY day ORDER BY frequency DESC, item) AS rn
         |  FROM merged)
         |SELECT day, item, frequency FROM ranked WHERE rn <= 5
-        |ORDER BY day, frequency DESC, item""".stripMargin
+        |ORDER BY day, frequency DESC, item""".stripMargin,
+
+    "text_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         regexp_split_to_array(trim(text), '\s+') AS toks,
+        |         length(text) AS n_chars,
+        |         length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS punct_c
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_chars, punct_c,
+        |         len(toks) AS n_tok,
+        |         len(list_filter(toks, w -> w IN ('the','a','and','of','to','in','is','it','for','on'))) AS stop_c,
+        |         len(list_filter(toks, w -> w IN ('the','and','of','to','is'))) AS s_en,
+        |         len(list_filter(toks, w -> w IN ('le','la','les','et','de'))) AS s_fr,
+        |         len(list_filter(toks, w -> w IN ('el','los','las','es','y'))) AS s_es,
+        |         len(list_filter(toks, w -> w IN ('der','die','das','und','ist'))) AS s_de,
+        |         md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+        |  FROM t)
+        |SELECT doc_id,
+        |       CAST(n_tok AS BIGINT) AS n_tokens,
+        |       CAST(punct_c AS BIGINT) AS punct_count,
+        |       CAST(stop_c AS BIGINT) AS stop_count,
+        |       LEAST(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.3
+        |         + (1.0 - LEAST(CAST(punct_c AS DOUBLE) / CAST(n_chars AS DOUBLE) * 10.0, 1.0)) * 0.3
+        |         + LEAST(CAST(stop_c AS DOUBLE) / CAST(n_tok AS DOUBLE) * 5.0, 1.0) * 0.4 AS quality,
+        |       CASE WHEN s_en + s_fr + s_es + s_de = 0 THEN 'und'
+        |            WHEN s_en >= GREATEST(s_fr, s_es, s_de) THEN 'en'
+        |            WHEN s_fr >= GREATEST(s_es, s_de) THEN 'fr'
+        |            WHEN s_es >= s_de THEN 'es'
+        |            ELSE 'de' END AS lang_pred,
+        |       fingerprint
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+        |       MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+
+    "dedup_jaccard_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) >= 3
+        |              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |              ELSE [] END AS shingles
+        |  FROM t),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |rare AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 1000),
+        |fx AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare ON ex.s = rare.s),
+        |shared AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS ns
+        |  FROM fx x JOIN fx y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(shingles) AS n FROM sh)
+        |SELECT a AS doc_a, b AS doc_b,
+        |       CAST(ns AS DOUBLE) / CAST(za.n + zb.n - ns AS DOUBLE) AS jaccard
+        |FROM shared JOIN sz za ON shared.a = za.doc_id
+        |            JOIN sz zb ON shared.b = zb.doc_id
+        |WHERE CAST(ns AS DOUBLE) / CAST(za.n + zb.n - ns AS DOUBLE) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "ann_bruteforce_top10" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+        |s AS (SELECT qid, cid, list_cosine_similarity(cv, qv) AS sim
+        |      FROM c CROSS JOIN q WHERE cid != qid),
+        |r AS (SELECT qid AS query_id, cid AS neighbor_id,
+        |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+        |      FROM s)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "cosine_neardup_pairs" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |         list_cosine_similarity(a.embedding, b.embedding) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, ia, ib) AS BIGINT) AS rank,
+        |       ia AS doc_a, ib AS doc_b
+        |FROM p ORDER BY sim DESC, ia, ib LIMIT 50""".stripMargin,
+
+    "multimodal_decode_meta" ->
+      """SELECT doc_id AS media_id,
+        |       ['image','audio','video'][(doc_id % 3) + 1] AS modality,
+        |       CAST(strlen(text) AS BIGINT) AS byte_len,
+        |       CAST(1 + strlen(text) % 640 AS BIGINT) AS width,
+        |       CAST(1 + strlen(text) % 480 AS BIGINT) AS height,
+        |       CAST(CASE WHEN doc_id % 3 = 2
+        |                 THEN LEAST(8, 1 + strlen(text) // 1024)
+        |                 ELSE 1 END AS BIGINT) AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "multimodal_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS len
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT media_id, len, LEAST(8, 1 + len // 1024) AS n FROM v),
+        |fr AS (SELECT media_id, CAST(UNNEST(range(0, n)) AS BIGINT) AS frame_idx,
+        |              len // n AS stride
+        |       FROM f)
+        |SELECT media_id, frame_idx, CAST(frame_idx * stride AS BIGINT) AS frame_offset
+        |FROM fr ORDER BY media_id, frame_idx""".stripMargin
   )
 }

@@ -1,0 +1,266 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/**
+ * 64-bit SimHash of a token array: each token is hashed (xxHash64-style
+ * 64-bit avalanche of the UTF-8 bytes); bit b of the result is 1 iff the
+ * sum over tokens of (+1 when token-hash bit b set, else -1) is positive.
+ * Near-duplicate docs differ in few bits (compare with `bit_count(a ^ b)`).
+ *
+ * Custom Expression because 64 per-bit counters can't be composed from
+ * built-in functions; CodegenFallback keeps it a black-box call inside the
+ * surrounding codegen'd projection (same standing as any hash UDF, but
+ * operating on UTF8String bytes with zero boxing).
+ */
+case class SimHash64(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    TopnTypeChecks.check(child.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }, s"simhash64 requires ARRAY<STRING> of tokens, got ${child.dataType.sql}")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = fmix64(arr.getUTF8String(i).hashCode.toLong * 0x9E3779B97F4A7C15L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** MurmurHash3-style 64-bit finalizer (public-domain avalanche step). */
+  private def fmix64(v: Long): Long = {
+    var h = v
+    h ^= h >>> 33
+    h *= 0xFF51AFD7ED558CCDL
+    h ^= h >>> 33
+    h *= 0xC4CEB9FE1A85EC53L
+    h ^= h >>> 33
+    h
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+/**
+ * Cosine similarity of two numeric vectors (array<float> or array<double>),
+ * accumulated strictly left-to-right in double precision so results are
+ * deterministic and engine-comparable. Returns 0.0 for zero-norm vectors;
+ * null if either side is null. Mismatched lengths error.
+ */
+case class CosineSim(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  private def isVec(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    TopnTypeChecks.check(isVec(left.dataType) && isVec(right.dataType),
+      s"cosine_sim requires two ARRAY<FLOAT|DOUBLE>, got (${left.dataType.sql}, ${right.dataType.sql})")
+
+  override def dataType: DataType = DoubleType
+
+  @transient private lazy val leftIsFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val rightIsFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) {
+      throw new IllegalArgumentException(
+        s"cosine_sim: vector length mismatch ($n vs ${y.numElements()})")
+    }
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi: Double = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi: Double = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xi * yi
+      na += xi * xi
+      nb += yi * yi
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** Bounded top-k buffer: keeps the k best (score desc, id asc) pairs in a
+  * min-heap (worst on top). Mergeable, compactly serializable. */
+final class TopKState(val k: Int) {
+  // worst-first ordering: lower score first; on ties, larger id first
+  val heap = new java.util.PriorityQueue[(Double, Long)](math.max(1, k),
+    new java.util.Comparator[(Double, Long)] {
+      override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(a._1, b._1)
+        if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+      }
+    })
+
+  def insert(score: Double, id: Long): Unit = {
+    if (heap.size < k) {
+      heap.add((score, id))
+    } else {
+      val worst = heap.peek()
+      if (score > worst._1 || (score == worst._1 && id < worst._2)) {
+        heap.poll()
+        heap.add((score, id))
+      }
+    }
+  }
+
+  def merge(other: TopKState): Unit = {
+    val it = other.heap.iterator()
+    while (it.hasNext) {
+      val (s, i) = it.next()
+      insert(s, i)
+    }
+  }
+
+  /** Best-first (score desc, id asc). */
+  def sorted: Array[(Double, Long)] = {
+    val arr = heap.toArray(new Array[(Double, Long)](heap.size))
+    java.util.Arrays.sort(arr, new java.util.Comparator[(Double, Long)] {
+      override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    })
+    arr
+  }
+}
+
+/**
+ * `topk_by_score(id, score, k)` — distributed top-k-rows-per-group as a
+ * proper aggregate: each partition keeps a k-bounded heap (map-side partial
+ * aggregation), heaps merge after shuffle, final emits
+ * `array<struct<id bigint, score double>>` best-first.
+ *
+ * This is the scale path that replaces `Window.partitionBy(g).orderBy(score)
+ * + row_number() <= k`: the window form shuffles and sorts EVERY candidate
+ * row per group; this ships at most k rows per partition per group. At
+ * 100 TB (billions of candidates, thousands of groups) that is the
+ * difference between a full-data shuffle and a ~k·partitions one.
+ */
+case class TopKAgg(
+    idExpr: Expression,
+    scoreExpr: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKState] {
+
+  require(k >= 1, s"topk_by_score: k must be >= 1, got $k")
+
+  override def children: Seq[Expression] = Seq(idExpr, scoreExpr)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    TopnTypeChecks.check(
+      idExpr.dataType == LongType && scoreExpr.dataType == DoubleType,
+      s"topk_by_score requires (BIGINT id, DOUBLE score), got (${idExpr.dataType.sql}, ${scoreExpr.dataType.sql})")
+
+  override def createAggregationBuffer(): TopKState = new TopKState(k)
+
+  override def update(buffer: TopKState, input: InternalRow): TopKState = {
+    val id = idExpr.eval(input)
+    val score = scoreExpr.eval(input)
+    if (id != null && score != null) {
+      buffer.insert(score.asInstanceOf[Double], id.asInstanceOf[Long])
+    }
+    buffer
+  }
+
+  override def merge(buffer: TopKState, other: TopKState): TopKState = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: TopKState): Any = {
+    val arr = buffer.sorted
+    val out = new Array[Any](arr.length)
+    var i = 0
+    while (i < arr.length) {
+      out(i) = new GenericInternalRow(Array[Any](arr(i)._2, arr(i)._1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buffer: TopKState): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + buffer.heap.size * 16)
+    bb.putLong(buffer.heap.size.toLong)
+    val it = buffer.heap.iterator()
+    while (it.hasNext) {
+      val (s, i) = it.next()
+      bb.putDouble(s)
+      bb.putLong(i)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKState = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getLong.toInt
+    val st = new TopKState(k)
+    var i = 0
+    while (i < n) {
+      val s = bb.getDouble
+      val id = bb.getLong
+      st.insert(s, id)
+      i += 1
+    }
+    st
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false))), containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): TopKAgg =
+    copy(idExpr = newChildren(0), scoreExpr = newChildren(1))
+  override def prettyName: String = "topk_by_score"
+}

@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines:
+ * tokenization, quality scoring, language identification, fingerprinting.
+ *
+ * All of these are *compositions of built-in Spark SQL functions* — they
+ * stay inside whole-stage codegen, push down through Catalyst untouched, and
+ * scale linearly with no shuffle (pure map-side projections). Every formula
+ * is mirrored 1:1 in DuckDB SQL by SparkEntry.oracleSql so results are
+ * bit-identical cross-engine.
+ */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (the BPE-ish regex split used throughout). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Count of sentence/clause punctuation characters. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.!?,;:]", ""))
+
+  private val StopwordsEn = Seq("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), w => w.isin(StopwordsEn.map(x => x: Any): _*)))
+
+  /**
+   * Composite quality score in [0,1]: rewards reasonable length, low
+   * punctuation density, and natural stopword rate. Formula is fixed and
+   * mirrored exactly in the DuckDB oracle — arithmetic op order matters for
+   * IEEE-identical doubles; change both together.
+   */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val nChar = length(text).cast("double")
+    val punctRatio = punctCount(text).cast("double") / nChar
+    val stopRatio = stopwordCount(text).cast("double") / nTok
+    least(nTok / lit(100.0), lit(1.0)) * lit(0.3) +
+      (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0))) * lit(0.3) +
+      least(stopRatio * lit(5.0), lit(1.0)) * lit(0.4)
+  }
+
+  /** Per-language marker-word sets for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny and deterministic. */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "fr" -> Seq("le", "la", "les", "et", "de"),
+    "es" -> Seq("el", "los", "las", "es", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"))
+
+  def langScore(text: Column, lang: String): Column = {
+    val markers = LangMarkers.toMap.apply(lang)
+    size(filter(tokens(text), w => w.isin(markers.map(x => x: Any): _*)))
+  }
+
+  /**
+   * Language-ID heuristic: argmax of marker-word hit counts with a fixed
+   * priority order (en > fr > es > de) on ties, 'und' when nothing matches.
+   */
+  def languageId(text: Column): Column = {
+    val en = langScore(text, "en")
+    val fr = langScore(text, "fr")
+    val es = langScore(text, "es")
+    val de = langScore(text, "de")
+    when(en + fr + es + de === 0, lit("und"))
+      .when(en >= greatest(fr, es, de), lit("en"))
+      .when(fr >= greatest(es, de), lit("fr"))
+      .when(es >= de, lit("es"))
+      .otherwise(lit("de"))
+  }
+
+  /** Canonical document fingerprint: md5 of case-folded,
+    * whitespace-collapsed text. Identical docs modulo spacing/case share a
+    * fingerprint — the cheap exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  /**
+   * Word n-gram shingles (default n=3), distinct. The unit of the
+   * n-gram-Jaccard near-dup pipeline. Empty array when the doc has fewer
+   * than n tokens.
+   */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val t = tokens(text)
+    val count = size(t) - (n - 1)
+    array_distinct(
+      when(count >= 1,
+        transform(sequence(lit(1), count), i =>
+          concat_ws(" ", (0 until n).map(j => element_at(t, i + lit(j))): _*)))
+        .otherwise(array()))
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+
+  test("wordShingles produces n-2 distinct trigram shingles") {
+    val out = Seq("a b c d e", "a b", "x x x x")
+      .toDF("text").select(TextAnalysis.wordShingles($"text").as("s"))
+      .as[Seq[String]].collect()
+    assert(out(0) === Seq("a b c", "b c d", "c d e"))
+    assert(out(1) === Seq.empty)
+    assert(out(2) === Seq("x x x")) // distinct collapses repeats
+  }
+
+  test("languageId picks deterministic argmax with priority ties") {
+    val out = Seq("the cat and the dog", "le chat et le chien de la maison",
+      "xyz qqq").toDF("text")
+      .select(TextAnalysis.languageId($"text")).as[String].collect()
+    assert(out === Array("en", "fr", "und"))
+  }
+
+  test("minhash LSH finds every high-jaccard pair the exact scan finds (recall)") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    // LSH verifies candidates with exact jaccard, so lsh ⊆ exact always:
+    assert(lsh.subsetOf(exact))
+    // and with 8 bands x 4 rows at j >= 0.7 collision prob ~0.97/pair:
+    assert(lsh.size >= exact.size * 8 / 10,
+      s"LSH recall too low: ${lsh.size}/${exact.size}")
+  }
+
+  test("simhash near-dup pairs: exact dups collide at distance 0") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content about spark query engines at scale"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(d, "doc_id", "text", maxDist = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    assert(pairs.head._3 === 0)
+  }
+
+  test("lsh ANN recall vs brute force") {
+    val queries = emb.filter($"vec_id" < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 10, dim = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = brute.keys.map { q =>
+      lsh.getOrElse(q, Set.empty).intersect(brute(q)).size.toDouble / brute(q).size
+    }.toSeq
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.5, s"avg LSH recall $avg too low") // 8 tables x 4 bits on random data
+  }
+
+  test("TopKAgg returns k best with deterministic tie-break, matches sort") {
+    val df = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.1), (5L, 0.7))
+      .toDF("id", "score")
+    val top = df.agg(Similarity.topkByScore($"id", $"score", 3).as("t"))
+      .select(explode($"t").as("r")).select($"r.id", $"r.score")
+      .as[(Long, Double)].collect().toSeq
+    assert(top === Seq((2L, 0.9), (3L, 0.9), (5L, 0.7)))
+  }
+
+  test("TopKAgg is partition-order independent") {
+    val df = spark.range(0, 10000)
+      .select($"id", (rand(7) * 100).as("score"))
+      .cache()
+    val a = df.repartition(1)
+      .agg(Similarity.topkByScore($"id", $"score", 20)).collect().head
+    val b = df.repartition(13)
+      .agg(Similarity.topkByScore($"id", $"score", 20)).collect().head
+    assert(a === b)
+  }
+
+  test("cosineSim matches manual computation and handles zero vectors") {
+    val out = Seq(
+      (Array(1.0f, 0f, 0f), Array(1.0f, 0f, 0f)),
+      (Array(1.0f, 0f, 0f), Array(0f, 1.0f, 0f)),
+      (Array(0f, 0f, 0f), Array(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b").select(Similarity.cosineSim($"a", $"b"))
+      .as[Double].collect()
+    assert(out(0) === 1.0 && out(1) === 0.0 && out(2) === 0.0)
+  }
+
+  test("multimodal decode pipeline: schema, determinism, frame explode shape") {
+    val media = Multimodal.mediaFromDocuments(spark, docs)
+    val meta = Multimodal.decodeMeta(media)
+    assert(meta.count() === docs.count())
+    val m = meta.filter($"modality" === "video").head()
+    assert(m.n_frames >= 1 && m.n_frames <= 8)
+    val frames = Multimodal.sampleFrames(media)
+    val counts = frames.groupBy("media_id").count()
+      .withColumnRenamed("media_id", "fid")
+    val byDoc = counts
+      .join(meta.toDF(), counts("fid") === col("media_id"))
+      .filter($"count" =!= $"n_frames").count()
+    assert(byDoc === 0, "every video must emit exactly n_frames frames")
+  }
+
+  test("exact dedup groups: normalized variants share a fingerprint") {
+    val d = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val g = Dedup.exactGroups(d, "doc_id", "text")
+      .orderBy("keep_id").as[(String, Long, Long)].collect()
+    assert(g.length === 2)
+    assert(g(0)._2 === 1L && g(0)._3 === 2L) // dup group keeps min id
+  }
+}
