@@ -97,6 +97,21 @@ object SparkEntry {
         .orderBy($"day", $"frequency".desc, $"item")
     }),
 
+    // events stream table (nanos-timestamp source) through the sketch path:
+    // per-type hourly rollups -> union re-aggregation -> top-5 users
+    "topn_events_by_type" -> ((spark, dir) => {
+      import spark.implicits._
+      val hourly = graft.sources.Tables.events(spark, dir)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+        .agg(TopnFunctions.topn_add_agg($"user_id".cast("string"), ExactN).as("sketch"))
+      hourly
+        .groupBy($"event_type")
+        .agg(TopnFunctions.topn_union_agg($"sketch", ExactN).as("merged"))
+        .select($"event_type", explode(TopnFunctions.topn($"merged", lit(5))).as("r"))
+        .select($"event_type", $"r.item".as("item"), $"r.frequency".as("frequency"))
+        .orderBy($"event_type", $"frequency".desc, $"item")
+    }),
+
     // --- beyond-reference: training-data pipeline operators --------------
 
     // text analysis: tokenization, quality, language-ID, fingerprint
@@ -236,6 +251,15 @@ object SparkEntry {
         |  FROM merged)
         |SELECT day, item, frequency FROM ranked WHERE rn <= 5
         |ORDER BY day, frequency DESC, item""".stripMargin,
+
+    "topn_events_by_type" ->
+      """SELECT event_type, item, frequency FROM (
+        |  SELECT event_type, CAST(user_id AS VARCHAR) AS item, COUNT(*) AS frequency,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY COUNT(*) DESC, CAST(user_id AS VARCHAR)) AS rn
+        |  FROM events GROUP BY 1, 2) t
+        |WHERE rn <= 5
+        |ORDER BY event_type, frequency DESC, item""".stripMargin,
 
     "text_stats" ->
       """WITH t AS (

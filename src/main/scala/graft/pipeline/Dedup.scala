@@ -68,22 +68,25 @@ object Dedup {
 
     val sizes = withShingles.select($"doc_id", size($"shingles").as("n_shingles"))
 
-    val exploded = withShingles
+    // One scan -> one shuffle by shingle. Pairs are generated INSIDE each
+    // shingle bucket from the collected (sorted) id list — no self-join, no
+    // recomputation of the shingle subtree. Buckets over `maxShingleDf`
+    // docs are dropped whole (skew guard: they contribute quadratic pair
+    // cost and near-zero similarity signal).
+    val buckets = withShingles
       .select($"doc_id", explode($"shingles").as("shingle"))
+      .groupBy("shingle")
+      .agg(sort_array(collect_list($"doc_id")).as("ids"))
+      .filter(size($"ids") >= 2 && size($"ids") <= maxShingleDf)
 
-    // skew guard: drop shingles that appear in too many docs
-    val rare = exploded
-      .groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter($"df" <= maxShingleDf)
-      .select("shingle")
+    val pairs = buckets.select(explode(
+      flatten(transform(sequence(lit(1), size($"ids") - 1), i =>
+        transform(slice($"ids", i + 1, size($"ids") - i), b =>
+          struct(element_at($"ids", i).as("a"), b.as("b"))))))
+      .as("p"))
+      .select($"p.a".as("doc_a"), $"p.b".as("doc_b"))
 
-    val filtered = exploded.join(rare, "shingle")
-
-    val shared = filtered.as("x")
-      .join(filtered.as("y"), col("x.shingle") === col("y.shingle"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
+    val shared = pairs.groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_shared"))
 
     shared
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
@@ -104,10 +107,12 @@ object Dedup {
    * (seeded parameter generation).
    */
   def minhashSignature(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
-    array((0 until numHashes).map { i =>
-      // independent hash family member i: xxhash64 keyed by (seed, i)
-      array_min(transform(shingles, s => xxhash64(s, lit(seed), lit(i))))
-    }: _*)
+    TextAnalysis.bindOnce(shingles) { sh =>
+      array((0 until numHashes).map { i =>
+        // independent hash family member i: xxhash64 keyed by (seed, i)
+        array_min(transform(sh, s => xxhash64(s, lit(seed), lit(i))))
+      }: _*)
+    }
 
   /**
    * MinHash + LSH near-duplicate pairs: signatures banded into
@@ -141,19 +146,29 @@ object Dedup {
       $"doc_id", $"shingles",
       minhashSignature($"shingles", numHashes, seed).as("sig"))
 
+    // one scan -> one shuffle by (band, bandHash); pairs generated inside
+    // each bucket from the collected sorted id list (no self-join). The
+    // signature is bound once per row before the 8-way band fan-out.
     val banded = sig.select(
       $"doc_id",
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(slice($"sig", b * rowsPerBand + 1, rowsPerBand)).as("bh"))
-      }: _*)).as("bk"))
+      explode(TextAnalysis.bindOnce($"sig") { s =>
+        array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice(s, b * rowsPerBand + 1, rowsPerBand)).as("bh"))
+        }: _*)
+      }).as("bk"))
       .select($"doc_id", $"bk.band", $"bk.bh")
 
-    val candidates = banded.as("x")
-      .join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val candidates = banded
+      .groupBy("band", "bh")
+      .agg(sort_array(collect_list($"doc_id")).as("ids"))
+      .filter(size($"ids") >= 2)
+      .select(explode(
+        flatten(transform(sequence(lit(1), size($"ids") - 1), i =>
+          transform(slice($"ids", i + 1, size($"ids") - i), b =>
+            struct(element_at($"ids", i).as("a"), b.as("b"))))))
+        .as("p"))
+      .select($"p.a".as("doc_a"), $"p.b".as("doc_b"))
       .distinct()
 
     // exact-Jaccard verification of candidates only
@@ -196,15 +211,23 @@ object Dedup {
       }: _*)).as("bk"))
       .select($"doc_id", $"sh", $"bk.chunk", $"bk.cv")
 
-    blocked.as("x")
-      .join(blocked.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sh").as("sh_a"), col("y.sh").as("sh_b"))
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+    // one shuffle by (chunk, chunkValue); pairs generated inside buckets
+    blocked
+      .groupBy("chunk", "cv")
+      .agg(sort_array(collect_list(struct($"doc_id", $"sh"))).as("xs"))
+      .filter(size($"xs") >= 2)
+      .select(explode(
+        flatten(transform(sequence(lit(1), size($"xs") - 1), i =>
+          transform(slice($"xs", i + 1, size($"xs") - i), y =>
+            struct(
+              element_at($"xs", i).getField("doc_id").as("doc_a"),
+              y.getField("doc_id").as("doc_b"),
+              element_at($"xs", i).getField("sh").as("sh_a"),
+              y.getField("sh").as("sh_b"))))))
+        .as("p"))
+      .select($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"),
+        bit_count($"p.sh_a".bitwiseXOR($"p.sh_b")).as("hamming"))
       .filter($"hamming" <= maxDist)
-      .select($"doc_a", $"doc_b", $"hamming")
       .distinct()
   }
 

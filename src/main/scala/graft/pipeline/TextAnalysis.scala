@@ -81,17 +81,32 @@ object TextAnalysis {
     md5(lower(regexp_replace(text, "\\s+", " ")))
 
   /**
+   * Evaluate `c` once per row and pass the bound result to `f`.
+   *
+   * Spark's higher-order functions re-evaluate any *unbound* subtree inside
+   * the lambda body once per array element, and (being CodegenFallback)
+   * get no common-subexpression elimination across reference sites — an
+   * expression like `element_at(split(text), i)` inside a `transform` would
+   * re-run the split for every element. Routing the expensive subtree
+   * through a 1-element `transform` makes it a bound lambda variable:
+   * evaluated exactly once per row.
+   */
+  def bindOnce(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
+  /**
    * Word n-gram shingles (default n=3), distinct. The unit of the
    * n-gram-Jaccard near-dup pipeline. Empty array when the doc has fewer
-   * than n tokens.
+   * than n tokens. The token array is bound once per row (see [[bindOnce]]);
+   * shingle assembly is then O(1) array access per word.
    */
-  def wordShingles(text: Column, n: Int = 3): Column = {
-    val t = tokens(text)
-    val count = size(t) - (n - 1)
-    array_distinct(
-      when(count >= 1,
-        transform(sequence(lit(1), count), i =>
-          concat_ws(" ", (0 until n).map(j => element_at(t, i + lit(j))): _*)))
-        .otherwise(array()))
-  }
+  def wordShingles(text: Column, n: Int = 3): Column =
+    bindOnce(tokens(text)) { t =>
+      val count = size(t) - (n - 1)
+      array_distinct(
+        when(count >= 1,
+          transform(sequence(lit(1), count), i =>
+            concat_ws(" ", (0 until n).map(j => element_at(t, i + lit(j))): _*)))
+          .otherwise(array()))
+    }
 }

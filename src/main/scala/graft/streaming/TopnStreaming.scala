@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.{GraftConf, TopnFunctions}
+import graft.core.TopnState
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured-Streaming extensions of the topn sketch family (beyond the
+ * reference's surface — its "incremental" story is INSERT-then-merge rollup
+ * tables, reference README.md:73-116; streams are the Spark-native
+ * continuation of that design).
+ *
+ * Two tiers:
+ *
+ *  - [[windowedSketches]]: event-time tumbling-window sketch build — the
+ *    streaming twin of the batch "daily rollup" pattern. Uses the same
+ *    `topn_add_agg` aggregate inside a watermarked window aggregation, so
+ *    each micro-batch folds rows into per-window sketch state and late data
+ *    past the watermark is dropped. Emitted (append-mode, on watermark
+ *    close) rows land in the same `map<string,bigint>` rollup tables the
+ *    batch path re-aggregates with `topn_union_agg`.
+ *
+ *  - [[runningTopK]]: per-key continuously-updated top-k via
+ *    `mapGroupsWithState` holding a [[TopnState]] (same eviction semantics,
+ *    same serialized wire format as the aggregate buffer). Emits the
+ *    current top-k per key on every trigger — the "live dashboard" shape.
+ *
+ * Scale notes: state per key is bounded (<= 3n counters, the reference's
+ * cap), so state-store size is O(keys * n) regardless of stream volume;
+ * both shapes shuffle only by group key, identical to the batch plans.
+ */
+object TopnStreaming {
+
+  /** Event-time tumbling-window sketches:
+    * (window_start, window_end, groupCol, sketch). */
+  def windowedSketches(
+      events: DataFrame,
+      tsCol: String,
+      groupCol: String,
+      itemCol: String,
+      windowDuration: String,
+      watermark: String,
+      numCounters: Int = GraftConf.DefaultNumberOfCounters): DataFrame = {
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration), col(groupCol))
+      .agg(TopnFunctions.topn_add_agg(col(itemCol).cast("string"), numCounters).as("sketch"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col(groupCol),
+        col("sketch"))
+  }
+
+  case class KeyedItem(key: String, item: String)
+  case class TopEntry(key: String, item: String, frequency: Long)
+
+  /**
+   * Continuously-updated per-key top-k over an unwindowed stream.
+   * State: the serialized TopnState (compact varint framing — the same
+   * bytes the batch aggregate ships between partial and final stages).
+   */
+  def runningTopK(
+      items: Dataset[KeyedItem],
+      k: Int,
+      numCounters: Int = GraftConf.DefaultNumberOfCounters): Dataset[TopEntry] = {
+    import items.sparkSession.implicits._
+    items
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Array[Byte], TopEntry](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[KeyedItem], state: GroupState[Array[Byte]]) =>
+          val st =
+            if (state.exists) TopnState.deserialize(state.get)
+            else TopnState.empty()
+          rows.foreach { r =>
+            if (r.item != null) st.add(r.item, numCounters)
+          }
+          state.update(st.serialize())
+          st.topK(math.min(k, numCounters), numCounters).iterator
+            .map { case (item, freq) => TopEntry(key, item, freq) }
+      }
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import graft.streaming.TopnStreaming
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Streaming behavior, driven through the public file-source + memory-sink
+ * API: the testdata events table is split into two parquet files consumed
+ * as two micro-batches (maxFilesPerTrigger=1), proving sketch state
+ * accumulates across batches and matches the batch-mode answer.
+ */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val eventsBatch = graft.sources.Tables
+    .events(spark, "/root/testdata/sf0.001").cache()
+
+  private def twoBatchDir(): String = {
+    val events = eventsBatch
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    events.filter($"event_id" % 2 === 0).coalesce(1).write.parquet(s"$dir/b0")
+    events.filter($"event_id" % 2 === 1).coalesce(1).write.parquet(s"$dir/b1")
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
+    // flatten into one dir of two files
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/b0")).forEach { p =>
+      if (p.toString.endsWith(".parquet"))
+        java.nio.file.Files.copy(p, java.nio.file.Paths.get(out, "part0.parquet"))
+    }
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/b1")).forEach { p =>
+      if (p.toString.endsWith(".parquet"))
+        java.nio.file.Files.copy(p, java.nio.file.Paths.get(out, "part1.parquet"))
+    }
+    out
+  }
+
+  test("windowed streaming sketches accumulate across micro-batches = batch answer") {
+    val inDir = twoBatchDir()
+    val stream = spark.readStream.schema(eventsBatch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+
+    val sketches = TopnStreaming.windowedSketches(
+      stream, "ts", "event_type", "user_id",
+      windowDuration = "6 hours", watermark = "0 seconds", numCounters = 100000)
+
+    val q = sketches.writeStream
+      .outputMode("update").format("memory").queryName("win_sketches").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // latest update per (window, event_type) must equal the batch rollup
+    val got = spark.table("win_sketches")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"window_start", $"event_type").orderBy(lit(1))))
+      // memory sink appends every update; the LAST row per key is the final state
+      .groupBy($"window_start", $"event_type")
+      .agg(last($"sketch").as("sketch"))
+      .select($"window_start", $"event_type", explode($"sketch").as(Seq("item", "frequency")))
+
+    val expected = eventsBatch
+      .groupBy(window($"ts", "6 hours").getField("start").as("window_start"),
+        $"event_type", $"user_id".cast("string").as("item"))
+      .agg(count(lit(1)).as("frequency"))
+
+    val mismatches = got.as("g").join(expected.as("e"),
+        $"g.window_start" === $"e.window_start" &&
+          $"g.event_type" === $"e.event_type" && $"g.item" === $"e.item", "full")
+      .filter($"g.frequency".isNull || $"e.frequency".isNull ||
+        $"g.frequency" =!= $"e.frequency")
+      .count()
+    assert(mismatches === 0)
+  }
+
+  test("runningTopK keeps bounded per-key state across batches = batch top-k") {
+    val inDir = twoBatchDir()
+    val stream = spark.readStream.schema(eventsBatch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .select($"event_type".as("key"), $"user_id".cast("string").as("item"))
+      .as[TopnStreaming.KeyedItem]
+
+    StreamingSpec.captured.clear()
+    val q = TopnStreaming.runningTopK(stream, k = 5, numCounters = 100000)
+      .toDF().writeStream
+      .outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamingSpec.captured.put(id,
+          df.as[TopnStreaming.TopEntry].collect().toSeq)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    assert(StreamingSpec.captured.size >= 2, "expected two micro-batches")
+    val lastBatch = StreamingSpec.captured.get(StreamingSpec.captured.keySet().asScala.max)
+
+    // the final batch's emission per key reflects ALL data seen so far
+    val expectedTop = eventsBatch
+      .groupBy($"event_type", $"user_id".cast("string").as("item"))
+      .agg(count(lit(1)).as("frequency"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"event_type")
+          .orderBy($"frequency".desc, $"item")))
+      .filter($"rk" <= 5)
+      .as[(String, String, Long, Int)].collect()
+      .map(r => (r._1, r._2, r._3)).toSet
+
+    val gotKeys = lastBatch.map(_.key).toSet
+    val got = lastBatch.map(e => (e.key, e.item, e.frequency)).toSet
+    val expectedForKeys = expectedTop.filter(e => gotKeys.contains(e._1))
+    assert(got === expectedForKeys)
+    assert(gotKeys.nonEmpty)
+  }
+
+  private implicit class JavaSetOps[A](s: java.util.Set[A]) {
+    def asScala: scala.collection.mutable.Set[A] =
+      scala.jdk.CollectionConverters.SetHasAsScala(s).asScala
+  }
+}
+
+object StreamingSpec {
+  val captured = new java.util.concurrent.ConcurrentHashMap[
+    Long, Seq[graft.streaming.TopnStreaming.TopEntry]]()
+}
