@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * 1:1 ports of the reference's pg_regress suites on the FIXTURES.md
+ * fixtures (reference: sql/add_agg.sql, union_agg.sql, add_union_tests.sql,
+ * char_tests.sql; goldens in the expected/ dir). Frequencies and fixtures are
+ * the reference's own; ordering follows our pinned total order
+ * (freq desc, item asc) since the reference leaves ties unspecified
+ * (SURVEY §2.8.1).
+ */
+class GoldenSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def withN[A](n: Int)(f: => A): A = {
+    spark.conf.set(GraftConf.NumberOfCountersKey, n.toString)
+    try f finally spark.conf.set(GraftConf.NumberOfCountersKey, "1000")
+  }
+
+  private def topnRows(df: org.apache.spark.sql.DataFrame, itemCol: String, k: Int): Seq[(String, Long)] =
+    df.agg(TopnFunctions.topn_add_agg(col(itemCol)).as("s"))
+      .select(explode(TopnFunctions.topn($"s", lit(k))).as("r"))
+      .select($"r.item", $"r.frequency").as[(String, Long)].collect().toSeq
+
+  // strings fixture: NULL×30, '0'×2, '1'×1, '2'×15000, '3'×20, '4'×6,
+  // '5'×70000 (reference sql/add_agg.sql:19-29)
+  private def stringsDf = {
+    val values = Seq.fill(30)(null.asInstanceOf[String]) ++
+      Seq.fill(2)("0") ++ Seq("1") ++ Seq.fill(15000)("2") ++
+      Seq.fill(20)("3") ++ Seq.fill(6)("4") ++ Seq.fill(70000)("5")
+    values.toDF("text_column")
+  }
+
+  test("add_agg over skewed strings at n=4 (expected/add_agg.out)") {
+    withN(4) {
+      assert(topnRows(stringsDf, "text_column", 4) ===
+        Seq(("5", 70000L), ("2", 15000L), ("3", 20L), ("4", 6L)))
+    }
+  }
+
+  test("add_agg over PG-normalized cidr/inet text forms (expected/add_agg.out:180-194)") {
+    // same frequency profile as strings, over normalized cidr strings
+    val cidrs = Seq("10.1.2.3/32", "192.168.2.1/24", "192.168.100.128/23",
+      "192.168.0.0/24", "10.1.0.0/16", "::ffff:1.2.3.0/120")
+    val freqs = Seq(2, 1, 15000, 20, 6, 70000)
+    val df = cidrs.zip(freqs).flatMap { case (c, f) => Seq.fill(f)(c) }
+      .toDF("cidr_column")
+    withN(4) {
+      assert(topnRows(df, "cidr_column", 4) ===
+        Seq(("::ffff:1.2.3.0/120", 70000L), ("192.168.100.128/23", 15000L),
+          ("192.168.0.0/24", 20L), ("10.1.0.0/16", 6L)))
+    }
+  }
+
+  test("union_agg mid-suite SET rebinding + sketch-size introspection (union_agg.sql:8,26,41)") {
+    // per-key sketches built at n=10, then re-read at n=6: the union prunes
+    // to 6; jsonb_each+count introspection = explode(map)+count
+    val slices = (1 to 9).map(i => Map(s"item$i" -> (i * 10L)))
+    val stored = slices.toDF("topn_column")
+    stored.createOrReplaceTempView("temp_table")
+    withN(10) {
+      val full = spark.sql("SELECT topn_union_agg(topn_column) AS s FROM temp_table")
+        .select(explode($"s")).count()
+      assert(full === 9)
+    }
+    withN(6) {
+      val pruned = spark.sql("SELECT topn_union_agg(topn_column) AS s FROM temp_table")
+        .select(explode($"s").as(Seq("item", "frequency")))
+        .as[(String, Long)].collect().toSeq.sortBy(-_._2)
+      assert(pruned.size === 6)
+      assert(pruned === (9 to 4 by -1).map(i => (s"item$i", i * 10L)))
+    }
+  }
+
+  test("add_union_tests: sequential scalar fold equals the aggregate (add_union_tests.sql)") {
+    // fold 500 items one at a time through topn_add, like the reference's
+    // PL/pgSQL loops, and compare against topn_add_agg over the same items
+    val items = (0 until 500).map(i => s"k${i % 7}")
+    val viaScalar = items.foldLeft(Map.empty[String, Long]) { (sketch, item) =>
+      val df = Seq((sketch, item)).toDF("s", "i")
+      df.select(TopnFunctions.topn_add($"s", $"i").as("out"))
+        .collect().head.getMap[String, Long](0).toMap
+    }
+    val viaAgg = items.toDF("t")
+      .agg(TopnFunctions.topn_add_agg($"t")).collect().head
+      .getMap[String, Long](0).toMap
+    assert(viaScalar === viaAgg)
+  }
+
+  test("char_tests round-trip: topn output items feed back as input (char_tests.sql:237-244)") {
+    val nasty = Seq("'\"\"\t", "ёъяшер", "中文测试", "\b\f\t\\'\"", "ab")
+    val df = nasty.flatMap(s => Seq.fill(4)(s)).toDF("t")
+    val round1 = df.agg(TopnFunctions.topn_add_agg($"t").as("s"))
+      .select(explode(TopnFunctions.topn($"s", lit(5))).as("r"))
+      .select($"r.item")
+    // feed the extracted items back through another aggregation
+    val round2 = round1.agg(TopnFunctions.topn_add_agg($"item").as("s"))
+      .select(explode(TopnFunctions.topn($"s", lit(5))).as("r"))
+      .select($"r.item").as[String].collect().toSet
+    assert(round2 === nasty.toSet)
+  }
+
+  test("null_tests: union of NULLs, empties and one sketch = that sketch (expected/null_tests.out)") {
+    val rows: Seq[Option[Map[String, Long]]] = Seq(
+      None, Some(Map.empty[String, Long]), None,
+      Some(Map("SA" -> 1L)), Some(Map.empty[String, Long]))
+    val df = rows.toDF("sketch")
+    val out = df.agg(TopnFunctions.topn_union_agg($"sketch"))
+      .collect().head.getMap[String, Long](0).toMap
+    assert(out === Map("SA" -> 1L))
+  }
+}

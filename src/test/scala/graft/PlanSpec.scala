@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Physical-plan regression guards: these assert the *shape* that makes the
+ * operators scale — column pruning at the parquet scan, predicate pushdown,
+ * two-phase (partial/final) aggregation, broadcast of small sides. A change
+ * that silently turns one of these into a full-scan / full-shuffle plan
+ * fails here long before it shows up as a 100 TB incident.
+ */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.explainString(FormattedMode)
+
+  test("sketch group-by runs as partial/final ObjectHashAggregate over a pruned scan") {
+    val p = plan("topn_add_agg_groupby")
+    assert(p.contains("partial_topn_add_agg"),
+      "map-side partial aggregation must run before the shuffle")
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2)
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint,o_orderpriority:string>"),
+      "scan must read only the two referenced columns")
+  }
+
+  test("scalar pipeline pushes the price filter into the parquet scan") {
+    val p = plan("topn_scalar_pipeline")
+    assert(p.contains("PushedFilters:") && p.contains("LessThan(o_totalprice"),
+      s"expected o_totalprice predicate pushed to scan")
+  }
+
+  test("brute-force ANN broadcasts the query side and pre-aggregates top-k map-side") {
+    val p = plan("ann_bruteforce_top10")
+    assert(p.contains("BroadcastExchange"), "query set must broadcast")
+    assert(p.contains("partial_topk_by_score"),
+      "bounded-heap partial aggregation must run before the shuffle " +
+        "(only ~k rows per partition per query may cross the wire)")
+  }
+
+  test("dedup scans read only (doc_id, text)") {
+    val p = plan("dedup_jaccard_pairs")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  test("text analysis is a pure pruned-scan projection (no shuffle before sort)") {
+    val p = plan("text_stats")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+    // the only exchange allowed is the final ORDER BY range partitioning
+    val exchanges = p.linesIterator.filter(_.matches(".*\\(\\d+\\) Exchange.*")).size
+    assert(exchanges <= 1, s"expected at most the ORDER BY exchange, got $exchanges")
+  }
+}
