@@ -97,16 +97,12 @@ object TextAnalysis {
   /**
    * Word n-gram shingles (default n=3), distinct. The unit of the
    * n-gram-Jaccard near-dup pipeline. Empty array when the doc has fewer
-   * than n tokens. The token array is bound once per row (see [[bindOnce]]);
-   * shingle assembly is then O(1) array access per word.
+   * than n tokens. Backed by the single-pass [[graft.expressions.TokenShingles]]
+   * expression (tokenization semantics identical to
+   * `split(trim(text), "\\s+")`).
    */
   def wordShingles(text: Column, n: Int = 3): Column =
-    bindOnce(tokens(text)) { t =>
-      val count = size(t) - (n - 1)
-      array_distinct(
-        when(count >= 1,
-          transform(sequence(lit(1), count), i =>
-            concat_ws(" ", (0 until n).map(j => element_at(t, i + lit(j))): _*)))
-          .otherwise(array()))
-    }
+    org.apache.spark.sql.graftshim.GraftShim.column(
+      graft.expressions.TokenShingles(
+        org.apache.spark.sql.graftshim.GraftShim.expression(text), n))
 }

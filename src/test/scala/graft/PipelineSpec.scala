@@ -10,8 +10,8 @@ class PipelineSpec extends AnyFunSuite {
   import spark.implicits._
 
   private val dir = "/root/testdata/sf0.001"
-  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
-  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
 
   test("wordShingles produces n-2 distinct trigram shingles") {
     val out = Seq("a b c d e", "a b", "x x x x")
