@@ -45,6 +45,9 @@ object TopnFunctions {
     GraftShim.registerFunction(spark, "topn_to_json",
       "topn_to_json(sketch) - sketch as JSON text with PostgreSQL-canonical key order",
       exprs => TopnToJson(exprs.head))
+    GraftShim.registerFunction(spark, "topn_rows",
+      "topn_rows(sketch, k) - set-returning topn for LATERAL VIEW: rows of (item, frequency)",
+      exprs => TopnRows(exprs(0), exprs(1), GraftConf.numberOfCounters))
   }
 
   // ---- DataFrame API ----------------------------------------------------
@@ -103,5 +106,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("topn_add", exprs => TopnAddScalar(exprs(0), exprs(1), GraftConf.numberOfCounters))
     inject("topn_union", exprs => TopnUnionScalar(exprs(0), exprs(1), GraftConf.numberOfCounters))
     inject("topn_to_json", exprs => TopnToJson(exprs.head))
+    inject("topn_rows", exprs => TopnRows(exprs(0), exprs(1), GraftConf.numberOfCounters))
   }
 }

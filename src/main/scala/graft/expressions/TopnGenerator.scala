@@ -1,0 +1,69 @@
+package graft.expressions
+
+import graft.core.TopnState
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{CollectionGenerator, Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.MapData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * `topn_rows(sketch, k)` — the set-returning spelling of `topn`: a Catalyst
+ * `Generator` usable directly in `LATERAL VIEW topn_rows(s, 5) t AS item,
+ * frequency` (and `selectExpr`), mirroring how the reference's `topn()` is
+ * a set-returning function expanded by the host executor
+ * (reference: topn.c:189-283, SRF protocol topn.c:201-282).
+ *
+ * Same semantics as [[TopnQuery]]: canonical (freq desc, item asc) order,
+ * error when k exceeds the counter budget, zero rows for NULL/empty input.
+ */
+case class TopnRows(left: Expression, right: Expression, numCounters: Int)
+  extends CollectionGenerator with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(left, right)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    TopnTypeChecks.check(
+      TopnTypeChecks.isSketch(left.dataType) && right.dataType == IntegerType,
+      s"topn_rows requires (MAP<STRING,BIGINT>, INT), got (${left.dataType.sql}, ${right.dataType.sql})")
+
+  override def elementSchema: StructType = TopnExprUtils.recordType
+  override def collectionType: DataType = ArrayType(elementSchema, containsNull = false)
+  override def position: Boolean = false
+  override def inline: Boolean = true
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val sketch = left.eval(input)
+    val k = right.eval(input)
+    if (sketch == null || k == null) return Iterator.empty
+    val n = k.asInstanceOf[Int]
+    if (n > numCounters) {
+      throw new IllegalArgumentException(
+        s"requested number of elements ($n) must be less than or equal to the " +
+          s"number of counters ($numCounters)")
+    }
+    val md = sketch.asInstanceOf[MapData]
+    val keys = md.keyArray()
+    val vals = md.valueArray()
+    val entries = new java.util.ArrayList[(String, Long)](md.numElements())
+    var i = 0
+    while (i < md.numElements()) {
+      if (!vals.isNullAt(i)) {
+        entries.add((keys.getUTF8String(i).toString, vals.getLong(i)))
+      }
+      i += 1
+    }
+    val arr = entries.toArray(new Array[(String, Long)](entries.size()))
+    java.util.Arrays.sort(arr, TopnState.EntryOrdering)
+    arr.iterator.take(n).map { case (item, freq) =>
+      new GenericInternalRow(Array[Any](UTF8String.fromString(item), freq))
+    }
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TopnRows =
+    copy(left = c(0), right = c(1))
+  override def prettyName: String = "topn_rows"
+}
