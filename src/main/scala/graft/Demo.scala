@@ -27,6 +27,12 @@ object Demo {
         |FROM (SELECT topn(topn_add_agg(CAST(o_custkey AS STRING)), 5) AS t FROM orders)
         |LATERAL VIEW explode(t) AS r""".stripMargin).show(false)
 
+    println("== set-returning topn_rows via LATERAL VIEW ==")
+    spark.sql(
+      """SELECT t.item, t.frequency
+        |FROM (SELECT topn_add_agg(o_orderpriority) AS s FROM orders)
+        |LATERAL VIEW topn_rows(s, 3) t AS item, frequency""".stripMargin).show(false)
+
     println("== SET conf rebinding (n=3 prunes sketch to 3 entries) ==")
     spark.sql(s"SET ${GraftConf.NumberOfCountersKey}=3")
     spark.sql(
