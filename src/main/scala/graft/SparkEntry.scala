@@ -97,6 +97,19 @@ object SparkEntry {
         .orderBy($"day", $"frequency".desc, $"item")
     }),
 
+    // the same 7-day sliding merge via the scale-path rank-range join
+    // (no single-partition window sort; see graft.operators.Rollups)
+    "topn_window_7day_scalable" -> ((spark, dir) => {
+      import spark.implicits._
+      val daily = tbl(spark, dir, "orders")
+        .groupBy(date_format($"o_orderdate", "yyyy-MM-dd").as("day"))
+        .agg(TopnFunctions.topn_add_agg($"o_custkey".cast("string"), ExactN).as("sketch"))
+      graft.operators.Rollups.slidingUnion(daily, "day", "sketch", frameRows = 7, ExactN)
+        .select($"day", explode(TopnFunctions.topn($"sketch", lit(5))).as("r"))
+        .select($"day", $"r.item".as("item"), $"r.frequency".as("frequency"))
+        .orderBy($"day", $"frequency".desc, $"item")
+    }),
+
     // events stream table (nanos-timestamp source) through the sketch path:
     // per-type hourly rollups -> union re-aggregation -> top-5 users
     "topn_events_by_type" -> ((spark, dir) => {
@@ -232,6 +245,28 @@ object SparkEntry {
         |ORDER BY frequency DESC, item""".stripMargin,
 
     "topn_window_7day" ->
+      """WITH daily AS (
+        |  SELECT STRFTIME(o_orderdate, '%Y-%m-%d') AS day, CAST(o_custkey AS VARCHAR) AS item,
+        |         COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |days AS (
+        |  SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS rk
+        |  FROM (SELECT DISTINCT day FROM daily) d),
+        |merged AS (
+        |  SELECT d.day, dl.item, CAST(SUM(dl.cnt) AS BIGINT) AS frequency
+        |  FROM days d
+        |  JOIN days d2 ON d2.rk BETWEEN d.rk - 6 AND d.rk
+        |  JOIN daily dl ON dl.day = d2.day
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT day, item, frequency,
+        |         ROW_NUMBER() OVER (PARTITION BY day ORDER BY frequency DESC, item) AS rn
+        |  FROM merged)
+        |SELECT day, item, frequency FROM ranked WHERE rn <= 5
+        |ORDER BY day, frequency DESC, item""".stripMargin,
+
+    // identical semantics to topn_window_7day -> same oracle shape
+    "topn_window_7day_scalable" ->
       """WITH daily AS (
         |  SELECT STRFTIME(o_orderdate, '%Y-%m-%d') AS day, CAST(o_custkey AS VARCHAR) AS item,
         |         COUNT(*) AS cnt

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.TopnFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Rollup-table operators for sketch maintenance — the reference's
+ * "INSERT ... SELECT topn_add_agg ... GROUP BY, then topn_union_agg over
+ * intervals" pattern (reference README.md:73-116,
+ * sql/customer_reviews_query.sql) expressed as reusable plan builders.
+ */
+object Rollups {
+
+  /**
+   * Sliding merge of per-period sketches over `ROWS (frameRows-1) PRECEDING
+   * .. CURRENT ROW` — the scale path for the reference's seven_days window
+   * (sql/customer_reviews_query.sql:58-70).
+   *
+   * A window with ORDER BY and no PARTITION BY forces ALL rollup rows into
+   * one partition (both here and in PostgreSQL). This variant instead:
+   *  1. ranks the distinct periods (a tiny dimension: one row per day/hour
+   *     — the only single-partition step, over #periods rows, not data);
+   *  2. broadcast range-joins period->frame member periods;
+   *  3. re-aggregates sketches with `topn_union_agg` grouped by the target
+   *     period — an ordinary shuffled aggregation, fully parallel in the
+   *     number of periods x groups.
+   *
+   * Identical results to the window form (merge below eviction threshold is
+   * order-free; above it, both forms are approximate by design).
+   */
+  def slidingUnion(
+      rollup: DataFrame,
+      periodCol: String,
+      sketchCol: String,
+      frameRows: Int,
+      numCounters: Int): DataFrame = {
+    val spark = rollup.sparkSession
+    import spark.implicits._
+
+    val ranked = rollup.select(col(periodCol)).distinct()
+      .withColumn("rk", row_number().over(Window.orderBy(col(periodCol))))
+
+    // (target period) -> (member period) pairs inside the frame
+    val frame = ranked.as("d")
+      .join(broadcast(ranked.as("m")),
+        col("m.rk") >= col("d.rk") - (frameRows - 1) && col("m.rk") <= col("d.rk"))
+      .select(col(s"d.$periodCol").as("target_period"),
+        col(s"m.$periodCol").as("member_period"))
+
+    rollup
+      .join(broadcast(frame), col(periodCol) === col("member_period"))
+      .groupBy(col("target_period").as(periodCol + "_out"))
+      .agg(TopnFunctions.topn_union_agg(col(sketchCol), numCounters).as(sketchCol))
+      .withColumnRenamed(periodCol + "_out", periodCol)
+  }
+}

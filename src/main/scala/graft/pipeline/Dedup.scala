@@ -133,7 +133,8 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       n: Int = 3,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucket: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
 
@@ -159,10 +160,13 @@ object Dedup {
       }).as("bk"))
       .select($"doc_id", $"bk.band", $"bk.bh")
 
+    // Skew guard: a band bucket of b docs generates b^2/2 candidate pairs;
+    // buckets past `maxBucket` (typically exact-duplicate clusters — run
+    // exactGroups first) are DROPPED, trading recall for bounded work.
     val candidates = banded
       .groupBy("band", "bh")
       .agg(sort_array(collect_list($"doc_id")).as("ids"))
-      .filter(size($"ids") >= 2)
+      .filter(size($"ids") >= 2 && size($"ids") <= maxBucket)
       .select(explode(
         flatten(transform(sequence(lit(1), size($"ids") - 1), i =>
           transform(slice($"ids", i + 1, size($"ids") - i), b =>
@@ -195,7 +199,8 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
     val chunks = maxDist + 1
     val bits = 64 / chunks
 
@@ -212,10 +217,11 @@ object Dedup {
       .select($"doc_id", $"sh", $"bk.chunk", $"bk.cv")
 
     // one shuffle by (chunk, chunkValue); pairs generated inside buckets
+    // same skew guard as minhashLshPairs: oversize chunk buckets dropped
     blocked
       .groupBy("chunk", "cv")
       .agg(sort_array(collect_list(struct($"doc_id", $"sh"))).as("xs"))
-      .filter(size($"xs") >= 2)
+      .filter(size($"xs") >= 2 && size($"xs") <= maxBucket)
       .select(explode(
         flatten(transform(sequence(lit(1), size($"xs") - 1), i =>
           transform(slice($"xs", i + 1, size($"xs") - i), y =>
