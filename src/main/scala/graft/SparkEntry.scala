@@ -52,6 +52,18 @@ object SparkEntry {
         .orderBy($"o_orderpriority", $"frequency".desc, $"item")
     }),
 
+    // heavy-path throughput anchor: sketch build over the full lineitem
+    // table (600k rows at sf0.1), grouped by return flag
+    "topn_lineitem_parts" -> ((spark, dir) => {
+      import spark.implicits._
+      tbl(spark, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(TopnFunctions.topn_add_agg($"l_partkey".cast("string"), ExactN).as("sketch"))
+        .select($"l_returnflag", explode(TopnFunctions.topn($"sketch", lit(20))).as("r"))
+        .select($"l_returnflag", $"r.item".as("item"), $"r.frequency".as("frequency"))
+        .orderBy($"l_returnflag", $"frequency".desc, $"item")
+    }),
+
     // topn_union_agg re-aggregation of stored rollup sketches (§2.1 row 5;
     // README.md:100-116 incremental-rollup story)
     "topn_union_agg_rollup" -> ((spark, dir) => {
@@ -231,6 +243,16 @@ object SparkEntry {
         |  FROM orders GROUP BY 1, 2) t
         |WHERE rn <= 10
         |ORDER BY o_orderpriority, frequency DESC, item""".stripMargin,
+
+    "topn_lineitem_parts" ->
+      """SELECT l_returnflag, item, frequency FROM (
+        |  SELECT l_returnflag, CAST(l_partkey AS VARCHAR) AS item,
+        |         COUNT(*) AS frequency,
+        |         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |                            ORDER BY COUNT(*) DESC, CAST(l_partkey AS VARCHAR)) AS rn
+        |  FROM lineitem GROUP BY 1, 2) t
+        |WHERE rn <= 20
+        |ORDER BY l_returnflag, frequency DESC, item""".stripMargin,
 
     "topn_union_agg_rollup" ->
       """SELECT CAST(o_custkey AS VARCHAR) AS item, COUNT(*) AS frequency

@@ -68,22 +68,13 @@ object Similarity {
     Array.fill(tables, bitsPerTable, dim)(rnd.nextGaussian())
   }
 
-  /** Column: array of `tables` bucket ids for a vector. */
+  /** Column: array of `tables` bucket ids for a vector (one native
+    * expression pass over the vector — see
+    * [[graft.expressions.HyperplaneBuckets]]). */
   def lshBuckets(vec: Column, dim: Int, bitsPerTable: Int, tables: Int,
-      seed: Long = 42L): Column = {
-    val planes = hyperplanes(dim, bitsPerTable, tables, seed)
-    array(planes.zipWithIndex.map { case (tablePlanes, t) =>
-      val bits = tablePlanes.map { plane =>
-        val dot = aggregate(
-          zip_with(vec, lit(plane), (x, p) => x.cast("double") * p),
-          lit(0.0), (acc, v) => acc + v)
-        when(dot >= 0, lit(1L)).otherwise(lit(0L))
-      }
-      bits.zipWithIndex
-        .map { case (b, i) => b * lit(1L << i) }
-        .reduce(_ + _) + lit(t.toLong << 32) // disambiguate tables
-    }: _*)
-  }
+      seed: Long = 42L): Column =
+    GraftShim.column(graft.expressions.HyperplaneBuckets(
+      GraftShim.expression(vec), hyperplanes(dim, bitsPerTable, tables, seed)))
 
   /**
    * LSH-bucketed approximate top-k: candidates share a bucket with the
