@@ -3,6 +3,8 @@ package graft.core
 import java.io.{ByteArrayOutputStream, DataOutputStream}
 import java.nio.charset.StandardCharsets
 
+import org.apache.spark.unsafe.types.UTF8String
+
 /**
  * In-flight state of a bounded frequent-items ("top-n") sketch.
  *
@@ -24,77 +26,105 @@ import java.nio.charset.StandardCharsets
  *        frequent (call sites topn.c:441-445, 803-806, 984-988). This
  *        evict-half step is the approximation knob.
  *  - Ordering for prune and report is deterministic in this engine:
- *    frequency descending, then item ascending in UTF-8 byte order. The
+ *    frequency descending, then item ascending in UTF-8 byte order
+ *    (`UTF8String.compareTo` binary order == code point order). The
  *    reference leaves ties unspecified (topn.c:817-834 returns 0 on equal
  *    frequency + unstable qsort); we pin a total order so results are
  *    stable under Spark's nondeterministic shuffle order (SURVEY §2.8.1).
  *
- * This class is pure JVM Scala with no Spark dependency so it can be unit /
- * property tested standalone and reused by aggregate expressions, scalar
- * functions and streaming state.
+ * Keys are held as `UTF8String` so the Spark hot paths (aggregate update
+ * from a scanned column, merge from MapData, finalize to MapData, byte
+ * serialization) run with ZERO `java.lang.String` conversions or copies
+ * beyond the defensive clone on first insert (scan buffers are reused, so
+ * an inserted key must own its bytes). `java.lang.String` convenience
+ * overloads remain for tests and the streaming state.
  *
  * NOT thread-safe (used inside a single aggregation buffer).
  */
 final class TopnState private (
-    private var counters: java.util.HashMap[String, java.lang.Long]) extends Serializable {
+    private var counters: java.util.HashMap[UTF8String, java.lang.Long]) extends Serializable {
 
   import TopnState._
 
   def size: Int = counters.size
 
   /** Raw view for tests / materialization. Does not copy. */
-  private[graft] def underlying: java.util.HashMap[String, java.lang.Long] = counters
+  private[graft] def underlying: java.util.HashMap[UTF8String, java.lang.Long] = counters
+
+  /** String view for tests. */
+  private[graft] def toStringMap: Map[String, Long] = {
+    val b = Map.newBuilder[String, Long]
+    val it = counters.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      b += ((e.getKey.toString, e.getValue.longValue))
+    }
+    b.result()
+  }
 
   /**
-   * Add one occurrence (or `count` occurrences) of `item`.
-   * The item is truncated to <=255 UTF-8 bytes. Applies prune policy B when
-   * a new key pushes the state past `3 * numCounters`.
+   * Add `count` occurrences of `item` (which may be a transient,
+   * buffer-backed UTF8String — it is truncated/cloned only if actually
+   * inserted as a new key). Applies prune policy B.
    * Reference: topn.c:393-449 `topn_add_trans`.
    */
-  def add(rawItem: String, count: Long, numCounters: Int): Unit = {
+  def add(rawItem: UTF8String, count: Long, numCounters: Int): Unit = {
     val item = truncateUtf8(rawItem, MaxKeyBytes)
-    upsert(item, count, numCounters)
-  }
-
-  def add(rawItem: String, numCounters: Int): Unit = add(rawItem, 1L, numCounters)
-
-  /**
-   * Merge a materialized sketch (item -> frequency) into this state,
-   * applying policy B per inserted key.
-   * Reference: topn.c:753-810 `MergeJsonbIntoTopnAggState`, 955-990
-   * `MergeTopn`. Keys arriving from a sketch are NOT truncated; keys longer
-   * than 256 bytes are an error, mirroring the reference's asymmetry
-   * (truncate-on-add topn.c:337 vs error-on-load topn.c:700-706).
-   */
-  def mergeEntry(item: String, freq: Long, numCounters: Int): Unit = {
-    // <=85 UTF-16 chars can never exceed 256 UTF-8 bytes (max 3 bytes/char).
-    if (item.length > 85 && utf8Length(item) > MaxKeyBytes + 1) {
-      throw new IllegalArgumentException(
-        s"this sketch includes a key which is longer than allowed topn key size (${MaxKeyBytes + 1} bytes)")
-    }
-    upsert(item, freq, numCounters)
-  }
-
-  /** Insert-or-saturating-add; policy-B prune fires only on new-key insert
-    * (reference: topn.c:434-446 — `hash_search(..., HASH_ENTER, &found)`). */
-  private def upsert(item: String, count: Long, numCounters: Int): Unit = {
-    val prev = counters.putIfAbsent(item, count)
+    val prev = counters.get(item)
     if (prev == null) {
+      counters.put(item.clone(), count)
       if (counters.size > UnionFactor * numCounters) {
         pruneToHalf()
       }
     } else {
-      counters.put(item, saturatingAdd(prev.asInstanceOf[Long], count))
+      counters.put(item, saturatingAdd(prev.longValue, count))
     }
   }
 
+  def add(rawItem: UTF8String, numCounters: Int): Unit = add(rawItem, 1L, numCounters)
+
+  def add(rawItem: String, count: Long, numCounters: Int): Unit =
+    add(UTF8String.fromString(rawItem), count, numCounters)
+
+  def add(rawItem: String, numCounters: Int): Unit = add(rawItem, 1L, numCounters)
+
+  /**
+   * Merge a materialized sketch entry into this state (policy B per
+   * inserted key). Keys arriving from a sketch are NOT truncated; keys
+   * longer than 256 bytes are an error, mirroring the reference's
+   * asymmetry (truncate-on-add topn.c:337 vs error-on-load topn.c:700-706).
+   * Reference: topn.c:753-810 `MergeJsonbIntoTopnAggState`, 955-990
+   * `MergeTopn`.
+   */
+  def mergeEntry(item: UTF8String, freq: Long, numCounters: Int): Unit = {
+    if (item.numBytes > MaxKeyBytes + 1) {
+      throw new IllegalArgumentException(
+        s"this sketch includes a key which is longer than allowed topn key size (${MaxKeyBytes + 1} bytes)")
+    }
+    val prev = counters.get(item)
+    if (prev == null) {
+      counters.put(item.clone(), freq)
+      if (counters.size > UnionFactor * numCounters) {
+        pruneToHalf()
+      }
+    } else {
+      counters.put(item, saturatingAdd(prev.longValue, freq))
+    }
+  }
+
+  def mergeEntry(item: String, freq: Long, numCounters: Int): Unit =
+    mergeEntry(UTF8String.fromString(item), freq, numCounters)
+
   /** Merge another in-flight state into this one (aggregate COMBINEFUNC).
-    * Reference: topn.c:588-625 `topn_union_internal` -> `MergeTopn`. */
+    * Reference: topn.c:588-625 `topn_union_internal` -> `MergeTopn`.
+    * Keys from another state are already owned -> no clone needed, but
+    * `mergeEntry` clones only on new-key insert anyway (clone of an owned
+    * key is a cheap 1-level copy). */
   def merge(other: TopnState, numCounters: Int): Unit = {
     val it = other.counters.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      mergeEntry(e.getKey, e.getValue, numCounters)
+      mergeEntry(e.getKey, e.getValue.longValue, numCounters)
     }
   }
 
@@ -109,7 +139,8 @@ final class TopnState private (
 
   private def pruneTo(remaining: Int): Unit = {
     val arr = sortedEntries()
-    val next = new java.util.HashMap[String, java.lang.Long](hashCapacity(remaining), 0.75f)
+    val next = new java.util.HashMap[UTF8String, java.lang.Long](
+      hashCapacity(remaining), 0.75f)
     var i = 0
     val keep = math.min(remaining, arr.length)
     while (i < keep) {
@@ -119,9 +150,10 @@ final class TopnState private (
     counters = next
   }
 
-  /** Entries in canonical order: frequency desc, then item asc (UTF-8 bytes). */
-  def sortedEntries(): Array[(String, Long)] = {
-    val arr = new Array[(String, Long)](counters.size)
+  /** Entries in canonical order: frequency desc, then item asc (UTF-8
+    * binary order). */
+  def sortedEntries(): Array[(UTF8String, java.lang.Long)] = {
+    val arr = new Array[(UTF8String, java.lang.Long)](counters.size)
     var i = 0
     val it = counters.entrySet().iterator()
     while (it.hasNext) {
@@ -134,8 +166,8 @@ final class TopnState private (
   }
 
   /** Finalize: prune to at most `numCounters` entries (policy A) and return
-    * the materialized map. Reference: topn.c:632-664 `topn_pack`. */
-  def pack(numCounters: Int): Array[(String, Long)] = {
+    * the materialized entries. Reference: topn.c:632-664 `topn_pack`. */
+  def pack(numCounters: Int): Array[(UTF8String, java.lang.Long)] = {
     prune(numCounters)
     sortedEntries()
   }
@@ -149,6 +181,7 @@ final class TopnState private (
           s"number of counters ($numCounters)")
     }
     sortedEntries().take(math.min(k, counters.size))
+      .map(e => (e._1.toString, e._2.longValue))
   }
 
   /**
@@ -158,16 +191,16 @@ final class TopnState private (
    * topn.c:509-542; we use a denser framing — format is ours to define.)
    */
   def serialize(): Array[Byte] = {
-    val bos = new ByteArrayOutputStream(16 + counters.size * 16)
+    val bos = new ByteArrayOutputStream(16 + counters.size * 24)
     val out = new DataOutputStream(bos)
     writeVarLong(out, counters.size.toLong)
     val it = counters.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      val kb = e.getKey.getBytes(StandardCharsets.UTF_8)
+      val kb = e.getKey.getBytes
       writeVarLong(out, kb.length.toLong)
       out.write(kb)
-      writeVarLong(out, zigzag(e.getValue))
+      writeVarLong(out, zigzag(e.getValue.longValue))
     }
     out.flush()
     bos.toByteArray
@@ -188,9 +221,11 @@ object TopnState {
     math.max(8, (n / 0.75).toInt + 1)
 
   def empty(numCounters: Int): TopnState =
-    new TopnState(new java.util.HashMap[String, java.lang.Long](hashCapacity(numCounters), 0.75f))
+    new TopnState(new java.util.HashMap[UTF8String, java.lang.Long](
+      hashCapacity(numCounters), 0.75f))
 
-  def empty(): TopnState = new TopnState(new java.util.HashMap[String, java.lang.Long](16, 0.75f))
+  def empty(): TopnState =
+    new TopnState(new java.util.HashMap[UTF8String, java.lang.Long](16, 0.75f))
 
   /** Saturating signed add (reference: topn.c:997-1009, upper bound only;
     * we also guard the lower bound since typed maps may carry negatives). */
@@ -203,65 +238,42 @@ object TopnState {
   }
 
   /** Truncate to at most `maxBytes` UTF-8 bytes without splitting a code
-    * point (reference: PG `text_to_cstring_buffer` multibyte-safe clip). */
+    * point (reference: PG `text_to_cstring_buffer` multibyte-safe clip).
+    * Returns the input unchanged (no copy) when within budget. */
+  def truncateUtf8(s: UTF8String, maxBytes: Int): UTF8String = {
+    if (s == null || s.numBytes <= maxBytes) return s
+    val bytes = s.getBytes
+    var end = maxBytes
+    // back off to a UTF-8 sequence start (continuation bytes are 10xxxxxx)
+    while (end > 0 && (bytes(end) & 0xC0) == 0x80) end -= 1
+    // `end` now points at the first byte of the sequence that would be
+    // split; everything before it is whole code points
+    UTF8String.fromBytes(bytes, 0, end)
+  }
+
+  /** String-side truncation helper (same semantics), used by tests and
+    * non-Spark callers. */
   def truncateUtf8(s: String, maxBytes: Int): String = {
     if (s == null) return null
-    // Fast path: maximal UTF-8 expansion is 3 bytes per char (4 bytes per
-    // surrogate pair = 2 chars), so <= maxBytes/3 chars can never overflow.
     if (s.length * 3 <= maxBytes) return s
-    var bytes = 0
-    var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      val w =
-        if (cp < 0x80) 1
-        else if (cp < 0x800) 2
-        else if (cp < 0x10000) 3
-        else 4
-      if (bytes + w > maxBytes) return s.substring(0, i)
-      bytes += w
-      i += Character.charCount(cp)
-    }
-    s
+    truncateUtf8(UTF8String.fromString(s), maxBytes).toString
   }
 
-  def utf8Length(s: String): Int = {
-    var bytes = 0
-    var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      bytes +=
-        (if (cp < 0x80) 1
-         else if (cp < 0x800) 2
-         else if (cp < 0x10000) 3
-         else 4)
-      i += Character.charCount(cp)
-    }
-    bytes
-  }
+  def utf8Length(s: String): Int =
+    s.getBytes(StandardCharsets.UTF_8).length
 
-  /** Compare by Unicode code point (== UTF-8 unsigned byte order), matching
-    * how both Spark (`UTF8String.compareTo`) and DuckDB order strings —
-    * required so our tie-break agrees with SQL `ORDER BY item`. */
-  def utf8Compare(a: String, b: String): Int = {
-    var i = 0
-    var j = 0
-    while (i < a.length && j < b.length) {
-      val ca = a.codePointAt(i)
-      val cb = b.codePointAt(j)
-      if (ca != cb) return java.lang.Integer.compare(ca, cb)
-      i += Character.charCount(ca)
-      j += Character.charCount(cb)
-    }
-    java.lang.Integer.compare(a.length - i, b.length - j)
-  }
+  /** Compare by UTF-8 byte order (== code point order), matching both
+    * Spark's and DuckDB's string ORDER BY. */
+  def utf8Compare(a: String, b: String): Int =
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
 
-  /** Canonical report order: frequency desc, then item asc. */
-  val EntryOrdering: java.util.Comparator[(String, Long)] =
-    new java.util.Comparator[(String, Long)] {
-      override def compare(x: (String, Long), y: (String, Long)): Int = {
-        val c = java.lang.Long.compare(y._2, x._2)
-        if (c != 0) c else utf8Compare(x._1, y._1)
+  /** Canonical report order: frequency desc, then item asc (binary). */
+  val EntryOrdering: java.util.Comparator[(UTF8String, java.lang.Long)] =
+    new java.util.Comparator[(UTF8String, java.lang.Long)] {
+      override def compare(x: (UTF8String, java.lang.Long),
+          y: (UTF8String, java.lang.Long)): Int = {
+        val c = java.lang.Long.compare(y._2.longValue, x._2.longValue)
+        if (c != 0) c else x._1.compareTo(y._1)
       }
     }
 
@@ -292,14 +304,15 @@ object TopnState {
       result
     }
     val n = readVarLong().toInt
-    val st = new TopnState(new java.util.HashMap[String, java.lang.Long](hashCapacity(n), 0.75f))
+    val st = new TopnState(new java.util.HashMap[UTF8String, java.lang.Long](
+      hashCapacity(n), 0.75f))
     var i = 0
     while (i < n) {
       val klen = readVarLong().toInt
-      val key = new String(bytes, pos, klen, StandardCharsets.UTF_8)
+      val key = UTF8String.fromBytes(bytes, pos, klen).clone()
       pos += klen
       val freq = unzigzag(readVarLong())
-      st.underlying.put(key, freq)
+      st.underlying.put(key, java.lang.Long.valueOf(freq))
       i += 1
     }
     st

@@ -46,8 +46,8 @@ abstract class TopnAggregateBase
     val values = new Array[Any](entries.length)
     var i = 0
     while (i < entries.length) {
-      keys(i) = UTF8String.fromString(entries(i)._1)
-      values(i) = entries(i)._2
+      keys(i) = entries(i)._1
+      values(i) = entries(i)._2.longValue
       i += 1
     }
     ArrayBasedMapData(keys, values)
@@ -83,7 +83,7 @@ case class TopnAddAgg(
   override def update(buffer: TopnState, input: InternalRow): TopnState = {
     val v = child.eval(input)
     if (v != null) {
-      buffer.add(v.asInstanceOf[UTF8String].toString, numCounters)
+      buffer.add(v.asInstanceOf[UTF8String], numCounters)
     }
     buffer
   }
@@ -125,7 +125,7 @@ case class TopnUnionAgg(
       val n = md.numElements()
       while (i < n) {
         if (!vals.isNullAt(i)) {
-          buffer.mergeEntry(keys.getUTF8String(i).toString, vals.getLong(i), numCounters)
+          buffer.mergeEntry(keys.getUTF8String(i), vals.getLong(i), numCounters)
         }
         i += 1
       }

@@ -48,18 +48,18 @@ case class TopnRows(left: Expression, right: Expression, numCounters: Int)
     val md = sketch.asInstanceOf[MapData]
     val keys = md.keyArray()
     val vals = md.valueArray()
-    val entries = new java.util.ArrayList[(String, Long)](md.numElements())
+    val entries = new java.util.ArrayList[(UTF8String, java.lang.Long)](md.numElements())
     var i = 0
     while (i < md.numElements()) {
       if (!vals.isNullAt(i)) {
-        entries.add((keys.getUTF8String(i).toString, vals.getLong(i)))
+        entries.add((keys.getUTF8String(i), java.lang.Long.valueOf(vals.getLong(i))))
       }
       i += 1
     }
-    val arr = entries.toArray(new Array[(String, Long)](entries.size()))
+    val arr = entries.toArray(new Array[(UTF8String, java.lang.Long)](entries.size()))
     java.util.Arrays.sort(arr, TopnState.EntryOrdering)
     arr.iterator.take(n).map { case (item, freq) =>
-      new GenericInternalRow(Array[Any](UTF8String.fromString(item), freq))
+      new GenericInternalRow(Array[Any](item, freq.longValue))
     }
   }
 

@@ -24,7 +24,7 @@ private[graft] object TopnExprUtils {
     val n = md.numElements()
     while (i < n) {
       if (!vals.isNullAt(i)) {
-        st.mergeEntry(keys.getUTF8String(i).toString, vals.getLong(i), numCounters)
+        st.mergeEntry(keys.getUTF8String(i), vals.getLong(i), numCounters)
       }
       i += 1
     }
@@ -32,13 +32,13 @@ private[graft] object TopnExprUtils {
   }
 
   /** Materialize entries (already in canonical order) as MapData. */
-  def toMapData(entries: Array[(String, Long)]): MapData = {
+  def toMapData(entries: Array[(UTF8String, java.lang.Long)]): MapData = {
     val keys = new Array[Any](entries.length)
     val values = new Array[Any](entries.length)
     var i = 0
     while (i < entries.length) {
-      keys(i) = UTF8String.fromString(entries(i)._1)
-      values(i) = entries(i)._2
+      keys(i) = entries(i)._1
+      values(i) = entries(i)._2.longValue
       i += 1
     }
     ArrayBasedMapData(keys, values)
@@ -93,21 +93,21 @@ case class TopnQuery(left: Expression, right: Expression, numCounters: Int)
     val md = sketch.asInstanceOf[MapData]
     val keys = md.keyArray()
     val vals = md.valueArray()
-    val entries = new java.util.ArrayList[(String, Long)](md.numElements())
+    val entries = new java.util.ArrayList[(UTF8String, java.lang.Long)](md.numElements())
     var i = 0
     while (i < md.numElements()) {
       if (!vals.isNullAt(i)) {
-        entries.add((keys.getUTF8String(i).toString, vals.getLong(i)))
+        entries.add((keys.getUTF8String(i), java.lang.Long.valueOf(vals.getLong(i))))
       }
       i += 1
     }
-    val arr = entries.toArray(new Array[(String, Long)](entries.size()))
+    val arr = entries.toArray(new Array[(UTF8String, java.lang.Long)](entries.size()))
     java.util.Arrays.sort(arr, TopnState.EntryOrdering)
     val out = new Array[Any](math.min(n, arr.length))
     i = 0
     while (i < out.length) {
       out(i) = new GenericInternalRow(
-        Array[Any](UTF8String.fromString(arr(i)._1), arr(i)._2))
+        Array[Any](arr(i)._1, arr(i)._2.longValue))
       i += 1
     }
     new GenericArrayData(out)
@@ -146,7 +146,7 @@ case class TopnAddScalar(left: Expression, right: Expression, numCounters: Int)
       val st =
         if (sketch == null) TopnState.empty()
         else TopnExprUtils.stateFromMapData(sketch.asInstanceOf[MapData], numCounters)
-      st.add(item.asInstanceOf[UTF8String].toString, numCounters)
+      st.add(item.asInstanceOf[UTF8String], numCounters)
       TopnExprUtils.toMapData(st.pack(numCounters))
     }
   }

@@ -6,10 +6,7 @@ import org.scalacheck.{Gen, Prop, Properties}
 
 class TopnStateSpec extends AnyFunSuite {
 
-  private def entries(st: TopnState): Map[String, Long] = {
-    import scala.jdk.CollectionConverters._
-    st.underlying.asScala.map { case (k, v) => (k, v.longValue) }.toMap
-  }
+  private def entries(st: TopnState): Map[String, Long] = st.toStringMap
 
   test("counts are exact while distinct items stay within 3*n (reference invariant)") {
     val st = TopnState.empty()
@@ -19,8 +16,8 @@ class TopnStateSpec extends AnyFunSuite {
     val stream = rnd.shuffle(data.flatMap { case (k, c) => Seq.fill(c)(k) })
     stream.foreach(st.add(_, n))
     assert(entries(st) === data.map { case (k, c) => (k, c.toLong) }.toMap)
-    val packed = st.pack(n)
-    assert(packed.toSeq === Seq("5" -> 7L, "2" -> 6L, "6" -> 5L, "3" -> 4L))
+    val packed = st.pack(n).map(e => (e._1.toString, e._2.longValue))
+    assert(packed.toSeq === Seq(("5", 7L), ("2", 6L), ("6", 5L), ("3", 4L)))
   }
 
   test("policy B: new key beyond 3*n evicts to half") {
@@ -37,7 +34,7 @@ class TopnStateSpec extends AnyFunSuite {
   test("topK deterministic tie-break: frequency desc then item asc") {
     val st = TopnState.empty()
     Seq("b", "a", "c", "a", "b", "z").foreach(st.add(_, 10))
-    assert(st.topK(4, 10).toSeq === Seq("a" -> 2L, "b" -> 2L, "c" -> 1L, "z" -> 1L))
+    assert(st.topK(4, 10).toSeq === Seq(("a", 2L), ("b", 2L), ("c", 1L), ("z", 1L)))
   }
 
   test("topK errors when k exceeds numCounters (topn.c:229-233)") {
@@ -117,8 +114,7 @@ object TopnStateProps extends Properties("TopnState") {
       val st = TopnState.empty()
       items.foreach(st.add(_, n))
       val expected = items.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
-      val got = st.underlying.asScala.map { case (k, v) => (k, v.longValue) }.toMap
-      got == expected
+      st.toStringMap == expected
     }
 
   property("pack returns at most n entries sorted by (freq desc, item asc)") =
@@ -126,7 +122,7 @@ object TopnStateProps extends Properties("TopnState") {
       val n = 5
       val st = TopnState.empty()
       items.foreach(st.add(_, n))
-      val packed = st.pack(n)
+      val packed = st.pack(n).map(e => (e._1.toString, e._2.longValue))
       val resorted = packed.sortWith { (x, y) =>
         x._2 > y._2 || (x._2 == y._2 && TopnState.utf8Compare(x._1, y._1) < 0)
       }
@@ -138,6 +134,6 @@ object TopnStateProps extends Properties("TopnState") {
       val st = TopnState.empty()
       kvs.foreach { case (k, v) => st.mergeEntry(k, v, 1000) }
       val back = TopnState.deserialize(st.serialize())
-      back.underlying.asScala == st.underlying.asScala
+      back.toStringMap == st.toStringMap
     }
 }
