@@ -214,6 +214,26 @@ object SparkEntry {
         .orderBy($"rank")
     }),
 
+    // composed training-data pipeline: exact-dedup (keep min doc per
+    // fingerprint) -> quality gate -> language sketch of surviving docs
+    "pipeline_clean_corpus" -> ((spark, dir) => {
+      import spark.implicits._
+      import graft.pipeline.TextAnalysis._
+      val docs = tbl(spark, dir, "documents")
+      val keep = graft.pipeline.Dedup.exactGroups(docs, "doc_id", "text")
+        .select($"keep_id".as("doc_id"))
+      docs.join(keep, "doc_id")
+        .filter(qualityScore($"text") >= 0.5)
+        .groupBy(languageId($"text").as("lang_pred"))
+        .agg(TopnFunctions.topn_add_agg($"source", ExactN).as("sketch"),
+          count(lit(1)).as("n_docs"))
+        .select($"lang_pred", $"n_docs",
+          explode(TopnFunctions.topn($"sketch", lit(3))).as("r"))
+        .select($"lang_pred", $"n_docs", $"r.item".as("source"),
+          $"r.frequency".as("frequency"))
+        .orderBy($"lang_pred", $"frequency".desc, $"source")
+    }),
+
     // multimodal: typed binary-payload pipeline, stub decoders
     "multimodal_decode_meta" -> ((spark, dir) => {
       import spark.implicits._
@@ -399,6 +419,49 @@ object SparkEntry {
         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, ia, ib) AS BIGINT) AS rank,
         |       ia AS doc_a, ib AS doc_b
         |FROM p ORDER BY sim DESC, ia, ib LIMIT 50""".stripMargin,
+
+    "pipeline_clean_corpus" ->
+      """WITH keep AS (
+        |  SELECT MIN(doc_id) AS doc_id
+        |  FROM documents
+        |  GROUP BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))),
+        |scored AS (
+        |  SELECT d.doc_id, d.source, d.text,
+        |         regexp_split_to_array(trim(d.text), '\s+') AS toks,
+        |         length(d.text) AS n_chars,
+        |         length(d.text) - length(regexp_replace(d.text, '[.!?,;:]', '', 'g')) AS punct_c
+        |  FROM documents d JOIN keep k ON d.doc_id = k.doc_id),
+        |quality AS (
+        |  SELECT doc_id, source,
+        |         LEAST(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.3
+        |           + (1.0 - LEAST(CAST(punct_c AS DOUBLE) / CAST(n_chars AS DOUBLE) * 10.0, 1.0)) * 0.3
+        |           + LEAST(CAST(len(list_filter(toks, w -> w IN ('the','a','and','of','to','in','is','it','for','on'))) AS DOUBLE)
+        |                   / CAST(len(toks) AS DOUBLE) * 5.0, 1.0) * 0.4 AS q,
+        |         len(list_filter(toks, w -> w IN ('the','and','of','to','is'))) AS s_en,
+        |         len(list_filter(toks, w -> w IN ('le','la','les','et','de'))) AS s_fr,
+        |         len(list_filter(toks, w -> w IN ('el','los','las','es','y'))) AS s_es,
+        |         len(list_filter(toks, w -> w IN ('der','die','das','und','ist'))) AS s_de
+        |  FROM scored),
+        |langd AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN s_en + s_fr + s_es + s_de = 0 THEN 'und'
+        |              WHEN s_en >= GREATEST(s_fr, s_es, s_de) THEN 'en'
+        |              WHEN s_fr >= GREATEST(s_es, s_de) THEN 'fr'
+        |              WHEN s_es >= s_de THEN 'es'
+        |              ELSE 'de' END AS lang_pred
+        |  FROM quality WHERE q >= 0.5),
+        |agg AS (
+        |  SELECT lang_pred, source, COUNT(*) AS frequency
+        |  FROM langd GROUP BY 1, 2),
+        |tot AS (SELECT lang_pred, CAST(SUM(frequency) AS BIGINT) AS n_docs FROM agg GROUP BY 1),
+        |ranked AS (
+        |  SELECT a.lang_pred, t.n_docs, a.source, a.frequency,
+        |         ROW_NUMBER() OVER (PARTITION BY a.lang_pred
+        |                            ORDER BY a.frequency DESC, a.source) AS rn
+        |  FROM agg a JOIN tot t ON a.lang_pred = t.lang_pred)
+        |SELECT lang_pred, n_docs, source, frequency
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY lang_pred, frequency DESC, source""".stripMargin,
 
     "multimodal_decode_meta" ->
       """SELECT doc_id AS media_id,

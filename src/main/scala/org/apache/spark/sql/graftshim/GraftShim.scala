@@ -1,7 +1,9 @@
 package org.apache.spark.sql.graftshim
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.classic.{ClassicConversions, ExpressionUtils}
 import org.apache.spark.sql.internal.SQLConf
@@ -42,4 +44,12 @@ object GraftShim {
     session.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(name), info, builder)
   }
+
+  /** Apply an extensions object's injected functions to a registry (used by
+    * tests to validate the `spark.sql.extensions` path). */
+  def applyInjectedFunctions(ext: SparkSessionExtensions,
+      registry: FunctionRegistry): FunctionRegistry =
+    ext.registerFunctions(registry)
+
+  def builtinRegistryClone(): FunctionRegistry = FunctionRegistry.builtin.clone()
 }
