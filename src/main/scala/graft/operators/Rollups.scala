@@ -30,6 +30,30 @@ object Rollups {
    * Identical results to the window form (merge below eviction threshold is
    * order-free; above it, both forms are approximate by design).
    */
+  /**
+   * Skew-safe sketch build: two-level aggregation salting the group key.
+   * Level 1 groups by (key, salt) — hot keys split across `saltBuckets`
+   * reducers; level 2 merges the per-salt sketches with `topn_union_agg`.
+   * Because sketches are mergeable, this is EXACT below the eviction
+   * threshold and carries the same approximation contract above it —
+   * salting a sketch aggregate is semantically just another partial/final
+   * split, which is the whole point of the mergeable design.
+   */
+  def saltedTopnAdd(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      numCounters: Int,
+      saltBuckets: Int = 32): DataFrame = {
+    val salted = df
+      .withColumn("__salt", pmod(xxhash64(col(itemCol)), lit(saltBuckets)))
+      .groupBy(col(groupCol), col("__salt"))
+      .agg(TopnFunctions.topn_add_agg(col(itemCol), numCounters).as("__partial"))
+    salted
+      .groupBy(col(groupCol))
+      .agg(TopnFunctions.topn_union_agg(col("__partial"), numCounters).as("sketch"))
+  }
+
   def slidingUnion(
       rollup: DataFrame,
       periodCol: String,

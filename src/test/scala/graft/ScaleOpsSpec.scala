@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Rollups
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Scale-pattern proofs: bucketed rollup storage re-aggregates without a
+ * shuffle; salted two-level sketch build equals the direct aggregate.
+ */
+class ScaleOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("salted two-level sketch build equals direct aggregation (skew pattern)") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val direct = orders.groupBy($"o_orderpriority")
+      .agg(TopnFunctions.topn_add_agg($"o_custkey".cast("string"), 2000000).as("sketch"))
+      .select($"o_orderpriority", explode($"sketch").as(Seq("item", "frequency")))
+    val salted = Rollups.saltedTopnAdd(
+      orders.withColumn("item", $"o_custkey".cast("string")),
+      "o_orderpriority", "item", 2000000, saltBuckets = 16)
+      .select($"o_orderpriority", explode($"sketch").as(Seq("item", "frequency")))
+    assert(direct.exceptAll(salted).count() === 0)
+    assert(salted.exceptAll(direct).count() === 0)
+  }
+
+  test("bucketed rollup table re-aggregates with NO shuffle (bucket co-location)") {
+    spark.sql("DROP TABLE IF EXISTS monthly_rollup_bucketed")
+    val monthly = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"))
+      .agg(TopnFunctions.topn_add_agg($"o_custkey".cast("string"), 2000000).as("sketch"))
+    monthly.write
+      .bucketBy(4, "month").sortBy("month")
+      .mode("overwrite")
+      .saveAsTable("monthly_rollup_bucketed")
+
+    val reagg = spark.table("monthly_rollup_bucketed")
+      .groupBy($"month")
+      .agg(TopnFunctions.topn_union_agg($"sketch", 2000000).as("merged"))
+
+    val plan = reagg.queryExecution.explainString(FormattedMode)
+    assert(!plan.contains("Exchange"),
+      s"bucketed re-aggregation must not shuffle:\n$plan")
+    // and it still computes the right thing
+    assert(reagg.count() === monthly.count())
+  }
+}
