@@ -29,6 +29,9 @@ class ScaleOpsSpec extends AnyFunSuite {
 
   test("bucketed rollup table re-aggregates with NO shuffle (bucket co-location)") {
     spark.sql("DROP TABLE IF EXISTS monthly_rollup_bucketed")
+    // a stale location survives metastore resets (fresh derby after clean)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft_warehouse/monthly_rollup_bucketed"))
     val monthly = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"))
       .agg(TopnFunctions.topn_add_agg($"o_custkey".cast("string"), 2000000).as("sketch"))
