@@ -206,6 +206,18 @@ object SparkEntry {
         .orderBy($"query_id", $"rank")
     }),
 
+    // IVF-quantized approximate neighbors (no SQL oracle — recall checked
+    // against brute force in ScalaTest)
+    "ann_ivf_top10" -> ((spark, dir) => {
+      import spark.implicits._
+      val emb = tbl(spark, dir, "embeddings")
+      val model = graft.pipeline.IVF.train(emb, "vec_id", "embedding", k = 16)
+      graft.pipeline.IVF.topK(
+        emb, emb.filter($"vec_id" < 20), "vec_id", "embedding", k = 10,
+        model, nprobe = 4)
+        .orderBy($"query_id", $"rank")
+    }),
+
     // top-50 most cosine-similar embedding pairs (embedding near-dup scan)
     "cosine_neardup_pairs" -> ((spark, dir) => {
       import spark.implicits._

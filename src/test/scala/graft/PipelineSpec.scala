@@ -69,6 +69,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(avg >= 0.5, s"avg LSH recall $avg too low") // 8 tables x 4 bits on random data
   }
 
+  test("IVF ANN recall vs brute force, and determinism across retrains") {
+    val queries = emb.filter($"vec_id" < 10)
+    val model = graft.pipeline.IVF.train(emb, "vec_id", "embedding", k = 8)
+    val model2 = graft.pipeline.IVF.train(emb, "vec_id", "embedding", k = 8)
+    assert(model.centroids.map(_.toSeq).toSeq === model2.centroids.map(_.toSeq).toSeq,
+      "training must be deterministic")
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = graft.pipeline.IVF.topK(emb, queries, "vec_id", "embedding", 10, model, nprobe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = brute.keys.map { q =>
+      ivf.getOrElse(q, Set.empty).intersect(brute(q)).size.toDouble / brute(q).size
+    }.toSeq
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.4, s"avg IVF recall $avg too low") // 3/8 cells probed on random data
+  }
+
   test("TopKAgg returns k best with deterministic tie-break, matches sort") {
     val df = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.1), (5L, 0.7))
       .toDF("id", "score")
