@@ -55,6 +55,65 @@ object TopnStreaming {
         col("sketch"))
   }
 
+  /**
+   * Maintain a parquet rollup table of per-(period, group) sketches from a
+   * RAW event stream — the streaming twin of the reference's
+   * "INSERT INTO rollup SELECT topn_add_agg(...) GROUP BY period" loop
+   * (reference README.md:73-116). Each micro-batch is a true delta: it is
+   * aggregated with `topn_add_agg` inside `foreachBatch` (plain batch
+   * aggregation, no streaming state to double-count) and merged into the
+   * stored sketches with `topn_union(old, delta)` — exactly the
+   * incremental-rollup algebra the mergeable sketch exists for.
+   *
+   * Returns the StreamingQuery; the caller owns its lifecycle. Overwrite
+   * granularity is the period partition (dynamic partition overwrite), so
+   * only periods touched by a batch are rewritten.
+   */
+  def maintainRollup(
+      events: DataFrame,
+      rollupPath: String,
+      periodExpr: org.apache.spark.sql.Column,
+      groupCol: String,
+      itemExpr: org.apache.spark.sql.Column,
+      numCounters: Int = GraftConf.DefaultNumberOfCounters)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        val delta = batch
+          .groupBy(periodExpr.as("period"), col(groupCol))
+          .agg(TopnFunctions.topn_add_agg(itemExpr, numCounters).as("sketch"))
+        val existing =
+          try spark.read.parquet(rollupPath)
+          catch { case _: Exception => spark.emptyDataFrame }
+        val merged =
+          if (existing.columns.isEmpty) delta
+          else {
+            // only periods touched by this batch participate (dynamic
+            // partition overwrite leaves the rest untouched on disk)
+            val old = existing
+              .join(delta.select(col("period")).distinct(), Seq("period"), "left_semi")
+              .withColumnRenamed("sketch", "old_sketch")
+            delta.join(old, Seq("period", groupCol), "full_outer")
+              .select(col("period"), col(groupCol),
+                when(col("old_sketch").isNull, col("sketch"))
+                  .when(col("sketch").isNull, col("old_sketch"))
+                  .otherwise(TopnFunctions.topn_union(
+                    col("old_sketch"), col("sketch"))).as("sketch"))
+          }
+        // truncate lineage: the write overwrites the path the plan reads
+        merged.localCheckpoint(eager = true)
+          .write.mode("overwrite")
+          .partitionBy("period")
+          .parquet(rollupPath)
+        ()
+      }
+      .start()
+  }
+
   case class KeyedItem(key: String, item: String)
   case class TopEntry(key: String, item: String, frequency: Long)
 

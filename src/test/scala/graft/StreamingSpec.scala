@@ -113,6 +113,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotKeys.nonEmpty)
   }
 
+  test("streaming rollup maintenance merges into the stored table = batch rollup") {
+    val inDir = twoBatchDir()
+    val rollupPath = java.nio.file.Files.createTempDirectory("graft_rollup").toString + "/t"
+    val stream = spark.readStream.schema(eventsBatch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+
+    val q = TopnStreaming.maintainRollup(
+      stream, rollupPath,
+      periodExpr = date_format($"ts", "yyyy-MM-dd-HH"),
+      groupCol = "event_type",
+      itemExpr = $"user_id".cast("string"),
+      numCounters = 100000)
+    try q.processAllAvailable() finally q.stop()
+
+    // stored rollup must now equal the batch-computed rollup
+    val stored = spark.read.parquet(rollupPath)
+      .select($"period", $"event_type", explode($"sketch").as(Seq("item", "frequency")))
+    val expected = eventsBatch
+      .groupBy(date_format($"ts", "yyyy-MM-dd-HH").as("period"),
+        $"event_type", $"user_id".cast("string").as("item"))
+      .agg(count(lit(1)).as("frequency"))
+    val diff = stored.exceptAll(expected).count() + expected.exceptAll(stored).count()
+    assert(diff === 0)
+    // and the batch-side re-aggregation over the maintained table works
+    val top = spark.read.parquet(rollupPath)
+      .groupBy($"event_type")
+      .agg(TopnFunctions.topn_union_agg($"sketch", 100000).as("merged"))
+    assert(top.count() === eventsBatch.select($"event_type").distinct().count())
+  }
+
   private implicit class JavaSetOps[A](s: java.util.Set[A]) {
     def asScala: scala.collection.mutable.Set[A] =
       scala.jdk.CollectionConverters.SetHasAsScala(s).asScala
