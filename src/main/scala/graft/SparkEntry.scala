@@ -64,6 +64,20 @@ object SparkEntry {
         .orderBy($"l_returnflag", $"frequency".desc, $"item")
     }),
 
+    // weighted sketch build over pre-aggregated (item, count) pairs —
+    // identical result to the per-row build (add(item, w) == w unit adds)
+    "topn_weighted_groupby" -> ((spark, dir) => {
+      import spark.implicits._
+      val counts = tbl(spark, dir, "orders")
+        .groupBy($"o_orderpriority", $"o_custkey".cast("string").as("item"))
+        .agg(count(lit(1)).as("w"))
+      counts.groupBy($"o_orderpriority")
+        .agg(TopnFunctions.topn_add_weighted_agg($"item", $"w", ExactN).as("sketch"))
+        .select($"o_orderpriority", explode(TopnFunctions.topn($"sketch", lit(10))).as("r"))
+        .select($"o_orderpriority", $"r.item".as("item"), $"r.frequency".as("frequency"))
+        .orderBy($"o_orderpriority", $"frequency".desc, $"item")
+    }),
+
     // topn_union_agg re-aggregation of stored rollup sketches (§2.1 row 5;
     // README.md:100-116 incremental-rollup story)
     "topn_union_agg_rollup" -> ((spark, dir) => {
@@ -267,6 +281,27 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "topn_add_agg_groupby" ->
+      """SELECT o_orderpriority, item, frequency FROM (
+        |  SELECT o_orderpriority, CAST(o_custkey AS VARCHAR) AS item,
+        |         COUNT(*) AS frequency,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY COUNT(*) DESC, CAST(o_custkey AS VARCHAR)) AS rn
+        |  FROM orders GROUP BY 1, 2) t
+        |WHERE rn <= 10
+        |ORDER BY o_orderpriority, frequency DESC, item""".stripMargin,
+
+    "topn_weighted_groupby" ->
+      """SELECT o_orderpriority, item, frequency FROM (
+        |  SELECT o_orderpriority, CAST(o_custkey AS VARCHAR) AS item,
+        |         COUNT(*) AS frequency,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY COUNT(*) DESC, CAST(o_custkey AS VARCHAR)) AS rn
+        |  FROM orders GROUP BY 1, 2) t
+        |WHERE rn <= 10
+        |ORDER BY o_orderpriority, frequency DESC, item""".stripMargin,
+
+    // weighted build is semantically identical to the per-row build
+    "topn_weighted_groupby" ->
       """SELECT o_orderpriority, item, frequency FROM (
         |  SELECT o_orderpriority, CAST(o_custkey AS VARCHAR) AS item,
         |         COUNT(*) AS frequency,

@@ -45,6 +45,9 @@ object TopnFunctions {
     GraftShim.registerFunction(spark, "topn_to_json",
       "topn_to_json(sketch) - sketch as JSON text with PostgreSQL-canonical key order",
       exprs => TopnToJson(exprs.head))
+    GraftShim.registerFunction(spark, "topn_add_weighted_agg",
+      "topn_add_weighted_agg(item, weight) - builds a sketch counting each item `weight` times",
+      exprs => TopnAddWeightedAgg(exprs(0), exprs(1), GraftConf.numberOfCounters))
     GraftShim.registerFunction(spark, "topn_rows",
       "topn_rows(sketch, k) - set-returning topn for LATERAL VIEW: rows of (item, frequency)",
       exprs => TopnRows(exprs(0), exprs(1), GraftConf.numberOfCounters))
@@ -59,6 +62,14 @@ object TopnFunctions {
   def topn_add_agg(item: Column, numCounters: Int): Column =
     GraftShim.column(
       TopnAddAgg(GraftShim.expression(item), numCounters).toAggregateExpression())
+
+  def topn_add_weighted_agg(item: Column, weight: Column, numCounters: Int): Column =
+    GraftShim.column(TopnAddWeightedAgg(
+      GraftShim.expression(item), GraftShim.expression(weight),
+      numCounters).toAggregateExpression())
+
+  def topn_add_weighted_agg(item: Column, weight: Column): Column =
+    topn_add_weighted_agg(item, weight, GraftConf.numberOfCounters)
 
   def topn_union_agg(sketch: Column): Column =
     topn_union_agg(sketch, GraftConf.numberOfCounters)
@@ -106,6 +117,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("topn_add", exprs => TopnAddScalar(exprs(0), exprs(1), GraftConf.numberOfCounters))
     inject("topn_union", exprs => TopnUnionScalar(exprs(0), exprs(1), GraftConf.numberOfCounters))
     inject("topn_to_json", exprs => TopnToJson(exprs.head))
+    inject("topn_add_weighted_agg",
+      exprs => TopnAddWeightedAgg(exprs(0), exprs(1), GraftConf.numberOfCounters))
     inject("topn_rows", exprs => TopnRows(exprs(0), exprs(1), GraftConf.numberOfCounters))
   }
 }

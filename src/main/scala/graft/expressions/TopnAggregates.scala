@@ -24,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
  * per query (topn.c:229, 350, 441...).
  */
 abstract class TopnAggregateBase
-    extends TypedImperativeAggregate[TopnState] with UnaryLike[Expression] {
+    extends TypedImperativeAggregate[TopnState] {
 
   def numCounters: Int
 
@@ -74,7 +74,7 @@ case class TopnAddAgg(
     numCounters: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TopnAggregateBase {
+  extends TopnAggregateBase with UnaryLike[Expression] {
 
   override def checkInputDataTypes(): TypeCheckResult =
     TopnTypeChecks.check(child.dataType == StringType,
@@ -98,6 +98,48 @@ case class TopnAddAgg(
 }
 
 /**
+ * `topn_add_weighted_agg(item, weight)` — build a sketch from
+ * (item, occurrence-count) pairs, for inputs that are already partially
+ * aggregated (e.g. per-day counts) without materializing map columns.
+ * Beyond the reference's surface (its adds are always weight 1,
+ * topn.c:393-449) but identical algebra: add(item, w) == w unit adds,
+ * subject to the same policy-B eviction on new-key insert. NULL item or
+ * NULL weight rows are skipped.
+ */
+case class TopnAddWeightedAgg(
+    itemExpr: Expression,
+    weightExpr: Expression,
+    numCounters: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TopnAggregateBase {
+
+  override def children: Seq[Expression] = Seq(itemExpr, weightExpr)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    TopnTypeChecks.check(
+      itemExpr.dataType == StringType && weightExpr.dataType == LongType,
+      s"topn_add_weighted_agg requires (STRING, BIGINT), got (${itemExpr.dataType.sql}, ${weightExpr.dataType.sql})")
+
+  override def update(buffer: TopnState, input: InternalRow): TopnState = {
+    val v = itemExpr.eval(input)
+    val w = weightExpr.eval(input)
+    if (v != null && w != null) {
+      buffer.add(v.asInstanceOf[UTF8String], w.asInstanceOf[Long], numCounters)
+    }
+    buffer
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopnAddWeightedAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopnAddWeightedAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TopnAddWeightedAgg =
+    copy(itemExpr = c(0), weightExpr = c(1))
+  override def prettyName: String = "topn_add_weighted_agg"
+}
+
+/**
  * `topn_union_agg(sketch)` — merge a column of materialized sketches.
  * Reference: topn.c:457-503 `topn_union_trans` + `MergeJsonbIntoTopnAggState`
  * (753-810); DDL update/topn--2.0.0.sql:42-46.
@@ -109,7 +151,7 @@ case class TopnUnionAgg(
     numCounters: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TopnAggregateBase {
+  extends TopnAggregateBase with UnaryLike[Expression] {
 
   override def checkInputDataTypes(): TypeCheckResult =
     TopnTypeChecks.check(TopnTypeChecks.isSketch(child.dataType),
