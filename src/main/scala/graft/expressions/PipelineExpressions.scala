@@ -77,7 +77,7 @@ case class SimHash64(child: Expression)
  * null if either side is null. Mismatched lengths error.
  */
 case class CosineSim(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   private def isVec(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType | DoubleType, _) => true
@@ -116,6 +116,41 @@ case class CosineSim(left: Expression, right: Expression)
       i += 1
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Whole-stage-codegen body: the same strictly-sequential double loop as
+    * the interpreted path (results must stay bit-identical). */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      val getX = if (leftIsFloat) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+      val getY = if (rightIsFloat) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
+      s"""
+         |int $n = $x.numElements();
+         |if ($y.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "cosine_sim: vector length mismatch (" + $n + " vs " + $y.numElements() + ")");
+         |}
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $getX;
+         |  double $yi = $getY;
+         |  $dot += $xi * $yi;
+         |  $na += $xi * $xi;
+         |  $nb += $yi * $yi;
+         |}
+         |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 : $dot / java.lang.Math.sqrt($na * $nb);
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
