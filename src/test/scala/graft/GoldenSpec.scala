@@ -104,6 +104,30 @@ class GoldenSpec extends AnyFunSuite {
     assert(round2 === nasty.toSet)
   }
 
+  test("grouping sets / cube compose with the sketch aggregate (SURVEY §2.5)") {
+    val df = Seq(("a", "x", "i1"), ("a", "y", "i1"), ("b", "x", "i2"),
+      ("b", "x", "i2"), ("a", "x", "i3")).toDF("g1", "g2", "item")
+    df.createOrReplaceTempView("gs_input")
+    val out = spark.sql(
+      """SELECT g1, g2, topn_to_json(topn_add_agg(item)) AS sketch
+        |FROM gs_input GROUP BY CUBE(g1, g2)
+        |ORDER BY g1 NULLS FIRST, g2 NULLS FIRST""".stripMargin)
+      .as[(String, String, String)].collect().toSeq
+    // grand total row: all five items aggregated
+    assert(out.head === ((null, null, """{"i1": 2, "i2": 2, "i3": 1}""")))
+    // a fully-grouped cell
+    assert(out.contains(("b", "x", """{"i2": 2}""")))
+    assert(out.length === 8) // 1 total + 2 g1 + 2 g2 + 3 present cells
+  }
+
+  test("negative frequencies sort last (reference atol path, topn.c:711-712)") {
+    val sk = Map("pos" -> 5L, "neg" -> -3L, "zero" -> 0L)
+    val out = Seq(sk).toDF("s")
+      .select(explode(TopnFunctions.topn($"s", lit(3))).as("r"))
+      .select($"r.item", $"r.frequency").as[(String, Long)].collect().toSeq
+    assert(out === Seq(("pos", 5L), ("zero", 0L), ("neg", -3L)))
+  }
+
   test("null_tests: union of NULLs, empties and one sketch = that sketch (expected/null_tests.out)") {
     val rows: Seq[Option[Map[String, Long]]] = Seq(
       None, Some(Map.empty[String, Long]), None,
