@@ -104,6 +104,24 @@ class GoldenSpec extends AnyFunSuite {
     assert(round2 === nasty.toSet)
   }
 
+  test("char_tests Cyrillic corpus with reference frequencies (char_tests.sql)") {
+    // FIXTURES.md: ёъяшер×10, тыуио×20, пющ×12, эасдфгч×30, кйльжзхцвбнм×35
+    val corpus = Seq("ёъяшер" -> 10, "тыуио" -> 20, "пющ" -> 12,
+      "эасдфгч" -> 30, "кйльжзхцвбнм" -> 35)
+    val df = corpus.flatMap { case (s, c) => Seq.fill(c)(s) }.toDF("t")
+    withN(4) {
+      val out = topnRows(df, "t", 4)
+      assert(out === Seq(("кйльжзхцвбнм", 35L), ("эасдфгч", 30L),
+        ("тыуио", 20L), ("пющ", 12L)))
+    }
+    // and the JSONB-canonical rendering orders by BYTE length (Cyrillic is
+    // 2 bytes/char: пющ=6B, тыуио=10B, ёъяшер=12B, эасдфгч=14B)
+    val json = df.agg(TopnFunctions.topn_add_agg($"t", 100).as("s"))
+      .select(TopnFunctions.topn_to_json($"s")).as[String].collect().head
+    assert(json ===
+      """{"пющ": 12, "тыуио": 20, "ёъяшер": 10, "эасдфгч": 30, "кйльжзхцвбнм": 35}""")
+  }
+
   test("grouping sets / cube compose with the sketch aggregate (SURVEY §2.5)") {
     val df = Seq(("a", "x", "i1"), ("a", "y", "i1"), ("b", "x", "i2"),
       ("b", "x", "i2"), ("a", "x", "i3")).toDF("g1", "g2", "item")
