@@ -20,7 +20,7 @@ import org.apache.spark.sql.types._
  * operating on UTF8String bytes with zero boxing).
  */
 case class SimHash64(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     TopnTypeChecks.check(child.dataType match {
@@ -30,8 +30,25 @@ case class SimHash64(child: Expression)
 
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any =
+    SimHash64.simhash(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.SimHash64.simhash($a);")
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+object SimHash64 {
+
+  /** Core kernel, shared by interpreted eval and generated code (static
+    * forwarder makes it callable from codegen'd Java). */
+  def simhash(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     var i = 0
     val n = arr.numElements()
@@ -65,9 +82,6 @@ case class SimHash64(child: Expression)
     h ^= h >>> 33
     h
   }
-
-  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
-  override def prettyName: String = "simhash64"
 }
 
 /**

@@ -45,22 +45,10 @@ case class TopnRows(left: Expression, right: Expression, numCounters: Int)
         s"requested number of elements ($n) must be less than or equal to the " +
           s"number of counters ($numCounters)")
     }
-    val md = sketch.asInstanceOf[MapData]
-    val keys = md.keyArray()
-    val vals = md.valueArray()
-    val entries = new java.util.ArrayList[(UTF8String, java.lang.Long)](md.numElements())
-    var i = 0
-    while (i < md.numElements()) {
-      if (!vals.isNullAt(i)) {
-        entries.add((keys.getUTF8String(i), java.lang.Long.valueOf(vals.getLong(i))))
+    TopnExprUtils.topEntries(sketch.asInstanceOf[MapData], n).iterator
+      .map { case (item, freq) =>
+        new GenericInternalRow(Array[Any](item, freq.longValue))
       }
-      i += 1
-    }
-    val arr = entries.toArray(new Array[(UTF8String, java.lang.Long)](entries.size()))
-    java.util.Arrays.sort(arr, TopnState.EntryOrdering)
-    arr.iterator.take(n).map { case (item, freq) =>
-      new GenericInternalRow(Array[Any](item, freq.longValue))
-    }
   }
 
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TopnRows =

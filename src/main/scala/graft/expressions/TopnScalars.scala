@@ -49,6 +49,49 @@ private[graft] object TopnExprUtils {
   val recordType: StructType = StructType(Seq(
     StructField("item", StringType, nullable = false),
     StructField("frequency", LongType, nullable = false)))
+
+  /**
+   * Top `k` sketch entries in canonical order (freq desc, item asc).
+   * Full sort when k covers most of the map; bounded worst-first heap
+   * (O(size log k)) when k << size — the common shape once counter budgets
+   * grow (k=10 report over an n=1M sketch must not sort 1M entries per row).
+   */
+  def topEntries(md: MapData, k: Int): Array[(UTF8String, java.lang.Long)] = {
+    val keys = md.keyArray()
+    val vals = md.valueArray()
+    val n = md.numElements()
+    if (k >= n / 4) {
+      val entries = new java.util.ArrayList[(UTF8String, java.lang.Long)](n)
+      var i = 0
+      while (i < n) {
+        if (!vals.isNullAt(i)) {
+          entries.add((keys.getUTF8String(i), java.lang.Long.valueOf(vals.getLong(i))))
+        }
+        i += 1
+      }
+      val arr = entries.toArray(new Array[(UTF8String, java.lang.Long)](entries.size()))
+      java.util.Arrays.sort(arr, TopnState.EntryOrdering)
+      if (arr.length > k) java.util.Arrays.copyOf(arr, k) else arr
+    } else {
+      // worst on top: reverse of the canonical report order
+      val heap = new java.util.PriorityQueue[(UTF8String, java.lang.Long)](
+        k, TopnState.EntryOrdering.reversed())
+      var i = 0
+      while (i < n) {
+        if (!vals.isNullAt(i)) {
+          val e = (keys.getUTF8String(i), java.lang.Long.valueOf(vals.getLong(i)))
+          if (heap.size < k) heap.add(e)
+          else if (TopnState.EntryOrdering.compare(e, heap.peek()) < 0) {
+            heap.poll(); heap.add(e)
+          }
+          i += 1
+        } else i += 1
+      }
+      val arr = heap.toArray(new Array[(UTF8String, java.lang.Long)](heap.size))
+      java.util.Arrays.sort(arr, TopnState.EntryOrdering)
+      arr
+    }
+  }
 }
 
 private[expressions] object TopnTypeChecks {
@@ -90,21 +133,9 @@ case class TopnQuery(left: Expression, right: Expression, numCounters: Int)
         s"requested number of elements ($n) must be less than or equal to the " +
           s"number of counters ($numCounters)")
     }
-    val md = sketch.asInstanceOf[MapData]
-    val keys = md.keyArray()
-    val vals = md.valueArray()
-    val entries = new java.util.ArrayList[(UTF8String, java.lang.Long)](md.numElements())
+    val arr = TopnExprUtils.topEntries(sketch.asInstanceOf[MapData], n)
+    val out = new Array[Any](arr.length)
     var i = 0
-    while (i < md.numElements()) {
-      if (!vals.isNullAt(i)) {
-        entries.add((keys.getUTF8String(i), java.lang.Long.valueOf(vals.getLong(i))))
-      }
-      i += 1
-    }
-    val arr = entries.toArray(new Array[(UTF8String, java.lang.Long)](entries.size()))
-    java.util.Arrays.sort(arr, TopnState.EntryOrdering)
-    val out = new Array[Any](math.min(n, arr.length))
-    i = 0
     while (i < out.length) {
       out(i) = new GenericInternalRow(
         Array[Any](arr(i)._1, arr(i)._2.longValue))
