@@ -2,7 +2,6 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -16,7 +15,7 @@ import org.apache.spark.sql.types._
  * expression (seeded, deterministic), the vector is read once.
  */
 case class HyperplaneBuckets(child: Expression, planes: Array[Array[Array[Double]]])
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     TopnTypeChecks.check(child.dataType match {
@@ -61,6 +60,21 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Array[Array[Double
     }
     new GenericArrayData(out)
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    // the model rides as a referenced object; generated code calls the
+    // same kernel the interpreted path uses
+    val ref = ctx.addReferenceObj("hyperplanebucketsExpr", this,
+      classOf[HyperplaneBuckets].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.kernel($a);")
+  }
+
+  /** Kernel shared by interpreted eval and generated code. */
+  def kernel(v: Any): Any = nullSafeEval(v)
 
   override protected def withNewChildInternal(c: Expression): HyperplaneBuckets =
     copy(child = c)

@@ -2,7 +2,6 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -16,7 +15,7 @@ case class NearestCentroids(
     child: Expression,
     centroids: Array[Array[Double]],
     nprobe: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   require(nprobe >= 1 && nprobe <= centroids.length,
     s"nprobe must be in [1, ${centroids.length}], got $nprobe")
@@ -77,6 +76,21 @@ case class NearestCentroids(
     }
     new GenericArrayData(out)
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    // the model rides as a referenced object; generated code calls the
+    // same kernel the interpreted path uses
+    val ref = ctx.addReferenceObj("nearestcentroidsExpr", this,
+      classOf[NearestCentroids].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.kernel($a);")
+  }
+
+  /** Kernel shared by interpreted eval and generated code. */
+  def kernel(v: Any): Any = nullSafeEval(v)
 
   override protected def withNewChildInternal(c: Expression): NearestCentroids =
     copy(child = c)

@@ -2,7 +2,6 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,7 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
  * empty token), identical to Spark's built-in `split`.
  */
 case class TokenShingles(child: Expression, n: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   require(n >= 1, s"token_shingles: n must be >= 1, got $n")
 
@@ -31,10 +30,27 @@ case class TokenShingles(child: Expression, n: Int)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+  override def nullSafeEval(v: Any): Any = TokenShingles.shingles(v.asInstanceOf[UTF8String], n)
 
-  override def nullSafeEval(v: Any): Any = {
-    var s = v.asInstanceOf[UTF8String].toString
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.TokenShingles.shingles($a, $n);")
+
+  override protected def withNewChildInternal(c: Expression): TokenShingles =
+    copy(child = c)
+  override def prettyName: String = "token_shingles"
+}
+
+object TokenShingles {
+
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** Core kernel, shared by interpreted eval and generated code. */
+  def shingles(input: UTF8String, n: Int): GenericArrayData = {
+    var s = input.toString
     // SQL TRIM semantics: strip 0x20 only
     var start = 0
     var end = s.length
@@ -68,8 +84,4 @@ case class TokenShingles(child: Expression, n: Int)
     }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(c: Expression): TokenShingles =
-    copy(child = c)
-  override def prettyName: String = "token_shingles"
 }
