@@ -54,6 +54,28 @@ object Rollups {
       .agg(TopnFunctions.topn_union_agg(col("__partial"), numCounters).as("sketch"))
   }
 
+  /**
+   * Hierarchical global sketch union. A plain
+   * `df.agg(topn_union_agg(sketch))` funnels every partition's partial
+   * state into ONE final reducer — fine at hundreds of partitions, a
+   * single-thread bottleneck at 100k. This fans in through an intermediate
+   * level: partials are salted into `fanIn` groups, each group unions in
+   * parallel, and only `fanIn` pre-merged sketches reach the final stage.
+   * Identical result by merge associativity (exact below eviction; same
+   * approximation contract above it).
+   */
+  def hierarchicalUnion(
+      sketches: DataFrame,
+      sketchCol: String,
+      numCounters: Int,
+      fanIn: Int = 64): DataFrame = {
+    sketches
+      .withColumn("__g", pmod(monotonically_increasing_id(), lit(fanIn.toLong)))
+      .groupBy(col("__g"))
+      .agg(TopnFunctions.topn_union_agg(col(sketchCol), numCounters).as("__partial"))
+      .agg(TopnFunctions.topn_union_agg(col("__partial"), numCounters).as(sketchCol))
+  }
+
   def slidingUnion(
       rollup: DataFrame,
       periodCol: String,

@@ -27,6 +27,17 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salted.exceptAll(direct).count() === 0)
   }
 
+  test("hierarchical union equals direct global union (fan-in pattern)") {
+    val monthly = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"))
+      .agg(TopnFunctions.topn_add_agg($"o_custkey".cast("string"), 2000000).as("sketch"))
+    val direct = monthly.agg(TopnFunctions.topn_union_agg($"sketch", 2000000))
+      .collect().head.getMap[String, Long](0).toMap
+    val hier = Rollups.hierarchicalUnion(monthly, "sketch", 2000000, fanIn = 7)
+      .collect().head.getMap[String, Long](0).toMap
+    assert(hier === direct)
+  }
+
   test("bucketed rollup table re-aggregates with NO shuffle (bucket co-location)") {
     spark.sql("DROP TABLE IF EXISTS monthly_rollup_bucketed")
     // a stale location survives metastore resets (fresh derby after clean)
