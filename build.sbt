@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Suites share one SparkSession and some temporarily mutate session conf
+// (counter-budget rebinding tests); keep suite execution serial.
+Test / parallelExecution := false

@@ -122,6 +122,16 @@ class GoldenSpec extends AnyFunSuite {
       """{"пющ": 12, "тыуио": 20, "ёъяшер": 10, "эасдфгч": 30, "кйльжзхцвбнм": 35}""")
   }
 
+  test("char_tests CJK corpus round-trips with correct frequencies (char_tests.sql)") {
+    val corpus = Seq("汉字测试" -> 10, "中文排序" -> 20, "topn混合テスト" -> 12,
+      "日本語のキー" -> 30, "한국어키" -> 35)
+    val df = corpus.flatMap { case (s, c) => Seq.fill(c)(s) }.toDF("t")
+    withN(4) {
+      assert(topnRows(df, "t", 4) === Seq(("한국어키", 35L), ("日本語のキー", 30L),
+        ("中文排序", 20L), ("topn混合テスト", 12L)))
+    }
+  }
+
   test("grouping sets / cube compose with the sketch aggregate (SURVEY §2.5)") {
     val df = Seq(("a", "x", "i1"), ("a", "y", "i1"), ("b", "x", "i2"),
       ("b", "x", "i2"), ("a", "x", "i3")).toDF("g1", "g2", "item")
