@@ -108,6 +108,27 @@ object SparkEntry {
         .orderBy($"frequency".desc, $"item")
     }),
 
+    // sketches through joins + CTEs on the pure SQL surface (§2.4,
+    // reference sql/join_tests.sql), reported via the topn_rows generator
+    "topn_join_cte_sql" -> ((spark, dir) => {
+      TopnFunctions.register(spark)
+      tbl(spark, dir, "orders").createOrReplaceTempView("orders_v")
+      spark.conf.set(GraftConf.NumberOfCountersKey, ExactN.toString)
+      try {
+        spark.sql(
+          """WITH lo AS (
+            |  SELECT o_orderpriority, topn_add_agg(CAST(o_custkey AS STRING)) AS s
+            |  FROM orders_v WHERE o_totalprice < 50000 GROUP BY o_orderpriority),
+            |hi AS (
+            |  SELECT o_orderpriority, topn_add_agg(CAST(o_custkey AS STRING)) AS s
+            |  FROM orders_v WHERE o_totalprice >= 50000 GROUP BY o_orderpriority)
+            |SELECT lo.o_orderpriority, t.item, t.frequency
+            |FROM lo JOIN hi ON lo.o_orderpriority = hi.o_orderpriority
+            |LATERAL VIEW topn_rows(topn_union(lo.s, hi.s), 10) t AS item, frequency
+            |ORDER BY lo.o_orderpriority, t.frequency DESC, t.item""".stripMargin)
+      } finally spark.conf.set(GraftConf.NumberOfCountersKey, "1000")
+    }),
+
     // sliding window merge over daily rollups (§2.6; customer_reviews_query
     // .sql:58-70 "seven_days" frame)
     "topn_window_7day" -> ((spark, dir) => {
@@ -291,6 +312,18 @@ object SparkEntry {
         |ORDER BY o_orderpriority, frequency DESC, item""".stripMargin,
 
     "topn_weighted_groupby" ->
+      """SELECT o_orderpriority, item, frequency FROM (
+        |  SELECT o_orderpriority, CAST(o_custkey AS VARCHAR) AS item,
+        |         COUNT(*) AS frequency,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY COUNT(*) DESC, CAST(o_custkey AS VARCHAR)) AS rn
+        |  FROM orders GROUP BY 1, 2) t
+        |WHERE rn <= 10
+        |ORDER BY o_orderpriority, frequency DESC, item""".stripMargin,
+
+    // inner join keeps only priorities present in both halves (all of
+    // them, on this data); union of the half-sketches = full counts
+    "topn_join_cte_sql" ->
       """SELECT o_orderpriority, item, frequency FROM (
         |  SELECT o_orderpriority, CAST(o_custkey AS VARCHAR) AS item,
         |         COUNT(*) AS frequency,
