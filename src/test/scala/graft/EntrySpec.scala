@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the driver's own gates: entry smoke and query-map integrity. */
+class EntrySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("entry (driver t1 smoke) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("every query runs and returns rows at sf0.001") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val n = fn(spark, "/root/testdata/sf0.001").count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("parameter validation errors are informative") {
+    val e1 = intercept[IllegalArgumentException](
+      graft.expressions.TopKAgg(null, null, 0))
+    assert(e1.getMessage.contains("k must be >= 1"))
+    val e2 = intercept[IllegalArgumentException](
+      graft.pipeline.IVF.train(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+        "vec_id", "embedding", k = 1000000))
+    assert(e2.getMessage.contains("smaller than k"))
+  }
+}
