@@ -311,6 +311,7 @@ object SparkEntry {
         |WHERE rn <= 10
         |ORDER BY o_orderpriority, frequency DESC, item""".stripMargin,
 
+    // weighted build is semantically identical to the per-row build
     "topn_weighted_groupby" ->
       """SELECT o_orderpriority, item, frequency FROM (
         |  SELECT o_orderpriority, CAST(o_custkey AS VARCHAR) AS item,
@@ -324,17 +325,6 @@ object SparkEntry {
     // inner join keeps only priorities present in both halves (all of
     // them, on this data); union of the half-sketches = full counts
     "topn_join_cte_sql" ->
-      """SELECT o_orderpriority, item, frequency FROM (
-        |  SELECT o_orderpriority, CAST(o_custkey AS VARCHAR) AS item,
-        |         COUNT(*) AS frequency,
-        |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
-        |                            ORDER BY COUNT(*) DESC, CAST(o_custkey AS VARCHAR)) AS rn
-        |  FROM orders GROUP BY 1, 2) t
-        |WHERE rn <= 10
-        |ORDER BY o_orderpriority, frequency DESC, item""".stripMargin,
-
-    // weighted build is semantically identical to the per-row build
-    "topn_weighted_groupby" ->
       """SELECT o_orderpriority, item, frequency FROM (
         |  SELECT o_orderpriority, CAST(o_custkey AS VARCHAR) AS item,
         |         COUNT(*) AS frequency,

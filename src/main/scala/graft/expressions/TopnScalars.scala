@@ -57,6 +57,9 @@ private[graft] object TopnExprUtils {
    * grow (k=10 report over an n=1M sketch must not sort 1M entries per row).
    */
   def topEntries(md: MapData, k: Int): Array[(UTF8String, java.lang.Long)] = {
+    // k <= 0 yields zero rows, like the reference's Min(desiredNToPrint,
+    // elementCount) cap in topn.c (max_calls can be 0, never negative).
+    if (k <= 0) return Array.empty
     val keys = md.keyArray()
     val vals = md.valueArray()
     val n = md.numElements()

@@ -43,12 +43,16 @@ object Dedup {
   }
 
   /**
-   * Exact word-n-gram Jaccard near-duplicate pairs (a < b, jaccard >=
-   * threshold). Candidate generation: docs sharing at least one shingle
-   * (any pair at jaccard >= t > 0 must share one, so recall is exact);
-   * shingles with document frequency > `maxShingleDf` are dropped from
-   * candidate generation (skew guard) but kept in the size/intersection
-   * arithmetic via the exact per-pair counts.
+   * Word-n-gram Jaccard near-duplicate pairs (a < b, jaccard >= threshold).
+   * Candidate generation: docs sharing at least one *sub-cap* shingle.
+   * Shingles with document frequency > `maxShingleDf` are excluded from BOTH
+   * candidate generation and the shared-shingle count (the skew guard drops
+   * their buckets whole), while pair-size denominators count all shingles —
+   * so under heavy duplication the reported jaccard is an underestimate, and
+   * a pair whose shared shingles are ALL above the cap is missed entirely.
+   * With `maxShingleDf` >= the corpus's max shingle DF the result is exact;
+   * for exact verification of candidates regardless of the cap, rerank with
+   * `array_intersect` on full shingle sets as [[minhashLshPairs]] does.
    *
    * Plan shape: explode distinct shingles -> self equi-join on shingle ->
    * count shared shingles per pair -> join per-doc shingle counts (small,

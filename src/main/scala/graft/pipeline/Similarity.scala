@@ -115,13 +115,23 @@ object Similarity {
    * pairs (a < b) across the table, exact brute force via a single
    * global TopKAgg over pair ids packed into one BIGINT (a << 32 | b).
    * For n too large for O(n^2), use [[lshTopK]] with each vector as query.
+   *
+   * Precondition: ids must fit in [0, 2^32) so the packed BIGINT is
+   * collision-free — enforced per row with a raising check (negative or
+   * >= 2^32 ids would silently collide otherwise).
    */
   def cosineNearDupPairs(
       vectors: DataFrame,
       idCol: String,
       vecCol: String,
       topPairs: Int): DataFrame = {
-    val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    def packable(c: Column, name: String): Column =
+      when(c >= 0 && c < lit(4294967296L), c)
+        .otherwise(raise_error(concat(
+          lit(s"cosineNearDupPairs: $name must be in [0, 2^32) to pack into " +
+            "one BIGINT, got "), c.cast("string"))))
+    val a = vectors.select(
+      packable(col(idCol), idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.join(b, col("id_a") < col("id_b"))
       .select(

@@ -68,6 +68,14 @@ object TopnStreaming {
    * Returns the StreamingQuery; the caller owns its lifecycle. Overwrite
    * granularity is the period partition (dynamic partition overwrite), so
    * only periods touched by a batch are rewritten.
+   *
+   * Failure semantics: the rollup is only treated as absent when the path
+   * genuinely does not exist (checked via the Hadoop FileSystem) — a
+   * transient read failure propagates and fails the batch rather than
+   * silently discarding accumulated history. Replays are idempotent: the
+   * last merged batchId is recorded in a `_graft_last_batch` marker next to
+   * the data, and a batch whose id is <= the marker is skipped (foreachBatch
+   * re-delivers the same batchId after a restart).
    */
   def maintainRollup(
       events: DataFrame,
@@ -80,15 +88,35 @@ object TopnStreaming {
     import org.apache.spark.sql.functions._
     events.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val dataPath = new org.apache.hadoop.fs.Path(rollupPath)
+        val fs = dataPath.getFileSystem(hconf)
+        val marker = new org.apache.hadoop.fs.Path(rollupPath + "/_graft_last_batch")
+        val lastCommitted: Long =
+          if (fs.exists(marker)) {
+            val len = fs.getFileStatus(marker).getLen.toInt
+            val buf = new Array[Byte](len)
+            val in = fs.open(marker)
+            try in.readFully(0, buf) finally in.close()
+            new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+          } else -1L
+        if (batchId <= lastCommitted) {
+          // replay of an already-merged batch after a restart: skip
+          ()
+        } else {
         val delta = batch
           .groupBy(periodExpr.as("period"), col(groupCol))
           .agg(TopnFunctions.topn_add_agg(itemExpr, numCounters).as("sketch"))
+        // Absent path => first batch. Any OTHER read failure must propagate:
+        // treating it as "no data" would overwrite history with this delta.
         val existing =
-          try spark.read.parquet(rollupPath)
-          catch { case _: Exception => spark.emptyDataFrame }
+          if (fs.exists(dataPath) && fs.globStatus(
+              new org.apache.hadoop.fs.Path(rollupPath + "/period=*")).nonEmpty)
+            spark.read.parquet(rollupPath)
+          else spark.emptyDataFrame
         val merged =
           if (existing.columns.isEmpty) delta
           else {
@@ -109,6 +137,10 @@ object TopnStreaming {
           .write.mode("overwrite")
           .partitionBy("period")
           .parquet(rollupPath)
+        val out = fs.create(marker, true)
+        try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        }
         ()
       }
       .start()

@@ -15,6 +15,19 @@ class EntrySpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("oracleSql / queries map literals have no duplicate keys") {
+    // A Scala Map literal silently keeps the LAST duplicate entry, so a
+    // duplicated key would shadow one oracle. Guard at the source level.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val keyRe = """"([a-z0-9_]+)" ->""".r
+    val keys = keyRe.findAllMatchIn(src).map(_.group(1)).toSeq
+    // queries-map keys appear once, oracle keys once -> each name at most 2x
+    val over = keys.groupBy(identity).filter(_._2.size > 2).keys
+    assert(over.isEmpty, s"duplicated map-literal keys: ${over.mkString(", ")}")
+  }
+
   test("every query runs and returns rows at sf0.001") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val n = fn(spark, "/root/testdata/sf0.001").count()

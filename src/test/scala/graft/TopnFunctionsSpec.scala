@@ -147,6 +147,17 @@ class TopnFunctionsSpec extends AnyFunSuite {
     assert(cnt2 === 0)
   }
 
+  test("topn with k <= 0 yields zero rows on any sketch size") {
+    // reference caps max_calls at Min(desiredNToPrint, elementCount), so
+    // k=0 gracefully prints nothing — including on sketches large enough to
+    // take the bounded-heap path (regression: heap capacity < 1 crashed)
+    for (size <- Seq(1, 3, 8, 40); k <- Seq(0, -1)) {
+      val m = (1 to size).map(i => s"'k$i', ${i}L").mkString(", ")
+      val cnt = spark.sql(s"SELECT explode(topn(MAP($m), $k))").count()
+      assert(cnt === 0, s"size=$size k=$k")
+    }
+  }
+
   // ---- char_tests suite (escaping / unicode) -----------------------------
 
   test("unicode and escape-torture items round-trip (char_tests.sql)") {
