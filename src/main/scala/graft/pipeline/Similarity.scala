@@ -111,37 +111,126 @@ object Similarity {
   }
 
   /**
+   * Raising guard: ids must be in [0, 2^31) so a pair packs losslessly
+   * into one positive BIGINT via `a << 32 | b` (bit ops, no floating-point
+   * round-trip) AND packed values order lexicographically by (a, b) — the
+   * tie-break order TopKAgg relies on. Ids at or above 2^31 would set the
+   * sign bit after the shift and silently break both properties, so they
+   * raise instead.
+   */
+  private def packableId(c: Column, name: String, op: String): Column =
+    when(c >= 0 && c < lit(2147483648L), c)
+      .otherwise(raise_error(concat(
+        lit(s"$op: $name must be in [0, 2^31) to pack into one BIGINT, got "),
+        c.cast("string"))))
+
+  private def packPair(a: Column, b: Column): Column =
+    shiftleft(a, 32).bitwiseOR(b)
+
+  private def unpackA(pair: Column): Column = shiftrightunsigned(pair, 32)
+  private def unpackB(pair: Column): Column = pair.bitwiseAND(lit(0xFFFFFFFFL))
+
+  /**
    * Embedding-cosine near-duplicate pairs: the most-similar `topPairs`
    * pairs (a < b) across the table, exact brute force via a single
    * global TopKAgg over pair ids packed into one BIGINT (a << 32 | b).
-   * For n too large for O(n^2), use [[lshTopK]] with each vector as query.
+   * This is the exact O(n^2) tier — correct at any similarity level but
+   * quadratic in n; for large corpora use [[lshNearDupPairs]] (same output
+   * shape, sub-quadratic candidate generation).
    *
-   * Precondition: ids must fit in [0, 2^32) so the packed BIGINT is
-   * collision-free — enforced per row with a raising check (negative or
-   * >= 2^32 ids would silently collide otherwise).
+   * Precondition: ids in [0, 2^31) (see [[packableId]]) — checked on both
+   * join sides.
    */
   def cosineNearDupPairs(
       vectors: DataFrame,
       idCol: String,
       vecCol: String,
       topPairs: Int): DataFrame = {
-    def packable(c: Column, name: String): Column =
-      when(c >= 0 && c < lit(4294967296L), c)
-        .otherwise(raise_error(concat(
-          lit(s"cosineNearDupPairs: $name must be in [0, 2^32) to pack into " +
-            "one BIGINT, got "), c.cast("string"))))
     val a = vectors.select(
-      packable(col(idCol), idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+      packableId(col(idCol), idCol, "cosineNearDupPairs").as("id_a"),
+      col(vecCol).as("vec_a"))
+    val b = vectors.select(
+      packableId(col(idCol), idCol, "cosineNearDupPairs").as("id_b"),
+      col(vecCol).as("vec_b"))
     a.join(b, col("id_a") < col("id_b"))
       .select(
-        (col("id_a") * lit(4294967296L) + col("id_b")).as("pair"),
+        packPair(col("id_a"), col("id_b")).as("pair"),
         cosineSim(col("vec_a"), col("vec_b")).as("sim"))
       .agg(topkByScore(col("pair"), col("sim"), topPairs).as("top"))
       .select(posexplode(col("top")).as(Seq("pos", "r")))
       .select(
         (col("pos") + 1).cast("long").as("rank"),
-        floor(col("r.id") / lit(4294967296L)).cast("long").as("doc_a"),
-        pmod(col("r.id"), lit(4294967296L)).cast("long").as("doc_b"))
+        unpackA(col("r.id")).as("doc_a"),
+        unpackB(col("r.id")).as("doc_b"))
+  }
+
+  /**
+   * Sub-quadratic embedding near-duplicate pair scan — the 100 TB path for
+   * [[cosineNearDupPairs]] (same `(rank, doc_a, doc_b)` output shape).
+   *
+   * Plan shape (no O(n^2) join anywhere):
+   *  1. one scan computes all `tables` hyperplane bucket ids per vector in
+   *     a single native-expression pass ([[graft.expressions.HyperplaneBuckets]])
+   *     and explodes them — n * tables rows;
+   *  2. one shuffle by bucket; candidate pairs are generated INSIDE each
+   *     bucket from the collected (id-sorted) list — the same bucket-local
+   *     pair-gen idiom as the dedup operators, with the same `maxBucket`
+   *     skew guard (oversize buckets dropped whole, trading recall for
+   *     bounded work);
+   *  3. exact cosine is computed per candidate BEFORE the pair-dedup
+   *     shuffle, so only 16-byte (pair, sim) rows cross the wire (a pair
+   *     colliding in several tables is scored redundantly — cheaper than
+   *     shuffling vectors to dedupe first);
+   *  4. one shuffle by packed pair id dedupes multi-table collisions, then
+   *     the global bounded-heap TopKAgg (map-side partial top-k) reports.
+   *
+   * Recall < 1 by design: a pair is found iff its vectors agree on every
+   * bit of at least one table. P(found) = 1-(1-(1-theta/pi)^bits)^tables —
+   * with the 4-bit x 16-table default, cosine 0.9 pairs are caught w.p.
+   * ~0.99999, cosine 0.5 w.p. ~0.97 (measured 0.96 on the test corpus's
+   * top-50); tune bits up / tables down for fewer candidates at lower
+   * recall. Deterministic: seeded planes, id-sorted buckets, exact rerank,
+   * TopKAgg total order.
+   */
+  def lshNearDupPairs(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      topPairs: Int,
+      dim: Int,
+      bitsPerTable: Int = 4,
+      tables: Int = 16,
+      seed: Long = 42L,
+      maxBucket: Int = 10000): DataFrame = {
+    val blocked = vectors.select(
+      packableId(col(idCol), idCol, "lshNearDupPairs").as("vid"),
+      col(vecCol).as("vec"),
+      explode(lshBuckets(col(vecCol), dim, bitsPerTable, tables, seed)).as("bucket"))
+
+    val scored = blocked
+      .groupBy("bucket")
+      .agg(sort_array(collect_list(struct(col("vid"), col("vec")))).as("xs"))
+      .filter(size(col("xs")) >= 2 && size(col("xs")) <= maxBucket)
+      .select(explode(
+        flatten(transform(sequence(lit(1), size(col("xs")) - 1), i =>
+          transform(slice(col("xs"), i + 1, size(col("xs")) - i), y =>
+            struct(
+              element_at(col("xs"), i).getField("vid").as("vid_a"),
+              y.getField("vid").as("vid_b"),
+              element_at(col("xs"), i).getField("vec").as("vec_a"),
+              y.getField("vec").as("vec_b"))))))
+        .as("p"))
+      .select(
+        packPair(col("p.vid_a"), col("p.vid_b")).as("pair"),
+        cosineSim(col("p.vec_a"), col("p.vec_b")).as("sim"))
+
+    scored
+      .groupBy("pair").agg(max(col("sim")).as("sim")) // multi-table dedup
+      .agg(topkByScore(col("pair"), col("sim"), topPairs).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "r")))
+      .select(
+        (col("pos") + 1).cast("long").as("rank"),
+        unpackA(col("r.id")).as("doc_a"),
+        unpackB(col("r.id")).as("doc_b"))
   }
 }
