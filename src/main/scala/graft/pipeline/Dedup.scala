@@ -66,37 +66,29 @@ object Dedup {
       threshold: Double,
       n: Int = 3,
       maxShingleDf: Int = 1000): DataFrame = {
-    val withShingles = docs.select(
+    // ONE scan of the docs table serves the whole plan: each doc's shingle
+    // count rides along through the explode and the bucket-local pair
+    // generation, so the Jaccard denominator needs no second scan / join of
+    // the shingle subtree. One shuffle by shingle, one by (pair, sizes) —
+    // sizes are functionally dependent on the ids, so widening the group-by
+    // key changes nothing semantically.
+    val exploded = docs.select(
       col(idCol).as("doc_id"),
       TextAnalysis.wordShingles(col(textCol), n).as("shingles"))
+      .select($"doc_id", size($"shingles").as("nsh"), explode($"shingles").as("shingle"))
 
-    val sizes = withShingles.select($"doc_id", size($"shingles").as("n_shingles"))
+    // Buckets over `maxShingleDf` docs are dropped whole (skew guard: they
+    // contribute quadratic pair cost and near-zero similarity signal).
+    val buckets = PairGen.buckets(
+      exploded, Seq($"shingle"), struct($"doc_id", $"nsh"), maxShingleDf)
 
-    // One scan -> one shuffle by shingle. Pairs are generated INSIDE each
-    // shingle bucket from the collected (sorted) id list — no self-join, no
-    // recomputation of the shingle subtree. Buckets over `maxShingleDf`
-    // docs are dropped whole (skew guard: they contribute quadratic pair
-    // cost and near-zero similarity signal).
-    val buckets = withShingles
-      .select($"doc_id", explode($"shingles").as("shingle"))
-      .groupBy("shingle")
-      .agg(sort_array(collect_list($"doc_id")).as("ids"))
-      .filter(size($"ids") >= 2 && size($"ids") <= maxShingleDf)
+    val pairs = PairGen.explodePairs(buckets, "xs", "pa", "pb")
+      .select($"pa.doc_id".as("doc_a"), $"pb.doc_id".as("doc_b"),
+        $"pa.nsh".as("size_a"), $"pb.nsh".as("size_b"))
 
-    val pairs = buckets.select(explode(
-      flatten(transform(sequence(lit(1), size($"ids") - 1), i =>
-        transform(slice($"ids", i + 1, size($"ids") - i), b =>
-          struct(element_at($"ids", i).as("a"), b.as("b"))))))
-      .as("p"))
-      .select($"p.a".as("doc_a"), $"p.b".as("doc_b"))
-
-    val shared = pairs.groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_shared"))
-
-    shared
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_shingles", "size_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_shingles", "size_b"), "doc_b")
+    pairs
+      .groupBy($"doc_a", $"doc_b", $"size_a", $"size_b")
+      .agg(count(lit(1)).as("n_shared"))
       .withColumn("jaccard",
         $"n_shared".cast("double") /
           ($"size_a" + $"size_b" - $"n_shared").cast("double"))
@@ -167,16 +159,9 @@ object Dedup {
     // Skew guard: a band bucket of b docs generates b^2/2 candidate pairs;
     // buckets past `maxBucket` (typically exact-duplicate clusters — run
     // exactGroups first) are DROPPED, trading recall for bounded work.
-    val candidates = banded
-      .groupBy("band", "bh")
-      .agg(sort_array(collect_list($"doc_id")).as("ids"))
-      .filter(size($"ids") >= 2 && size($"ids") <= maxBucket)
-      .select(explode(
-        flatten(transform(sequence(lit(1), size($"ids") - 1), i =>
-          transform(slice($"ids", i + 1, size($"ids") - i), b =>
-            struct(element_at($"ids", i).as("a"), b.as("b"))))))
-        .as("p"))
-      .select($"p.a".as("doc_a"), $"p.b".as("doc_b"))
+    val candidates = PairGen.explodePairs(
+      PairGen.buckets(banded, Seq($"band", $"bh"), $"doc_id", maxBucket),
+      "xs", "doc_a", "doc_b")
       .distinct()
 
     // exact-Jaccard verification of candidates only
@@ -222,21 +207,11 @@ object Dedup {
 
     // one shuffle by (chunk, chunkValue); pairs generated inside buckets
     // same skew guard as minhashLshPairs: oversize chunk buckets dropped
-    blocked
-      .groupBy("chunk", "cv")
-      .agg(sort_array(collect_list(struct($"doc_id", $"sh"))).as("xs"))
-      .filter(size($"xs") >= 2 && size($"xs") <= maxBucket)
-      .select(explode(
-        flatten(transform(sequence(lit(1), size($"xs") - 1), i =>
-          transform(slice($"xs", i + 1, size($"xs") - i), y =>
-            struct(
-              element_at($"xs", i).getField("doc_id").as("doc_a"),
-              y.getField("doc_id").as("doc_b"),
-              element_at($"xs", i).getField("sh").as("sh_a"),
-              y.getField("sh").as("sh_b"))))))
-        .as("p"))
-      .select($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"),
-        bit_count($"p.sh_a".bitwiseXOR($"p.sh_b")).as("hamming"))
+    PairGen.explodePairs(
+      PairGen.buckets(blocked, Seq($"chunk", $"cv"), struct($"doc_id", $"sh"), maxBucket),
+      "xs", "pa", "pb")
+      .select($"pa.doc_id".as("doc_a"), $"pb.doc_id".as("doc_b"),
+        bit_count($"pa.sh".bitwiseXOR($"pb.sh")).as("hamming"))
       .filter($"hamming" <= maxDist)
       .distinct()
   }

@@ -72,9 +72,17 @@ object Similarity {
     * expression pass over the vector — see
     * [[graft.expressions.HyperplaneBuckets]]). */
   def lshBuckets(vec: Column, dim: Int, bitsPerTable: Int, tables: Int,
-      seed: Long = 42L): Column =
+      seed: Long = 42L): Column = {
+    // HyperplaneBuckets tags the table index from bit 32 up, so bucket bits
+    // above 32 would silently overlap the tag and merge buckets ACROSS
+    // tables — reject instead.
+    require(bitsPerTable >= 1 && bitsPerTable <= 32,
+      s"bitsPerTable must be in [1, 32], got $bitsPerTable")
+    require(tables >= 1, s"tables must be >= 1, got $tables")
+    require(dim >= 1, s"dim must be >= 1, got $dim")
     GraftShim.column(graft.expressions.HyperplaneBuckets(
       GraftShim.expression(vec), hyperplanes(dim, bitsPerTable, tables, seed)))
+  }
 
   /**
    * LSH-bucketed approximate top-k: candidates share a bucket with the
@@ -168,29 +176,33 @@ object Similarity {
    * Sub-quadratic embedding near-duplicate pair scan — the 100 TB path for
    * [[cosineNearDupPairs]] (same `(rank, doc_a, doc_b)` output shape).
    *
-   * Plan shape (no O(n^2) join anywhere):
+   * Plan shape (no O(n^2) join anywhere, and no row ever holds more than
+   * one bucket's ID LIST — vectors never enter the pair space):
    *  1. one scan computes all `tables` hyperplane bucket ids per vector in
    *     a single native-expression pass ([[graft.expressions.HyperplaneBuckets]])
-   *     and explodes them — n * tables rows;
-   *  2. one shuffle by bucket; candidate pairs are generated INSIDE each
-   *     bucket from the collected (id-sorted) list — the same bucket-local
-   *     pair-gen idiom as the dedup operators, with the same `maxBucket`
-   *     skew guard (oversize buckets dropped whole, trading recall for
+   *     and explodes them — n * tables (id, bucket) rows, 16 bytes each;
+   *  2. one shuffle by bucket; candidate ID pairs stream out of each bucket
+   *     via the chained-generator idiom ([[PairGen]]) — peak per-row memory
+   *     is one id array (8 bytes x bucket size), never the O(b²) pair array,
+   *     and never a vector. Same `maxBucket` skew guard as the dedup
+   *     operators (oversize buckets dropped whole, trading recall for
    *     bounded work);
-   *  3. exact cosine is computed per candidate BEFORE the pair-dedup
-   *     shuffle, so only 16-byte (pair, sim) rows cross the wire (a pair
-   *     colliding in several tables is scored redundantly — cheaper than
-   *     shuffling vectors to dedupe first);
-   *  4. one shuffle by packed pair id dedupes multi-table collisions, then
-   *     the global bounded-heap TopKAgg (map-side partial top-k) reports.
+   *  3. one shuffle by packed pair id dedupes multi-table collisions while
+   *     pairs are still 8-byte longs;
+   *  4. vectors are joined back by id (two shuffled equi-joins that touch
+   *     only surviving candidate pairs), exact cosine is computed once per
+   *     distinct pair, and the global bounded-heap TopKAgg (map-side
+   *     partial top-k) reports.
    *
    * Recall < 1 by design: a pair is found iff its vectors agree on every
    * bit of at least one table. P(found) = 1-(1-(1-theta/pi)^bits)^tables —
    * with the 4-bit x 16-table default, cosine 0.9 pairs are caught w.p.
-   * ~0.99999, cosine 0.5 w.p. ~0.97 (measured 0.96 on the test corpus's
-   * top-50); tune bits up / tables down for fewer candidates at lower
-   * recall. Deterministic: seeded planes, id-sorted buckets, exact rerank,
-   * TopKAgg total order.
+   * ~0.99999, cosine 0.5 w.p. ~0.97; tune bits up / tables down for fewer
+   * candidates at lower recall. Deterministic: seeded planes, id-sorted
+   * buckets, exact rerank, TopKAgg total order. Duplicate input ids never
+   * produce self-pairs: pair generation is over the sorted id list and
+   * keeps strictly-increasing pairs only, matching the exact tier's
+   * `id_a < id_b` join.
    */
   def lshNearDupPairs(
       vectors: DataFrame,
@@ -204,28 +216,22 @@ object Similarity {
       maxBucket: Int = 10000): DataFrame = {
     val blocked = vectors.select(
       packableId(col(idCol), idCol, "lshNearDupPairs").as("vid"),
-      col(vecCol).as("vec"),
       explode(lshBuckets(col(vecCol), dim, bitsPerTable, tables, seed)).as("bucket"))
 
-    val scored = blocked
-      .groupBy("bucket")
-      .agg(sort_array(collect_list(struct(col("vid"), col("vec")))).as("xs"))
-      .filter(size(col("xs")) >= 2 && size(col("xs")) <= maxBucket)
-      .select(explode(
-        flatten(transform(sequence(lit(1), size(col("xs")) - 1), i =>
-          transform(slice(col("xs"), i + 1, size(col("xs")) - i), y =>
-            struct(
-              element_at(col("xs"), i).getField("vid").as("vid_a"),
-              y.getField("vid").as("vid_b"),
-              element_at(col("xs"), i).getField("vec").as("vec_a"),
-              y.getField("vec").as("vec_b"))))))
-        .as("p"))
-      .select(
-        packPair(col("p.vid_a"), col("p.vid_b")).as("pair"),
-        cosineSim(col("p.vec_a"), col("p.vec_b")).as("sim"))
+    val pairs = PairGen.explodePairs(
+      PairGen.buckets(blocked, Seq(col("bucket")), col("vid"), maxBucket),
+      "xs", "vid_a", "vid_b")
+      .filter(col("vid_a") < col("vid_b")) // drop self-pairs from duplicate ids
+      .select(packPair(col("vid_a"), col("vid_b")).as("pair"))
+      .distinct() // multi-table collision dedup on 8-byte keys
 
-    scored
-      .groupBy("pair").agg(max(col("sim")).as("sim")) // multi-table dedup
+    val va = vectors.select(col(idCol).as("ja"), col(vecCol).as("vec_a"))
+    val vb = vectors.select(col(idCol).as("jb"), col(vecCol).as("vec_b"))
+
+    pairs
+      .join(va, unpackA(col("pair")) === col("ja"))
+      .join(vb, unpackB(col("pair")) === col("jb"))
+      .select(col("pair"), cosineSim(col("vec_a"), col("vec_b")).as("sim"))
       .agg(topkByScore(col("pair"), col("sim"), topPairs).as("top"))
       .select(posexplode(col("top")).as(Seq("pos", "r")))
       .select(

@@ -133,6 +133,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(byDoc === 0, "every video must emit exactly n_frames frames")
   }
 
+  test("lshNearDupPairs: shape, determinism, recall vs exact tier") {
+    val exact = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 20)
+    val lsh = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 20, dim = 64)
+    assert(lsh.columns.toSeq === Seq("rank", "doc_a", "doc_b"))
+    val e = exact.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val run1 = lsh.orderBy("rank").as[(Long, Long, Long)].collect().toSeq
+    val run2 = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 20, dim = 64)
+      .orderBy("rank").as[(Long, Long, Long)].collect().toSeq
+    assert(run1 === run2, "same input + seed must give identical output")
+    val hit = run1.map(r => (r._2, r._3)).toSet.intersect(e).size
+    assert(hit >= e.size * 8 / 10, s"LSH near-dup recall too low: $hit/${e.size}")
+  }
+
+  test("near-dup tiers raise on ids outside [0, 2^31) instead of corrupting packs") {
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    val v = Array.fill(8)(0.5f)
+    val bad = Seq((2147483648L, v), (1L, v.map(_ + 0.1f)), (2L, v.map(_ - 0.1f)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[Throwable](
+      Similarity.cosineNearDupPairs(bad, "vec_id", "embedding", 5).collect())
+    assert(messages(e1).exists(_.contains("[0, 2^31)")), s"got: ${messages(e1)}")
+    val e2 = intercept[Throwable](
+      Similarity.lshNearDupPairs(bad, "vec_id", "embedding", 5, dim = 8).collect())
+    assert(messages(e2).exists(_.contains("[0, 2^31)")), s"got: ${messages(e2)}")
+  }
+
+  test("lshNearDupPairs never emits self-pairs for duplicate input ids") {
+    val v = Array.fill(8)(0.5f)
+    val d = Seq((1L, v), (1L, v), (2L, v.map(_ * 2.0f)), (3L, v.map(_ + 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.lshNearDupPairs(d, "vec_id", "embedding", 10, dim = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r._2 < r._3),
+      s"self/unordered pairs leaked: ${out.mkString(", ")}")
+  }
+
+  test("lshBuckets validates bitsPerTable / tables / dim") {
+    intercept[IllegalArgumentException](Similarity.lshBuckets(col("v"), 8, 33, 2))
+    intercept[IllegalArgumentException](Similarity.lshBuckets(col("v"), 8, 0, 2))
+    intercept[IllegalArgumentException](Similarity.lshBuckets(col("v"), 8, 4, 0))
+    intercept[IllegalArgumentException](Similarity.lshBuckets(col("v"), 0, 4, 2))
+  }
+
   test("exact dedup groups: normalized variants share a fingerprint") {
     val d = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
       .toDF("doc_id", "text")

@@ -47,6 +47,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
   }
 
+  test("jaccard dedup reads the documents table exactly once") {
+    // sizes ride along through the shingle explode — a second scan of the
+    // subtree for the denominators would show up as a second FileScan
+    val p = plan("dedup_jaccard_pairs")
+    // count detail-section node headers "(N) Scan parquet" — one per scan node
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans === 1, s"expected a single documents scan, got $scans")
+  }
+
   test("text analysis is a pure pruned-scan projection (no shuffle before sort)") {
     val p = plan("text_stats")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))

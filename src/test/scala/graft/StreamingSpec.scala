@@ -116,6 +116,7 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming rollup maintenance merges into the stored table = batch rollup") {
     val inDir = twoBatchDir()
     val rollupPath = java.nio.file.Files.createTempDirectory("graft_rollup").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rollup_ck").toString
     val stream = spark.readStream.schema(eventsBatch.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
 
@@ -124,11 +125,12 @@ class StreamingSpec extends AnyFunSuite {
       periodExpr = date_format($"ts", "yyyy-MM-dd-HH"),
       groupCol = "event_type",
       itemExpr = $"user_id".cast("string"),
-      numCounters = 100000)
+      numCounters = 100000,
+      checkpointLocation = Some(ckpt))
     try q.processAllAvailable() finally q.stop()
 
     // stored rollup must now equal the batch-computed rollup
-    val stored = spark.read.parquet(rollupPath)
+    val stored = TopnStreaming.committedRollup(spark, rollupPath)
       .select($"period", $"event_type", explode($"sketch").as(Seq("item", "frequency")))
     val expected = eventsBatch
       .groupBy(date_format($"ts", "yyyy-MM-dd-HH").as("period"),
@@ -137,10 +139,68 @@ class StreamingSpec extends AnyFunSuite {
     val diff = stored.exceptAll(expected).count() + expected.exceptAll(stored).count()
     assert(diff === 0)
     // and the batch-side re-aggregation over the maintained table works
-    val top = spark.read.parquet(rollupPath)
+    val top = TopnStreaming.committedRollup(spark, rollupPath)
       .groupBy($"event_type")
       .agg(TopnFunctions.topn_union_agg($"sketch", 100000).as("merged"))
     assert(top.count() === eventsBatch.select($"event_type").distinct().count())
+  }
+
+  private def rollupItems(path: String) =
+    TopnStreaming.committedRollup(spark, path)
+      .select($"period", $"event_type", explode($"sketch").as(Seq("item", "frequency")))
+      .as[(String, String, String, Long)].collect().toSet
+
+  test("rollup replay after a crash between data write and commit does not double count") {
+    val rollupPath = java.nio.file.Files.createTempDirectory("graft_crash").toString + "/t"
+    val b0 = eventsBatch.filter($"event_id" % 2 === 0)
+    val b1 = eventsBatch.filter($"event_id" % 2 === 1)
+    def merge(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      TopnStreaming.mergeBatch(df, id, rollupPath,
+        date_format($"ts", "yyyy-MM-dd-HH"), "event_type",
+        $"user_id".cast("string"), 100000, scope = "test-scope")
+
+    merge(b0, 0)
+    merge(b1, 1)
+    val committedState = rollupItems(rollupPath)
+
+    // simulate the crash window: batch 1's data files are fully written but
+    // the _SUCCESS commit marker never landed -> batch 1 is NOT committed
+    val success = new org.apache.hadoop.fs.Path(s"$rollupPath/v=1/_SUCCESS")
+    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(success, false), "fixture: commit marker must exist")
+    assert(TopnStreaming.committedVersion(spark, rollupPath) === Some(0L))
+
+    // foreachBatch re-delivers batch 1 after restart: replay must rebuild
+    // v=1 from v=0, not merge on top of the half-committed state
+    merge(b1, 1)
+    assert(TopnStreaming.committedVersion(spark, rollupPath) === Some(1L))
+    assert(rollupItems(rollupPath) === committedState, "replay double-counted")
+
+    // replay of an already-committed batch is a no-op
+    merge(b1, 1)
+    assert(rollupItems(rollupPath) === committedState)
+
+    // frequencies equal the batch-computed truth (belt and braces)
+    val expected = (b0 unionAll b1)
+      .groupBy(date_format($"ts", "yyyy-MM-dd-HH").as("period"),
+        $"event_type", $"user_id".cast("string").as("item"))
+      .agg(count(lit(1)).as("frequency"))
+      .as[(String, String, String, Long)].collect().toSet
+    assert(rollupItems(rollupPath) === expected)
+  }
+
+  test("rollup refuses a foreign checkpoint scope instead of silently skipping batches") {
+    val rollupPath = java.nio.file.Files.createTempDirectory("graft_scope").toString + "/t"
+    def merge(id: Long, scope: String): Unit =
+      TopnStreaming.mergeBatch(eventsBatch, id, rollupPath,
+        date_format($"ts", "yyyy-MM-dd-HH"), "event_type",
+        $"user_id".cast("string"), 100000, scope)
+    merge(0, "checkpoint-A")
+    val e = intercept[IllegalStateException](merge(0, "checkpoint-B"))
+    assert(e.getMessage.contains("different streaming checkpoint"))
+    // the original scope still works
+    merge(1, "checkpoint-A")
+    assert(TopnStreaming.committedVersion(spark, rollupPath) === Some(1L))
   }
 
   private implicit class JavaSetOps[A](s: java.util.Set[A]) {
