@@ -204,8 +204,11 @@ object SparkEntry {
         .orderBy($"doc_a", $"doc_b")
     }),
 
-    // MinHash+LSH near-dup pairs, exact-Jaccard-verified (no SQL oracle —
-    // xxhash64-based; validated against dedup_jaccard_pairs in ScalaTest)
+    // MinHash+LSH near-dup pairs. Candidates are verified with EXACT
+    // n-gram Jaccard, so output ⊆ the exact pair scan; on this corpus the
+    // banding (8x4) catches every qualifying pair, so the exact-Jaccard
+    // DuckDB oracle applies verbatim — a recall miss would surface as a
+    // driver hash mismatch.
     "dedup_minhash_lsh" -> ((spark, dir) => {
       import spark.implicits._
       graft.pipeline.Dedup.minhashLshPairs(
@@ -213,12 +216,25 @@ object SparkEntry {
         .orderBy($"doc_a", $"doc_b")
     }),
 
-    // SimHash near-dup pairs at Hamming distance <= 3 (no SQL oracle)
+    // SimHash blocking is exact-recall by pigeonhole (any pair within
+    // maxDist agrees on >= 1 of maxDist+1 chunks), which no SQL engine can
+    // re-derive (xxhash64 fingerprints) — so the driver-checked output IS
+    // the verification: blocked pairs vs the O(n^2) brute-force scan over
+    // the same fingerprints, reduced to constant-comparable booleans.
     "dedup_simhash" -> ((spark, dir) => {
       import spark.implicits._
-      graft.pipeline.Dedup.simhashPairs(
-        tbl(spark, dir, "documents"), "doc_id", "text", maxDist = 3)
-        .orderBy($"doc_a", $"doc_b")
+      val docs = tbl(spark, dir, "documents")
+      val blocked = graft.pipeline.Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+        .select($"doc_a", $"doc_b", lit(1).as("in_blocked"))
+      val hashed = docs.select($"doc_id",
+        graft.pipeline.Dedup.simhash64(graft.pipeline.TextAnalysis.tokens($"text")).as("sh"))
+      val brute = hashed.as("a").join(hashed.as("b"), $"a.doc_id" < $"b.doc_id")
+        .filter(bit_count($"a.sh".bitwiseXOR($"b.sh")) <= 3)
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"), lit(1).as("in_brute"))
+      blocked.join(brute, Seq("doc_a", "doc_b"), "full_outer")
+        .agg((count(lit(1)) > 0).as("has_pairs"),
+          (count(when($"in_blocked".isNull || $"in_brute".isNull, 1)) === 0)
+            .as("blocked_equals_brute"))
     }),
 
     // exact cosine top-10 neighbors for the first 20 vectors (brute force
@@ -231,34 +247,69 @@ object SparkEntry {
         .orderBy($"query_id", $"rank")
     }),
 
-    // LSH-bucketed approximate neighbors (no SQL oracle — recall checked
-    // against brute force in ScalaTest)
+    // LSH-bucketed approximate neighbors, driver-verified per query
+    // against the in-plan brute-force twin: emits (query_id, recall_ok)
+    // where recall_ok = per-query recall >= 0.3 (deterministic seeded
+    // planes; measured floor 0.5 on this corpus). A DuckDB-computable
+    // constant-bound oracle — approximate results themselves are not
+    // SQL-reproducible.
     "ann_lsh_top10" -> ((spark, dir) => {
       import spark.implicits._
       val emb = tbl(spark, dir, "embeddings")
-      graft.pipeline.Similarity.lshTopK(
-        emb, emb.filter($"vec_id" < 20), "vec_id", "embedding", k = 10, dim = 64)
-        .orderBy($"query_id", $"rank")
+      val qs = emb.filter($"vec_id" < 20)
+      val brute = graft.pipeline.Similarity.bruteForceTopK(
+        emb, qs, "vec_id", "embedding", k = 10)
+      val lsh = graft.pipeline.Similarity.lshTopK(
+        emb, qs, "vec_id", "embedding", k = 10, dim = 64)
+        .select($"query_id".as("q2"), $"neighbor_id".as("n2"))
+      brute.join(lsh, $"query_id" === $"q2" && $"neighbor_id" === $"n2", "left")
+        .groupBy($"query_id")
+        .agg((count($"n2") >= count(lit(1)) * 0.3).as("recall_ok"))
+        .orderBy($"query_id")
     }),
 
-    // IVF-quantized approximate neighbors (no SQL oracle — recall checked
-    // against brute force in ScalaTest)
+    // IVF-quantized approximate neighbors, driver-verified like
+    // ann_lsh_top10 (deterministic training; measured per-query floor 0.3,
+    // bound 0.2)
     "ann_ivf_top10" -> ((spark, dir) => {
       import spark.implicits._
       val emb = tbl(spark, dir, "embeddings")
+      val qs = emb.filter($"vec_id" < 20)
       val model = graft.pipeline.IVF.train(emb, "vec_id", "embedding", k = 16)
-      graft.pipeline.IVF.topK(
-        emb, emb.filter($"vec_id" < 20), "vec_id", "embedding", k = 10,
-        model, nprobe = 4)
-        .orderBy($"query_id", $"rank")
+      val brute = graft.pipeline.Similarity.bruteForceTopK(
+        emb, qs, "vec_id", "embedding", k = 10)
+      val ivf = graft.pipeline.IVF.topK(
+        emb, qs, "vec_id", "embedding", k = 10, model, nprobe = 4)
+        .select($"query_id".as("q2"), $"neighbor_id".as("n2"))
+      brute.join(ivf, $"query_id" === $"q2" && $"neighbor_id" === $"n2", "left")
+        .groupBy($"query_id")
+        .agg((count($"n2") >= count(lit(1)) * 0.2).as("recall_ok"))
+        .orderBy($"query_id")
     }),
 
-    // top-50 most cosine-similar embedding pairs (embedding near-dup scan)
+    // top-50 most cosine-similar embedding pairs (embedding near-dup scan,
+    // exact O(n^2) tier)
     "cosine_neardup_pairs" -> ((spark, dir) => {
       import spark.implicits._
       graft.pipeline.Similarity.cosineNearDupPairs(
         tbl(spark, dir, "embeddings"), "vec_id", "embedding", topPairs = 50)
         .orderBy($"rank")
+    }),
+
+    // the sub-quadratic 100 TB tier of the same scan, driver-verified
+    // against the exact tier: emits the candidate-pair count and a
+    // recall-floor boolean (measured 48/50 caught at 4 bits x 16 tables;
+    // bound 40). Deterministic end to end.
+    "lsh_neardup_pairs" -> ((spark, dir) => {
+      import spark.implicits._
+      val emb = tbl(spark, dir, "embeddings")
+      val exact = graft.pipeline.Similarity.cosineNearDupPairs(
+        emb, "vec_id", "embedding", topPairs = 50)
+        .select($"doc_a".as("ea"), $"doc_b".as("eb"))
+      graft.pipeline.Similarity.lshNearDupPairs(
+        emb, "vec_id", "embedding", topPairs = 50, dim = 64)
+        .join(exact, $"doc_a" === $"ea" && $"doc_b" === $"eb", "left")
+        .agg(count(lit(1)).as("n_pairs"), (count($"ea") >= 40).as("recall_ok"))
     }),
 
     // composed training-data pipeline: exact-dedup (keep min doc per
@@ -469,6 +520,47 @@ object SparkEntry {
         |            JOIN sz zb ON shared.b = zb.doc_id
         |WHERE CAST(ns AS DOUBLE) / CAST(za.n + zb.n - ns AS DOUBLE) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // minhashLshPairs exact-verifies candidates, so its output ⊆ the exact
+    // scan; the banding catches every qualifying pair on this corpus, so
+    // the exact-Jaccard oracle applies verbatim (note: no shingle-DF cap
+    // here — LSH banding has no equivalent of jaccardPairs' maxShingleDf)
+    "dedup_minhash_lsh" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) >= 3
+        |              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |              ELSE [] END AS shingles
+        |  FROM t),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |shared AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS ns
+        |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(shingles) AS n FROM sh)
+        |SELECT a AS doc_a, b AS doc_b,
+        |       CAST(ns AS DOUBLE) / CAST(za.n + zb.n - ns AS DOUBLE) AS jaccard
+        |FROM shared JOIN sz za ON shared.a = za.doc_id
+        |            JOIN sz zb ON shared.b = zb.doc_id
+        |WHERE CAST(ns AS DOUBLE) / CAST(za.n + zb.n - ns AS DOUBLE) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_simhash" ->
+      "SELECT TRUE AS has_pairs, TRUE AS blocked_equals_brute",
+
+    "ann_lsh_top10" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 20 ORDER BY query_id""".stripMargin,
+
+    "ann_ivf_top10" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 20 ORDER BY query_id""".stripMargin,
+
+    "lsh_neardup_pairs" ->
+      "SELECT CAST(50 AS BIGINT) AS n_pairs, TRUE AS recall_ok",
 
     "ann_bruteforce_top10" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),

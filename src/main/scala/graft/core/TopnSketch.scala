@@ -176,9 +176,10 @@ final class TopnState private (
     * mirroring topn.c:229-233. */
   def topK(k: Int, numCounters: Int): Array[(String, Long)] = {
     if (k > numCounters) {
+      // wording mirrors the reference, topn.c:231-232
       throw new IllegalArgumentException(
-        s"requested number of elements ($k) must be less than the " +
-          s"number of counters ($numCounters)")
+        s"desired number of counters ($k) is higher than the " +
+          s"topn.number_of_counters variable ($numCounters)")
     }
     sortedEntries().take(math.min(k, counters.size))
       .map(e => (e._1.toString, e._2.longValue))

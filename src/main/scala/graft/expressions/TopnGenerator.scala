@@ -42,8 +42,8 @@ case class TopnRows(left: Expression, right: Expression, numCounters: Int)
     val n = k.asInstanceOf[Int]
     if (n > numCounters) {
       throw new IllegalArgumentException(
-        s"requested number of elements ($n) must be less than or equal to the " +
-          s"number of counters ($numCounters)")
+        s"desired number of counters ($n) is higher than the " +
+          s"topn.number_of_counters variable ($numCounters)")
     }
     TopnExprUtils.topEntries(sketch.asInstanceOf[MapData], n).iterator
       .map { case (item, freq) =>

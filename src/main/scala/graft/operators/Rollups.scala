@@ -69,8 +69,14 @@ object Rollups {
       sketchCol: String,
       numCounters: Int,
       fanIn: Int = 64): DataFrame = {
+    // fan-in key must be a pure function of the ROW, not of partition
+    // layout (monotonically_increasing_id would re-deal rows on every
+    // repartition, making above-eviction-threshold results vary run to
+    // run). Spark refuses to hash MapType directly, so hash the canonical
+    // JSON rendering — sketch maps materialize in the deterministic
+    // (freq desc, key asc) pack order, so the rendering is stable.
     sketches
-      .withColumn("__g", pmod(monotonically_increasing_id(), lit(fanIn.toLong)))
+      .withColumn("__g", pmod(xxhash64(to_json(col(sketchCol))), lit(fanIn.toLong)))
       .groupBy(col("__g"))
       .agg(TopnFunctions.topn_union_agg(col(sketchCol), numCounters).as("__partial"))
       .agg(TopnFunctions.topn_union_agg(col("__partial"), numCounters).as(sketchCol))

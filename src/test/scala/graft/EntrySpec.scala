@@ -17,15 +17,20 @@ class EntrySpec extends AnyFunSuite {
 
   test("oracleSql / queries map literals have no duplicate keys") {
     // A Scala Map literal silently keeps the LAST duplicate entry, so a
-    // duplicated key would shadow one oracle. Guard at the source level.
+    // duplicated key would shadow one query or oracle. Guard PER literal:
+    // split the source at the oracleSql declaration and assert each key
+    // appears at most once on each side.
     val src = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")),
       java.nio.charset.StandardCharsets.UTF_8)
+    val parts = src.split("def oracleSql", 2)
+    assert(parts.length === 2, "oracleSql declaration not found")
     val keyRe = """"([a-z0-9_]+)" ->""".r
-    val keys = keyRe.findAllMatchIn(src).map(_.group(1)).toSeq
-    // queries-map keys appear once, oracle keys once -> each name at most 2x
-    val over = keys.groupBy(identity).filter(_._2.size > 2).keys
-    assert(over.isEmpty, s"duplicated map-literal keys: ${over.mkString(", ")}")
+    for ((section, label) <- Seq((parts(0), "queries"), (parts(1), "oracleSql"))) {
+      val keys = keyRe.findAllMatchIn(section).map(_.group(1)).toSeq
+      val dups = keys.groupBy(identity).filter(_._2.size > 1).keys
+      assert(dups.isEmpty, s"duplicated keys in $label: ${dups.mkString(", ")}")
+    }
   }
 
   test("every query runs and returns rows at sf0.001") {

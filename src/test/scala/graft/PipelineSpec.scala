@@ -133,6 +133,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(byDoc === 0, "every video must emit exactly n_frames frames")
   }
 
+  test("adversarial duplication soak: LSH dedup tier matches the exact scan") {
+    // 10 copies of the corpus — every doc has 9 exact duplicates, the
+    // worst case for pair generation (promoted from docs/BENCH_NOTES.md).
+    // At high threshold the banding catches near-1.0-Jaccard pairs w.p.
+    // ~1, so the sub-quadratic tier must find the IDENTICAL pair set.
+    val corpus = (0 until 10).map(i =>
+      docs.select(($"doc_id" * 10 + i).as("doc_id"), $"text")).reduce(_ unionAll _)
+    val nDocs = docs.count()
+    val exact = Dedup.jaccardPairs(corpus, "doc_id", "text", threshold = 0.8,
+      maxShingleDf = 100000) // uncapped: the soak needs the true pair set
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text", threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // every duplicated doc contributes C(10,2) = 45 exact-dup pairs
+    assert(exact.size >= 45 * nDocs, s"soak fixture too small: ${exact.size}")
+    assert(lsh === exact,
+      s"LSH missed ${(exact -- lsh).size}, invented ${(lsh -- exact).size}")
+  }
+
   test("lshNearDupPairs: shape, determinism, recall vs exact tier") {
     val exact = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 20)
     val lsh = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 20, dim = 64)

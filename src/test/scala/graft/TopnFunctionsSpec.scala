@@ -66,8 +66,12 @@ class TopnFunctionsSpec extends AnyFunSuite {
         spark.sql("SELECT topn(topn_add_agg(CAST(int_column AS STRING)), 5) FROM numbers")
           .collect()
       }
-      assert(ex.getMessage.contains("number of counters") ||
-        ex.getCause != null && ex.getCause.getMessage.contains("number of counters"))
+      // reference wording, topn.c:231-232
+      val msgs = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).toSeq
+      assert(msgs.exists(m => m.contains("desired number of counters") &&
+        m.contains("is higher than the topn.number_of_counters variable")),
+        s"got: $msgs")
     } finally spark.conf.set(GraftConf.NumberOfCountersKey, "1000")
   }
 
@@ -75,10 +79,36 @@ class TopnFunctionsSpec extends AnyFunSuite {
     spark.conf.set(GraftConf.NumberOfCountersKey, "0")
     try {
       numbersDf.createOrReplaceTempView("numbers")
-      assertThrows[Exception] {
+      val ex = intercept[Exception] {
         spark.sql("SELECT topn_add_agg(CAST(int_column AS STRING)) FROM numbers").collect()
       }
+      // reference wording, expected/add_agg.out:50-52
+      val msgs = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).toSeq
+      assert(msgs.exists(m => m.contains("0 is outside the valid range for parameter") &&
+        m.contains("(1 .. 14913080)")), s"got: $msgs")
     } finally spark.conf.set(GraftConf.NumberOfCountersKey, "1000")
+  }
+
+  test("sketch aggregate survives ObjectHashAggregate sort-based fallback (SURVEY §4)") {
+    // past the fallback threshold ObjectHashAggregateExec switches to
+    // sort-based aggregation mid-stream; results must not change
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "2") // force the fallback after 2 in-memory groups
+      val df = spark.range(0, 20000)
+        .selectExpr("CAST(id % 500 AS STRING) AS g", "CAST(id % 37 AS STRING) AS item")
+      val got = df.groupBy("g")
+        .agg(TopnFunctions.topn_add_agg(col("item"), 100000).as("sketch"))
+        .select(col("g"), explode(col("sketch")).as(Seq("item", "frequency")))
+      val expected = df.groupBy("g", "item").count()
+      val diff = got.join(expected, Seq("g", "item"), "full_outer")
+        .filter(col("frequency").isNull || col("count").isNull ||
+          col("frequency") =!= col("count")).count()
+      assert(diff === 0)
+      assert(got.count() === expected.count())
+    } finally spark.conf.set(key, prev)
   }
 
   // ---- union_agg suite ---------------------------------------------------
