@@ -65,4 +65,56 @@ class InteropSpec extends AnyFunSuite {
       .collect().toMap
     assert(top("Fiction") === "P000000001")
   }
+
+  test("fixture-scale CSV ingest: 150k reviews through the flagship rollup flow") {
+    // The reference's regression fixture is ~590k real Amazon reviews
+    // loaded via \COPY (test_data_provider:3, copy_data.sql:17). Exercise
+    // the same 12-column schema at comparable scale: a reviews-shaped CSV
+    // synthesized deterministically from sf0.1 orders (~150k rows), with
+    // quoting torture (embedded commas, quotes) in every row.
+    val orders = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+    val reviews = orders.select(
+      concat(lit("c"), $"o_custkey").as("customer_id"),
+      $"o_orderdate".as("review_date"),
+      ($"o_orderkey" % 5 + 1).cast("int").as("review_rating"),
+      ($"o_orderkey" % 37).cast("int").as("review_votes"),
+      ($"o_orderkey" % 11).cast("int").as("review_helpful_votes"),
+      concat(lit("P"), lpad(($"o_custkey" % 997).cast("string"), 9, "0")).as("product_id"),
+      // embedded comma + double quote: CSV quoting must round-trip
+      concat(lit("Title \"q\", vol. "), $"o_orderkey" % 7).as("product_title"),
+      ($"o_totalprice".cast("bigint")).as("product_sales_rank"),
+      $"o_orderpriority".as("product_group"),
+      $"o_orderstatus".as("product_category"),
+      when($"o_orderkey" % 3 === 0, lit(null: String))
+        .otherwise(concat(lit("sub"), $"o_orderkey" % 13)).as("product_subcategory"),
+      concat(lit("P1,P"), $"o_custkey" % 100).as("similar_product_ids"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_big").toString
+    reviews.write.option("header", "false").mode("overwrite").csv(dir)
+
+    val ddl = """customer_id STRING, review_date DATE, review_rating INT,
+      review_votes INT, review_helpful_votes INT, product_id STRING,
+      product_title STRING, product_sales_rank BIGINT, product_group STRING,
+      product_category STRING, product_subcategory STRING, similar_product_ids STRING"""
+    val df = graft.sources.Tables.csv(spark, dir, ddl).cache()
+    try {
+      assert(df.count() === orders.count())
+      // full-fidelity round trip, all 12 columns, every row
+      assert(df.exceptAll(reviews).count() === 0)
+      assert(reviews.exceptAll(df).count() === 0)
+
+      // the reference flagship over the ingested fixture: monthly rollup ->
+      // union re-aggregation -> top-10, vs exact counts
+      val rollup = df
+        .groupBy(date_trunc("month", $"review_date").as("m"))
+        .agg(TopnFunctions.topn_add_agg($"product_id", 2000000).as("sketch"))
+      val got = rollup
+        .agg(TopnFunctions.topn_union_agg($"sketch", 2000000).as("merged"))
+        .select(explode(TopnFunctions.topn($"merged", lit(10))).as("r"))
+        .select($"r.item", $"r.frequency").as[(String, Long)].collect().toSeq
+      val expected = df.groupBy($"product_id").count()
+        .orderBy($"count".desc, $"product_id")
+        .limit(10).as[(String, Long)].collect().toSeq
+      assert(got === expected)
+    } finally df.unpersist()
+  }
 }

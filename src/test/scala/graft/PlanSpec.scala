@@ -56,6 +56,19 @@ class PlanSpec extends AnyFunSuite {
     assert(scans === 1, s"expected a single documents scan, got $scans")
   }
 
+  test("lshNearDupPairs: no quadratic join; pairs stream through chained generators") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = graft.pipeline.Similarity
+      .lshNearDupPairs(emb, "vec_id", "embedding", 50, dim = 64)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "candidate generation must not be an all-pairs join")
+    // bucket explode + anchor posexplode + suffix explode: >= 3 Generate
+    // nodes, so no row ever materializes a bucket's O(b^2) pair array
+    val gens = p.linesIterator.count(_.matches("""\(\d+\) Generate\s*"""))
+    assert(gens >= 3, s"expected chained generators, got $gens")
+  }
+
   test("text analysis is a pure pruned-scan projection (no shuffle before sort)") {
     val p = plan("text_stats")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
