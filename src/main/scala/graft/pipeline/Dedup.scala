@@ -54,10 +54,10 @@ object Dedup {
    * for exact verification of candidates regardless of the cap, rerank with
    * `array_intersect` on full shingle sets as [[minhashLshPairs]] does.
    *
-   * Plan shape: explode distinct shingles -> self equi-join on shingle ->
-   * count shared shingles per pair -> join per-doc shingle counts (small,
-   * broadcast-eligible) -> ratio filter. Shuffles: one on shingle, one on
-   * (a,b) — both on keys that grow with data, no driver-side work.
+   * Plan shape: ONE scan (shingle counts ride along through the explode) ->
+   * one shuffle by shingle with bucket-local pair generation ([[PairGen]])
+   * -> one shuffle by (a, b, sizes) counting shared shingles -> ratio
+   * filter. Both shuffle keys grow with data; no driver-side work.
    */
   def jaccardPairs(
       docs: DataFrame,

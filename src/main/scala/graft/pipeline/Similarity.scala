@@ -232,6 +232,9 @@ object Similarity {
       .join(va, unpackA(col("pair")) === col("ja"))
       .join(vb, unpackB(col("pair")) === col("jb"))
       .select(col("pair"), cosineSim(col("vec_a"), col("vec_b")).as("sim"))
+      // duplicate input ids multiply pairs through the joins; collapse so
+      // each (a, b) holds at most one rank in the top-k
+      .groupBy("pair").agg(max(col("sim")).as("sim"))
       .agg(topkByScore(col("pair"), col("sim"), topPairs).as("top"))
       .select(posexplode(col("top")).as(Seq("pos", "r")))
       .select(

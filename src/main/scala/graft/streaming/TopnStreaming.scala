@@ -68,28 +68,41 @@ object TopnStreaming {
    * Returns the StreamingQuery; the caller owns its lifecycle. Read the
    * maintained table with [[committedRollup]].
    *
-   * Crash safety — the commit protocol:
-   *  - each merged state is written to a FRESH versioned directory
-   *    `rollupPath/v=<batchId>` (never overwriting the directory the plan
-   *    reads, so no lineage truncation / localCheckpoint is needed);
-   *  - a version counts as committed iff its `_SUCCESS` file exists —
-   *    Hadoop's commit protocol writes it only after every task file has
-   *    been moved into place, so it IS the atomic commit point;
-   *  - the committed state is simply the highest-numbered successful
-   *    version ([[committedVersion]]); there is no separate pointer file
-   *    that could be torn or go stale;
-   *  - a replayed batch (id <= committed version) is skipped; a batch that
-   *    crashed mid-write left no `_SUCCESS`, so its replay recomputes the
-   *    SAME version directory from the SAME predecessor — never a double
-   *    count;
-   *  - versions older than the predecessor of the committed one are
-   *    deleted after each successful commit.
+   * Crash safety — the manifest commit protocol. Layout:
+   * {{{
+   *   rollupPath/_graft_scope          checkpoint identity (written once)
+   *   rollupPath/_manifests/m=<id>     one manifest per committed batch
+   *   rollupPath/data/b=<id>/          parquet: periods TOUCHED by batch id,
+   *                                    fully merged as of that batch
+   * }}}
+   *  - a batch writes ONLY its touched periods (merged with their previous
+   *    state) into a fresh `data/b=<batchId>` directory — per-batch work is
+   *    O(touched periods), not O(rollup history);
+   *  - the manifest maps every live period to the data directory holding
+   *    its current rows; it is written to a NEW file via temp+rename, so
+   *    the single atomic rename IS the commit point (no torn pointer, no
+   *    _SUCCESS races);
+   *  - the committed state is the highest-numbered manifest
+   *    ([[committedVersion]]); a replayed batch (id <= it) is skipped; a
+   *    batch that crashed mid-write left no manifest, so its replay
+   *    recomputes the SAME data directory from the SAME predecessors —
+   *    never a double count;
+   *  - `period` is stored as an ordinary STRING data column (not a
+   *    partition directory), so no partition-value type inference can
+   *    fork date- or number-shaped periods;
+   *  - empty batches commit nothing and touch nothing;
+   *  - data directories referenced by neither the new nor the previous
+   *    manifest are deleted after each commit (the previous manifest's
+   *    window protects readers mid-scan).
    *
    * Restart discipline: batch ids are meaningful only within one streaming
-   * checkpoint. A `_graft_scope` file (written once, temp+rename) records
-   * the checkpoint identity when `checkpointLocation` is given; resuming
-   * the rollup under a DIFFERENT checkpoint fails fast with guidance
-   * instead of silently skipping or double-counting replayed batches.
+   * checkpoint. A `_graft_scope` file records the checkpoint identity;
+   * resuming the rollup under a DIFFERENT checkpoint fails fast with
+   * guidance instead of silently skipping or double-counting replayed
+   * batches. Without `checkpointLocation` the scope is unique per
+   * `maintainRollup` call, so a checkpoint-less rollup cannot be resumed
+   * (there is no safe way to resume one — the source would replay from
+   * scratch).
    */
   def maintainRollup(
       events: DataFrame,
@@ -100,11 +113,12 @@ object TopnStreaming {
       numCounters: Int = GraftConf.DefaultNumberOfCounters,
       checkpointLocation: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    val scope = scopeOf(checkpointLocation)
     val writer = events.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mergeBatch(batch, batchId, rollupPath, periodExpr, groupCol, itemExpr,
-          numCounters, scopeOf(checkpointLocation))
+          numCounters, scope)
         ()
       }
     checkpointLocation.foreach(writer.option("checkpointLocation", _))
@@ -116,42 +130,96 @@ object TopnStreaming {
       .map(c => java.security.MessageDigest.getInstance("MD5")
         .digest(c.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         .map("%02x".format(_)).mkString)
-      .getOrElse("unscoped")
+      // no checkpoint -> no safe resume; a fresh scope per call makes any
+      // restart over the same rollup fail fast instead of dropping batches
+      .getOrElse(s"ephemeral-${java.util.UUID.randomUUID()}")
 
   private def fsOf(spark: org.apache.spark.sql.SparkSession, path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** Highest-numbered version under `rollupPath` whose `_SUCCESS` marker
-    * exists — the committed state. None before the first commit. */
+  private def manifestDir(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "_manifests")
+
+  /** Highest-numbered committed manifest id. None before the first commit. */
   def committedVersion(
       spark: org.apache.spark.sql.SparkSession, rollupPath: String): Option[Long] = {
     val (fs, root) = fsOf(spark, rollupPath)
-    if (!fs.exists(root)) None
+    val dir = manifestDir(root)
+    if (!fs.exists(dir)) None
     else {
-      val versions = fs.listStatus(root).toSeq
-        .filter(_.isDirectory)
-        .flatMap { st =>
-          val name = st.getPath.getName
-          if (name.startsWith("v="))
-            scala.util.Try(name.stripPrefix("v=").toLong).toOption
-              .filter(_ => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-          else None
-        }
-      if (versions.isEmpty) None else Some(versions.max)
+      val ids = fs.listStatus(dir).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("m="))
+          scala.util.Try(name.stripPrefix("m=").toLong).toOption
+        else None
+      }
+      if (ids.isEmpty) None else Some(ids.max)
     }
   }
+
+  /** Manifest contents: period -> id of the data directory holding its
+    * current rows. Lines are `<dirId>\t<urlencoded period>`. */
+  private def readManifest(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      version: Long): Map[String, Long] = {
+    val p = new org.apache.hadoop.fs.Path(manifestDir(root), s"m=$version")
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").iterator.filter(_.nonEmpty).map { line =>
+        val Array(ver, enc) = line.split("\t", 2)
+        java.net.URLDecoder.decode(enc, "UTF-8") -> ver.toLong
+      }.toMap
+  }
+
+  private def writeManifest(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      version: Long,
+      entries: Map[String, Long]): Unit = {
+    val dir = manifestDir(root)
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".m=$version.tmp-${java.util.UUID.randomUUID()}")
+    val body = entries.toSeq.sorted.map { case (period, ver) =>
+      s"$ver\t${java.net.URLEncoder.encode(period, "UTF-8")}"
+    }.mkString("\n")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(dir, s"m=$version")
+    // dst never exists (replays return before writing); rename is atomic
+    if (!fs.rename(tmp, dst) && !fs.exists(dst)) {
+      throw new java.io.IOException(s"could not commit manifest $dst")
+    }
+  }
+
+  /** Assemble the table for a manifest: union of the referenced data dirs,
+    * each filtered to the periods the manifest maps to it. */
+  private def manifestTable(
+      spark: org.apache.spark.sql.SparkSession,
+      rollupPath: String,
+      manifest: Map[String, Long]): Option[DataFrame] =
+    manifest.groupBy(_._2).map { case (dirId, byPeriod) =>
+      spark.read.parquet(s"$rollupPath/data/b=$dirId")
+        .filter(col("period").isin(byPeriod.keys.toSeq: _*))
+    }.reduceOption(_ unionAll _)
 
   /** The committed rollup table: (period, group, sketch). Empty-schema
     * DataFrame before the first commit (same contract callers had when the
     * path did not exist yet). */
   def committedRollup(
-      spark: org.apache.spark.sql.SparkSession, rollupPath: String): DataFrame =
-    committedVersion(spark, rollupPath) match {
-      case Some(v) => spark.read.parquet(s"$rollupPath/v=$v")
-      case None => spark.emptyDataFrame
-    }
+      spark: org.apache.spark.sql.SparkSession, rollupPath: String): DataFrame = {
+    val (fs, root) = fsOf(spark, rollupPath)
+    committedVersion(spark, rollupPath)
+      .flatMap(v => manifestTable(spark, rollupPath, readManifest(fs, root, v)))
+      .getOrElse(spark.emptyDataFrame)
+  }
 
   /** One micro-batch of the rollup maintenance protocol (exposed for
     * deterministic crash-path testing; `maintainRollup` drives it from
@@ -171,42 +239,62 @@ object TopnStreaming {
 
     val committed = committedVersion(spark, rollupPath)
     if (committed.exists(batchId <= _)) return // replay of a committed batch
+    if (batch.isEmpty) return // nothing to merge; commit nothing
 
+    // period is an ordinary STRING data column end to end (never a
+    // partition directory), so date-/number-shaped periods cannot be
+    // re-typed by partition-value inference on read
     val delta = batch
-      .groupBy(periodExpr.as("period"), col(groupCol))
+      .groupBy(periodExpr.cast("string").as("period"), col(groupCol))
       .agg(TopnFunctions.topn_add_agg(itemExpr, numCounters).as("sketch"))
+      .cache()
+    try {
+      val touched = delta.select("period").distinct()
+        .collect().map(_.getString(0)).toSet
+      val manifest = committed.map(readManifest(fs, root, _)).getOrElse(Map.empty)
 
-    val merged = committed match {
-      case None => delta
-      case Some(v) =>
-        val old = spark.read.parquet(s"$rollupPath/v=$v")
-          .withColumnRenamed("sketch", "old_sketch")
-        delta.join(old, Seq("period", groupCol), "full_outer")
-          .select(col("period"), col(groupCol),
-            when(col("old_sketch").isNull, col("sketch"))
-              .when(col("sketch").isNull, col("old_sketch"))
-              .otherwise(TopnFunctions.topn_union(
-                col("old_sketch"), col("sketch"))).as("sketch"))
-    }
+      // previous state of ONLY the touched periods — per-batch read/merge/
+      // write cost is proportional to the batch, not the rollup's history
+      val oldTouched = manifestTable(spark, rollupPath,
+        manifest.view.filterKeys(touched).toMap)
 
-    // fresh directory per version: the plan reads v=<committed> and writes
-    // v=<batchId>; _SUCCESS (written last by the Hadoop commit protocol)
-    // is the atomic commit point. A crash anywhere before it leaves the
-    // committed version untouched and the replay recomputes this directory.
-    merged.write.mode("overwrite").partitionBy("period")
-      .parquet(s"$rollupPath/v=$batchId")
+      val merged = oldTouched match {
+        case None => delta
+        case Some(old) =>
+          delta.join(old.withColumnRenamed("sketch", "old_sketch"),
+            Seq("period", groupCol), "full_outer")
+            .select(col("period"), col(groupCol),
+              when(col("old_sketch").isNull, col("sketch"))
+                .when(col("sketch").isNull, col("old_sketch"))
+                .otherwise(TopnFunctions.topn_union(
+                  col("old_sketch"), col("sketch"))).as("sketch"))
+      }
 
-    // retain the new version and its predecessor (for concurrent readers
-    // mid-scan); drop everything older
-    val keep = Set(Some(batchId), committed).flatten
-    fs.listStatus(root).toSeq.filter(_.isDirectory).foreach { st =>
-      val name = st.getPath.getName
-      if (name.startsWith("v=")) {
-        scala.util.Try(name.stripPrefix("v=").toLong).toOption.foreach { v =>
-          if (!keep.contains(v)) fs.delete(st.getPath, true)
+      merged.write.mode("overwrite").parquet(s"$rollupPath/data/b=$batchId")
+
+      // the atomic commit: one rename of the new manifest file
+      val newManifest = manifest ++ touched.iterator.map(_ -> batchId)
+      writeManifest(fs, root, batchId, newManifest)
+
+      // drop data dirs referenced by neither the new nor the previous
+      // manifest (readers of the previous committed state stay safe), and
+      // manifests older than the previous one
+      val live = newManifest.values.toSet ++
+        committed.map(readManifest(fs, root, _).values.toSet).getOrElse(Set.empty)
+      val dataRoot = new org.apache.hadoop.fs.Path(root, "data")
+      if (fs.exists(dataRoot)) {
+        fs.listStatus(dataRoot).toSeq.filter(_.isDirectory).foreach { st =>
+          scala.util.Try(st.getPath.getName.stripPrefix("b=").toLong).toOption
+            .foreach { id => if (!live.contains(id)) fs.delete(st.getPath, true) }
         }
       }
-    }
+      fs.listStatus(manifestDir(root)).toSeq.foreach { st =>
+        scala.util.Try(st.getPath.getName.stripPrefix("m=").toLong).toOption
+          .foreach { id =>
+            if (id < committed.getOrElse(batchId)) fs.delete(st.getPath, false)
+          }
+      }
+    } finally delta.unpersist()
   }
 
   /** First writer records the scope (temp+rename, so never torn); later
@@ -216,7 +304,8 @@ object TopnStreaming {
   private def checkScope(
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path,
-      scope: String): Unit = {
+      scope: String,
+      attemptsLeft: Int = 3): Unit = {
     val scopePath = new org.apache.hadoop.fs.Path(root, "_graft_scope")
     if (fs.exists(scopePath)) {
       val len = fs.getFileStatus(scopePath).getLen.toInt
@@ -233,6 +322,9 @@ object TopnStreaming {
             "original checkpointLocation, or start a NEW rollup path (and " +
             "optionally seed it from the old one with topn_union).")
       }
+    } else if (attemptsLeft <= 0) {
+      throw new java.io.IOException(
+        s"could not establish rollup scope at $scopePath (rename kept failing)")
     } else {
       val tmp = new org.apache.hadoop.fs.Path(root,
         s"_graft_scope.tmp-${java.util.UUID.randomUUID()}")
@@ -241,9 +333,10 @@ object TopnStreaming {
       try out.write(scope.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       if (!fs.rename(tmp, scopePath)) {
-        // concurrent first-writer won the rename: re-check against theirs
+        // concurrent first-writer may have won the rename: re-check, with
+        // bounded retries in case rename fails for transient reasons
         fs.delete(tmp, false)
-        checkScope(fs, root, scope)
+        checkScope(fs, root, scope, attemptsLeft - 1)
       }
     }
   }

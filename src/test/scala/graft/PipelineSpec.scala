@@ -180,15 +180,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(messages(e2).exists(_.contains("[0, 2^31)")), s"got: ${messages(e2)}")
   }
 
-  test("lshNearDupPairs never emits self-pairs for duplicate input ids") {
+  test("lshNearDupPairs: duplicate input ids yield no self-pairs and one rank per pair") {
     val v = Array.fill(8)(0.5f)
-    val d = Seq((1L, v), (1L, v), (2L, v.map(_ * 2.0f)), (3L, v.map(_ + 1.0f)))
-      .toDF("vec_id", "embedding")
+    // id 1 appears twice with DIFFERENT vectors: the vector re-join must
+    // not let the same (a, b) occupy several ranks
+    val d = Seq((1L, v), (1L, v.map(_ + 0.05f)), (2L, v.map(_ * 2.0f)),
+      (3L, v.map(_ + 1.0f))).toDF("vec_id", "embedding")
     val out = Similarity.lshNearDupPairs(d, "vec_id", "embedding", 10, dim = 8)
       .as[(Long, Long, Long)].collect()
     assert(out.nonEmpty)
     assert(out.forall(r => r._2 < r._3),
       s"self/unordered pairs leaked: ${out.mkString(", ")}")
+    val pairs = out.map(r => (r._2, r._3))
+    assert(pairs.distinct.length === pairs.length,
+      s"pair ranked more than once: ${out.mkString(", ")}")
   }
 
   test("lshBuckets validates bitsPerTable / tables / dim") {

@@ -36,6 +36,16 @@ class ScaleOpsSpec extends AnyFunSuite {
     val hier = Rollups.hierarchicalUnion(monthly, "sketch", 2000000, fanIn = 7)
       .collect().head.getMap[String, Long](0).toMap
     assert(hier === direct)
+    // the fan-in key is a pure row hash, so the grouping — and the result —
+    // must not depend on the input's partition layout
+    val cached = monthly.cache()
+    try {
+      val a = Rollups.hierarchicalUnion(cached.repartition(1), "sketch", 2000000, fanIn = 7)
+        .collect().head.getMap[String, Long](0).toMap
+      val b = Rollups.hierarchicalUnion(cached.repartition(13), "sketch", 2000000, fanIn = 7)
+        .collect().head.getMap[String, Long](0).toMap
+      assert(a === b && a === direct)
+    } finally cached.unpersist()
   }
 
   test("bucketed rollup table re-aggregates with NO shuffle (bucket co-location)") {

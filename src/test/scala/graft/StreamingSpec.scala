@@ -164,10 +164,10 @@ class StreamingSpec extends AnyFunSuite {
     val committedState = rollupItems(rollupPath)
 
     // simulate the crash window: batch 1's data files are fully written but
-    // the _SUCCESS commit marker never landed -> batch 1 is NOT committed
-    val success = new org.apache.hadoop.fs.Path(s"$rollupPath/v=1/_SUCCESS")
-    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.delete(success, false), "fixture: commit marker must exist")
+    // the manifest commit never landed -> batch 1 is NOT committed
+    val m1 = new org.apache.hadoop.fs.Path(s"$rollupPath/_manifests/m=1")
+    val fs = m1.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(m1, false), "fixture: manifest must exist")
     assert(TopnStreaming.committedVersion(spark, rollupPath) === Some(0L))
 
     // foreachBatch re-delivers batch 1 after restart: replay must rebuild
@@ -182,6 +182,49 @@ class StreamingSpec extends AnyFunSuite {
 
     // frequencies equal the batch-computed truth (belt and braces)
     val expected = (b0 unionAll b1)
+      .groupBy(date_format($"ts", "yyyy-MM-dd-HH").as("period"),
+        $"event_type", $"user_id".cast("string").as("item"))
+      .agg(count(lit(1)).as("frequency"))
+      .as[(String, String, String, Long)].collect().toSet
+    assert(rollupItems(rollupPath) === expected)
+  }
+
+  test("rollup with date-shaped periods survives partition-value type inference") {
+    // period=2024-01-02 directories read back as DateType unless pinned to
+    // string; a type fork would make the merge join miss every old row and
+    // silently fork the rollup
+    val rollupPath = java.nio.file.Files.createTempDirectory("graft_dates").toString + "/t"
+    val b0 = eventsBatch.filter($"event_id" % 2 === 0)
+    val b1 = eventsBatch.filter($"event_id" % 2 === 1)
+    def merge(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      TopnStreaming.mergeBatch(df, id, rollupPath,
+        date_format($"ts", "yyyy-MM-dd"), "event_type",
+        $"user_id".cast("string"), 100000, scope = "date-scope")
+    merge(b0, 0)
+    merge(b1, 1) // merges INTO b0's rows — fails or forks if types split
+    val got = rollupItems(rollupPath)
+    val expected = eventsBatch
+      .groupBy(date_format($"ts", "yyyy-MM-dd").as("period"),
+        $"event_type", $"user_id".cast("string").as("item"))
+      .agg(count(lit(1)).as("frequency"))
+      .as[(String, String, String, Long)].collect().toSet
+    assert(got === expected)
+  }
+
+  test("empty micro-batches commit nothing and do not wedge the rollup") {
+    val rollupPath = java.nio.file.Files.createTempDirectory("graft_empty").toString + "/t"
+    def merge(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      TopnStreaming.mergeBatch(df, id, rollupPath,
+        date_format($"ts", "yyyy-MM-dd-HH"), "event_type",
+        $"user_id".cast("string"), 100000, scope = "empty-scope")
+    // streams deliver no-data micro-batches routinely; batch 0 being empty
+    // must not commit a data-less version that later reads choke on
+    merge(eventsBatch.filter(lit(false)), 0)
+    assert(TopnStreaming.committedVersion(spark, rollupPath) === None)
+    merge(eventsBatch, 1)
+    merge(eventsBatch.filter(lit(false)), 2) // empty mid-stream too
+    assert(TopnStreaming.committedVersion(spark, rollupPath) === Some(1L))
+    val expected = eventsBatch
       .groupBy(date_format($"ts", "yyyy-MM-dd-HH").as("period"),
         $"event_type", $"user_id".cast("string").as("item"))
       .agg(count(lit(1)).as("frequency"))
