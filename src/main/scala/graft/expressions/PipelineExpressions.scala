@@ -85,6 +85,74 @@ object SimHash64 {
 }
 
 /**
+ * MinHash signature: element k is the minimum over the input strings of
+ * `xxhash64(s, seed, k)` — BIT-IDENTICAL to the composed built-in spelling
+ * `array_min(transform(arr, s => xxhash64(s, lit(seed), lit(k))))` (the
+ * per-element chain is Spark's: hashUTF8String(s, 42) -> hashLong(seed) ->
+ * hashInt(k)), but computed in ONE pass: the string hash and seed fold are
+ * per-element work shared across all k, so `numHashes` array traversals
+ * and their intermediate allocations collapse into `numHashes` cheap
+ * hashInt finishes per element.
+ *
+ * Empty input yields an all-null array, mirroring `array_min(empty) = null`.
+ */
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
+  extends UnaryExpression {
+
+  require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    TopnTypeChecks.check(child.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }, s"minhash_signature requires ARRAY<STRING>, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def nullSafeEval(v: Any): Any =
+    MinHashSignature.compute(v.asInstanceOf[ArrayData], numHashes, seed)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.MinHashSignature.compute($a, $numHashes, ${seed}L);")
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+  override def prettyName: String = "minhash_signature"
+}
+
+object MinHashSignature {
+
+  /** Core kernel, shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData, numHashes: Int, seed: Long): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](numHashes))
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        // per-element prefix of Spark's xxhash64(s, seed, k) chain
+        val base = XXH64.hashLong(seed,
+          XXH64.hashUTF8String(arr.getUTF8String(i), 42L))
+        var k = 0
+        while (k < numHashes) {
+          val h = XXH64.hashInt(k, base)
+          if (h < mins(k)) mins(k) = h
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/**
  * Cosine similarity of two numeric vectors (array<float> or array<double>),
  * accumulated strictly left-to-right in double precision so results are
  * deterministic and engine-comparable. Returns 0.0 for zero-norm vectors;

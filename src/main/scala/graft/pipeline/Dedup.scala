@@ -98,17 +98,15 @@ object Dedup {
 
   /**
    * MinHash signature: `numHashes` permutation-min values over the doc's
-   * shingle set. Built entirely from codegen'd built-ins: xxhash64 per
-   * shingle, then k affine re-hashes folded with array_min. Deterministic
-   * (seeded parameter generation).
+   * shingle set, as a single-pass native expression
+   * ([[graft.expressions.MinHashSignature]]) that is bit-identical to the
+   * composed built-in spelling
+   * `array_min(transform(sh, s => xxhash64(s, seed, i)))` per element i —
+   * same hash family, ~numHashes× less per-shingle work.
    */
   def minhashSignature(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
-    TextAnalysis.bindOnce(shingles) { sh =>
-      array((0 until numHashes).map { i =>
-        // independent hash family member i: xxhash64 keyed by (seed, i)
-        array_min(transform(sh, s => xxhash64(s, lit(seed), lit(i))))
-      }: _*)
-    }
+    GraftShim.column(graft.expressions.MinHashSignature(
+      GraftShim.expression(shingles), numHashes, seed))
 
   /**
    * MinHash + LSH near-duplicate pairs: signatures banded into

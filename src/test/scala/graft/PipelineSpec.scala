@@ -29,6 +29,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(out === Array("en", "fr", "und"))
   }
 
+  test("MinHashSignature expression is bit-identical to the composed hash chain") {
+    // the LSH banding (and therefore the driver's exact-equality oracle)
+    // depends on the native single-pass signature producing EXACTLY the
+    // values of the built-in spelling it replaced
+    val sh = docs.select(TextAnalysis.wordShingles($"text").as("sh"))
+      .filter(size($"sh") > 0).limit(100)
+    val composed = sh.select(array((0 until 32).map { i =>
+      array_min(transform($"sh", s => xxhash64(s, lit(42L), lit(i))))
+    }: _*).as("sig")).as[Seq[Long]].collect().toSeq
+    val native = sh.select(Dedup.minhashSignature($"sh", 32).as("sig"))
+      .as[Seq[Long]].collect().toSeq
+    assert(native === composed)
+  }
+
   test("minhash LSH finds every high-jaccard pair the exact scan finds (recall)") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.7)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
