@@ -17,6 +17,11 @@ import org.apache.spark.sql.graftshim.GraftShim
  *   topn(sketch, k)                              — top-k report (explode it)
  *   topn_to_json(sketch)                         — PG-canonical JSON text
  *
+ * The beyond-reference pipeline expressions are registered alongside them
+ * so dedup / similarity flows run from pure SQL too: cosine_sim,
+ * simhash64, token_shingles, minhash_signature, topk_by_score,
+ * lsh_buckets.
+ *
  * The sketch type is `map<string,bigint>`; the counter budget is the session
  * conf `spark.topn.numberOfCounters` (default 1000), read when each query is
  * analyzed — `SET spark.topn.numberOfCounters=k` takes effect for subsequent
@@ -24,34 +29,80 @@ import org.apache.spark.sql.graftshim.GraftShim
  */
 object TopnFunctions {
 
+  /** Require a foldable numeric argument (function parameters like k /
+    * numHashes are plan-time constants, mirroring the reference's
+    * integer-literal GUC-adjacent arguments). */
+  private def litNum(e: Expression, fn: String, arg: String): Long = {
+    require(e.foldable, s"$fn: $arg must be a literal")
+    e.eval() match {
+      case n: java.lang.Number => n.longValue
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a numeric literal, got $other")
+    }
+  }
+
+  /** One catalog drives BOTH registration paths (session-level
+    * [[register]] and the cluster-wide [[GraftExtensions]] injection), so
+    * the two SQL surfaces cannot drift apart. */
+  private[graft] val catalog: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("topn_add_agg",
+      "topn_add_agg(expr) - builds a topn sketch (map<string,bigint>) of the most frequent values of expr",
+      exprs => TopnAddAgg(exprs.head, GraftConf.numberOfCounters)),
+    ("topn_union_agg",
+      "topn_union_agg(sketch) - merges a column of topn sketches into one sketch",
+      exprs => TopnUnionAgg(exprs.head, GraftConf.numberOfCounters)),
+    ("topn",
+      "topn(sketch, k) - top k entries of the sketch as array<struct<item,frequency>>",
+      exprs => TopnQuery(exprs(0), exprs(1), GraftConf.numberOfCounters)),
+    ("topn_add",
+      "topn_add(sketch, item) - adds one occurrence of item to a materialized sketch",
+      exprs => TopnAddScalar(exprs(0), exprs(1), GraftConf.numberOfCounters)),
+    ("topn_union",
+      "topn_union(a, b) - merges two materialized sketches",
+      exprs => TopnUnionScalar(exprs(0), exprs(1), GraftConf.numberOfCounters)),
+    ("topn_to_json",
+      "topn_to_json(sketch) - sketch as JSON text with PostgreSQL-canonical key order",
+      exprs => TopnToJson(exprs.head)),
+    ("topn_add_weighted_agg",
+      "topn_add_weighted_agg(item, weight) - builds a sketch counting each item `weight` times",
+      exprs => TopnAddWeightedAgg(exprs(0), exprs(1), GraftConf.numberOfCounters)),
+    ("topn_rows",
+      "topn_rows(sketch, k) - set-returning topn for LATERAL VIEW: rows of (item, frequency)",
+      exprs => TopnRows(exprs(0), exprs(1), GraftConf.numberOfCounters)),
+    // ---- pipeline expressions on the SQL surface -------------------------
+    ("cosine_sim",
+      "cosine_sim(a, b) - cosine similarity of two float/double vectors (deterministic sequential accumulation)",
+      exprs => CosineSim(exprs(0), exprs(1))),
+    ("simhash64",
+      "simhash64(tokens) - 64-bit SimHash fingerprint of an array<string> of tokens",
+      exprs => SimHash64(exprs.head)),
+    ("token_shingles",
+      "token_shingles(text[, n]) - distinct word n-gram shingles (default n=3)",
+      exprs => TokenShingles(exprs.head,
+        if (exprs.length > 1) litNum(exprs(1), "token_shingles", "n").toInt else 3)),
+    ("minhash_signature",
+      "minhash_signature(shingles[, numHashes[, seed]]) - MinHash signature (default 32 hashes, seed 42)",
+      exprs => MinHashSignature(exprs.head,
+        if (exprs.length > 1) litNum(exprs(1), "minhash_signature", "numHashes").toInt else 32,
+        if (exprs.length > 2) litNum(exprs(2), "minhash_signature", "seed") else 42L)),
+    ("topk_by_score",
+      "topk_by_score(id, score, k) - aggregate: top-k (id, score) pairs by score desc, id asc (bounded heap)",
+      exprs => TopKAgg(exprs(0), exprs(1),
+        litNum(exprs(2), "topk_by_score", "k").toInt)),
+    ("lsh_buckets",
+      "lsh_buckets(vec, dim, bitsPerTable, tables[, seed]) - random-hyperplane LSH bucket ids, one per table",
+      exprs => graft.pipeline.Similarity.lshBucketsExpression(exprs.head,
+        litNum(exprs(1), "lsh_buckets", "dim").toInt,
+        litNum(exprs(2), "lsh_buckets", "bitsPerTable").toInt,
+        litNum(exprs(3), "lsh_buckets", "tables").toInt,
+        if (exprs.length > 4) litNum(exprs(4), "lsh_buckets", "seed") else 42L)))
+
   /** Register all functions in the session's function registry (usable from
     * `spark.sql` and, mixed with Columns, from the DataFrame API). */
-  def register(spark: SparkSession): Unit = {
-    GraftShim.registerFunction(spark, "topn_add_agg",
-      "topn_add_agg(expr) - builds a topn sketch (map<string,bigint>) of the most frequent values of expr",
-      exprs => TopnAddAgg(exprs.head, GraftConf.numberOfCounters))
-    GraftShim.registerFunction(spark, "topn_union_agg",
-      "topn_union_agg(sketch) - merges a column of topn sketches into one sketch",
-      exprs => TopnUnionAgg(exprs.head, GraftConf.numberOfCounters))
-    GraftShim.registerFunction(spark, "topn",
-      "topn(sketch, k) - top k entries of the sketch as array<struct<item,frequency>>",
-      exprs => TopnQuery(exprs(0), exprs(1), GraftConf.numberOfCounters))
-    GraftShim.registerFunction(spark, "topn_add",
-      "topn_add(sketch, item) - adds one occurrence of item to a materialized sketch",
-      exprs => TopnAddScalar(exprs(0), exprs(1), GraftConf.numberOfCounters))
-    GraftShim.registerFunction(spark, "topn_union",
-      "topn_union(a, b) - merges two materialized sketches",
-      exprs => TopnUnionScalar(exprs(0), exprs(1), GraftConf.numberOfCounters))
-    GraftShim.registerFunction(spark, "topn_to_json",
-      "topn_to_json(sketch) - sketch as JSON text with PostgreSQL-canonical key order",
-      exprs => TopnToJson(exprs.head))
-    GraftShim.registerFunction(spark, "topn_add_weighted_agg",
-      "topn_add_weighted_agg(item, weight) - builds a sketch counting each item `weight` times",
-      exprs => TopnAddWeightedAgg(exprs(0), exprs(1), GraftConf.numberOfCounters))
-    GraftShim.registerFunction(spark, "topn_rows",
-      "topn_rows(sketch, k) - set-returning topn for LATERAL VIEW: rows of (item, frequency)",
-      exprs => TopnRows(exprs(0), exprs(1), GraftConf.numberOfCounters))
-  }
+  def register(spark: SparkSession): Unit =
+    catalog.foreach { case (name, usage, builder) =>
+      GraftShim.registerFunction(spark, name, usage, builder)
+    }
 
   // ---- DataFrame API ----------------------------------------------------
   // Conf is resolved when the Column is constructed (driver side).
@@ -104,21 +155,11 @@ object TopnFunctions {
  * session on a cluster gets the functions without explicit register() calls.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    def inject(name: String, builder: Seq[Expression] => Expression): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit =
+    TopnFunctions.catalog.foreach { case (name, _, builder) =>
       ext.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", name),
         builder))
-
-    inject("topn_add_agg", exprs => TopnAddAgg(exprs.head, GraftConf.numberOfCounters))
-    inject("topn_union_agg", exprs => TopnUnionAgg(exprs.head, GraftConf.numberOfCounters))
-    inject("topn", exprs => TopnQuery(exprs(0), exprs(1), GraftConf.numberOfCounters))
-    inject("topn_add", exprs => TopnAddScalar(exprs(0), exprs(1), GraftConf.numberOfCounters))
-    inject("topn_union", exprs => TopnUnionScalar(exprs(0), exprs(1), GraftConf.numberOfCounters))
-    inject("topn_to_json", exprs => TopnToJson(exprs.head))
-    inject("topn_add_weighted_agg",
-      exprs => TopnAddWeightedAgg(exprs(0), exprs(1), GraftConf.numberOfCounters))
-    inject("topn_rows", exprs => TopnRows(exprs(0), exprs(1), GraftConf.numberOfCounters))
-  }
+    }
 }

@@ -72,7 +72,16 @@ object Similarity {
     * expression pass over the vector — see
     * [[graft.expressions.HyperplaneBuckets]]). */
   def lshBuckets(vec: Column, dim: Int, bitsPerTable: Int, tables: Int,
-      seed: Long = 42L): Column = {
+      seed: Long = 42L): Column =
+    GraftShim.column(lshBucketsExpression(
+      GraftShim.expression(vec), dim, bitsPerTable, tables, seed))
+
+  /** Expression-level twin of [[lshBuckets]] (also the builder behind the
+    * SQL function `lsh_buckets`). */
+  private[graft] def lshBucketsExpression(
+      vec: org.apache.spark.sql.catalyst.expressions.Expression,
+      dim: Int, bitsPerTable: Int, tables: Int, seed: Long)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
     // HyperplaneBuckets tags the table index from bit 32 up, so bucket bits
     // above 32 would silently overlap the tag and merge buckets ACROSS
     // tables — reject instead.
@@ -80,8 +89,8 @@ object Similarity {
       s"bitsPerTable must be in [1, 32], got $bitsPerTable")
     require(tables >= 1, s"tables must be >= 1, got $tables")
     require(dim >= 1, s"dim must be >= 1, got $dim")
-    GraftShim.column(graft.expressions.HyperplaneBuckets(
-      GraftShim.expression(vec), hyperplanes(dim, bitsPerTable, tables, seed)))
+    graft.expressions.HyperplaneBuckets(
+      vec, hyperplanes(dim, bitsPerTable, tables, seed))
   }
 
   /**

@@ -217,6 +217,36 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Similarity.lshBuckets(col("v"), 0, 4, 2))
   }
 
+  test("pipeline expressions work from pure SQL (registered function surface)") {
+    TopnFunctions.register(spark)
+    val sim = spark.sql(
+      """SELECT cosine_sim(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
+        |                  CAST(array(1.0, 0.0) AS ARRAY<FLOAT>))""".stripMargin)
+      .as[Double].collect().head
+    assert(sim === 1.0)
+    val shingles = spark.sql("SELECT token_shingles('a b c d')")
+      .as[Seq[String]].collect().head
+    assert(shingles === Seq("a b c", "b c d"))
+    val sig = spark.sql("SELECT minhash_signature(array('x', 'y'), 4)")
+      .as[Seq[Long]].collect().head
+    assert(sig.length === 4)
+    // must equal the DataFrame-API spelling bit for bit
+    val sigDf = Seq(Seq("x", "y")).toDF("sh")
+      .select(Dedup.minhashSignature($"sh", 4)).as[Seq[Long]].collect().head
+    assert(sig === sigDf)
+    assert(spark.sql("SELECT simhash64(array('a','b'))").as[Long].collect().head ===
+      spark.sql("SELECT simhash64(array('a','b'))").as[Long].collect().head)
+    val buckets = spark.sql(
+      "SELECT lsh_buckets(CAST(array(0.1, 0.2) AS ARRAY<FLOAT>), 2, 4, 3)")
+      .as[Seq[Long]].collect().head
+    assert(buckets.length === 3)
+    val top = spark.sql(
+      """SELECT topk_by_score(id, score, 2) FROM VALUES
+        |  (1L, 0.5D), (2L, 0.9D), (3L, 0.1D) AS t(id, score)""".stripMargin)
+      .as[Seq[(Long, Double)]].collect().head
+    assert(top.map(_._1) === Seq(2L, 1L))
+  }
+
   test("exact dedup groups: normalized variants share a fingerprint") {
     val d = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
       .toDF("doc_id", "text")
