@@ -93,7 +93,11 @@ object TopnStreaming {
    *  - empty batches commit nothing and touch nothing;
    *  - data directories referenced by neither the new nor the previous
    *    manifest are deleted after each commit (the previous manifest's
-   *    window protects readers mid-scan).
+   *    window protects readers mid-scan). A directory whose periods were
+   *    partially re-touched by later batches keeps its stale rows on disk
+   *    (readers filter them by the manifest's period map) until its last
+   *    referenced period moves — bounded read amplification in exchange
+   *    for never rewriting untouched periods.
    *
    * Restart discipline: batch ids are meaningful only within one streaming
    * checkpoint. A `_graft_scope` file records the checkpoint identity;
