@@ -211,6 +211,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("rollup survives a 10-batch churn: correctness, cleanup, stale-row filtering") {
+    val rollupPath = java.nio.file.Files.createTempDirectory("graft_churn").toString + "/t"
+    // 10 batches, each delivering the FULL event set: every period is
+    // re-touched every batch, counts multiply by exactly 10, and all but
+    // the last two data dirs must be reclaimed
+    for (i <- 0 until 10) {
+      TopnStreaming.mergeBatch(
+        eventsBatch, i, rollupPath,
+        date_format($"ts", "yyyy-MM-dd-HH"), "event_type",
+        $"user_id".cast("string"), 100000, scope = "churn-scope")
+    }
+    assert(TopnStreaming.committedVersion(spark, rollupPath) === Some(9L))
+    val expected = eventsBatch
+      .groupBy(date_format($"ts", "yyyy-MM-dd-HH").as("period"),
+        $"event_type", $"user_id".cast("string").as("item"))
+      .agg((count(lit(1)) * 10).as("frequency"))
+      .as[(String, String, String, Long)].collect().toSet
+    assert(rollupItems(rollupPath) === expected)
+    // only the dirs referenced by the last two manifests may remain
+    val dataRoot = new org.apache.hadoop.fs.Path(s"$rollupPath/data")
+    val fs = dataRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(dataRoot).map(_.getPath.getName).toSet
+    assert(dirs === Set("b=8", "b=9"), s"stale data dirs not reclaimed: $dirs")
+  }
+
   test("empty micro-batches commit nothing and do not wedge the rollup") {
     val rollupPath = java.nio.file.Files.createTempDirectory("graft_empty").toString + "/t"
     def merge(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
