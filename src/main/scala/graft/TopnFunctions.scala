@@ -146,6 +146,14 @@ object TopnFunctions {
 
   def topn_to_json(sketch: Column): Column =
     GraftShim.column(TopnToJson(GraftShim.expression(sketch)))
+
+  /** The reference also spells sketch merge as the jsonb `+` operator
+    * (update/topn--2.0.0.sql:48-53). Spark SQL has no operator
+    * overloading, so in SQL the spelling stays `topn_union(a, b)`; on the
+    * DataFrame side, `import TopnFunctions.SketchOps` gives `a |+| b`. */
+  implicit class SketchOps(private val c: Column) {
+    def |+|(other: Column): Column = topn_union(c, other)
+  }
 }
 
 /**

@@ -169,6 +169,14 @@ class TopnFunctionsSpec extends AnyFunSuite {
     assert(r.getMap[String, Long](2).toMap === Map("a" -> 3L, "b" -> 5L))
   }
 
+  test("sketch |+| operator mirrors the reference's jsonb + (topn--2.0.0.sql:48-53)") {
+    import TopnFunctions.SketchOps
+    val merged = spark.sql("SELECT MAP('a', 1L) AS x, MAP('a', 2L, 'b', 5L) AS y")
+      .select((col("x") |+| col("y")).as("m"))
+      .collect().head.getMap[String, Long](0).toMap
+    assert(merged === Map("a" -> 3L, "b" -> 5L))
+  }
+
   test("topn of NULL sketch and empty sketch -> no rows (STRICT + empty)") {
     val cnt = spark.sql(
       """SELECT explode(topn(CAST(NULL AS MAP<STRING,BIGINT>), 3))""").count()
