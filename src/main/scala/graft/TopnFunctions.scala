@@ -41,61 +41,73 @@ object TopnFunctions {
     }
   }
 
+  /** Informative arity errors instead of IndexOutOfBounds from ad-hoc SQL. */
+  private def arity(fn: String, min: Int, max: Int)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length < min || exprs.length > max) {
+        val expected = if (min == max) s"$min" else s"$min to $max"
+        throw new IllegalArgumentException(
+          s"$fn expects $expected arguments, got ${exprs.length}")
+      }
+      b(exprs)
+    }
+
   /** One catalog drives BOTH registration paths (session-level
     * [[register]] and the cluster-wide [[GraftExtensions]] injection), so
     * the two SQL surfaces cannot drift apart. */
   private[graft] val catalog: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("topn_add_agg",
       "topn_add_agg(expr) - builds a topn sketch (map<string,bigint>) of the most frequent values of expr",
-      exprs => TopnAddAgg(exprs.head, GraftConf.numberOfCounters)),
+      arity("topn_add_agg", 1, 1)(exprs => TopnAddAgg(exprs.head, GraftConf.numberOfCounters))),
     ("topn_union_agg",
       "topn_union_agg(sketch) - merges a column of topn sketches into one sketch",
-      exprs => TopnUnionAgg(exprs.head, GraftConf.numberOfCounters)),
+      arity("topn_union_agg", 1, 1)(exprs => TopnUnionAgg(exprs.head, GraftConf.numberOfCounters))),
     ("topn",
       "topn(sketch, k) - top k entries of the sketch as array<struct<item,frequency>>",
-      exprs => TopnQuery(exprs(0), exprs(1), GraftConf.numberOfCounters)),
+      arity("topn", 2, 2)(exprs => TopnQuery(exprs(0), exprs(1), GraftConf.numberOfCounters))),
     ("topn_add",
       "topn_add(sketch, item) - adds one occurrence of item to a materialized sketch",
-      exprs => TopnAddScalar(exprs(0), exprs(1), GraftConf.numberOfCounters)),
+      arity("topn_add", 2, 2)(exprs => TopnAddScalar(exprs(0), exprs(1), GraftConf.numberOfCounters))),
     ("topn_union",
       "topn_union(a, b) - merges two materialized sketches",
-      exprs => TopnUnionScalar(exprs(0), exprs(1), GraftConf.numberOfCounters)),
+      arity("topn_union", 2, 2)(exprs => TopnUnionScalar(exprs(0), exprs(1), GraftConf.numberOfCounters))),
     ("topn_to_json",
       "topn_to_json(sketch) - sketch as JSON text with PostgreSQL-canonical key order",
-      exprs => TopnToJson(exprs.head)),
+      arity("topn_to_json", 1, 1)(exprs => TopnToJson(exprs.head))),
     ("topn_add_weighted_agg",
       "topn_add_weighted_agg(item, weight) - builds a sketch counting each item `weight` times",
-      exprs => TopnAddWeightedAgg(exprs(0), exprs(1), GraftConf.numberOfCounters)),
+      arity("topn_add_weighted_agg", 2, 2)(exprs => TopnAddWeightedAgg(exprs(0), exprs(1), GraftConf.numberOfCounters))),
     ("topn_rows",
       "topn_rows(sketch, k) - set-returning topn for LATERAL VIEW: rows of (item, frequency)",
-      exprs => TopnRows(exprs(0), exprs(1), GraftConf.numberOfCounters)),
+      arity("topn_rows", 2, 2)(exprs => TopnRows(exprs(0), exprs(1), GraftConf.numberOfCounters))),
     // ---- pipeline expressions on the SQL surface -------------------------
     ("cosine_sim",
       "cosine_sim(a, b) - cosine similarity of two float/double vectors (deterministic sequential accumulation)",
-      exprs => CosineSim(exprs(0), exprs(1))),
+      arity("cosine_sim", 2, 2)(exprs => CosineSim(exprs(0), exprs(1)))),
     ("simhash64",
       "simhash64(tokens) - 64-bit SimHash fingerprint of an array<string> of tokens",
-      exprs => SimHash64(exprs.head)),
+      arity("simhash64", 1, 1)(exprs => SimHash64(exprs.head))),
     ("token_shingles",
       "token_shingles(text[, n]) - distinct word n-gram shingles (default n=3)",
-      exprs => TokenShingles(exprs.head,
-        if (exprs.length > 1) litNum(exprs(1), "token_shingles", "n").toInt else 3)),
+      arity("token_shingles", 1, 2)(exprs => TokenShingles(exprs.head,
+        if (exprs.length > 1) litNum(exprs(1), "token_shingles", "n").toInt else 3))),
     ("minhash_signature",
       "minhash_signature(shingles[, numHashes[, seed]]) - MinHash signature (default 32 hashes, seed 42)",
-      exprs => MinHashSignature(exprs.head,
+      arity("minhash_signature", 1, 3)(exprs => MinHashSignature(exprs.head,
         if (exprs.length > 1) litNum(exprs(1), "minhash_signature", "numHashes").toInt else 32,
-        if (exprs.length > 2) litNum(exprs(2), "minhash_signature", "seed") else 42L)),
+        if (exprs.length > 2) litNum(exprs(2), "minhash_signature", "seed") else 42L))),
     ("topk_by_score",
       "topk_by_score(id, score, k) - aggregate: top-k (id, score) pairs by score desc, id asc (bounded heap)",
-      exprs => TopKAgg(exprs(0), exprs(1),
-        litNum(exprs(2), "topk_by_score", "k").toInt)),
+      arity("topk_by_score", 3, 3)(exprs => TopKAgg(exprs(0), exprs(1),
+        litNum(exprs(2), "topk_by_score", "k").toInt))),
     ("lsh_buckets",
       "lsh_buckets(vec, dim, bitsPerTable, tables[, seed]) - random-hyperplane LSH bucket ids, one per table",
-      exprs => graft.pipeline.Similarity.lshBucketsExpression(exprs.head,
+      arity("lsh_buckets", 4, 5)(exprs => graft.pipeline.Similarity.lshBucketsExpression(exprs.head,
         litNum(exprs(1), "lsh_buckets", "dim").toInt,
         litNum(exprs(2), "lsh_buckets", "bitsPerTable").toInt,
         litNum(exprs(3), "lsh_buckets", "tables").toInt,
-        if (exprs.length > 4) litNum(exprs(4), "lsh_buckets", "seed") else 42L)))
+        if (exprs.length > 4) litNum(exprs(4), "lsh_buckets", "seed") else 42L))))
 
   /** Register all functions in the session's function registry (usable from
     * `spark.sql` and, mixed with Columns, from the DataFrame API). */

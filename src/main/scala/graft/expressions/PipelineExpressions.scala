@@ -135,16 +135,18 @@ object MinHashSignature {
     java.util.Arrays.fill(mins, Long.MaxValue)
     var i = 0
     while (i < n) {
-      if (!arr.isNullAt(i)) {
-        // per-element prefix of Spark's xxhash64(s, seed, k) chain
-        val base = XXH64.hashLong(seed,
-          XXH64.hashUTF8String(arr.getUTF8String(i), 42L))
-        var k = 0
-        while (k < numHashes) {
-          val h = XXH64.hashInt(k, base)
-          if (h < mins(k)) mins(k) = h
-          k += 1
-        }
+      // per-element prefix of Spark's xxhash64(s, seed, k) chain. A null
+      // element is hashed the way the composed spelling hashes it: Spark's
+      // hash expressions SKIP a null child, leaving the initial 42 seed —
+      // so the element still contributes hashInt(k, hashLong(seed, 42)).
+      val base =
+        if (arr.isNullAt(i)) XXH64.hashLong(seed, 42L)
+        else XXH64.hashLong(seed, XXH64.hashUTF8String(arr.getUTF8String(i), 42L))
+      var k = 0
+      while (k < numHashes) {
+        val h = XXH64.hashInt(k, base)
+        if (h < mins(k)) mins(k) = h
+        k += 1
       }
       i += 1
     }

@@ -156,7 +156,10 @@ object Similarity {
    * shape, sub-quadratic candidate generation).
    *
    * Precondition: ids in [0, 2^31) (see [[packableId]]) — checked on both
-   * join sides.
+   * join sides — and unique: a duplicated id makes the self-join emit one
+   * row per copy of the pair, each eligible for its own rank (the scale
+   * tier, [[lshNearDupPairs]], collapses duplicates defensively; this
+   * exact tier stays lean and treats unique ids as a contract).
    */
   def cosineNearDupPairs(
       vectors: DataFrame,

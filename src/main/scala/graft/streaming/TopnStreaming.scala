@@ -143,15 +143,30 @@ object TopnStreaming {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  /** Rollup key for rows whose period expression evaluates to null. */
+  val NullPeriodKey = "__GRAFT_NULL_PERIOD__"
+
   private def manifestDir(root: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(root, "_manifests")
 
-  /** Highest-numbered committed manifest id. None before the first commit. */
+  /** Highest-numbered committed manifest id. None before the first commit.
+    * Fails fast on a rollup written by the pre-manifest layout (v=<id>
+    * directories) instead of silently reading it as empty. */
   def committedVersion(
       spark: org.apache.spark.sql.SparkSession, rollupPath: String): Option[Long] = {
     val (fs, root) = fsOf(spark, rollupPath)
     val dir = manifestDir(root)
-    if (!fs.exists(dir)) None
+    if (!fs.exists(dir)) {
+      if (fs.exists(root) && fs.listStatus(root).exists(st =>
+          st.isDirectory && st.getPath.getName.startsWith("v="))) {
+        throw new IllegalStateException(
+          s"rollup at $root uses the legacy v=<id> directory layout; this " +
+            "version reads manifest-committed rollups only. Migrate by " +
+            "reading the newest v= directory and seeding a new rollup path " +
+            "from it (or re-run the stream from scratch).")
+      }
+      None
+    }
     else {
       val ids = fs.listStatus(dir).toSeq.flatMap { st =>
         val name = st.getPath.getName
@@ -197,9 +212,15 @@ object TopnStreaming {
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dst = new org.apache.hadoop.fs.Path(dir, s"m=$version")
-    // dst never exists (replays return before writing); rename is atomic
-    if (!fs.rename(tmp, dst) && !fs.exists(dst)) {
-      throw new java.io.IOException(s"could not commit manifest $dst")
+    // dst never exists (replays return before writing); rename is atomic.
+    // If a concurrent zombie driver committed the same batch first, its
+    // manifest is byte-identical (deterministic content) — accept it, but
+    // never leave the tmp file behind.
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      if (!fs.exists(dst)) {
+        throw new java.io.IOException(s"could not commit manifest $dst")
+      }
     }
   }
 
@@ -247,9 +268,13 @@ object TopnStreaming {
 
     // period is an ordinary STRING data column end to end (never a
     // partition directory), so date-/number-shaped periods cannot be
-    // re-typed by partition-value inference on read
+    // re-typed by partition-value inference on read. Rows whose period
+    // evaluates to null (e.g. a null event time) roll up under a
+    // distinguished key instead of NPE-ing the manifest writer — the same
+    // move Hive's default partition makes.
     val delta = batch
-      .groupBy(periodExpr.cast("string").as("period"), col(groupCol))
+      .groupBy(coalesce(periodExpr.cast("string"), lit(NullPeriodKey)).as("period"),
+        col(groupCol))
       .agg(TopnFunctions.topn_add_agg(itemExpr, numCounters).as("sketch"))
       .cache()
     try {
@@ -283,8 +308,7 @@ object TopnStreaming {
       // drop data dirs referenced by neither the new nor the previous
       // manifest (readers of the previous committed state stay safe), and
       // manifests older than the previous one
-      val live = newManifest.values.toSet ++
-        committed.map(readManifest(fs, root, _).values.toSet).getOrElse(Set.empty)
+      val live = newManifest.values.toSet ++ manifest.values.toSet
       val dataRoot = new org.apache.hadoop.fs.Path(root, "data")
       if (fs.exists(dataRoot)) {
         fs.listStatus(dataRoot).toSeq.filter(_.isDirectory).foreach { st =>

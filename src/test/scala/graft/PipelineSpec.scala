@@ -245,6 +245,23 @@ class PipelineSpec extends AnyFunSuite {
         |  (1L, 0.5D), (2L, 0.9D), (3L, 0.1D) AS t(id, score)""".stripMargin)
       .as[Seq[(Long, Double)]].collect().head
     assert(top.map(_._1) === Seq(2L, 1L))
+    // wrong arity surfaces an informative error, not IndexOutOfBounds
+    val e = intercept[Exception](spark.sql("SELECT lsh_buckets(array(1.0))").collect())
+    def msgs(t: Throwable) = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(msgs(e).exists(_.contains("lsh_buckets expects 4 to 5 arguments")),
+      s"got: ${msgs(e)}")
+  }
+
+  test("MinHashSignature matches the composed spelling on null elements too") {
+    val df = Seq(1).toDF("x").select(
+      array(lit("a"), lit(null: String), lit("b")).as("sh"))
+    val composed = df.select(array((0 until 8).map { i =>
+      array_min(transform($"sh", s => xxhash64(s, lit(42L), lit(i))))
+    }: _*)).as[Seq[Long]].collect().head
+    val native = df.select(Dedup.minhashSignature($"sh", 8))
+      .as[Seq[Long]].collect().head
+    assert(native === composed)
   }
 
   test("exact dedup groups: normalized variants share a fingerprint") {

@@ -257,6 +257,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(rollupItems(rollupPath) === expected)
   }
 
+  test("null periods roll up under the distinguished key instead of wedging the stream") {
+    val rollupPath = java.nio.file.Files.createTempDirectory("graft_nullp").toString + "/t"
+    val withNulls = eventsBatch.withColumn("ts",
+      when($"event_id" % 5 === 0, lit(null).cast("timestamp")).otherwise($"ts"))
+    TopnStreaming.mergeBatch(withNulls, 0, rollupPath,
+      date_format($"ts", "yyyy-MM-dd-HH"), "event_type",
+      $"user_id".cast("string"), 100000, scope = "null-scope")
+    val got = rollupItems(rollupPath)
+    assert(got.exists(_._1 === TopnStreaming.NullPeriodKey),
+      "null-ts rows must land under the null-period key")
+    val expected = withNulls
+      .groupBy(coalesce(date_format($"ts", "yyyy-MM-dd-HH"),
+        lit(TopnStreaming.NullPeriodKey)).as("period"),
+        $"event_type", $"user_id".cast("string").as("item"))
+      .agg(count(lit(1)).as("frequency"))
+      .as[(String, String, String, Long)].collect().toSet
+    assert(got === expected)
+  }
+
+  test("legacy v= rollup layout fails fast instead of silently reading as empty") {
+    val rollupPath = java.nio.file.Files.createTempDirectory("graft_legacy").toString + "/t"
+    val legacy = new org.apache.hadoop.fs.Path(s"$rollupPath/v=3/_SUCCESS")
+    val fs = legacy.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(legacy.getParent)
+    fs.create(legacy, true).close()
+    val e = intercept[IllegalStateException](
+      TopnStreaming.committedVersion(spark, rollupPath))
+    assert(e.getMessage.contains("legacy v=<id> directory layout"))
+  }
+
   test("rollup refuses a foreign checkpoint scope instead of silently skipping batches") {
     val rollupPath = java.nio.file.Files.createTempDirectory("graft_scope").toString + "/t"
     def merge(id: Long, scope: String): Unit =
