@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
  * would. Elements must therefore stay small (ids / fingerprints) — join
  * wide payloads (e.g. embedding vectors) back AFTER pair generation.
  */
-private[pipeline] object PairGen {
+private[graft] object PairGen {
 
   /** Ordered pairs from the sorted array column `xsCol`; output columns
     * (`aName`, `bName`) have the array's element type. */

@@ -264,6 +264,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(native === composed)
   }
 
+  test("PairGen emits exactly the strict i<j pairs of each bucket (property)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalatest.prop.Configuration
+    val prop = Prop.forAll(
+      Gen.mapOf(Gen.zip(Gen.chooseNum(0, 5),
+        Gen.listOfN(6, Gen.chooseNum(0L, 20L)).map(_.distinct)))) { buckets =>
+      val rows = buckets.toSeq.flatMap { case (b, ids) => ids.map(b -> _) }
+      rows.isEmpty || {
+        val df = spark.createDataFrame(rows).toDF("bucket", "id")
+        val got = graft.pipeline.PairGen.explodePairs(
+          graft.pipeline.PairGen.buckets(df, Seq(col("bucket")), col("id"), 100),
+          "xs", "a", "b").as[(Long, Long)].collect().toSet
+        val want = buckets.values.flatMap { ids =>
+          val s = ids.sorted
+          for (i <- s.indices; j <- i + 1 until s.length) yield (s(i), s(j))
+        }.toSet
+        got == want
+      }
+    }
+    val cfg = org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(30)
+    val res = org.scalacheck.Test.check(cfg, prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("exact dedup groups: normalized variants share a fingerprint") {
     val d = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
       .toDF("doc_id", "text")
