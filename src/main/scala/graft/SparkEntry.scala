@@ -346,6 +346,70 @@ object SparkEntry {
         spark, tbl(spark, dir, "documents"))
       graft.pipeline.Multimodal.sampleFrames(media).toDF()
         .orderBy($"media_id", $"frame_idx")
+    }),
+
+    // duplicate CLUSTERS from the near-dup pair list: connected components
+    // (large-star/small-star) over the exact Jaccard pairs — one keep-set
+    // decision per component, not per pair
+    "dedup_clusters" -> ((spark, dir) => {
+      import spark.implicits._
+      val pairs = graft.pipeline.Dedup.jaccardPairs(
+        tbl(spark, dir, "documents"), "doc_id", "text", threshold = 0.5)
+      graft.pipeline.Clustering.connectedComponents(pairs, "doc_a", "doc_b")
+        .orderBy($"doc_id")
+    }),
+
+    // PII redaction over documents with synthetic PII appended (the corpus
+    // itself is clean, so the query injects one of each category per doc —
+    // mirrored exactly in the oracle); verified via match counts + md5 of
+    // the fully redacted text
+    "pii_redact" -> ((spark, dir) => {
+      import spark.implicits._
+      import graft.pipeline.TextAnalysis._
+      val withPii = tbl(spark, dir, "documents").select($"doc_id",
+        concat($"text",
+          lit(" contact user"), $"doc_id".cast("string"),
+          lit("@example.com visit https://site"), $"doc_id".cast("string"),
+          lit(".example.org/p%20a from 10.0."), ($"doc_id" % 256).cast("string"),
+          lit(".7 call 555-867-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0")).as("text"))
+      withPii.select($"doc_id",
+        emailCount($"text").cast("long").as("n_emails"),
+        urlCount($"text").cast("long").as("n_urls"),
+        ipv4Count($"text").cast("long").as("n_ips"),
+        phoneCount($"text").cast("long").as("n_phones"),
+        md5(redactPii($"text")).as("redacted_fp"))
+        .orderBy($"doc_id")
+    }),
+
+    // Gopher-style repetition/diversity quality signals per document
+    "repetition_stats" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.pipeline.TextAnalysis.repetitionStats(
+        tbl(spark, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
+    // deterministic hash-bucket train/val/test assignment (stable under
+    // repartitioning, replays, and incremental ingestion)
+    "split_assign" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.pipeline.Sampling.assignSplit(
+        tbl(spark, dir, "documents"), "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select($"doc_id", $"bucket", $"split_name")
+        .orderBy($"doc_id")
+    }),
+
+    // test-set decontamination: training docs sharing word-trigrams with
+    // the held-out slice (doc_id % 7 == 0 stands in for an eval benchmark)
+    "decontaminate" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = tbl(spark, dir, "documents")
+      graft.pipeline.Dedup.contamination(
+        docs.filter($"doc_id" % 7 =!= 0), docs.filter($"doc_id" % 7 === 0),
+        "doc_id", "text", n = 3)
+        .orderBy($"doc_id")
     })
   )
 
@@ -635,6 +699,110 @@ object SparkEntry {
         |                 THEN LEAST(8, 1 + strlen(text) // 1024)
         |                 ELSE 1 END AS BIGINT) AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // connected components over the exact Jaccard pairs, via transitive
+    // closure (small pair set at oracle scale); cluster_id = component min
+    "dedup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) >= 3
+        |              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |              ELSE [] END AS shingles
+        |  FROM t),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |rare AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 1000),
+        |fx AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare ON ex.s = rare.s),
+        |shared AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS ns
+        |  FROM fx x JOIN fx y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |pairs AS (
+        |  SELECT a AS u, b AS v
+        |  FROM shared JOIN sz za ON shared.a = za.doc_id
+        |              JOIN sz zb ON shared.b = zb.doc_id
+        |  WHERE CAST(ns AS DOUBLE) / CAST(za.n + zb.n - ns AS DOUBLE) >= 0.5),
+        |sym AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+        |SELECT CAST(u AS BIGINT) AS doc_id,
+        |       CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    "pii_redact" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |              || '@example.com visit https://site' || CAST(doc_id AS VARCHAR)
+        |              || '.example.org/p%20a from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |              || '.7 call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(text, 'https?://[A-Za-z0-9./_%-]+')) AS BIGINT) AS n_urls,
+        |       CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |       CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+        |       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         'https?://[A-Za-z0-9./_%-]+', '<URL>', 'g'),
+        |         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |         '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')) AS redacted_fp
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "repetition_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |b AS (SELECT doc_id, toks, len(toks) AS n_tok FROM t WHERE len(toks) >= 3),
+        |loc AS (
+        |  SELECT doc_id, n_tok,
+        |         CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(n_tok AS DOUBLE) AS distinct_token_frac,
+        |         CAST(n_tok - 2 - len(list_distinct(list_transform(range(1, n_tok - 1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS DOUBLE)
+        |           / CAST(n_tok - 2 AS DOUBLE) AS dup_trigram_frac
+        |  FROM b),
+        |e AS (SELECT doc_id, n_tok - 1 AS n_bg,
+        |             unnest(list_transform(range(1, n_tok), i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |      FROM b),
+        |m AS (SELECT doc_id, n_bg, MAX(c) AS maxc FROM (
+        |        SELECT doc_id, n_bg, bg, COUNT(*) AS c FROM e GROUP BY 1, 2, 3) g
+        |      GROUP BY 1, 2)
+        |SELECT loc.doc_id, CAST(loc.n_tok AS BIGINT) AS n_tokens,
+        |       loc.distinct_token_frac, loc.dup_trigram_frac,
+        |       CAST(m.maxc AS DOUBLE) / CAST(m.n_bg AS DOUBLE) AS top_bigram_frac
+        |FROM loc JOIN m ON loc.doc_id = m.doc_id
+        |ORDER BY loc.doc_id""".stripMargin,
+
+    "split_assign" ->
+      """SELECT doc_id,
+        |       CAST(((doc_id % 1000003) * 2654435761) % 4294967296 % 100 AS BIGINT) AS bucket,
+        |       CASE WHEN ((doc_id % 1000003) * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+        |            WHEN ((doc_id % 1000003) * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+        |            ELSE 'test' END AS split_name
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) >= 3
+        |              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |              ELSE [] END AS shingles
+        |  FROM t),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |test AS (SELECT doc_id AS test_id, s FROM ex WHERE doc_id % 7 = 0),
+        |train AS (SELECT doc_id, s FROM ex WHERE doc_id % 7 <> 0)
+        |SELECT train.doc_id,
+        |       COUNT(DISTINCT train.s) AS n_shared_shingles,
+        |       COUNT(DISTINCT test.test_id) AS n_test_docs
+        |FROM train JOIN test ON train.s = test.s
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "multimodal_frame_sample" ->
       """WITH v AS (

@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-level duplicate clustering: turns a near-duplicate PAIR list (the
+ * output of [[Dedup.jaccardPairs]] / [[Dedup.minhashLshPairs]] /
+ * [[graft.pipeline.Similarity.lshNearDupPairs]]) into duplicate CLUSTERS, so
+ * a pipeline can keep one canonical document per connected component instead
+ * of reasoning about raw pairs (pairs alone under-delete: a~b, b~c with a!~c
+ * still means only one of {a,b,c} should survive).
+ *
+ * Algorithm: alternating large-star / small-star connected components — the
+ * standard MapReduce/Spark formulation (Kiveris et al., "Connected
+ * Components in MapReduce and Beyond", SoCC'14). Each round is two
+ * groupBy+join passes over the edge list; convergence is O(log^2 n) rounds
+ * on adversarial graphs (long chains) and 1-2 rounds on real dup clusters
+ * (dense, tiny diameter). No step ever materializes a neighborhood as an
+ * in-memory array — per-node minima come from `groupBy.min`, so a hub node
+ * with millions of neighbors is just a big aggregation group, handled by
+ * ordinary map-side partial aggregation.
+ *
+ * Scale notes (100 TB): state is only the current edge list, shuffled by
+ * node id; every pass is equi-join + hash aggregate, no cartesian anywhere.
+ * `localCheckpoint` truncates the loop-carried lineage each round (plan
+ * growth, not data growth, is the usual killer of iterative DataFrame
+ * algorithms); on a real cluster with reliable storage swap it for
+ * `checkpoint` to also survive executor loss. The driver-side loop holds
+ * two longs per round (edge-set fingerprint), never row data.
+ */
+object Clustering {
+
+  /**
+   * Connected components over an undirected pair list. Returns one row per
+   * node that appears in `pairs`: (doc_id, cluster_id) where cluster_id is
+   * the component's minimum id — deterministic, independent of partition
+   * layout and iteration order.
+   *
+   * @param maxIter hard bound on large-star/small-star rounds (log^2 of the
+   *                longest chain; 25 covers graphs far beyond 2^32 nodes)
+   */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 25): DataFrame = {
+
+    // Canonical edge list, oriented u > v, self-loops and dups dropped.
+    var edges = pairs
+      .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
+      .distinct()
+      .localCheckpoint()
+
+    // Order-independent edge-set fingerprint: (count, two independent
+    // bounded hash sums). Summands are capped at 2^30 so the sum cannot
+    // overflow a long (ANSI mode) below ~8e9 edges; two hash orders make a
+    // cross-round collision astronomically unlikely. Equal fingerprints
+    // across rounds = converged.
+    def fingerprint(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(
+        count(lit(1)).as("c"),
+        coalesce(sum(pmod(xxhash64(col("u"), col("v")), lit(1L << 30))), lit(0L)).as("h1"),
+        coalesce(sum(pmod(xxhash64(col("v"), col("u")), lit(1L << 30))), lit(0L)).as("h2"))
+        .head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+
+    var fp = fingerprint(edges)
+    var done = fp._1 == 0L
+    var it = 0
+    while (!done && it < maxIter) {
+      // Large-star: every node connects its LARGER neighbors to the minimum
+      // of its closed neighborhood. Emitted edges keep the u > v invariant
+      // (v > u >= m), so the next pass needs no re-orientation.
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val m1 = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(m1, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+
+      // Small-star: every node rewires its SMALLER neighbors (and itself)
+      // to their minimum. Again emits u > v by construction.
+      val m2 = large.groupBy("u").agg(min("v").as("m"))
+      val next = large.join(m2, "u")
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m2.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+
+      val nfp = fingerprint(next)
+      done = nfp == fp
+      edges = next
+      fp = nfp
+      it += 1
+    }
+
+    // Converged edge set is a union of stars (member -> component minimum).
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")).distinct())
+      .distinct()
+  }
+}

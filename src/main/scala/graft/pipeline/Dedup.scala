@@ -214,6 +214,53 @@ object Dedup {
       .distinct()
   }
 
+  /**
+   * Test-set decontamination check: for every training document, count the
+   * distinct word-n-gram shingles it shares with ANY held-out/test document
+   * (and how many distinct test docs it collides with). Standard LLM
+   * hygiene — a training doc sharing long n-grams with the eval set leaks
+   * the benchmark into the model.
+   *
+   * Returns (doc_id, n_shared_shingles, n_test_docs) for training docs with
+   * at least one collision.
+   *
+   * Scale shape: both sides explode to (doc, shingle) and meet in an
+   * equi-join ON the shingle — shuffled hash join partitioned by shingle,
+   * then one aggregation by training doc. The test side is typically tiny
+   * (an eval benchmark), so AQE broadcasts it and the whole check is
+   * map-side. `maxShingleDf` guards the join against stop-shingles shared
+   * by everything: shingles appearing in more than that many TEST docs are
+   * dropped (they carry no contamination signal but quadratic join cost).
+   */
+  def contamination(
+      train: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    def shingled(df: DataFrame, idAs: String) = df.select(
+      col(idCol).as(idAs),
+      explode(TextAnalysis.wordShingles(col(textCol), n)).as("shingle"))
+
+    val testSh = shingled(test, "test_id")
+    val guarded =
+      if (maxShingleDf == Int.MaxValue) testSh
+      else {
+        val keep = testSh.groupBy($"shingle")
+          .agg(count(lit(1)).as("df"))
+          .filter($"df" <= maxShingleDf)
+          .select($"shingle")
+        testSh.join(keep, "shingle")
+      }
+
+    shingled(train, "doc_id")
+      .join(guarded, "shingle")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"shingle").as("n_shared_shingles"),
+        countDistinct($"test_id").as("n_test_docs"))
+  }
+
   private implicit class ColName(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
   }

@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic dataset splitting / sampling for training-data pipelines.
+ *
+ * `randomSplit` is the wrong tool for corpus curation: it is
+ * nondeterministic across reruns and partition layouts, and a re-ingested
+ * document can hop between train and test. Hash-based assignment fixes both
+ * — the split is a pure function of the document id (plus a salt), so it is
+ * stable under repartitioning, incremental ingestion, and replays, and needs
+ * no shuffle at all (a map-side projection that stays inside whole-stage
+ * codegen).
+ *
+ * The default bucket hash is Knuth multiplicative hashing on the id,
+ * reduced mod 1e6+3 first so every intermediate fits in a signed 64-bit
+ * integer — the exact same arithmetic is expressible in any SQL engine
+ * (portable, oracle-checkable). For string keys, or when ids are known to
+ * be assigned in adversarial patterns, pass `bucketFn = xxhash64-based`
+ * instead — same operator shape, stronger mixing.
+ */
+object Sampling {
+
+  /** Portable deterministic bucket in [0, 100) for a non-negative id. */
+  def hashBucket(id: Column, salt: Long = 0L): Column =
+    ((id.cast("long") % lit(1000003L)) * lit(2654435761L) + lit(salt)) %
+      lit(4294967296L) % lit(100L)
+
+  /** Stronger-mixing bucket (not cross-engine reproducible). */
+  def xxhashBucket(id: Column, salt: Long = 0L): Column =
+    pmod(xxhash64(id, lit(salt)), lit(100L))
+
+  /**
+   * Assign every row to exactly one named split by hashed-id bucket.
+   * `weights` are integer percentages summing to 100, consumed in order as
+   * cumulative cut points — e.g. `Seq("train" -> 80, "val" -> 10,
+   * "test" -> 10)` maps bucket [0,80) -> train, [80,90) -> val,
+   * [90,100) -> test.
+   *
+   * Output: the input row plus `bucket` (long) and `split_name` columns.
+   */
+  def assignSplit(
+      df: DataFrame,
+      idCol: String,
+      weights: Seq[(String, Int)],
+      salt: Long = 0L): DataFrame =
+    assignSplit(df, weights, hashBucket(col(idCol), salt))
+
+  /** As above with an explicit bucket expression (e.g. [[xxhashBucket]]). */
+  def assignSplit(
+      df: DataFrame,
+      weights: Seq[(String, Int)],
+      bucket: Column): DataFrame = {
+    require(weights.nonEmpty && weights.map(_._2).sum == 100,
+      s"split weights must sum to 100, got $weights")
+    val bucketed = df.withColumn("bucket", bucket)
+    val cuts = weights.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    val expr = weights.zip(cuts).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), cut)) =>
+        Some(acc match {
+          case None => when(col("bucket") < cut, lit(name))
+          case Some(c) => c.when(col("bucket") < cut, lit(name))
+        })
+    }.get
+    bucketed.withColumn("split_name", expr)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -79,6 +79,98 @@ object TextAnalysis {
     * fingerprint — the cheap exact-dedup key. */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  // --- PII redaction -------------------------------------------------------
+  //
+  // Regexes are written in the Java/RE2 COMMON subset (explicit character
+  // classes, bounded quantifiers, \b word boundaries — no lookaround, no
+  // lazy quantifiers) so the DuckDB oracle can run the identical pattern.
+  // All four are pure regexp_replace/regexp_count compositions: map-side,
+  // codegen'd, zero shuffle.
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[A-Za-z0-9./_%-]+"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailRe))
+  def urlCount(text: Column): Column = regexp_count(text, lit(UrlRe))
+  def ipv4Count(text: Column): Column = regexp_count(text, lit(Ipv4Re))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(PhoneRe))
+
+  /**
+   * Replace emails, URLs, IPv4 addresses and phone numbers with typed
+   * placeholder tokens. Replacement order is fixed (email, URL, IP, phone)
+   * and matters: an IP inside a URL is swallowed by the `<URL>` token. The
+   * match counts above are taken on the ORIGINAL text, so overlapping
+   * categories each count.
+   */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailRe, "<EMAIL>"),
+          UrlRe, "<URL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  // --- repetition / diversity quality signals ------------------------------
+
+  /** Word bigrams as an array WITH duplicates (unlike [[wordShingles]],
+    * which is a distinct set) — repetition signals need the multiset. */
+  def wordBigrams(toks: Column): Column =
+    zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat_ws(" ", a, b))
+
+  /** Word trigrams with duplicates. */
+  def wordTrigrams(toks: Column): Column =
+    zip_with(zip_with(slice(toks, lit(1), size(toks) - 2), slice(toks, lit(2), size(toks) - 2),
+      (a, b) => concat_ws(" ", a, b)), slice(toks, lit(3), size(toks) - 2),
+      (ab, c) => concat_ws(" ", ab, c))
+
+  /**
+   * Per-document repetition signals in the Gopher / RefinedWeb family:
+   *  - `distinct_token_frac`: |distinct tokens| / |tokens| (lexical
+   *    diversity; boilerplate and keyword-stuffed docs score low),
+   *  - `dup_trigram_frac`: fraction of trigram slots occupied by a trigram
+   *    that already occurred in the doc (verbatim self-repetition),
+   *  - `top_bigram_frac`: coverage of the single most frequent bigram
+   *    (the "top n-gram coverage" rule).
+   *
+   * Rows with fewer than 3 tokens are dropped (no trigram is defined).
+   *
+   * Plan shape: the two array-local fractions are pure projections; the
+   * bigram mode needs a (doc_id, bigram) count -> per-doc max, i.e. two
+   * hash aggregations keyed by doc — embarrassingly parallel, no global
+   * shuffle hotspot, and the join back to the projection side is an
+   * equi-join on doc_id that AQE plans as broadcast when one side is small.
+   */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      .filter(col("n_tokens") >= 3)
+
+    val local = base.select(
+      col("doc_id"),
+      col("n_tokens").cast("long").as("n_tokens"),
+      (size(array_distinct(col("toks"))).cast("double") /
+        col("n_tokens").cast("double")).as("distinct_token_frac"),
+      ((size(col("toks")) - 2 - size(array_distinct(wordTrigrams(col("toks"))))).cast("double") /
+        (size(col("toks")) - 2).cast("double")).as("dup_trigram_frac"))
+
+    val topBigram = base
+      .select(col("doc_id"), (col("n_tokens") - 1).as("n_bg"),
+        explode(wordBigrams(col("toks"))).as("bg"))
+      .groupBy(col("doc_id"), col("n_bg"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n_bg"))
+      .agg(max(col("c")).as("maxc"))
+      .select(col("doc_id"),
+        (col("maxc").cast("double") / col("n_bg").cast("double")).as("top_bigram_frac"))
+
+    local.join(topBigram, "doc_id")
+  }
 
   /**
    * Evaluate `c` once per row and pass the bound result to `f`.
