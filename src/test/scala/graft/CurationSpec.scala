@@ -1,0 +1,180 @@
+package graft
+
+import graft.pipeline.{Clustering, Dedup, Sampling, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Specs for the corpus-curation operators added in round 6: duplicate
+  * clustering (connected components), PII redaction, repetition signals,
+  * deterministic splits, and test-set decontamination. */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  // --- connected components ----------------------------------------------
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Clustering.connectedComponents(pairs.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  /** Reference union-find for cross-checking. */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connectedComponents labels a long chain with its minimum (worst-case diameter)") {
+    // 0-1-2-...-19: one component, adversarial for naive propagation
+    val chain = (0L until 19L).map(i => (i, i + 1))
+    val got = cc(chain)
+    assert(got.keySet === (0L to 19L).toSet)
+    assert(got.values.toSet === Set(0L))
+  }
+
+  test("connectedComponents separates disjoint components and ignores self-loops") {
+    val got = cc(Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 7L), (20L, 21L), (21L, 20L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    // pure self-loop node 7 never appears (no real edge)
+    assert(!got.contains(7L))
+  }
+
+  test("connectedComponents on an empty pair list returns no rows") {
+    assert(cc(Seq.empty) === Map.empty)
+  }
+
+  test("connectedComponents matches union-find on random graphs") {
+    val rnd = new Random(42)
+    for (_ <- 1 to 3) {
+      val n = 200
+      val pairs = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      assert(cc(pairs) === unionFind(pairs))
+    }
+  }
+
+  test("connectedComponents is stable under repartitioning") {
+    val pairs = (0L until 30L).map(i => (i, (i * 7) % 31)).filter { case (a, b) => a != b }
+    val df = pairs.toDF("a", "b")
+    val one = Clustering.connectedComponents(df.repartition(1), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val many = Clustering.connectedComponents(df.repartition(13), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(one === many)
+  }
+
+  // --- PII redaction -------------------------------------------------------
+
+  test("redactPii replaces all four categories, in order, globally") {
+    val text = "mail a@b.co and c.d+x@e-f.org, see https://x.y/z?_ " +
+      "or http://10.1.2.3/p, ip 192.168.0.1 phone 555-123-4567 twice 555-123-4567"
+    val out = Seq(text).toDF("t")
+      .select(TextAnalysis.redactPii($"t")).as[String].head()
+    assert(out === "mail <EMAIL> and <EMAIL>, see <URL>?_ " +
+      "or <URL>, ip <IP> phone <PHONE> twice <PHONE>")
+    val counts = Seq(text).toDF("t").select(
+      TextAnalysis.emailCount($"t"), TextAnalysis.urlCount($"t"),
+      TextAnalysis.ipv4Count($"t"), TextAnalysis.phoneCount($"t"))
+      .as[(Int, Int, Int, Int)].head()
+    // the URL-embedded IP counts in BOTH url and ip (counts are on the
+    // original text; redaction order decides which token survives)
+    assert(counts === ((2, 2, 2, 2)))
+  }
+
+  test("redactPii leaves clean text untouched") {
+    val clean = "no personal data here, just words and 12 numbers."
+    val out = Seq(clean).toDF("t")
+      .select(TextAnalysis.redactPii($"t")).as[String].head()
+    assert(out === clean)
+  }
+
+  // --- repetition stats ----------------------------------------------------
+
+  test("repetitionStats computes exact fractions on a handcrafted doc") {
+    // tokens: a b a b a b  -> 6 tokens, 2 distinct
+    // bigrams: "a b","b a","a b","b a","a b" -> top "a b" x3 of 5
+    // trigrams: "a b a","b a b","a b a","b a b" -> 4 slots, 2 distinct
+    val df = Seq((1L, "a b a b a b"), (2L, "x y")).toDF("id", "text")
+    val rows = TextAnalysis.repetitionStats(df, "id", "text")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(rows.length === 1) // the 2-token doc is dropped
+    val (id, nTok, distFrac, dupTri, topBg) = rows.head
+    assert(id === 1L && nTok === 6L)
+    assert(distFrac === 2.0 / 6.0)
+    assert(dupTri === 2.0 / 4.0)
+    assert(topBg === 3.0 / 5.0)
+  }
+
+  // --- deterministic split -------------------------------------------------
+
+  test("assignSplit partitions every row into exactly one named split, deterministically") {
+    val ids = (0L until 10000L).toDF("id")
+    val out = Sampling.assignSplit(ids, "id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select($"id", $"split_name").as[(Long, String)].collect()
+    assert(out.length === 10000)
+    val byName = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byName.keySet === Set("train", "val", "test"))
+    // multiplicative hashing keeps proportions within a few percent
+    assert(math.abs(byName("train") - 8000) < 400)
+    assert(math.abs(byName("val") - 1000) < 200)
+    assert(math.abs(byName("test") - 1000) < 200)
+    // rerun is bit-identical (pure function of id)
+    val again = Sampling.assignSplit(ids.repartition(7), "id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select($"id", $"split_name").as[(Long, String)].collect()
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
+  test("assignSplit salt reshuffles membership; weights must sum to 100") {
+    val ids = (0L until 1000L).toDF("id")
+    val a = Sampling.assignSplit(ids, "id", Seq("x" -> 50, "y" -> 50))
+      .select($"id", $"split_name").as[(Long, String)].collect().toMap
+    val b = Sampling.assignSplit(ids, "id", Seq("x" -> 50, "y" -> 50), salt = 99L)
+      .select($"id", $"split_name").as[(Long, String)].collect().toMap
+    assert(a !== b)
+    assertThrows[IllegalArgumentException] {
+      Sampling.assignSplit(ids, "id", Seq("x" -> 60, "y" -> 60))
+    }
+  }
+
+  // --- decontamination -----------------------------------------------------
+
+  test("contamination counts distinct shared shingles and test docs") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated words appear here now"),
+      (3L, "the quick brown cat sits still")).toDF("id", "text")
+    val test = Seq(
+      (100L, "the quick brown fox runs"),
+      (101L, "quick brown fox jumps far")).toDF("id", "text")
+    val got = Dedup.contamination(train, test, "id", "text")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // doc 1 shares: "the quick brown"(t100), "quick brown fox"(both),
+    //               "brown fox jumps"(t101) -> 3 shingles, 2 test docs
+    // doc 3 shares: "the quick brown"(t100) -> 1 shingle, 1 test doc
+    assert(got === Array((1L, 3L, 2L), (3L, 1L, 1L)))
+  }
+
+  test("contamination maxShingleDf drops stop-shingles shared by many test docs") {
+    val train = Seq((1L, "a b c d")).toDF("id", "text")
+    val test = (100L until 110L).map(i => (i, "a b c x")).toDF("id", "text")
+    // "a b c" appears in 10 test docs; cap at 5 kills it
+    val uncapped = Dedup.contamination(train, test, "id", "text")
+      .as[(Long, Long, Long)].collect()
+    val capped = Dedup.contamination(train, test, "id", "text", maxShingleDf = 5)
+      .as[(Long, Long, Long)].collect()
+    assert(uncapped === Array((1L, 1L, 10L)))
+    assert(capped.isEmpty)
+  }
+}
