@@ -52,7 +52,7 @@ object Clustering {
       .filter(col("x") =!= col("y"))
       .select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     // Order-independent edge-set fingerprint: (count, two independent
     // bounded hash sums). Summands are capped at 2^30 so the sum cannot
@@ -93,7 +93,7 @@ object Clustering {
         .union(m2.select(col("u"), col("m").as("v")))
         .where(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(false)
 
       val nfp = fingerprint(next)
       done = nfp == fp

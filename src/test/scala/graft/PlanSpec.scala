@@ -76,4 +76,29 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = p.linesIterator.filter(_.matches(".*\\(\\d+\\) Exchange.*")).size
     assert(exchanges <= 1, s"expected at most the ORDER BY exchange, got $exchanges")
   }
+
+  test("pii_redact and split_assign are shuffle-free projections") {
+    for (q <- Seq("pii_redact", "split_assign")) {
+      val p = plan(q)
+      val exchanges = p.linesIterator.count(_.matches(".*\\(\\d+\\) Exchange.*"))
+      assert(exchanges <= 1, s"$q: expected only the ORDER BY exchange, got $exchanges")
+      assert(!p.contains("Generate") && !p.contains("Join"),
+        s"$q must be a flat scan->project plan")
+    }
+  }
+
+  test("decontaminate meets on an equi-join, never an all-pairs join") {
+    val p = plan("decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "shingle collision must be an equi-join keyed by the shingle")
+  }
+
+  test("repetition_stats: bigram mode is a two-phase hash aggregate, no cartesian") {
+    val p = plan("repetition_stats")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    // (doc, bigram) count then per-doc max: both are partial/final
+    // HashAggregates keyed by doc — the partial side halves the shuffle
+    assert(p.linesIterator.count(_.matches("""\(\d+\) HashAggregate\s*""")) >= 4,
+      "expected partial+final aggregates for bigram count and per-doc max")
+  }
 }
