@@ -107,7 +107,26 @@ object TopnFunctions {
         litNum(exprs(1), "lsh_buckets", "dim").toInt,
         litNum(exprs(2), "lsh_buckets", "bitsPerTable").toInt,
         litNum(exprs(3), "lsh_buckets", "tables").toInt,
-        if (exprs.length > 4) litNum(exprs(4), "lsh_buckets", "seed") else 42L))))
+        if (exprs.length > 4) litNum(exprs(4), "lsh_buckets", "seed") else 42L))),
+    // ---- curation functions (built-in compositions) ----------------------
+    ("redact_pii",
+      "redact_pii(text) - emails/URLs/IPv4s/phones replaced by <EMAIL>/<URL>/<IP>/<PHONE> tokens",
+      arity("redact_pii", 1, 1)(exprs =>
+        GraftShim.analyzableExpression(graft.pipeline.TextAnalysis.redactPii(GraftShim.column(exprs.head))))),
+    ("pii_counts",
+      "pii_counts(text) - struct(n_emails, n_urls, n_ips, n_phones) match counts on the raw text",
+      arity("pii_counts", 1, 1)(exprs => {
+        val t = GraftShim.column(exprs.head)
+        import graft.pipeline.TextAnalysis._
+        GraftShim.analyzableExpression(org.apache.spark.sql.functions.struct(
+          emailCount(t).as("n_emails"), urlCount(t).as("n_urls"),
+          ipv4Count(t).as("n_ips"), phoneCount(t).as("n_phones")))
+      })),
+    ("hash_bucket",
+      "hash_bucket(id[, salt]) - deterministic portable split bucket in [0, 100)",
+      arity("hash_bucket", 1, 2)(exprs =>
+        GraftShim.analyzableExpression(graft.pipeline.Sampling.hashBucket(GraftShim.column(exprs.head),
+          if (exprs.length > 1) litNum(exprs(1), "hash_bucket", "salt") else 0L)))))
 
   /** Register all functions in the session's function registry (usable from
     * `spark.sql` and, mixed with Columns, from the DataFrame API). */

@@ -107,4 +107,24 @@ object Clustering {
       .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")).distinct())
       .distinct()
   }
+
+  /**
+   * The keep-list composition most pipelines actually want: drop every
+   * document that belongs to a near-dup cluster but is not its canonical
+   * (minimum-id) member. Docs not mentioned in `pairs` pass through.
+   *
+   * Scale shape: the drop list is one row per non-canonical cluster member
+   * — tiny relative to the corpus — so the left-anti join broadcasts.
+   */
+  def canonicalize(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val drop = connectedComponents(pairs, aCol, bCol)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("__graft_drop_id"))
+    docs.join(drop, docs(idCol) === col("__graft_drop_id"), "left_anti")
+  }
 }

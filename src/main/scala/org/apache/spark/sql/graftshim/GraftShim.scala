@@ -19,6 +19,17 @@ object GraftShim {
   /** Catalyst expression behind a user-facing Column. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /**
+   * Fully convert a Column's node tree into ordinary Catalyst expressions
+   * (builtin UnresolvedFunctions etc., which the analyzer then resolves).
+   * [[expression]] wraps composed Columns in an opaque `ColumnNodeExpression`
+   * that is fine inside Dataset plans but Unevaluable when returned from a
+   * FunctionRegistry builder — use THIS for function builders that compose
+   * `org.apache.spark.sql.functions`.
+   */
+  def analyzableExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** Wrap a Catalyst expression as a user-facing Column. */
   def column(e: Expression): Column = ExpressionUtils.column(e)
 

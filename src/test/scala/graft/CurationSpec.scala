@@ -148,6 +148,36 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("canonicalize keeps one doc per cluster and passes untouched docs through") {
+    val docs = (0L to 5L).map(i => (i, s"doc$i")).toDF("id", "payload")
+    // clusters {0,1,2} and {4,5}; doc 3 untouched
+    val pairs = Seq((0L, 1L), (1L, 2L), (4L, 5L)).toDF("a", "b")
+    val kept = Clustering.canonicalize(docs, "id", pairs, "a", "b")
+      .select($"id").as[Long].collect().sorted
+    assert(kept === Array(0L, 3L, 4L))
+  }
+
+  // --- SQL surface ---------------------------------------------------------
+
+  test("curation functions work from pure SQL") {
+    TopnFunctions.register(spark)
+    Seq((7L, "mail a@b.co at 10.1.2.3")).toDF("id", "text")
+      .createOrReplaceTempView("pii_docs")
+    val row = spark.sql(
+      """SELECT hash_bucket(id) AS b, hash_bucket(id, 9L) AS bs,
+        |       redact_pii(text) AS red, pii_counts(text) AS pc
+        |FROM pii_docs""".stripMargin).head()
+    assert(row.getAs[Long]("b") ===
+      ((7L % 1000003L) * 2654435761L) % 4294967296L % 100L)
+    assert(row.getAs[Long]("bs") ===
+      ((7L % 1000003L) * 2654435761L + 9L) % 4294967296L % 100L)
+    assert(row.getAs[String]("red") === "mail <EMAIL> at <IP>")
+    val pc = row.getStruct(row.fieldIndex("pc"))
+    assert(pc.getInt(pc.fieldIndex("n_emails")) === 1)
+    assert(pc.getInt(pc.fieldIndex("n_ips")) === 1)
+    assert(pc.getInt(pc.fieldIndex("n_urls")) === 0)
+  }
+
   // --- decontamination -----------------------------------------------------
 
   test("contamination counts distinct shared shingles and test docs") {
