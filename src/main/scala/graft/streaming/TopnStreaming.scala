@@ -371,6 +371,50 @@ object TopnStreaming {
 
   case class KeyedItem(key: String, item: String)
   case class TopEntry(key: String, item: String, frequency: Long)
+  case class KeptDoc(fingerprint: String, doc_id: Long)
+
+  /**
+   * Streaming exact dedup: across the life of the stream, emit each
+   * canonical fingerprint's FIRST document (minimum doc id within the
+   * micro-batch that first sees it) and swallow every later duplicate —
+   * the streaming twin of [[graft.pipeline.Dedup.exactGroups]]'s keep-list
+   * for an ingestion pipeline that must not admit a doc twice.
+   *
+   * State per fingerprint is just the flag's presence (an empty state row),
+   * so the state store is O(distinct fingerprints) with ~zero value bytes.
+   * For unbounded corpora pass `stateTtl` (processing-time timeout): a
+   * fingerprint idle longer than the TTL is forgotten and a much-later
+   * duplicate would be re-admitted — the standard state-size/recall trade,
+   * decided by the caller.
+   */
+  def streamingExactDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      stateTtl: Option[String] = None): Dataset[KeptDoc] = {
+    import docs.sparkSession.implicits._
+    val timeout = if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    docs
+      .select(
+        graft.pipeline.TextAnalysis.fingerprint(col(textCol)).as("fingerprint"),
+        col(idCol).cast("long").as("doc_id"))
+      .as[KeptDoc]
+      .groupByKey(_.fingerprint)
+      .flatMapGroupsWithState[Boolean, KeptDoc](OutputMode.Update(), timeout) {
+        (fp: String, rows: Iterator[KeptDoc], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val isNew = !state.exists
+            state.update(true)
+            stateTtl.foreach(state.setTimeoutDuration)
+            if (isNew && rows.hasNext) Iterator.single(KeptDoc(fp, rows.map(_.doc_id).min))
+            else Iterator.empty
+          }
+      }
+  }
 
   /**
    * Continuously-updated per-key top-k over an unwindowed stream.

@@ -64,6 +64,24 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents soak: 200 chains x 250 nodes (50k nodes, diameter 249)") {
+    // long chains are the adversarial case for label propagation —
+    // large-star/small-star must converge in O(log^2 diameter) rounds,
+    // not O(diameter)
+    val edges = (0 until 200).flatMap { c =>
+      val base = c * 1000L
+      (0 until 249).map(i => (base + i, base + i + 1))
+    }
+    val t0 = System.nanoTime()
+    val got = cc(edges)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got.size === 200 * 250)
+    assert((0 until 200).forall { c =>
+      (0 until 250).forall(i => got(c * 1000L + i) == c * 1000L)
+    })
+    info(f"50k nodes / 49.8k edges clustered in $secs%.1fs")
+  }
+
   test("connectedComponents is stable under repartitioning") {
     val pairs = (0L until 30L).map(i => (i, (i * 7) % 31)).filter { case (a, b) => a != b }
     val df = pairs.toDF("a", "b")

@@ -113,6 +113,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotKeys.nonEmpty)
   }
 
+  test("streaming exact dedup keeps first-seen doc per fingerprint across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_in").toString
+    // batch 0: ids 1,2,5 — 1 and 5 are dups of each other (min 1 wins);
+    // batch 1: id 3 repeats batch 0's text (swallowed), id 4 is new
+    Seq((1L, "aaa aaa"), (2L, "bbb bbb"), (5L, "aaa aaa")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/tmp0")
+    Seq((3L, "aaa aaa"), (4L, "ccc ccc")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/tmp1")
+    val in = java.nio.file.Files.createTempDirectory("graft_dedup_src").toString
+    for (b <- 0 to 1)
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/tmp$b")).forEach { p =>
+        if (p.toString.endsWith(".parquet")) {
+          val dst = java.nio.file.Paths.get(in, s"part$b.parquet")
+          java.nio.file.Files.copy(p, dst)
+          // the file source orders batches by modification time — pin it
+          dst.toFile.setLastModified(1000000000000L + b * 60000L)
+        }
+      }
+
+    val schema = spark.read.parquet(s"$dir/tmp0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = TopnStreaming.streamingExactDedup(stream, "doc_id", "text")
+      .writeStream.outputMode("update").format("memory").queryName("dedup_keep").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val kept = spark.table("dedup_keep").select($"doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 2L, 4L),
+      "min id of the first batch wins; later duplicates are swallowed")
+  }
+
   test("streaming rollup maintenance merges into the stored table = batch rollup") {
     val inDir = twoBatchDir()
     val rollupPath = java.nio.file.Files.createTempDirectory("graft_rollup").toString + "/t"
