@@ -401,6 +401,21 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // deterministic corpus mixing: per-source keep rates (up-weight the
+    // "curated" sources, down-sample the rest) applied by hash bucket —
+    // reproducible membership, no RNG
+    "corpus_mix" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.pipeline.Sampling.mixCorpus(
+        tbl(spark, dir, "documents"), "doc_id", "source",
+        pctByGroup = Map("src0" -> 100, "src1" -> 100, "src2" -> 100,
+          "src3" -> 50, "src4" -> 50, "src5" -> 50),
+        defaultPct = 25, salt = 7L)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy($"source")
+    }),
+
     // test-set decontamination: training docs sharing word-trigrams with
     // the held-out slice (doc_id % 7 == 0 stands in for an eval benchmark)
     "decontaminate" -> ((spark, dir) => {
@@ -784,6 +799,14 @@ object SparkEntry {
         |            WHEN ((doc_id % 1000003) * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
         |            ELSE 'test' END AS split_name
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "corpus_mix" ->
+      """SELECT source, COUNT(*) AS n_kept
+        |FROM documents
+        |WHERE ((doc_id % 1000003) * 2654435761 + 7) % 4294967296 % 100 <
+        |  CASE WHEN source IN ('src0','src1','src2') THEN 100
+        |       WHEN source IN ('src3','src4','src5') THEN 50 ELSE 25 END
+        |GROUP BY 1 ORDER BY source""".stripMargin,
 
     "decontaminate" ->
       """WITH t AS (

@@ -126,7 +126,23 @@ object TopnFunctions {
       "hash_bucket(id[, salt]) - deterministic portable split bucket in [0, 100)",
       arity("hash_bucket", 1, 2)(exprs =>
         GraftShim.analyzableExpression(graft.pipeline.Sampling.hashBucket(GraftShim.column(exprs.head),
-          if (exprs.length > 1) litNum(exprs(1), "hash_bucket", "salt") else 0L)))))
+          if (exprs.length > 1) litNum(exprs(1), "hash_bucket", "salt") else 0L)))),
+    ("token_count",
+      "token_count(text) - whitespace token count",
+      arity("token_count", 1, 1)(exprs =>
+        GraftShim.analyzableExpression(graft.pipeline.TextAnalysis.tokenCount(GraftShim.column(exprs.head))))),
+    ("quality_score",
+      "quality_score(text) - composite [0,1] quality score (length, punctuation density, stopword rate)",
+      arity("quality_score", 1, 1)(exprs =>
+        GraftShim.analyzableExpression(graft.pipeline.TextAnalysis.qualityScore(GraftShim.column(exprs.head))))),
+    ("language_id",
+      "language_id(text) - marker-word language heuristic: en/fr/es/de/und",
+      arity("language_id", 1, 1)(exprs =>
+        GraftShim.analyzableExpression(graft.pipeline.TextAnalysis.languageId(GraftShim.column(exprs.head))))),
+    ("doc_fingerprint",
+      "doc_fingerprint(text) - md5 of case-folded, whitespace-collapsed text (exact-dedup key)",
+      arity("doc_fingerprint", 1, 1)(exprs =>
+        GraftShim.analyzableExpression(graft.pipeline.TextAnalysis.fingerprint(GraftShim.column(exprs.head))))))
 
   /** Register all functions in the session's function registry (usable from
     * `spark.sql` and, mixed with Columns, from the DataFrame API). */

@@ -66,4 +66,42 @@ object Sampling {
     }.get
     bucketed.withColumn("split_name", expr)
   }
+
+  /**
+   * Deterministic Bernoulli-by-hash sample: keep rows whose hash bucket
+   * falls below `pct` (a percentage in [0, 100], possibly per-row). Unlike
+   * `DataFrame.sample` this is reproducible across reruns, partition
+   * layouts, and engines, and a row's membership never changes when the
+   * corpus around it grows. Map-side filter — no shuffle.
+   */
+  def deterministicSample(
+      df: DataFrame,
+      idCol: String,
+      pct: Column,
+      salt: Long = 0L): DataFrame =
+    df.filter(hashBucket(col(idCol), salt) < pct)
+
+  /**
+   * Corpus mixing: apply per-group keep percentages (e.g. up-weight
+   * curated sources, down-sample web crawl) in one deterministic pass.
+   * Groups absent from `pctByGroup` use `defaultPct`.
+   */
+  def mixCorpus(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      pctByGroup: Map[String, Int],
+      defaultPct: Int,
+      salt: Long = 0L): DataFrame = {
+    require((pctByGroup.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
+      "keep percentages must be in [0, 100]")
+    val pct = pctByGroup.toSeq.sortBy(_._1).foldLeft(Option.empty[Column]) {
+      case (acc, (g, p)) =>
+        Some(acc match {
+          case None => when(col(groupCol) === g, lit(p))
+          case Some(c) => c.when(col(groupCol) === g, lit(p))
+        })
+    }.fold(lit(defaultPct))(_.otherwise(lit(defaultPct)))
+    deterministicSample(df, idCol, pct, salt)
+  }
 }

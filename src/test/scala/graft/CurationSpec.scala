@@ -196,6 +196,40 @@ class CurationSpec extends AnyFunSuite {
     assert(pc.getInt(pc.fieldIndex("n_urls")) === 0)
   }
 
+  test("mixCorpus applies per-group rates deterministically") {
+    val df = (0L until 3000L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val kept = graft.pipeline.Sampling.mixCorpus(
+      df, "id", "grp", Map("g0" -> 100, "g1" -> 50), defaultPct = 0)
+      .groupBy($"grp").count().as[(String, Long)].collect().toMap
+    assert(kept("g0") === 1000L)            // 100% keeps everything
+    assert(!kept.contains("g2"))            // 0% keeps nothing
+    assert(math.abs(kept("g1") - 500L) < 80) // ~50%
+    // membership is a pure function of (id, salt): rerun identical
+    val a = graft.pipeline.Sampling.mixCorpus(df, "id", "grp",
+      Map("g1" -> 50), 25).select($"id").as[Long].collect().sorted
+    val b = graft.pipeline.Sampling.mixCorpus(df.repartition(11), "id", "grp",
+      Map("g1" -> 50), 25).select($"id").as[Long].collect().sorted
+    assert(a === b)
+    assertThrows[IllegalArgumentException] {
+      graft.pipeline.Sampling.mixCorpus(df, "id", "grp", Map("g1" -> 101), 25)
+    }
+  }
+
+  test("text-analysis SQL functions match the DataFrame API") {
+    TopnFunctions.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("docs_sql")
+    import graft.pipeline.TextAnalysis._
+    val api = docs.select($"doc_id", tokenCount($"text").as("tc"),
+      qualityScore($"text").as("q"), languageId($"text").as("l"),
+      fingerprint($"text").as("f")).orderBy($"doc_id").collect()
+    val sql = spark.sql(
+      """SELECT doc_id, token_count(text) AS tc, quality_score(text) AS q,
+        |       language_id(text) AS l, doc_fingerprint(text) AS f
+        |FROM docs_sql ORDER BY doc_id""".stripMargin).collect()
+    assert(api === sql)
+  }
+
   // --- decontamination -----------------------------------------------------
 
   test("contamination counts distinct shared shingles and test docs") {
