@@ -101,6 +101,12 @@ object Clustering {
       fp = nfp
       it += 1
     }
+    // Unconverged labels are silently WRONG (a chain's tail still points at
+    // an intermediate node) — fail loudly instead. 25 rounds covers graphs
+    // far beyond any real corpus; hitting this means something degenerate.
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds " +
+        s"(${fp._1} edges live); raise maxIter")
 
     // Converged edge set is a union of stars (member -> component minimum).
     edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))

@@ -231,6 +231,8 @@ object Dedup {
    * map-side. `maxShingleDf` guards the join against stop-shingles shared
    * by everything: shingles appearing in more than that many TEST docs are
    * dropped (they carry no contamination signal but quadratic join cost).
+   * The guard re-reads the test side to compute shingle DFs (two scans of
+   * the SMALL side — deliberate; the training side is scanned once).
    */
   def contamination(
       train: DataFrame,

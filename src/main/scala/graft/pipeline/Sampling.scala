@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
  */
 object Sampling {
 
-  /** Portable deterministic bucket in [0, 100) for a non-negative id. */
+  /** Portable deterministic bucket in [0, 100) for a NON-NEGATIVE id
+    * (negative ids produce negative remainders — in both Spark and
+    * standard SQL engines alike — which land every such row in the first
+    * split; hash string/negative keys with [[xxhashBucket]] instead). */
   def hashBucket(id: Column, salt: Long = 0L): Column =
     ((id.cast("long") % lit(1000003L)) * lit(2654435761L) + lit(salt)) %
       lit(4294967296L) % lit(100L)

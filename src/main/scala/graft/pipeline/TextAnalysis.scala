@@ -139,37 +139,40 @@ object TextAnalysis {
    *
    * Rows with fewer than 3 tokens are dropped (no trigram is defined).
    *
-   * Plan shape: the two array-local fractions are pure projections; the
-   * bigram mode needs a (doc_id, bigram) count -> per-doc max, i.e. two
-   * hash aggregations keyed by doc — embarrassingly parallel, no global
-   * shuffle hotspot, and the join back to the projection side is an
-   * equi-join on doc_id that AQE plans as broadcast when one side is small.
+   * Plan shape: ONE scan of the docs table. The array-local fractions are
+   * computed in the pre-explode projection and ride along through the
+   * bigram explode as extra grouping keys (they are functionally dependent
+   * on doc_id, so widening the key changes nothing semantically — the same
+   * single-scan idiom as [[Dedup.jaccardPairs]]'s size columns). The
+   * bigram mode is then two hash aggregations keyed by doc —
+   * embarrassingly parallel, no global shuffle hotspot, no join.
    */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = docs
+    docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .withColumn("n_tokens", size(col("toks")))
       .filter(col("n_tokens") >= 3)
-
-    val local = base.select(
-      col("doc_id"),
-      col("n_tokens").cast("long").as("n_tokens"),
-      (size(array_distinct(col("toks"))).cast("double") /
-        col("n_tokens").cast("double")).as("distinct_token_frac"),
-      ((size(col("toks")) - 2 - size(array_distinct(wordTrigrams(col("toks"))))).cast("double") /
-        (size(col("toks")) - 2).cast("double")).as("dup_trigram_frac"))
-
-    val topBigram = base
-      .select(col("doc_id"), (col("n_tokens") - 1).as("n_bg"),
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (size(array_distinct(col("toks"))).cast("double") /
+          col("n_tokens").cast("double")).as("distinct_token_frac"),
+        ((col("n_tokens") - 2 - size(array_distinct(wordTrigrams(col("toks"))))).cast("double") /
+          (col("n_tokens") - 2).cast("double")).as("dup_trigram_frac"),
         explode(wordBigrams(col("toks"))).as("bg"))
-      .groupBy(col("doc_id"), col("n_bg"), col("bg"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("distinct_token_frac"),
+        col("dup_trigram_frac"), col("bg"))
       .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"), col("n_bg"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("distinct_token_frac"),
+        col("dup_trigram_frac"))
       .agg(max(col("c")).as("maxc"))
-      .select(col("doc_id"),
-        (col("maxc").cast("double") / col("n_bg").cast("double")).as("top_bigram_frac"))
-
-    local.join(topBigram, "doc_id")
+      .select(
+        col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("distinct_token_frac"),
+        col("dup_trigram_frac"),
+        (col("maxc").cast("double") / (col("n_tokens") - 1).cast("double"))
+          .as("top_bigram_frac"))
   }
 
   /**

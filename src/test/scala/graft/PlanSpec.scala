@@ -93,12 +93,16 @@ class PlanSpec extends AnyFunSuite {
       "shingle collision must be an equi-join keyed by the shingle")
   }
 
-  test("repetition_stats: bigram mode is a two-phase hash aggregate, no cartesian") {
+  test("repetition_stats: one scan, two-phase aggregates, no join") {
     val p = plan("repetition_stats")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
     // (doc, bigram) count then per-doc max: both are partial/final
     // HashAggregates keyed by doc — the partial side halves the shuffle
     assert(p.linesIterator.count(_.matches("""\(\d+\) HashAggregate\s*""")) >= 4,
       "expected partial+final aggregates for bigram count and per-doc max")
+    // the local fractions ride along through the explode as grouping keys
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans === 1, s"expected a single documents scan, got $scans")
+    assert(!p.contains("Join"), "fractions must ride along, not join back")
   }
 }
