@@ -34,8 +34,10 @@ object Clustering {
   /**
    * Connected components over an undirected pair list. Returns one row per
    * node that appears in `pairs`: (doc_id, cluster_id) where cluster_id is
-   * the component's minimum id — deterministic, independent of partition
-   * layout and iteration order.
+   * the component's minimum id under the id column's natural ordering —
+   * deterministic, independent of partition layout and iteration order.
+   * Works for any orderable id type (long, string/UUID, ...); both pair
+   * columns must share one type.
    *
    * @param maxIter hard bound on large-star/small-star rounds (log^2 of the
    *                longest chain; 25 covers graphs far beyond 2^32 nodes)
@@ -45,10 +47,13 @@ object Clustering {
       aCol: String,
       bCol: String,
       maxIter: Int = 25): DataFrame = {
+    val (ta, tb) = (pairs.schema(aCol).dataType, pairs.schema(bCol).dataType)
+    require(ta == tb,
+      s"pair columns must share one id type, got $aCol: $ta vs $bCol: $tb")
 
     // Canonical edge list, oriented u > v, self-loops and dups dropped.
     var edges = pairs
-      .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
+      .select(col(aCol).as("x"), col(bCol).as("y"))
       .filter(col("x") =!= col("y"))
       .select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
       .distinct()

@@ -27,9 +27,13 @@ object Sampling {
     * (negative ids produce negative remainders — in both Spark and
     * standard SQL engines alike — which land every such row in the first
     * split; hash string/negative keys with [[xxhashBucket]] instead). */
-  def hashBucket(id: Column, salt: Long = 0L): Column =
+  def hashBucket(id: Column, salt: Long = 0L): Column = {
+    require(salt >= 0L && salt < 4294967296L,
+      s"salt must be in [0, 2^32), got $salt (a negative salt can produce " +
+        "negative buckets, breaking 0%/100% sampling guarantees)")
     ((id.cast("long") % lit(1000003L)) * lit(2654435761L) + lit(salt)) %
       lit(4294967296L) % lit(100L)
+  }
 
   /** Stronger-mixing bucket (not cross-engine reproducible). */
   def xxhashBucket(id: Column, salt: Long = 0L): Column =
@@ -58,6 +62,13 @@ object Sampling {
       bucket: Column): DataFrame = {
     require(weights.nonEmpty && weights.map(_._2).sum == 100,
       s"split weights must sum to 100, got $weights")
+    require(weights.forall(_._2 > 0),
+      s"every split weight must be positive, got $weights (a non-positive " +
+        "weight makes that split empty and shifts the others' cut points)")
+    for (c <- Seq("bucket", "split_name"))
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column; rename it — assignSplit appends " +
+          "output columns 'bucket' and 'split_name'")
     val bucketed = df.withColumn("bucket", bucket)
     val cuts = weights.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
     val expr = weights.zip(cuts).foldLeft(Option.empty[Column]) {

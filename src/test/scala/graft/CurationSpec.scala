@@ -82,6 +82,18 @@ class CurationSpec extends AnyFunSuite {
     info(f"50k nodes / 49.8k edges clustered in $secs%.1fs")
   }
 
+  test("connectedComponents works for string ids (no silent long cast)") {
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("p", "q")
+    val got = Clustering.connectedComponents(pairs, "p", "q")
+      .as[(String, String)].collect().toMap
+    assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+    // mismatched id types fail loudly instead of silently dropping rows
+    assertThrows[IllegalArgumentException] {
+      Clustering.connectedComponents(
+        Seq(("a", 1L)).toDF("p", "q"), "p", "q")
+    }
+  }
+
   test("connectedComponents is stable under repartitioning") {
     val pairs = (0L until 30L).map(i => (i, (i * 7) % 31)).filter { case (a, b) => a != b }
     val df = pairs.toDF("a", "b")
@@ -163,6 +175,22 @@ class CurationSpec extends AnyFunSuite {
     assert(a !== b)
     assertThrows[IllegalArgumentException] {
       Sampling.assignSplit(ids, "id", Seq("x" -> 60, "y" -> 60))
+    }
+  }
+
+  test("split/sample guardrails: shadowed weights, negative salt, column collisions") {
+    val ids = (0L until 10L).toDF("id")
+    // weights summing to 100 but with a non-positive member are rejected
+    assertThrows[IllegalArgumentException] {
+      Sampling.assignSplit(ids, "id", Seq("a" -> 120, "b" -> -30, "c" -> 10))
+    }
+    // negative salt would produce negative buckets -> reject
+    assertThrows[IllegalArgumentException] {
+      Sampling.hashBucket(col("id"), salt = -50L)
+    }
+    // pre-existing output column names fail loudly instead of overwriting
+    assertThrows[IllegalArgumentException] {
+      Sampling.assignSplit(ids.withColumn("bucket", lit(1)), "id", Seq("a" -> 100))
     }
   }
 
