@@ -57,6 +57,22 @@ object Demo {
         println(s"got expected analysis error: ${e.getMessage.linesIterator.next()}")
     }
 
+    println("== curation tour: dedup-cluster -> quality gate -> split, from SQL ==")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("documents")
+    val pairs = pipeline.Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+    val canonical = pipeline.Clustering.canonicalize(docs, "doc_id", pairs, "doc_a", "doc_b")
+    println(s"${docs.count()} docs -> ${canonical.count()} after near-dup clustering")
+    canonical.createOrReplaceTempView("canonical_docs")
+    spark.sql(
+      """SELECT CASE WHEN hash_bucket(doc_id) < 90 THEN 'train' ELSE 'eval' END AS split_name,
+        |       count(*) AS docs,
+        |       round(avg(quality_score(text)), 3) AS avg_quality,
+        |       topn_to_json(topn_add_agg(language_id(text))) AS langs
+        |FROM canonical_docs
+        |WHERE quality_score(text) >= 0.4
+        |GROUP BY 1 ORDER BY 1""".stripMargin).show(false)
+
     spark.stop()
   }
 
