@@ -146,6 +146,28 @@ class CurationSpec extends AnyFunSuite {
     assert(topBg === 3.0 / 5.0)
   }
 
+  test("repetitionStats matches a Scala reference on random docs") {
+    val rnd = new Random(7)
+    val docs = (0 until 300).map { i =>
+      val n = 3 + rnd.nextInt(40)
+      (i.toLong, Seq.fill(n)(s"w${rnd.nextInt(8)}").mkString(" "))
+    }
+    val expected = docs.map { case (id, text) =>
+      val toks = text.split("\\s+").toSeq
+      val n = toks.length
+      val tris = toks.sliding(3).map(_.mkString(" ")).toSeq
+      val bgs = toks.sliding(2).map(_.mkString(" ")).toSeq
+      (id, (n.toLong,
+        toks.distinct.length.toDouble / n.toDouble,
+        (tris.length - tris.distinct.length).toDouble / tris.length.toDouble,
+        bgs.groupBy(identity).values.map(_.length).max.toDouble / bgs.length.toDouble))
+    }.toMap
+    val got = TextAnalysis.repetitionStats(docs.toDF("id", "text"), "id", "text")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map { case (id, nt, df, dt, tb) => id -> ((nt, df, dt, tb)) }.toMap
+    assert(got === expected)
+  }
+
   // --- deterministic split -------------------------------------------------
 
   test("assignSplit partitions every row into exactly one named split, deterministically") {
