@@ -416,6 +416,19 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // token-budget sequence packing: contiguous greedy fill by global
+    // token prefix-sum (scale-safe two-pass, no single-partition window);
+    // reports per-bin doc and token totals
+    "pack_bins" -> ((spark, dir) => {
+      import spark.implicits._
+      val withTokens = tbl(spark, dir, "documents").select($"doc_id",
+        graft.pipeline.TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
+      graft.pipeline.Sampling.packByBudget(withTokens, "doc_id", "n_tokens", budget = 2048L)
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("bin_tokens"))
+        .orderBy($"bin")
+    }),
+
     // test-set decontamination: training docs sharing word-trigrams with
     // the held-out slice (doc_id % 7 == 0 stands in for an eval benchmark)
     "decontaminate" -> ((spark, dir) => {
@@ -807,6 +820,21 @@ object SparkEntry {
         |  CASE WHEN source IN ('src0','src1','src2') THEN 100
         |       WHEN source IN ('src3','src4','src5') THEN 50 ELSE 25 END
         |GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "pack_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        |  FROM t)
+        |SELECT (run - n_tokens) // 2048 AS bin,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+        |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "decontaminate" ->
       """WITH t AS (

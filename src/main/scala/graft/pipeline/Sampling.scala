@@ -118,4 +118,34 @@ object Sampling {
     }.fold(lit(defaultPct))(_.otherwise(lit(defaultPct)))
     deterministicSample(df, idCol, pct, salt)
   }
+
+  /**
+   * Token-budget sequence packing: assign documents to contiguous bins of
+   * at most ~`budget` total weight (e.g. token count), walking the corpus
+   * in `idCol` order — the deterministic greedy-fill rule used to pack
+   * training sequences into fixed context windows, and equally a balanced
+   * shard assignment for corpus export.
+   *
+   * bin = (exclusive running weight sum) / budget, so a document lands in
+   * the bin that was open when the walk reached it; a document larger than
+   * `budget` occupies its own bin(s) boundary-aligned. Built on the
+   * scale-safe two-pass [[graft.operators.PrefixSum.runningSum]] — no
+   * single-partition window over the data.
+   *
+   * Requires globally unique, non-negative weights and unique ids.
+   */
+  def packByBudget(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    graft.operators.PrefixSum
+      .runningSum(df, idCol, weightCol, outCol = "__graft_run")
+      // integer division (DIV) — exact at any magnitude, unlike `/` which
+      // goes through double and misrounds past 2^53
+      .withColumn("bin",
+        expr(s"CAST((__graft_run - `$weightCol`) DIV ${budget}L AS BIGINT)"))
+      .drop("__graft_run")
+  }
 }

@@ -280,6 +280,35 @@ class CurationSpec extends AnyFunSuite {
     assert(api === sql)
   }
 
+  // --- prefix sum / packing ------------------------------------------------
+
+  test("runningSum equals the sequential scan, at any partitioning") {
+    val rnd = new Random(11)
+    val rows = (0L until 5000L).map(i => (i, rnd.nextInt(100).toLong))
+    val expected = rows.scanLeft(0L)(_ + _._2).tail // inclusive prefix sums
+    for (parts <- Seq(1, 7, 32)) {
+      val got = graft.operators.PrefixSum.runningSum(
+        rows.toDF("id", "w").repartition(13), "id", "w", "run", numPartitions = parts)
+        .select($"id", $"run").as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+      assert(got.toSeq === expected, s"at $parts range partitions")
+    }
+  }
+
+  test("packByBudget fills contiguous bins and matches a sequential packer") {
+    val rnd = new Random(13)
+    val rows = (0L until 2000L).map(i => (i, 1L + rnd.nextInt(50)))
+    val budget = 256L
+    var run = 0L
+    val expected = rows.map { case (id, w) => val bin = run / budget; run += w; id -> bin }.toMap
+    val got = graft.pipeline.Sampling.packByBudget(
+      rows.toDF("id", "w").repartition(9), "id", "w", budget)
+      .select($"id", $"bin").as[(Long, Long)].collect().toMap
+    assert(got === expected)
+    assertThrows[IllegalArgumentException] {
+      graft.pipeline.Sampling.packByBudget(rows.toDF("id", "w"), "id", "w", 0L)
+    }
+  }
+
   // --- decontamination -----------------------------------------------------
 
   test("contamination counts distinct shared shingles and test docs") {
