@@ -349,11 +349,15 @@ object SparkEntry {
     }),
 
     // duplicate CLUSTERS from the near-dup pair list: connected components
-    // (large-star/small-star) over the exact Jaccard pairs — one keep-set
-    // decision per component, not per pair
+    // (large-star/small-star) over the MinHash+LSH pairs — the 100 TB
+    // tiering (sub-quadratic candidate scan feeding the cluster pass).
+    // LSH candidates are exact-Jaccard-verified, and the banding catches
+    // every qualifying pair on this corpus (dedup_minhash_lsh proves
+    // LSH == exact against the same oracle), so the recursive-CTE oracle
+    // over the exact pairs applies verbatim.
     "dedup_clusters" -> ((spark, dir) => {
       import spark.implicits._
-      val pairs = graft.pipeline.Dedup.jaccardPairs(
+      val pairs = graft.pipeline.Dedup.minhashLshPairs(
         tbl(spark, dir, "documents"), "doc_id", "text", threshold = 0.5)
       graft.pipeline.Clustering.connectedComponents(pairs, "doc_a", "doc_b")
         .orderBy($"doc_id")
