@@ -93,6 +93,17 @@ class PlanSpec extends AnyFunSuite {
       "shingle collision must be an equi-join keyed by the shingle")
   }
 
+  test("pack_bins: only the O(#partitions) offsets side is single-partition") {
+    val p = plan("pack_bins")
+    // the two-pass prefix sum: data-side window is PARTITIONED (by range
+    // partition id); exactly one SinglePartition exchange exists and it
+    // carries the per-partition totals (#partitions rows), not the data
+    val singles = p.linesIterator.count(_.contains("SinglePartition"))
+    assert(singles === 1, s"expected exactly one SinglePartition exchange, got $singles")
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      "data must be range-partitioned by the order column")
+  }
+
   test("repetition_stats: one scan, two-phase aggregates, no join") {
     val p = plan("repetition_stats")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
