@@ -372,6 +372,78 @@ object TopnStreaming {
   case class KeyedItem(key: String, item: String)
   case class TopEntry(key: String, item: String, frequency: Long)
   case class KeptDoc(fingerprint: String, doc_id: Long)
+  case class NearDupPair(doc_a: Long, doc_b: Long, hamming: Int)
+  case class BucketState(ids: Seq[Long], hashes: Seq[Long])
+
+  /**
+   * Streaming NEAR-duplicate detection: the streaming twin of
+   * [[graft.pipeline.Dedup.simhashPairs]]. Each document's 64-bit SimHash
+   * is cut into `maxDist + 1` chunks; by pigeonhole, any pair within
+   * `maxDist` Hamming distance agrees exactly on at least one chunk, so
+   * keying state by (chunk index, chunk value) gives exact recall against
+   * everything still in state. A new document is compared only against its
+   * own buckets' residents (bounded work per doc), then becomes a resident
+   * itself.
+   *
+   * State per bucket is capped at `maxBucket` (id, hash) entries with
+   * FIFO eviction — the same guard as the batch tier's oversized-bucket
+   * drop: a bucket that hot is an exact-dup cluster that the cheaper
+   * [[streamingExactDedup]] should have absorbed first. Evicted residents
+   * cost recall against much-later arrivals; cap accordingly.
+   *
+   * A pair whose fingerprints agree on several chunks is emitted once per
+   * agreeing chunk (buckets are independent); downstream, deduplicate with
+   * `dropDuplicates("doc_a", "doc_b")` — pairs are emitted id-ordered
+   * (doc_a < doc_b) to make that exact.
+   */
+  def streamingNearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3,
+      maxBucket: Int = 1000): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    require(maxDist >= 1 && maxDist <= 7, s"maxDist must be in [1, 7], got $maxDist")
+    val chunks = maxDist + 1
+    val bits = 64 / chunks
+
+    docs
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        graft.pipeline.Dedup.simhash64(
+          graft.pipeline.TextAnalysis.tokens(col(textCol))).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        explode(array((0 until chunks).map { c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("sh"), c * bits).bitwiseAND(lit((1L << bits) - 1)).as("cv"))
+        }: _*)).as("bk"))
+      .select(concat_ws(":", col("bk.chunk"), col("bk.cv")).as("bucket"),
+        col("doc_id"), col("sh"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BucketState, NearDupPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[(String, Long, Long)], state: GroupState[BucketState]) =>
+          val st = if (state.exists) state.get else BucketState(Nil, Nil)
+          val residents = scala.collection.mutable.ArrayBuffer.from(st.ids.zip(st.hashes))
+          val out = scala.collection.mutable.ArrayBuffer[NearDupPair]()
+          // sort the batch by id: deterministic pair generation + eviction
+          rows.toSeq.sortBy(_._2).foreach { case (_, id, sh) =>
+            if (!residents.exists(_._1 == id)) {
+              residents.foreach { case (oid, osh) =>
+                val d = java.lang.Long.bitCount(sh ^ osh)
+                if (d <= maxDist)
+                  out += (if (oid < id) NearDupPair(oid, id, d)
+                          else NearDupPair(id, oid, d))
+              }
+              residents += ((id, sh))
+            }
+          }
+          val bounded = residents.takeRight(maxBucket)
+          state.update(BucketState(bounded.map(_._1).toSeq, bounded.map(_._2).toSeq))
+          out.iterator
+      }
+  }
 
   /**
    * Streaming exact dedup: across the life of the stream, emit each

@@ -144,6 +144,45 @@ class StreamingSpec extends AnyFunSuite {
       "min id of the first batch wins; later duplicates are swallowed")
   }
 
+  test("streaming near-dup pairs: cross-batch SimHash collisions, deduped = batch answer") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndup_in").toString
+    // ids 1/2 share a text (hamming 0); id 3 distinct; batch 1 brings id 4
+    // duplicating id 1's text -> cross-batch pairs (1,4) and (2,4)
+    val t1 = "alpha beta gamma delta epsilon zeta"
+    val t2 = "totally different words in this one here"
+    Seq((1L, t1), (2L, t1), (3L, t2)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/tmp0")
+    Seq((4L, t1)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/tmp1")
+    val in = java.nio.file.Files.createTempDirectory("graft_ndup_src").toString
+    for (b <- 0 to 1)
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/tmp$b")).forEach { p =>
+        if (p.toString.endsWith(".parquet")) {
+          val dst = java.nio.file.Paths.get(in, s"part$b.parquet")
+          java.nio.file.Files.copy(p, dst)
+          dst.toFile.setLastModified(1000000000000L + b * 60000L)
+        }
+      }
+
+    val schema = spark.read.parquet(s"$dir/tmp0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = TopnStreaming.streamingNearDupPairs(stream, "doc_id", "text")
+      .writeStream.outputMode("append").format("memory").queryName("ndup_pairs").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("ndup_pairs")
+      .dropDuplicates("doc_a", "doc_b")
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    // = the batch tier's answer on the full corpus
+    val batch = graft.pipeline.Dedup.simhashPairs(
+      Seq((1L, t1), (2L, t1), (3L, t2), (4L, t1)).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(got === batch)
+  }
+
   test("streaming rollup maintenance merges into the stored table = batch rollup") {
     val inDir = twoBatchDir()
     val rollupPath = java.nio.file.Files.createTempDirectory("graft_rollup").toString + "/t"
