@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /**
  * Scale-safe GLOBAL running sum — the distributed prefix-sum primitive.
@@ -11,24 +11,26 @@ import org.apache.spark.sql.functions._
  * table through ONE partition (Spark warns `No Partition Defined`): correct
  * at test scale, dead at 100 TB. This is the standard two-pass fix:
  *
- *   1. range-partition by the order column and compute each partition's
- *      within-partition running sum (a PARTITIONED window — parallel);
- *   2. aggregate one total per partition (P rows, P = #partitions), compute
- *      the exclusive prefix of those totals on the driver-sized side (a
- *      single-partition window over P rows — O(P), not O(rows)), and
- *      broadcast-join the offsets back.
+ *   1. range-partition by the order column, sort within partitions;
+ *   2. first pass: one `mapPartitionsWithIndex` job reduces each partition
+ *      to its total — P longs collected to the driver;
+ *   3. second pass: broadcast the exclusive prefix of those totals and add
+ *      each partition's offset to its local running sum.
  *
- * The result is invariant to where the (sampled, run-dependent) range
- * boundaries fall: offset + within-partition sum telescopes to the same
- * global prefix regardless of the cut points. Requires the order column to
- * be globally unique (ties across a boundary would make "preceding rows"
- * ambiguous).
+ * Both passes run over the SAME RDD instance, so the (sampled) range
+ * boundaries are fixed exactly once and the shuffle files are reused by the
+ * second job — correctness does not depend on Catalyst exchange-reuse
+ * deduplicating two copies of the plan, which is why this drops to the RDD
+ * API (the rare justified case: per-partition imperative logic whose
+ * determinism must survive plan re-execution).
+ *
+ * Requires a globally unique order column; null weights count as 0.
  */
 object PrefixSum {
 
   /**
-   * Append `outCol` = inclusive running sum of `valueCol` over the global
-   * `orderCol` ordering.
+   * Append `outCol` = inclusive running sum of `valueCol` (cast to long)
+   * over the global `orderCol` ordering.
    */
   def runningSum(
       df: DataFrame,
@@ -36,31 +38,40 @@ object PrefixSum {
       valueCol: String,
       outCol: String,
       numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions
-      else df.sparkSession.sessionState.conf.numShufflePartitions
-    val parted = df
+      else spark.sessionState.conf.numShufflePartitions
+
+    val sorted = df
+      .withColumn(valueCol, col(valueCol).cast("long"))
       .repartitionByRange(parts, col(orderCol))
-      .withColumn("__graft_pid", spark_partition_id())
+      .sortWithinPartitions(orderCol)
+    val schema = sorted.schema
+    val vIdx = schema.fieldIndex(valueCol)
 
-    // One row per partition; the single-partition window here is O(P).
-    val offsets = parted
-      .groupBy(col("__graft_pid"))
-      .agg(sum(col(valueCol)).as("__graft_psum"))
-      .withColumn("__graft_offset",
-        coalesce(
-          sum(col("__graft_psum")).over(
-            Window.orderBy(col("__graft_pid"))
-              .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("__graft_pid"), col("__graft_offset"))
+    // ONE RDD instance: the range partitioner's sampled boundaries are
+    // computed once; the collect job's shuffle map output is reused by the
+    // second pass (skipped stage), so partition ids line up by construction.
+    val rdd = sorted.rdd
 
-    parted
-      .join(broadcast(offsets), "__graft_pid")
-      .withColumn(outCol,
-        col("__graft_offset") +
-          sum(col(valueCol)).over(
-            Window.partitionBy(col("__graft_pid")).orderBy(col(orderCol))))
-      .drop("__graft_pid", "__graft_offset")
+    val partSums = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L
+        it.foreach(r => if (!r.isNullAt(vIdx)) s += r.getLong(vIdx))
+        Iterator((pid, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _) // exclusive prefix, length P+1
+    val bc = spark.sparkContext.broadcast(offsets)
+
+    val withRun = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = bc.value(pid)
+      it.map { r =>
+        if (!r.isNullAt(vIdx)) run += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq :+ run)
+      }
+    }
+    spark.createDataFrame(withRun, schema.add(outCol, LongType, nullable = false))
   }
 }
