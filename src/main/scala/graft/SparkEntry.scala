@@ -733,7 +733,11 @@ object SparkEntry {
         |FROM documents ORDER BY media_id""".stripMargin,
 
     // connected components over the exact Jaccard pairs, via transitive
-    // closure (small pair set at oracle scale); cluster_id = component min
+    // closure (small pair set at oracle scale); cluster_id = component min.
+    // NO shingle-DF cap here: the Spark side clusters minhashLshPairs,
+    // whose banding path has no DF cap either (matching dedup_minhash_lsh's
+    // uncapped oracle) — a capped oracle would undercount shared shingles
+    // under heavy duplication and spuriously diverge.
     "dedup_clusters" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
@@ -745,11 +749,9 @@ object SparkEntry {
         |              ELSE [] END AS shingles
         |  FROM t),
         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-        |rare AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 1000),
-        |fx AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare ON ex.s = rare.s),
         |shared AS (
         |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS ns
-        |  FROM fx x JOIN fx y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
         |  GROUP BY 1, 2),
         |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
         |pairs AS (

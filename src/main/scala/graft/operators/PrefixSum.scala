@@ -31,6 +31,11 @@ object PrefixSum {
   /**
    * Append `outCol` = inclusive running sum of `valueCol` (cast to long)
    * over the global `orderCol` ordering.
+   *
+   * EAGER: calling this runs two Spark jobs immediately (the range
+   * shuffle + per-partition-totals collect) — unlike ordinary DataFrame
+   * transformations, which are lazy. That is inherent to the algorithm:
+   * the offsets must exist before the result plan can be built.
    */
   def runningSum(
       df: DataFrame,
@@ -38,6 +43,8 @@ object PrefixSum {
       valueCol: String,
       outCol: String,
       numPartitions: Int = 0): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"input already has a '$outCol' column; pick another outCol")
     val spark = df.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions

@@ -182,25 +182,36 @@ object Dedup {
    * so recall is exact; candidates are equi-joined per (chunk index, chunk
    * value) and verified with `bit_count(a ^ b)` (built-in, codegen'd).
    */
+  /**
+   * The pigeonhole chunk array for a SimHash fingerprint: `maxDist + 1`
+   * (chunk index, chunk value) structs. Any pair within `maxDist` Hamming
+   * distance agrees exactly on at least one chunk. Shared by the batch
+   * ([[simhashPairs]]) and streaming
+   * ([[graft.streaming.TopnStreaming.streamingNearDupPairs]]) tiers so the
+   * blocking scheme cannot drift between them.
+   */
+  def simhashChunks(sh: Column, maxDist: Int): Column = {
+    require(maxDist >= 1 && maxDist <= 7, s"maxDist must be in [1, 7], got $maxDist")
+    val chunks = maxDist + 1
+    val bits = 64 / chunks
+    array((0 until chunks).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(sh, c * bits).bitwiseAND(lit((1L << bits) - 1)).as("cv"))
+    }: _*)
+  }
+
   def simhashPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       maxDist: Int = 3,
       maxBucket: Int = 10000): DataFrame = {
-    val chunks = maxDist + 1
-    val bits = 64 / chunks
-
     val hashed = docs.select(
       col(idCol).as("doc_id"),
       simhash64(TextAnalysis.tokens(col(textCol))).as("sh"))
 
     val blocked = hashed.select(
-      $"doc_id", $"sh",
-      explode(array((0 until chunks).map { c =>
-        struct(lit(c).as("chunk"),
-          shiftright($"sh", c * bits).bitwiseAND(lit((1L << bits) - 1)).as("cv"))
-      }: _*)).as("bk"))
+      $"doc_id", $"sh", explode(simhashChunks($"sh", maxDist)).as("bk"))
       .select($"doc_id", $"sh", $"bk.chunk", $"bk.cv")
 
     // one shuffle by (chunk, chunkValue); pairs generated inside buckets

@@ -140,12 +140,16 @@ object Sampling {
       weightCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    require(!df.columns.contains("bin"),
+      "input already has a 'bin' column; rename it — packByBudget appends 'bin'")
     graft.operators.PrefixSum
       .runningSum(df, idCol, weightCol, outCol = "__graft_run")
       // integer division (DIV) — exact at any magnitude, unlike `/` which
-      // goes through double and misrounds past 2^53
+      // goes through double and misrounds past 2^53. COALESCE matches
+      // runningSum's null-weight-as-0 contract (a bare `run - NULL` would
+      // throw the row into a NULL bin instead of the open one).
       .withColumn("bin",
-        expr(s"CAST((__graft_run - `$weightCol`) DIV ${budget}L AS BIGINT)"))
+        expr(s"CAST((__graft_run - COALESCE(`$weightCol`, 0L)) DIV ${budget}L AS BIGINT)"))
       .drop("__graft_run")
   }
 }

@@ -386,10 +386,18 @@ object TopnStreaming {
    * itself.
    *
    * State per bucket is capped at `maxBucket` (id, hash) entries with
-   * FIFO eviction — the same guard as the batch tier's oversized-bucket
-   * drop: a bucket that hot is an exact-dup cluster that the cheaper
-   * [[streamingExactDedup]] should have absorbed first. Evicted residents
-   * cost recall against much-later arrivals; cap accordingly.
+   * FIFO (oldest-first) eviction. NOTE this differs from the batch tier's
+   * guard: [[graft.pipeline.Dedup.simhashPairs]] drops an oversized bucket
+   * WHOLE (emits no pairs for it, default cap 10000), while the streaming
+   * tier keeps emitting against the `maxBucket` most recent residents
+   * (default 1000 — state-store bytes are the scarcer resource). So on a
+   * bucket hotter than the cap the two tiers legitimately diverge:
+   * streaming trades recall against OLD residents for bounded state, batch
+   * trades the whole bucket for bounded work. Run the cheap
+   * [[streamingExactDedup]] upstream so exact-dup floods never reach here.
+   * `stateTtl` (processing-time) additionally expires idle buckets —
+   * without it, state grows with the number of distinct chunk values seen
+   * over the stream's lifetime.
    *
    * A pair whose fingerprints agree on several chunks is emitted once per
    * agreeing chunk (buckets are independent); downstream, deduplicate with
@@ -401,11 +409,11 @@ object TopnStreaming {
       idCol: String,
       textCol: String,
       maxDist: Int = 3,
-      maxBucket: Int = 1000): Dataset[NearDupPair] = {
+      maxBucket: Int = 1000,
+      stateTtl: Option[String] = None): Dataset[NearDupPair] = {
     import docs.sparkSession.implicits._
-    require(maxDist >= 1 && maxDist <= 7, s"maxDist must be in [1, 7], got $maxDist")
-    val chunks = maxDist + 1
-    val bits = 64 / chunks
+    val timeout = if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
 
     docs
       .select(
@@ -413,17 +421,18 @@ object TopnStreaming {
         graft.pipeline.Dedup.simhash64(
           graft.pipeline.TextAnalysis.tokens(col(textCol))).as("sh"))
       .select(col("doc_id"), col("sh"),
-        explode(array((0 until chunks).map { c =>
-          struct(lit(c).as("chunk"),
-            shiftright(col("sh"), c * bits).bitwiseAND(lit((1L << bits) - 1)).as("cv"))
-        }: _*)).as("bk"))
+        explode(graft.pipeline.Dedup.simhashChunks(col("sh"), maxDist)).as("bk"))
       .select(concat_ws(":", col("bk.chunk"), col("bk.cv")).as("bucket"),
         col("doc_id"), col("sh"))
       .as[(String, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[BucketState, NearDupPair](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         (_: String, rows: Iterator[(String, Long, Long)], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
           val st = if (state.exists) state.get else BucketState(Nil, Nil)
           val residents = scala.collection.mutable.ArrayBuffer.from(st.ids.zip(st.hashes))
           val out = scala.collection.mutable.ArrayBuffer[NearDupPair]()
@@ -441,7 +450,9 @@ object TopnStreaming {
           }
           val bounded = residents.takeRight(maxBucket)
           state.update(BucketState(bounded.map(_._1).toSeq, bounded.map(_._2).toSeq))
+          stateTtl.foreach(state.setTimeoutDuration)
           out.iterator
+          }
       }
   }
 

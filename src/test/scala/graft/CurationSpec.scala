@@ -309,6 +309,14 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("packByBudget: null weights count as 0 and stay in the open bin") {
+    val rows = Seq((1L, java.lang.Long.valueOf(10L)), (2L, null.asInstanceOf[java.lang.Long]),
+      (3L, java.lang.Long.valueOf(5L))).toDF("id", "w")
+    val got = graft.pipeline.Sampling.packByBudget(rows, "id", "w", budget = 100L)
+      .select($"id", $"bin").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
   // --- decontamination -----------------------------------------------------
 
   test("contamination counts distinct shared shingles and test docs") {
