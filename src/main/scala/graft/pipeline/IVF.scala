@@ -102,6 +102,36 @@ object IVF {
     GraftShim.column(NearestCentroids(GraftShim.expression(vec), model.centroids, nprobe))
 
   /**
+   * Persist a trained quantizer as a tiny parquet table (cell, centroid) —
+   * k rows of dim doubles. At scale you train ONCE, save, and every
+   * indexing/search job loads the same model: retraining per job would
+   * silently re-cell the index.
+   */
+  def save(model: Model, path: String, spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a quantizer persisted by [[save]]. Centroid order (= cell ids)
+    * is restored exactly; round-trips bit-identically. */
+  def load(path: String, spark: org.apache.spark.sql.SparkSession): Model = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select($"cell".cast("int"), $"centroid".cast("array<double>"))
+      .as[(Int, Seq[Double])]
+      .collect()
+      .sortBy(_._1)
+    require(rows.nonEmpty, s"no IVF model at $path")
+    require(rows.map(_._1).toSeq == rows.indices.toSeq,
+      s"corrupt IVF model at $path: non-contiguous cell ids")
+    Model(rows.map(_._2.toArray))
+  }
+
+  /**
    * IVF top-k search: candidates indexed under their single nearest cell,
    * queries probe `nprobe` cells, exact cosine rerank via bounded-heap
    * top-k. Output schema matches the other ANN tiers:

@@ -317,6 +317,21 @@ class CurationSpec extends AnyFunSuite {
     assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
   }
 
+  test("IVF model save/load round-trips bit-identically and reproduces search") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = graft.pipeline.IVF.train(emb, "vec_id", "embedding", k = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/model"
+    graft.pipeline.IVF.save(model, path, spark)
+    val loaded = graft.pipeline.IVF.load(path, spark)
+    assert(loaded.centroids.map(_.toSeq).toSeq === model.centroids.map(_.toSeq).toSeq)
+    val qs = emb.filter($"vec_id" < 5)
+    val a = graft.pipeline.IVF.topK(emb, qs, "vec_id", "embedding", 10, model)
+      .collect().map(_.toSeq)
+    val b = graft.pipeline.IVF.topK(emb, qs, "vec_id", "embedding", 10, loaded)
+      .collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
   // --- decontamination -----------------------------------------------------
 
   test("contamination counts distinct shared shingles and test docs") {
