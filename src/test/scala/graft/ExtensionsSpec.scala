@@ -11,12 +11,10 @@ class ExtensionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(ext)
     import org.apache.spark.sql.graftshim.GraftShim
     val injected = GraftShim.applyInjectedFunctions(ext, GraftShim.builtinRegistryClone())
-    // both paths read TopnFunctions.catalog, so asserting every catalog
-    // name resolves covers the whole surface (topn family + pipeline fns)
-    for (name <- Seq("topn_add_agg", "topn_union_agg", "topn", "topn_add",
-        "topn_union", "topn_to_json", "topn_add_weighted_agg", "topn_rows",
-        "cosine_sim", "simhash64", "token_shingles", "minhash_signature",
-        "topk_by_score", "lsh_buckets")) {
+    // both paths read TopnFunctions.catalog — iterate it so a function
+    // added to one surface can never silently miss the other
+    assert(TopnFunctions.catalog.size >= 21, "catalog unexpectedly shrank")
+    for ((name, _, _) <- TopnFunctions.catalog) {
       assert(injected.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier(name)), name)
     }
