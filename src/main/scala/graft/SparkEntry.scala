@@ -735,9 +735,15 @@ object SparkEntry {
     // connected components over the exact Jaccard pairs, via transitive
     // closure (small pair set at oracle scale); cluster_id = component min.
     // NO shingle-DF cap here: the Spark side clusters minhashLshPairs,
-    // whose banding path has no DF cap either (matching dedup_minhash_lsh's
-    // uncapped oracle) — a capped oracle would undercount shared shingles
-    // under heavy duplication and spuriously diverge.
+    // whose band buckets are tiled — never dropped (PairGen.allPairs,
+    // hardMaxBucket unset) — so a capped oracle would undercount shared
+    // shingles under heavy duplication and spuriously diverge. The oracle's
+    // exact-pair equivalence IS corpus-contingent on banding recall: 8
+    // bands x 4 rows catches a jaccard-0.5 pair w.p. ~0.4, and this corpus
+    // happens to have no moderate-similarity pair the banding misses
+    // (dedup_minhash_lsh proves LSH == exact against the same oracle). If
+    // the test corpus ever gains such pairs, widen bands before blaming
+    // the operator.
     "dedup_clusters" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
@@ -822,7 +828,7 @@ object SparkEntry {
     "corpus_mix" ->
       """SELECT source, COUNT(*) AS n_kept
         |FROM documents
-        |WHERE ((doc_id % 1000003) * 2654435761 + 7) % 4294967296 % 100 <
+        |WHERE ((doc_id % 1000003 + 7) * 2654435761) % 4294967296 % 100 <
         |  CASE WHEN source IN ('src0','src1','src2') THEN 100
         |       WHEN source IN ('src3','src4','src5') THEN 50 ELSE 25 END
         |GROUP BY 1 ORDER BY source""".stripMargin,

@@ -29,8 +29,11 @@ import org.apache.spark.sql.types.LongType
 object PrefixSum {
 
   /**
-   * Append `outCol` = inclusive running sum of `valueCol` (cast to long)
-   * over the global `orderCol` ordering.
+   * Append `outCol` = inclusive running sum of `valueCol` (summed as long —
+   * fractional values are truncated toward zero for the SUM ONLY) over the
+   * global `orderCol` ordering. The caller's `valueCol` passes through with
+   * its original type and values — the long cast lives in an internal
+   * column that never reaches the output.
    *
    * EAGER: calling this runs two Spark jobs immediately (the range
    * shuffle + per-partition-totals collect) — unlike ordinary DataFrame
@@ -45,17 +48,22 @@ object PrefixSum {
       numPartitions: Int = 0): DataFrame = {
     require(!df.columns.contains(outCol),
       s"input already has a '$outCol' column; pick another outCol")
+    val tmp = "__graft_prefix_val"
+    require(!df.columns.contains(tmp),
+      s"input already has a '$tmp' column; rename it")
     val spark = df.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
 
+    // the long cast rides in a TRAILING internal column so the caller's
+    // valueCol keeps its type/values in the output (no silent truncation)
     val sorted = df
-      .withColumn(valueCol, col(valueCol).cast("long"))
+      .withColumn(tmp, col(valueCol).cast("long"))
       .repartitionByRange(parts, col(orderCol))
       .sortWithinPartitions(orderCol)
     val schema = sorted.schema
-    val vIdx = schema.fieldIndex(valueCol)
+    val vIdx = schema.fieldIndex(tmp) // == schema.length - 1
 
     // ONE RDD instance: the range partitioner's sampled boundaries are
     // computed once; the collect job's shuffle map output is reused by the
@@ -76,9 +84,12 @@ object PrefixSum {
       var run = bc.value(pid)
       it.map { r =>
         if (!r.isNullAt(vIdx)) run += r.getLong(vIdx)
-        Row.fromSeq(r.toSeq :+ run)
+        // drop the trailing internal cast column, append the running sum
+        Row.fromSeq(r.toSeq.init :+ run)
       }
     }
-    spark.createDataFrame(withRun, schema.add(outCol, LongType, nullable = false))
+    spark.createDataFrame(withRun,
+      org.apache.spark.sql.types.StructType(schema.fields.init)
+        .add(outCol, LongType, nullable = false))
   }
 }

@@ -101,6 +101,10 @@ object Clustering {
         .localCheckpoint(false)
 
       val nfp = fingerprint(next)
+      // fingerprint(next) materialized next's checkpoint, so the previous
+      // round's blocks are dead weight — free them, or executor storage
+      // grows linearly with rounds for the life of the job
+      org.apache.spark.sql.graftshim.GraftShim.unpersistCheckpoint(edges)
       done = nfp == fp
       edges = next
       fp = nfp

@@ -15,10 +15,13 @@ import org.apache.spark.sql.graftshim.GraftShim
  *    from equi-joins on shared shingles / LSH band buckets / SimHash chunks,
  *    which Spark executes as shuffled hash joins partitioned by the bucket
  *    key — each bucket's pairs are generated locally on one executor.
- *  - Hot buckets (a shingle shared by millions of docs) are the skew risk:
- *    `jaccardPairs` drops shingles with document-frequency above a cap
- *    (they carry almost no similarity signal but quadratic pair cost), the
- *    standard trick; AQE skew-join handles the residual.
+ *  - Hot buckets (a duplication flood landing in one band/chunk bucket) are
+ *    the skew risk. The LSH tiers tile oversize buckets across tasks with
+ *    exact recall ([[PairGen.allPairs]]) — a near-dup flood is precisely
+ *    the input dedup exists for, so it is never silently dropped.
+ *    `jaccardPairs` is the exception: its cap is a *semantic*
+ *    document-frequency guard (stop-shingles carry almost no similarity
+ *    signal but quadratic pair cost), documented in its contract.
  *  - All outputs are deterministic: pair ids ordered (a < b), ratios of
  *    exact integer counts.
  */
@@ -128,7 +131,8 @@ object Dedup {
       bands: Int = 8,
       n: Int = 3,
       seed: Long = 42L,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000,
+      hardMaxBucket: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
 
@@ -154,12 +158,14 @@ object Dedup {
       }).as("bk"))
       .select($"doc_id", $"bk.band", $"bk.bh")
 
-    // Skew guard: a band bucket of b docs generates b^2/2 candidate pairs;
-    // buckets past `maxBucket` (typically exact-duplicate clusters — run
-    // exactGroups first) are DROPPED, trading recall for bounded work.
-    val candidates = PairGen.explodePairs(
-      PairGen.buckets(banded, Seq($"band", $"bh"), $"doc_id", maxBucket),
-      "xs", "doc_a", "doc_b")
+    // Hot-bucket handling: a band bucket of b docs carries b^2/2 candidate
+    // pairs — a duplication flood, the case dedup exists for. Buckets past
+    // `maxBucket` are TILED (recall-preserving, work spread across tasks;
+    // see [[PairGen.allPairs]]), never dropped; `hardMaxBucket` is the
+    // explicit opt-in bound for callers that prefer bounded work.
+    val candidates = PairGen.allPairs(
+      banded, Seq($"band", $"bh"), $"doc_id", maxBucket,
+      "doc_a", "doc_b", hardMaxBucket)
       .distinct()
 
     // exact-Jaccard verification of candidates only
@@ -205,7 +211,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxDist: Int = 3,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000,
+      hardMaxBucket: Int = Int.MaxValue): DataFrame = {
     val hashed = docs.select(
       col(idCol).as("doc_id"),
       simhash64(TextAnalysis.tokens(col(textCol))).as("sh"))
@@ -214,11 +221,11 @@ object Dedup {
       $"doc_id", $"sh", explode(simhashChunks($"sh", maxDist)).as("bk"))
       .select($"doc_id", $"sh", $"bk.chunk", $"bk.cv")
 
-    // one shuffle by (chunk, chunkValue); pairs generated inside buckets
-    // same skew guard as minhashLshPairs: oversize chunk buckets dropped
-    PairGen.explodePairs(
-      PairGen.buckets(blocked, Seq($"chunk", $"cv"), struct($"doc_id", $"sh"), maxBucket),
-      "xs", "pa", "pb")
+    // one shuffle by (chunk, chunkValue); pairs generated inside buckets.
+    // Hot chunk buckets are tiled, not dropped (see [[PairGen.allPairs]]).
+    PairGen.allPairs(
+      blocked, Seq($"chunk", $"cv"), struct($"doc_id", $"sh"), maxBucket,
+      "pa", "pb", hardMaxBucket)
       .select($"pa.doc_id".as("doc_a"), $"pb.doc_id".as("doc_b"),
         bit_count($"pa.sh".bitwiseXOR($"pb.sh")).as("hamming"))
       .filter($"hamming" <= maxDist)

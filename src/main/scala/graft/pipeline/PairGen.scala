@@ -43,7 +43,10 @@ private[graft] object PairGen {
 
   /** groupBy(keys) -> sorted collect_list(item) -> size guard [2, maxBucket].
     * Oversize buckets are dropped WHOLE (the standard skew guard: they carry
-    * quadratic pair cost and near-zero similarity signal). */
+    * quadratic pair cost and near-zero similarity signal). Used where the
+    * cap is part of the operator's documented semantics (the Jaccard
+    * document-frequency cap); the LSH tiers use [[allPairs]], which keeps
+    * every pair. */
   def buckets(
       df: DataFrame,
       keys: Seq[Column],
@@ -52,4 +55,84 @@ private[graft] object PairGen {
     df.groupBy(keys: _*)
       .agg(sort_array(collect_list(item)).as("xs"))
       .filter(size(col("xs")) >= 2 && size(col("xs")) <= maxBucket)
+
+  /**
+   * All ordered pairs from each key group — recall-preserving hot-bucket
+   * handling. Buckets up to `tileSize` members take the [[explodePairs]]
+   * fast path unchanged. A hot bucket (a duplication flood — exactly the
+   * case dedup exists for) is NOT dropped: its b×b pair matrix is cut into
+   * `ceil(b/tileSize)²/2` tiles of at most `tileSize`² pairs, the tiles are
+   * spread across the cluster with a round-robin repartition that only hot
+   * buckets pay for, and pairs stream out of each tile through the same
+   * chained-generator idiom. Recall is exact at every bucket size; what was
+   * silent data loss is now just distributed work.
+   *
+   * Why tiling instead of re-banding oversize buckets with extra signature
+   * bits: an exact-duplicate flood has IDENTICAL signatures, so any
+   * signature-derived sub-key puts the whole flood back into one bucket at
+   * every depth and forces a drop anyway; tiling needs no signal from the
+   * items at all. The O(b²) pair count itself is irreducible — those pairs
+   * are the answer — so the only degrees of freedom are per-task memory
+   * (bounded: a tile row holds two ≤`tileSize` chunks, never the full
+   * bucket, never the pair array) and distribution (the repartition).
+   *
+   * `hardMaxBucket` is an explicit opt-in work bound: buckets beyond it are
+   * dropped whole (a 10M-member bucket implies 5×10¹³ pairs — no engine
+   * should emit that by accident). The default keeps everything; callers
+   * that prefer bounded work over exact recall set it deliberately.
+   *
+   * Sorted-bucket ordering guarantee: because `xs` is sorted and tiles are
+   * contiguous slices, every emitted pair satisfies a <= b in the array
+   * element order — identical to the fast path (equal elements from
+   * duplicate inputs can pair with themselves in both paths; callers that
+   * must exclude them filter a < b, as they do today).
+   */
+  def allPairs(
+      df: DataFrame,
+      keys: Seq[Column],
+      item: Column,
+      tileSize: Int,
+      aName: String,
+      bName: String,
+      hardMaxBucket: Int = Int.MaxValue): DataFrame = {
+    require(tileSize >= 2, s"tileSize must be >= 2, got $tileSize")
+    val agged = df.groupBy(keys: _*)
+      .agg(sort_array(collect_list(item)).as("xs"))
+      .filter(size(col("xs")) >= 2 && size(col("xs")) <= hardMaxBucket)
+
+    // Fast path: the whole bucket is one diagonal tile; no extra shuffle.
+    // (Catalyst's ReuseExchange dedupes the groupBy exchange under the two
+    // filter branches, so the source is still scanned once.)
+    val smallPairs =
+      explodePairs(agged.filter(size(col("xs")) <= tileSize), "xs", aName, bName)
+
+    // Hot path: tile the pair matrix. (i, j) with 0 <= i <= j < nc; each
+    // tile row carries ONLY its two chunks (sliced before the repartition,
+    // so the shuffle moves O(b²/tileSize) elements, never O(b²) pairs and
+    // never nc² copies of the full bucket).
+    val tiles = agged.filter(size(col("xs")) > tileSize)
+      .select(col("xs"),
+        ceil(size(col("xs")).cast("double") / tileSize).cast("int").as("nc"))
+      .select(col("xs"), col("nc"), explode(sequence(lit(0), col("nc") - 1)).as("i"))
+      .select(col("xs"), col("i"), explode(sequence(col("i"), col("nc") - 1)).as("j"))
+      // chunk extraction staged BELOW the explodes (own projection — a
+      // non-generator expression in the same select would be hoisted above
+      // the Generate and re-evaluated per emitted row)
+      .select(
+        slice(col("xs"), col("i") * tileSize + 1, lit(tileSize)).as("ca"),
+        slice(col("xs"), col("j") * tileSize + 1, lit(tileSize)).as("cb"),
+        (col("i") === col("j")).as("diag"))
+      .repartition() // round-robin: spread one hot bucket's tiles across tasks
+
+    // Per tile: anchors from ca; partners are ca's strict suffix on the
+    // diagonal (within-chunk pairs, ca == cb there) or all of cb off it.
+    val bigPairs = tiles
+      .select(col("cb"), col("diag"), posexplode(col("ca")).as(Seq("__i", aName)))
+      .select(col(aName),
+        explode(when(col("diag"),
+          slice(col("cb"), col("__i") + lit(2), size(col("cb")) - col("__i") - lit(1)))
+          .otherwise(col("cb"))).as(bName))
+
+    smallPairs.union(bigPairs)
+  }
 }

@@ -26,12 +26,21 @@ object Sampling {
   /** Portable deterministic bucket in [0, 100) for a NON-NEGATIVE id
     * (negative ids produce negative remainders — in both Spark and
     * standard SQL engines alike — which land every such row in the first
-    * split; hash string/negative keys with [[xxhashBucket]] instead). */
+    * split; hash string/negative keys with [[xxhashBucket]] instead).
+    *
+    * The salt is folded in BEFORE the multiply so it participates in the
+    * mixing: differently-salted draws decorrelate instead of merely
+    * rotating every bucket by a constant. Salt is bounded by 2^31 so
+    * `(id % 1000003 + salt) * 2654435761` stays under 2^63 (no silent
+    * overflow in any engine). Lattice caveat, inherent to the portable
+    * mod-first reduction: ids exactly 1 000 003 apart always share a
+    * bucket at every salt — for adversarially patterned ids use
+    * [[xxhashBucket]], which mixes the full 64-bit id. */
   def hashBucket(id: Column, salt: Long = 0L): Column = {
-    require(salt >= 0L && salt < 4294967296L,
-      s"salt must be in [0, 2^32), got $salt (a negative salt can produce " +
-        "negative buckets, breaking 0%/100% sampling guarantees)")
-    ((id.cast("long") % lit(1000003L)) * lit(2654435761L) + lit(salt)) %
+    require(salt >= 0L && salt < 2147483648L,
+      s"salt must be in [0, 2^31), got $salt (negative salts can produce " +
+        "negative buckets; larger salts overflow the portable 64-bit mix)")
+    ((id.cast("long") % lit(1000003L) + lit(salt)) * lit(2654435761L)) %
       lit(4294967296L) % lit(100L)
   }
 
@@ -132,7 +141,7 @@ object Sampling {
    * scale-safe two-pass [[graft.operators.PrefixSum.runningSum]] — no
    * single-partition window over the data.
    *
-   * Requires globally unique, non-negative weights and unique ids.
+   * Requires non-negative weights and globally unique ids.
    */
   def packByBudget(
       df: DataFrame,
@@ -147,9 +156,12 @@ object Sampling {
       // integer division (DIV) — exact at any magnitude, unlike `/` which
       // goes through double and misrounds past 2^53. COALESCE matches
       // runningSum's null-weight-as-0 contract (a bare `run - NULL` would
-      // throw the row into a NULL bin instead of the open one).
+      // throw the row into a NULL bin instead of the open one). The inner
+      // CAST mirrors what runningSum summed — the output weight column
+      // itself keeps the caller's type untouched.
       .withColumn("bin",
-        expr(s"CAST((__graft_run - COALESCE(`$weightCol`, 0L)) DIV ${budget}L AS BIGINT)"))
+        expr(s"CAST((__graft_run - COALESCE(CAST(`$weightCol` AS BIGINT), 0L))" +
+          s" DIV ${budget}L AS BIGINT)"))
       .drop("__graft_run")
   }
 }

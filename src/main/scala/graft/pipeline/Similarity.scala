@@ -196,9 +196,9 @@ object Similarity {
    *  2. one shuffle by bucket; candidate ID pairs stream out of each bucket
    *     via the chained-generator idiom ([[PairGen]]) — peak per-row memory
    *     is one id array (8 bytes x bucket size), never the O(b²) pair array,
-   *     and never a vector. Same `maxBucket` skew guard as the dedup
-   *     operators (oversize buckets dropped whole, trading recall for
-   *     bounded work);
+   *     and never a vector. Buckets past `maxBucket` are tiled across tasks
+   *     with exact recall ([[PairGen.allPairs]]), never silently dropped;
+   *     `hardMaxBucket` opts into dropping as an explicit work bound;
    *  3. one shuffle by packed pair id dedupes multi-table collisions while
    *     pairs are still 8-byte longs;
    *  4. vectors are joined back by id (two shuffled equi-joins that touch
@@ -225,14 +225,15 @@ object Similarity {
       bitsPerTable: Int = 4,
       tables: Int = 16,
       seed: Long = 42L,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000,
+      hardMaxBucket: Int = Int.MaxValue): DataFrame = {
     val blocked = vectors.select(
       packableId(col(idCol), idCol, "lshNearDupPairs").as("vid"),
       explode(lshBuckets(col(vecCol), dim, bitsPerTable, tables, seed)).as("bucket"))
 
-    val pairs = PairGen.explodePairs(
-      PairGen.buckets(blocked, Seq(col("bucket")), col("vid"), maxBucket),
-      "xs", "vid_a", "vid_b")
+    val pairs = PairGen.allPairs(
+      blocked, Seq(col("bucket")), col("vid"), maxBucket,
+      "vid_a", "vid_b", hardMaxBucket)
       .filter(col("vid_a") < col("vid_b")) // drop self-pairs from duplicate ids
       .select(packPair(col("vid_a"), col("vid_b")).as("pair"))
       .distinct() // multi-table collision dedup on 8-byte keys

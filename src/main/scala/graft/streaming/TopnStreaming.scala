@@ -386,15 +386,19 @@ object TopnStreaming {
    * itself.
    *
    * State per bucket is capped at `maxBucket` (id, hash) entries with
-   * FIFO (oldest-first) eviction. NOTE this differs from the batch tier's
-   * guard: [[graft.pipeline.Dedup.simhashPairs]] drops an oversized bucket
-   * WHOLE (emits no pairs for it, default cap 10000), while the streaming
-   * tier keeps emitting against the `maxBucket` most recent residents
-   * (default 1000 — state-store bytes are the scarcer resource). So on a
-   * bucket hotter than the cap the two tiers legitimately diverge:
-   * streaming trades recall against OLD residents for bounded state, batch
-   * trades the whole bucket for bounded work. Run the cheap
-   * [[streamingExactDedup]] upstream so exact-dup floods never reach here.
+   * FIFO (oldest-first) eviction applied AS residents are inserted, so
+   * per-doc work is bounded by `maxBucket` even when a flood lands in one
+   * micro-batch (O(batch * maxBucket) pair emission, never O(batch²)).
+   * NOTE this differs from the batch tier's hot-bucket handling:
+   * [[graft.pipeline.Dedup.simhashPairs]] tiles an oversized bucket across
+   * tasks with exact recall (unbounded work, default tile 10000), while
+   * the streaming tier keeps emitting against the `maxBucket` most recent
+   * residents (default 1000 — state-store bytes are the scarcer resource).
+   * So on a bucket hotter than the cap the two tiers legitimately diverge:
+   * streaming trades recall against OLD residents for bounded state and
+   * latency, batch pays the full quadratic cost for exact recall. Run the
+   * cheap [[streamingExactDedup]] upstream so exact-dup floods never reach
+   * here.
    * `stateTtl` (processing-time) additionally expires idle buckets —
    * without it, state grows with the number of distinct chunk values seen
    * over the stream's lifetime.
@@ -434,22 +438,32 @@ object TopnStreaming {
             Iterator.empty
           } else {
           val st = if (state.exists) state.get else BucketState(Nil, Nil)
-          val residents = scala.collection.mutable.ArrayBuffer.from(st.ids.zip(st.hashes))
+          // deque + id set: O(1) membership and FIFO eviction, so per-doc
+          // work is bounded by maxBucket even WITHIN a batch — a flood
+          // arriving in one micro-batch does O(batch * maxBucket) pair
+          // emission, never O(batch^2), and the buffer never outgrows the
+          // state cap mid-loop
+          val residents = scala.collection.mutable.ArrayDeque.from(st.ids.zip(st.hashes))
+          val resSet = scala.collection.mutable.HashSet.from(st.ids)
           val out = scala.collection.mutable.ArrayBuffer[NearDupPair]()
           // sort the batch by id: deterministic pair generation + eviction
           rows.toSeq.sortBy(_._2).foreach { case (_, id, sh) =>
-            if (!residents.exists(_._1 == id)) {
+            if (!resSet.contains(id)) {
               residents.foreach { case (oid, osh) =>
                 val d = java.lang.Long.bitCount(sh ^ osh)
                 if (d <= maxDist)
                   out += (if (oid < id) NearDupPair(oid, id, d)
                           else NearDupPair(id, oid, d))
               }
+              while (residents.size >= maxBucket) {
+                val (eid, _) = residents.removeHead()
+                resSet -= eid
+              }
               residents += ((id, sh))
+              resSet += id
             }
           }
-          val bounded = residents.takeRight(maxBucket)
-          state.update(BucketState(bounded.map(_._1).toSeq, bounded.map(_._2).toSeq))
+          state.update(BucketState(residents.map(_._1).toSeq, residents.map(_._2).toSeq))
           stateTtl.foreach(state.setTimeoutDuration)
           out.iterator
           }

@@ -63,4 +63,17 @@ object GraftShim {
     ext.registerFunctions(registry)
 
   def builtinRegistryClone(): FunctionRegistry = FunctionRegistry.builtin.clone()
+
+  /**
+   * Free the block-manager storage held by a `localCheckpoint`'ed Dataset.
+   * `Dataset.unpersist` only covers CacheManager entries; a checkpoint's
+   * blocks belong to the RDD inside its `LogicalRDD` plan, reachable only
+   * from the private[sql] execution layer. No-op on non-checkpoint plans.
+   */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    ClassicConversions.castToImpl(df).queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -200,6 +200,31 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("differently-salted samples are near-independent draws, not rotations") {
+    // The salt folds in BEFORE the multiply. Two 50% samples with different
+    // salts must overlap like independent draws (~25% of the population);
+    // the old post-multiply salt made them ~82%-correlated rotations.
+    val n = 10000L
+    val ids = (0L until n).toDF("id")
+    def sample(salt: Long) = Sampling.deterministicSample(ids, "id", lit(50), salt)
+      .as[Long].collect().toSet
+    val a = sample(0L)
+    val b = sample(9L)
+    val overlap = (a & b).size.toDouble / n
+    assert(overlap > 0.20 && overlap < 0.30,
+      s"expected ~0.25 (independent 50% draws), got $overlap")
+    // documented lattice caveat stays true at every salt: ids exactly
+    // 1,000,003 apart share a bucket (use xxhashBucket to break it)
+    for (salt <- Seq(0L, 9L, 12345L)) {
+      val buckets = Seq(5L, 5L + 1000003L, 5L + 2 * 1000003L).toDF("id")
+        .select(Sampling.hashBucket(col("id"), salt)).as[Long].collect()
+      assert(buckets.distinct.length === 1)
+      val xx = Seq(5L, 5L + 1000003L, 5L + 2 * 1000003L).toDF("id")
+        .select(Sampling.xxhashBucket(col("id"), salt)).as[Long].collect()
+      assert(xx.distinct.length > 1)
+    }
+  }
+
   test("split/sample guardrails: shadowed weights, negative salt, column collisions") {
     val ids = (0L until 10L).toDF("id")
     // weights summing to 100 but with a non-positive member are rejected
@@ -238,7 +263,7 @@ class CurationSpec extends AnyFunSuite {
     assert(row.getAs[Long]("b") ===
       ((7L % 1000003L) * 2654435761L) % 4294967296L % 100L)
     assert(row.getAs[Long]("bs") ===
-      ((7L % 1000003L) * 2654435761L + 9L) % 4294967296L % 100L)
+      ((7L % 1000003L + 9L) * 2654435761L) % 4294967296L % 100L)
     assert(row.getAs[String]("red") === "mail <EMAIL> at <IP>")
     val pc = row.getStruct(row.fieldIndex("pc"))
     assert(pc.getInt(pc.fieldIndex("n_emails")) === 1)

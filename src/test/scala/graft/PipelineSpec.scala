@@ -288,6 +288,83 @@ class PipelineSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("PairGen.allPairs: tiled hot buckets emit exactly the fast path's pairs (property)") {
+    import org.scalacheck.{Gen, Prop}
+    // buckets up to 23 ids with tileSize 4 force multi-tile decomposition,
+    // including duplicate ids (a dup flood has equal elements)
+    val prop = Prop.forAll(
+      Gen.mapOf(Gen.zip(Gen.chooseNum(0, 3),
+        Gen.listOfN(23, Gen.chooseNum(0L, 9L))))) { buckets =>
+      val rows = buckets.toSeq.flatMap { case (b, ids) => ids.map(b -> _) }
+      rows.isEmpty || {
+        val df = spark.createDataFrame(rows).toDF("bucket", "id")
+        def pairs(tile: Int) = graft.pipeline.PairGen.allPairs(
+          df, Seq(col("bucket")), col("id"), tile, "a", "b")
+          .groupBy("a", "b").count().as[(Long, Long, Long)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+        // multiset equality: tiling must not lose OR duplicate any pair
+        pairs(4) == pairs(1000)
+      }
+    }
+    val cfg = org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15)
+    val res = org.scalacheck.Test.check(cfg, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("allPairs hardMaxBucket is the only drop path and is opt-in") {
+    val df = (0L until 30L).map(i => ("hot", i)).toDF("bucket", "id")
+    val kept = graft.pipeline.PairGen.allPairs(
+      df, Seq(col("bucket")), col("id"), 5, "a", "b").count()
+    assert(kept === 30L * 29 / 2) // default: tiled, nothing dropped
+    val dropped = graft.pipeline.PairGen.allPairs(
+      df, Seq(col("bucket")), col("id"), 5, "a", "b", hardMaxBucket = 20).count()
+    assert(dropped === 0L) // explicit bound drops the oversize bucket whole
+  }
+
+  test("near-dup flood past maxBucket: LSH dedup keeps the exact pair set") {
+    // The round-6 failure mode: a flood of TEMPLATED (near-dup, not exact)
+    // spam larger than maxBucket used to blow the band-bucket cap and
+    // silently lose every pair in it. With tiling, a tiny maxBucket must
+    // reproduce the unconstrained run bit for bit.
+    val flood = (0L until 60L).map(i =>
+      (i, s"breaking news spam template number thing item $i click here now"))
+    val dups = (100L until 120L).map(i =>
+      (i, "an exactly duplicated document body repeated many times over"))
+    val clean = Seq((200L, "completely unrelated text about turtles and rivers"),
+      (201L, "another unique document discussing compilers"))
+    val docs = (flood ++ dups ++ clean).toDF("doc_id", "text")
+
+    def run(cap: Int) = Dedup.minhashLshPairs(
+      docs, "doc_id", "text", threshold = 0.5, maxBucket = cap)
+      .as[(Long, Long, Double)].collect().toSet
+    val constrained = run(8) // every flood/dup bucket overflows -> tiled
+    val reference = run(1000000) // fast path everywhere
+    assert(constrained === reference)
+    // and the flood itself was actually caught, not vacuously equal
+    assert(reference.exists(p => p._1 < 60L && p._2 < 60L))
+    assert(reference.count(p => p._1 >= 100L && p._2 < 200L) === 20 * 19 / 2)
+
+    // same guarantee for the SimHash tier
+    def runSim(cap: Int) = Dedup.simhashPairs(docs, "doc_id", "text",
+      maxDist = 3, maxBucket = cap).as[(Long, Long, Long)].collect().toSet
+    assert(runSim(8) === runSim(1000000))
+    assert(runSim(8).nonEmpty)
+  }
+
+  test("embedding near-dup flood past maxBucket keeps the exact pair set") {
+    val base = Array.tabulate(8)(i => 0.1f * (i + 1))
+    // 40 near-identical vectors (one coordinate nudged) + a few far ones
+    val rows = (0L until 40L).map { i =>
+      val v = base.clone(); v((i % 8).toInt) += 0.001f * (i / 8 + 1); (i, v.toSeq)
+    } ++ Seq((50L, Seq.fill(8)(-1.0f)), (51L, (1 to 8).map(i => (9 - i) * -0.2f)))
+    val vecs = rows.toDF("id", "vec")
+    def run(cap: Int) = Similarity.lshNearDupPairs(
+      vecs, "id", "vec", topPairs = 100, dim = 8, maxBucket = cap)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(run(6) === run(1000000))
+    assert(run(6).size === 100)
+  }
+
   test("exact dedup groups: normalized variants share a fingerprint") {
     val d = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
       .toDF("doc_id", "text")
