@@ -433,6 +433,21 @@ object SparkEntry {
         .orderBy($"bin")
     }),
 
+    // token-budget packing under the pluggable BPE tokenizer (demo merge
+    // table): same packing operator, vocabulary-aware weights — budgets
+    // now approximate an LLM context window instead of word counts. The
+    // merge walk is a deterministic composition of string built-ins, so
+    // DuckDB replays it bit-for-bit (Bpe.duckdbTokenCountSql).
+    "pack_bins_bpe" -> ((spark, dir) => {
+      import spark.implicits._
+      val withTokens = tbl(spark, dir, "documents").select($"doc_id",
+        graft.pipeline.Bpe.tokenCount($"text").cast("long").as("n_tokens"))
+      graft.pipeline.Sampling.packByBudget(withTokens, "doc_id", "n_tokens", budget = 2048L)
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("bin_tokens"))
+        .orderBy($"bin")
+    }),
+
     // test-set decontamination: training docs sharing word-trigrams with
     // the held-out slice (doc_id % 7 == 0 stands in for an eval benchmark)
     "decontaminate" -> ((spark, dir) => {
@@ -837,6 +852,21 @@ object SparkEntry {
       """WITH t AS (
         |  SELECT doc_id,
         |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        |  FROM t)
+        |SELECT (run - n_tokens) // 2048 AS bin,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+        |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "pack_bins_bpe" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(${graft.pipeline.Bpe.duckdbTokenCountSql("text")} AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, n_tokens,

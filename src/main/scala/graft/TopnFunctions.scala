@@ -142,7 +142,11 @@ object TopnFunctions {
     ("doc_fingerprint",
       "doc_fingerprint(text) - md5 of case-folded, whitespace-collapsed text (exact-dedup key)",
       arity("doc_fingerprint", 1, 1)(exprs =>
-        GraftShim.analyzableExpression(graft.pipeline.TextAnalysis.fingerprint(GraftShim.column(exprs.head))))))
+        GraftShim.analyzableExpression(graft.pipeline.TextAnalysis.fingerprint(GraftShim.column(exprs.head))))),
+    ("bpe_token_count",
+      "bpe_token_count(text) - token count under the built-in demo BPE merge table (vocabulary-aware budget weight)",
+      arity("bpe_token_count", 1, 1)(exprs =>
+        GraftShim.analyzableExpression(graft.pipeline.Bpe.tokenCount(GraftShim.column(exprs.head))))))
 
   /** Register all functions in the session's function registry (usable from
     * `spark.sql` and, mixed with Columns, from the DataFrame API). */

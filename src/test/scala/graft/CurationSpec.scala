@@ -241,6 +241,60 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  // --- BPE tokenizer -------------------------------------------------------
+
+  /** Independent reference implementation of the single-pass merge walk. */
+  private def refBpeCount(text: String, merges: Seq[(String, String)]): Int = {
+    val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+    toks.map { w =>
+      var s = w.toCharArray.map(_.toString).mkString(" ")
+      merges.foreach { case (a, b) => s = s.replace(s"$a $b", a + b) }
+      s.split(" ").length
+    }.sum
+  }
+
+  test("BPE token count matches an independent merge-walk implementation") {
+    import graft.pipeline.Bpe
+    val samples = Seq(
+      "the quick brown fox",
+      "running and jumping over the things",
+      "a",
+      "  padded   whitespace  everywhere ",
+      "internationalization antidisestablishmentarianism",
+      "mixed CASE And punct-uation, okay?",
+      "")
+    val got = samples.toDF("text")
+      .select(Bpe.tokenCount(col("text")).as("n")).as[Int].collect()
+    val want = samples.map {
+      case t if t.trim.isEmpty => 0
+      case t => refBpeCount(t, Bpe.DemoMerges)
+    }
+    assert(got.toSeq === want)
+    // a merged common word costs fewer tokens than its character count,
+    // and an unmergeable word costs exactly its character count
+    assert(refBpeCount("the", Bpe.DemoMerges) === 1)
+    assert(refBpeCount("xyz", Bpe.DemoMerges) === 3)
+    // SQL surface agrees with the DataFrame API
+    TopnFunctions.register(spark)
+    val viaSql = samples.toDF("text").createOrReplaceTempView("bpe_docs")
+    assert(spark.sql("SELECT bpe_token_count(text) FROM bpe_docs")
+      .as[Int].collect().toSeq === want)
+  }
+
+  test("loadMerges parses the public merges.txt format; custom vocab plugs in") {
+    import graft.pipeline.Bpe
+    val f = java.nio.file.Files.createTempFile("merges", ".txt")
+    java.nio.file.Files.writeString(f,
+      "#version: demo\nq u\nqu i\nz z\n\n")
+    val merges = Bpe.loadMerges(spark, f.toString)
+    assert(merges === Seq(("q", "u"), ("qu", "i"), ("z", "z")))
+    val got = Seq("quiz buzz").toDF("text")
+      .select(Bpe.tokenCount(col("text"), merges)).as[Int].collect().head
+    // quiz: q u i z -> qu i z -> qui z = 2; buzz: b u z z -> b u zz = 3
+    assert(got === 5)
+    java.nio.file.Files.delete(f)
+  }
+
   test("canonicalize keeps one doc per cluster and passes untouched docs through") {
     val docs = (0L to 5L).map(i => (i, s"doc$i")).toDF("id", "payload")
     // clusters {0,1,2} and {4,5}; doc 3 untouched
