@@ -124,6 +124,86 @@ object Clustering {
   }
 
   /**
+   * Incremental connected components: fold a batch of NEW near-dup pairs
+   * into an existing labeling without re-clustering the whole corpus — the
+   * daily-ingest path (a real pipeline adds documents continuously; full
+   * re-clustering is a corpus-sized job, this is a new-edges-sized one).
+   *
+   * `labels` is a previous [[connectedComponents]] (or incrementalUpdate)
+   * output: (doc_id, cluster_id), cluster_id = component minimum. The
+   * result is exactly `connectedComponents(oldPairs ++ newPairs)` restated
+   * over `labels ++ nodes(newPairs)` — verified by CurationSpec against
+   * the batch run on a random edge split.
+   *
+   * How it stays new-edges-sized: each new edge's endpoints are CONTRACTED
+   * to their current representative (their cluster_id; themselves if
+   * unseen). Edges internal to one existing cluster vanish; what's left is
+   * a graph over representatives whose size is bounded by the NEW pair
+   * list, never the corpus. [[connectedComponents]] runs on that contracted
+   * graph, producing rep -> merged-cluster-min; relabeling is then one
+   * broadcast-sized join per side (the rep map is small by the same bound):
+   *  - old rows: cluster_id rewrites through the rep map (hits only
+   *    touched components, everything else passes through);
+   *  - new nodes: their rep's merged label, or their own id when their
+   *    only edges were to themselves.
+   * Because every existing cluster_id is a real doc id (the component
+   * minimum), contracting to cluster ids both preserves connectivity and
+   * keeps the "label = min id" invariant through the merge.
+   *
+   * Scale shape: one shuffle of newPairs for each endpoint lookup against
+   * `labels` (equi-join on doc id — AQE broadcasts `newPairs`' side when
+   * small), the iterative CC on the contracted graph, then broadcast
+   * relabel joins. The corpus-sized `labels` table is scanned once and
+   * never shuffled.
+   */
+  def incrementalUpdate(
+      labels: DataFrame,
+      newPairs: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val reps = labels.select(col("doc_id").as("__n"), col("cluster_id").as("__r"))
+
+    // self-pairs dropped up front, mirroring connectedComponents — a node
+    // appearing ONLY in self-pairs gets no label there either
+    val cleanPairs = newPairs.filter(col(aCol) =!= col(bCol))
+
+    val withReps = cleanPairs
+      .select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .join(reps.select(col("__n").as("__a"), col("__r").as("__ra")), Seq("__a"), "left")
+      .join(reps.select(col("__n").as("__b"), col("__r").as("__rb")), Seq("__b"), "left")
+      .select(
+        coalesce(col("__ra"), col("__a")).as("__u"),
+        coalesce(col("__rb"), col("__b")).as("__v"))
+      .filter(col("__u") =!= col("__v"))
+
+    // CC over the contracted (representative) graph: rep -> merged minimum
+    val repMap = connectedComponents(withReps, "__u", "__v")
+      .select(col("doc_id").as("__rep"), col("cluster_id").as("__merged"))
+
+    // old rows rewrite through the rep map (untouched components pass through)
+    val updatedOld = labels
+      .join(repMap, labels("cluster_id") === col("__rep"), "left")
+      .select(labels("doc_id"),
+        coalesce(col("__merged"), labels("cluster_id")).as("cluster_id"))
+
+    // brand-new nodes: rep == themselves (no labels row). Their merged
+    // label comes from the rep map; a new node whose every contracted edge
+    // collapsed (paired only with one existing cluster... impossible: that
+    // edge survives contraction) always appears in repMap — but a defensive
+    // coalesce keeps isolated ids self-labeled rather than dropped.
+    val newNodes = cleanPairs.select(col(aCol).as("doc_id"))
+      .union(cleanPairs.select(col(bCol).as("doc_id")))
+      .distinct()
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val labeledNew = newNodes
+      .join(repMap, newNodes("doc_id") === col("__rep"), "left")
+      .select(newNodes("doc_id"),
+        coalesce(col("__merged"), newNodes("doc_id")).as("cluster_id"))
+
+    updatedOld.union(labeledNew)
+  }
+
+  /**
    * The keep-list composition most pipelines actually want: drop every
    * document that belongs to a near-dup cluster but is not its canonical
    * (minimum-id) member. Docs not mentioned in `pairs` pass through.

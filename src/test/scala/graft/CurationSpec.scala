@@ -241,6 +241,36 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalUpdate equals batch CC over random edge splits") {
+    val rnd = new Random(7)
+    for (_ <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(80)((rnd.nextLong(n), rnd.nextLong(n)))
+      val (oldE, newE) = edges.splitAt(50)
+      val batch = cc(edges)
+      val base = Clustering.connectedComponents(oldE.toDF("a", "b"), "a", "b")
+      val inc = Clustering.incrementalUpdate(base, newE.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect()
+      assert(inc.length === inc.map(_._1).distinct.length) // one row per node
+      assert(inc.toMap === batch)
+    }
+  }
+
+  test("incrementalUpdate chains; a small-id newcomer takes over the label") {
+    // {10,11} and {20,21} exist; batch 2 bridges them through new node 5,
+    // whose id is smaller than both cluster minima -> every member relabels
+    val base = Clustering.connectedComponents(
+      Seq((10L, 11L), (20L, 21L)).toDF("a", "b"), "a", "b")
+    val step1 = Clustering.incrementalUpdate(
+      base, Seq((5L, 10L)).toDF("a", "b"), "a", "b")
+    val step2 = Clustering.incrementalUpdate(
+      step1, Seq((5L, 20L), (30L, 30L)).toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(step2 === Map(5L -> 5L, 10L -> 5L, 11L -> 5L, 20L -> 5L, 21L -> 5L))
+    // the self-pair-only node 30 gets no row, mirroring batch semantics
+    assert(!step2.contains(30L))
+  }
+
   // --- BPE tokenizer -------------------------------------------------------
 
   /** Independent reference implementation of the single-pass merge walk. */
