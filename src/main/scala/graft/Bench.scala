@@ -1,11 +1,26 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /**
  * Benchmark main: runs every SparkEntry query against
  * `SPARK_GRAFT_SF_DIR` (default sf0.1) on local[32] and prints ONE JSON
- * line `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+ * line `{"metric":"total","value":N,"unit":"sec","queries":{...},
+ * "ops":{...},"growth":{...},"sf":...}`.
+ *
+ *  - `value` / `queries`: the driver's CORRECTNESS queries — `value` is
+ *    their sum (round-over-round comparable; new queries change it, noted
+ *    in docs/BENCH_NOTES.md).
+ *  - `ops`: SparkEntry.benchOnly — the operator subplans of the four
+ *    queries whose correctness spelling embeds an in-plan verification
+ *    twin. These are what a user actually pays for the operator.
+ *  - `growth`: the same operator at 1x / 4x / 10x the input (documents /
+ *    embeddings replicated with per-copy token/noise decorrelation, so
+ *    each copy reproduces the original similarity structure without
+ *    cross-copy near-dups). sf0.1 queries are mostly overhead-bound; the
+ *    growth slopes are where plan regressions actually show. Disable with
+ *    SPARK_GRAFT_GROWTH=0.
  *
  * Config mirrors a production executor profile scaled to one machine:
  * shuffle partitions = cores (not the 200 default), AQE on (runtime
@@ -13,9 +28,82 @@ import org.apache.spark.sql.SparkSession
  * cluster scale).
  */
 object Bench {
+
+  /** `copies` decorrelated replicas of the documents table. Copy i > 0
+    * shifts ids by i*10M and inserts a per-copy marker token between every
+    * word, so word-trigram shingles differ across copies (no cross-copy
+    * near-dups) while each copy's INTERNAL similarity structure — including
+    * its dup floods — replicates the original's. */
+  private[graft] def scaledDocs(spark: SparkSession, dir: String, copies: Int): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    (0 until copies).map { i =>
+      if (i == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        regexp_replace(col("text"), " ", s" x$i ").as("text"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** `copies` decorrelated replicas of the embeddings table: copy i > 0
+    * shifts ids and adds deterministic per-(id, dim, copy) noise of up to
+    * ±0.1 per coordinate, which decorrelates cosine structure across
+    * copies (a scalar rescale would not — cosine is scale-invariant). */
+  private[graft] def scaledEmb(spark: SparkSession, dir: String, copies: Int): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    (0 until copies).map { i =>
+      if (i == 0) emb
+      else emb.select(
+        (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        transform(col("embedding"), (v, j) =>
+          v + (pmod(xxhash64(col("vec_id"), j, lit(i)), lit(1000)) - lit(500))
+            .cast("double") / lit(5000.0d))
+          .cast("array<float>").as("embedding"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Growth suite: name -> (replica counts, plan builder). Counts are kept
+    * small enough that the whole suite stays in low minutes at sf0.1. */
+  private def growthSuite(spark: SparkSession, dir: String)
+      : Seq[(String, Seq[Int], Int => DataFrame)] = Seq(
+    ("g_text_repetition", Seq(1, 4, 10), (c: Int) =>
+      graft.pipeline.TextAnalysis.repetitionStats(
+        scaledDocs(spark, dir, c), "doc_id", "text")),
+    ("g_dedup_exact", Seq(1, 4, 10), (c: Int) =>
+      graft.pipeline.Dedup.exactGroups(scaledDocs(spark, dir, c), "doc_id", "text")),
+    ("g_dedup_minhash_lsh", Seq(1, 4, 10), (c: Int) =>
+      graft.pipeline.Dedup.minhashLshPairs(
+        scaledDocs(spark, dir, c), "doc_id", "text", threshold = 0.5)),
+    ("g_pack_bins", Seq(1, 4, 10), (c: Int) => {
+      val d = scaledDocs(spark, dir, c).select(col("doc_id"),
+        graft.pipeline.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.pipeline.Sampling.packByBudget(d, "doc_id", "n_tokens", budget = 2048L)
+    }),
+    // bitsPerTable rises with n (4/6/7 at 1x/4x/10x) so expected bucket
+    // occupancy stays ~constant — the documented production knob; with
+    // fixed bits the candidate count itself grows quadratically and the
+    // bench would measure the algorithm's intrinsic blowup, not the engine
+    ("g_lsh_neardup", Seq(1, 4, 10), (c: Int) =>
+      graft.pipeline.Similarity.lshNearDupPairs(
+        scaledEmb(spark, dir, c), "vec_id", "embedding", topPairs = 50, dim = 64,
+        bitsPerTable = Map(1 -> 4, 4 -> 6, 10 -> 7)(c))),
+    ("g_dedup_clusters", Seq(1, 4), (c: Int) =>
+      graft.pipeline.Clustering.connectedComponents(
+        graft.pipeline.Dedup.minhashLshPairs(
+          scaledDocs(spark, dir, c), "doc_id", "text", threshold = 0.5),
+        "doc_a", "doc_b")))
+
+  private def time(body: => Unit): Double = {
+    val t0 = System.nanoTime()
+    try body catch { case _: Throwable => return -1.0 }
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val growthOn = sys.env.getOrElse("SPARK_GRAFT_GROWTH", "1") != "0"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -29,20 +117,33 @@ object Bench {
 
     // JVM/codegen warm-up on the smallest SF so per-query numbers measure
     // the engine, not first-call JIT + codegen compilation.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => }
+    (SparkEntry.queries ++ SparkEntry.benchOnly).toSeq.sortBy(_._1).foreach {
+      case (_, fn) =>
+        try fn(spark, "/root/testdata/sf0.001").count()
+        catch { case _: Throwable => }
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> time(fn(spark, sfDir).count())
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
+    val ops = SparkEntry.benchOnly.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> time(fn(spark, sfDir).count())
+    }
+    val growth =
+      if (!growthOn) Seq.empty
+      else growthSuite(spark, sfDir).map { case (name, scales, build) =>
+        name -> scales.map(c => c -> time(build(c).count()))
+      }
+
+    def fmt(kvs: Seq[(String, Double)]) =
+      kvs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val qs = fmt(results)
+    val opsJson = fmt(ops)
+    val growthJson = growth.map { case (name, ts) =>
+      "\"" + name + "\":" + fmt(ts.map { case (c, t) => (s"x$c", t) })
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ops":$opsJson,"growth":$growthJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

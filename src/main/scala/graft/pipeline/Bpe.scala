@@ -24,8 +24,10 @@ import org.apache.spark.sql.functions._
  * of words, and the single-pass walk is what keeps the whole tokenizer
  * inside built-in string expressions — map-side, no UDF, no shuffle.
  *
- * Scale notes: per-row work is O(merges × word length) string scans inside
- * a `transform` lambda — linear in data, embarrassingly parallel, no state.
+ * Scale notes: per-row work is O(merges × document length) string scans,
+ * all whole-stage-codegen'd `replace` steps over the full document (word
+ * boundaries protected by a control-char marker — see [[Marker]]) — linear
+ * in data, embarrassingly parallel, no state, no higher-order functions.
  * The merge table is baked into the PLAN (a few hundred literal
  * replacements), not broadcast at runtime.
  */
@@ -61,28 +63,40 @@ object Bpe {
     ("e", "d"), ("l", "l"), ("o", "f"), ("o", "m"), ("i", "c"),
     ("a", "s"), ("l", "e"), ("e", "l"), ("u", "s"), ("c", "h"))
 
-  /** Spaced-character form of one word: "hello" -> "h e l l o". */
-  private def spaced(w: Column): Column =
-    trim(regexp_replace(w, "(.)", "$1 "))
+  /**
+   * Word-boundary marker (ASCII unit separator). Word boundaries must
+   * survive the merge walk without ever merging across them, so the walk
+   * can run over the WHOLE document as one string — every step a
+   * codegen'd `replace`, no higher-order function (a per-word `transform`
+   * lambda is interpreted and measured ~4x slower at sf0.1). The marker
+   * never matches a rule (rule symbols never contain it), so "e<US>r"
+   * can't merge where "e r" would. Documents that themselves contain the
+   * control char U+001F would miscount — absent from any text corpus.
+   */
+  private val Marker = "\u001f"
 
-  /** Apply every merge rule, in order, to a spaced word. */
-  private def mergedWord(w: Column, merges: Seq[(String, String)]): Column =
-    merges.foldLeft(spaced(w)) { case (acc, (a, b)) =>
+  /** The whole-document merge walk: words joined by [[Marker]], every char
+    * spaced, then each rule applied in order as a global replacement. */
+  private def mergedDoc(text: Column, merges: Seq[(String, String)]): Column = {
+    val marked = regexp_replace(trim(text), "\\s+", Marker)
+    val spacedDoc = trim(regexp_replace(marked, "(.)", "$1 "))
+    merges.foldLeft(spacedDoc) { case (acc, (a, b)) =>
       call_function("replace", acc, lit(s"$a $b"), lit(a + b))
     }
-
-  /** Segment count of a merged spaced word: spaces + 1. */
-  private def segments(m: Column): Column =
-    length(m) - length(call_function("replace", m, lit(" "), lit(""))) + 1
+  }
 
   /**
-   * BPE token count of a document under `merges`: sum of per-word segment
-   * counts after the merge walk. Empty/whitespace-only text counts 0.
+   * BPE token count of a document under `merges`: space-separated pieces
+   * of the merged document, minus the word-boundary markers (words - 1).
+   * Empty/whitespace-only text counts 0. Whole-stage-codegen throughout.
    */
   def tokenCount(text: Column, merges: Seq[(String, String)] = DemoMerges): Column = {
-    val perWord = transform(TextAnalysis.tokens(text), w => segments(mergedWord(w, merges)))
-    when(length(trim(text)) === 0, lit(0))
-      .otherwise(aggregate(perWord, lit(0), (acc, x) => acc + x))
+    require(merges.forall { case (a, b) => !(a + b).contains(Marker) && !(a + b).contains(" ") },
+      "merge symbols must not contain spaces or \\u001f")
+    val m = mergedDoc(text, merges)
+    val pieces = length(m) - length(call_function("replace", m, lit(" "), lit(""))) + 1
+    val nWords = size(split(trim(text), "\\s+"))
+    when(length(trim(text)) === 0, lit(0)).otherwise(pieces - (nWords - 1))
   }
 
   /**
@@ -91,13 +105,13 @@ object Bpe {
    * Kept adjacent to the Spark spelling so the two walks cannot drift.
    */
   def duckdbTokenCountSql(c: String, merges: Seq[(String, String)] = DemoMerges): String = {
-    val spacedW = """trim(regexp_replace(w, '(.)', '\1 ', 'g'))"""
-    val mergedW = merges.foldLeft(spacedW) { case (acc, (a, b)) =>
+    val spacedDoc =
+      s"""trim(regexp_replace(regexp_replace(trim($c), '\\s+', chr(31), 'g'), '(.)', '\\1 ', 'g'))"""
+    val merged = merges.foldLeft(spacedDoc) { case (acc, (a, b)) =>
       s"replace($acc, '$a $b', '$a$b')"
     }
-    val segs = s"(length($mergedW) - length(replace($mergedW, ' ', ''))) + 1"
-    s"""CASE WHEN length(trim($c)) = 0 THEN 0 ELSE
-       | list_sum(list_transform(regexp_split_to_array(trim($c), '\\s+'),
-       |   w -> $segs)) END""".stripMargin.replace("\n", " ")
+    val pieces = s"(length($merged) - length(replace($merged, ' ', ''))) + 1"
+    val nWords = s"len(regexp_split_to_array(trim($c), '\\s+'))"
+    s"CASE WHEN length(trim($c)) = 0 THEN 0 ELSE $pieces - ($nWords - 1) END"
   }
 }

@@ -212,12 +212,30 @@ object Dedup {
       textCol: String,
       maxDist: Int = 3,
       maxBucket: Int = 10000,
-      hardMaxBucket: Int = Int.MaxValue): DataFrame = {
-    val hashed = docs.select(
-      col(idCol).as("doc_id"),
-      simhash64(TextAnalysis.tokens(col(textCol))).as("sh"))
+      hardMaxBucket: Int = Int.MaxValue): DataFrame =
+    fingerprintPairs(
+      docs.select(
+        col(idCol).as("doc_id"),
+        simhash64(TextAnalysis.tokens(col(textCol))).as("sh")),
+      "doc_id", "sh", maxDist, maxBucket, hardMaxBucket)
 
-    val blocked = hashed.select(
+  /**
+   * Near-duplicate pairs over PRECOMPUTED 64-bit fingerprints — the engine
+   * behind [[simhashPairs]], exposed so any 64-bit locality-sensitive hash
+   * plugs into the same exact-recall pigeonhole blocking: text SimHash,
+   * image dHash ([[Multimodal.imageDHash]]), audio chromaprints, ...
+   * Output: (doc_a, doc_b, hamming) with doc_a < doc_b by the id column's
+   * ordering, hamming <= maxDist.
+   */
+  def fingerprintPairs(
+      hashed: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxDist: Int = 3,
+      maxBucket: Int = 10000,
+      hardMaxBucket: Int = Int.MaxValue): DataFrame = {
+    val src = hashed.select(col(idCol).as("doc_id"), col(hashCol).as("sh"))
+    val blocked = src.select(
       $"doc_id", $"sh", explode(simhashChunks($"sh", maxDist)).as("bk"))
       .select($"doc_id", $"sh", $"bk.chunk", $"bk.cv")
 

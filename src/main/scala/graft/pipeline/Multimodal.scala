@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
  * payloads with typed metadata, processed by per-partition decoders.
  *
  * The Spark side — schemas, encoders, partition-batched processing, the
- * explode shape for frame sampling — is real and tested. The actual media
- * decoding is STUBBED with deterministic fakes (this environment has no
- * image/audio codecs); each stub is a single clearly-marked function to
- * swap for a real decoder (e.g. javax.imageio / ffmpeg bindings) without
- * touching the pipeline.
+ * explode shape for frame sampling — is real and tested. IMAGE decoding is
+ * REAL: [[decodeImageDims]] / [[imageDHash]] / [[imageMeta]] run on the
+ * JDK's built-in javax.imageio codecs (PNG/JPEG/GIF/BMP), headless, no
+ * external dependency. Audio/video decoding remains STUBBED with
+ * deterministic fakes (the JDK ships no audio/video codecs); each stub is
+ * a single clearly-marked function to swap for a real decoder (jcodec /
+ * ffmpeg bindings) without touching the pipeline.
  *
  * Scale notes: decode work is a pure `mapPartitions` — no shuffle, linear
  * scan, parallelism = input partitions. Payloads stay off the driver. For
@@ -38,9 +40,12 @@ object Multimodal {
   case class Frame(media_id: Long, frame_idx: Long, frame_offset: Long)
 
   // ------------------------------------------------------------------
-  // STUB DECODERS — deterministic fakes standing in for real codecs.
-  // Swap these bodies for javax.imageio / jcodec / ffmpeg calls; the
-  // Spark pipeline around them is production-shaped.
+  // STUB DECODERS — deterministic fakes standing in for audio/video
+  // codecs (which the JDK does not ship). They also back the driver's
+  // oracle queries, whose payloads are text bytes no real codec accepts.
+  // Swap these bodies for jcodec / ffmpeg calls; the Spark pipeline
+  // around them is production-shaped. Image decoding has a REAL tier
+  // below ([[decodeImageDims]] / [[imageDHash]] / [[imageMeta]]).
   // ------------------------------------------------------------------
 
   /** STUB: "decode" image dimensions from payload bytes (deterministic
@@ -82,6 +87,124 @@ object Multimodal {
       (0L until n).map(i => Frame(m.media_id, i, i * stride))
     }
   }
+
+  // ------------------------------------------------------------------
+  // REAL image tier (javax.imageio — JDK built-in PNG/JPEG/GIF/BMP)
+  // ------------------------------------------------------------------
+
+  /** Decoded image facts: `ok = false` (zeros elsewhere) when no installed
+    * codec accepts the payload — corrupt/truncated files are data, not
+    * exceptions, at corpus scale. `dhash` is the 64-bit difference hash
+    * (see [[imageDHash]]). */
+  case class ImageMeta(
+      media_id: Long, ok: Boolean, byte_len: Long,
+      width: Long, height: Long, dhash: Long)
+
+  /**
+   * REAL image dimensions from the payload's header via javax.imageio —
+   * reader-level `getWidth/getHeight`, which parse the header only and
+   * never decode the raster (cheap enough for a 100 TB metadata sweep).
+   * None when no installed codec recognizes the bytes.
+   */
+  def decodeImageDims(payload: Array[Byte]): Option[(Long, Long)] = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          Some((r.getWidth(0).toLong, r.getHeight(0).toLong))
+        } catch { case _: java.io.IOException => None }
+        finally r.dispose()
+      }
+    } finally if (in != null) in.close()
+  }
+
+  /**
+   * REAL 64-bit difference hash (dHash) of an image payload: full decode,
+   * area-averaged downscale to 9x8 luminance, bit i*8+j = gray(i+1, j) >
+   * gray(i, j). Near-identical images land within a few bits of Hamming
+   * distance, so image near-dup clustering reuses the EXISTING SimHash
+   * pair machinery verbatim — feed (media_id, dhash) into
+   * [[graft.pipeline.Dedup.simhashChunks]]-style blocking or
+   * [[graft.streaming.TopnStreaming.streamingNearDupPairs]]' batch twin.
+   * None when the payload does not decode.
+   */
+  def imageDHash(payload: Array[Byte]): Option[Long] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+    img.map { src =>
+      val (gw, gh) = (9, 8)
+      // area-average into a 9x8 luminance grid (deterministic; no AWT
+      // rendering-hint variance across JVMs)
+      val gray = Array.ofDim[Double](gw, gh)
+      val (w, h) = (src.getWidth, src.getHeight)
+      var gx = 0
+      while (gx < gw) {
+        var gy = 0
+        while (gy < gh) {
+          val x0 = gx * w / gw; val x1 = math.max(x0 + 1, (gx + 1) * w / gw)
+          val y0 = gy * h / gh; val y1 = math.max(y0 + 1, (gy + 1) * h / gh)
+          var sum = 0.0; var n = 0
+          var x = x0
+          while (x < math.min(x1, w)) {
+            var y = y0
+            while (y < math.min(y1, h)) {
+              val rgb = src.getRGB(x, y)
+              sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+                0.114 * (rgb & 0xFF)
+              n += 1; y += 1
+            }
+            x += 1
+          }
+          gray(gx)(gy) = if (n == 0) 0.0 else sum / n
+          gy += 1
+        }
+        gx += 1
+      }
+      var bits = 0L
+      var i = 0
+      while (i < 8) {
+        var j = 0
+        while (j < 8) {
+          if (gray(i + 1)(j) > gray(i)(j)) bits |= 1L << (i * 8 + j)
+          j += 1
+        }
+        i += 1
+      }
+      bits
+    }
+  }
+
+  /** Real image metadata + perceptual hash for every media row — pure
+    * `mapPartitions`, no shuffle, payloads never leave the executor. */
+  def imageMeta(media: Dataset[MediaFile]): Dataset[ImageMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        decodeImageDims(m.payload) match {
+          case Some((w, h)) =>
+            ImageMeta(m.media_id, ok = true, m.payload.length.toLong, w, h,
+              imageDHash(m.payload).getOrElse(0L))
+          case None =>
+            ImageMeta(m.media_id, ok = false, m.payload.length.toLong, 0L, 0L, 0L)
+        }
+      }
+    }
+  }
+
+  /** Image near-duplicate pairs: real dHash fingerprints fed through the
+    * exact-recall pigeonhole pair scan ([[Dedup.fingerprintPairs]] — the
+    * same engine as text SimHash dedup, including hot-bucket tiling).
+    * Undecodable payloads are excluded (they have no fingerprint), not
+    * errors. Output: (doc_a, doc_b, hamming). */
+  def imageNearDupPairs(media: Dataset[MediaFile], maxDist: Int = 3): DataFrame =
+    Dedup.fingerprintPairs(
+      imageMeta(media).filter(col("ok")).toDF(), "media_id", "dhash", maxDist)
 
   /** Lift the documents table into a fake media table (payload = UTF-8
     * bytes of the text, modality round-robins image/audio/video) — the

@@ -58,13 +58,13 @@ private[graft] object PairGen {
 
   /**
    * All ordered pairs from each key group — recall-preserving hot-bucket
-   * handling. Buckets up to `tileSize` members take the [[explodePairs]]
-   * fast path unchanged. A hot bucket (a duplication flood — exactly the
-   * case dedup exists for) is NOT dropped: its b×b pair matrix is cut into
-   * `ceil(b/tileSize)²/2` tiles of at most `tileSize`² pairs, the tiles are
-   * spread across the cluster with a round-robin repartition that only hot
-   * buckets pay for, and pairs stream out of each tile through the same
-   * chained-generator idiom. Recall is exact at every bucket size; what was
+   * handling. A hot bucket (a duplication flood — exactly the case dedup
+   * exists for) is NOT dropped: every bucket's b×b pair matrix is cut into
+   * `ceil(b/tileSize)²/2` tiles of at most `tileSize`² pairs (one diagonal
+   * tile — the whole bucket — when b <= tileSize), the tiles are spread
+   * across the cluster with a round-robin repartition, and pairs stream
+   * out of each tile through the same chained-generator idiom as
+   * [[explodePairs]]. Recall is exact at every bucket size; what was
    * silent data loss is now just distributed work.
    *
    * Why tiling instead of re-banding oversize buckets with extra signature
@@ -76,6 +76,18 @@ private[graft] object PairGen {
    * (bounded: a tile row holds two ≤`tileSize` chunks, never the full
    * bucket, never the pair array) and distribution (the repartition).
    *
+   * Plan shape — deliberately SINGLE-CONSUMPTION: one aggregation feeds
+   * one tile generator feeds one repartition, no branch. A small/hot
+   * branch over the aggregation would read the expensive map side (source
+   * scan + signatures) twice — Catalyst's static ReuseExchange dedupes the
+   * branches, but AQE's runtime stage creation does NOT (measured: two
+   * full scans in the adaptive final plan), and production runs AQE. The
+   * price of the uniform path is the tile repartition for every bucket —
+   * a shuffle of id-arrays, bytes comparable to the bucket shuffle itself
+   * and negligible next to the map side it stops duplicating; it also
+   * load-balances pair generation away from the bucket-key partitioning
+   * (a flood key no longer pins its whole pair matrix to one reducer).
+   *
    * `hardMaxBucket` is an explicit opt-in work bound: buckets beyond it are
    * dropped whole (a 10M-member bucket implies 5×10¹³ pairs — no engine
    * should emit that by accident). The default keeps everything; callers
@@ -83,7 +95,7 @@ private[graft] object PairGen {
    *
    * Sorted-bucket ordering guarantee: because `xs` is sorted and tiles are
    * contiguous slices, every emitted pair satisfies a <= b in the array
-   * element order — identical to the fast path (equal elements from
+   * element order — identical to [[explodePairs]] (equal elements from
    * duplicate inputs can pair with themselves in both paths; callers that
    * must exclude them filter a < b, as they do today).
    */
@@ -100,39 +112,32 @@ private[graft] object PairGen {
       .agg(sort_array(collect_list(item)).as("xs"))
       .filter(size(col("xs")) >= 2 && size(col("xs")) <= hardMaxBucket)
 
-    // Fast path: the whole bucket is one diagonal tile; no extra shuffle.
-    // (Catalyst's ReuseExchange dedupes the groupBy exchange under the two
-    // filter branches, so the source is still scanned once.)
-    val smallPairs =
-      explodePairs(agged.filter(size(col("xs")) <= tileSize), "xs", aName, bName)
-
-    // Hot path: tile the pair matrix. (i, j) with 0 <= i <= j < nc; each
-    // tile row carries ONLY its two chunks (sliced before the repartition,
-    // so the shuffle moves O(b²/tileSize) elements, never O(b²) pairs and
-    // never nc² copies of the full bucket).
-    val tiles = agged.filter(size(col("xs")) > tileSize)
+    // Tile coordinates (i, j), 0 <= i <= j < nc; nc == 1 for buckets that
+    // fit one tile. Each tile row carries ONLY its two chunks (sliced
+    // before the repartition, so the shuffle moves O(b²/tileSize) elements
+    // per hot bucket — and exactly the bucket array for ordinary ones —
+    // never O(b²) pairs and never nc² copies of the full bucket). Chunk
+    // extraction is staged BELOW the explodes (own projection — a
+    // non-generator expression in the same select would be hoisted above
+    // the Generate and re-evaluated per emitted row).
+    val tiles = agged
       .select(col("xs"),
         ceil(size(col("xs")).cast("double") / tileSize).cast("int").as("nc"))
       .select(col("xs"), col("nc"), explode(sequence(lit(0), col("nc") - 1)).as("i"))
       .select(col("xs"), col("i"), explode(sequence(col("i"), col("nc") - 1)).as("j"))
-      // chunk extraction staged BELOW the explodes (own projection — a
-      // non-generator expression in the same select would be hoisted above
-      // the Generate and re-evaluated per emitted row)
       .select(
         slice(col("xs"), col("i") * tileSize + 1, lit(tileSize)).as("ca"),
         slice(col("xs"), col("j") * tileSize + 1, lit(tileSize)).as("cb"),
         (col("i") === col("j")).as("diag"))
-      .repartition() // round-robin: spread one hot bucket's tiles across tasks
+      .repartition() // round-robin: spread tiles evenly across tasks
 
     // Per tile: anchors from ca; partners are ca's strict suffix on the
     // diagonal (within-chunk pairs, ca == cb there) or all of cb off it.
-    val bigPairs = tiles
+    tiles
       .select(col("cb"), col("diag"), posexplode(col("ca")).as(Seq("__i", aName)))
       .select(col(aName),
         explode(when(col("diag"),
           slice(col("cb"), col("__i") + lit(2), size(col("cb")) - col("__i") - lit(1)))
           .otherwise(col("cb"))).as(bName))
-
-    smallPairs.union(bigPairs)
   }
 }

@@ -147,6 +147,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(byDoc === 0, "every video must emit exactly n_frames frames")
   }
 
+  test("real image tier: javax.imageio decode, dHash locality, corrupt-payload safety") {
+    def png(w: Int, h: Int)(pix: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, pix(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // a left-to-right gradient, the same gradient with one corner blotch,
+    // and its inverse — plus a payload no codec accepts
+    val grad = png(32, 24)((x, _) => { val v = x * 8 % 256; (v << 16) | (v << 8) | v })
+    val gradBlotch = png(32, 24)((x, y) =>
+      if (x < 3 && y < 3) 0xFFFFFF
+      else { val v = x * 8 % 256; (v << 16) | (v << 8) | v })
+    val inverse = png(32, 24)((x, _) => { val v = 255 - x * 8 % 256; (v << 16) | (v << 8) | v })
+    val junk = "definitely not an image".getBytes("UTF-8")
+
+    val media = Seq(
+      Multimodal.MediaFile(1L, "image", grad),
+      Multimodal.MediaFile(2L, "image", gradBlotch),
+      Multimodal.MediaFile(3L, "image", inverse),
+      Multimodal.MediaFile(4L, "image", junk)).toDS()
+    val got = Multimodal.imageMeta(media).collect().sortBy(_.media_id)
+
+    assert(got.map(_.ok).toSeq === Seq(true, true, true, false))
+    assert(got(0).width === 32 && got(0).height === 24)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // near-identical images land within a few bits; opposite gradients far
+    assert(ham(got(0).dhash, got(1).dhash) <= 6,
+      s"blotched twin too far: ${ham(got(0).dhash, got(1).dhash)}")
+    assert(ham(got(0).dhash, got(2).dhash) >= 20,
+      s"inverse gradient too close: ${ham(got(0).dhash, got(2).dhash)}")
+    // deterministic across invocations (no rendering-hint variance)
+    assert(Multimodal.imageDHash(grad) === Multimodal.imageDHash(grad))
+    assert(Multimodal.decodeImageDims(junk) === None)
+
+    // end-to-end: dHash + the shared pigeonhole pair scan finds the
+    // blotched twin, skips the inverse, and ignores the undecodable row
+    val pairs = Multimodal.imageNearDupPairs(media, maxDist = 6)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("adversarial duplication soak: LSH dedup tier matches the exact scan") {
     // 10 copies of the corpus — every doc has 9 exact duplicates, the
     // worst case for pair generation (promoted from docs/BENCH_NOTES.md).

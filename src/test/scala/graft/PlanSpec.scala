@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /**
@@ -54,6 +55,24 @@ class PlanSpec extends AnyFunSuite {
     // count detail-section node headers "(N) Scan parquet" — one per scan node
     val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
     assert(scans === 1, s"expected a single documents scan, got $scans")
+  }
+
+  test("allPairs is single-consumption: one scan, even in the adaptive final plan") {
+    // allPairs must NOT branch over its bucket aggregation: a small/hot
+    // branch reads the expensive map side twice under AQE (runtime stage
+    // creation does not dedupe the exchanges the way static ReuseExchange
+    // would — measured). Execute and inspect the FINAL adaptive plan.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.pipeline.PairGen.allPairs(
+      docs.select(col("doc_id"), substring(col("text"), 0, 8).as("k")),
+      Seq(col("k")), col("doc_id"), 100, "a", "b")
+    df.count()
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("AdaptiveSparkPlan"), "expected AQE plan")
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans === 1,
+      s"expected the map side to run once (one documents scan), got $scans")
+    assert(!p.contains("Union"), "allPairs must be one uniform pipeline, not a branch")
   }
 
   test("lshNearDupPairs: no quadratic join; pairs stream through chained generators") {
