@@ -37,10 +37,14 @@ object Bench {
   private[graft] def scaledDocs(spark: SparkSession, dir: String, copies: Int): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
+    // stride derived from the data, not a fixed constant — a corpus whose
+    // ids exceed a hard-coded stride would silently collide across copies
+    // and corrupt the growth measurements
+    val stride = docs.agg(max("doc_id")).head.getLong(0) + 1L
     (0 until copies).map { i =>
       if (i == 0) docs
       else docs.select(
-        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        (col("doc_id") + lit(i * stride)).as("doc_id"),
         regexp_replace(col("text"), " ", s" x$i ").as("text"))
     }.reduce(_.unionByName(_))
   }
@@ -52,10 +56,11 @@ object Bench {
   private[graft] def scaledEmb(spark: SparkSession, dir: String, copies: Int): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
+    val stride = emb.agg(max("vec_id")).head.getLong(0) + 1L
     (0 until copies).map { i =>
       if (i == 0) emb
       else emb.select(
-        (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        (col("vec_id") + lit(i * stride)).as("vec_id"),
         transform(col("embedding"), (v, j) =>
           v + (pmod(xxhash64(col("vec_id"), j, lit(i)), lit(1000)) - lit(500))
             .cast("double") / lit(5000.0d))

@@ -865,18 +865,23 @@ object SparkEntry {
         |FROM loc JOIN m ON loc.doc_id = m.doc_id
         |ORDER BY loc.doc_id""".stripMargin,
 
+    // bucket expression generated from Sampling.MixRounds (single source
+    // of truth with the Spark-side hashBucket)
     "split_assign" ->
-      """SELECT doc_id,
-        |       CAST(((doc_id % 1000003) * 2654435761) % 4294967296 % 100 AS BIGINT) AS bucket,
-        |       CASE WHEN ((doc_id % 1000003) * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
-        |            WHEN ((doc_id % 1000003) * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+      s"""WITH b AS (
+        |  SELECT doc_id,
+        |         CAST(${graft.pipeline.Sampling.portableBucketSql("doc_id")} AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |       CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val'
         |            ELSE 'test' END AS split_name
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "corpus_mix" ->
-      """SELECT source, COUNT(*) AS n_kept
+      s"""SELECT source, COUNT(*) AS n_kept
         |FROM documents
-        |WHERE ((doc_id % 1000003 + 7) * 2654435761) % 4294967296 % 100 <
+        |WHERE ${graft.pipeline.Sampling.portableBucketSql("doc_id", 7L)} <
         |  CASE WHEN source IN ('src0','src1','src2') THEN 100
         |       WHEN source IN ('src3','src4','src5') THEN 50 ELSE 25 END
         |GROUP BY 1 ORDER BY source""".stripMargin,

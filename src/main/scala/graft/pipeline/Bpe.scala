@@ -9,19 +9,21 @@ import org.apache.spark.sql.functions._
  * ([[Sampling.packByBudget]]) can approximate a real LLM context window
  * instead of word counts.
  *
- * Algorithm (the standard byte-pair-encoding inference walk, greedy one
- * pass per merge rule): each whitespace word is spaced into characters
- * ("hello" -> "h e l l o"), then every merge rule `(a, b) -> ab` is applied
- * in priority order as a global replacement of "a b" with "ab"; the token
- * count is the number of segments left. Deterministic by construction —
- * a pure composition of string functions with a FIXED rule order — and
- * expressible identically in any SQL engine (the DuckDB oracle replays the
- * same walk), which is what makes `pack_bins_bpe` hash-checkable.
+ * Algorithm (byte-pair-encoding inference, one greedy pass per merge
+ * rule): each whitespace word is spaced into characters ("hello" ->
+ * "h e l l o"), then every merge rule `(a, b) -> ab` is applied in
+ * priority order as a token-aligned global replacement (space-delimited
+ * `" a b "` -> `" ab "`, so a rule only fuses two COMPLETE current
+ * tokens); the token count is the number of segments left. Deterministic
+ * by construction — a pure composition of string functions with a FIXED
+ * rule order — and expressible identically in any SQL engine (the DuckDB
+ * oracle replays the same walk), which is what makes `pack_bins_bpe`
+ * hash-checkable.
  *
  * This is the single-pass-per-rule variant (each rule applied once,
  * left-to-right, in vocabulary order) rather than the repeat-until-fixpoint
- * variant; for real merge tables the two agree on the overwhelming majority
- * of words, and the single-pass walk is what keeps the whole tokenizer
+ * variant; see [[mergedDoc]] for the one residual divergence (immediate
+ * repetitions). The single-pass walk is what keeps the whole tokenizer
  * inside built-in string expressions — map-side, no UDF, no shuffle.
  *
  * Scale notes: per-row work is O(merges × document length) string scans,
@@ -75,13 +77,26 @@ object Bpe {
    */
   private val Marker = "\u001f"
 
-  /** The whole-document merge walk: words joined by [[Marker]], every char
-    * spaced, then each rule applied in order as a global replacement. */
+  /**
+   * The whole-document merge walk: words joined by [[Marker]], every char
+   * spaced, the document padded with one leading/trailing space, then each
+   * rule applied in order as a SPACE-DELIMITED global replacement
+   * (`" a b "` -> `" ab "`). The delimiters make matching token-aligned:
+   * a rule `(e, r)` fires only where a complete current token `e` abuts a
+   * complete token `r`, never on the trailing character of a larger token
+   * (without them, "rather" -> "r a the r" would glue "the"+"r" through
+   * the raw substring "e r"). The known residual divergence from true BPE
+   * inference: literal replacement is non-overlapping left-to-right, so an
+   * immediate repetition "e r e r" merges only its odd occurrences in that
+   * rule's single pass — deterministic, identical in both engines, and
+   * rare in natural text.
+   */
   private def mergedDoc(text: Column, merges: Seq[(String, String)]): Column = {
     val marked = regexp_replace(trim(text), "\\s+", Marker)
-    val spacedDoc = trim(regexp_replace(marked, "(.)", "$1 "))
+    val spacedDoc =
+      concat(lit(" "), trim(regexp_replace(marked, "(.)", "$1 ")), lit(" "))
     merges.foldLeft(spacedDoc) { case (acc, (a, b)) =>
-      call_function("replace", acc, lit(s"$a $b"), lit(a + b))
+      call_function("replace", acc, lit(s" $a $b "), lit(s" $a$b "))
     }
   }
 
@@ -93,7 +108,7 @@ object Bpe {
   def tokenCount(text: Column, merges: Seq[(String, String)] = DemoMerges): Column = {
     require(merges.forall { case (a, b) => !(a + b).contains(Marker) && !(a + b).contains(" ") },
       "merge symbols must not contain spaces or \\u001f")
-    val m = mergedDoc(text, merges)
+    val m = trim(mergedDoc(text, merges))
     val pieces = length(m) - length(call_function("replace", m, lit(" "), lit(""))) + 1
     val nWords = size(split(trim(text), "\\s+"))
     when(length(trim(text)) === 0, lit(0)).otherwise(pieces - (nWords - 1))
@@ -103,14 +118,18 @@ object Bpe {
    * The same merge walk as DuckDB SQL, for oracle construction: an
    * expression over column `c` computing the document's BPE token count.
    * Kept adjacent to the Spark spelling so the two walks cannot drift.
+   * Merge symbols are quote-escaped (real merges tables contain
+   * apostrophe rules like `' s`).
    */
   def duckdbTokenCountSql(c: String, merges: Seq[(String, String)] = DemoMerges): String = {
+    def esc(s: String) = s.replace("'", "''")
     val spacedDoc =
-      s"""trim(regexp_replace(regexp_replace(trim($c), '\\s+', chr(31), 'g'), '(.)', '\\1 ', 'g'))"""
+      s"""(' ' || trim(regexp_replace(regexp_replace(trim($c), '\\s+', chr(31), 'g'), '(.)', '\\1 ', 'g')) || ' ')"""
     val merged = merges.foldLeft(spacedDoc) { case (acc, (a, b)) =>
-      s"replace($acc, '$a $b', '$a$b')"
+      s"replace($acc, ' ${esc(a)} ${esc(b)} ', ' ${esc(a)}${esc(b)} ')"
     }
-    val pieces = s"(length($merged) - length(replace($merged, ' ', ''))) + 1"
+    val m = s"trim($merged)"
+    val pieces = s"(length($m) - length(replace($m, ' ', ''))) + 1"
     val nWords = s"len(regexp_split_to_array(trim($c), '\\s+'))"
     s"CASE WHEN length(trim($c)) = 0 THEN 0 ELSE $pieces - ($nWords - 1) END"
   }

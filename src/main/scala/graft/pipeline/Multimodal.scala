@@ -95,33 +95,39 @@ object Multimodal {
   /** Decoded image facts: `ok = false` (zeros elsewhere) when no installed
     * codec accepts the payload — corrupt/truncated files are data, not
     * exceptions, at corpus scale. `dhash` is the 64-bit difference hash
-    * (see [[imageDHash]]). */
+    * (see [[imageDHash]]); it is None (never a sentinel) when the header
+    * parses but the raster does not decode (truncated/CMYK payloads) —
+    * a 0L placeholder would collide every such row with every other one,
+    * and with legitimately flat images, in near-dup clustering. */
   case class ImageMeta(
       media_id: Long, ok: Boolean, byte_len: Long,
-      width: Long, height: Long, dhash: Long)
+      width: Long, height: Long, dhash: Option[Long])
 
   /**
    * REAL image dimensions from the payload's header via javax.imageio —
    * reader-level `getWidth/getHeight`, which parse the header only and
    * never decode the raster (cheap enough for a 100 TB metadata sweep).
-   * None when no installed codec recognizes the bytes.
+   * None when no installed codec recognizes the bytes. Malformed payloads
+   * make JDK readers throw RuntimeExceptions, not just IOException
+   * (AIOOBE/NegativeArraySize on bad GIF/JPEG headers) — all non-fatal
+   * throwables are data here, never task failures.
    */
-  def decodeImageDims(payload: Array[Byte]): Option[(Long, Long)] = {
-    val in = javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(payload))
+  def decodeImageDims(payload: Array[Byte]): Option[(Long, Long)] =
     try {
-      val readers = javax.imageio.ImageIO.getImageReaders(in)
-      if (!readers.hasNext) None
-      else {
-        val r = readers.next()
-        try {
-          r.setInput(in)
-          Some((r.getWidth(0).toLong, r.getHeight(0).toLong))
-        } catch { case _: java.io.IOException => None }
-        finally r.dispose()
-      }
-    } finally if (in != null) in.close()
-  }
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(in)
+            Some((r.getWidth(0).toLong, r.getHeight(0).toLong))
+          } finally r.dispose()
+        }
+      } finally if (in != null) in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /**
    * REAL 64-bit difference hash (dHash) of an image payload: full decode,
@@ -133,11 +139,16 @@ object Multimodal {
    * [[graft.streaming.TopnStreaming.streamingNearDupPairs]]' batch twin.
    * None when the payload does not decode.
    */
-  def imageDHash(payload: Array[Byte]): Option[Long] = {
-    val img =
-      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-      catch { case _: java.io.IOException => None }
-    img.map { src =>
+  def imageDHash(payload: Array[Byte]): Option[Long] =
+    decodeImage(payload).map(dHashOf)
+
+  /** Full raster decode; None on anything a codec rejects (including the
+    * RuntimeExceptions JDK readers throw on malformed payloads). */
+  private def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def dHashOf(src: java.awt.image.BufferedImage): Long = {
       val (gw, gh) = (9, 8)
       // area-average into a 9x8 luminance grid (deterministic; no AWT
       // rendering-hint variance across JVMs)
@@ -177,21 +188,28 @@ object Multimodal {
         i += 1
       }
       bits
-    }
   }
 
   /** Real image metadata + perceptual hash for every media row — pure
-    * `mapPartitions`, no shuffle, payloads never leave the executor. */
+    * `mapPartitions`, no shuffle, payloads never leave the executor. One
+    * full decode per row serves BOTH dims and dHash; the header-only
+    * parse ([[decodeImageDims]]) is the fallback for payloads whose
+    * header parses but whose raster does not (dims known, dhash None). */
   def imageMeta(media: Dataset[MediaFile]): Dataset[ImageMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        decodeImageDims(m.payload) match {
-          case Some((w, h)) =>
-            ImageMeta(m.media_id, ok = true, m.payload.length.toLong, w, h,
-              imageDHash(m.payload).getOrElse(0L))
+        decodeImage(m.payload) match {
+          case Some(img) =>
+            ImageMeta(m.media_id, ok = true, m.payload.length.toLong,
+              img.getWidth.toLong, img.getHeight.toLong, Some(dHashOf(img)))
           case None =>
-            ImageMeta(m.media_id, ok = false, m.payload.length.toLong, 0L, 0L, 0L)
+            decodeImageDims(m.payload) match {
+              case Some((w, h)) =>
+                ImageMeta(m.media_id, ok = true, m.payload.length.toLong, w, h, None)
+              case None =>
+                ImageMeta(m.media_id, ok = false, m.payload.length.toLong, 0L, 0L, None)
+            }
         }
       }
     }
@@ -200,11 +218,12 @@ object Multimodal {
   /** Image near-duplicate pairs: real dHash fingerprints fed through the
     * exact-recall pigeonhole pair scan ([[Dedup.fingerprintPairs]] — the
     * same engine as text SimHash dedup, including hot-bucket tiling).
-    * Undecodable payloads are excluded (they have no fingerprint), not
-    * errors. Output: (doc_a, doc_b, hamming). */
+    * Payloads without a raster-decoded fingerprint are excluded (they
+    * have no dHash), not errors. Output: (doc_a, doc_b, hamming). */
   def imageNearDupPairs(media: Dataset[MediaFile], maxDist: Int = 3): DataFrame =
     Dedup.fingerprintPairs(
-      imageMeta(media).filter(col("ok")).toDF(), "media_id", "dhash", maxDist)
+      imageMeta(media).filter(col("dhash").isNotNull).toDF(),
+      "media_id", "dhash", maxDist)
 
   /** Lift the documents table into a fake media table (payload = UTF-8
     * bytes of the text, modality round-robins image/audio/video) — the

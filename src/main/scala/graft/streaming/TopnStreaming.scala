@@ -415,6 +415,9 @@ object TopnStreaming {
       maxDist: Int = 3,
       maxBucket: Int = 1000,
       stateTtl: Option[String] = None): Dataset[NearDupPair] = {
+    require(maxBucket >= 1,
+      s"maxBucket must be >= 1, got $maxBucket (the insert-time eviction " +
+        "loop needs at least one resident slot)")
     import docs.sparkSession.implicits._
     val timeout = if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()

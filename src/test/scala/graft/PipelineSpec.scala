@@ -174,12 +174,13 @@ class PipelineSpec extends AnyFunSuite {
 
     assert(got.map(_.ok).toSeq === Seq(true, true, true, false))
     assert(got(0).width === 32 && got(0).height === 24)
+    assert(got.map(_.dhash.isDefined).toSeq === Seq(true, true, true, false))
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     // near-identical images land within a few bits; opposite gradients far
-    assert(ham(got(0).dhash, got(1).dhash) <= 6,
-      s"blotched twin too far: ${ham(got(0).dhash, got(1).dhash)}")
-    assert(ham(got(0).dhash, got(2).dhash) >= 20,
-      s"inverse gradient too close: ${ham(got(0).dhash, got(2).dhash)}")
+    assert(ham(got(0).dhash.get, got(1).dhash.get) <= 6,
+      s"blotched twin too far: ${ham(got(0).dhash.get, got(1).dhash.get)}")
+    assert(ham(got(0).dhash.get, got(2).dhash.get) >= 20,
+      s"inverse gradient too close: ${ham(got(0).dhash.get, got(2).dhash.get)}")
     // deterministic across invocations (no rendering-hint variance)
     assert(Multimodal.imageDHash(grad) === Multimodal.imageDHash(grad))
     assert(Multimodal.decodeImageDims(junk) === None)
