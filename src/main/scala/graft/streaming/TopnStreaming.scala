@@ -325,6 +325,102 @@ object TopnStreaming {
     } finally delta.unpersist()
   }
 
+  // ---- streaming duplicate-cluster maintenance ---------------------------
+
+  private val LabelsKey = "__labels__"
+
+  /**
+   * Maintain a duplicate-cluster labeling over a STREAM of near-dup pairs
+   * (e.g. the output of [[streamingNearDupPairs]] routed through a sink,
+   * or any upstream pair source): per micro-batch, fold the new pairs into
+   * the committed labeling with
+   * [[graft.pipeline.Clustering.incrementalUpdate]] — new-edges-sized
+   * work, not corpus-sized — and commit the updated labels snapshot with
+   * the same atomic manifest protocol as [[maintainRollup]] (temp+rename
+   * manifest, replay-idempotent by batch id, `_graft_scope` checkpoint
+   * binding, old snapshots garbage-collected past one committed version).
+   *
+   * Unlike the rollup (whose periods partition the state, enabling
+   * per-period partial rewrites), ANY two components can merge when an
+   * edge arrives, so each commit writes a full labels snapshot — labels
+   * are two ids per clustered doc, orders of magnitude smaller than the
+   * corpus. Read the committed labeling with [[committedClusters]].
+   */
+  def maintainClusters(
+      pairs: DataFrame,
+      labelsPath: String,
+      aCol: String,
+      bCol: String,
+      checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val scope = scopeOf(checkpointLocation)
+    val writer = pairs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        clusterBatch(batch, batchId, labelsPath, aCol, bCol, scope)
+        ()
+      }
+    checkpointLocation.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
+
+  /** One micro-batch of cluster maintenance (exposed for deterministic
+    * crash/replay testing; [[maintainClusters]] drives it). */
+  private[graft] def clusterBatch(
+      batch: DataFrame,
+      batchId: Long,
+      labelsPath: String,
+      aCol: String,
+      bCol: String,
+      scope: String): Unit = {
+    val spark = batch.sparkSession
+    val (fs, root) = fsOf(spark, labelsPath)
+    checkScope(fs, root, scope)
+
+    val committed = committedVersion(spark, labelsPath)
+    if (committed.exists(batchId <= _)) return // replay of a committed batch
+    if (batch.isEmpty) return
+
+    val updated = committed match {
+      case None =>
+        graft.pipeline.Clustering.connectedComponents(batch, aCol, bCol)
+      case Some(v) =>
+        val current = spark.read.parquet(s"$labelsPath/data/b=$v")
+        graft.pipeline.Clustering.incrementalUpdate(current, batch, aCol, bCol)
+    }
+    updated.write.mode("overwrite").parquet(s"$labelsPath/data/b=$batchId")
+    val previous = committed.map(readManifest(fs, root, _)).getOrElse(Map.empty)
+    writeManifest(fs, root, batchId, Map(LabelsKey -> batchId))
+
+    // keep the new and previous snapshots (in-flight readers of the
+    // previous committed state stay safe); drop anything older
+    val live = Set(batchId) ++ previous.values
+    val dataRoot = new org.apache.hadoop.fs.Path(root, "data")
+    if (fs.exists(dataRoot)) {
+      fs.listStatus(dataRoot).toSeq.filter(_.isDirectory).foreach { st =>
+        scala.util.Try(st.getPath.getName.stripPrefix("b=").toLong).toOption
+          .foreach { id => if (!live.contains(id)) fs.delete(st.getPath, true) }
+      }
+    }
+    fs.listStatus(manifestDir(root)).toSeq.foreach { st =>
+      scala.util.Try(st.getPath.getName.stripPrefix("m=").toLong).toOption
+        .foreach { id =>
+          if (id < committed.getOrElse(batchId)) fs.delete(st.getPath, false)
+        }
+    }
+  }
+
+  /** The committed cluster labeling: (doc_id, cluster_id). Empty-schema
+    * DataFrame before the first commit. */
+  def committedClusters(
+      spark: org.apache.spark.sql.SparkSession, labelsPath: String): DataFrame = {
+    val (fs, root) = fsOf(spark, labelsPath)
+    committedVersion(spark, labelsPath)
+      .flatMap(v => readManifest(fs, root, v).get(LabelsKey))
+      .map(id => spark.read.parquet(s"$labelsPath/data/b=$id"))
+      .getOrElse(spark.emptyDataFrame)
+  }
+
   /** First writer records the scope (temp+rename, so never torn); later
     * batches must match it. Catches the "fresh checkpoint over an existing
     * rollup" operator error, where batch ids restart at 0 and would be

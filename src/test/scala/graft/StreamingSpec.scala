@@ -371,6 +371,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(TopnStreaming.committedVersion(spark, rollupPath) === Some(1L))
   }
 
+  test("streaming cluster maintenance: incremental CC across batches == batch CC") {
+    val path = java.nio.file.Files.createTempDirectory("graft_clusters").toString + "/t"
+    // batch 1 bridges batch 0's components {1,2,3} and {10,11}, and grows
+    // {20,21}; the self-pair contributes nothing (batch semantics)
+    val all = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
+      (3L, 10L), (21L, 22L), (5L, 5L))
+    val (b0, b1) = all.splitAt(4)
+    def run(pairs: Seq[(Long, Long)], id: Long): Unit =
+      TopnStreaming.clusterBatch(pairs.toDF("a", "b"), id, path, "a", "b",
+        scope = "test-scope")
+    run(b0, 0)
+    run(b1, 1)
+    def committed() = TopnStreaming.committedClusters(spark, path)
+      .as[(Long, Long)].collect().toMap
+    val want = graft.pipeline.Clustering
+      .connectedComponents(all.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(committed() === want)
+
+    // crash window: data written, manifest commit lost -> replay rebuilds
+    // from the previous snapshot, bit-identically
+    val m1 = new org.apache.hadoop.fs.Path(s"$path/_manifests/m=1")
+    val fs = m1.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(m1, false), "fixture: manifest must exist")
+    assert(TopnStreaming.committedVersion(spark, path) === Some(0L))
+    run(b1, 1)
+    assert(committed() === want, "crash replay diverged")
+
+    // replay of a committed batch is a no-op
+    run(b1, 1)
+    assert(committed() === want)
+
+    // foreign checkpoint scope fails fast, like the rollup
+    val e = intercept[IllegalStateException](
+      TopnStreaming.clusterBatch(b1.toDF("a", "b"), 2, path, "a", "b",
+        scope = "other-checkpoint"))
+    assert(e.getMessage.contains("different streaming checkpoint"))
+  }
+
   private implicit class JavaSetOps[A](s: java.util.Set[A]) {
     def asScala: scala.collection.mutable.Set[A] =
       scala.jdk.CollectionConverters.SetHasAsScala(s).asScala
