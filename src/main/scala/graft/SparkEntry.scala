@@ -457,6 +457,70 @@ object SparkEntry {
         docs.filter($"doc_id" % 7 =!= 0), docs.filter($"doc_id" % 7 === 0),
         "doc_id", "text", n = 3)
         .orderBy($"doc_id")
+    }),
+
+    // CCNet-style bigram-LM quality signal: self-trained add-one-smoothed
+    // bigram model, per-doc mean conditional probability. Fixed-point
+    // (floor(p * 1e9)) per bigram BEFORE the per-doc sum keeps the
+    // aggregate an order-independent integer sum — bit-identical in DuckDB
+    "lm_surprise" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = tbl(spark, dir, "documents")
+      val model = graft.pipeline.LanguageModel.trainBigrams(docs, "text")
+      graft.pipeline.LanguageModel.scoreDocs(docs, "doc_id", "text", model)
+        .orderBy($"doc_id")
+    }),
+
+    // SemDeDup (arXiv:2303.09540): k-means cells + within-cell cosine
+    // near-dup grouping + min-id keeper. Driver-verified like the ANN
+    // tiers — k-means cells aren't SQL-reproducible, so the query emits
+    // in-plan exact checks (an independent self-join spelling of the
+    // within-cell pair scan) and the oracle pins the constant booleans
+    "semantic_dedup" -> ((spark, dir) => {
+      import spark.implicits._
+      // the synthetic embeddings have no planted near-dups (max pairwise
+      // cosine ~0.5), so the "semantic duplicate" bar sits at 0.4 here —
+      // the paper's 0.9+ applied to this corpus would be vacuously true
+      val tau = 0.4
+      val emb = tbl(spark, dir, "embeddings")
+      val model = graft.pipeline.IVF.train(emb, "vec_id", "embedding", k = 8)
+      val lab = graft.pipeline.SemDedup.labels(emb, "vec_id", "embedding", model, tau)
+
+      // independent exact spelling: plain self-join on cell, no PairGen
+      val assigned = emb.select($"vec_id", $"embedding",
+        element_at(graft.pipeline.IVF.cells($"embedding", model, 1), 1).as("cell"))
+      val pairs = assigned.select($"vec_id".as("pa"), $"embedding".as("va"), $"cell")
+        .join(assigned.select($"vec_id".as("pb"), $"embedding".as("vb"), $"cell"),
+          Seq("cell"))
+        .filter($"pa" < $"pb" &&
+          graft.pipeline.Similarity.cosineSim($"va", $"vb") >= tau)
+        .select($"pa", $"pb")
+
+      val nEmb = emb.agg(count(lit(1)).as("n_emb"))
+      val labAgg = lab.agg(
+        count(lit(1)).as("n_lab"),
+        count(when($"keep" =!= ($"doc_id" === $"cluster_id"), 1)).as("bad_keep"))
+      val minAgg = lab.groupBy($"cluster_id").agg(min($"doc_id").as("mn"))
+        .agg(count(when($"cluster_id" =!= $"mn", 1)).as("bad_min"))
+      val uncovered = lab.filter(!$"keep")
+        .join(pairs.select(explode(array($"pa", $"pb")).as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_uncov"))
+      val edgeAgg = pairs
+        .join(lab.select($"doc_id".as("pa"), $"cluster_id".as("ca")), Seq("pa"))
+        .join(lab.select($"doc_id".as("pb"), $"cluster_id".as("cb")), Seq("pb"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when($"ca" =!= $"cb", 1)).as("bad_edge"))
+      val dropped = lab.agg(count(when(!$"keep", 1)).as("n_dropped"))
+
+      nEmb.crossJoin(labAgg).crossJoin(minAgg).crossJoin(uncovered)
+        .crossJoin(edgeAgg).crossJoin(dropped)
+        .select(
+          ($"n_lab" === $"n_emb").as("partition_ok"),
+          ($"bad_keep" === 0 && $"bad_min" === 0).as("keeper_min_ok"),
+          ($"n_uncov" === 0).as("dropped_covered_ok"),
+          ($"bad_edge" === 0).as("edges_merged_ok"),
+          ($"n_pairs" > 0 && $"n_dropped" > 0).as("has_dups"))
     })
   )
 
@@ -944,6 +1008,46 @@ object SparkEntry {
         |              len // n AS stride
         |       FROM f)
         |SELECT media_id, frame_idx, CAST(frame_idx * stride AS BIGINT) AS frame_offset
-        |FROM fr ORDER BY media_id, frame_idx""".stripMargin
+        |FROM fr ORDER BY media_id, frame_idx""".stripMargin,
+
+    // replays the identical bigram model + smoothed probability; the
+    // fixed-point floor(p * 1e9) uses only correctly-rounded IEEE ops
+    // (+ * /) on integer-valued doubles, so the per-bigram terms — and
+    // their order-independent integer sums — are bit-identical
+    "lm_surprise" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) >= 2
+        |              THEN list_transform(range(1, len(toks)),
+        |                     i -> toks[i] || ' ' || toks[i+1])
+        |              ELSE [] END AS bgs
+        |  FROM t),
+        |ex AS (SELECT doc_id, unnest(bgs) AS bigram FROM b),
+        |cb AS (SELECT bigram, COUNT(*) AS c_bigram FROM ex GROUP BY 1),
+        |cc AS (SELECT split_part(bigram, ' ', 1) AS w1, COUNT(*) AS c_context
+        |       FROM ex GROUP BY 1),
+        |vv AS (SELECT COUNT(DISTINCT tok) AS v
+        |       FROM (SELECT unnest(toks) AS tok FROM t)),
+        |sc AS (
+        |  SELECT e.doc_id,
+        |         CAST(FLOOR((CAST(cb.c_bigram AS DOUBLE) + 1.0)
+        |               / (CAST(cc.c_context AS DOUBLE) + 1.0 * CAST(vv.v AS DOUBLE))
+        |               * 1000000000.0) AS BIGINT) AS p_e9
+        |  FROM ex e
+        |  JOIN cb USING (bigram)
+        |  JOIN cc ON split_part(e.bigram, ' ', 1) = cc.w1
+        |  CROSS JOIN vv)
+        |SELECT doc_id,
+        |       COUNT(*) AS n_bigrams,
+        |       CAST(SUM(p_e9) AS BIGINT) AS sum_p_e9,
+        |       CAST(SUM(p_e9) // COUNT(*) AS BIGINT) AS mean_p_e9
+        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "semantic_dedup" ->
+      """SELECT TRUE AS partition_ok, TRUE AS keeper_min_ok,
+        |       TRUE AS dropped_covered_ok, TRUE AS edges_merged_ok,
+        |       TRUE AS has_dups""".stripMargin
   )
 }

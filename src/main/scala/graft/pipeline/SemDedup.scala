@@ -1,0 +1,123 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * SemDeDup-style semantic deduplication (Abbas et al. 2023,
+ * arXiv:2303.09540): cluster the embedding space with a k-means coarse
+ * quantizer, compare vectors pairwise ONLY within their cluster, and
+ * keep one representative per connected group of near-duplicates. The
+ * published recipe for pruning semantically redundant web data before
+ * LLM training — near-identical paraphrases land in the same cell and
+ * only one survives.
+ *
+ * Composition of existing tiers (nothing new to trust):
+ *  - the coarse quantizer is [[IVF]]'s spherical k-means (train once on
+ *    a bounded sample, persist with [[IVF.save]], broadcast inside the
+ *    cell-assignment expression — no shuffle to assign);
+ *  - within-cell pair generation is [[PairGen.allPairs]] keyed by cell:
+ *    id-only pair space, oversize cells tiled across tasks with exact
+ *    recall (a duplication flood is precisely when this matters);
+ *  - vectors re-join the surviving pairs by id, exact cosine gates at
+ *    `tau`, and [[Clustering.connectedComponents]] labels each
+ *    near-duplicate group by its minimum id.
+ *
+ * Scale shape: one scan to assign cells, one shuffle by cell for pair
+ * generation, two id-keyed joins to fetch vectors for candidate pairs
+ * only, then the CC rounds (equi-join + hash agg each). The k knob
+ * bounds per-cell pair work: at 100 TB you raise k so expected cell
+ * size stays in the 10^4-10^5 range, exactly as the paper scales it.
+ *
+ * Like the paper's algorithm, duplicates are only found WITHIN a cell:
+ * a near-dup pair split by the quantizer boundary is missed (raise k
+ * less aggressively, or lower nprobe=1 assignment granularity, to trade
+ * recall vs cost). Deterministic end to end: seeded deterministic
+ * k-means, sorted buckets, exact cosine, min-id representatives.
+ */
+object SemDedup {
+
+  /**
+   * Semantic near-duplicate labels: one row per input vector,
+   * (doc_id, cell, cluster_id, keep) where `cluster_id` is the minimum
+   * doc id of the doc's within-cell near-duplicate group (its own id if
+   * it has no near-dups) and `keep` marks the representative.
+   *
+   * `tau` is the cosine threshold for "semantic duplicate" (the paper
+   * sweeps 0.9-0.95 for web text). `tileSize` bounds per-task pair-matrix
+   * blocks for oversize cells (exact recall at any cell size).
+   */
+  /**
+   * The semantic-duplicate graph itself: within-cell pairs (id_a, id_b)
+   * with exact cosine >= `tau`. This is the lazily-planned subgraph that
+   * [[labels]] clusters — also the right input for incremental
+   * maintenance ([[Clustering.incrementalUpdate]] /
+   * [[graft.streaming.TopnStreaming.maintainClusters]]) when a daily
+   * ingest only needs NEW edges, not a full relabel.
+   */
+  def edges(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: IVF.Model,
+      tau: Double,
+      tileSize: Int = 10000): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    val assigned = vectors.select(
+      col(idCol).as("doc_id"),
+      col(vecCol).as("vec"),
+      element_at(IVF.cells(col(vecCol), model, 1), 1).as("cell"))
+
+    val candidates = PairGen.allPairs(
+      assigned.select(col("doc_id"), col("cell")),
+      Seq(col("cell")), col("doc_id"), tileSize, "id_a", "id_b")
+
+    val va = assigned.select(col("doc_id").as("id_a"), col("vec").as("vec_a"))
+    val vb = assigned.select(col("doc_id").as("id_b"), col("vec").as("vec_b"))
+    candidates
+      .join(va, Seq("id_a"))
+      .join(vb, Seq("id_b"))
+      .filter(Similarity.cosineSim(col("vec_a"), col("vec_b")) >= tau)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  def labels(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: IVF.Model,
+      tau: Double,
+      tileSize: Int = 10000): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    val assigned = vectors.select(
+      col(idCol).as("doc_id"),
+      element_at(IVF.cells(col(vecCol), model, 1), 1).as("cell"))
+
+    val groups = Clustering.connectedComponents(
+      edges(vectors, idCol, vecCol, model, tau, tileSize), "id_a", "id_b")
+      .withColumnRenamed("cluster_id", "__graft_cc_id")
+
+    assigned
+      .join(groups, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("cell"),
+        coalesce(col("__graft_cc_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+  }
+
+  /** Keep-list composition: the input rows whose vector is its group's
+    * representative under [[labels]] — the deduplicated corpus. */
+  def deduplicate(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: IVF.Model,
+      tau: Double,
+      tileSize: Int = 10000): DataFrame = {
+    val drop = labels(vectors, idCol, vecCol, model, tau, tileSize)
+      .filter(!col("keep"))
+      .select(col("doc_id").as("__graft_semdrop_id"))
+    vectors.join(drop, vectors(idCol) === col("__graft_semdrop_id"), "left_anti")
+  }
+}

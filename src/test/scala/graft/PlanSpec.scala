@@ -133,4 +133,36 @@ class PlanSpec extends AnyFunSuite {
     assert(scans === 1, s"expected a single documents scan, got $scans")
     assert(!p.contains("Join"), "fractions must ride along, not join back")
   }
+
+  test("lm scoring: equi-joins on bigram/context keys, no data-sized cartesian") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val model = graft.pipeline.LanguageModel.trainBigrams(docs, "text")
+    val p = graft.pipeline.LanguageModel.scoreDocs(docs, "doc_id", "text", model)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct"),
+      "only the 1-row vocab may join without keys (as a broadcast loop)")
+    // the 1-row vocab join is a broadcast nested loop — bounded, expected;
+    // bigram and context joins must be keyed (hash or sort-merge). Count
+    // detail-section node headers (the tree summary repeats the name)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastNestedLoopJoin\s*""")) <= 1,
+      "exactly the vocab join may be a nested loop")
+    // per-doc reduction aggregates partially before the shuffle
+    assert(p.contains("partial_count") || p.contains("HashAggregate"))
+  }
+
+  test("semantic dedup: pair space is id-only; vectors join back by key") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val model = graft.pipeline.IVF.train(emb, "vec_id", "embedding", k = 4)
+    // assert on the edges subgraph: labels() runs CC eagerly (its rounds
+    // are actions), so its explained plan only shows the final label join
+    val p = graft.pipeline.SemDedup.edges(emb, "vec_id", "embedding", model, 0.4)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "no all-pairs join anywhere — candidates come from the cell-keyed scan")
+    // PairGen's chained generators, not a materialized pair array
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Generate\s*""")) >= 2)
+  }
 }
