@@ -118,4 +118,29 @@ object LanguageModel {
   def surpriseBits(scored: DataFrame): DataFrame =
     scored.withColumn("surprise_bits",
       -log2(greatest(col("mean_p_e9").cast("double"), lit(1.0)) / lit(1.0e9)))
+
+  /**
+   * Persist a trained model as three parquet tables under `path`. At
+   * scale the reference model is trained ONCE (on the curated corpus)
+   * and every scoring job loads the same counts — retraining per job
+   * would silently shift every score.
+   */
+  def save(model: BigramModel, path: String): Unit = {
+    model.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
+    model.contexts.write.mode("overwrite").parquet(s"$path/contexts")
+    model.vocab.write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  /** Load a model persisted by [[save]]. Counts round-trip exactly. */
+  def load(path: String, spark: org.apache.spark.sql.SparkSession): BigramModel = {
+    val m = BigramModel(
+      spark.read.parquet(s"$path/bigrams"),
+      spark.read.parquet(s"$path/contexts"),
+      spark.read.parquet(s"$path/vocab"))
+    require(m.vocab.columns.sameElements(Array("v")) &&
+      m.bigrams.columns.sorted.sameElements(Array("bigram", "c_bigram")) &&
+      m.contexts.columns.sorted.sameElements(Array("c_context", "w1")),
+      s"not a LanguageModel.save layout at $path")
+    m
+  }
 }

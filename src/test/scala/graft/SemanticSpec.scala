@@ -99,6 +99,24 @@ class SemanticSpec extends AnyFunSuite {
     sorted.zip(sorted.tail).foreach { case ((_, b1), (_, b2)) => assert(b1 >= b2) }
   }
 
+  test("save/load round-trips the model and scores identically") {
+    val df = corpus.toDF("doc_id", "text")
+    val model = LanguageModel.trainBigrams(df, "text")
+    val tmp = java.nio.file.Files.createTempDirectory("lm_model").toString
+    LanguageModel.save(model, tmp)
+    val loaded = LanguageModel.load(tmp, spark)
+    val a = LanguageModel.scoreDocs(df, "doc_id", "text", model)
+      .orderBy("doc_id").collect()
+    val b = LanguageModel.scoreDocs(df, "doc_id", "text", loaded)
+      .orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+    // foreign layout fails fast instead of silently mis-scoring
+    val bad = java.nio.file.Files.createTempDirectory("lm_bad").toString
+    Seq("bigrams", "contexts", "vocab").foreach(d =>
+      model.vocab.write.parquet(s"$bad/$d"))
+    intercept[IllegalArgumentException](LanguageModel.load(bad, spark))
+  }
+
   test("alpha must be positive") {
     val df = corpus.toDF("doc_id", "text")
     val model = LanguageModel.trainBigrams(df, "text")
