@@ -521,6 +521,34 @@ object SparkEntry {
           ($"n_uncov" === 0).as("dropped_covered_ok"),
           ($"bad_edge" === 0).as("edges_merged_ok"),
           ($"n_pairs" > 0 && $"n_dropped" > 0).as("has_dups"))
+    }),
+
+    // duplicated-span detection (exact substring dedup at token-window
+    // granularity, Lee et al. 2022): per-doc span counts, corpus-wide
+    // duplicated spans, and global first-occurrence retention
+    "span_dedup_stats" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.pipeline.Spans.spanStats(
+        tbl(spark, dir, "documents"), "doc_id", "text", n = 10, stride = 5)
+        .orderBy($"doc_id")
+    }),
+
+    // DSIR-style importance weights (arXiv:2302.03169): per-doc
+    // log-likelihood-ratio sums against the lang='en' target slice
+    "dsir_weights" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.pipeline.Dsir.importanceWeights(
+        tbl(spark, dir, "documents"), "doc_id", "text", col("lang") === "en")
+        .orderBy($"doc_id")
+    }),
+
+    // BM25 ranked retrieval: top 20 docs for a fixed 3-term query
+    "bm25_search" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.pipeline.Bm25.topK(
+        tbl(spark, dir, "documents"), "doc_id", "text",
+        Seq("spark", "dup", "customer"), k = 20)
+        .orderBy($"score_e6".desc, $"doc_id")
     })
   )
 
@@ -1048,6 +1076,93 @@ object SparkEntry {
     "semantic_dedup" ->
       """SELECT TRUE AS partition_ok, TRUE AS keeper_min_ok,
         |       TRUE AS dropped_covered_ok, TRUE AS edges_merged_ok,
-        |       TRUE AS has_dups""".stripMargin
+        |       TRUE AS has_dups""".stripMargin,
+
+    // identical window spans (DuckDB range() is stop-EXCLUSIVE, Spark
+    // sequence() stop-inclusive — hence len-10+1), identical (doc_id,pos)
+    // bigint packing, window aggregates over the span hash
+    "span_dedup_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sp0 AS (
+        |  SELECT doc_id, toks, UNNEST(range(0, len(toks) - 10 + 1, 5)) AS st
+        |  FROM t WHERE len(toks) >= 10),
+        |sp AS (
+        |  SELECT doc_id,
+        |         CAST(doc_id * 1048576 + st AS BIGINT) AS packed,
+        |         md5(array_to_string(toks[st+1 : st+10], ' ')) AS h
+        |  FROM sp0),
+        |w AS (SELECT doc_id, packed,
+        |             COUNT(*) OVER (PARTITION BY h) AS n_occ,
+        |             MIN(packed) OVER (PARTITION BY h) AS keep_key
+        |      FROM sp)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |       CAST(SUM(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        |       CAST(SUM(CASE WHEN packed = keep_key THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_spans
+        |FROM w GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // exact-integer counts feed one LN() per vocab word whose argument is
+    // an identically-computed IEEE double; the 1e-6 floor lands BEFORE the
+    // per-doc sum, which is therefore an order-independent integer sum
+    "dsir_weights" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang = 'en' AS is_target,
+        |         regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |ex AS (SELECT doc_id, is_target, unnest(toks) AS w FROM t),
+        |ws AS (SELECT w, COUNT(*) AS c_raw,
+        |              SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_target
+        |       FROM ex GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw,
+        |               CAST(SUM(c_target) AS BIGINT) AS n_target,
+        |               COUNT(*) AS v
+        |        FROM ws),
+        |lr AS (SELECT w,
+        |              CAST(FLOOR(1000000.0 * LN(
+        |                ((CAST(c_target AS DOUBLE) + 1.0) * (CAST(n_raw AS DOUBLE) + CAST(v AS DOUBLE)))
+        |                / ((CAST(c_raw AS DOUBLE) + 1.0) * (CAST(n_target AS DOUBLE) + CAST(v AS DOUBLE)))))
+        |               AS BIGINT) AS lr_e6
+        |       FROM ws CROSS JOIN tot)
+        |SELECT e.doc_id,
+        |       MAX(e.is_target) AS is_target,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(lr.lr_e6) AS BIGINT) AS weight_e6
+        |FROM ex e JOIN lr USING (w)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // BM25 with Lucene's non-negative idf. Constants are spelled as the
+    // same literal arithmetic Spark evaluates ((1.2 + 1.0), (1.0 - 0.75))
+    // — double(1.2)+1.0 != double(2.2), so writing 2.2 would diverge.
+    // Term order in the sum is fixed left-to-right in both engines.
+    "bm25_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT) AS tf0,
+        |         CAST(len(list_filter(toks, x -> x = 'dup')) AS BIGINT) AS tf1,
+        |         CAST(len(list_filter(toks, x -> x = 'customer')) AS BIGINT) AS tf2
+        |  FROM t),
+        |st AS (SELECT COUNT(*) AS n_docs, SUM(n_tokens) AS sum_len,
+        |              SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |              SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |              SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |       FROM base),
+        |sc AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(FLOOR(1000000.0 * (
+        |      LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+        |        * ((CAST(tf0 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf0 AS DOUBLE)
+        |            + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(n_tokens AS DOUBLE) / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |      + LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+        |        * ((CAST(tf1 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf1 AS DOUBLE)
+        |            + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(n_tokens AS DOUBLE) / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |      + LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+        |        * ((CAST(tf2 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf2 AS DOUBLE)
+        |            + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(n_tokens AS DOUBLE) / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |      )) AS BIGINT) AS score_e6
+        |  FROM base CROSS JOIN st)
+        |SELECT doc_id, n_tokens, score_e6 FROM sc WHERE score_e6 > 0
+        |ORDER BY score_e6 DESC, doc_id LIMIT 20""".stripMargin
   )
 }

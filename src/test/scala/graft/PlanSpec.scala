@@ -165,4 +165,35 @@ class PlanSpec extends AnyFunSuite {
     // PairGen's chained generators, not a materialized pair array
     assert(p.linesIterator.count(_.matches("""\(\d+\) Generate\s*""")) >= 2)
   }
+
+  test("span stats: one scan, hash-partitioned window, no self-join") {
+    val p = plan("span_dedup_stats")
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans === 1,
+      s"window aggregates must replace the stats self-join (one scan), got $scans")
+    assert(!p.contains("Join"), "no join anywhere in the span plan")
+    assert(p.contains("Window"), "occurrence counts come from a window over h")
+    assert(!p.contains("SinglePartition"),
+      "the span window must partition by hash, not funnel to one task")
+  }
+
+  test("bm25: map-side scoring over a broadcast one-row stats aggregate") {
+    val p = plan("bm25_search")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "the one-row corpus stats must broadcast, never shuffle the docs side")
+    assert(!p.contains("Generate"), "tf comes from array expressions, no explode")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be per-partition heaps, not a global sort")
+  }
+
+  test("dsir: vocab-sized stats broadcast back into the scoring scan") {
+    val p = plan("dsir_weights")
+    assert(!p.contains("CartesianProduct"),
+      "only the 1-row totals may join without keys (broadcast loop)")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastNestedLoopJoin\s*""")) <= 1,
+      "exactly the totals join may be a nested loop")
+    assert(p.contains("BroadcastExchange"),
+      "the per-word lr table must broadcast into the token join")
+  }
 }

@@ -1,0 +1,212 @@
+package graft
+
+import graft.pipeline.{Bm25, Dsir, Spans}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the retrieval/selection operators: duplicated-span detection
+  * ([[Spans]]), DSIR importance weights ([[Dsir]]), BM25 ranking
+  * ([[Bm25]]). Each is cross-checked against an independent plain-Scala
+  * reference implementation on handcrafted and random corpora. */
+class ScoringSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def toks(t: String): Seq[String] = t.trim.split("\\s+").toSeq
+
+  // --- Spans --------------------------------------------------------------
+
+  /** Reference span stats: same windows, same global first-occurrence
+    * retention, plain collections. */
+  private def refSpans(docs: Seq[(Long, String)], n: Int, stride: Int)
+      : Map[Long, (Long, Long, Long)] = {
+    val spans = docs.flatMap { case (id, t) =>
+      val w = toks(t)
+      if (w.length < n) Nil
+      else (0 to (w.length - n) by stride).map(st =>
+        (id, st.toLong, w.slice(st, st + n).mkString(" ")))
+    }
+    val occ = spans.groupBy(_._3)
+    val keeper = occ.map { case (s, os) => s -> os.map(o => (o._1, o._2)).min }
+    spans.groupBy(_._1).map { case (id, ss) =>
+      id -> (
+        ss.size.toLong,
+        ss.count(s => occ(s._3).size >= 2).toLong,
+        ss.count(s => keeper(s._3) == ((s._1, s._2))).toLong)
+    }
+  }
+
+  private def runSpans(docs: Seq[(Long, String)], n: Int, stride: Int) =
+    Spans.spanStats(docs.toDF("doc_id", "text"), "doc_id", "text", n, stride)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+
+  test("span stats match the reference on a handcrafted dup corpus") {
+    // doc 1 and 2 share a 4-token span; doc 3 repeats its own span; doc 4
+    // is unique; doc 5 is too short for any span
+    val docs = Seq(
+      1L -> "a b c d x y z w",
+      2L -> "q q a b c d r s",
+      3L -> "k l m n k l m n",
+      4L -> "p1 p2 p3 p4 p5 p6",
+      5L -> "t1 t2")
+    for ((n, stride) <- Seq((4, 1), (4, 2), (3, 3), (8, 4))) {
+      assert(runSpans(docs, n, stride) === refSpans(docs, n, stride),
+        s"n=$n stride=$stride")
+    }
+  }
+
+  test("span stats match the reference on a random corpus with planted floods") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val flood = "f1 f2 f3 f4 f5 f6 f7 f8 f9 f10"
+    val docs = (0L until 60L).map { id =>
+      val base = Seq.fill(5 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+      val t = if (id % 4 == 0) s"$flood ${base.mkString(" ")}" else base.mkString(" ")
+      id -> t
+    }
+    assert(runSpans(docs, 10, 5) === refSpans(docs, 10, 5))
+    assert(runSpans(docs, 5, 2) === refSpans(docs, 5, 2))
+  }
+
+  test("intra-doc duplicated spans keep exactly the first position") {
+    val docs = Seq(10L -> "x y x y x y")
+    // n=2, stride=2: spans at 0,2,4 all "x y" -> 3 spans, 3 dup, 1 kept
+    assert(runSpans(docs, 2, 2) === Map(10L -> ((3L, 3L, 1L))))
+  }
+
+  test("span param validation and packing guard") {
+    val df = Seq(1L -> "a b c").toDF("doc_id", "text")
+    intercept[IllegalArgumentException](Spans.spanStats(df, "doc_id", "text", 0, 1))
+    intercept[IllegalArgumentException](Spans.spanStats(df, "doc_id", "text", 2, 0))
+    val bad = Seq(-1L -> "a b c d").toDF("doc_id", "text")
+    val e = intercept[Exception](
+      Spans.spanStats(bad, "doc_id", "text", 2, 1).collect())
+    assert(e.getMessage.contains("packing range"))
+  }
+
+  // --- Dsir ---------------------------------------------------------------
+
+  /** Reference importance weights, plain collections. */
+  private def refDsir(docs: Seq[(Long, String, Boolean)])
+      : Map[Long, (Boolean, Long, Long)] = {
+    val all = docs.flatMap { case (_, t, tgt) => toks(t).map(_ -> tgt) }
+    val cRaw = all.groupBy(_._1).map { case (w, xs) => w -> xs.size.toLong }
+    val cTgt = all.groupBy(_._1).map { case (w, xs) => w -> xs.count(_._2).toLong }
+    val nRaw = all.size.toLong
+    val nTgt = all.count(_._2).toLong
+    val v = cRaw.size.toLong
+    def lr(w: String): Long = math.floor(1e6 * math.log(
+      ((cTgt(w).toDouble + 1.0) * (nRaw.toDouble + v.toDouble)) /
+        ((cRaw(w).toDouble + 1.0) * (nTgt.toDouble + v.toDouble)))).toLong
+    docs.map { case (id, t, tgt) =>
+      id -> ((tgt, toks(t).size.toLong, toks(t).map(lr).sum))
+    }.toMap
+  }
+
+  private def runDsir(docs: Seq[(Long, String, Boolean)]) =
+    Dsir.importanceWeights(
+      docs.toDF("doc_id", "text", "tgt"), "doc_id", "text", col("tgt"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("importance weights match the reference and rank target-like docs first") {
+    val docs = Seq(
+      (1L, "good clean prose good clean", true),
+      (2L, "good clean text here", true),
+      (3L, "spam spam spam buy now", false),
+      (4L, "good clean prose mostly", false),
+      (5L, "buy spam now now now", false))
+    val got = runDsir(docs)
+    assert(got === refDsir(docs))
+    // the target-like raw doc outweighs the spammy ones
+    assert(got(4L)._3 > got(3L)._3 && got(4L)._3 > got(5L)._3)
+  }
+
+  test("importance weights match the reference on a random corpus") {
+    val rnd = new scala.util.Random(11)
+    val tgtVocab = Vector("alpha", "beta", "gamma")
+    val rawVocab = Vector("alpha", "noise", "junk", "filler")
+    val docs = (0L until 80L).map { id =>
+      val tgt = id % 3 == 0
+      val vocab = if (tgt) tgtVocab else rawVocab
+      val t = Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (id, t, tgt)
+    }
+    assert(runDsir(docs) === refDsir(docs))
+  }
+
+  test("selectTopK keeps the k best raw docs, ties by doc_id, and validates k") {
+    val docs = Seq(
+      (1L, "alpha alpha", true),
+      (2L, "alpha alpha", false),
+      (3L, "junk junk", false),
+      (4L, "alpha alpha", false))
+    val w = Dsir.importanceWeights(
+      docs.toDF("doc_id", "text", "tgt"), "doc_id", "text", col("tgt"))
+    val top = Dsir.selectTopK(w, 2).select("doc_id").as[Long].collect()
+    assert(top.toSeq === Seq(2L, 4L)) // equal weights -> id order; 3 excluded
+    intercept[IllegalArgumentException](Dsir.selectTopK(w, 0))
+  }
+
+  // --- Bm25 ---------------------------------------------------------------
+
+  /** Reference BM25 (same formula and fixed point), plain collections. */
+  private def refBm25(
+      docs: Seq[(Long, String)], terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): Map[Long, Long] = {
+    val lens = docs.map { case (_, t) => toks(t).size.toLong }
+    val nDocs = docs.size.toDouble
+    val avg = lens.sum.toDouble / nDocs
+    val dfs = terms.map(t => docs.count { case (_, d) => toks(d).contains(t) }.toDouble)
+    docs.map { case (id, d) =>
+      val len = toks(d).size.toDouble
+      val s = terms.zip(dfs).map { case (t, df) =>
+        val idf = math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+        val tf = toks(d).count(_ == t).toDouble
+        idf * ((tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * (len / avg))))
+      }.reduceLeft(_ + _)
+      id -> math.floor(1e6 * s).toLong
+    }.toMap
+  }
+
+  test("bm25 scores match the reference, hide term-free docs, and rank by relevance") {
+    val docs = Seq(
+      1L -> "spark joins data with spark shuffles",
+      2L -> "spark appears once here",
+      3L -> "nothing relevant at all",
+      4L -> "query engines join tables",
+      5L -> "spark spark spark spark")
+    val terms = Seq("spark", "join")
+    val ref = refBm25(docs, terms)
+    val got = Bm25.scores(docs.toDF("doc_id", "text"), "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === ref.filter(_._2 > 0))
+    assert(!got.contains(3L)) // no query term -> absent
+    assert(got(5L) > got(2L)) // higher tf, shorter doc -> higher score
+  }
+
+  test("bm25 topK is deterministic with ties broken by doc_id") {
+    val docs = Seq(
+      1L -> "w x", 2L -> "w x", 3L -> "w x", // identical docs tie exactly
+      4L -> "y z")
+    val top = Bm25.topK(docs.toDF("doc_id", "text"), "doc_id", "text", Seq("w"), 2)
+      .select("doc_id").as[Long].collect()
+    assert(top.toSeq === Seq(1L, 2L))
+  }
+
+  test("bm25 parameter validation") {
+    val df = Seq(1L -> "a").toDF("doc_id", "text")
+    intercept[IllegalArgumentException](Bm25.scores(df, "doc_id", "text", Nil))
+    intercept[IllegalArgumentException](
+      Bm25.scores(df, "doc_id", "text", Seq("a", "a")))
+    intercept[IllegalArgumentException](
+      Bm25.scores(df, "doc_id", "text", Seq("a"), k1 = 0.0))
+    intercept[IllegalArgumentException](
+      Bm25.scores(df, "doc_id", "text", Seq("a"), b = 1.5))
+    intercept[IllegalArgumentException](
+      Bm25.topK(df, "doc_id", "text", Seq("a"), 0))
+  }
+}
