@@ -19,6 +19,11 @@ object SparkEntry {
     * sketch results are exact (no policy-B eviction fires). */
   private val ExactN = 2000000
 
+  /** DSIR hashed-feature bucket count for the driver query; the oracle SQL
+    * is generated from the same constant via [[graft.pipeline.Dsir.featureBucketSql]]
+    * so the two spellings cannot drift. */
+  private val DsirBuckets = 8192
+
   private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
@@ -534,11 +539,14 @@ object SparkEntry {
     }),
 
     // DSIR-style importance weights (arXiv:2302.03169): per-doc
-    // log-likelihood-ratio sums against the lang='en' target slice
+    // log-likelihood-ratio sums against the lang='en' target slice, over
+    // the paper's hashed feature space (8192 buckets) so the stats table
+    // is bounded regardless of vocabulary size
     "dsir_weights" -> ((spark, dir) => {
       import spark.implicits._
-      graft.pipeline.Dsir.importanceWeights(
-        tbl(spark, dir, "documents"), "doc_id", "text", col("lang") === "en")
+      graft.pipeline.Dsir.importanceWeightsHashed(
+        tbl(spark, dir, "documents"), "doc_id", "text", col("lang") === "en",
+        numBuckets = DsirBuckets)
         .orderBy($"doc_id")
     }),
 
@@ -1102,22 +1110,27 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN packed = keep_key THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_spans
         |FROM w GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
-    // exact-integer counts feed one LN() per vocab word whose argument is
-    // an identically-computed IEEE double; the 1e-6 floor lands BEFORE the
-    // per-doc sum, which is therefore an order-independent integer sum
+    // exact-integer counts feed one LN() per hashed feature bucket; the
+    // 1e-6 floor lands BEFORE the per-doc sum, which is therefore an
+    // order-independent integer sum (ln() last-ulp caveat: Dsir.scala doc).
+    // The bucket expression is generated from the same constants as the
+    // Spark plan (Dsir.featureBucketSql), smoothing V is the fixed bucket
+    // count — the paper's hashed feature space, bounded at any vocabulary.
     "dsir_weights" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, lang = 'en' AS is_target,
-        |         regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
-        |ex AS (SELECT doc_id, is_target, unnest(toks) AS w FROM t),
-        |ws AS (SELECT w, COUNT(*) AS c_raw,
+        |         regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+        |ex AS (SELECT doc_id, is_target,
+        |              ${graft.pipeline.Dsir.featureBucketSql("w", DsirBuckets)} AS f
+        |       FROM (SELECT doc_id, is_target, unnest(toks) AS w FROM t)),
+        |ws AS (SELECT f, COUNT(*) AS c_raw,
         |              SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_target
         |       FROM ex GROUP BY 1),
         |tot AS (SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw,
         |               CAST(SUM(c_target) AS BIGINT) AS n_target,
-        |               COUNT(*) AS v
+        |               $DsirBuckets AS v
         |        FROM ws),
-        |lr AS (SELECT w,
+        |lr AS (SELECT f,
         |              CAST(FLOOR(1000000.0 * LN(
         |                ((CAST(c_target AS DOUBLE) + 1.0) * (CAST(n_raw AS DOUBLE) + CAST(v AS DOUBLE)))
         |                / ((CAST(c_raw AS DOUBLE) + 1.0) * (CAST(n_target AS DOUBLE) + CAST(v AS DOUBLE)))))
@@ -1127,7 +1140,7 @@ object SparkEntry {
         |       MAX(e.is_target) AS is_target,
         |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
         |       CAST(SUM(lr.lr_e6) AS BIGINT) AS weight_e6
-        |FROM ex e JOIN lr USING (w)
+        |FROM ex e JOIN lr USING (f)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // BM25 with Lucene's non-negative idf. Constants are spelled as the

@@ -22,7 +22,12 @@ import org.apache.spark.sql.functions._
  *
  * Determinism: tf/df/N are exact integers; the score is fixed IEEE
  * arithmetic over them with a fixed left-to-right term order, floored to
- * 1e-6 fixed point. Ties break by doc_id.
+ * 1e-6 fixed point. Ties break by doc_id. Cross-engine caveat: the idf
+ * ln() is a transcendental, not a correctly-rounded IEEE op — another
+ * libm may differ in the last ulp and flip the floor on a knife-edge
+ * score. Exact and stable on any one platform; near-exact across
+ * platforms ([[LanguageModel]] shows the rational-arithmetic restructuring
+ * when bit-identical cross-engine replay is a hard requirement).
  */
 object Bm25 {
 

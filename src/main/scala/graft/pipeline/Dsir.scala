@@ -9,67 +9,150 @@ import org.apache.spark.sql.functions._
  * Resampling"): score every raw document by how much more likely its
  * tokens are under a *target* distribution (a trusted/curated slice) than
  * under the raw-corpus distribution, then keep the top-weighted documents.
- * The paper hashes n-grams into a fixed bucket space; this implementation
- * keeps raw unigrams with add-one smoothing — same estimator family, and
- * the feature table stays distributed so an unbounded vocabulary never has
- * to fit on the driver.
  *
- * Per-document weight: sum over token OCCURRENCES of the per-word
+ * Two tiers, same estimator family:
+ *
+ *  - [[importanceWeightsHashed]] — the paper's own device: hash every
+ *    token into a FIXED bucket space of `numBuckets` features, so the
+ *    feature-stats table is bounded by construction (numBuckets rows, a
+ *    few KB) no matter how large the vocabulary grows. This is the
+ *    100 TB tier: a raw web corpus has an unbounded unigram vocabulary
+ *    (misspellings, ids, urls — 10^8..10^9 distinct tokens), and any plan
+ *    that materializes per-word statistics inherits that cardinality.
+ *  - [[importanceWeights]] — raw unigrams with add-one smoothing, exact
+ *    per-word ratios. The vocabulary-sized stats table stays distributed
+ *    (never a forced broadcast, never on the driver); the scoring join is
+ *    keyed by word and AQE picks the join strategy from the table's real
+ *    size at runtime.
+ *
+ * Per-document weight: sum over token OCCURRENCES of the per-feature
  * log-likelihood ratio
  *
- *   lr(w) = ln( ((c_target(w)+1) * (N_raw + V)) /
- *               ((c_raw(w)+1)    * (N_target + V)) )
+ *   lr(f) = ln( ((c_target(f)+1) * (N_raw + V)) /
+ *               ((c_raw(f)+1)    * (N_target + V)) )
  *
- * with c_* the word counts in each slice, N_* the slice token totals, and
- * V the raw vocabulary size (the target slice is a subset of raw, so one
- * smoothing vocabulary serves both). Each per-word ratio is floored to
- * 1e-6 fixed point BEFORE the per-doc sum, so the aggregate is an
- * order-independent integer sum — bit-identical across engines and
- * shuffle schedules.
+ * with c_* the feature counts in each slice, N_* the slice token totals,
+ * and V the smoothing vocabulary: the observed distinct-feature count for
+ * the raw-unigram tier, the fixed `numBuckets` for the hashed tier (every
+ * bucket is a feature by construction, occupied or not). The target slice
+ * is a subset of raw, so one smoothing vocabulary serves both. An empty
+ * target slice is tolerated: every ratio degrades to the same well-defined
+ * negative constant family (c_target=0, N_target=0), uniformly
+ * down-weighting everything rather than failing.
+ *
+ * Determinism: each per-feature ratio is floored to 1e-6 fixed point
+ * BEFORE the per-doc sum, so the aggregate is an order-independent integer
+ * sum — stable across shuffle schedules and partitionings. Cross-engine
+ * caveat: the single ln() per feature is a transcendental, not a
+ * correctly-rounded IEEE op, so another libm may differ in the last ulp
+ * and flip a floor on a knife-edge ratio; exact on any one platform,
+ * near-exact across platforms (see [[LanguageModel]] for the
+ * rational-arithmetic alternative when bit-identical cross-engine replay
+ * is a requirement).
  *
  * Scale shape (100 TB): two scans of the docs table (count, then score) —
- * the train-then-apply shape of [[LanguageModel]]. The word-stats
- * aggregation is one shuffle keyed by word with map-side partial
- * aggregation; its result is vocabulary-sized, so the totals cross-join
- * and the scoring join both broadcast. Scoring is then one hash
- * aggregation by doc_id of longs. No driver-side data beyond the
- * single-row totals.
+ * the train-then-apply shape of [[LanguageModel]]. The feature-stats
+ * aggregation is one shuffle keyed by feature with map-side partial
+ * aggregation. The one-row totals broadcast (bounded by construction);
+ * the per-feature lr table joins back by key with NO broadcast hint —
+ * bounded at `numBuckets` rows in the hashed tier, and AQE-sized in the
+ * raw tier. Scoring is then one hash aggregation by doc_id of longs. No
+ * driver-side data beyond the single-row totals.
  */
 object Dsir {
 
   /**
-   * Per-document importance weights: (doc_id, n_tokens, is_target,
-   * weight_e6) where weight_e6 is the fixed-point log-likelihood-ratio
-   * sum described above. `isTarget` marks the curated slice (evaluated
-   * against `docs`' columns); it must select at least one token.
+   * Portable deterministic token bucket in [0, numBuckets): the first 15
+   * hex chars of md5(token) — a 60-bit non-negative integer — reduced mod
+   * `numBuckets`. Every step (md5 → lowercase hex, hex-prefix to int,
+   * modulo of non-negatives) computes identically in Spark and standard
+   * SQL engines, so bucketed statistics are oracle-replayable; see
+   * [[featureBucketSql]] for the engine-neutral spelling generated from
+   * the same constants.
+   */
+  def featureBucket(token: Column, numBuckets: Int): Column = {
+    require(numBuckets >= 2 && numBuckets <= (1 << 30),
+      s"numBuckets must be in [2, 2^30], got $numBuckets")
+    conv(substring(md5(token), 1, 15), 16, 10).cast("long") % numBuckets
+  }
+
+  /** The identical bucket computation as engine-neutral SQL over
+    * `tokenExpr` (hex-string cast, DuckDB/standard), for oracle
+    * construction — same constants as [[featureBucket]] so the two
+    * spellings cannot drift. */
+  def featureBucketSql(tokenExpr: String, numBuckets: Int): String = {
+    require(numBuckets >= 2 && numBuckets <= (1 << 30),
+      s"numBuckets must be in [2, 2^30], got $numBuckets")
+    s"(CAST(('0x' || substr(md5($tokenExpr), 1, 15)) AS BIGINT) % $numBuckets)"
+  }
+
+  /**
+   * Per-document importance weights over HASHED features — the bounded,
+   * any-vocabulary tier. Output columns, in order: (doc_id, is_target,
+   * n_tokens, weight_e6) where weight_e6 is the fixed-point
+   * log-likelihood-ratio sum described above. `isTarget` marks the
+   * curated slice (evaluated against `docs`' columns). Hash collisions
+   * merge words into one feature — the paper's accepted trade; grow
+   * `numBuckets` to taste (the stats table is numBuckets rows regardless
+   * of corpus size).
+   */
+  def importanceWeightsHashed(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      numBuckets: Int = 1 << 13): DataFrame =
+    weightsByFeature(docs, idCol, textCol, isTarget,
+      w => featureBucket(w, numBuckets), fixedVocab = Some(numBuckets.toLong))
+
+  /**
+   * Per-document importance weights over raw unigram features — exact
+   * per-word ratios, observed-vocabulary smoothing. Same output columns:
+   * (doc_id, is_target, n_tokens, weight_e6). The word-stats table is
+   * vocabulary-sized and stays fully distributed; prefer
+   * [[importanceWeightsHashed]] when the vocabulary is unbounded.
    */
   def importanceWeights(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      isTarget: Column): DataFrame = {
+      isTarget: Column): DataFrame =
+    weightsByFeature(docs, idCol, textCol, isTarget, identity, fixedVocab = None)
+
+  /** Shared estimator core: explode tokens, map each through `feature`,
+    * aggregate per-feature counts, score per-feature ratios, sum per doc.
+    * `fixedVocab` pins the smoothing V (hashed tier); None counts the
+    * observed distinct features (raw tier). */
+  private def weightsByFeature(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      feature: Column => Column,
+      fixedVocab: Option[Long]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
 
     val exploded = docs
       .select(col(idCol).as("doc_id"), isTarget.as("is_target"),
         explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .select($"doc_id", $"is_target", feature($"w").as("f"))
 
-    // one shuffle by word; result is |vocab| rows
-    val wordStats = exploded
-      .groupBy($"w")
+    // one shuffle by feature; bounded at numBuckets rows when hashed
+    val featStats = exploded
+      .groupBy($"f")
       .agg(count(lit(1)).as("c_raw"),
         sum(when($"is_target", 1L).otherwise(0L)).as("c_target"))
 
-    val totals = wordStats
+    val totals = featStats
       .agg(sum($"c_raw").as("n_raw"), sum($"c_target").as("n_target"),
-        count(lit(1)).as("v"))
+        fixedVocab.map(lit(_)).getOrElse(count(lit(1))).as("v"))
 
-    // Exact-integer inputs; the single ln() sees an identically-computed
-    // IEEE double in any engine, and the 1e-6 floor happens per WORD so
-    // the doc-level sum is an integer.
-    val lr = wordStats.crossJoin(broadcast(totals))
-      .select($"w",
+    // Exact-integer inputs; one ln() per feature (cross-platform caveat in
+    // the object doc), and the 1e-6 floor happens per FEATURE so the
+    // doc-level sum is an order-independent integer sum.
+    val lr = featStats.crossJoin(broadcast(totals))
+      .select($"f",
         floor(lit(1e6) * log(
           (($"c_target".cast("double") + lit(1.0)) *
             ($"n_raw".cast("double") + $"v".cast("double"))) /
@@ -77,8 +160,10 @@ object Dsir {
               ($"n_target".cast("double") + $"v".cast("double")))))
           .cast("long").as("lr_e6"))
 
+    // keyed join, no broadcast hint: AQE picks the strategy from the lr
+    // table's actual size (numBuckets rows hashed; vocab-sized raw)
     exploded
-      .join(broadcast(lr), "w")
+      .join(lr, "f")
       .groupBy($"doc_id")
       .agg(max($"is_target").as("is_target"),
         count(lit(1)).as("n_tokens"),

@@ -186,14 +186,23 @@ class PlanSpec extends AnyFunSuite {
       "top-k must be per-partition heaps, not a global sort")
   }
 
-  test("dsir: vocab-sized stats broadcast back into the scoring scan") {
-    val p = plan("dsir_weights")
+  test("dsir: no forced broadcast of the feature-stats table; scoring join is keyed") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val df = SparkEntry.queries("dsir_weights")(spark, dir)
+    // the ONLY broadcast hint allowed is the one-row totals aggregate; a
+    // hint on the per-feature lr table would pin a vocab-sized broadcast
+    // in the raw-unigram tier (the round-7 scale-killer) — AQE must pick
+    // the scoring-join strategy from the table's runtime size instead
+    val hinted = df.queryExecution.analyzed.collect {
+      case h: ResolvedHint => h.child.schema.fieldNames.toSeq
+    }
+    assert(hinted.forall(_.contains("n_raw")),
+      s"only the one-row totals may carry a broadcast hint; hinted: $hinted")
+    val p = df.queryExecution.explainString(FormattedMode)
     assert(!p.contains("CartesianProduct"),
       "only the 1-row totals may join without keys (broadcast loop)")
     assert(p.linesIterator.count(
       _.matches("""\(\d+\) BroadcastNestedLoopJoin\s*""")) <= 1,
       "exactly the totals join may be a nested loop")
-    assert(p.contains("BroadcastExchange"),
-      "the per-word lr table must broadcast into the token join")
   }
 }

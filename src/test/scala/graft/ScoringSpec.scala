@@ -138,6 +138,93 @@ class ScoringSpec extends AnyFunSuite {
     assert(runDsir(docs) === refDsir(docs))
   }
 
+  /** Reference bucketed weights: same md5-prefix bucketing as
+    * Dsir.featureBucket computed with java.security (independent of Spark),
+    * counts by bucket, smoothing V = numBuckets. */
+  private def refBucket(w: String, numBuckets: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16) % numBuckets
+  }
+
+  private def refDsirHashed(docs: Seq[(Long, String, Boolean)], numBuckets: Int)
+      : Map[Long, (Boolean, Long, Long)] = {
+    val all = docs.flatMap { case (_, t, tgt) =>
+      toks(t).map(w => refBucket(w, numBuckets) -> tgt) }
+    val cRaw = all.groupBy(_._1).map { case (f, xs) => f -> xs.size.toLong }
+    val cTgt = all.groupBy(_._1).map { case (f, xs) => f -> xs.count(_._2).toLong }
+    val nRaw = all.size.toLong
+    val nTgt = all.count(_._2).toLong
+    val v = numBuckets.toLong
+    def lr(f: Long): Long = math.floor(1e6 * math.log(
+      ((cTgt(f).toDouble + 1.0) * (nRaw.toDouble + v.toDouble)) /
+        ((cRaw(f).toDouble + 1.0) * (nTgt.toDouble + v.toDouble)))).toLong
+    docs.map { case (id, t, tgt) =>
+      id -> ((tgt, toks(t).size.toLong,
+        toks(t).map(w => lr(refBucket(w, numBuckets))).sum))
+    }.toMap
+  }
+
+  private def runDsirHashed(docs: Seq[(Long, String, Boolean)], numBuckets: Int) =
+    Dsir.importanceWeightsHashed(
+      docs.toDF("doc_id", "text", "tgt"), "doc_id", "text", col("tgt"), numBuckets)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("hashed importance weights match an independent bucketed reference") {
+    val docs = Seq(
+      (1L, "good clean prose good clean", true),
+      (2L, "good clean text here", true),
+      (3L, "spam spam spam buy now", false),
+      (4L, "good clean prose mostly", false),
+      (5L, "buy spam now now now", false))
+    // 16 buckets forces collisions; the reference buckets identically
+    for (b <- Seq(16, 8192)) {
+      assert(runDsirHashed(docs, b) === refDsirHashed(docs, b), s"numBuckets=$b")
+    }
+  }
+
+  test("hashed weights agree with raw-unigram weights when collision-free") {
+    val rnd = new scala.util.Random(23)
+    val tgtVocab = Vector("alpha", "beta", "gamma")
+    val rawVocab = Vector("alpha", "noise", "junk", "filler", "web", "crawl")
+    val docs = (0L until 120L).map { id =>
+      val tgt = id % 4 == 0
+      val vocab = if (tgt) tgtVocab else rawVocab
+      val t = Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (id, t, tgt)
+    }
+    val b = 1 << 20
+    // the corpus vocabulary maps into distinct buckets at this size, so
+    // per-feature counts are identical and hashed vs raw weights differ
+    // ONLY via the smoothing V (2^20 vs the observed vocab size): every
+    // per-token ratio shifts by the same constant K = ln((Nr+V)/(Nt+V)),
+    // so per doc the two weights differ by n_tokens*K*1e6 up to ±1 floor
+    // jitter per token — an exact, checkable relationship
+    val words = docs.flatMap(d => toks(d._2)).distinct
+    assert(words.map(refBucket(_, b)).distinct.size === words.size,
+      "test premise: no bucket collisions at 2^20")
+    assert(runDsirHashed(docs, b) === refDsirHashed(docs, b))
+    val all = docs.flatMap(d => toks(d._2).map(_ -> d._3))
+    val nRaw = all.size.toDouble
+    val nTgt = all.count(_._2).toDouble
+    def kOf(v: Double): Double = math.log((nRaw + v) / (nTgt + v))
+    val deltaE6 = 1e6 * (kOf(words.size.toDouble) - kOf(b.toDouble))
+    val rawW = runDsir(docs)
+    val hashW = runDsirHashed(docs, b)
+    for ((id, (_, n, wR)) <- rawW) {
+      val wH = hashW(id)._3
+      assert(math.abs((wR - wH) - n * deltaE6) <= n.toDouble + 1.0,
+        s"doc $id: raw $wR vs hashed $wH (n=$n, expected shift ${n * deltaE6})")
+    }
+  }
+
+  test("featureBucket validates the bucket range") {
+    intercept[IllegalArgumentException](Dsir.featureBucket(col("w"), 1))
+    intercept[IllegalArgumentException](Dsir.featureBucketSql("w", 1))
+  }
+
   test("selectTopK keeps the k best raw docs, ties by doc_id, and validates k") {
     val docs = Seq(
       (1L, "alpha alpha", true),

@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: compare each
+SparkEntry query dump (written by `sbt "runMain graft.Verify <sfDir> <out>"`)
+against its DuckDB oracle from oracle_sql.json.
+
+Usage: python3 tools/local_verify.py <sfDir> <verifyOutDir> [query ...]
+"""
+import json, sys, hashlib
+import duckdb
+import pyarrow.parquet as pq
+
+def table_hash(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    h = hashlib.sha256()
+    for row in rows:
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = f"{v:.9g}"
+            h.update(repr(v).encode())
+            h.update(b"\x1f")
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    fails = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            spark_tbl = pq.read_table(f"{out_dir}/{name}")
+            o = con.sql(sql)
+            ocols, orows = o.columns, o.fetchall()
+            scols = spark_tbl.column_names
+            srows = [tuple(r.values()) for r in spark_tbl.to_pylist()]
+            schema_ok = sorted(ocols) == sorted(scols)
+            rows_ok = len(orows) == len(srows)
+            hash_ok = schema_ok and table_hash(srows, scols) == table_hash(orows, ocols)
+            ok = schema_ok and rows_ok and hash_ok
+            if not ok:
+                fails += 1
+            print(f"{'PASS' if ok else 'FAIL'} {name}: rows {len(srows)}/{len(orows)}"
+                  f" schema={schema_ok} hash={hash_ok}"
+                  + ("" if schema_ok else f" spark={scols} oracle={ocols}"))
+        except Exception as e:
+            fails += 1
+            print(f"ERR  {name}: {e}")
+    sys.exit(1 if fails else 0)
+
+if __name__ == "__main__":
+    main()
