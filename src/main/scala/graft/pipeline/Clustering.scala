@@ -161,6 +161,52 @@ object Clustering {
       newPairs: DataFrame,
       aCol: String,
       bCol: String): DataFrame = {
+    val (repMap, labeledNew) = contractAndMerge(labels, newPairs, aCol, bCol)
+
+    // old rows rewrite through the rep map (untouched components pass through)
+    val updatedOld = labels
+      .join(repMap, labels("cluster_id") === col("__rep"), "left")
+      .select(labels("doc_id"),
+        coalesce(col("__merged"), labels("cluster_id")).as("cluster_id"))
+
+    updatedOld.union(labeledNew)
+  }
+
+  /**
+   * The CHANGED-rows view of [[incrementalUpdate]]: only rows whose label
+   * differs from (or is absent in) `labels` — relabeled members of merged
+   * components plus brand-new nodes. `incrementalUpdate(labels, p) ==
+   * (labels minus delta's doc_ids) union delta` (CurationSpec). This is
+   * what an incremental COMMIT wants to write: its size is bounded by the
+   * members of touched components, never the corpus.
+   */
+  def incrementalUpdateDelta(
+      labels: DataFrame,
+      newPairs: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val (repMap, labeledNew) = contractAndMerge(labels, newPairs, aCol, bCol)
+
+    // a component relabels only when its minimum changed (merged != rep);
+    // the labels scan stays shuffle-free — the rep map is tiny, AQE
+    // broadcasts it into this join
+    val changedOld = labels
+      .join(repMap.filter(col("__merged") =!= col("__rep")),
+        labels("cluster_id") === col("__rep"))
+      .select(labels("doc_id"), col("__merged").as("cluster_id"))
+
+    changedOld.union(labeledNew)
+  }
+
+  /** Shared incremental core: contract new edges through the current
+    * labeling, run CC on the contracted (new-edges-sized) graph. Returns
+    * (repMap: __rep -> __merged component minimum, labeledNew: labels for
+    * nodes absent from `labels`). */
+  private def contractAndMerge(
+      labels: DataFrame,
+      newPairs: DataFrame,
+      aCol: String,
+      bCol: String): (DataFrame, DataFrame) = {
     val reps = labels.select(col("doc_id").as("__n"), col("cluster_id").as("__r"))
 
     // self-pairs dropped up front, mirroring connectedComponents — a node
@@ -180,12 +226,6 @@ object Clustering {
     val repMap = connectedComponents(withReps, "__u", "__v")
       .select(col("doc_id").as("__rep"), col("cluster_id").as("__merged"))
 
-    // old rows rewrite through the rep map (untouched components pass through)
-    val updatedOld = labels
-      .join(repMap, labels("cluster_id") === col("__rep"), "left")
-      .select(labels("doc_id"),
-        coalesce(col("__merged"), labels("cluster_id")).as("cluster_id"))
-
     // brand-new nodes: rep == themselves (no labels row). Their merged
     // label comes from the rep map; a new node whose every contracted edge
     // collapsed (paired only with one existing cluster... impossible: that
@@ -200,7 +240,7 @@ object Clustering {
       .select(newNodes("doc_id"),
         coalesce(col("__merged"), newNodes("doc_id")).as("cluster_id"))
 
-    updatedOld.union(labeledNew)
+    (repMap, labeledNew)
   }
 
   /**

@@ -225,14 +225,15 @@ object TopnStreaming {
   }
 
   /** Assemble the table for a manifest: union of the referenced data dirs,
-    * each filtered to the periods the manifest maps to it. */
+    * each filtered to the keys (`keyCol` values) the manifest maps to it. */
   private def manifestTable(
       spark: org.apache.spark.sql.SparkSession,
       rollupPath: String,
-      manifest: Map[String, Long]): Option[DataFrame] =
-    manifest.groupBy(_._2).map { case (dirId, byPeriod) =>
+      manifest: Map[String, Long],
+      keyCol: String = "period"): Option[DataFrame] =
+    manifest.groupBy(_._2).map { case (dirId, byKey) =>
       spark.read.parquet(s"$rollupPath/data/b=$dirId")
-        .filter(col("period").isin(byPeriod.keys.toSeq: _*))
+        .filter(col(keyCol).isin(byKey.keys.toSeq: _*))
     }.reduceOption(_ unionAll _)
 
   /** The committed rollup table: (period, group, sketch). Empty-schema
@@ -327,42 +328,61 @@ object TopnStreaming {
 
   // ---- streaming duplicate-cluster maintenance ---------------------------
 
-  private val LabelsKey = "__labels__"
+  /** Internal labels bucket column (stored as STRING, like `period`). */
+  private val BucketCol = "__graft_bucket"
 
   /**
    * Maintain a duplicate-cluster labeling over a STREAM of near-dup pairs
    * (e.g. the output of [[streamingNearDupPairs]] routed through a sink,
    * or any upstream pair source): per micro-batch, fold the new pairs into
    * the committed labeling with
-   * [[graft.pipeline.Clustering.incrementalUpdate]] — new-edges-sized
-   * work, not corpus-sized — and commit the updated labels snapshot with
-   * the same atomic manifest protocol as [[maintainRollup]] (temp+rename
-   * manifest, replay-idempotent by batch id, `_graft_scope` checkpoint
-   * binding, old snapshots garbage-collected past one committed version).
+   * [[graft.pipeline.Clustering.incrementalUpdateDelta]] — new-edges-sized
+   * work, not corpus-sized — and commit with the same atomic manifest
+   * protocol as [[maintainRollup]] (temp+rename manifest, replay-idempotent
+   * by batch id, `_graft_scope` checkpoint binding, data directories
+   * garbage-collected once neither the new nor the previous manifest
+   * references them).
    *
-   * Unlike the rollup (whose periods partition the state, enabling
-   * per-period partial rewrites), ANY two components can merge when an
-   * edge arrives, so each commit writes a full labels snapshot — labels
-   * are two ids per clustered doc, orders of magnitude smaller than the
-   * corpus. Read the committed labeling with [[committedClusters]].
+   * Commit I/O is O(touched buckets), not O(corpus labels): the labeling
+   * is partitioned into `numBuckets` stable hash buckets of doc_id, the
+   * manifest maps each bucket to the data directory holding its current
+   * rows, and a batch rewrites ONLY the buckets containing relabeled or
+   * new docs — the rollup's touched-period device applied to labels.
+   * Buckets untouched by a batch are not read, not rewritten, and their
+   * files stay byte-identical on disk (StreamingSpec asserts this).
+   * `numBuckets` is pinned at first commit (a `_graft_cluster_buckets`
+   * stamp) — changing it would silently re-bucket docs and orphan rows,
+   * so a mismatch fails fast. As with the rollup, a directory whose
+   * buckets were partially re-touched by later batches keeps stale rows
+   * on disk until its last referenced bucket moves (readers filter by the
+   * manifest's bucket map) — bounded read amplification in exchange for
+   * never rewriting untouched buckets.
+   *
+   * Read the committed labeling with [[committedClusters]].
    */
   def maintainClusters(
       pairs: DataFrame,
       labelsPath: String,
       aCol: String,
       bCol: String,
-      checkpointLocation: Option[String] = None)
+      checkpointLocation: Option[String] = None,
+      numBuckets: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val scope = scopeOf(checkpointLocation)
     val writer = pairs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        clusterBatch(batch, batchId, labelsPath, aCol, bCol, scope)
+        clusterBatch(batch, batchId, labelsPath, aCol, bCol, scope, numBuckets)
         ()
       }
     checkpointLocation.foreach(writer.option("checkpointLocation", _))
     writer.start()
   }
+
+  /** Stable bucket of a doc id, any orderable id type. Stored as string —
+    * same move as the rollup's `period` (no partition-value inference). */
+  private def bucketOf(id: org.apache.spark.sql.Column, numBuckets: Int) =
+    pmod(xxhash64(id), lit(numBuckets.toLong)).cast("string")
 
   /** One micro-batch of cluster maintenance (exposed for deterministic
     * crash/replay testing; [[maintainClusters]] drives it). */
@@ -372,42 +392,81 @@ object TopnStreaming {
       labelsPath: String,
       aCol: String,
       bCol: String,
-      scope: String): Unit = {
+      scope: String,
+      numBuckets: Int = 64): Unit = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
     val spark = batch.sparkSession
     val (fs, root) = fsOf(spark, labelsPath)
     checkScope(fs, root, scope)
+    checkStamp(fs, root, "_graft_cluster_buckets", numBuckets.toString,
+      (stored, given) =>
+        s"labels at $root were bucketed with numBuckets=$stored; this query " +
+          s"uses numBuckets=$given. Bucket membership is a pure function of " +
+          "numBuckets, so changing it would re-bucket docs and orphan their " +
+          "old rows. Resume with the original numBuckets, or rebuild the " +
+          "labels path from scratch.")
 
     val committed = committedVersion(spark, labelsPath)
     if (committed.exists(batchId <= _)) return // replay of a committed batch
     if (batch.isEmpty) return
+    val manifest = committed.map(readManifest(fs, root, _)).getOrElse(Map.empty)
 
-    val updated = committed match {
+    // changed/new labels only — bounded by the members of touched
+    // components, never the corpus
+    val delta = (committed match {
       case None =>
         graft.pipeline.Clustering.connectedComponents(batch, aCol, bCol)
-      case Some(v) =>
-        val current = spark.read.parquet(s"$labelsPath/data/b=$v")
-        graft.pipeline.Clustering.incrementalUpdate(current, batch, aCol, bCol)
-    }
-    updated.write.mode("overwrite").parquet(s"$labelsPath/data/b=$batchId")
-    val previous = committed.map(readManifest(fs, root, _)).getOrElse(Map.empty)
-    writeManifest(fs, root, batchId, Map(LabelsKey -> batchId))
+      case Some(_) =>
+        val current = manifestTable(spark, labelsPath, manifest, BucketCol)
+          .map(_.drop(BucketCol)).getOrElse(spark.emptyDataFrame)
+        graft.pipeline.Clustering.incrementalUpdateDelta(
+          current, batch, aCol, bCol)
+    }).withColumn(BucketCol, bucketOf(col("doc_id"), numBuckets))
+      .cache()
+    try {
+      val touched = delta.select(BucketCol).distinct()
+        .collect().map(_.getString(0)).toSet
 
-    // keep the new and previous snapshots (in-flight readers of the
-    // previous committed state stay safe); drop anything older
-    val live = Set(batchId) ++ previous.values
-    val dataRoot = new org.apache.hadoop.fs.Path(root, "data")
-    if (fs.exists(dataRoot)) {
-      fs.listStatus(dataRoot).toSeq.filter(_.isDirectory).foreach { st =>
-        scala.util.Try(st.getPath.getName.stripPrefix("b=").toLong).toOption
-          .foreach { id => if (!live.contains(id)) fs.delete(st.getPath, true) }
-      }
-    }
-    fs.listStatus(manifestDir(root)).toSeq.foreach { st =>
-      scala.util.Try(st.getPath.getName.stripPrefix("m=").toLong).toOption
-        .foreach { id =>
-          if (id < committed.getOrElse(batchId)) fs.delete(st.getPath, false)
+      if (touched.isEmpty) {
+        // pairs were all self-loops or internal to existing clusters: no
+        // label moved. Commit the unchanged manifest so the batch id still
+        // advances (replay detection stays exact), write no data.
+        writeManifest(fs, root, batchId, manifest)
+      } else {
+        // previous state of ONLY the touched buckets; changed docs' old
+        // rows are replaced, the bucket's other rows carry over
+        val oldTouched = manifestTable(spark, labelsPath,
+          manifest.view.filterKeys(touched).toMap, BucketCol)
+        val merged = oldTouched match {
+          case None => delta
+          case Some(old) =>
+            old.join(delta.select(col("doc_id")), Seq("doc_id"), "left_anti")
+              .unionByName(delta)
         }
-    }
+        merged.write.mode("overwrite").parquet(s"$labelsPath/data/b=$batchId")
+        writeManifest(fs, root, batchId,
+          manifest ++ touched.iterator.map(_ -> batchId))
+      }
+
+      // drop data dirs referenced by neither the new nor the previous
+      // manifest (readers of the previous committed state stay safe), and
+      // manifests older than the previous one
+      val newManifest = readManifest(fs, root, batchId)
+      val live = newManifest.values.toSet ++ manifest.values.toSet
+      val dataRoot = new org.apache.hadoop.fs.Path(root, "data")
+      if (fs.exists(dataRoot)) {
+        fs.listStatus(dataRoot).toSeq.filter(_.isDirectory).foreach { st =>
+          scala.util.Try(st.getPath.getName.stripPrefix("b=").toLong).toOption
+            .foreach { id => if (!live.contains(id)) fs.delete(st.getPath, true) }
+        }
+      }
+      fs.listStatus(manifestDir(root)).toSeq.foreach { st =>
+        scala.util.Try(st.getPath.getName.stripPrefix("m=").toLong).toOption
+          .foreach { id =>
+            if (id < committed.getOrElse(batchId)) fs.delete(st.getPath, false)
+          }
+      }
+    } finally delta.unpersist()
   }
 
   /** The committed cluster labeling: (doc_id, cluster_id). Empty-schema
@@ -416,8 +475,9 @@ object TopnStreaming {
       spark: org.apache.spark.sql.SparkSession, labelsPath: String): DataFrame = {
     val (fs, root) = fsOf(spark, labelsPath)
     committedVersion(spark, labelsPath)
-      .flatMap(v => readManifest(fs, root, v).get(LabelsKey))
-      .map(id => spark.read.parquet(s"$labelsPath/data/b=$id"))
+      .flatMap(v => manifestTable(spark, labelsPath,
+        readManifest(fs, root, v), BucketCol))
+      .map(_.drop(BucketCol))
       .getOrElse(spark.emptyDataFrame)
   }
 
@@ -428,39 +488,51 @@ object TopnStreaming {
   private def checkScope(
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path,
-      scope: String,
+      scope: String): Unit =
+    checkStamp(fs, root, "_graft_scope", scope,
+      (stored, given) =>
+        s"rollup at $root was maintained under a different streaming " +
+          s"checkpoint (scope $stored, this query: $given). Batch ids are " +
+          "only meaningful within one checkpoint; continuing would " +
+          "double-count or silently drop replayed batches. Resume with the " +
+          "original checkpointLocation, or start a NEW rollup path (and " +
+          "optionally seed it from the old one with topn_union).")
+
+  /** Write-once stamp file under `root`: the first writer records `value`
+    * (temp+rename, so never torn); later calls must present the same value
+    * or fail with `mismatch(stored, given)`. */
+  private def checkStamp(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      fileName: String,
+      value: String,
+      mismatch: (String, String) => String,
       attemptsLeft: Int = 3): Unit = {
-    val scopePath = new org.apache.hadoop.fs.Path(root, "_graft_scope")
-    if (fs.exists(scopePath)) {
-      val len = fs.getFileStatus(scopePath).getLen.toInt
+    val stampPath = new org.apache.hadoop.fs.Path(root, fileName)
+    if (fs.exists(stampPath)) {
+      val len = fs.getFileStatus(stampPath).getLen.toInt
       val buf = new Array[Byte](len)
-      val in = fs.open(scopePath)
+      val in = fs.open(stampPath)
       try in.readFully(0, buf) finally in.close()
       val stored = new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim
-      if (stored != scope) {
-        throw new IllegalStateException(
-          s"rollup at $root was maintained under a different streaming " +
-            s"checkpoint (scope $stored, this query: $scope). Batch ids are " +
-            "only meaningful within one checkpoint; continuing would " +
-            "double-count or silently drop replayed batches. Resume with the " +
-            "original checkpointLocation, or start a NEW rollup path (and " +
-            "optionally seed it from the old one with topn_union).")
+      if (stored != value) {
+        throw new IllegalStateException(mismatch(stored, value))
       }
     } else if (attemptsLeft <= 0) {
       throw new java.io.IOException(
-        s"could not establish rollup scope at $scopePath (rename kept failing)")
+        s"could not establish stamp at $stampPath (rename kept failing)")
     } else {
       val tmp = new org.apache.hadoop.fs.Path(root,
-        s"_graft_scope.tmp-${java.util.UUID.randomUUID()}")
+        s"$fileName.tmp-${java.util.UUID.randomUUID()}")
       fs.mkdirs(root)
       val out = fs.create(tmp, true)
-      try out.write(scope.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try out.write(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      if (!fs.rename(tmp, scopePath)) {
+      if (!fs.rename(tmp, stampPath)) {
         // concurrent first-writer may have won the rename: re-check, with
         // bounded retries in case rename fails for transient reasons
         fs.delete(tmp, false)
-        checkScope(fs, root, scope, attemptsLeft - 1)
+        checkStamp(fs, root, fileName, value, mismatch, attemptsLeft - 1)
       }
     }
   }

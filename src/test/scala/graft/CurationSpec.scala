@@ -276,6 +276,26 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalUpdateDelta is exactly the changed rows of incrementalUpdate") {
+    val rnd = new Random(13)
+    for (_ <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(80)((rnd.nextLong(n), rnd.nextLong(n)))
+      val (oldE, newE) = edges.splitAt(50)
+      val base = Clustering.connectedComponents(oldE.toDF("a", "b"), "a", "b")
+      val baseMap = base.as[(Long, Long)].collect().toMap
+      val full = Clustering.incrementalUpdate(base, newE.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val delta = Clustering
+        .incrementalUpdateDelta(base, newE.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      // delta rows all differ from (or are absent in) the base labeling...
+      for ((id, c) <- delta) assert(baseMap.get(id) !== Some(c))
+      // ...and patching base with delta reproduces the full update
+      assert(baseMap ++ delta === full)
+    }
+  }
+
   test("incrementalUpdate chains; a small-id newcomer takes over the label") {
     // {10,11} and {20,21} exist; batch 2 bridges them through new node 5,
     // whose id is smaller than both cluster minima -> every member relabels

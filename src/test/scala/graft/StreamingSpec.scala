@@ -410,6 +410,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("different streaming checkpoint"))
   }
 
+  test("cluster commits rewrite only touched buckets; untouched files stay byte-identical") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cluster_buckets")
+    val path = s"$base/t"
+    val B = 8
+    // batch 0: 20 two-doc components spread across the 8 hash buckets
+    val b0 = (0L until 40L by 2L).map(i => (i, i + 1L))
+    TopnStreaming.clusterBatch(b0.toDF("a", "b"), 0, path, "a", "b",
+      scope = "bucket-scope", numBuckets = B)
+
+    def dataFiles(): Map[String, String] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val root = java.nio.file.Paths.get(s"$path/data")
+      val out = scala.collection.mutable.Map[String, String]()
+      java.nio.file.Files.walk(root).forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p)) {
+          md.reset()
+          out(p.toString) =
+            md.digest(java.nio.file.Files.readAllBytes(p)).map("%02x".format(_)).mkString
+        }
+      }
+      out.toMap
+    }
+    val before = dataFiles()
+    assert(before.nonEmpty)
+
+    // batch 1 adds one doc to one component: exactly one doc relabels
+    // (node 100 -> cluster 0), so exactly one bucket is touched
+    TopnStreaming.clusterBatch(Seq((1L, 100L)).toDF("a", "b"), 1, path, "a", "b",
+      scope = "bucket-scope", numBuckets = B)
+    val after = dataFiles()
+
+    // every pre-existing file is still there, byte-identical — untouched
+    // buckets were not rewritten
+    for ((f, h) <- before) assert(after.get(f) === Some(h),
+      s"batch-0 file $f must survive a touched-bucket commit unmodified")
+    // the new commit wrote a new data dir holding exactly ONE bucket
+    val b1 = spark.read.parquet(s"$path/data/b=1")
+    assert(b1.select("__graft_bucket").distinct().count() === 1L,
+      "commit I/O must be proportional to touched buckets, not the corpus")
+
+    // the committed labeling is still exactly the batch CC over all pairs
+    val want = graft.pipeline.Clustering
+      .connectedComponents((b0 :+ ((1L, 100L))).toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val got = TopnStreaming.committedClusters(spark, path)
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+
+    // a pairs batch internal to existing clusters commits no data, only a
+    // manifest advancing the batch id
+    TopnStreaming.clusterBatch(Seq((0L, 1L)).toDF("a", "b"), 2, path, "a", "b",
+      scope = "bucket-scope", numBuckets = B)
+    assert(TopnStreaming.committedVersion(spark, path) === Some(2L))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/data/b=2")))
+    assert(TopnStreaming.committedClusters(spark, path)
+      .as[(Long, Long)].collect().toMap === want)
+
+    // changing numBuckets over an existing labels table fails fast
+    val e = intercept[IllegalStateException](
+      TopnStreaming.clusterBatch(Seq((2L, 200L)).toDF("a", "b"), 3, path, "a", "b",
+        scope = "bucket-scope", numBuckets = B + 1))
+    assert(e.getMessage.contains("numBuckets"))
+  }
+
   private implicit class JavaSetOps[A](s: java.util.Set[A]) {
     def asScala: scala.collection.mutable.Set[A] =
       scala.jdk.CollectionConverters.SetHasAsScala(s).asScala
