@@ -115,6 +115,24 @@ object Bpe {
   }
 
   /**
+   * Production-vocabulary token count: the IDENTICAL function as
+   * [[tokenCount]] (CurationSpec asserts parity, fine print included),
+   * computed by the [[graft.expressions.BpeTokenCount]] expression with
+   * the merge table held in executor memory instead of baked into the
+   * plan. [[tokenCount]]'s literal `replace` chain embeds one expression
+   * node per rule — fine for the 30-rule demo vocabulary, un-analyzable
+   * at a real 50k-merge vocabulary; this tier is one plan node at any
+   * vocabulary size, fed directly from [[loadMerges]]. Prefer it for any
+   * model-sized merges table; prefer [[tokenCount]] when the walk must be
+   * replayable as engine-neutral SQL (the `pack_bins_bpe` oracle).
+   */
+  def tokenCountVocab(text: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graftshim.GraftShim.column(
+      graft.expressions.BpeTokenCount(
+        org.apache.spark.sql.graftshim.GraftShim.expression(text),
+        new graft.expressions.BpeMergeTable(merges)))
+
+  /**
    * The same merge walk as DuckDB SQL, for oracle construction: an
    * expression over column `c` computing the document's BPE token count.
    * Kept adjacent to the Spark spelling so the two walks cannot drift.

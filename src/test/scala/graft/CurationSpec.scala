@@ -371,6 +371,61 @@ class CurationSpec extends AnyFunSuite {
     java.nio.file.Files.delete(f)
   }
 
+  test("vocab-table BPE walk equals the literal-replace walk, fine print included") {
+    import graft.pipeline.Bpe
+    val adversarial = Seq(
+      "the quick brown fox",
+      "  padded   whitespace \t tabs\nand newlines ",
+      "a", "", " ", "\t",
+      "naïve café 😀😀 unicode",
+      // immediate repetitions: the single-pass non-overlap fine print
+      "ererererer", "erererererer", "thththth", "ananan and",
+      "rather bother therest",
+      "internationalization antidisestablishmentarianism")
+    val rnd = new Random(41)
+    val alphabet = "theringandoul" // letters the demo rules actually merge
+    val randomSoup = Seq.fill(60) {
+      Seq.fill(1 + rnd.nextInt(8))(
+        Seq.fill(1 + rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.length)))
+          .mkString).mkString(" ")
+    }
+    val df = (adversarial ++ randomSoup).toDF("text")
+    val rows = df.select(
+      Bpe.tokenCount(col("text")).as("lit"),
+      Bpe.tokenCountVocab(col("text"), Bpe.DemoMerges).as("voc"))
+      .as[(Int, Int)].collect()
+    for (((l, v), i) <- rows.zipWithIndex)
+      assert(l === v, s"divergence on sample $i: literal=$l vocab=$v")
+  }
+
+  test("vocab-table BPE accepts a 50k-rule merges.txt and runs") {
+    import graft.pipeline.Bpe
+    // DemoMerges up front, then 50k synthetic rules whose multi-char
+    // symbols can never assemble from single chars — so the big table must
+    // produce exactly the demo result, while analysis/codegen digest the
+    // full 50k-rule vocabulary as ONE plan node
+    val f = java.nio.file.Files.createTempFile("merges50k", ".txt")
+    val body = new StringBuilder("#version: synthetic-50k\n")
+    Bpe.DemoMerges.foreach { case (a, b) => body.append(s"$a $b\n") }
+    (0 until 50000).foreach(i => body.append(s"Z$i Q$i\n"))
+    java.nio.file.Files.writeString(f, body.toString)
+    val merges = Bpe.loadMerges(spark, f.toString)
+    assert(merges.size === 50000 + Bpe.DemoMerges.size)
+    val docs = Seq("the running of the internationalization",
+      "quiz buzz ererer").toDF("text")
+    val got = docs.select(
+      Bpe.tokenCount(col("text")).as("lit"),
+      Bpe.tokenCountVocab(col("text"), merges).as("voc"))
+      .as[(Int, Int)].collect()
+    for ((l, v) <- got) assert(l === v)
+    java.nio.file.Files.delete(f)
+    // contract checks: duplicates and marker/space symbols are rejected
+    intercept[IllegalArgumentException](
+      Bpe.tokenCountVocab(col("text"), Seq(("a", "b"), ("a", "b"))))
+    intercept[IllegalArgumentException](
+      Bpe.tokenCountVocab(col("text"), Seq(("a", "b c"))))
+  }
+
   test("canonicalize keeps one doc per cluster and passes untouched docs through") {
     val docs = (0L to 5L).map(i => (i, s"doc$i")).toDF("id", "payload")
     // clusters {0,1,2} and {4,5}; doc 3 untouched
