@@ -105,6 +105,23 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Min of `reps` runs: the least-load-distorted sample. Rounds 6 and 7
+    * both recorded snapshots inflated 2-3x by machine load; the minimum is
+    * the standard estimator for "what the code costs" under noisy load
+    * (noise only ever ADDS time), so a single loaded run can no longer
+    * masquerade as a regression. */
+  private def timeMin(reps: Int)(body: => Unit): Double = {
+    var best = Double.MaxValue
+    var i = 0
+    while (i < reps) {
+      val t = time(body)
+      if (t < 0) return -1.0
+      if (t < best) best = t
+      i += 1
+    }
+    best
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -128,11 +145,14 @@ object Bench {
         catch { case _: Throwable => }
     }
 
+    // min-of-3 per query (docs/BENCH_NOTES.md); growth stays single-run —
+    // its signal is the slope WITHIN one run, which load shifts uniformly,
+    // and tripling the replicated-input suite would dominate bench time
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> time(fn(spark, sfDir).count())
+      name -> timeMin(3)(fn(spark, sfDir).count())
     }
     val ops = SparkEntry.benchOnly.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> time(fn(spark, sfDir).count())
+      name -> timeMin(3)(fn(spark, sfDir).count())
     }
     val growth =
       if (!growthOn) Seq.empty

@@ -501,10 +501,30 @@ object SparkEntry {
           graft.pipeline.Similarity.cosineSim($"va", $"vb") >= tau)
         .select($"pa", $"pb")
 
+      // the decisive check: labels restricted to paired docs must equal
+      // the connected components of the INDEPENDENT pair graph exactly
+      // (same membership, same min-id cluster), and unpaired docs must be
+      // self-labeled singletons. Unlike per-edge/per-cluster boolean
+      // audits, an exact CC comparison also catches OVER-merging (two
+      // separate components labeled as one) — a full-outer join against
+      // the independently-derived labeling cannot be satisfied by any
+      // merge or split error.
+      val cc = graft.pipeline.Clustering.connectedComponents(pairs, "pa", "pb")
+        .select($"doc_id", $"cluster_id".as("cc_cluster"))
+      val ccAgg = lab.join(cc, Seq("doc_id"), "full_outer")
+        .agg(
+          count(when($"cluster_id".isNull, 1)).as("cc_not_in_lab"),
+          count(when($"cc_cluster".isNotNull && $"cluster_id" =!= $"cc_cluster", 1))
+            .as("cc_mismatch"),
+          count(when($"cc_cluster".isNull && $"cluster_id" =!= $"doc_id", 1))
+            .as("bad_singleton"),
+          // keep re-derived from the INDEPENDENT cc labels, not from the
+          // operator's own keep definition
+          count(when($"keep" =!= ($"doc_id" === coalesce($"cc_cluster", $"doc_id")), 1))
+            .as("bad_keep"))
+
       val nEmb = emb.agg(count(lit(1)).as("n_emb"))
-      val labAgg = lab.agg(
-        count(lit(1)).as("n_lab"),
-        count(when($"keep" =!= ($"doc_id" === $"cluster_id"), 1)).as("bad_keep"))
+      val labAgg = lab.agg(count(lit(1)).as("n_lab"))
       val minAgg = lab.groupBy($"cluster_id").agg(min($"doc_id").as("mn"))
         .agg(count(when($"cluster_id" =!= $"mn", 1)).as("bad_min"))
       val uncovered = lab.filter(!$"keep")
@@ -519,12 +539,14 @@ object SparkEntry {
       val dropped = lab.agg(count(when(!$"keep", 1)).as("n_dropped"))
 
       nEmb.crossJoin(labAgg).crossJoin(minAgg).crossJoin(uncovered)
-        .crossJoin(edgeAgg).crossJoin(dropped)
+        .crossJoin(edgeAgg).crossJoin(dropped).crossJoin(ccAgg)
         .select(
           ($"n_lab" === $"n_emb").as("partition_ok"),
           ($"bad_keep" === 0 && $"bad_min" === 0).as("keeper_min_ok"),
           ($"n_uncov" === 0).as("dropped_covered_ok"),
           ($"bad_edge" === 0).as("edges_merged_ok"),
+          ($"cc_not_in_lab" === 0 && $"cc_mismatch" === 0 &&
+            $"bad_singleton" === 0).as("cc_exact_ok"),
           ($"n_pairs" > 0 && $"n_dropped" > 0).as("has_dups"))
     }),
 
@@ -561,14 +583,15 @@ object SparkEntry {
   )
 
   /**
-   * Operator-only subplans of the four queries whose CORRECTNESS spelling
+   * Operator-only subplans of the five queries whose CORRECTNESS spelling
    * embeds an in-plan verification twin (`dedup_simhash` carries an O(n²)
    * brute-force check, the `ann_*`/`lsh_neardup_pairs` queries a
-   * brute-force recall comparison). The twins are the right correctness
-   * design — approximate output is not SQL-reproducible — but they
-   * dominate the measured time, so Bench times THESE alongside: the
-   * operator a user actually runs, without its verifier. Not part of the
-   * driver's oracle gate (the twinned queries stay in [[queries]]).
+   * brute-force recall comparison, `semantic_dedup` an independent
+   * self-join + CC audit). The twins are the right correctness design —
+   * approximate output is not SQL-reproducible — but they dominate the
+   * measured time, so Bench times THESE alongside: the operator a user
+   * actually runs, without its verifier. Not part of the driver's oracle
+   * gate (the twinned queries stay in [[queries]]).
    */
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_simhash_op" -> ((spark, dir) => {
@@ -591,6 +614,11 @@ object SparkEntry {
     "lsh_neardup_pairs_op" -> ((spark, dir) => {
       graft.pipeline.Similarity.lshNearDupPairs(
         tbl(spark, dir, "embeddings"), "vec_id", "embedding", topPairs = 50, dim = 64)
+    }),
+    "semantic_dedup_op" -> ((spark, dir) => {
+      val emb = tbl(spark, dir, "embeddings")
+      val model = graft.pipeline.IVF.train(emb, "vec_id", "embedding", k = 8)
+      graft.pipeline.SemDedup.labels(emb, "vec_id", "embedding", model, 0.4)
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1084,7 +1112,7 @@ object SparkEntry {
     "semantic_dedup" ->
       """SELECT TRUE AS partition_ok, TRUE AS keeper_min_ok,
         |       TRUE AS dropped_covered_ok, TRUE AS edges_merged_ok,
-        |       TRUE AS has_dups""".stripMargin,
+        |       TRUE AS cc_exact_ok, TRUE AS has_dups""".stripMargin,
 
     // identical window spans (DuckDB range() is stop-EXCLUSIVE, Spark
     // sequence() stop-inclusive — hence len-10+1), identical (doc_id,pos)
