@@ -393,7 +393,8 @@ object TopnStreaming {
       aCol: String,
       bCol: String,
       scope: String,
-      numBuckets: Int = 64): Unit = {
+      numBuckets: Int = 64,
+      commitOnEmpty: Boolean = false): Unit = {
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
     val spark = batch.sparkSession
     val (fs, root) = fsOf(spark, labelsPath)
@@ -408,17 +409,26 @@ object TopnStreaming {
 
     val committed = committedVersion(spark, labelsPath)
     if (committed.exists(batchId <= _)) return // replay of a committed batch
-    if (batch.isEmpty) return
     val manifest = committed.map(readManifest(fs, root, _)).getOrElse(Map.empty)
+    if (batch.isEmpty) {
+      // a PAIRS batch can be legitimately empty while its source batch was
+      // not (semantic wiring: vectors arrived, none near-duplicate) — the
+      // caller then needs the committed version to advance so the read
+      // side sees the new vectors. Plain pair streams keep the original
+      // commit-nothing behavior.
+      if (commitOnEmpty) writeManifest(fs, root, batchId, manifest)
+      return
+    }
 
     // changed/new labels only — bounded by the members of touched
     // components, never the corpus
-    val delta = (committed match {
+    // a committed-but-empty manifest (only empty-delta batches so far)
+    // has no labels table to contract against — fresh CC, like first commit
+    val delta = (manifestTable(spark, labelsPath, manifest, BucketCol)
+      .map(_.drop(BucketCol)) match {
       case None =>
         graft.pipeline.Clustering.connectedComponents(batch, aCol, bCol)
-      case Some(_) =>
-        val current = manifestTable(spark, labelsPath, manifest, BucketCol)
-          .map(_.drop(BucketCol)).getOrElse(spark.emptyDataFrame)
+      case Some(current) =>
         graft.pipeline.Clustering.incrementalUpdateDelta(
           current, batch, aCol, bCol)
     }).withColumn(BucketCol, bucketOf(col("doc_id"), numBuckets))
@@ -479,6 +489,152 @@ object TopnStreaming {
         readManifest(fs, root, v), BucketCol))
       .map(_.drop(BucketCol))
       .getOrElse(spark.emptyDataFrame)
+  }
+
+  // ---- streaming semantic (SemDeDup) cluster maintenance -----------------
+
+  /**
+   * Maintain SemDeDup semantic near-duplicate clusters over a STREAM of
+   * embedding vectors: per micro-batch, the batch's vectors are appended
+   * to a vector store, the NEW semantic-duplicate edges — batch×batch and
+   * batch×resident pairs within shared quantizer cells, exact-cosine
+   * gated at `tau` ([[graft.pipeline.SemDedup.edges]]) — are computed,
+   * and those new edges fold into the committed labeling through
+   * [[maintainClusters]]' bucketed commit protocol. Every qualifying pair
+   * of the full corpus is found exactly once (by the batch that delivers
+   * its LATER vector), so the maintained labeling equals the batch
+   * [[graft.pipeline.SemDedup.labels]] over the concatenated corpus
+   * (StreamingSpec asserts equality, and replays are idempotent).
+   *
+   * The coarse quantizer `model` must be FIXED for the life of the store
+   * (train once on a representative sample, [[graft.pipeline.IVF.save]]
+   * it) — re-training mid-stream would silently re-cell vectors; that is
+   * the paper's deployment shape too.
+   *
+   * Layout under `storePath`: `vectors/b=<batchId>` (append-only vector
+   * snapshots, rewritten idempotently on replay) and `labels/` (the
+   * [[maintainClusters]] manifest layout). Per-batch cost: pair work is
+   * bounded by the batch's touched CELLS (resident vectors in untouched
+   * cells are never read into the pair scan); commit I/O by touched
+   * label buckets. Read the result with [[committedSemanticLabels]].
+   */
+  def maintainSemanticClusters(
+      vectors: DataFrame,
+      storePath: String,
+      idCol: String,
+      vecCol: String,
+      model: graft.pipeline.IVF.Model,
+      tau: Double,
+      checkpointLocation: Option[String] = None,
+      numBuckets: Int = 64,
+      tileSize: Int = 10000)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val scope = scopeOf(checkpointLocation)
+    val writer = vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        semanticBatch(batch, batchId, storePath, idCol, vecCol, model, tau,
+          scope, numBuckets, tileSize)
+        ()
+      }
+    checkpointLocation.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
+
+  /** One micro-batch of semantic cluster maintenance (exposed for
+    * deterministic crash/replay testing; [[maintainSemanticClusters]]
+    * drives it). */
+  private[graft] def semanticBatch(
+      batch: DataFrame,
+      batchId: Long,
+      storePath: String,
+      idCol: String,
+      vecCol: String,
+      model: graft.pipeline.IVF.Model,
+      tau: Double,
+      scope: String,
+      numBuckets: Int = 64,
+      tileSize: Int = 10000): Unit = {
+    val spark = batch.sparkSession
+    val labelsPath = s"$storePath/labels"
+    if (committedVersion(spark, labelsPath).exists(batchId <= _)) return
+    if (batch.isEmpty) return
+
+    // 1. record the batch's vectors FIRST (before the labels commit, so a
+    // crash in between replays to an idempotent rewrite of this directory)
+    val norm = batch.select(col(idCol).as("doc_id"), col(vecCol).as("vec"))
+    norm.write.mode("overwrite").parquet(s"$storePath/vectors/b=$batchId")
+
+    // 2. new edges: pairs within the batch plus batch×resident pairs in
+    // shared cells. Resident vectors in cells the batch does not touch
+    // never enter the pair scan.
+    import graft.pipeline.{IVF, SemDedup}
+    val cellOf = (v: org.apache.spark.sql.Column) =>
+      element_at(IVF.cells(v, model, 1), 1)
+    val newIds = norm.select(col("doc_id").as("__new_id"))
+    val scanSet = residentVectors(spark, storePath, batchId) match {
+      case None => norm
+      case Some(res) =>
+        val touchedCells = norm.select(cellOf(col("vec")).as("__cell")).distinct()
+        res.join(touchedCells, cellOf(res("vec")) === col("__cell"), "left_semi")
+          .unionByName(norm)
+    }
+    // resident×resident pairs in touched cells were already committed by
+    // earlier batches — keep only pairs involving a NEW vector
+    val tagged = SemDedup.edges(scanSet, "doc_id", "vec", model, tau, tileSize)
+    val involvingNew = tagged
+      .join(newIds, tagged("id_a") === col("__new_id"), "left_semi")
+      .unionByName(tagged.join(newIds, tagged("id_b") === col("__new_id"), "left_semi"))
+      .distinct()
+      .cache()
+
+    // 3. fold into the committed labeling (bucketed commit protocol);
+    // commitOnEmpty so a no-near-dup batch still publishes its vectors
+    try clusterBatch(involvingNew, batchId, labelsPath, "id_a", "id_b",
+      scope, numBuckets, commitOnEmpty = true)
+    finally involvingNew.unpersist()
+  }
+
+  /** Union of vector snapshots from batches BEFORE `beforeBatch` (the
+    * resident set a batch pairs against). None when no snapshot exists. */
+  private def residentVectors(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      beforeBatch: Long): Option[DataFrame] = {
+    val (fs, root) = fsOf(spark, s"$storePath/vectors")
+    if (!fs.exists(root)) return None
+    val dirs = fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
+      scala.util.Try(st.getPath.getName.stripPrefix("b=").toLong).toOption
+        .filter(_ < beforeBatch).map(_ => st.getPath.toString)
+    }
+    if (dirs.isEmpty) None
+    else Some(dirs.map(spark.read.parquet(_)).reduce(_ unionByName _))
+  }
+
+  /**
+   * The committed semantic labeling, shaped like
+   * [[graft.pipeline.SemDedup.labels]]: (doc_id, cell, cluster_id, keep)
+   * for every vector committed so far — vectors with no committed
+   * near-dup edge are self-labeled singletons. Pass the SAME fixed
+   * `model` the stream was maintained with.
+   */
+  def committedSemanticLabels(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      model: graft.pipeline.IVF.Model): DataFrame = {
+    import graft.pipeline.IVF
+    val committed = committedVersion(spark, s"$storePath/labels")
+    val vecs = committed
+      .flatMap(v => residentVectors(spark, storePath, v + 1))
+      .getOrElse(return spark.emptyDataFrame)
+    val labels = committedClusters(spark, s"$storePath/labels")
+      .withColumnRenamed("cluster_id", "__graft_cc_id")
+    vecs
+      .select(col("doc_id"), element_at(IVF.cells(col("vec"), model, 1), 1).as("cell"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cell"),
+        coalesce(col("__graft_cc_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
   }
 
   /** First writer records the scope (temp+rename, so never torn); later

@@ -474,6 +474,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("numBuckets"))
   }
 
+  test("streamed semantic clustering equals batch SemDeDup over the concatenated corpus") {
+    import graft.pipeline.{IVF, SemDedup}
+    val r = new scala.util.Random(11)
+    def rand() = Array.fill(16)(r.nextGaussian().toFloat)
+    val base = (0L until 60L).map(i => (i, rand()))
+    val copies = (0 until 10).flatMap { g =>
+      val (_, v) = base(g)
+      (0 until 1 + g % 3).map { c =>
+        (100L + g * 10 + c, v.map(x => x + (r.nextGaussian() * 1e-3).toFloat))
+      }
+    }
+    val all = base ++ copies
+    val df = all.toDF("vec_id", "embedding")
+    val model = IVF.train(df, "vec_id", "embedding", k = 4, sampleSize = 100)
+    val store = java.nio.file.Files.createTempDirectory("graft_sem").toString + "/s"
+
+    // id mod 3 split: every planted group's copies land in DIFFERENT
+    // batches than their base, so cross-batch (new x resident) edges are
+    // load-bearing, not incidental
+    val batches = (0 until 3).map(i => all.filter(_._1 % 3 == i))
+    def run(i: Int): Unit = TopnStreaming.semanticBatch(
+      batches(i).toDF("vec_id", "embedding"), i, store,
+      "vec_id", "embedding", model, tau = 0.9, scope = "sem-scope")
+    (0 until 3).foreach(run)
+
+    def committed() = TopnStreaming.committedSemanticLabels(spark, store, model)
+      .as[(Long, Int, Long, Boolean)].collect().toSet
+    val want = SemDedup.labels(df, "vec_id", "embedding", model, tau = 0.9)
+      .as[(Long, Int, Long, Boolean)].collect().toSet
+    assert(want.exists(!_._4), "premise: the planted near-dups must cluster")
+    assert(committed() === want)
+
+    // crash window: batch-2 labels manifest lost -> replay rebuilds
+    val m2 = new org.apache.hadoop.fs.Path(s"$store/labels/_manifests/m=2")
+    val fs = m2.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(m2, false), "fixture: manifest must exist")
+    run(2)
+    assert(committed() === want, "crash replay diverged")
+
+    // replay of a committed batch is a no-op
+    run(2)
+    assert(committed() === want)
+  }
+
   private implicit class JavaSetOps[A](s: java.util.Set[A]) {
     def asScala: scala.collection.mutable.Set[A] =
       scala.jdk.CollectionConverters.SetHasAsScala(s).asScala
