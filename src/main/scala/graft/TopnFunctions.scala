@@ -149,11 +149,14 @@ object TopnFunctions {
         GraftShim.analyzableExpression(graft.pipeline.Bpe.tokenCount(GraftShim.column(exprs.head))))))
 
   /** Register all functions in the session's function registry (usable from
-    * `spark.sql` and, mixed with Columns, from the DataFrame API). */
-  def register(spark: SparkSession): Unit =
+    * `spark.sql` and, mixed with Columns, from the DataFrame API), and
+    * install the [[TopnWindowGuard]] single-partition-window guardrail. */
+  def register(spark: SparkSession): Unit = {
     catalog.foreach { case (name, usage, builder) =>
       GraftShim.registerFunction(spark, name, usage, builder)
     }
+    TopnWindowGuard.install(spark)
+  }
 
   // ---- DataFrame API ----------------------------------------------------
   // Conf is resolved when the Column is constructed (driver side).

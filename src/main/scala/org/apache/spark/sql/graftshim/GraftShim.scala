@@ -64,6 +64,12 @@ object GraftShim {
 
   def builtinRegistryClone(): FunctionRegistry = FunctionRegistry.builtin.clone()
 
+  /** Drain the async listener bus (QueryExecutionListener events are
+    * delivered asynchronously) — lets tests assert on listener side
+    * effects deterministically. */
+  def waitForListenerBus(spark: SparkSession): Unit =
+    ClassicConversions.castToImpl(spark).sparkContext.listenerBus.waitUntilEmpty()
+
   /**
    * Free the block-manager storage held by a `localCheckpoint`'ed Dataset.
    * `Dataset.unpersist` only covers CacheManager entries; a checkpoint's

@@ -280,6 +280,35 @@ class TopnFunctionsSpec extends AnyFunSuite {
     } finally spark.conf.set(GraftConf.NumberOfCountersKey, "1000")
   }
 
+  test("unpartitioned Topn window fires the one-time scale guardrail; partitioned does not") {
+    import org.apache.spark.sql.expressions.Window
+    TopnFunctions.register(spark) // installs the guard listener (idempotent)
+    def drain() = org.apache.spark.sql.graftshim.GraftShim.waitForListenerBus(spark)
+    val df = Seq(("d1", "a"), ("d1", "b"), ("d2", "a"), ("d3", "c"))
+      .toDF("day", "item")
+      .groupBy($"day").agg(TopnFunctions.topn_add_agg($"item", 100).as("s"))
+
+    // partitioned window: no cliff, no warning
+    TopnWindowGuard.reset()
+    df.withColumn("m",
+      TopnFunctions.topn_union_agg($"s", 100)
+        .over(Window.partitionBy($"day").orderBy($"day"))).collect()
+    drain()
+    assert(!TopnWindowGuard.hasFired,
+      "a partitioned window is the scale-safe spelling; it must not warn")
+
+    // unpartitioned window: the single-task cliff -> one-time WARN
+    val w = Window.orderBy($"day").rowsBetween(-6, Window.currentRow)
+    df.withColumn("m", TopnFunctions.topn_union_agg($"s", 100).over(w)).collect()
+    drain()
+    assert(TopnWindowGuard.hasFired,
+      "an unpartitioned Topn window must fire the guardrail")
+
+    // one-time: re-armed only by reset()
+    TopnWindowGuard.reset()
+    assert(!TopnWindowGuard.hasFired)
+  }
+
   test("results stable under repartition when distinct <= 3*n") {
     val data = (1 to 30).flatMap(i => Seq.fill(i)(s"k$i"))
     val df = data.toDF("t")
