@@ -353,6 +353,60 @@ object SparkEntry {
         .orderBy($"media_id", $"frame_idx")
     }),
 
+    // REAL image near-dup tier end to end: deterministic synthetic PNGs
+    // encoded on executors, javax.imageio decode, dHash, pigeonhole pair
+    // scan. Real codec output is not SQL-reproducible, so — like the
+    // other non-SQL tiers — the query carries its own in-plan audit (the
+    // pair scan vs an independent brute-force Hamming self-join over the
+    // SAME decoded hashes) and the oracle pins the constant booleans.
+    "image_neardup_pairs" -> ((spark, dir) => {
+      import spark.implicits._
+      import graft.pipeline.Multimodal
+      val maxDist = 6
+      // 20 groups x (base, blotched twin, inverse) + 5 undecodable rows;
+      // bounded fixture at any SF — the corpus supplies only the ids
+      val ids = tbl(spark, dir, "documents")
+        .select($"doc_id").filter($"doc_id" < 60).as[Long]
+      val media = ids.map { id =>
+        Multimodal.MediaFile(id, "image",
+          Multimodal.syntheticPng((id / 3).toInt, (id % 3).toInt))
+      }.union(ids.filter(_ < 5).map(id =>
+        Multimodal.MediaFile(1000L + id, "image",
+          s"not an image $id".getBytes("UTF-8"))))
+
+      val pairs = Multimodal.imageNearDupPairs(media, maxDist)
+      val dh = Multimodal.imageMeta(media)
+        .filter(_.dhash.isDefined)
+        .map(m => (m.media_id, m.dhash.get)).toDF("media_id", "dhash")
+      val brute = dh.as("x").join(dh.as("y"),
+          col("x.media_id") < col("y.media_id"))
+        .select(col("x.media_id").as("doc_a"), col("y.media_id").as("doc_b"),
+          bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"))
+        .filter($"hamming" <= maxDist)
+
+      val mismatches = pairs.select($"doc_a", $"doc_b").exceptAll(
+        brute.select($"doc_a", $"doc_b"))
+        .unionAll(brute.select($"doc_a", $"doc_b").exceptAll(
+          pairs.select($"doc_a", $"doc_b")))
+        .agg(count(lit(1)).as("n_mismatch"))
+      val twins = ids.filter(id => id % 3 == 0).toDF("base")
+        .join(ids.filter(id => id % 3 == 1).toDF("twin"),
+          col("twin") === col("base") + 1)
+        .join(pairs, col("doc_a") === col("base") && col("doc_b") === col("twin"),
+          "left_anti")
+        .agg(count(lit(1)).as("n_missing_twin"))
+      val corrupt = pairs.filter($"doc_a" >= 1000 || $"doc_b" >= 1000)
+        .agg(count(lit(1)).as("n_corrupt"))
+      val total = pairs.agg(count(lit(1)).as("n_pairs"))
+
+      mismatches.crossJoin(twins).crossJoin(corrupt).crossJoin(total)
+        .select(
+          ($"n_mismatch" === 0).as("pairs_match_brute"),
+          ($"n_missing_twin" === 0).as("twins_found"),
+          ($"n_corrupt" === 0).as("corrupt_excluded"),
+          ($"n_pairs" > 0).as("has_pairs"))
+    }),
+
     // duplicate CLUSTERS from the near-dup pair list: connected components
     // (large-star/small-star) over the MinHash+LSH pairs — the 100 TB
     // tiering (sub-quadratic candidate scan feeding the cluster pass).
@@ -822,6 +876,10 @@ object SparkEntry {
 
     "dedup_simhash" ->
       "SELECT TRUE AS has_pairs, TRUE AS blocked_equals_brute",
+
+    "image_neardup_pairs" ->
+      """SELECT TRUE AS pairs_match_brute, TRUE AS twins_found,
+        |       TRUE AS corrupt_excluded, TRUE AS has_pairs""".stripMargin,
 
     "ann_lsh_top10" ->
       """SELECT vec_id AS query_id, TRUE AS recall_ok

@@ -225,6 +225,39 @@ object Multimodal {
       imageMeta(media).filter(col("dhash").isNotNull).toDF(),
       "media_id", "dhash", maxDist)
 
+  /**
+   * Deterministic synthetic PNG (REAL encoder: javax.imageio) for fixture
+   * corpora: per `group` a distinct 32x24 gray gradient; `member` 0 is the
+   * base image, 1 its near-duplicate (a 3x3 corner blotch — a few dHash
+   * bits), 2 the inverted gradient (far in dHash space). Encoded on the
+   * EXECUTOR inside the mapping closure, so driver queries exercise the
+   * whole real tier: encode -> imageio decode -> dHash -> pair scan.
+   */
+  def syntheticPng(group: Int, member: Int): Array[Byte] = {
+    val (w, h) = (32, 24)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val stride = 3 + (group % 8)
+    var x = 0
+    while (x < w) {
+      var y = 0
+      while (y < h) {
+        val base = (x * stride + y * (group % 5)) % 256
+        val v = member match {
+          case 1 => if (x < 3 && y < 3) 255 else base
+          case 2 => 255 - base
+          case _ => base
+        }
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        y += 1
+      }
+      x += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Lift the documents table into a fake media table (payload = UTF-8
     * bytes of the text, modality round-robins image/audio/video) — the
     * deterministic fixture used by tests and the driver queries. */
