@@ -131,16 +131,27 @@ object LanguageModel {
     model.vocab.write.mode("overwrite").parquet(s"$path/vocab")
   }
 
-  /** Load a model persisted by [[save]]. Counts round-trip exactly. */
+  /** Load a model persisted by [[save]]. Counts round-trip exactly.
+    * Fails fast on layout drift — names AND types: a counts table with
+    * matching names but drifted types (e.g. int-narrowed c_bigram) would
+    * otherwise load silently and mis-score or fail mid-job. */
   def load(path: String, spark: org.apache.spark.sql.SparkSession): BigramModel = {
+    import org.apache.spark.sql.types.{LongType, StringType}
     val m = BigramModel(
       spark.read.parquet(s"$path/bigrams"),
       spark.read.parquet(s"$path/contexts"),
       spark.read.parquet(s"$path/vocab"))
-    require(m.vocab.columns.sameElements(Array("v")) &&
-      m.bigrams.columns.sorted.sameElements(Array("bigram", "c_bigram")) &&
-      m.contexts.columns.sorted.sameElements(Array("c_context", "w1")),
-      s"not a LanguageModel.save layout at $path")
+    def typed(df: org.apache.spark.sql.DataFrame,
+        cols: (String, org.apache.spark.sql.types.DataType)*): Boolean =
+      df.schema.fields.map(f => f.name -> f.dataType).sortBy(_._1)
+        .sameElements(cols.sortBy(_._1))
+    require(typed(m.vocab, "v" -> LongType) &&
+      typed(m.bigrams, "bigram" -> StringType, "c_bigram" -> LongType) &&
+      typed(m.contexts, "w1" -> StringType, "c_context" -> LongType),
+      s"not a LanguageModel.save layout at $path (need string keys and " +
+        s"long counts; got bigrams=${m.bigrams.schema.simpleString}, " +
+        s"contexts=${m.contexts.schema.simpleString}, " +
+        s"vocab=${m.vocab.schema.simpleString})")
     m
   }
 }

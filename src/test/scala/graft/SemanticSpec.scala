@@ -115,6 +115,15 @@ class SemanticSpec extends AnyFunSuite {
     Seq("bigrams", "contexts", "vocab").foreach(d =>
       model.vocab.write.parquet(s"$bad/$d"))
     intercept[IllegalArgumentException](LanguageModel.load(bad, spark))
+    // matching NAMES with drifted TYPES fails fast too (int-narrowed
+    // counts would otherwise load silently and mis-score downstream)
+    val drifted = java.nio.file.Files.createTempDirectory("lm_drift").toString
+    model.bigrams.select($"bigram", $"c_bigram".cast("int").as("c_bigram"))
+      .write.parquet(s"$drifted/bigrams")
+    model.contexts.write.parquet(s"$drifted/contexts")
+    model.vocab.write.parquet(s"$drifted/vocab")
+    val e = intercept[IllegalArgumentException](LanguageModel.load(drifted, spark))
+    assert(e.getMessage.contains("long counts"))
   }
 
   test("alpha must be positive") {
