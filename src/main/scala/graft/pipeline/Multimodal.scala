@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
  * explode shape for frame sampling — is real and tested. IMAGE decoding is
  * REAL: [[decodeImageDims]] / [[imageDHash]] / [[imageMeta]] run on the
  * JDK's built-in javax.imageio codecs (PNG/JPEG/GIF/BMP), headless, no
- * external dependency. Audio/video decoding remains STUBBED with
- * deterministic fakes (the JDK ships no audio/video codecs); each stub is
- * a single clearly-marked function to swap for a real decoder (jcodec /
- * ffmpeg bindings) without touching the pipeline.
+ * external dependency. AUDIO decoding is REAL too:
+ * [[decodeAudioFormat]] / [[audioFingerprint]] / [[audioMeta]] run on the
+ * JDK's built-in javax.sound.sampled codecs (WAV/AIFF/AU PCM). VIDEO
+ * decoding remains STUBBED with a deterministic fake (the JDK ships no
+ * video codec); the stub is a single clearly-marked function to swap for
+ * a real decoder (jcodec / ffmpeg bindings) without touching the
+ * pipeline.
  *
  * Scale notes: decode work is a pure `mapPartitions` — no shuffle, linear
  * scan, parallelism = input partitions. Payloads stay off the driver. For
@@ -40,12 +43,12 @@ object Multimodal {
   case class Frame(media_id: Long, frame_idx: Long, frame_offset: Long)
 
   // ------------------------------------------------------------------
-  // STUB DECODERS — deterministic fakes standing in for audio/video
-  // codecs (which the JDK does not ship). They also back the driver's
+  // STUB DECODERS — deterministic fakes standing in for a video codec
+  // (which the JDK does not ship). They also back the driver's
   // oracle queries, whose payloads are text bytes no real codec accepts.
   // Swap these bodies for jcodec / ffmpeg calls; the Spark pipeline
-  // around them is production-shaped. Image decoding has a REAL tier
-  // below ([[decodeImageDims]] / [[imageDHash]] / [[imageMeta]]).
+  // around them is production-shaped. Image and audio decoding have REAL
+  // tiers below ([[imageMeta]] / [[audioMeta]] families).
   // ------------------------------------------------------------------
 
   /** STUB: "decode" image dimensions from payload bytes (deterministic
@@ -224,6 +227,167 @@ object Multimodal {
     Dedup.fingerprintPairs(
       imageMeta(media).filter(col("dhash").isNotNull).toDF(),
       "media_id", "dhash", maxDist)
+
+  // ------------------------------------------------------------------
+  // REAL audio tier (javax.sound.sampled — JDK built-in WAV/AIFF/AU)
+  // ------------------------------------------------------------------
+
+  /** Decoded audio facts: `ok = false` (zeros elsewhere) when no installed
+    * codec accepts the payload. `fingerprint` is the 64-bit energy-envelope
+    * difference hash (see [[audioFingerprint]]); None when the header
+    * parses but the PCM stream does not decode. */
+  case class AudioMeta(
+      media_id: Long, ok: Boolean, byte_len: Long,
+      sample_rate: Long, channels: Long, n_frames: Long, duration_ms: Long,
+      fingerprint: Option[Long])
+
+  /**
+   * REAL audio header facts via javax.sound.sampled (WAV/AIFF/AU ship in
+   * every JDK): (sampleRate, channels, frameLength) from
+   * `AudioSystem.getAudioFileFormat` — header-only, no PCM decode, cheap
+   * enough for a 100 TB metadata sweep. None when no codec recognizes the
+   * bytes; all non-fatal throwables are data, never task failures.
+   */
+  def decodeAudioFormat(payload: Array[Byte]): Option[(Long, Long, Long)] =
+    try {
+      val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(payload))
+      val f = fmt.getFormat
+      Some((f.getSampleRate.toLong, f.getChannels.toLong, fmt.getFrameLength.toLong))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /**
+   * REAL 64-bit energy-envelope difference hash of an audio payload: full
+   * PCM decode (channel-averaged to mono), RMS energy over 65 equal time
+   * windows, bit i = energy(i+1) > energy(i) — [[imageDHash]]'s idea in
+   * the time domain. Invariant to constant gain (both sides of every
+   * comparison scale together), so re-encoded/volume-normalized copies of
+   * a clip land within a few bits of Hamming distance and audio near-dup
+   * clustering reuses the exact-recall pigeonhole pair machinery
+   * verbatim. None when the payload does not decode to supported PCM.
+   */
+  def audioFingerprint(payload: Array[Byte]): Option[Long] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = in.getFormat
+        // normalize to 16-bit signed PCM so every supported source format
+        // (u8 / s16 / float WAVs, AIFF) reads through one code path
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          f.getSampleRate, 16, f.getChannels, 2 * f.getChannels,
+          f.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+        try {
+          val bytes = pcm.readAllBytes()
+          val ch = target.getChannels
+          val nSamples = bytes.length / (2 * ch)
+          if (nSamples < 130) None // need >= 2 samples per window
+          else {
+            val windows = 65
+            val energy = new Array[Double](windows)
+            var w = 0
+            while (w < windows) {
+              val s0 = w.toLong * nSamples / windows
+              val s1 = (w + 1).toLong * nSamples / windows
+              var sum = 0.0
+              var s = s0
+              while (s < s1) {
+                var c = 0
+                var mono = 0.0
+                while (c < ch) {
+                  val off = (s * ch + c).toInt * 2
+                  val v = ((bytes(off + 1) << 8) | (bytes(off) & 0xFF)).toShort
+                  mono += v.toDouble
+                  c += 1
+                }
+                mono /= ch
+                sum += mono * mono
+                s += 1
+              }
+              energy(w) = sum / (s1 - s0)
+              w += 1
+            }
+            var bits = 0L
+            var i = 0
+            while (i < 64) {
+              if (energy(i + 1) > energy(i)) bits |= 1L << i
+              i += 1
+            }
+            Some(bits)
+          }
+        } finally pcm.close()
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Real audio metadata + envelope fingerprint for every media row —
+    * pure `mapPartitions`, no shuffle, payloads never leave the executor.
+    * Mirrors [[imageMeta]]: header-only facts when the PCM stream does
+    * not decode, ok=false when nothing recognizes the bytes. */
+  def audioMeta(media: Dataset[MediaFile]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        decodeAudioFormat(m.payload) match {
+          case Some((rate, ch, frames)) =>
+            val durMs = if (rate > 0) frames * 1000L / rate else 0L
+            AudioMeta(m.media_id, ok = true, m.payload.length.toLong,
+              rate, ch, frames, durMs, audioFingerprint(m.payload))
+          case None =>
+            AudioMeta(m.media_id, ok = false, m.payload.length.toLong,
+              0L, 0L, 0L, 0L, None)
+        }
+      }
+    }
+  }
+
+  /** Audio near-duplicate pairs: real envelope fingerprints through the
+    * exact-recall pigeonhole pair scan — the same engine as text SimHash
+    * and image dHash dedup. Output: (doc_a, doc_b, hamming). */
+  def audioNearDupPairs(media: Dataset[MediaFile], maxDist: Int = 3): DataFrame =
+    Dedup.fingerprintPairs(
+      audioMeta(media).filter(col("fingerprint").isNotNull)
+        .withColumnRenamed("fingerprint", "fp").toDF(),
+      "media_id", "fp", maxDist)
+
+  /**
+   * Deterministic synthetic WAV (REAL encoder: javax.sound.sampled) for
+   * fixture corpora: a 440 Hz tone shaped by a per-`group` 65-step
+   * pseudorandom amplitude envelope. `member` 0 is the base clip, 1 a
+   * near-duplicate (global gain 0.8 + small per-step jitter — the
+   * envelope HASH is gain-invariant, so only knife-edge steps flip),
+   * 2 a different envelope entirely (far in Hamming space).
+   */
+  def syntheticWav(group: Int, member: Int): Array[Byte] = {
+    val rate = 8000f
+    val nSamples = 4160 // 65 windows x 64 samples
+    val seed = if (member == 2) group + 9999 else group
+    val rnd = new java.util.Random(seed.toLong)
+    val env = Array.fill(65)(0.1 + 0.9 * rnd.nextDouble())
+    val jit = new java.util.Random(group.toLong + 555L)
+    val pcm = new Array[Byte](nSamples * 2)
+    var s = 0
+    while (s < nSamples) {
+      val w = s * 65 / nSamples
+      val gain = member match {
+        case 1 => env(w) * 0.8 * (1.0 + 0.02 * (jit.nextDouble() - 0.5))
+        case _ => env(w)
+      }
+      val v = (gain * 12000.0 *
+        math.sin(2.0 * math.Pi * 440.0 * s / rate)).toInt.toShort
+      pcm(2 * s) = (v & 0xFF).toByte
+      pcm(2 * s + 1) = ((v >> 8) & 0xFF).toByte
+      s += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
 
   /**
    * Deterministic synthetic PNG (REAL encoder: javax.imageio) for fixture

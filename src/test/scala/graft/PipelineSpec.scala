@@ -194,6 +194,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("real audio tier: javax.sound decode, envelope-hash locality, corrupt safety") {
+    val base = Multimodal.syntheticWav(3, 0)
+    val twin = Multimodal.syntheticWav(3, 1)   // gain 0.8 + jitter: near-dup
+    val far = Multimodal.syntheticWav(3, 2)    // different envelope
+    val junk = "definitely not audio".getBytes("UTF-8")
+
+    // header facts parse without PCM decode
+    assert(Multimodal.decodeAudioFormat(base) === Some((8000L, 1L, 4160L)))
+    assert(Multimodal.decodeAudioFormat(junk) === None)
+
+    val media = Seq(
+      Multimodal.MediaFile(1L, "audio", base),
+      Multimodal.MediaFile(2L, "audio", twin),
+      Multimodal.MediaFile(3L, "audio", far),
+      Multimodal.MediaFile(4L, "audio", junk)).toDS()
+    val got = Multimodal.audioMeta(media).collect().sortBy(_.media_id)
+    assert(got.map(_.ok).toSeq === Seq(true, true, true, false))
+    assert(got(0).sample_rate === 8000L && got(0).channels === 1L)
+    assert(got(0).n_frames === 4160L && got(0).duration_ms === 520L)
+    assert(got.map(_.fingerprint.isDefined).toSeq === Seq(true, true, true, false))
+
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // the hash is gain-invariant, so the rescaled+jittered twin is close
+    // and a different envelope is far
+    assert(ham(got(0).fingerprint.get, got(1).fingerprint.get) <= 6,
+      s"twin too far: ${ham(got(0).fingerprint.get, got(1).fingerprint.get)}")
+    assert(ham(got(0).fingerprint.get, got(2).fingerprint.get) >= 15,
+      s"foreign clip too close: ${ham(got(0).fingerprint.get, got(2).fingerprint.get)}")
+    // deterministic across invocations
+    assert(Multimodal.audioFingerprint(base) === Multimodal.audioFingerprint(base))
+
+    // end-to-end through the shared pigeonhole pair scan
+    val pairs = Multimodal.audioNearDupPairs(media, maxDist = 6)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("adversarial duplication soak: LSH dedup tier matches the exact scan") {
     // 10 copies of the corpus — every doc has 9 exact duplicates, the
     // worst case for pair generation (promoted from docs/BENCH_NOTES.md).
