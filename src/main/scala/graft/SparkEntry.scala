@@ -24,6 +24,12 @@ object SparkEntry {
     * so the two spellings cannot drift. */
   private val DsirBuckets = 8192
 
+  /** Stop-word probe for the quality_filter query, adapted to the
+    * synthetic corpus vocabulary; the oracle list is generated from this
+    * constant so the two spellings cannot drift. */
+  private val QualityProbeWords =
+    Seq("the", "a", "table", "data", "row", "value", "scan", "join")
+
   private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
@@ -407,6 +413,57 @@ object SparkEntry {
           ($"n_pairs" > 0).as("has_pairs"))
     }),
 
+    // REAL audio near-dup tier end to end: deterministic synthetic WAVs
+    // encoded on executors, javax.sound PCM decode, gain-invariant
+    // energy-envelope hash, pigeonhole pair scan — the audio twin of
+    // image_neardup_pairs, same in-plan brute-force audit, same
+    // constant-boolean oracle.
+    "audio_neardup_pairs" -> ((spark, dir) => {
+      import spark.implicits._
+      import graft.pipeline.Multimodal
+      val maxDist = 6
+      val ids = tbl(spark, dir, "documents")
+        .select($"doc_id").filter($"doc_id" < 60).as[Long]
+      val media = ids.map { id =>
+        Multimodal.MediaFile(id, "audio",
+          Multimodal.syntheticWav((id / 3).toInt, (id % 3).toInt))
+      }.union(ids.filter(_ < 5).map(id =>
+        Multimodal.MediaFile(1000L + id, "audio",
+          s"not audio $id".getBytes("UTF-8"))))
+
+      val pairs = Multimodal.audioNearDupPairs(media, maxDist)
+      val fp = Multimodal.audioMeta(media)
+        .filter(_.fingerprint.isDefined)
+        .map(m => (m.media_id, m.fingerprint.get)).toDF("media_id", "fp")
+      val brute = fp.as("x").join(fp.as("y"),
+          col("x.media_id") < col("y.media_id"))
+        .select(col("x.media_id").as("doc_a"), col("y.media_id").as("doc_b"),
+          bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
+        .filter($"hamming" <= maxDist)
+
+      val mismatches = pairs.select($"doc_a", $"doc_b").exceptAll(
+        brute.select($"doc_a", $"doc_b"))
+        .unionAll(brute.select($"doc_a", $"doc_b").exceptAll(
+          pairs.select($"doc_a", $"doc_b")))
+        .agg(count(lit(1)).as("n_mismatch"))
+      val twins = ids.filter(id => id % 3 == 0).toDF("base")
+        .join(ids.filter(id => id % 3 == 1).toDF("twin"),
+          col("twin") === col("base") + 1)
+        .join(pairs, col("doc_a") === col("base") && col("doc_b") === col("twin"),
+          "left_anti")
+        .agg(count(lit(1)).as("n_missing_twin"))
+      val corrupt = pairs.filter($"doc_a" >= 1000 || $"doc_b" >= 1000)
+        .agg(count(lit(1)).as("n_corrupt"))
+      val total = pairs.agg(count(lit(1)).as("n_pairs"))
+
+      mismatches.crossJoin(twins).crossJoin(corrupt).crossJoin(total)
+        .select(
+          ($"n_mismatch" === 0).as("pairs_match_brute"),
+          ($"n_missing_twin" === 0).as("twins_found"),
+          ($"n_corrupt" === 0).as("corrupt_excluded"),
+          ($"n_pairs" > 0).as("has_pairs"))
+    }),
+
     // duplicate CLUSTERS from the near-dup pair list: connected components
     // (large-star/small-star) over the MinHash+LSH pairs — the 100 TB
     // tiering (sub-quadratic candidate scan feeding the cluster pass).
@@ -602,6 +659,32 @@ object SparkEntry {
           ($"cc_not_in_lab" === 0 && $"cc_mismatch" === 0 &&
             $"bad_singleton" === 0).as("cc_exact_ok"),
           ($"n_pairs" > 0 && $"n_dropped" > 0).as("has_dups"))
+    }),
+
+    // Gopher-style rule-based quality flags (arXiv:2112.11446 Table A1):
+    // exact integer arithmetic end to end, every rule flag replayed by
+    // the oracle. The stop-word probe is adapted to the synthetic
+    // corpus's vocabulary (QualityProbeWords), as the paper localizes it
+    // per language.
+    "quality_filter" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.pipeline.Quality.gopherFlags(
+        tbl(spark, dir, "documents"), "doc_id", "text",
+        minWords = 20L, maxWords = 100000L, stopWords = QualityProbeWords)
+        .orderBy($"doc_id")
+    }),
+
+    // CCNet-style line-level boilerplate dedup (arXiv:1911.00359): the
+    // corpus has no newline structure, so pseudo-lines are fixed 8-token
+    // windows; a line occurring in >1 distinct docs is boilerplate. The
+    // planted duplicate docs make the strip non-vacuous.
+    "line_dedup" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.pipeline.Lines.dedupLines(
+        graft.pipeline.Lines.tokenWindowLines(
+          tbl(spark, dir, "documents"), "doc_id", "text", width = 8),
+        maxDocFreq = 1L, joiner = " ")
+        .orderBy($"doc_id")
     }),
 
     // duplicated-span detection (exact substring dedup at token-window
@@ -880,6 +963,74 @@ object SparkEntry {
     "image_neardup_pairs" ->
       """SELECT TRUE AS pairs_match_brute, TRUE AS twins_found,
         |       TRUE AS corrupt_excluded, TRUE AS has_pairs""".stripMargin,
+
+    "audio_neardup_pairs" ->
+      """SELECT TRUE AS pairs_match_brute, TRUE AS twins_found,
+        |       TRUE AS corrupt_excluded, TRUE AS has_pairs""".stripMargin,
+
+    // every rule is exact integer arithmetic (cross-multiplied rational
+    // thresholds), so the flags replay bit-identically; the stop list is
+    // generated from the same QualityProbeWords constant as the plan
+    "quality_filter" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, text,
+        |         regexp_split_to_array(trim(text), '\\s+') AS toks,
+        |         regexp_split_to_array(text, '\\n') AS lns
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(COALESCE(list_sum(list_transform(toks, w -> length(w))), 0) AS BIGINT) AS sum_word_len,
+        |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+        |    CAST(len(lns) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lns, l -> starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* '))) AS BIGINT) AS bullet_lines,
+        |    CAST(len(list_filter(lns, l -> ends_with(rtrim(l), '...'))) AS BIGINT) AS ellipsis_lines,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hash_marks,
+        |    CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS ellipses,
+        |    CAST(len(list_intersect(list_distinct(list_transform(toks, w -> lower(w))),
+        |         [${QualityProbeWords.map(w => s"'$w'").mkString(", ")}])) AS BIGINT) AS stop_hits
+        |  FROM t)
+        |SELECT doc_id, n_words, sum_word_len, alpha_words, n_lines,
+        |       bullet_lines, ellipsis_lines, hash_marks, ellipses, stop_hits,
+        |       (n_words >= 20 AND n_words <= 100000) AS ok_word_count,
+        |       (sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words) AS ok_mean_word_len,
+        |       (10 * bullet_lines <= 9 * n_lines) AS ok_bullet_lines,
+        |       (10 * ellipsis_lines <= 3 * n_lines) AS ok_ellipsis_lines,
+        |       (10 * (hash_marks + ellipses) <= n_words) AS ok_symbol_ratio,
+        |       (5 * alpha_words >= 4 * n_words) AS ok_alpha_words,
+        |       (stop_hits >= 2) AS ok_stop_words,
+        |       ((n_words >= 20 AND n_words <= 100000)
+        |        AND (sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words)
+        |        AND (10 * bullet_lines <= 9 * n_lines)
+        |        AND (10 * ellipsis_lines <= 3 * n_lines)
+        |        AND (10 * (hash_marks + ellipses) <= n_words)
+        |        AND (5 * alpha_words >= 4 * n_words)
+        |        AND (stop_hits >= 2)) AS pass
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // identical 8-token pseudo-line packing, md5-keyed doc frequency, and
+    // position-ordered reconstruction of the cleaned text
+    "line_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |ln0 AS (
+        |  SELECT doc_id, toks,
+        |         UNNEST(range(0, ((len(toks) - 1) // 8) + 1)) AS i
+        |  FROM t),
+        |ln AS (
+        |  SELECT doc_id, CAST(i AS INT) AS line_idx,
+        |         array_to_string(toks[i*8+1 : i*8+8], ' ') AS line
+        |  FROM ln0),
+        |df AS (
+        |  SELECT md5(line) AS h, COUNT(DISTINCT doc_id) AS ddf
+        |  FROM ln GROUP BY 1),
+        |j AS (SELECT ln.doc_id, ln.line_idx, ln.line, df.ddf
+        |      FROM ln JOIN df ON md5(ln.line) = df.h)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |       CAST(SUM(CASE WHEN ddf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate_lines,
+        |       COALESCE(STRING_AGG(CASE WHEN ddf <= 1 THEN line END, ' ' ORDER BY line_idx), '') AS clean_text
+        |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "ann_lsh_top10" ->
       """SELECT vec_id AS query_id, TRUE AS recall_ok

@@ -435,6 +435,109 @@ class CurationSpec extends AnyFunSuite {
     assert(kept === Array(0L, 3L, 4L))
   }
 
+  // --- Gopher quality rules ------------------------------------------------
+
+  test("gopher flags judge each rule on handcrafted fixtures") {
+    import graft.pipeline.Quality
+    val docs = Seq(
+      (1L, "the cat and the dog sat on a mat together"), // clean prose
+      (2L, "a b c d e f"),                               // mean word len < 3
+      (3L, "- one thing\n- two thing\n- three thing"),   // all bullet lines
+      (4L, "first line goes on...\nsecond also trails..."), // all ellipsis
+      (5L, "# # # # # the and cat sat"),                 // symbol-heavy
+      (6L, "12345 67890 23456 34567 45678 the and"),     // numeric words
+      (7L, "the and"))                                   // too short
+      .toDF("doc_id", "text")
+    val got = Quality.gopherFlags(docs, "doc_id", "text",
+      minWords = 5L, maxWords = 50L, stopWords = Seq("the", "and"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    def flag(id: Long, name: String): Boolean =
+      got(id).getBoolean(got(id).fieldIndex(name))
+    assert(flag(1L, "pass"))
+    assert(!flag(2L, "ok_mean_word_len") && !flag(2L, "pass"))
+    assert(!flag(3L, "ok_bullet_lines"))
+    assert(flag(1L, "ok_bullet_lines"))
+    assert(!flag(4L, "ok_ellipsis_lines"))
+    assert(!flag(5L, "ok_symbol_ratio"))
+    assert(!flag(6L, "ok_alpha_words"))
+    assert(!flag(7L, "ok_word_count") && flag(1L, "ok_word_count"))
+    assert(!flag(2L, "ok_stop_words") && flag(1L, "ok_stop_words"))
+    // integer facts are exact
+    val r1 = got(1L)
+    assert(r1.getLong(r1.fieldIndex("n_words")) === 10L)
+    assert(r1.getLong(r1.fieldIndex("stop_hits")) === 2L)
+    // guardrails
+    intercept[IllegalArgumentException](
+      Quality.gopherFlags(docs, "doc_id", "text", minWords = 0L))
+    intercept[IllegalArgumentException](
+      Quality.gopherFlags(docs, "doc_id", "text", stopWords = Seq("only")))
+    // filter composition keeps exactly the passing docs
+    val kept = Quality.gopherFilter(docs, "doc_id", "text",
+      minWords = 5L, maxWords = 50L, stopWords = Seq("the", "and"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L))
+  }
+
+  // --- line-level boilerplate dedup ---------------------------------------
+
+  test("line dedup strips high-df lines and rebuilds text in order") {
+    import graft.pipeline.Lines
+    val docs = Seq(
+      (1L, "header\nunique one\nfooter"),
+      (2L, "header\nunique two\nfooter"),
+      (3L, "header\nunique three\nfooter"),
+      (4L, "dup\ndup\nonly here"))
+      .toDF("doc_id", "text")
+    val got = Lines.stripBoilerplate(docs, "doc_id", "text", maxDocFreq = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // header/footer occur in 3 docs > 2 -> stripped; intra-doc repeats of
+    // "dup" count ONE doc, so they survive
+    assert(got(1L) === ((3L, 2L, "unique one")))
+    assert(got(2L) === ((3L, 2L, "unique two")))
+    assert(got(4L) === ((3L, 0L, "dup\ndup\nonly here")))
+    // raise the bar: nothing is boilerplate, text round-trips whole
+    val loose = Lines.stripBoilerplate(docs, "doc_id", "text", maxDocFreq = 3L)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(loose(1L) === "header\nunique one\nfooter")
+    intercept[IllegalArgumentException](
+      Lines.stripBoilerplate(docs, "doc_id", "text", maxDocFreq = 0L))
+  }
+
+  test("line dedup matches a plain-Scala reference on a random corpus") {
+    import graft.pipeline.Lines
+    val rnd = new Random(29)
+    val pool = Vector("alpha beta", "gamma", "delta eps", "zeta", "eta theta")
+    val docs = (0L until 50L).map { id =>
+      id -> Seq.fill(2 + rnd.nextInt(6))(pool(rnd.nextInt(pool.size))).mkString("\n")
+    }
+    val maxDf = 10L
+    val dfCount = docs.flatMap { case (id, t) => t.split("\n", -1).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).distinct.size.toLong }
+    val want = docs.map { case (id, t) =>
+      val ls = t.split("\n", -1).toSeq
+      id -> ((ls.size.toLong,
+        ls.count(l => dfCount(l) > maxDf).toLong,
+        ls.filter(l => dfCount(l) <= maxDf).mkString("\n")))
+    }.toMap
+    val got = Lines.stripBoilerplate(docs.toDF("doc_id", "text"), "doc_id", "text", maxDf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got === want)
+  }
+
+  test("tokenWindowLines chunks tokens into fixed windows with a partial tail") {
+    import graft.pipeline.Lines
+    val df = Seq((1L, "a b c d e f g h i"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
+    val got = Lines.tokenWindowLines(df, "doc_id", "text", width = 4)
+      .orderBy($"doc_id", $"line_idx")
+      .as[(Long, Int, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 0, "a b c d"), (1L, 1, "e f g h"), (1L, 2, "i"),
+      (2L, 0, "x"), (3L, 0, "")))
+  }
+
   // --- SQL surface ---------------------------------------------------------
 
   test("curation functions work from pure SQL") {

@@ -186,6 +186,25 @@ class PlanSpec extends AnyFunSuite {
       "top-k must be per-partition heaps, not a global sort")
   }
 
+  test("quality_filter is a shuffle-free per-row projection") {
+    val p = plan("quality_filter")
+    val exchanges = p.linesIterator.count(_.matches(".*\\(\\d+\\) Exchange.*"))
+    assert(exchanges <= 1, s"expected only the ORDER BY exchange, got $exchanges")
+    assert(!p.contains("Generate") && !p.contains("Join"),
+      "every rule must be a per-row array/string expression — no explode, no join")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  test("line_dedup: hash-keyed df join, no cartesian, two-phase aggregates") {
+    val p = plan("line_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "the doc-frequency meet must be an equi-join keyed by the line hash")
+    // df aggregation and the per-doc rollup both aggregate partially
+    assert(p.linesIterator.count(_.matches("""\(\d+\) HashAggregate\s*""")) +
+      p.linesIterator.count(_.matches("""\(\d+\) ObjectHashAggregate\s*""")) >= 4,
+      "expected partial+final aggregates for line df and per-doc stats")
+  }
+
   test("dsir: no forced broadcast of the feature-stats table; scoring join is keyed") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val df = SparkEntry.queries("dsir_weights")(spark, dir)
