@@ -661,6 +661,34 @@ object SparkEntry {
           ($"n_pairs" > 0 && $"n_dropped" > 0).as("has_dups"))
     }),
 
+    // the flagship sketch on the pipeline table: top-10 word trigrams per
+    // language via topn_add_agg over the exploded trigram multiset — the
+    // reference operator doing corpus n-gram statistics
+    "topn_doc_trigrams" -> ((spark, dir) => {
+      import spark.implicits._
+      import graft.pipeline.TextAnalysis
+      tbl(spark, dir, "documents")
+        .select($"lang", TextAnalysis.tokens($"text").as("toks"))
+        .filter(size($"toks") >= 3)
+        .select($"lang", explode(TextAnalysis.wordTrigrams($"toks")).as("tg"))
+        .groupBy($"lang")
+        .agg(TopnFunctions.topn_add_agg($"tg", ExactN).as("sketch"))
+        .select($"lang", explode(TopnFunctions.topn($"sketch", lit(10))).as("r"))
+        .select($"lang", $"r.item".as("item"), $"r.frequency".as("frequency"))
+        .orderBy($"lang", $"frequency".desc, $"item")
+    }),
+
+    // balanced per-source subset: exactly k docs per source by portable
+    // hash rank — deterministic, replayable, oracle-replayable
+    "sample_per_group" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.pipeline.Sampling.samplePerGroup(
+        tbl(spark, dir, "documents").select($"doc_id", $"source"),
+        "doc_id", "source", k = 20)
+        .select($"doc_id", $"source", $"sample_rank".cast("long").as("sample_rank"))
+        .orderBy($"source", $"sample_rank")
+    }),
+
     // Gopher-style rule-based quality flags (arXiv:2112.11446 Table A1):
     // exact integer arithmetic end to end, every rule flag replayed by
     // the oracle. The stop-word probe is adapted to the synthetic
@@ -967,6 +995,34 @@ object SparkEntry {
     "audio_neardup_pairs" ->
       """SELECT TRUE AS pairs_match_brute, TRUE AS twins_found,
         |       TRUE AS corrupt_excluded, TRUE AS has_pairs""".stripMargin,
+
+    // trigram multiset + exact GROUP BY count + pinned tie order — the
+    // sketch is exact at this counter budget, like every sketch oracle
+    "topn_doc_trigrams" ->
+      """WITH t AS (
+        |  SELECT lang, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |tg AS (
+        |  SELECT lang, UNNEST(list_transform(range(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tg
+        |  FROM t WHERE len(toks) >= 3)
+        |SELECT lang, item, frequency FROM (
+        |  SELECT lang, tg AS item, COUNT(*) AS frequency,
+        |         ROW_NUMBER() OVER (PARTITION BY lang
+        |                            ORDER BY COUNT(*) DESC, tg) AS rn
+        |  FROM tg GROUP BY 1, 2) x
+        |WHERE rn <= 10
+        |ORDER BY lang, frequency DESC, item""".stripMargin,
+
+    // rank expression generated from the same MixRounds as the plan
+    "sample_per_group" ->
+      s"""SELECT doc_id, source, sample_rank FROM (
+        |  SELECT doc_id, source,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |           ORDER BY ${graft.pipeline.Sampling.portableRankSql("doc_id")}, doc_id)
+        |           AS BIGINT) AS sample_rank
+        |  FROM documents) t
+        |WHERE sample_rank <= 20
+        |ORDER BY source, sample_rank""".stripMargin,
 
     // every rule is exact integer arithmetic (cross-multiplied rational
     // thresholds), so the flags replay bit-identically; the stop list is

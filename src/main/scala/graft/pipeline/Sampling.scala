@@ -53,14 +53,10 @@ object Sampling {
     require(salt >= 0L && salt < 2147483648L,
       s"salt must be in [0, 2^31), got $salt (negative salts can produce " +
         "negative buckets; larger salts overflow the portable 64-bit mix)")
-    val M = lit(4294967296L)
-    val x0 = ((id.cast("long") % lit(1000003L) + lit(salt)) * lit(2654435761L)) % M
-    val mixed = MixRounds.foldLeft(x0) { case (x, (sh, k)) =>
-      // x / 2^n on a long < 2^33 is exact in double (power-of-two divide,
-      // value well under 2^53), so the cast is a true floor division
-      ((x + (x / lit(sh)).cast("long")) * lit(k)) % M
-    }
-    (mixed + (mixed / lit(65536L)).cast("long")) % M % lit(100L)
+    // x / 2^n on a long < 2^33 is exact in double (power-of-two divide,
+    // value well under 2^53) inside portableRank, so every step is a true
+    // floor division
+    portableRank(id, salt) % lit(100L)
   }
 
   /** The identical bucket computation as engine-neutral SQL over `idExpr`
@@ -69,18 +65,68 @@ object Sampling {
     * spellings cannot drift. The expression nests textually (each round
     * references its input twice); fine for oracles, unreadable for
     * humans — that is what this generator is for. */
-  def portableBucketSql(idExpr: String, salt: Long = 0L): String = {
+  def portableBucketSql(idExpr: String, salt: Long = 0L): String =
+    s"(${portableRankSql(idExpr, salt)} % 100)"
+
+  /** Stronger-mixing bucket (not cross-engine reproducible). */
+  def xxhashBucket(id: Column, salt: Long = 0L): Column =
+    pmod(xxhash64(id, lit(salt)), lit(100L))
+
+  /** The full-resolution portable mix in [0, 2^32) behind [[hashBucket]]
+    * (same rounds, no final mod-100): a deterministic pseudo-random RANK
+    * for order-by-hash selections, expressible identically in any SQL
+    * engine via [[portableRankSql]]. Same non-negative-id contract and
+    * lattice caveat as [[hashBucket]]. */
+  def portableRank(id: Column, salt: Long = 0L): Column = {
+    require(salt >= 0L && salt < 2147483648L, s"salt out of range: $salt")
+    val M = lit(4294967296L)
+    val x0 = ((id.cast("long") % lit(1000003L) + lit(salt)) * lit(2654435761L)) % M
+    val mixed = MixRounds.foldLeft(x0) { case (x, (sh, k)) =>
+      ((x + (x / lit(sh)).cast("long")) * lit(k)) % M
+    }
+    (mixed + (mixed / lit(65536L)).cast("long")) % M
+  }
+
+  /** [[portableRank]] as engine-neutral SQL, generated from the same
+    * [[MixRounds]] so the two spellings cannot drift. */
+  def portableRankSql(idExpr: String, salt: Long = 0L): String = {
     require(salt >= 0L && salt < 2147483648L, s"salt out of range: $salt")
     val x0 = s"((($idExpr) % 1000003 + $salt) * 2654435761) % 4294967296"
     val mixed = MixRounds.foldLeft(x0) { case (x, (sh, k)) =>
       s"((($x) + ($x) // $sh) * $k) % 4294967296"
     }
-    s"((($mixed) + ($mixed) // 65536) % 4294967296) % 100"
+    s"((($mixed) + ($mixed) // 65536) % 4294967296)"
   }
 
-  /** Stronger-mixing bucket (not cross-engine reproducible). */
-  def xxhashBucket(id: Column, salt: Long = 0L): Column =
-    pmod(xxhash64(id, lit(salt)), lit(100L))
+  /**
+   * Balanced per-group subset: keep exactly `k` rows per `groupCol` value
+   * (all of them when the group is smaller), chosen by portable hash
+   * rank with doc-id tie-break — the deterministic, replayable version
+   * of "sample k docs per source", stable under repartitioning and
+   * incremental ingestion where per-group `ORDER BY random() LIMIT k` is
+   * neither. Output: the input row plus its 1-based `sample_rank`.
+   *
+   * Scale shape: one hash-partitioned window per group (row_number over
+   * (rank, id) within the group) — groups spread across the cluster, no
+   * global sort, no driver state. Heavy skew (one group = the corpus)
+   * degrades to that group's partition, the usual window caveat.
+   */
+  def samplePerGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      k: Int,
+      salt: Long = 0L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(!df.columns.contains("sample_rank"),
+      "input already has a 'sample_rank' column; rename it — samplePerGroup " +
+        "appends 'sample_rank'")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(portableRank(col(idCol), salt), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
 
   /**
    * Assign every row to exactly one named split by hashed-id bucket.

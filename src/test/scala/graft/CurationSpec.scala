@@ -435,6 +435,28 @@ class CurationSpec extends AnyFunSuite {
     assert(kept === Array(0L, 3L, 4L))
   }
 
+  test("samplePerGroup keeps exactly k per group, deterministically") {
+    val df = (0L until 200L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
+    val a = Sampling.samplePerGroup(df, "id", "src", k = 10)
+      .as[(Long, String, Int)].collect().toSet
+    val b = Sampling.samplePerGroup(df.repartition(7), "id", "src", k = 10)
+      .as[(Long, String, Int)].collect().toSet
+    assert(a === b, "selection must be stable under repartitioning")
+    assert(a.groupBy(_._2).forall(_._2.size == 10))
+    assert(a.groupBy(_._2).forall { case (_, rows) =>
+      rows.map(_._3).toSeq.sorted == (1 to 10) })
+    // a group smaller than k passes through whole
+    val small = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "src")
+    assert(Sampling.samplePerGroup(small, "id", "src", k = 10).count() === 3L)
+    // a different salt reshuffles the selection
+    val c = Sampling.samplePerGroup(df, "id", "src", k = 10, salt = 7L)
+      .as[(Long, String, Int)].collect().toSet
+    assert(c.map(t => (t._1, t._2)) !== a.map(t => (t._1, t._2)))
+    intercept[IllegalArgumentException](Sampling.samplePerGroup(df, "id", "src", 0))
+    intercept[IllegalArgumentException](Sampling.samplePerGroup(
+      df.withColumn("sample_rank", lit(1)), "id", "src", 5))
+  }
+
   // --- Gopher quality rules ------------------------------------------------
 
   test("gopher flags judge each rule on handcrafted fixtures") {
