@@ -511,12 +511,14 @@ object TopnStreaming {
    * it) — re-training mid-stream would silently re-cell vectors; that is
    * the paper's deployment shape too.
    *
-   * Layout under `storePath`: `vectors/b=<batchId>` (append-only vector
-   * snapshots, rewritten idempotently on replay) and `labels/` (the
-   * [[maintainClusters]] manifest layout). Per-batch cost: pair work is
-   * bounded by the batch's touched CELLS (resident vectors in untouched
-   * cells are never read into the pair scan); commit I/O by touched
-   * label buckets. Read the result with [[committedSemanticLabels]].
+   * Layout under `storePath`: `vectors/b=<batchId>/cell=<c>` (append-only
+   * vector snapshots, rewritten idempotently on replay, PARTITIONED by
+   * quantizer cell) and `labels/` (the [[maintainClusters]] manifest
+   * layout). Per-batch cost: the batch's cell list (bounded by the
+   * model's k) prunes the resident read to touched `cell=` directories —
+   * read I/O and pair work are O(touched cells), commit I/O O(touched
+   * label buckets); nothing per batch is O(corpus). Read the result with
+   * [[committedSemanticLabels]].
    */
   def maintainSemanticClusters(
       vectors: DataFrame,
@@ -561,22 +563,29 @@ object TopnStreaming {
     if (batch.isEmpty) return
 
     // 1. record the batch's vectors FIRST (before the labels commit, so a
-    // crash in between replays to an idempotent rewrite of this directory)
-    val norm = batch.select(col(idCol).as("doc_id"), col(vecCol).as("vec"))
-    norm.write.mode("overwrite").parquet(s"$storePath/vectors/b=$batchId")
-
-    // 2. new edges: pairs within the batch plus batch×resident pairs in
-    // shared cells. Resident vectors in cells the batch does not touch
-    // never enter the pair scan.
+    // crash in between replays to an idempotent rewrite of this
+    // directory), PARTITIONED by quantizer cell: the batch×resident pair
+    // scan only needs resident vectors in the batch's cells, and a
+    // `cell=` directory layout turns that restriction into partition
+    // pruning — per-batch read I/O is O(touched cells), never O(corpus)
     import graft.pipeline.{IVF, SemDedup}
     val cellOf = (v: org.apache.spark.sql.Column) =>
       element_at(IVF.cells(v, model, 1), 1)
+    val norm = batch.select(col(idCol).as("doc_id"), col(vecCol).as("vec"))
+    norm.withColumn("cell", cellOf(col("vec")))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$storePath/vectors/b=$batchId")
+
+    // 2. new edges: pairs within the batch plus batch×resident pairs in
+    // shared cells. The touched-cell list is at most the model's k cells
+    // — bounded driver data driving the partition filter.
     val newIds = norm.select(col("doc_id").as("__new_id"))
     val scanSet = residentVectors(spark, storePath, batchId) match {
       case None => norm
       case Some(res) =>
-        val touchedCells = norm.select(cellOf(col("vec")).as("__cell")).distinct()
-        res.join(touchedCells, cellOf(res("vec")) === col("__cell"), "left_semi")
+        val touched = norm.select(cellOf(col("vec")).as("cell")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        res.filter(col("cell").isin(touched: _*)).drop("cell")
           .unionByName(norm)
     }
     // resident×resident pairs in touched cells were already committed by
@@ -596,7 +605,9 @@ object TopnStreaming {
   }
 
   /** Union of vector snapshots from batches BEFORE `beforeBatch` (the
-    * resident set a batch pairs against). None when no snapshot exists. */
+    * resident set a batch pairs against): (doc_id, vec, cell) with `cell`
+    * the partition column, so a cell filter prunes directories. None when
+    * no snapshot exists. */
   private def residentVectors(
       spark: org.apache.spark.sql.SparkSession,
       storePath: String,
@@ -622,7 +633,6 @@ object TopnStreaming {
       spark: org.apache.spark.sql.SparkSession,
       storePath: String,
       model: graft.pipeline.IVF.Model): DataFrame = {
-    import graft.pipeline.IVF
     val committed = committedVersion(spark, s"$storePath/labels")
     val vecs = committed
       .flatMap(v => residentVectors(spark, storePath, v + 1))
@@ -630,7 +640,7 @@ object TopnStreaming {
     val labels = committedClusters(spark, s"$storePath/labels")
       .withColumnRenamed("cluster_id", "__graft_cc_id")
     vecs
-      .select(col("doc_id"), element_at(IVF.cells(col("vec"), model, 1), 1).as("cell"))
+      .select(col("doc_id"), col("cell").cast("int").as("cell"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), col("cell"),
         coalesce(col("__graft_cc_id"), col("doc_id")).as("cluster_id"))

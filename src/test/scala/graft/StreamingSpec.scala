@@ -516,6 +516,13 @@ class StreamingSpec extends AnyFunSuite {
     // replay of a committed batch is a no-op
     run(2)
     assert(committed() === want)
+
+    // the vector store is partitioned by quantizer cell, so a batch's
+    // resident read prunes to its touched cell= directories
+    val b0dir = java.nio.file.Paths.get(s"$store/vectors/b=0")
+    val cellDirs = java.nio.file.Files.list(b0dir).toArray.map(_.toString)
+      .filter(_.matches(".*/cell=\\d+$"))
+    assert(cellDirs.nonEmpty, "vector snapshots must be cell-partitioned")
   }
 
   private implicit class JavaSetOps[A](s: java.util.Set[A]) {
