@@ -215,6 +215,15 @@ object SparkEntry {
         .orderBy($"doc_a", $"doc_b")
     }),
 
+    // directed near-inclusion: |A∩B|/min(|A|,|B|) — catches a doc embedded
+    // in a larger one, which symmetric Jaccard structurally misses
+    "containment_pairs" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.pipeline.Dedup.containmentPairs(
+        tbl(spark, dir, "documents"), "doc_id", "text", threshold = 0.6)
+        .orderBy($"doc_small", $"doc_big")
+    }),
+
     // MinHash+LSH near-dup pairs. Candidates are verified with EXACT
     // n-gram Jaccard, so output ⊆ the exact pair scan; on this corpus the
     // banding (8x4) catches every qualifying pair, so the exact-Jaccard
@@ -957,6 +966,36 @@ object SparkEntry {
         |            JOIN sz zb ON shared.b = zb.doc_id
         |WHERE CAST(ns AS DOUBLE) / CAST(za.n + zb.n - ns AS DOUBLE) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same CTE skeleton as the jaccard oracle; only the denominator
+    // (min size) and the size-orientation of the output pair differ
+    "containment_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) >= 3
+        |              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |              ELSE [] END AS shingles
+        |  FROM t),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |rare AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 1000),
+        |fx AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare ON ex.s = rare.s),
+        |shared AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS ns
+        |  FROM fx x JOIN fx y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(shingles) AS n FROM sh)
+        |SELECT CASE WHEN za.n < zb.n THEN a WHEN zb.n < za.n THEN b
+        |            ELSE LEAST(a, b) END AS doc_small,
+        |       CASE WHEN za.n < zb.n THEN b WHEN zb.n < za.n THEN a
+        |            ELSE GREATEST(a, b) END AS doc_big,
+        |       CAST(ns AS DOUBLE) / CAST(LEAST(za.n, zb.n) AS DOUBLE) AS containment
+        |FROM shared JOIN sz za ON shared.a = za.doc_id
+        |            JOIN sz zb ON shared.b = zb.doc_id
+        |WHERE CAST(ns AS DOUBLE) / CAST(LEAST(za.n, zb.n) AS DOUBLE) >= 0.6
+        |ORDER BY doc_small, doc_big""".stripMargin,
 
     // minhashLshPairs exact-verifies candidates, so its output ⊆ the exact
     // scan; the banding catches every qualifying pair on this corpus, so

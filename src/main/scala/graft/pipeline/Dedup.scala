@@ -100,6 +100,59 @@ object Dedup {
   }
 
   /**
+   * Word-n-gram CONTAINMENT pairs: directed near-inclusion,
+   * |A ∩ B| / |A| >= threshold with A the SMALLER shingle set — catches a
+   * document embedded inside a larger one (quoted articles, page wrappers
+   * around syndicated text, prompt templates around payloads), which
+   * symmetric Jaccard structurally misses: a doc fully contained in one
+   * 10x its size has containment 1.0 but Jaccard <= 0.1 and never crosses
+   * a Jaccard dedup bar. Output: (doc_small, doc_big, containment) where
+   * doc_small's shingles are >= threshold covered by doc_big's (ties in
+   * size keep id order). Same skew-guard fine print as [[jaccardPairs]]:
+   * shingles with document frequency > `maxShingleDf` are dropped whole
+   * from candidate generation and the shared count, so reported
+   * containment is an underestimate under heavy duplication.
+   *
+   * Plan shape: IDENTICAL to [[jaccardPairs]] — one scan, one shuffle by
+   * shingle with bucket-local pair generation, one shuffle by (pair,
+   * sizes) — only the final ratio differs (min size instead of union).
+   */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      n: Int = 3,
+      maxShingleDf: Int = 1000): DataFrame = {
+    val exploded = docs.select(
+      col(idCol).as("doc_id"),
+      TextAnalysis.wordShingles(col(textCol), n).as("shingles"))
+      .select($"doc_id", size($"shingles").as("nsh"), explode($"shingles").as("shingle"))
+
+    val buckets = PairGen.buckets(
+      exploded, Seq($"shingle"), struct($"doc_id", $"nsh"), maxShingleDf)
+
+    val pairs = PairGen.explodePairs(buckets, "xs", "pa", "pb")
+      .select($"pa.doc_id".as("doc_a"), $"pb.doc_id".as("doc_b"),
+        $"pa.nsh".as("size_a"), $"pb.nsh".as("size_b"))
+
+    pairs
+      .groupBy($"doc_a", $"doc_b", $"size_a", $"size_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("containment",
+        $"n_shared".cast("double") / least($"size_a", $"size_b").cast("double"))
+      .filter($"containment" >= threshold)
+      .select(
+        when($"size_a" < $"size_b", $"doc_a")
+          .when($"size_b" < $"size_a", $"doc_b")
+          .otherwise(least($"doc_a", $"doc_b")).as("doc_small"),
+        when($"size_a" < $"size_b", $"doc_b")
+          .when($"size_b" < $"size_a", $"doc_a")
+          .otherwise(greatest($"doc_a", $"doc_b")).as("doc_big"),
+        $"containment")
+  }
+
+  /**
    * MinHash signature: `numHashes` permutation-min values over the doc's
    * shingle set, as a single-pass native expression
    * ([[graft.expressions.MinHashSignature]]) that is bit-identical to the

@@ -194,6 +194,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("containmentPairs catches a doc embedded in a larger one; Jaccard misses it") {
+    // d2 is d1 plus 4x unrelated padding: containment(d1 in d2) = 1.0 but
+    // Jaccard ~ 0.2 — below any sensible Jaccard bar
+    val core = (1 to 10).map(i => s"c$i").mkString(" ")
+    val pad = (1 to 40).map(i => s"p$i").mkString(" ")
+    val df = Seq(
+      (1L, core),
+      (2L, s"$core $pad"),
+      (3L, "totally different words here and more and more of them")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(df, "doc_id", "text", threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(cont.length === 1)
+    assert(cont.head._1 === 1L && cont.head._2 === 2L,
+      "the smaller doc must come first")
+    assert(cont.head._3 >= 0.99)
+    val jac = Dedup.jaccardPairs(df, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(jac.isEmpty, "symmetric Jaccard structurally misses the inclusion")
+    // equal-size exact dups keep id order
+    val eq = Seq((5L, core), (4L, core)).toDF("doc_id", "text")
+    val p = Dedup.containmentPairs(eq, "doc_id", "text", threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(p.toSeq === Seq((4L, 5L, 1.0)))
+  }
+
   test("real audio tier: javax.sound decode, envelope-hash locality, corrupt safety") {
     val base = Multimodal.syntheticWav(3, 0)
     val twin = Multimodal.syntheticWav(3, 1)   // gain 0.8 + jitter: near-dup
