@@ -473,6 +473,57 @@ object SparkEntry {
           ($"n_pairs" > 0).as("has_pairs"))
     }),
 
+    // REAL video near-dup tier end to end: deterministic synthetic
+    // AVI/MJPEG clips encoded on executors, RIFF container parse, imageio
+    // per-frame decode, majority dHash, pigeonhole pair scan — the video
+    // sibling of image/audio_neardup_pairs, same in-plan brute-force
+    // audit, same constant-boolean oracle.
+    "video_neardup_pairs" -> ((spark, dir) => {
+      import spark.implicits._
+      import graft.pipeline.Multimodal
+      val maxDist = 6
+      val ids = tbl(spark, dir, "documents")
+        .select($"doc_id").filter($"doc_id" < 60).as[Long]
+      val media = ids.map { id =>
+        Multimodal.MediaFile(id, "video",
+          Multimodal.syntheticAvi((id / 3).toInt, (id % 3).toInt))
+      }.union(ids.filter(_ < 5).map(id =>
+        Multimodal.MediaFile(1000L + id, "video",
+          s"not a video $id".getBytes("UTF-8"))))
+
+      val pairs = Multimodal.videoNearDupPairs(media, maxDist)
+      val fp = Multimodal.videoMeta(media)
+        .filter(_.fingerprint.isDefined)
+        .map(m => (m.media_id, m.fingerprint.get)).toDF("media_id", "fp")
+      val brute = fp.as("x").join(fp.as("y"),
+          col("x.media_id") < col("y.media_id"))
+        .select(col("x.media_id").as("doc_a"), col("y.media_id").as("doc_b"),
+          bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
+        .filter($"hamming" <= maxDist)
+
+      val mismatches = pairs.select($"doc_a", $"doc_b").exceptAll(
+        brute.select($"doc_a", $"doc_b"))
+        .unionAll(brute.select($"doc_a", $"doc_b").exceptAll(
+          pairs.select($"doc_a", $"doc_b")))
+        .agg(count(lit(1)).as("n_mismatch"))
+      val twins = ids.filter(id => id % 3 == 0).toDF("base")
+        .join(ids.filter(id => id % 3 == 1).toDF("twin"),
+          col("twin") === col("base") + 1)
+        .join(pairs, col("doc_a") === col("base") && col("doc_b") === col("twin"),
+          "left_anti")
+        .agg(count(lit(1)).as("n_missing_twin"))
+      val corrupt = pairs.filter($"doc_a" >= 1000 || $"doc_b" >= 1000)
+        .agg(count(lit(1)).as("n_corrupt"))
+      val total = pairs.agg(count(lit(1)).as("n_pairs"))
+
+      mismatches.crossJoin(twins).crossJoin(corrupt).crossJoin(total)
+        .select(
+          ($"n_mismatch" === 0).as("pairs_match_brute"),
+          ($"n_missing_twin" === 0).as("twins_found"),
+          ($"n_corrupt" === 0).as("corrupt_excluded"),
+          ($"n_pairs" > 0).as("has_pairs"))
+    }),
+
     // duplicate CLUSTERS from the near-dup pair list: connected components
     // (large-star/small-star) over the MinHash+LSH pairs — the 100 TB
     // tiering (sub-quadratic candidate scan feeding the cluster pass).
@@ -1032,6 +1083,10 @@ object SparkEntry {
         |       TRUE AS corrupt_excluded, TRUE AS has_pairs""".stripMargin,
 
     "audio_neardup_pairs" ->
+      """SELECT TRUE AS pairs_match_brute, TRUE AS twins_found,
+        |       TRUE AS corrupt_excluded, TRUE AS has_pairs""".stripMargin,
+
+    "video_neardup_pairs" ->
       """SELECT TRUE AS pairs_match_brute, TRUE AS twins_found,
         |       TRUE AS corrupt_excluded, TRUE AS has_pairs""".stripMargin,
 

@@ -258,6 +258,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("real video tier: RIFF/AVI parse, MJPEG decode, majority-hash locality, corrupt safety") {
+    val base = Multimodal.syntheticAvi(4, 0)
+    val twin = Multimodal.syntheticAvi(4, 1)   // per-frame corner blotch: near-dup
+    val far = Multimodal.syntheticAvi(4, 2)    // inverted frames
+    val junk = "definitely not a video".getBytes("UTF-8")
+
+    // container facts parse without any frame decode
+    assert(Multimodal.decodeVideoMeta(base) === Some((32L, 24L, 6L, 33333L)))
+    assert(Multimodal.decodeVideoMeta(junk) === None)
+    val refs = Multimodal.videoFrameRefs(base)
+    assert(refs.length === 6)
+    assert(refs.map(_.frame_idx).toSeq === (0L until 6L).toSeq)
+    // every frame ref slices to a JPEG that the image tier decodes
+    refs.foreach { r =>
+      val jpeg = java.util.Arrays.copyOfRange(
+        base, r.frame_offset.toInt, (r.frame_offset + r.frame_len).toInt)
+      assert(Multimodal.decodeImageDims(jpeg) === Some((32L, 24L)))
+    }
+
+    val media = Seq(
+      Multimodal.MediaFile(1L, "video", base),
+      Multimodal.MediaFile(2L, "video", twin),
+      Multimodal.MediaFile(3L, "video", far),
+      Multimodal.MediaFile(4L, "video", junk)).toDS()
+    val got = Multimodal.videoMeta(media).collect().sortBy(_.media_id)
+    assert(got.map(_.ok).toSeq === Seq(true, true, true, false))
+    assert(got(0).width === 32L && got(0).height === 24L)
+    assert(got(0).n_frames === 6L && got(0).duration_ms === 199L) // 6 * 33333us
+    assert(got.map(_.fingerprint.isDefined).toSeq === Seq(true, true, true, false))
+
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(got(0).fingerprint.get, got(1).fingerprint.get) <= 6,
+      s"blotched twin too far: ${ham(got(0).fingerprint.get, got(1).fingerprint.get)}")
+    assert(ham(got(0).fingerprint.get, got(2).fingerprint.get) >= 20,
+      s"inverted clip too close: ${ham(got(0).fingerprint.get, got(2).fingerprint.get)}")
+    // deterministic across invocations
+    assert(Multimodal.videoFingerprint(base) === Multimodal.videoFingerprint(base))
+
+    // real frame sampling: one row per movi chunk with true byte offsets
+    val frames = Multimodal.sampleVideoFrames(media)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(frames.count(_._1 == 1L) === 6)
+    assert(frames.forall { case (_, _, off, len) => off >= 0 && len > 0 })
+    assert(!frames.exists(_._1 == 4L), "junk payload emits no frames")
+
+    // end-to-end through the shared pigeonhole pair scan
+    val pairs = Multimodal.videoNearDupPairs(media, maxDist = 6)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("adversarial duplication soak: LSH dedup tier matches the exact scan") {
     // 10 copies of the corpus — every doc has 9 exact duplicates, the
     // worst case for pair generation (promoted from docs/BENCH_NOTES.md).
