@@ -749,6 +749,35 @@ object SparkEntry {
         .orderBy($"source", $"sample_rank")
     }),
 
+    // per-domain cap by explicit priority (the non-random sibling of
+    // sample_per_group): keep the 25 longest documents per source —
+    // partitioned window, ties by doc_id, oracle replays the same rank
+    "domain_cap" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.pipeline.Selection.topKPerGroup(
+        tbl(spark, dir, "documents").select($"doc_id", $"source", $"n_chars"),
+        "doc_id", "source", k = 25, priority = $"n_chars")
+        .select($"doc_id", $"source", $"n_chars",
+          $"cap_rank".cast("long").as("cap_rank"))
+        .orderBy($"source", $"cap_rank")
+    }),
+
+    // EXACT global top-20% selection by score with NO global sort: the
+    // distinct-score histogram + prefix-sum threshold shape
+    // (Selection.selectTopFraction). n_chars is integral and tie-heavy at
+    // this corpus, so the threshold tie-trim path is exercised; the
+    // oracle replays the identical keep set with a plain ORDER BY LIMIT
+    // (fine at oracle scale; the operator exists precisely so the engine
+    // never has to do that at 100 TB).
+    "select_top_pct" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.pipeline.Selection.selectTopFraction(
+        tbl(spark, dir, "documents")
+          .select($"doc_id", $"n_chars".cast("long").as("score")),
+        "doc_id", "score", pct = 20)
+        .orderBy($"doc_id")
+    }),
+
     // Gopher-style rule-based quality flags (arXiv:2112.11446 Table A1):
     // exact integer arithmetic end to end, every rule flag replayed by
     // the oracle. The stop-word probe is adapted to the synthetic
@@ -1117,6 +1146,28 @@ object SparkEntry {
         |  FROM documents) t
         |WHERE sample_rank <= 20
         |ORDER BY source, sample_rank""".stripMargin,
+
+    "domain_cap" ->
+      """SELECT doc_id, source, n_chars, cap_rank FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |           ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cap_rank
+        |  FROM documents) t
+        |WHERE cap_rank <= 25
+        |ORDER BY source, cap_rank""".stripMargin,
+
+    // same keep set as the histogram+prefix-sum operator: the k highest
+    // scores with threshold ties broken by ascending doc_id is exactly
+    // ORDER BY (score DESC, doc_id) LIMIT k
+    "select_top_pct" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
+        |         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rn,
+        |         COUNT(*) OVER () AS n
+        |  FROM documents)
+        |SELECT doc_id, score FROM ranked
+        |WHERE rn <= (20 * n + 99) // 100
+        |ORDER BY doc_id""".stripMargin,
 
     // every rule is exact integer arithmetic (cross-multiplied rational
     // thresholds), so the flags replay bit-identically; the stop list is

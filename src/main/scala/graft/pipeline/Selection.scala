@@ -1,0 +1,122 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic corpus selection operators: per-domain caps and exact
+ * global top-fraction thresholds — the two selection shapes every
+ * large-scale curation pipeline applies after scoring.
+ *
+ * Both are exact and replayable: selection is a pure function of the data
+ * (no randomness, documented tie rules), so a re-run, a repartition, or
+ * another engine produces the identical keep set and the driver's DuckDB
+ * oracle can replay it row for row.
+ */
+object Selection {
+
+  /**
+   * Per-group cap by explicit priority: keep the `k` rows of each
+   * `groupCol` value with the HIGHEST `priority` (all of them when the
+   * group is smaller), ties broken by ascending id — "keep the 1000
+   * longest / highest-quality documents per domain", the standard
+   * per-source cap that stops one crawl domain from dominating a corpus.
+   * Output: the input row plus its 1-based `cap_rank`.
+   *
+   * The hash-random flavor of this cap is [[Sampling.samplePerGroup]]
+   * (priority = portable hash rank); this is the priority-ordered flavor.
+   *
+   * Scale shape: one hash-partitioned window per group (row_number over
+   * (priority desc, id) within the group) — groups spread across the
+   * cluster, no global sort, no driver state. Heavy skew (one group = the
+   * corpus) degrades to that group's partition, the usual window caveat.
+   */
+  def topKPerGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      k: Int,
+      priority: Column): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(!df.columns.contains("cap_rank"),
+      "input already has a 'cap_rank' column; rename it — topKPerGroup " +
+        "appends 'cap_rank'")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(priority.desc, col(idCol))
+    df.withColumn("cap_rank", row_number().over(w))
+      .filter(col("cap_rank") <= k)
+  }
+
+  /**
+   * EXACT global top-`pct`% selection by an integer score WITHOUT sorting
+   * the corpus: keep the ceil(pct·n/100) highest-scoring rows, ties at
+   * the threshold broken by ascending id — "keep the best 20% by quality
+   * score" as a deterministic, engine-replayable set.
+   *
+   * The naive spelling (`ORDER BY score DESC LIMIT k`, or a row_number
+   * over an unpartitioned window) funnels the corpus through one
+   * partition/the driver. This is the scale-correct two-phase shape:
+   *
+   *   1. histogram: `groupBy(score).count()` — one hash-aggregate shuffle;
+   *      the table is DISTINCT-SCORE-sized, not corpus-sized (bounded by
+   *      the score resolution, e.g. <= 1e6 rows for e6 fixed-point);
+   *   2. running count down the histogram (descending score) via the
+   *      scale-safe [[graft.operators.PrefixSum.runningSum]] — no
+   *      single-partition window even when every score is distinct;
+   *   3. threshold row (score T, #ties to keep m) = first histogram row
+   *      whose running count reaches k — a bounded `limit(1)`;
+   *   4. keep = one broadcast-filter scan (`score > T`), plus the first m
+   *      ties by id order — ranked by a second prefix sum over the
+   *      TIE SUBSET only (usually tiny; never the corpus).
+   *
+   * The corpus is scanned twice (count, then select) and never shuffled
+   * by score beyond the histogram aggregation. `scoreCol` must be
+   * integral (long-valued) — for float scores, fix the resolution first
+   * (e.g. `floor(score * 1e6)`), which is also what makes the selection
+   * engine-replayable. Output: the input rows that survive, unchanged.
+   */
+  def selectTopFraction(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      pct: Int): DataFrame = {
+    require(pct >= 1 && pct <= 100, s"pct must be in [1, 100], got $pct")
+    val score = col(scoreCol).cast("long")
+
+    // 1. distinct-score histogram
+    val hist = df.groupBy(score.as("__s")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__neg", -col("__s"))
+
+    // 2. running count from the highest score down
+    val cum = graft.operators.PrefixSum.runningSum(hist, "__neg", "__cnt", "__cum")
+
+    // 3. threshold: first row (walking scores downward) where the running
+    // count reaches k = ceil(pct*n/100); m = how many ties at T to keep.
+    // All joins below are against this ONE row.
+    val nRow = cum.agg(max(col("__cum")).as("__n"))
+    val tRow = cum.crossJoin(broadcast(nRow))
+      .withColumn("__k", expr(s"($pct * __n + 99) DIV 100"))
+      .filter(col("__cum") >= col("__k"))
+      .orderBy(col("__s").desc)
+      .limit(1)
+      .select(col("__s").as("__t"),
+        (col("__k") - (col("__cum") - col("__cnt"))).as("__m"))
+
+    // 4. one scan: everything strictly above the threshold...
+    val above = df.crossJoin(broadcast(tRow))
+      .filter(score > col("__t"))
+      .drop("__t", "__m")
+    // ...plus the first m ties by id order (prefix sum over the tie
+    // subset only — its size is the tie count, not the corpus)
+    val ties = df.crossJoin(broadcast(tRow))
+      .filter(score === col("__t"))
+      .withColumn("__one", lit(1L))
+    val tiesKept = graft.operators.PrefixSum
+      .runningSum(ties, idCol, "__one", "__rank")
+      .filter(col("__rank") <= col("__m"))
+      .drop("__t", "__m", "__one", "__rank")
+
+    above.unionByName(tiesKept)
+  }
+}

@@ -457,6 +457,60 @@ class CurationSpec extends AnyFunSuite {
       df.withColumn("sample_rank", lit(1)), "id", "src", 5))
   }
 
+  test("topKPerGroup keeps the k highest-priority rows per group") {
+    import graft.pipeline.Selection
+    val df = (0L until 100L).map(i => (i, s"src${i % 4}", (i * 37) % 50))
+      .toDF("id", "src", "prio")
+    val got = Selection.topKPerGroup(df, "id", "src", 5, col("prio"))
+      .as[(Long, String, Long, Int)].collect()
+    assert(got.groupBy(_._2).forall(_._2.length == 5))
+    // reference: plain Scala sort per group, ties by ascending id
+    val ref = (0L until 100L).map(i => (i, s"src${i % 4}", (i * 37) % 50))
+      .groupBy(_._2).flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._3, r._1)).take(5)
+      }.map(r => (r._1, r._2)).toSet
+    assert(got.map(r => (r._1, r._2)).toSet === ref)
+    // rank is 1-based within the group in (prio desc, id) order
+    assert(got.groupBy(_._2).forall { case (_, rows) =>
+      rows.sortBy(r => (-r._3, r._1)).map(_._4).toSeq == (1 to 5) })
+    // stable under repartitioning
+    val again = Selection.topKPerGroup(df.repartition(7), "id", "src", 5, col("prio"))
+      .as[(Long, String, Long, Int)].collect().toSet
+    assert(again === got.toSet)
+    intercept[IllegalArgumentException](
+      Selection.topKPerGroup(df, "id", "src", 0, col("prio")))
+  }
+
+  test("selectTopFraction == sort-based reference, incl. tie-heavy and edge pcts") {
+    import graft.pipeline.Selection
+    // scores with HEAVY ties (mod 7) so the threshold trim is exercised
+    val rows = (0L until 237L).map(i => (i, (i * 31) % 7))
+    val df = rows.toDF("id", "score")
+    for (pct <- Seq(1, 20, 50, 99, 100)) {
+      val got = Selection.selectTopFraction(df, "id", "score", pct)
+        .as[(Long, Long)].collect().toSet
+      val k = (pct * rows.length + 99) / 100
+      val ref = rows.sortBy(r => (-r._2, r._1)).take(k).toSet
+      assert(got === ref, s"pct=$pct: got ${got.size}, want ${ref.size}")
+      assert(got.size === k)
+    }
+    // all-one-score corpus: pure tie path
+    val flat = (0L until 50L).map((_, 3L)).toDF("id", "score")
+    val gotFlat = Selection.selectTopFraction(flat, "id", "score", 10)
+      .as[(Long, Long)].collect().map(_._1).sorted
+    assert(gotFlat.toSeq === (0L until 5L).toSeq, "ties kept by ascending id")
+    // stable under repartitioning
+    val a = Selection.selectTopFraction(df, "id", "score", 37)
+      .as[(Long, Long)].collect().toSet
+    val b = Selection.selectTopFraction(df.repartition(11), "id", "score", 37)
+      .as[(Long, Long)].collect().toSet
+    assert(a === b)
+    intercept[IllegalArgumentException](
+      Selection.selectTopFraction(df, "id", "score", 0))
+    intercept[IllegalArgumentException](
+      Selection.selectTopFraction(df, "id", "score", 101))
+  }
+
   // --- Gopher quality rules ------------------------------------------------
 
   test("gopher flags judge each rule on handcrafted fixtures") {
