@@ -814,6 +814,20 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // the rewrite spanStats only measures: cut non-keeper duplicated
+    // 8-token chunks and rebuild the text (Lee et al. retention at
+    // token-window resolution); the oracle replays chunking, keeper
+    // choice AND the position-ordered reassembly (md5 of the rebuilt
+    // text keeps the compared output compact)
+    "span_drop_rewrite" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.pipeline.Spans.dropDuplicatedSpans(
+        tbl(spark, dir, "documents"), "doc_id", "text", n = 8)
+        .select($"doc_id", $"n_spans", $"n_dropped_spans",
+          md5($"clean_text").as("clean_md5"))
+        .orderBy($"doc_id")
+    }),
+
     // DSIR-style importance weights (arXiv:2302.03169): per-doc
     // log-likelihood-ratio sums against the lang='en' target slice, over
     // the paper's hashed feature space (8192 buckets) so the stats table
@@ -1547,6 +1561,38 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
         |       CAST(SUM(CASE WHEN packed = keep_key THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_spans
         |FROM w GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // same chunking (non-overlapping 8-token windows, partial tail always
+    // kept), same packed-min keeper, same space-joined reassembly; the
+    // CASE hash gives partial chunks per-row-unique keys exactly like the
+    // Spark plan, and COALESCE('') covers an all-chunks-dropped doc
+    "span_drop_rewrite" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |         UNNEST(range(0, GREATEST((len(toks) - 1) // 8, 0) + 1)) AS ci
+        |  FROM t),
+        |ch AS (
+        |  SELECT doc_id, ci,
+        |         array_to_string(toks[ci*8+1 : ci*8+8], ' ') AS chunk,
+        |         len(toks) >= (ci + 1) * 8 AS is_full,
+        |         CAST(doc_id * 1048576 + ci AS BIGINT) AS packed
+        |  FROM c),
+        |w AS (
+        |  SELECT doc_id, ci, chunk, is_full, packed,
+        |         COUNT(*) OVER (PARTITION BY h) AS n_occ,
+        |         MIN(packed) OVER (PARTITION BY h) AS keep_key
+        |  FROM (SELECT *, CASE WHEN is_full THEN md5(chunk)
+        |                       ELSE 'P' || doc_id || ':' || ci END AS h FROM ch)),
+        |k AS (SELECT *, (NOT is_full) OR n_occ = 1 OR packed = keep_key AS keep FROM w)
+        |SELECT doc_id,
+        |       CAST(SUM(CASE WHEN is_full THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+        |       CAST(SUM(CASE WHEN is_full AND NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dropped_spans,
+        |       md5(COALESCE(string_agg(CASE WHEN keep THEN chunk END, ' '
+        |         ORDER BY ci), '')) AS clean_md5
+        |FROM k GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // exact-integer counts feed one LN() per hashed feature bucket; the
     // 1e-6 floor lands BEFORE the per-doc sum, which is therefore an

@@ -91,4 +91,82 @@ object Spans {
         sum(when($"n_occ" >= 2, 1L).otherwise(0L)).as("n_dup_spans"),
         sum(when($"packed" === $"keep_key", 1L).otherwise(0L)).as("n_kept_spans"))
   }
+
+  /**
+   * The REWRITE that [[spanStats]] only measures: cut every duplicated
+   * span except its globally-first occurrence and rebuild the text —
+   * span-granularity exact substring deduplication (Lee et al. 2022's
+   * retention rule at token-window resolution).
+   *
+   * The document is packed into consecutive NON-overlapping `n`-token
+   * chunks (overlap would make removal ambiguous); the final partial
+   * chunk (< n tokens) is never a dedup candidate and is always kept —
+   * short tails are not the memorization risk, and cutting a 2-token tail
+   * that happens to equal another tail would mangle unrelated documents.
+   * A full chunk survives iff its text is globally unique or this
+   * occurrence is the smallest (doc_id, chunk_idx). Rebuilt text joins
+   * surviving chunks with single spaces (tokenization already collapses
+   * whitespace, so this is the same normalization every hash in this file
+   * applies).
+   *
+   * Output per input doc: (doc_id, n_spans, n_dropped_spans, clean_text)
+   * — n_spans counts FULL chunks; every input doc appears, empty docs
+   * with empty clean_text.
+   *
+   * Scale shape: identical to [[spanStats]] — one scan, chunking below
+   * the explode, one 32-byte-hash-partitioned window, one per-doc hash
+   * aggregation that reassembles position-ordered text from unordered
+   * aggregate state (the [[Lines.dedupLines]] idiom). No self-join, no
+   * second consumption of the exploded subtree.
+   */
+  def dropDuplicatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 10): DataFrame = {
+    require(n >= 1, s"span width n must be >= 1, got $n")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val toks = TextAnalysis.tokens(col(textCol))
+    val chunks = docs
+      .select(col(idCol).cast("long").as("doc_id"), toks.as("toks"))
+      .select($"doc_id",
+        // chunk ci covers tokens [ci*n+1, ci*n+n]; empty docs emit one
+        // empty chunk (kept, like `split`'s empty-string element)
+        transform(
+          sequence(lit(0),
+            greatest(floor((size($"toks") - 1) / lit(n)), lit(0)).cast("int")),
+          ci => struct(ci.as("ci"),
+            array_join(slice($"toks", ci * n + 1, lit(n)), " ").as("chunk"),
+            (size($"toks") >= (ci + 1) * n).as("full"))).as("cs"))
+      .select($"doc_id", explode($"cs").as("c"))
+      .select($"doc_id", $"c.ci".as("ci"), $"c.chunk".as("chunk"),
+        // partial/empty chunks get a per-row unique key so the hash
+        // window sees them as singletons (always kept, never counted)
+        when($"c.full", md5($"c.chunk"))
+          .otherwise(format_string("P%d:%d", $"doc_id", $"c.ci")).as("h"),
+        $"c.full".as("full"),
+        when($"doc_id".between(0L, (1L << 43) - 1) && $"c.ci" < MaxPos,
+          $"doc_id" * MaxPos + $"c.ci")
+          .otherwise(raise_error(format_string(
+            "dropDuplicatedSpans: doc_id/chunk out of packing range: %d/%d",
+            $"doc_id", $"c.ci"))).as("packed"))
+
+    val byHash = Window.partitionBy($"h")
+    chunks
+      .select($"doc_id", $"ci", $"chunk", $"full", $"packed",
+        count(lit(1)).over(byHash).as("n_occ"),
+        min($"packed").over(byHash).as("keep_key"))
+      .withColumn("keep", !$"full" || $"n_occ" === 1 || $"packed" === $"keep_key")
+      .groupBy($"doc_id")
+      .agg(
+        sum(when($"full", 1L).otherwise(0L)).as("n_spans"),
+        sum(when($"full" && !$"keep", 1L).otherwise(0L)).as("n_dropped_spans"),
+        array_join(
+          transform(
+            array_sort(collect_list(when($"keep", struct($"ci", $"chunk")))),
+            s => s.getField("chunk")),
+          " ").as("clean_text"))
+  }
 }

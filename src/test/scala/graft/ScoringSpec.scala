@@ -76,6 +76,65 @@ class ScoringSpec extends AnyFunSuite {
     assert(runSpans(docs, 2, 2) === Map(10L -> ((3L, 3L, 1L))))
   }
 
+  /** Reference rewrite: non-overlapping n-chunks, global first-occurrence
+    * retention on FULL chunks, partial tail always kept. */
+  private def refDrop(docs: Seq[(Long, String)], n: Int)
+      : Map[Long, (Long, Long, String)] = {
+    val chunks = docs.flatMap { case (id, t) =>
+      val w = toks(t)
+      val nCh = math.max((w.length - 1) / n, 0) + 1
+      (0 until nCh).map { ci =>
+        val c = w.slice(ci * n, ci * n + n)
+        (id, ci.toLong, c.mkString(" "), c.length == n)
+      }
+    }
+    val occ = chunks.filter(_._4).groupBy(_._3)
+    val keeper = occ.map { case (s, os) => s -> os.map(o => (o._1, o._2)).min }
+    chunks.groupBy(_._1).map { case (id, cs) =>
+      val kept = cs.sortBy(_._2).filter(c =>
+        !c._4 || occ(c._3).size == 1 || keeper(c._3) == ((c._1, c._2)))
+      id -> (
+        cs.count(_._4).toLong,
+        cs.count(c => c._4 && !kept.contains(c)).toLong,
+        kept.map(_._3).mkString(" "))
+    }
+  }
+
+  test("dropDuplicatedSpans == reference rewrite on handcrafted and random corpora") {
+    val docs = Seq(
+      1L -> "a b c d x y z w",      // chunk "a b c d" also opens doc 2
+      2L -> "a b c d r s",          // loses its first chunk, keeps tail "r s"
+      3L -> "k l m n k l m n",      // intra-doc dup: second chunk cut
+      4L -> "p1 p2 p3 p4 p5",       // unique + partial tail
+      5L -> "t1 t2")                // pure partial: always kept
+    for (n <- Seq(2, 4)) {
+      val got = Spans.dropDuplicatedSpans(docs.toDF("doc_id", "text"),
+          "doc_id", "text", n)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+        .toMap
+      assert(got === refDrop(docs, n), s"n=$n")
+    }
+    // random corpus with planted floods (same generator as spanStats test)
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val flood = "f1 f2 f3 f4 f5 f6 f7 f8"
+    val rdocs = (0L until 60L).map { id =>
+      val base = Seq.fill(5 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+      id -> (if (id % 4 == 0) s"$flood ${base.mkString(" ")}" else base.mkString(" "))
+    }
+    val got = Spans.dropDuplicatedSpans(rdocs.toDF("doc_id", "text"),
+        "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(got === refDrop(rdocs, 4))
+    // stable under repartitioning
+    val again = Spans.dropDuplicatedSpans(
+        rdocs.toDF("doc_id", "text").repartition(7), "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(again === got)
+  }
+
   test("span param validation and packing guard") {
     val df = Seq(1L -> "a b c").toDF("doc_id", "text")
     intercept[IllegalArgumentException](Spans.spanStats(df, "doc_id", "text", 0, 1))
