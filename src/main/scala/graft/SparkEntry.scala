@@ -804,6 +804,23 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // boilerplate pruning with the flagship sketch doing the heavy-hitter
+    // work: top-k most frequent 8-token line windows (occurrence counts,
+    // bounded sketch state instead of a distinct-lines-sized frequency
+    // table), stripped from every document. Counter budget makes the
+    // sketch exact at this SF, so the oracle replays the rule with an
+    // exact GROUP BY + the pinned (freq desc, hash asc) top-k order.
+    "boilerplate_prune" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.pipeline.Lines.stripSketchBoilerplate(
+        graft.pipeline.Lines.tokenWindowLines(
+          tbl(spark, dir, "documents"), "doc_id", "text", width = 8),
+        k = 20, minCount = 3L, counters = ExactN, joiner = " ")
+        .select($"doc_id", $"n_lines", $"n_boilerplate_lines",
+          md5($"clean_text").as("clean_md5"))
+        .orderBy($"doc_id")
+    }),
+
     // duplicated-span detection (exact substring dedup at token-window
     // granularity, Lee et al. 2022): per-doc span counts, corpus-wide
     // duplicated spans, and global first-occurrence retention
@@ -1245,6 +1262,37 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_lines,
         |       CAST(SUM(CASE WHEN ddf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate_lines,
         |       COALESCE(STRING_AGG(CASE WHEN ddf <= 1 THEN line END, ' ' ORDER BY line_idx), '') AS clean_text
+        |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // same 8-token pseudo-lines as line_dedup; the heavy set is the exact
+    // top-20 by total occurrences (the sketch is exact at this counter
+    // budget) with the sketch's pinned (freq desc, hash asc) tie order,
+    // frequency floor 3; rebuild in position order, md5-compacted
+    "boilerplate_prune" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |ln0 AS (
+        |  SELECT doc_id, toks,
+        |         UNNEST(range(0, ((len(toks) - 1) // 8) + 1)) AS i
+        |  FROM t),
+        |ln AS (
+        |  SELECT doc_id, CAST(i AS INT) AS line_idx,
+        |         array_to_string(toks[i*8+1 : i*8+8], ' ') AS line
+        |  FROM ln0),
+        |hv AS (
+        |  SELECT h FROM (
+        |    SELECT md5(line) AS h, COUNT(*) AS freq,
+        |           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, md5(line)) AS rn
+        |    FROM ln GROUP BY 1) x
+        |  WHERE rn <= 20 AND freq >= 3),
+        |j AS (SELECT ln.doc_id, ln.line_idx, ln.line, hv.h AS hit
+        |      FROM ln LEFT JOIN hv ON md5(ln.line) = hv.h)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |       CAST(SUM(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_boilerplate_lines,
+        |       md5(COALESCE(STRING_AGG(CASE WHEN hit IS NULL THEN line END, ' '
+        |         ORDER BY line_idx), '')) AS clean_md5
         |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "ann_lsh_top10" ->

@@ -109,4 +109,73 @@ object Lines {
       maxDocFreq: Long,
       sepRegex: String = "\n"): DataFrame =
     dedupLines(explodeLines(docs, idCol, textCol, sepRegex), maxDocFreq)
+
+  /**
+   * The BOUNDED-STATE tier of boilerplate removal: find the heavy-hitter
+   * lines with the flagship topn sketch instead of materializing the full
+   * line-frequency table. [[dedupLines]]'s frequency aggregation is
+   * DISTINCT-LINES-sized — on a 100 TB crawl that is itself a
+   * corpus-scale table, almost all of it singleton prose lines nobody
+   * needs counted. Boilerplate is by definition a heavy hitter, which is
+   * exactly the sketch's contract (space-saving: any line with true count
+   * > N/counters survives; estimates only ever overcount, by at most
+   * N/counters), so per-aggregation-state drops from |distinct lines| to
+   * `counters`, at the cost of occurrence- (not distinct-document-)
+   * frequency and approximate counts below the guarantee bar.
+   *
+   * Returns the heavy set itself: (line_h = md5 of the line text,
+   * frequency) for the top `k` lines by total occurrence count with
+   * frequency >= `minCount`, in the sketch's pinned (frequency desc,
+   * hash asc) order. With `counters` >= distinct lines the counts are
+   * exact and the result is engine-replayable — the driver oracle runs
+   * that regime; production picks counters for the memory/precision
+   * trade.
+   */
+  def sketchBoilerplate(
+      lines: DataFrame,
+      k: Int,
+      minCount: Long,
+      counters: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minCount >= 2, s"minCount must be >= 2 (1 keeps every line), got $minCount")
+    lines
+      .select(md5(col("line")).as("__h"))
+      .agg(graft.TopnFunctions.topn_add_agg(col("__h"), counters).as("__sk"))
+      .select(explode(graft.TopnFunctions.topn(col("__sk"), lit(k))).as("r"))
+      .select(col("r.item").as("line_h"), col("r.frequency").as("frequency"))
+      .filter(col("frequency") >= minCount)
+  }
+
+  /**
+   * [[dedupLines]]' output shape driven by the sketch-found heavy set: per
+   * doc (doc_id, n_lines, n_boilerplate_lines, clean_text), where a line
+   * is boilerplate iff its hash is in [[sketchBoilerplate]]'s top-k. The
+   * heavy set is k rows — broadcast by construction — so the strip pass
+   * is one scan with a broadcast join and one per-doc aggregation;
+   * no corpus-sized frequency table anywhere.
+   */
+  def stripSketchBoilerplate(
+      lines: DataFrame,
+      k: Int,
+      minCount: Long,
+      counters: Int,
+      joiner: String = "\n"): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val heavy = sketchBoilerplate(lines, k, minCount, counters)
+      .select(col("line_h"))
+    lines
+      .select($"doc_id", $"line_idx", $"line", md5($"line").as("line_h"))
+      .join(broadcast(heavy).withColumn("__hit", lit(1)), Seq("line_h"), "left")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count($"__hit").as("n_boilerplate_lines"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when($"__hit".isNull, struct($"line_idx", $"line")))),
+            s => s.getField("line")),
+          joiner).as("clean_text"))
+  }
 }

@@ -603,6 +603,43 @@ class CurationSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("sketch-driven boilerplate strip matches the exact heavy-hitter rule") {
+    import graft.pipeline.Lines
+    val docs = Seq(
+      (1L, "BANNER\none\nBANNER\nfooter x"),
+      (2L, "BANNER\ntwo\nfooter x"),
+      (3L, "BANNER\nthree\nfooter x"),
+      (4L, "solo text\nfour")).toDF("doc_id", "text")
+    val lines = Lines.explodeLines(docs, "doc_id", "text")
+    // occurrence counts: BANNER=4, "footer x"=3, everything else 1
+    val heavy = Lines.sketchBoilerplate(lines, k = 10, minCount = 3, counters = 1000)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(heavy.toSeq === Seq(
+      (org.apache.commons.codec.digest.DigestUtils.md5Hex("BANNER"), 4L),
+      (org.apache.commons.codec.digest.DigestUtils.md5Hex("footer x"), 3L)),
+      "heavy set in pinned (frequency desc, hash asc) order")
+    val got = Lines.stripSketchBoilerplate(
+        lines, k = 10, minCount = 3, counters = 1000)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) === ((4L, 3L, "one")))
+    assert(got(2L) === ((3L, 2L, "two")))
+    assert(got(4L) === ((2L, 0L, "solo text\nfour")))
+    // minCount above every count: nothing stripped, text round-trips
+    val none = Lines.stripSketchBoilerplate(lines, k = 10, minCount = 5,
+        counters = 1000)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(none(1L) === "BANNER\none\nBANNER\nfooter x")
+    // k caps the heavy set even when more lines clear minCount
+    val capped = Lines.sketchBoilerplate(lines, k = 1, minCount = 3, counters = 1000)
+      .count()
+    assert(capped === 1L)
+    intercept[IllegalArgumentException](
+      Lines.sketchBoilerplate(lines, k = 0, minCount = 3, counters = 1000))
+    intercept[IllegalArgumentException](
+      Lines.sketchBoilerplate(lines, k = 5, minCount = 1, counters = 1000))
+  }
+
   test("tokenWindowLines chunks tokens into fixed windows with a partial tail") {
     import graft.pipeline.Lines
     val df = Seq((1L, "a b c d e f g h i"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
