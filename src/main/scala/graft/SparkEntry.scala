@@ -804,6 +804,47 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // daily-ingest near-dup: the new batch's fingerprints against the
+    // persisted store via the asymmetric pigeonhole join, then the
+    // incremental CC relabel — audited in-plan against the batch twins
+    // (pairs == batch pairs beyond the store's own; labels == batch CC),
+    // constant-boolean oracle like the other self-auditing tiers
+    "incremental_neardup" -> ((spark, dir) => {
+      import spark.implicits._
+      import graft.pipeline.{Clustering, Dedup, TextAnalysis}
+      val fps = tbl(spark, dir, "documents")
+        .select($"doc_id", Dedup.simhash64(TextAnalysis.tokens($"text")).as("fp"))
+      val store = fps.filter($"doc_id" % 5 =!= 0)
+      val fresh = fps.filter($"doc_id" % 5 === 0)
+
+      val inc = Dedup.incrementalFingerprintPairs(fresh, store, "doc_id", "fp", 3)
+        .select($"doc_a", $"doc_b")
+      val batch = Dedup.fingerprintPairs(fps, "doc_id", "fp", 3)
+      val storeOnly = Dedup.fingerprintPairs(store, "doc_id", "fp", 3)
+      val expected = batch.select($"doc_a", $"doc_b")
+        .exceptAll(storeOnly.select($"doc_a", $"doc_b"))
+      val pairMism = inc.exceptAll(expected).unionAll(expected.exceptAll(inc))
+        .agg(count(lit(1)).as("n_pair_mism"))
+
+      val merged = Clustering.incrementalUpdate(
+        Clustering.connectedComponents(storeOnly, "doc_a", "doc_b"),
+        Dedup.incrementalFingerprintPairs(fresh, store, "doc_id", "fp", 3),
+        "doc_a", "doc_b")
+      val batchLabels = Clustering.connectedComponents(batch, "doc_a", "doc_b")
+      val labelMism = merged.withColumnRenamed("cluster_id", "m_cid")
+        .join(batchLabels.withColumnRenamed("cluster_id", "b_cid"),
+          Seq("doc_id"), "full_outer")
+        .filter($"m_cid".isNull || $"b_cid".isNull || $"m_cid" =!= $"b_cid")
+        .agg(count(lit(1)).as("n_label_mism"))
+      val total = inc.agg(count(lit(1)).as("n_pairs"))
+
+      pairMism.crossJoin(labelMism).crossJoin(total)
+        .select(
+          ($"n_pair_mism" === 0).as("pairs_match_batch"),
+          ($"n_label_mism" === 0).as("labels_match_batch"),
+          ($"n_pairs" > 0).as("has_pairs"))
+    }),
+
     // boilerplate pruning with the flagship sketch doing the heavy-hitter
     // work: top-k most frequent 8-token line windows (occurrence counts,
     // bounded sketch state instead of a distinct-lines-sized frequency
@@ -1305,6 +1346,10 @@ object SparkEntry {
 
     "lsh_neardup_pairs" ->
       "SELECT CAST(50 AS BIGINT) AS n_pairs, TRUE AS recall_ok",
+
+    "incremental_neardup" ->
+      """SELECT TRUE AS pairs_match_batch, TRUE AS labels_match_batch,
+        |       TRUE AS has_pairs""".stripMargin,
 
     "ann_bruteforce_top10" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),

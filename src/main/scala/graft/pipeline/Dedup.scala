@@ -304,6 +304,65 @@ object Dedup {
   }
 
   /**
+   * DAILY-INGEST near-dup candidate generation: pairs between a NEW batch
+   * of fingerprints and a persisted fingerprint STORE — plus new-vs-new —
+   * with old-vs-old never recomputed. This is the batch-incremental
+   * counterpart of [[graft.streaming.TopnStreaming.streamingNearDupPairs]]
+   * and the missing front half of the incremental clustering loop: feed
+   * the output to [[Clustering.incrementalUpdate]] and append `newFps` to
+   * the store, and a daily ingest maintains exact near-dup clusters while
+   * touching only new-batch-sized fingerprint work.
+   *
+   * Same exact-recall pigeonhole scheme as [[fingerprintPairs]] (any pair
+   * within `maxDist` agrees on one of the `maxDist + 1` chunks), but the
+   * candidate step is an EQUI-JOIN of the new side's chunks against both
+   * sides' chunks rather than in-bucket pair generation — work scales
+   * with |new| x bucket occupancy, not |store|². The store side is
+   * typically orders of magnitude larger; the join shuffles both sides by
+   * (chunk, value) once and AQE handles skewed chunk values like any hot
+   * join key.
+   *
+   * `newFps` and `storeFps` are (id, fingerprint) frames; ids must be
+   * globally unique across BOTH (a store row reappearing in the new batch
+   * would pair with itself at distance 0). Output: (doc_a, doc_b,
+   * hamming), doc_a < doc_b, each pair once, containing at least one new
+   * id — exactly the pairs `fingerprintPairs(store ∪ new)` would emit
+   * beyond those among the store alone (a property the tests pin).
+   */
+  def incrementalFingerprintPairs(
+      newFps: DataFrame,
+      storeFps: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val newBlk = newFps
+      .select(col(idCol).as("doc_id"), col(hashCol).as("sh"),
+        lit(true).as("is_new"))
+    val oldBlk = storeFps
+      .select(col(idCol).as("doc_id"), col(hashCol).as("sh"),
+        lit(false).as("is_new"))
+    def blocked(df: DataFrame, p: String) = df
+      .select(col("doc_id").as(s"${p}_id"), col("sh").as(s"${p}_sh"),
+        col("is_new").as(s"${p}_new"),
+        explode(simhashChunks(col("sh"), maxDist)).as("bk"))
+      .select(col(s"${p}_id"), col(s"${p}_sh"), col(s"${p}_new"),
+        col("bk.chunk").as("chunk"), col("bk.cv").as("cv"))
+
+    blocked(newBlk, "a")
+      .join(blocked(oldBlk.unionByName(newBlk), "b"), Seq("chunk", "cv"))
+      // each unordered pair once: vs the store always (store ids are never
+      // on the left), among the new batch only in id order
+      .filter((!col("b_new") && col("a_id") =!= col("b_id")) ||
+        (col("b_new") && col("a_id") < col("b_id")))
+      .select(
+        least(col("a_id"), col("b_id")).as("doc_a"),
+        greatest(col("a_id"), col("b_id")).as("doc_b"),
+        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
+  /**
    * Test-set decontamination check: for every training document, count the
    * distinct word-n-gram shingles it shares with ANY held-out/test document
    * (and how many distinct test docs it collides with). Standard LLM

@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Clustering, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -309,6 +309,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("incremental fingerprint pairs == batch pairs restricted to new ids; CC chain closes") {
+    // random 64-bit fingerprints; every id % 3 == 1 is a near-twin of the
+    // previous id (1-3 bits flipped), so pairs exist inside the store,
+    // inside the new batch, and random chunk collisions cross the split
+    val rnd = new scala.util.Random(13)
+    val fpMap = scala.collection.mutable.LinkedHashMap[Long, Long]()
+    (0L until 120L).foreach { id =>
+      fpMap(id) =
+        if (id % 3 == 1) {
+          val flips = 1 + rnd.nextInt(3)
+          (0 until flips).foldLeft(fpMap(id - 1))((a, _) => a ^ (1L << rnd.nextInt(64)))
+        } else rnd.nextLong()
+    }
+    val all = fpMap.toSeq.toDF("id", "fp")
+    val store = all.filter($"id" < 80)
+    val fresh = all.filter($"id" >= 80)
+
+    val batch = Dedup.fingerprintPairs(all, "id", "fp", maxDist = 3)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val storeOnly = Dedup.fingerprintPairs(store, "id", "fp", maxDist = 3)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val inc = Dedup.incrementalFingerprintPairs(fresh, store, "id", "fp", maxDist = 3)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(inc === (batch -- storeOnly),
+      "incremental pairs must be exactly the batch pairs touching a new id")
+    assert(inc.forall { case (a, b) => a >= 80 || b >= 80 })
+    assert(inc.nonEmpty, "fixture must actually produce new-batch pairs")
+
+    // chain: store labels + incremental pairs through incrementalUpdate
+    // must equal batch CC over the whole corpus — node sets included,
+    // since storeOnly ∪ inc is exactly the batch pair list
+    val storePairs = Dedup.fingerprintPairs(store, "id", "fp", maxDist = 3)
+    val oldLabels = Clustering.connectedComponents(storePairs, "doc_a", "doc_b")
+    val incPairs = Dedup.incrementalFingerprintPairs(fresh, store, "id", "fp", 3)
+    val merged = Clustering.incrementalUpdate(oldLabels, incPairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    val batchCC = Clustering.connectedComponents(
+      Dedup.fingerprintPairs(all, "id", "fp", maxDist = 3), "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(merged === batchCC)
   }
 
   test("adversarial duplication soak: LSH dedup tier matches the exact scan") {
