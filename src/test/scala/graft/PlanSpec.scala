@@ -205,6 +205,63 @@ class PlanSpec extends AnyFunSuite {
       "expected partial+final aggregates for line df and per-doc stats")
   }
 
+  test("domain_cap: hash-partitioned window, pruned scan, no global sort before the rank") {
+    val p = plan("domain_cap")
+    assert(p.contains("Window"), "the cap rank is a window function")
+    assert(!p.contains("SinglePartition"),
+      "the window must partition by source, never funnel to one task")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint,source:string>")
+      || p.contains("ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"),
+      "scan must read only the three referenced columns")
+  }
+
+  test("select_top_pct: threshold selection never windows or sorts the corpus") {
+    // the operator exists to avoid ORDER BY score DESC LIMIT k at corpus
+    // scale: no rank window anywhere; the histogram runs as a partial/
+    // final aggregate; corpus rows are only ever filter-scanned. The
+    // SinglePartition exchanges that DO appear carry O(#partitions)
+    // aggregate partials (the one-row totals) or the 1-row threshold —
+    // never corpus rows — so the only full Sort is the final ORDER BY.
+    val df = SparkEntry.queries("select_top_pct")(spark, dir)
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Window"), "no rank window over the corpus")
+    val sorts = p.linesIterator.count(_.matches("""\(\d+\) Sort\s*"""))
+    assert(sorts <= 1, s"only the final ORDER BY may sort, got $sorts")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the threshold row comes from a bounded limit over the histogram")
+  }
+
+  test("boilerplate_prune: sketch aggregate + broadcast heavy set, equi-join strip") {
+    val p = plan("boilerplate_prune")
+    assert(p.contains("partial_topn_add_agg"),
+      "the heavy-hitter scan must pre-aggregate map-side (bounded sketch state)")
+    assert(p.contains("BroadcastExchange"),
+      "the k-row heavy set must broadcast into the strip join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "the strip must be an equi-join keyed by the line hash")
+  }
+
+  test("span_drop_rewrite: one scan, hash-partitioned window, no self-join") {
+    val p = plan("span_drop_rewrite")
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans === 1, s"rewrite must reuse the spanStats one-scan shape, got $scans")
+    assert(!p.contains("Join"), "no join anywhere in the rewrite plan")
+    assert(p.contains("Window") && !p.contains("SinglePartition"))
+  }
+
+  test("incremental near-dup: candidate step is an equi-join, never all-pairs") {
+    import graft.pipeline.Dedup
+    val fps = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        Dedup.simhash64(graft.pipeline.TextAnalysis.tokens(col("text"))).as("fp"))
+    val p = Dedup.incrementalFingerprintPairs(
+        fps.filter(col("doc_id") % 5 === 0), fps.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "fp", 3)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "new-vs-store candidates must meet on the (chunk, value) equi-join")
+  }
+
   test("dsir: no forced broadcast of the feature-stats table; scoring join is keyed") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val df = SparkEntry.queries("dsir_weights")(spark, dir)
