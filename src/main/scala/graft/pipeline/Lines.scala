@@ -59,6 +59,20 @@ object Lines {
           col("line_idx") * width + 1, lit(width)), " ").as("line"))
   }
 
+  /** Position-ordered text rebuild from unordered aggregate state: collect
+    * the (position, part) pairs of rows passing `keep`, sort by position,
+    * join. Deterministic at any partitioning — the single spelling shared
+    * by every strip/rewrite operator ([[dedupLines]],
+    * [[stripSketchBoilerplate]], [[Spans.dropDuplicatedSpans]]) so the
+    * reassembly semantics cannot drift between them. */
+  private[pipeline] def rebuildText(
+      keep: Column, pos: Column, part: Column, joiner: String): Column =
+    array_join(
+      transform(
+        array_sort(collect_list(when(keep, struct(pos.as("__i"), part.as("__p"))))),
+        s => s.getField("__p")),
+      joiner)
+
   /**
    * Per-document boilerplate stats + cleaned text. Input: (doc_id,
    * line_idx, line) rows from [[explodeLines]] / [[tokenWindowLines]].
@@ -88,15 +102,8 @@ object Lines {
       .agg(
         count(lit(1)).as("n_lines"),
         count(when($"__df" > maxDocFreq, 1)).as("n_boilerplate_lines"),
-        // rebuild in position order from the unordered aggregate state:
-        // sort the (idx, line) pairs, then join — deterministic at any
-        // partitioning, same spelling the oracle replays
-        array_join(
-          transform(
-            array_sort(collect_list(
-              when($"__df" <= maxDocFreq, struct($"line_idx", $"line")))),
-            s => s.getField("line")),
-          joiner).as("clean_text"))
+        rebuildText($"__df" <= maxDocFreq, $"line_idx", $"line", joiner)
+          .as("clean_text"))
   }
 
   /** Composition most pipelines want: documents with boilerplate lines
@@ -171,11 +178,7 @@ object Lines {
       .agg(
         count(lit(1)).as("n_lines"),
         count($"__hit").as("n_boilerplate_lines"),
-        array_join(
-          transform(
-            array_sort(collect_list(
-              when($"__hit".isNull, struct($"line_idx", $"line")))),
-            s => s.getField("line")),
-          joiner).as("clean_text"))
+        rebuildText($"__hit".isNull, $"line_idx", $"line", joiner)
+          .as("clean_text"))
   }
 }

@@ -468,8 +468,16 @@ object Multimodal {
    * exact-recall pigeonhole pair machinery verbatim. None when no frame
    * decodes.
    */
-  def videoFingerprint(payload: Array[Byte], maxFrames: Int = 9): Option[Long] = {
-    val refs = videoFrameRefs(payload)
+  def videoFingerprint(payload: Array[Byte], maxFrames: Int = 9): Option[Long] =
+    fingerprintFromRefs(payload, videoFrameRefs(payload), maxFrames)
+
+  /** The fingerprint kernel over already-extracted frame refs, so callers
+    * that have parsed the container once ([[videoMeta]]) do not walk the
+    * RIFF tree a second time. */
+  private def fingerprintFromRefs(
+      payload: Array[Byte],
+      refs: Seq[VideoFrameRef],
+      maxFrames: Int): Option[Long] = {
     if (refs.isEmpty) None
     else {
       val n = refs.length
@@ -507,10 +515,11 @@ object Multimodal {
       it.map { m =>
         decodeVideoMeta(m.payload) match {
           case Some((w, h, _, usPerFrame)) =>
-            val nFrames = videoFrameRefs(m.payload).length.toLong
+            val refs = videoFrameRefs(m.payload)
+            val nFrames = refs.length.toLong
             VideoMeta(m.media_id, ok = true, m.payload.length.toLong, w, h,
               nFrames, nFrames * usPerFrame / 1000L,
-              videoFingerprint(m.payload))
+              fingerprintFromRefs(m.payload, refs, maxFrames = 9))
           case None =>
             VideoMeta(m.media_id, ok = false, m.payload.length.toLong,
               0L, 0L, 0L, 0L, None)
@@ -630,6 +639,7 @@ object Multimodal {
    * majority dHash -> pair scan.
    */
   def syntheticAvi(group: Int, member: Int, nFrames: Int = 6): Array[Byte] = {
+    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
     val (w, h) = (32, 24)
     val usPerFrame = 33333
     def le(v: Int): Array[Byte] = Array[Byte](

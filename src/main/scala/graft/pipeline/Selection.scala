@@ -74,7 +74,10 @@ object Selection {
    * by score beyond the histogram aggregation. `scoreCol` must be
    * integral (long-valued) — for float scores, fix the resolution first
    * (e.g. `floor(score * 1e6)`), which is also what makes the selection
-   * engine-replayable. Output: the input rows that survive, unchanged.
+   * engine-replayable. NULL scores are unrankable: such rows are excluded
+   * from both the population count n and the keep set (document the
+   * imputation and fill them upstream if they should compete). Output:
+   * the input rows that survive, unchanged.
    */
   def selectTopFraction(
       df: DataFrame,
@@ -83,10 +86,15 @@ object Selection {
       pct: Int): DataFrame = {
     require(pct >= 1 && pct <= 100, s"pct must be in [1, 100], got $pct")
     val score = col(scoreCol).cast("long")
+    val ranked = df.filter(score.isNotNull)
 
-    // 1. distinct-score histogram
-    val hist = df.groupBy(score.as("__s")).agg(count(lit(1)).as("__cnt"))
-      .withColumn("__neg", -col("__s"))
+    // 1. distinct-score histogram. The descending walk orders by the
+    // BITWISE COMPLEMENT of the score: ~s = -s-1 is a strictly decreasing
+    // bijection over the whole signed-64 range, where a plain negation
+    // overflows at Long.MinValue (-MinValue wraps to MinValue and would
+    // sort the lowest score first).
+    val hist = ranked.groupBy(score.as("__s")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__neg", bitwise_not(col("__s")))
 
     // 2. running count from the highest score down
     val cum = graft.operators.PrefixSum.runningSum(hist, "__neg", "__cnt", "__cum")
@@ -104,12 +112,12 @@ object Selection {
         (col("__k") - (col("__cum") - col("__cnt"))).as("__m"))
 
     // 4. one scan: everything strictly above the threshold...
-    val above = df.crossJoin(broadcast(tRow))
+    val above = ranked.crossJoin(broadcast(tRow))
       .filter(score > col("__t"))
       .drop("__t", "__m")
     // ...plus the first m ties by id order (prefix sum over the tie
     // subset only — its size is the tie count, not the corpus)
-    val ties = df.crossJoin(broadcast(tRow))
+    val ties = ranked.crossJoin(broadcast(tRow))
       .filter(score === col("__t"))
       .withColumn("__one", lit(1L))
     val tiesKept = graft.operators.PrefixSum

@@ -163,10 +163,6 @@ object Spans {
       .agg(
         sum(when($"full", 1L).otherwise(0L)).as("n_spans"),
         sum(when($"full" && !$"keep", 1L).otherwise(0L)).as("n_dropped_spans"),
-        array_join(
-          transform(
-            array_sort(collect_list(when($"keep", struct($"ci", $"chunk")))),
-            s => s.getField("chunk")),
-          " ").as("clean_text"))
+        Lines.rebuildText($"keep", $"ci", $"chunk", " ").as("clean_text"))
   }
 }

@@ -509,6 +509,19 @@ class CurationSpec extends AnyFunSuite {
       Selection.selectTopFraction(df, "id", "score", 0))
     intercept[IllegalArgumentException](
       Selection.selectTopFraction(df, "id", "score", 101))
+    // extreme scores: plain negation overflows at Long.MinValue and would
+    // sort the LOWEST score first; the complement ordering must not
+    val ext = Seq((1L, Long.MinValue), (2L, 0L), (3L, 1L), (4L, Long.MaxValue))
+      .toDF("id", "score")
+    val gotExt = Selection.selectTopFraction(ext, "id", "score", 50)
+      .as[(Long, Long)].collect().map(_._1).sorted.toSeq
+    assert(gotExt === Seq(3L, 4L), "top-2 must be the two highest scores")
+    // null scores are unrankable: excluded from n and never kept
+    val withNull = Seq((1L, Some(5L)), (2L, None), (3L, Some(4L)), (4L, Some(3L)))
+      .toDF("id", "score")
+    val gotNull = Selection.selectTopFraction(withNull, "id", "score", 50)
+      .as[(Long, Long)].collect().map(_._1).sorted.toSeq
+    assert(gotNull === Seq(1L, 3L), "k = ceil(.5*3) = 2 over the 3 ranked rows")
   }
 
   // --- Gopher quality rules ------------------------------------------------
