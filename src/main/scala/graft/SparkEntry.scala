@@ -945,6 +945,23 @@ object SparkEntry {
       val emb = tbl(spark, dir, "embeddings")
       val model = graft.pipeline.IVF.train(emb, "vec_id", "embedding", k = 8)
       graft.pipeline.SemDedup.labels(emb, "vec_id", "embedding", model, 0.4)
+    }),
+    // the daily-ingest path alone: incremental candidates + incremental
+    // relabel. The correctness query's batch twins, store CC and label
+    // comparison are verification, not operator cost — in production the
+    // store's labels are PERSISTED state, so the twin seeds them as
+    // singletons (a no-prior-merges store) rather than re-deriving them
+    "incremental_neardup_op" -> ((spark, dir) => {
+      import spark.implicits._
+      import graft.pipeline.{Clustering, Dedup, TextAnalysis}
+      val fps = tbl(spark, dir, "documents")
+        .select($"doc_id", Dedup.simhash64(TextAnalysis.tokens($"text")).as("fp"))
+      val store = fps.filter($"doc_id" % 5 =!= 0)
+      val fresh = fps.filter($"doc_id" % 5 === 0)
+      val storeLabels = store.select($"doc_id", $"doc_id".as("cluster_id"))
+      Clustering.incrementalUpdate(storeLabels,
+        Dedup.incrementalFingerprintPairs(fresh, store, "doc_id", "fp", 3),
+        "doc_a", "doc_b")
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
