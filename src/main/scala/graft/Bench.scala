@@ -12,9 +12,9 @@ import org.apache.spark.sql.functions._
  *  - `value` / `queries`: the driver's CORRECTNESS queries — `value` is
  *    their sum (round-over-round comparable; new queries change it, noted
  *    in docs/BENCH_NOTES.md).
- *  - `ops`: SparkEntry.benchOnly — the operator subplans of the four
- *    queries whose correctness spelling embeds an in-plan verification
- *    twin. These are what a user actually pays for the operator.
+ *  - `ops`: SparkEntry.benchOnly — the operator subplans of the queries
+ *    whose correctness spelling embeds an in-plan verification twin.
+ *    These are what a user actually pays for the operator.
  *  - `growth`: the same operator at 1x / 4x / 10x the input (documents /
  *    embeddings replicated with per-copy token/noise decorrelation, so
  *    each copy reproduces the original similarity structure without
@@ -97,7 +97,30 @@ object Bench {
       graft.pipeline.Clustering.connectedComponents(
         graft.pipeline.Dedup.minhashLshPairs(
           scaledDocs(spark, dir, c), "doc_id", "text", threshold = 0.5),
-        "doc_a", "doc_b")))
+        "doc_a", "doc_b")),
+    ("g_span_rewrite", Seq(1, 4, 10), (c: Int) =>
+      graft.pipeline.Spans.dropDuplicatedSpans(
+        scaledDocs(spark, dir, c), "doc_id", "text", n = 8)),
+    ("g_boilerplate", Seq(1, 4, 10), (c: Int) =>
+      graft.pipeline.Lines.stripSketchBoilerplate(
+        graft.pipeline.Lines.tokenWindowLines(
+          scaledDocs(spark, dir, c), "doc_id", "text", width = 8),
+        k = 20, minCount = 3L, counters = 100000, joiner = " ")),
+    // the daily-ingest claim under measurement: a FIXED-size new batch
+    // (one decorrelated corpus copy) against a store of c copies — the
+    // slope isolates what growing the store costs a constant batch
+    // (one compact fingerprint scan + join; never store-vs-store pairs)
+    ("g_incremental_neardup", Seq(1, 4, 10), (c: Int) => {
+      val stride = spark.read.parquet(s"$dir/documents.parquet")
+        .agg(max("doc_id")).head.getLong(0) + 1L
+      val fps = scaledDocs(spark, dir, c + 1)
+        .select(col("doc_id"), graft.pipeline.Dedup.simhash64(
+          graft.pipeline.TextAnalysis.tokens(col("text"))).as("fp"))
+      graft.pipeline.Dedup.incrementalFingerprintPairs(
+        fps.filter(col("doc_id") >= c * stride),
+        fps.filter(col("doc_id") < c * stride),
+        "doc_id", "fp", 3)
+    }))
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime()

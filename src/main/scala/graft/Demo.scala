@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, length, sum}
 
 /** Usage example / smoke driver for the SQL surface. Run with:
   * `sbt "runMain graft.Demo"`.
@@ -72,6 +73,19 @@ object Demo {
         |FROM canonical_docs
         |WHERE quality_score(text) >= 0.4
         |GROUP BY 1 ORDER BY 1""".stripMargin).show(false)
+
+    println("== selection tour: span rewrite -> top-quality half -> per-source cap ==")
+    val rewritten = pipeline.Spans.dropDuplicatedSpans(docs, "doc_id", "text", n = 8)
+    val cut = rewritten.agg(sum("n_dropped_spans")).head.getLong(0)
+    println(s"span rewrite cut $cut duplicated 8-token spans corpus-wide")
+    val scored = rewritten
+      .withColumn("score", length(col("clean_text")).cast("long"))
+    val best = pipeline.Selection.selectTopFraction(scored, "doc_id", "score", pct = 50)
+    val capped = pipeline.Selection.topKPerGroup(
+      best.join(docs.select("doc_id", "source"), "doc_id"),
+      "doc_id", "source", k = 10, priority = col("score"))
+    println(s"${rewritten.count()} docs -> top-50% ${best.count()} -> " +
+      s"per-source cap ${capped.count()}")
 
     spark.stop()
   }
