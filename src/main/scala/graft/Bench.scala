@@ -107,19 +107,26 @@ object Bench {
           scaledDocs(spark, dir, c), "doc_id", "text", width = 8),
         k = 20, minCount = 3L, counters = 100000, joiner = " ")),
     // the daily-ingest claim under measurement: a FIXED-size new batch
-    // (one decorrelated corpus copy) against a store of c copies — the
-    // slope isolates what growing the store costs a constant batch
-    // (one compact fingerprint scan + join; never store-vs-store pairs)
+    // against a store growing 1x -> 10x — the slope isolates what store
+    // growth costs a constant batch (one compact fingerprint scan +
+    // join; never store-vs-store pairs). Fingerprints are SYNTHETIC
+    // (xxhash64 of the id, every 10th batch doc a 2-bit-flip twin of a
+    // store doc) so pair DENSITY stays constant as the store grows: the
+    // docs-table marker decorrelation serves shingle-based operators but
+    // CORRELATES SimHash (markers dominate the token multiset, pulling a
+    // copy's fingerprints together), which would measure that artifact's
+    // pair flood instead of the operator.
     ("g_incremental_neardup", Seq(1, 4, 10), (c: Int) => {
-      val stride = spark.read.parquet(s"$dir/documents.parquet")
-        .agg(max("doc_id")).head.getLong(0) + 1L
-      val fps = scaledDocs(spark, dir, c + 1)
-        .select(col("doc_id"), graft.pipeline.Dedup.simhash64(
-          graft.pipeline.TextAnalysis.tokens(col("text"))).as("fp"))
+      val n = 50000L
+      val store = spark.range(c * n)
+        .select(col("id").as("doc_id"), xxhash64(col("id")).as("fp"))
+      val fresh = spark.range(n).select(
+        (col("id") + lit(c * n)).as("doc_id"),
+        when(col("id") % 10 === 0,
+          xxhash64(col("id") * 7 % lit(c * n)).bitwiseXOR(lit(3L)))
+          .otherwise(xxhash64(col("id"), lit(999))).as("fp"))
       graft.pipeline.Dedup.incrementalFingerprintPairs(
-        fps.filter(col("doc_id") >= c * stride),
-        fps.filter(col("doc_id") < c * stride),
-        "doc_id", "fp", 3)
+        fresh, store, "doc_id", "fp", 3)
     }))
 
   private def time(body: => Unit): Double = {
