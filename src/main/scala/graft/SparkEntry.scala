@@ -804,6 +804,24 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Unicode normalization pass (custom codegen'd expression, NFC +
+    // control strip): the synthetic corpus is ASCII (fast-path identity),
+    // so the query PLANTS a decomposed accent (e + U+0301), a BEL and a
+    // CRLF on every doc — both engines build the same dirty string and
+    // must produce the identical normalized md5 (DuckDB: nfc_normalize)
+    "text_normalize" -> ((spark, dir) => {
+      import spark.implicits._
+      import graft.pipeline.TextAnalysis
+      val dirty = concat($"text", lit(" e"), lit("\u0301"),
+        lit("\u0007"), lit("\r\n"), lit("end"))
+      tbl(spark, dir, "documents")
+        .select($"doc_id",
+          md5(TextAnalysis.normalizeText(dirty)).as("clean_md5"),
+          (length(dirty) - length(TextAnalysis.normalizeText(dirty)))
+            .as("n_removed"))
+        .orderBy($"doc_id")
+    }),
+
     // daily-ingest near-dup: the new batch's fingerprints against the
     // persisted store via the asymmetric pigeonhole join, then the
     // incremental CC relabel — audited in-plan against the batch twins
@@ -1367,6 +1385,23 @@ object SparkEntry {
     "incremental_neardup" ->
       """SELECT TRUE AS pairs_match_batch, TRUE AS labels_match_batch,
         |       TRUE AS has_pairs""".stripMargin,
+
+    // same dirty-string construction, DuckDB's standard-library NFC; both
+    // engines implement Unicode canonical composition, so the md5s match
+    "text_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         text || ' e' || chr(769) || chr(7) || chr(13) || chr(10) || 'end'
+        |           AS dirty
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, dirty,
+        |         regexp_replace(nfc_normalize(dirty),
+        |                        '[\x00-\x08\x0b-\x1f\x7f]', '', 'g') AS clean
+        |  FROM d)
+        |SELECT doc_id, md5(clean) AS clean_md5,
+        |       CAST(length(dirty) - length(clean) AS BIGINT) AS n_removed
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "ann_bruteforce_top10" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),

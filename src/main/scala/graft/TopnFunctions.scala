@@ -143,6 +143,10 @@ object TopnFunctions {
       "doc_fingerprint(text) - md5 of case-folded, whitespace-collapsed text (exact-dedup key)",
       arity("doc_fingerprint", 1, 1)(exprs =>
         GraftShim.analyzableExpression(graft.pipeline.TextAnalysis.fingerprint(GraftShim.column(exprs.head))))),
+    ("normalize_text",
+      "normalize_text(text) - Unicode NFC composition + control-character strip (corpus cleanup pass)",
+      arity("normalize_text", 1, 1)(exprs =>
+        graft.expressions.NormalizeText(exprs.head))),
     ("bpe_token_count",
       "bpe_token_count(text) - token count under the built-in demo BPE merge table (vocabulary-aware budget weight)",
       arity("bpe_token_count", 1, 1)(exprs =>

@@ -85,6 +85,77 @@ object SimHash64 {
 }
 
 /**
+ * Unicode text normalization for corpus cleanup (the C4/CCNet-style first
+ * pass): NFC canonical composition (java.text.Normalizer — e + COMBINING
+ * ACUTE becomes the single é codepoint, so visually-identical strings
+ * hash, dedup and tokenize identically), then strip the control
+ * characters that survive in scraped text (C0 except tab/newline, DEL;
+ * \r is stripped AFTER normalization so \r\n collapses to \n). Engine-
+ * replayable: DuckDB spells the identical pipe as
+ * `regexp_replace(nfc_normalize(text), '[\x00-\x08\x0b-\x1f\x7f]', '', 'g')`
+ * — both implement Unicode canonical composition per the standard.
+ *
+ * Custom Expression (with codegen) rather than a UDF: the kernel calls a
+ * JDK static and returns through UTF8String with no Row boxing, and
+ * `doGenCode` keeps the surrounding projection inside whole-stage
+ * codegen. ASCII-only strings (the overwhelming majority of a web
+ * corpus) short-circuit: a single byte scan proves there is nothing to
+ * normalize or strip and returns the input UTF8String unchanged — no
+ * String materialization at all on that path.
+ */
+case class NormalizeText(child: Expression)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    TopnTypeChecks.check(child.dataType == StringType,
+      s"normalize_text requires STRING, got ${child.dataType.sql}")
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(v: Any): Any =
+    NormalizeText.normalize(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.NormalizeText.normalize($a);")
+
+  override protected def withNewChildInternal(c: Expression): NormalizeText = copy(child = c)
+  override def prettyName: String = "normalize_text"
+}
+
+object NormalizeText {
+
+  /** Core kernel, shared by interpreted eval and generated code. */
+  def normalize(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    // fast path: pure ASCII with no strippable control bytes is already
+    // NFC-normal — return the input buffer untouched
+    val nb = u.numBytes()
+    var i = 0
+    var clean = true
+    while (clean && i < nb) {
+      val b = u.getByte(i) & 0xFF
+      if (b >= 0x80 || b == 0x7F || (b < 0x20 && b != '\t' && b != '\n')) clean = false
+      i += 1
+    }
+    if (clean) return u
+
+    val nfc = java.text.Normalizer.normalize(u.toString, java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(nfc.length)
+    var j = 0
+    while (j < nfc.length) {
+      val c = nfc.charAt(j)
+      if (!(c == '\u007F' || (c < ' ' && c != '\t' && c != '\n'))) sb.append(c)
+      j += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+}
+
+/**
  * MinHash signature: element k is the minimum over the input strings of
  * `xxhash64(s, seed, k)` — BIT-IDENTICAL to the composed built-in spelling
  * `array_min(transform(arr, s => xxhash64(s, lit(seed), lit(k))))` (the

@@ -18,6 +18,14 @@ object TextAnalysis {
   /** Whitespace tokenizer (the BPE-ish regex split used throughout). */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Unicode NFC normalization + control-character strip (the C4-style
+    * cleanup pass; see [[graft.expressions.NormalizeText]] — codegen'd,
+    * ASCII fast path, DuckDB-replayable via nfc_normalize). */
+  def normalizeText(text: Column): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(graft.expressions.NormalizeText(GraftShim.expression(text)))
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Count of sentence/clause punctuation characters. */

@@ -311,6 +311,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("normalizeText: NFC composition, control strip, ASCII fast path, SQL surface") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.expressions.NormalizeText
+    def norm(s: String): String =
+      NormalizeText.normalize(UTF8String.fromString(s)).toString
+
+    // NFC: decomposed e + COMBINING ACUTE (U+0301) composes to U+00E9
+    assert(norm("cafe\u0301") === "caf\u00e9")
+    // control strip: C0 (except \t \n) and DEL go, \r\n collapses to \n
+    assert(norm("ab\u0007\u007fcd") === "abcd")
+    assert(norm("ab\r\ncd") === "ab\ncd")
+    assert(norm("keep\tthis\nline") === "keep\tthis\nline")
+    // idempotent
+    assert(norm(norm("x\u0301\u0007")) === norm("x\u0301\u0007"))
+    // ASCII fast path returns the INPUT BUFFER untouched (no allocation)
+    val clean = UTF8String.fromString("plain ascii text\nwith lines\tand tabs")
+    assert(NormalizeText.normalize(clean) eq clean)
+
+    // DataFrame + codegen path, null passthrough
+    val df = Seq((1L, Some("e\u0301!\u0008")), (2L, None))
+      .toDF("id", "text")
+      .select($"id", TextAnalysis.normalizeText($"text").as("t"))
+      .orderBy($"id")
+      .collect()
+    assert(df(0).getString(1) === "\u00e9!")
+    assert(df(1).isNullAt(1))
+
+    // SQL registration
+    TopnFunctions.register(spark)
+    val viaSql = spark.sql("SELECT normalize_text('e\u0301x') AS t")
+      .head.getString(0)
+    assert(viaSql === "\u00e9x")
+    // type check fails fast
+    val e = intercept[Exception](
+      spark.sql("SELECT normalize_text(42)").collect())
+    assert(e.getMessage.contains("normalize_text requires STRING"))
+  }
+
   test("incremental fingerprint pairs == batch pairs restricted to new ids; CC chain closes") {
     // random 64-bit fingerprints; every id % 3 == 1 is a near-twin of the
     // previous id (1-3 bits flipped), so pairs exist inside the store,
