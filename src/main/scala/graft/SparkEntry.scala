@@ -635,6 +635,19 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // the removal composition contamination only reports: drop training
+    // docs sharing > 20 distinct trigram shingles with the held-out slice,
+    // keep the rest (ids only — compact, fully oracle-replayable)
+    "decontaminate_filter" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = tbl(spark, dir, "documents")
+      graft.pipeline.Dedup.removeContaminated(
+        docs.filter($"doc_id" % 7 =!= 0), docs.filter($"doc_id" % 7 === 0),
+        "doc_id", "text", n = 3, maxSharedShingles = 20L)
+        .select($"doc_id")
+        .orderBy($"doc_id")
+    }),
+
     // CCNet-style bigram-LM quality signal: self-trained add-one-smoothed
     // bigram model, per-doc mean conditional probability. Fixed-point
     // (floor(p * 1e9)) per bigram BEFORE the per-doc sum keeps the
@@ -1631,6 +1644,28 @@ object SparkEntry {
         |       COUNT(DISTINCT test.test_id) AS n_test_docs
         |FROM train JOIN test ON train.s = test.s
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // the same contamination stats as `decontaminate`, flipped into the
+    // anti-join keep set: train docs with <= 20 shared shingles survive
+    "decontaminate_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) >= 3
+        |              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |              ELSE [] END AS shingles
+        |  FROM t),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |test AS (SELECT doc_id AS test_id, s FROM ex WHERE doc_id % 7 = 0),
+        |train AS (SELECT doc_id, s FROM ex WHERE doc_id % 7 <> 0),
+        |flagged AS (
+        |  SELECT train.doc_id FROM train JOIN test ON train.s = test.s
+        |  GROUP BY 1 HAVING COUNT(DISTINCT train.s) > 20)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 7 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+        |ORDER BY doc_id""".stripMargin,
 
     "multimodal_frame_sample" ->
       """WITH v AS (

@@ -411,6 +411,34 @@ object Dedup {
         countDistinct($"test_id").as("n_test_docs"))
   }
 
+  /**
+   * The REMOVAL composition on top of [[contamination]]: drop every
+   * training document sharing more than `maxSharedShingles` distinct
+   * n-gram shingles with the test/held-out set, pass everything else
+   * through unchanged. This is the step pipelines actually run —
+   * [[contamination]] reports, this enforces.
+   *
+   * Scale shape: the contamination stats (one shingle equi-join + one
+   * aggregation; flagged-docs-sized output) feed a LEFT ANTI join back
+   * on the id — AQE broadcasts the flag list when small, which it almost
+   * always is (contaminated docs are the exception, not the corpus).
+   */
+  def removeContaminated(
+      train: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      maxSharedShingles: Long = 0L,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    require(maxSharedShingles >= 0L,
+      s"maxSharedShingles must be >= 0, got $maxSharedShingles")
+    val flagged = contamination(train, test, idCol, textCol, n, maxShingleDf)
+      .filter($"n_shared_shingles" > maxSharedShingles)
+      .select($"doc_id".as("__graft_contam_id"))
+    train.join(flagged, train(idCol) === col("__graft_contam_id"), "left_anti")
+  }
+
   private implicit class ColName(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
   }

@@ -311,6 +311,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("removeContaminated drops only docs above the shared-shingle bar") {
+    val test = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"), // 4 shared trigrams
+      (2L, "alpha beta gamma unrelated words here"),   // 1 shared trigram
+      (3L, "totally different text with nothing shared at all"))
+      .toDF("doc_id", "text")
+    def kept(bar: Long): Seq[Long] =
+      Dedup.removeContaminated(train, test, "doc_id", "text", n = 3,
+          maxSharedShingles = bar)
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept(0L) === Seq(3L), "any overlap flags at bar 0")
+    assert(kept(3L) === Seq(2L, 3L), "doc 1's 4 shared trigrams exceed bar 3")
+    assert(kept(10L) === Seq(1L, 2L, 3L), "high bar passes everything through")
+    intercept[IllegalArgumentException](
+      Dedup.removeContaminated(train, test, "doc_id", "text", 3, -1L))
+  }
+
   test("normalizeText: NFC composition, control strip, ASCII fast path, SQL surface") {
     import org.apache.spark.unsafe.types.UTF8String
     import graft.expressions.NormalizeText
