@@ -410,6 +410,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("different streaming checkpoint"))
   }
 
+  test("daily-ingest loop: incremental candidates vs a growing store -> committed labels == batch CC") {
+    // the full incremental ingest recipe, end to end: each arriving batch
+    // generates pairs against the ACCUMULATED fingerprint store
+    // (Dedup.incrementalFingerprintPairs — old-vs-old never recomputed),
+    // folds them into the committed labeling (clusterBatch), and appends
+    // its fingerprints to the store. Final labels must equal batch CC over
+    // the all-at-once pair scan.
+    import graft.pipeline.{Clustering, Dedup}
+    val labels = java.nio.file.Files.createTempDirectory("graft_ingest").toString + "/t"
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_store").toString + "/fp"
+
+    // 90 fingerprints, ids %3==1 are 1-3-bit twins of the previous id,
+    // arriving as three 30-doc daily batches
+    val rnd = new scala.util.Random(17)
+    val fpMap = scala.collection.mutable.LinkedHashMap[Long, Long]()
+    (0L until 90L).foreach { id =>
+      fpMap(id) =
+        if (id % 3 == 1) {
+          val flips = 1 + rnd.nextInt(3)
+          (0 until flips).foldLeft(fpMap(id - 1))((a, _) => a ^ (1L << rnd.nextInt(64)))
+        } else rnd.nextLong()
+    }
+    val all = fpMap.toSeq.toDF("doc_id", "fp").cache()
+    val emptyStore = Seq.empty[(Long, Long)].toDF("doc_id", "fp")
+
+    (0 until 3).foreach { day =>
+      val batch = all.filter($"doc_id" >= day * 30L && $"doc_id" < (day + 1) * 30L)
+      val store =
+        if (day == 0) emptyStore
+        else spark.read.parquet(storeDir)
+      val pairs = Dedup.incrementalFingerprintPairs(
+        batch, store, "doc_id", "fp", maxDist = 3)
+      TopnStreaming.clusterBatch(pairs, day.toLong, labels,
+        "doc_a", "doc_b", scope = "ingest-test")
+      batch.write.mode(if (day == 0) "overwrite" else "append").parquet(storeDir)
+    }
+
+    val committed = TopnStreaming.committedClusters(spark, labels)
+      .as[(Long, Long)].collect().toMap
+    val want = Clustering.connectedComponents(
+      Dedup.fingerprintPairs(all, "doc_id", "fp", maxDist = 3),
+      "doc_a", "doc_b").as[(Long, Long)].collect().toMap
+    assert(committed === want,
+      "three incremental days must converge to the batch labeling")
+    assert(want.nonEmpty, "fixture must produce pairs")
+  }
+
   test("cluster commits rewrite only touched buckets; untouched files stay byte-identical") {
     val base = java.nio.file.Files.createTempDirectory("graft_cluster_buckets")
     val path = s"$base/t"
