@@ -75,12 +75,14 @@ object Demo {
         |GROUP BY 1 ORDER BY 1""".stripMargin).show(false)
 
     println("== selection tour: span rewrite -> top-quality half -> per-source cap ==")
-    val rewritten = pipeline.Spans.dropDuplicatedSpans(docs, "doc_id", "text", n = 8)
+    val rewritten = pipeline.Spans
+      .dropDuplicatedSpans(docs, "doc_id", "text", n = 8).cache()
     val cut = rewritten.agg(sum("n_dropped_spans")).head.getLong(0)
     println(s"span rewrite cut $cut duplicated 8-token spans corpus-wide")
     val scored = rewritten
       .withColumn("score", length(col("clean_text")).cast("long"))
-    val best = pipeline.Selection.selectTopFraction(scored, "doc_id", "score", pct = 50)
+    val best = pipeline.Selection
+      .selectTopFraction(scored, "doc_id", "score", pct = 50).cache()
     val capped = pipeline.Selection.topKPerGroup(
       best.join(docs.select("doc_id", "source"), "doc_id"),
       "doc_id", "source", k = 10, priority = col("score"))

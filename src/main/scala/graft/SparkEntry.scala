@@ -831,7 +831,7 @@ object SparkEntry {
         .select($"doc_id",
           md5(TextAnalysis.normalizeText(dirty)).as("clean_md5"),
           (length(dirty) - length(TextAnalysis.normalizeText(dirty)))
-            .as("n_removed"))
+            .cast("long").as("n_removed"))
         .orderBy($"doc_id")
     }),
 
@@ -940,7 +940,7 @@ object SparkEntry {
   )
 
   /**
-   * Operator-only subplans of the five queries whose CORRECTNESS spelling
+   * Operator-only subplans of the queries whose CORRECTNESS spelling
    * embeds an in-plan verification twin (`dedup_simhash` carries an O(n²)
    * brute-force check, the `ann_*`/`lsh_neardup_pairs` queries a
    * brute-force recall comparison, `semantic_dedup` an independent
