@@ -23,6 +23,11 @@ object SparkEntry {
     * is generated from the same constant via [[graft.pipeline.Dsir.featureBucketSql]]
     * so the two spellings cannot drift. */
   private val DsirBuckets = 8192
+  // quality_classifier hyperparameters — shared with the generated oracle
+  private val ClsBuckets = 4096
+  private val ClsIters = 3
+  private val ClsEtaNum = 1L
+  private val ClsEtaDen = 256L
 
   /** Stop-word probe for the quality_filter query, adapted to the
     * synthetic corpus vocabulary; the oracle list is generated from this
@@ -936,6 +941,18 @@ object SparkEntry {
         tbl(spark, dir, "documents"), "doc_id", "text",
         Seq("spark", "dup", "customer"), k = 20)
         .orderBy($"score_e6".desc, $"doc_id")
+    }),
+
+    // trainable quality classifier (fastText-style hashed features): 3
+    // exact fixed-point GD steps on the lang='en' slice, then score every
+    // doc — the oracle replays TRAINING itself (no transcendentals)
+    "quality_classifier" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.pipeline.Classifier.trainScores(
+        tbl(spark, dir, "documents"), "doc_id", "text", col("lang") === "en",
+        numBuckets = ClsBuckets, iters = ClsIters,
+        etaNum = ClsEtaNum, etaDen = ClsEtaDen)
+        .orderBy($"doc_id")
     })
   )
 
@@ -1840,6 +1857,14 @@ object SparkEntry {
         |      )) AS BIGINT) AS score_e6
         |  FROM base CROSS JOIN st)
         |SELECT doc_id, n_tokens, score_e6 FROM sc WHERE score_e6 > 0
-        |ORDER BY score_e6 DESC, doc_id LIMIT 20""".stripMargin
+        |ORDER BY score_e6 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // the classifier oracle replays the ENTIRE K-step training run as
+    // unrolled iteration CTEs generated from the same constants as the
+    // Spark plan (Classifier.classifierSql) — exact integer arithmetic
+    // throughout, so the hash match covers training, not just scoring
+    "quality_classifier" ->
+      graft.pipeline.Classifier.classifierSql(
+        "lang = 'en'", ClsBuckets, ClsIters, ClsEtaNum, ClsEtaDen)
   )
 }

@@ -1,0 +1,275 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Model-based quality filtering: a linear classifier over hashed token
+ * features, trained INSIDE the engine by a fixed number of full-batch
+ * gradient-descent steps on squared loss — the fastText-style
+ * "train a shallow classifier on a trusted slice, score the raw corpus"
+ * device used by the GPT-3 / LLaMA data pipelines (Brown et al. 2020
+ * §A; Touvron et al. 2023 §2), re-expressed as a deterministic Spark
+ * plan.
+ *
+ * Everything is EXACT integer arithmetic in 1e-6 fixed point:
+ *
+ *  - features are hashed presence indicators (the [[Dsir.featureBucket]]
+ *    md5 bucket — same portable spelling), plus one bias feature
+ *    [[BiasFeature]] present in every document;
+ *  - the forward pass is an integer sum of per-feature weights — no
+ *    division, no transcendental;
+ *  - the residual is clamped to ±[[ClampE6]] (gradient clipping — keeps
+ *    every later product inside the 2^53 window where the one floor
+ *    division is exact);
+ *  - the per-document gradient contribution and the weight update use
+ *    FLOOR division spelled identically in Spark and standard SQL
+ *    ([[floorDiv]] / [[floorDivSql]]), so a K-step training run is
+ *    bit-identical across engines and shuffle schedules — the DuckDB
+ *    oracle replays TRAINING, not just scoring. This is the
+ *    rational-arithmetic doctrine of [[LanguageModel]] applied to a
+ *    trainable model (BM25/DSIR's ln() last-ulp caveat does not apply:
+ *    there is no ln()).
+ *
+ * Update rule, per iteration over documents d and features f:
+ *
+ *   yhat_e6(d) = sum_{f in d} w_e6[f]                       (w starts 0)
+ *   r_e6(d)    = clamp(yhat_e6(d) - y_e6(d))                (y in {0, 1e6})
+ *   gc_e12(d)  = floor(r_e6(d) * 1e6 / n_docs)              (mean-gradient
+ *                                                            scaling, e12
+ *                                                            units so it
+ *                                                            survives n_docs
+ *                                                            up to ~1e9)
+ *   g_e12[f]   = sum_{d contains f} gc_e12(d)
+ *   w_e6[f]   -= floor(etaNum * g_e12[f] / (etaDen * 1e6))
+ *
+ * Presence features bound the stable step size by the max number of
+ * distinct features per document m: eta < 2/m. The default 1/256 is
+ * safe for documents up to ~500 distinct tokens; the contract is
+ * "exactly `iters` GD steps", not "converged" — scores are a quality
+ * SIGNAL (rank by them, threshold them with [[Selection]]), sharpened
+ * by more iterations.
+ *
+ * Scale shape (100 TB): the only corpus-sized dataset is the
+ * doc-feature table — ONE tokenize+hash scan, persisted, then scanned
+ * 2 times per iteration from cache. Everything else is bounded by
+ * construction: weights and gradients are <= numBuckets+1 rows (a few
+ * KB — the ONLY tables carrying a broadcast hint), the label table is
+ * (doc_id, y) longs, and each iteration is two bounded shuffles (a
+ * per-doc sum keyed by doc_id, a per-feature sum keyed by f) with
+ * map-side partial aggregation. Per-iteration weights are
+ * localCheckpoint'ed (numBuckets rows) so the K-step loop never grows
+ * a deep lineage. No driver-side data beyond the one scalar n_docs.
+ */
+object Classifier {
+
+  /** The synthetic always-present intercept feature (hash buckets are
+    * non-negative, so -1 cannot collide with a real bucket). */
+  val BiasFeature: Long = -1L
+
+  /** Residual clamp (gradient clipping) in 1e-6 units: ±1000.0. Keeps
+    * `r * 1e6` within 2^53 so [[floorDiv]] is exact — see object doc. */
+  val ClampE6: Long = 1000000000L
+
+  /** Exact floor division a/n for n > 0, identical in both engines:
+    * `(a - pmod(a, n)) / n`. The subtraction makes the numerator an
+    * exact multiple of n, so the double division is IEEE-exact for
+    * quotients within 2^53 (guaranteed by [[ClampE6]]). */
+  def floorDiv(a: Column, n: Column): Column =
+    ((a - pmod(a, n)) / n).cast("long")
+
+  /** The identical floor division as engine-neutral SQL (DuckDB `%` is
+    * C-style truncated like the JVM, so the pmod spelling matches). */
+  def floorDivSql(a: String, n: String): String =
+    s"CAST((($a) - ((($a) % ($n) + ($n)) % ($n))) / ($n) AS BIGINT)"
+
+  /**
+   * The doc-feature table: one row per (doc_id, distinct hashed bucket)
+   * plus the bias row per document. One scan: tokenize, hash, distinct.
+   */
+  def docFeatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numBuckets: Int): DataFrame = {
+    val tokens = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .select(col("doc_id"), Dsir.featureBucket(col("w"), numBuckets).as("f"))
+      .distinct()
+    tokens.unionByName(
+      docs.select(col(idCol).as("doc_id"), lit(BiasFeature).as("f")))
+  }
+
+  /**
+   * Train `iters` exact GD steps; returns the weight table
+   * (f, w_e6) — numBuckets+1 rows at most. See object doc for the rule.
+   */
+  def train(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      numBuckets: Int = 1 << 12,
+      iters: Int = 3,
+      etaNum: Long = 1L,
+      etaDen: Long = 256L): DataFrame = {
+    val (weights, feats) =
+      trainWithFeatures(docs, idCol, textCol, isTarget, numBuckets, iters, etaNum, etaDen)
+    feats.unpersist(blocking = false)
+    weights
+  }
+
+  /**
+   * Train, then score every document with the final weights:
+   * (doc_id, is_target, score_e6) — score_e6 is the raw linear score in
+   * 1e-6 units (1e6 ~ "looks like the target slice"). Rank or threshold
+   * it; [[Selection.selectTopFraction]] composes directly.
+   */
+  def trainScores(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      numBuckets: Int = 1 << 12,
+      iters: Int = 3,
+      etaNum: Long = 1L,
+      etaDen: Long = 256L): DataFrame = {
+    val (weights, feats) =
+      trainWithFeatures(docs, idCol, textCol, isTarget, numBuckets, iters, etaNum, etaDen)
+    val labels = docs.select(col(idCol).as("doc_id"), isTarget.as("is_target"))
+    val scores = feats
+      .join(broadcast(weights), "f")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w_e6")).as("score_e6"))
+    // release the training cache: the returned lazy plan recomputes the
+    // feature scan once at action time (weights are checkpointed rows)
+    feats.unpersist(blocking = false)
+    labels.join(scores, "doc_id")
+      .select(col("doc_id"), col("is_target"), col("score_e6"))
+  }
+
+  /** Shared loop: returns (checkpointed weights, the still-persisted
+    * feature table) so scoring can reuse the cache. */
+  private def trainWithFeatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      numBuckets: Int,
+      iters: Int,
+      etaNum: Long,
+      etaDen: Long): (DataFrame, DataFrame) = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(etaNum >= 1L && etaDen >= 1L,
+      s"learning rate must be positive, got $etaNum/$etaDen")
+    require(etaNum <= 1000000L && etaDen <= 1000000000L,
+      s"learning rate terms out of range: $etaNum/$etaDen")
+
+    val feats = docFeatures(docs, idCol, textCol, numBuckets)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val labels = docs
+      .select(col(idCol).as("doc_id"),
+        when(isTarget, lit(1000000L)).otherwise(lit(0L)).as("y_e6"))
+    // the one driver-side scalar (cheap metadata-or-scan count); every
+    // later appearance of n is a literal inside the distributed plan
+    val nDocs = labels.count()
+    require(nDocs > 0L, "classifier training needs at least one document")
+
+    val clamp: Column => Column =
+      c => greatest(lit(-ClampE6), least(lit(ClampE6), c))
+
+    var weights: DataFrame = null
+    for (_ <- 1 to iters) {
+      val yhat =
+        if (weights == null)
+          labels.select(col("doc_id"), lit(0L).as("yhat_e6"))
+        else
+          feats.join(broadcast(weights), "f")
+            .groupBy(col("doc_id"))
+            .agg(sum(col("w_e6")).as("yhat_e6"))
+      val resid = labels.join(yhat, "doc_id")
+        .select(col("doc_id"),
+          clamp(col("yhat_e6") - col("y_e6")).as("r_e6"))
+      val contrib = resid.select(col("doc_id"),
+        floorDiv(col("r_e6") * lit(1000000L), lit(nDocs)).as("gc_e12"))
+      val grad = feats.join(contrib, "doc_id")
+        .groupBy(col("f"))
+        .agg(sum(col("gc_e12")).as("g_e12"))
+      val step = floorDiv(lit(etaNum) * col("g_e12"), lit(etaDen * 1000000L))
+      val next =
+        if (weights == null)
+          grad.select(col("f"), (lit(0L) - step).as("w_e6"))
+        else
+          grad.join(broadcast(weights), Seq("f"), "left")
+            .select(col("f"),
+              (coalesce(col("w_e6"), lit(0L)) - step).as("w_e6"))
+      // materialize the bounded weight table; the loop's lineage resets
+      // to numBuckets+1 concrete rows each iteration
+      weights = next.localCheckpoint()
+    }
+    (weights, feats)
+  }
+
+  /**
+   * The COMPLETE training + scoring run as one engine-neutral SQL
+   * statement over a `documents` table — K unrolled iteration CTEs
+   * generated from the same constants as the Spark plan, so the two
+   * spellings cannot drift. `targetExpr` is the SQL boolean marking the
+   * trusted slice (e.g. `lang = 'en'`). Output: (doc_id, is_target,
+   * score_e6) ordered by doc_id.
+   */
+  def classifierSql(
+      targetExpr: String,
+      numBuckets: Int = 1 << 12,
+      iters: Int = 3,
+      etaNum: Long = 1L,
+      etaDen: Long = 256L): String = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val bucket = Dsir.featureBucketSql("w", numBuckets)
+    val header =
+      s"""WITH t AS (
+         |  SELECT doc_id, ($targetExpr) AS is_target,
+         |         regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+         |lab AS (SELECT doc_id, is_target,
+         |               CASE WHEN is_target THEN 1000000 ELSE 0 END AS y_e6 FROM t),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM lab),
+         |exw AS (SELECT DISTINCT doc_id, $bucket AS f
+         |        FROM (SELECT doc_id, unnest(toks) AS w FROM t)),
+         |ex AS (SELECT doc_id, f FROM exw
+         |       UNION ALL SELECT doc_id, CAST($BiasFeature AS BIGINT) AS f FROM t)""".stripMargin
+    val iterations = (1 to iters).map { k =>
+      val resid =
+        if (k == 1)
+          s"""r$k AS (SELECT doc_id,
+             |        GREATEST(-$ClampE6, LEAST($ClampE6, 0 - y_e6)) AS r_e6 FROM lab)""".stripMargin
+        else
+          s"""y$k AS (SELECT e.doc_id, CAST(SUM(w.w_e6) AS BIGINT) AS yhat_e6
+             |       FROM ex e JOIN w${k - 1} w USING (f) GROUP BY 1),
+             |r$k AS (SELECT l.doc_id,
+             |        GREATEST(-$ClampE6, LEAST($ClampE6, y.yhat_e6 - l.y_e6)) AS r_e6
+             |        FROM lab l JOIN y$k y USING (doc_id))""".stripMargin
+      val update =
+        if (k == 1)
+          s"""w$k AS (SELECT f, CAST(0 - ${floorDivSql(s"$etaNum * g_e12", s"${etaDen}000000")} AS BIGINT) AS w_e6
+             |       FROM g$k)""".stripMargin
+        else
+          s"""w$k AS (SELECT g.f,
+             |        CAST(COALESCE(w.w_e6, 0) - ${floorDivSql(s"$etaNum * g.g_e12", s"${etaDen}000000")} AS BIGINT) AS w_e6
+             |        FROM g$k g LEFT JOIN w${k - 1} w USING (f))""".stripMargin
+      s"""$resid,
+         |gc$k AS (SELECT doc_id, ${floorDivSql("r_e6 * 1000000", "n_docs")} AS gc_e12
+         |        FROM r$k CROSS JOIN n),
+         |g$k AS (SELECT e.f, CAST(SUM(gc.gc_e12) AS BIGINT) AS g_e12
+         |       FROM ex e JOIN gc$k gc USING (doc_id) GROUP BY 1),
+         |$update""".stripMargin
+    }.mkString(",\n")
+    val footer =
+      s"""sc AS (SELECT e.doc_id, CAST(SUM(w.w_e6) AS BIGINT) AS score_e6
+         |       FROM ex e JOIN w$iters w USING (f) GROUP BY 1)
+         |SELECT l.doc_id, l.is_target, sc.score_e6
+         |FROM lab l JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin
+    s"$header,\n$iterations,\n$footer"
+  }
+}

@@ -281,4 +281,20 @@ class PlanSpec extends AnyFunSuite {
       _.matches("""\(\d+\) BroadcastNestedLoopJoin\s*""")) <= 1,
       "exactly the totals join may be a nested loop")
   }
+
+  test("classifier: bounded-table broadcasts only, keyed joins, no cartesian") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val df = SparkEntry.queries("quality_classifier")(spark, dir)
+    // every broadcast hint must be the weight table — bounded at
+    // numBuckets+1 rows by construction (f, w_e6); nothing corpus-sized
+    // may ever be pinned to a broadcast
+    val hinted = df.queryExecution.analyzed.collect {
+      case h: ResolvedHint => h.child.schema.fieldNames.toSeq
+    }
+    assert(hinted.nonEmpty && hinted.forall(_ === Seq("f", "w_e6")),
+      s"only the bounded weight table may carry a broadcast hint; hinted: $hinted")
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      "classifier joins are keyed equi-joins (doc_id / f) — no pair blowup")
+  }
 }

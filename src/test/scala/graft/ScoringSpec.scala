@@ -355,4 +355,118 @@ class ScoringSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Bm25.topK(df, "doc_id", "text", Seq("a"), 0))
   }
+
+  // --- Classifier (trainable quality filter) ------------------------------
+
+  /** Reference classifier: the identical exact-integer GD recurrence in
+    * plain collections — same md5 bucket ([[refBucket]]), presence
+    * features + bias, clamp, Math.floorDiv everywhere the plan floors. */
+  private def refClassifier(
+      docs: Seq[(Long, String, Boolean)],
+      numBuckets: Int, iters: Int,
+      etaNum: Long, etaDen: Long): Map[Long, (Boolean, Long)] = {
+    import graft.pipeline.Classifier.{BiasFeature, ClampE6}
+    val feats: Map[Long, Set[Long]] = docs.map { case (id, t, _) =>
+      id -> (toks(t).map(w => refBucket(w, numBuckets)).toSet + BiasFeature)
+    }.toMap
+    val y = docs.map { case (id, _, tg) =>
+      id -> (if (tg) 1000000L else 0L) }.toMap
+    val n = docs.size.toLong
+    var w = Map.empty[Long, Long].withDefaultValue(0L)
+    for (_ <- 1 to iters) {
+      val yhat = feats.map { case (id, fs) => id -> fs.toSeq.map(w).sum }
+      val gc = y.keys.map { id =>
+        val r = math.max(-ClampE6, math.min(ClampE6, yhat(id) - y(id)))
+        id -> Math.floorDiv(r * 1000000L, n)
+      }.toMap
+      val g = feats.toSeq
+        .flatMap { case (id, fs) => fs.map(f => f -> gc(id)) }
+        .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).sum }
+      w = w ++ g.map { case (f, gv) =>
+        f -> (w(f) - Math.floorDiv(etaNum * gv, etaDen * 1000000L)) }
+    }
+    docs.map { case (id, _, tg) =>
+      id -> ((tg, feats(id).toSeq.map(w).sum)) }.toMap
+  }
+
+  private def runClassifier(
+      docs: Seq[(Long, String, Boolean)],
+      numBuckets: Int, iters: Int = 3,
+      etaNum: Long = 1L, etaDen: Long = 256L,
+      partitions: Int = 4) = {
+    import graft.pipeline.Classifier
+    Classifier.trainScores(
+      docs.toDF("doc_id", "text", "tgt").repartition(partitions),
+      "doc_id", "text", col("tgt"), numBuckets, iters, etaNum, etaDen)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2))))
+      .toMap
+  }
+
+  test("classifier scores match the exact-integer reference, collisions included") {
+    val docs = Seq(
+      (1L, "good clean prose good clean", true),
+      (2L, "good clean text here", true),
+      (3L, "spam spam spam buy now", false),
+      (4L, "good clean prose mostly", false),
+      (5L, "buy spam now now now", false),
+      (6L, "", false))
+    // 8 buckets forces collisions; the recurrence is exact either way
+    for (b <- Seq(8, 4096)) {
+      assert(runClassifier(docs, b) === refClassifier(docs, b, 3, 1L, 256L),
+        s"numBuckets=$b")
+    }
+  }
+
+  test("classifier matches the reference on a random corpus and separates the slices") {
+    val rnd = new scala.util.Random(37)
+    val tgtVocab = Vector("alpha", "beta", "gamma", "delta")
+    val rawVocab = Vector("alpha", "noise", "junk", "filler", "web")
+    val docs = (0L until 90L).map { id =>
+      val tgt = id % 3 == 0
+      val vocab = if (tgt) tgtVocab else rawVocab
+      val t = Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (id, t, tgt)
+    }
+    val got = runClassifier(docs, 4096, iters = 4)
+    assert(got === refClassifier(docs, 4096, 4, 1L, 256L))
+    val (tgtScores, rawScores) = got.values.partition(_._1)
+    val tgtMean = tgtScores.map(_._2).sum / tgtScores.size
+    val rawMean = rawScores.map(_._2).sum / rawScores.size
+    assert(tgtMean > rawMean,
+      s"trained scores should separate the slices: target $tgtMean vs raw $rawMean")
+  }
+
+  test("classifier training is exact under repartitioning") {
+    val docs = Seq(
+      (1L, "x y z", true), (2L, "x q", false), (3L, "z z y", true),
+      (4L, "q r s", false), (5L, "y", false))
+    assert(runClassifier(docs, 64, partitions = 1) ===
+      runClassifier(docs, 64, partitions = 7))
+  }
+
+  test("classifier weight table is bounded and every doc is scored") {
+    import graft.pipeline.Classifier
+    val docs = (0L until 40L)
+      .map(id => (id, s"w$id common token$id", id % 4 == 0))
+    val w = Classifier.train(
+      docs.toDF("doc_id", "text", "tgt"), "doc_id", "text", col("tgt"),
+      numBuckets = 16, iters = 2)
+    assert(w.count() <= 17) // 16 buckets + bias
+    assert(runClassifier(docs, 16, iters = 2).size === 40)
+  }
+
+  test("classifier parameter validation") {
+    import graft.pipeline.Classifier
+    val df = Seq((1L, "a", true)).toDF("doc_id", "text", "tgt")
+    intercept[IllegalArgumentException](
+      Classifier.train(df, "doc_id", "text", col("tgt"), iters = 0))
+    intercept[IllegalArgumentException](
+      Classifier.train(df, "doc_id", "text", col("tgt"), etaNum = 0L))
+    intercept[IllegalArgumentException](
+      Classifier.train(df, "doc_id", "text", col("tgt"), etaDen = -1L))
+    intercept[IllegalArgumentException](
+      Classifier.trainScores(df.filter(col("doc_id") < 0L),
+        "doc_id", "text", col("tgt")))
+  }
 }
