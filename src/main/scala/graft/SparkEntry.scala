@@ -943,6 +943,30 @@ object SparkEntry {
         .orderBy($"score_e6".desc, $"doc_id")
     }),
 
+    // cross-corpus exact dedup through a Bloom-pruned anti join: docs
+    // with doc_id % 5 == 0 play the incoming batch, the rest the
+    // accumulated reference corpus. The bloom filter only prunes — the
+    // verifying anti join makes the result EXACT at any fpp, so the
+    // oracle is the plain anti join
+    "cross_corpus_dedup" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = tbl(spark, dir, "documents")
+      val ref = docs.filter($"doc_id" % 5 =!= 0)
+      // the corpus has no byte-exact dups across the split, so the batch
+      // carries re-keyed copies of some reference docs: every planted doc
+      // must be dropped, every organic one kept — non-vacuous both ways
+      val planted = ref.filter($"doc_id" % 7 === 1)
+        .select(($"doc_id" + 100000L).as("doc_id"), $"text")
+      val incoming = docs.filter($"doc_id" % 5 === 0)
+        .select($"doc_id", $"text")
+        .unionByName(planted)
+      graft.pipeline.Dedup.crossCorpusDedup(
+        incoming, ref, "doc_id", "text",
+        expectedRefItems = 10000L, fpp = 0.03)
+        .select($"doc_id", $"fingerprint")
+        .orderBy($"doc_id")
+    }),
+
     // trainable quality classifier (fastText-style hashed features): 3
     // exact fixed-point GD steps on the lang='en' slice, then score every
     // doc — the oracle replays TRAINING itself (no transcendentals)
@@ -1858,6 +1882,21 @@ object SparkEntry {
         |  FROM base CROSS JOIN st)
         |SELECT doc_id, n_tokens, score_e6 FROM sc WHERE score_e6 > 0
         |ORDER BY score_e6 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // the bloom filter is a pure pruner — the exact semantics is the
+    // plain fingerprint anti join, which IS the oracle
+    "cross_corpus_dedup" ->
+      """WITH fp AS (
+        |  SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+        |  FROM documents),
+        |ref AS (SELECT fingerprint FROM fp WHERE doc_id % 5 <> 0),
+        |planted AS (SELECT doc_id + 100000 AS doc_id, fingerprint
+        |            FROM fp WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1),
+        |inc AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 5 = 0
+        |        UNION ALL SELECT doc_id, fingerprint FROM planted)
+        |SELECT doc_id, fingerprint FROM inc
+        |WHERE fingerprint NOT IN (SELECT fingerprint FROM ref)
+        |ORDER BY doc_id""".stripMargin,
 
     // the classifier oracle replays the ENTIRE K-step training run as
     // unrolled iteration CTEs generated from the same constants as the

@@ -439,6 +439,93 @@ object Dedup {
     train.join(flagged, train(idCol) === col("__graft_contam_id"), "left_anti")
   }
 
+  /**
+   * Bloom-pruned anti join: the rows of `left` whose `keyCol` does NOT
+   * appear in `right` — the exact anti-join answer, computed without
+   * shuffling the unmatched bulk of `left`.
+   *
+   * The standard device for deduplicating a new ingest batch against an
+   * EXISTING corpus: a plain `left_anti` join shuffles both sides in
+   * full, but almost all of a typical batch matches nothing, so that
+   * shuffle is waste. Here a Bloom filter built over `right`'s keys (one
+   * scan, merged on the driver) is broadcast and applied as a map-side
+   * filter; only the rows it cannot rule out — true matches plus an
+   * `fpp` fraction of false positives — enter the verifying anti join.
+   * Rows the filter rules out are appended back untouched (a Bloom
+   * filter has NO false negatives), so the result is EXACT at any `fpp`:
+   * the parameter trades verify-join volume against filter size, never
+   * correctness.
+   *
+   * Scale shape (100 TB): one scan of `right` to build the filter, one
+   * scan of `left` to probe it (per-row filter probe — the one UDF in
+   * this file, a bit-array lookup no built-in expresses), then an
+   * equi-join whose LEFT side is `matches + fpp * |left|` rows. The
+   * filter itself is the bounded driver/broadcast object: n·ln(1/fpp)·
+   * 1.44 bits — ~1.2 GB for 10^9 keys at 1% — so for a 10^10-key
+   * reference raise `fpp` (the verify join absorbs the extra false
+   * positives) or pre-partition both sides and build per-partition
+   * filters. Size it with `expectedRightItems`: an underestimate only
+   * degrades the filter toward "might contain everything", which again
+   * costs shuffle, not correctness.
+   */
+  def bloomAntiJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      expectedRightItems: Long,
+      fpp: Double = 0.03): DataFrame = {
+    require(expectedRightItems >= 1L,
+      s"expectedRightItems must be >= 1, got $expectedRightItems")
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
+    require(left.schema(keyCol).dataType.typeName == "string" &&
+      right.schema(keyCol).dataType.typeName == "string",
+      s"bloomAntiJoin keys must be strings; cast or fingerprint first " +
+        s"(got ${left.schema(keyCol).dataType.simpleString})")
+    val spark = left.sparkSession
+    val rightKeys = right.select(col(keyCol))
+    // one scan of `right`: per-partition filters, tree-merged OR on the
+    // way to the driver. (This is the shape stat.bloomFilter runs, spelled
+    // directly so a zero-row reference yields an empty filter instead of
+    // its NPE; the RDD hop is the imperative bit-array accumulation, not
+    // row-wise logic.)
+    val filter = rightKeys.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string"))
+      .map(_.getString(0))(org.apache.spark.sql.Encoders.STRING)
+      .rdd
+      .treeAggregate(
+        org.apache.spark.util.sketch.BloomFilter.create(expectedRightItems, fpp))(
+        (bf, k) => { bf.putString(k); bf },
+        (a, b) => { a.mergeInPlace(b); a })
+    val bc = spark.sparkContext.broadcast(filter)
+    val mightContain = udf((k: String) => k != null && bc.value.mightContainString(k))
+    val ruledOut = left.filter(!mightContain(col(keyCol)))
+    val verified = left.filter(mightContain(col(keyCol)))
+      .join(rightKeys, Seq(keyCol), "left_anti")
+    ruledOut.unionByName(verified)
+  }
+
+  /**
+   * Cross-corpus exact dedup: the `incoming` documents whose canonical
+   * fingerprint ([[TextAnalysis.fingerprint]]) does not already occur in
+   * `reference`, via [[bloomAntiJoin]]. Output: the incoming rows plus
+   * their `fingerprint` column. This is [[exactGroups]]'s semantics
+   * stretched across two corpora of very different sizes — the daily
+   * front door of an ingest pipeline, where `reference` is the
+   * accumulated corpus and `incoming` is today's crawl.
+   */
+  def crossCorpusDedup(
+      incoming: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      expectedRefItems: Long,
+      fpp: Double = 0.03): DataFrame = {
+    val fp = (d: DataFrame) => d.withColumn(
+      "fingerprint", TextAnalysis.fingerprint(col(textCol)))
+    bloomAntiJoin(fp(incoming), fp(reference).select(col("fingerprint")),
+      "fingerprint", expectedRefItems, fpp)
+  }
+
   private implicit class ColName(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
   }

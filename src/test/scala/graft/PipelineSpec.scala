@@ -635,4 +635,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(g.length === 2)
     assert(g(0)._2 === 1L && g(0)._3 === 2L) // dup group keeps min id
   }
+
+  // --- bloom-pruned cross-corpus dedup ------------------------------------
+
+  test("bloomAntiJoin equals the plain anti join at any fpp") {
+    import graft.pipeline.Dedup
+    val left = (0L until 200L).map(i => (i, s"k${i % 80}")).toDF("id", "k")
+    val right = (0L until 40L).map(i => (i, s"k${i * 2}")).toDF("rid", "k")
+    val expected = left.join(right.select($"k"), Seq("k"), "left_anti")
+      .select($"id").as[Long].collect().sorted.toSeq
+    // fpp only prunes: even a useless half-full filter stays exact
+    for (fpp <- Seq(0.0001, 0.03, 0.5)) {
+      val got = Dedup.bloomAntiJoin(left, right, "k", 40L, fpp)
+        .select($"id").as[Long].collect().sorted.toSeq
+      assert(got === expected, s"fpp=$fpp")
+    }
+    // undersized filter degrades pruning, never the answer
+    val undersized = Dedup.bloomAntiJoin(left, right, "k", 2L, 0.03)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(undersized === expected)
+  }
+
+  test("crossCorpusDedup drops exactly the incoming docs already in the reference") {
+    import graft.pipeline.Dedup
+    val incoming = Seq(
+      (1L, "shared exact  text"), // normalizes to a ref fingerprint
+      (2L, "fresh text one"),
+      (3L, "SHARED EXACT TEXT"), // case-insensitive fingerprint match
+      (4L, "fresh text two")).toDF("doc_id", "text")
+    val reference = Seq(
+      (100L, "shared exact text"),
+      (101L, "reference only prose")).toDF("doc_id", "text")
+    val kept = Dedup.crossCorpusDedup(incoming, reference, "doc_id", "text",
+      expectedRefItems = 10L)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(2L, 4L))
+    // empty reference keeps everything
+    val all = Dedup.crossCorpusDedup(incoming, reference.limit(0),
+      "doc_id", "text", expectedRefItems = 1L)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(all === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("bloomAntiJoin validates its parameters") {
+    import graft.pipeline.Dedup
+    val df = Seq((1L, "a")).toDF("id", "k")
+    intercept[IllegalArgumentException](Dedup.bloomAntiJoin(df, df, "k", 0L))
+    intercept[IllegalArgumentException](Dedup.bloomAntiJoin(df, df, "k", 1L, 1.0))
+    intercept[IllegalArgumentException](Dedup.bloomAntiJoin(df, df, "id", 1L))
+  }
 }

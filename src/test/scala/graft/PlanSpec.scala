@@ -282,6 +282,17 @@ class PlanSpec extends AnyFunSuite {
       "exactly the totals join may be a nested loop")
   }
 
+  test("cross-corpus dedup: map-side bloom prune, keyed anti join only") {
+    val df = SparkEntry.queries("cross_corpus_dedup")(spark, dir)
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      "the verify step must be a fingerprint equi-join")
+    assert(p.contains("LeftAnti"), "exact semantics comes from the anti join")
+    // the bloom probe prunes BEFORE the join: the anti join's left input
+    // subtree must carry the UDF filter
+    assert(p.contains("UDF"), "bloom probe should appear as a pre-join filter")
+  }
+
   test("classifier: bounded-table broadcasts only, keyed joins, no cartesian") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val df = SparkEntry.queries("quality_classifier")(spark, dir)
