@@ -127,6 +127,24 @@ object Bench {
           .otherwise(xxhash64(col("id"), lit(999))).as("fp"))
       graft.pipeline.Dedup.incrementalFingerprintPairs(
         fresh, store, "doc_id", "fp", 3)
+    }),
+    // classifier training is K bounded shuffles over one cached feature
+    // scan — the slope should track the tokenize+hash scan, near-linear
+    ("g_classifier", Seq(1, 4, 10), (c: Int) =>
+      graft.pipeline.Classifier.trainScores(
+        scaledDocs(spark, dir, c), "doc_id", "text",
+        col("doc_id") % 3 === 0, numBuckets = 4096, iters = 2)),
+    // fixed incoming batch against a reference growing 1x -> 10x: the
+    // slope isolates the bloom BUILD scan (linear in the store); the
+    // probe and the verifying anti join stay batch-sized. The batch is a
+    // re-keyed copy of the 1x corpus, so every batch doc hits the filter
+    // and flows through the verify join — the worst (heaviest-match) case
+    ("g_bloom_dedup", Seq(1, 4, 10), (c: Int) => {
+      val batch = scaledDocs(spark, dir, 1).select(
+        (col("doc_id") + lit(100000000L)).as("doc_id"), col("text"))
+      graft.pipeline.Dedup.crossCorpusDedup(
+        batch, scaledDocs(spark, dir, c), "doc_id", "text",
+        expectedRefItems = 60000L * c, fpp = 0.03)
     }))
 
   private def time(body: => Unit): Double = {

@@ -89,6 +89,24 @@ object Demo {
     println(s"${rewritten.count()} docs -> top-50% ${best.count()} -> " +
       s"per-source cap ${capped.count()}")
 
+    println("== ingest tour: bloom cross-corpus dedup -> trained quality filter ==")
+    // yesterday's corpus is the reference; today's batch re-sends a slice
+    val ref = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .unionByName(ref.limit(25).select(
+        (col("doc_id") + 100000L).as("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars")))
+    val fresh = pipeline.Dedup.crossCorpusDedup(
+      batch, ref, "doc_id", "text", expectedRefItems = 1000L).cache()
+    println(s"${batch.count()} batch docs -> ${fresh.count()} after " +
+      "bloom-pruned dedup against the reference corpus")
+    val scores = pipeline.Classifier.trainScores(
+      fresh, "doc_id", "text", col("lang") === "en", iters = 2)
+    val kept = pipeline.Selection.selectTopFraction(
+      scores.filter(!col("is_target")), "doc_id", "score_e6", pct = 50)
+    println(s"classifier keeps the ${kept.count()} most en-like of the " +
+      s"${scores.filter(!col("is_target")).count()} non-en docs")
+
     spark.stop()
   }
 
