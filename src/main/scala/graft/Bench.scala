@@ -135,10 +135,12 @@ object Bench {
         scaledDocs(spark, dir, c), "doc_id", "text",
         col("doc_id") % 3 === 0, numBuckets = 4096, iters = 2)),
     // fixed incoming batch against a reference growing 1x -> 10x: the
-    // slope isolates the bloom BUILD scan (linear in the store); the
-    // probe and the verifying anti join stay batch-sized. The batch is a
-    // re-keyed copy of the 1x corpus, so every batch doc hits the filter
-    // and flows through the verify join — the worst (heaviest-match) case
+    // linear terms are the bloom BUILD scan and the verify join's
+    // reference-side scan+shuffle (a bucketed fingerprint store would
+    // remove the latter — Dedup.bloomAntiJoin doc); the probe and the
+    // survivor-side join input stay batch-sized. The batch is a re-keyed
+    // copy of the 1x corpus, so every batch doc hits the filter and
+    // flows through the verify join — the worst (heaviest-match) case
     ("g_bloom_dedup", Seq(1, 4, 10), (c: Int) => {
       val batch = scaledDocs(spark, dir, 1).select(
         (col("doc_id") + lit(100000000L)).as("doc_id"), col("text"))

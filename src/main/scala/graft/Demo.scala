@@ -94,18 +94,19 @@ object Demo {
     val ref = docs.filter(col("doc_id") % 3 =!= 0)
     val batch = docs.filter(col("doc_id") % 3 === 0)
       .unionByName(ref.limit(25).select(
-        (col("doc_id") + 100000L).as("doc_id"), col("text"), col("lang"),
+        (-col("doc_id") - 1L).as("doc_id"), col("text"), col("lang"),
         col("source"), col("n_chars")))
     val fresh = pipeline.Dedup.crossCorpusDedup(
       batch, ref, "doc_id", "text", expectedRefItems = 1000L).cache()
     println(s"${batch.count()} batch docs -> ${fresh.count()} after " +
       "bloom-pruned dedup against the reference corpus")
-    val scores = pipeline.Classifier.trainScores(
+    val raw = pipeline.Classifier.trainScores(
       fresh, "doc_id", "text", col("lang") === "en", iters = 2)
+      .filter(!col("is_target")).cache()
     val kept = pipeline.Selection.selectTopFraction(
-      scores.filter(!col("is_target")), "doc_id", "score_e6", pct = 50)
+      raw, "doc_id", "score_e6", pct = 50)
     println(s"classifier keeps the ${kept.count()} most en-like of the " +
-      s"${scores.filter(!col("is_target")).count()} non-en docs")
+      s"${raw.count()} non-en docs")
 
     spark.stop()
   }

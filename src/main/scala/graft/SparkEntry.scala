@@ -954,9 +954,11 @@ object SparkEntry {
       val ref = docs.filter($"doc_id" % 5 =!= 0)
       // the corpus has no byte-exact dups across the split, so the batch
       // carries re-keyed copies of some reference docs: every planted doc
-      // must be dropped, every organic one kept — non-vacuous both ways
+      // must be dropped, every organic one kept — non-vacuous both ways.
+      // Planted ids are NEGATIVE (-id - 1): collision-free with organic
+      // non-negative ids at any scale factor, no stride assumption
       val planted = ref.filter($"doc_id" % 7 === 1)
-        .select(($"doc_id" + 100000L).as("doc_id"), $"text")
+        .select((-$"doc_id" - 1L).as("doc_id"), $"text")
       val incoming = docs.filter($"doc_id" % 5 === 0)
         .select($"doc_id", $"text")
         .unionByName(planted)
@@ -1884,18 +1886,19 @@ object SparkEntry {
         |ORDER BY score_e6 DESC, doc_id LIMIT 20""".stripMargin,
 
     // the bloom filter is a pure pruner — the exact semantics is the
-    // plain fingerprint anti join, which IS the oracle
+    // plain fingerprint anti join, which IS the oracle (NOT EXISTS, the
+    // null-safe spelling matching Spark's left_anti)
     "cross_corpus_dedup" ->
       """WITH fp AS (
         |  SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
         |  FROM documents),
         |ref AS (SELECT fingerprint FROM fp WHERE doc_id % 5 <> 0),
-        |planted AS (SELECT doc_id + 100000 AS doc_id, fingerprint
+        |planted AS (SELECT -doc_id - 1 AS doc_id, fingerprint
         |            FROM fp WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1),
         |inc AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 5 = 0
         |        UNION ALL SELECT doc_id, fingerprint FROM planted)
-        |SELECT doc_id, fingerprint FROM inc
-        |WHERE fingerprint NOT IN (SELECT fingerprint FROM ref)
+        |SELECT doc_id, fingerprint FROM inc i
+        |WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE r.fingerprint = i.fingerprint)
         |ORDER BY doc_id""".stripMargin,
 
     // the classifier oracle replays the ENTIRE K-step training run as

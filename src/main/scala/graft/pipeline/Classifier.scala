@@ -84,6 +84,22 @@ object Classifier {
   def floorDivSql(a: String, n: String): String =
     s"CAST((($a) - ((($a) % ($n) + ($n)) % ($n))) / ($n) AS BIGINT)"
 
+  /** Shared parameter guard for [[train]]/[[trainScores]] and the oracle
+    * generator [[classifierSql]]. The etaNum cap is the exactness bound:
+    * |g_e12| <= ClampE6 * 1e6 / n summed over at most n docs = 1e15, so
+    * etaNum <= 9 keeps |etaNum * g_e12| <= 9e15 < 2^53 — the window where
+    * [[floorDiv]]'s double division is exact in both engines. A larger
+    * etaNum would silently break the bit-identical-training contract
+    * (Spark truncates, DuckDB rounds, both diverge from Math.floorDiv). */
+  private def requireEta(iters: Int, etaNum: Long, etaDen: Long): Unit = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(etaNum >= 1L && etaDen >= 1L,
+      s"learning rate must be positive, got $etaNum/$etaDen")
+    require(etaNum <= 9L && etaDen <= 1000000000L,
+      s"learning rate terms out of range (etaNum <= 9 keeps the update " +
+        s"inside the 2^53 exact-division window): $etaNum/$etaDen")
+  }
+
   /**
    * The doc-feature table: one row per (doc_id, distinct hashed bucket)
    * plus the bias row per document. One scan: tokenize, hash, distinct.
@@ -161,11 +177,7 @@ object Classifier {
       iters: Int,
       etaNum: Long,
       etaDen: Long): (DataFrame, DataFrame) = {
-    require(iters >= 1, s"iters must be >= 1, got $iters")
-    require(etaNum >= 1L && etaDen >= 1L,
-      s"learning rate must be positive, got $etaNum/$etaDen")
-    require(etaNum <= 1000000L && etaDen <= 1000000000L,
-      s"learning rate terms out of range: $etaNum/$etaDen")
+    requireEta(iters, etaNum, etaDen)
 
     val feats = docFeatures(docs, idCol, textCol, numBuckets)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -212,6 +224,59 @@ object Classifier {
     (weights, feats)
   }
 
+  /** A trained model: the bounded weight table plus the bucket count it
+    * was trained with. The two travel together because scoring with a
+    * mismatched `numBuckets` re-hashes every token into the wrong
+    * bucket — silently garbage scores, the exact drift [[load]] exists
+    * to prevent. */
+  final case class Model(weights: DataFrame, numBuckets: Int)
+
+  /**
+   * Score documents with an already-trained model — the production
+   * shape: train once on a curated slice ([[train]] + [[save]]), then
+   * score every ingest batch with the frozen model ([[load]] + this).
+   * One tokenize+hash scan of `docs`, one broadcast join against the
+   * bounded weight table, one per-doc sum. Output: (doc_id, score_e6).
+   */
+  def score(docs: DataFrame, idCol: String, textCol: String, model: Model): DataFrame =
+    docFeatures(docs, idCol, textCol, model.numBuckets)
+      .join(broadcast(model.weights), "f")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w_e6")).as("score_e6"))
+
+  /** Persist a trained model: the weight table (numBuckets+1 rows of
+    * (f, w_e6) — a few KB of parquet) plus a one-row meta table pinning
+    * the bucket count. */
+  def save(model: Model, path: String): Unit = {
+    model.weights.write.mode("overwrite").parquet(s"$path/weights")
+    val spark = model.weights.sparkSession
+    import spark.implicits._
+    Seq(model.numBuckets.toLong).toDF("num_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a model persisted by [[save]]. Weights round-trip exactly
+    * (integers). Fails fast on layout drift — names AND types, the
+    * [[LanguageModel.load]] doctrine: a weight table with matching
+    * names but a narrowed w_e6 would otherwise score wrong silently. */
+  def load(path: String, spark: org.apache.spark.sql.SparkSession): Model = {
+    import org.apache.spark.sql.types.LongType
+    val w = spark.read.parquet(s"$path/weights")
+    require(w.schema.fields.map(f => f.name -> f.dataType).sortBy(_._1)
+      .sameElements(Seq("f" -> LongType, "w_e6" -> LongType)),
+      s"not a Classifier.save layout at $path (need long f and w_e6; " +
+        s"got ${w.schema.simpleString})")
+    val meta = spark.read.parquet(s"$path/meta")
+    require(meta.schema.fields.map(f => f.name -> f.dataType)
+      .sameElements(Seq("num_buckets" -> LongType)),
+      s"not a Classifier.save meta layout at $path " +
+        s"(got ${meta.schema.simpleString})")
+    val buckets = meta.head.getLong(0)
+    require(buckets >= 2L && buckets <= (1L << 30),
+      s"persisted num_buckets out of range at $path: $buckets")
+    Model(w, buckets.toInt)
+  }
+
   /**
    * The COMPLETE training + scoring run as one engine-neutral SQL
    * statement over a `documents` table — K unrolled iteration CTEs
@@ -226,7 +291,7 @@ object Classifier {
       iters: Int = 3,
       etaNum: Long = 1L,
       etaDen: Long = 256L): String = {
-    require(iters >= 1, s"iters must be >= 1, got $iters")
+    requireEta(iters, etaNum, etaDen)
     val bucket = Dsir.featureBucketSql("w", numBuckets)
     val header =
       s"""WITH t AS (

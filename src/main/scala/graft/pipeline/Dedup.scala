@@ -456,17 +456,25 @@ object Dedup {
    * the parameter trades verify-join volume against filter size, never
    * correctness.
    *
-   * Scale shape (100 TB): one scan of `right` to build the filter, one
-   * scan of `left` to probe it (per-row filter probe — the one UDF in
-   * this file, a bit-array lookup no built-in expresses), then an
-   * equi-join whose LEFT side is `matches + fpp * |left|` rows. The
-   * filter itself is the bounded driver/broadcast object: n·ln(1/fpp)·
-   * 1.44 bits — ~1.2 GB for 10^9 keys at 1% — so for a 10^10-key
-   * reference raise `fpp` (the verify join absorbs the extra false
-   * positives) or pre-partition both sides and build per-partition
-   * filters. Size it with `expectedRightItems`: an underestimate only
-   * degrades the filter toward "might contain everything", which again
-   * costs shuffle, not correctness.
+   * Scale shape (100 TB): one scan of `right` to build the filter, then
+   * two map-side-pruned passes over `left` — the probe (per-row filter
+   * lookup: the one UDF in this file, a bit-array probe no built-in
+   * expresses) runs in each pass, and only the `matches + fpp * |left|`
+   * survivors ever reach a shuffle; re-reading the batch beats
+   * shuffling it. The verifying anti join's RIGHT side is the reference
+   * key column: the filter cannot prune it (every reference key is in
+   * the filter by construction), so it is scanned once per batch and
+   * shuffled — unless the reference fingerprints are maintained as a
+   * table bucketed by key (the [[graft.sources.Tables]] rollup device),
+   * which makes the ref side shuffle-free and leaves only the
+   * survivor-sized left shuffle. The filter itself is the bounded
+   * driver/broadcast object: 1.44 · n · log2(1/fpp) bits — ~1.2 GB for
+   * 10^9 keys at 1% — so for a 10^10-key reference raise `fpp` (the
+   * verify join absorbs the extra false positives) or pre-partition
+   * both sides and build per-partition filters. Size it with
+   * `expectedRightItems`: an underestimate only degrades the filter
+   * toward "might contain everything", which again costs shuffle, not
+   * correctness.
    */
   def bloomAntiJoin(
       left: DataFrame,

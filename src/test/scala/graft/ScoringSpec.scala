@@ -456,6 +456,41 @@ class ScoringSpec extends AnyFunSuite {
     assert(runClassifier(docs, 16, iters = 2).size === 40)
   }
 
+  test("classifier weights persist and score identically after reload") {
+    import graft.pipeline.Classifier
+    val docs = Seq(
+      (1L, "alpha beta gamma", true), (2L, "noise junk web", false),
+      (3L, "alpha beta junk", true), (4L, "web web noise", false))
+      .toDF("doc_id", "text", "tgt")
+    val w = Classifier.train(docs, "doc_id", "text", col("tgt"),
+      numBuckets = 64, iters = 3)
+    val dir = java.nio.file.Files.createTempDirectory("clsmodel").toString
+    Classifier.save(Classifier.Model(w, 64), s"$dir/m")
+    val loaded = Classifier.load(s"$dir/m", spark)
+    // the bucket count travels with the model — scoring cannot re-hash
+    // into a mismatched feature space
+    assert(loaded.numBuckets === 64)
+    // integer weights round-trip exactly; frozen-model scoring matches
+    // the train-time scores
+    val direct = Classifier.trainScores(docs, "doc_id", "text", col("tgt"),
+      numBuckets = 64, iters = 3)
+      .select($"doc_id", $"score_e6").as[(Long, Long)].collect().toMap
+    val frozen = Classifier.score(docs, "doc_id", "text", loaded)
+      .as[(Long, Long)].collect().toMap
+    assert(frozen === direct)
+    // layout drift fails fast, names and types both
+    Seq(1L -> "x").toDF("f", "w")
+      .write.mode("overwrite").parquet(s"$dir/bad/weights")
+    Seq(64L).toDF("num_buckets")
+      .write.mode("overwrite").parquet(s"$dir/bad/meta")
+    intercept[IllegalArgumentException](Classifier.load(s"$dir/bad", spark))
+    w.select($"f".cast("int").as("f"), $"w_e6".cast("int").as("w_e6"))
+      .write.mode("overwrite").parquet(s"$dir/narrowed/weights")
+    Seq(64L).toDF("num_buckets")
+      .write.mode("overwrite").parquet(s"$dir/narrowed/meta")
+    intercept[IllegalArgumentException](Classifier.load(s"$dir/narrowed", spark))
+  }
+
   test("classifier parameter validation") {
     import graft.pipeline.Classifier
     val df = Seq((1L, "a", true)).toDF("doc_id", "text", "tgt")
@@ -465,6 +500,11 @@ class ScoringSpec extends AnyFunSuite {
       Classifier.train(df, "doc_id", "text", col("tgt"), etaNum = 0L))
     intercept[IllegalArgumentException](
       Classifier.train(df, "doc_id", "text", col("tgt"), etaDen = -1L))
+    // etaNum > 9 would leave the 2^53 exact-division window
+    intercept[IllegalArgumentException](
+      Classifier.train(df, "doc_id", "text", col("tgt"), etaNum = 10L))
+    intercept[IllegalArgumentException](
+      graft.pipeline.Classifier.classifierSql("lang = 'en'", etaDen = 0L))
     intercept[IllegalArgumentException](
       Classifier.trainScores(df.filter(col("doc_id") < 0L),
         "doc_id", "text", col("tgt")))
