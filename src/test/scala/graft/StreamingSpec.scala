@@ -457,6 +457,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty, "fixture must produce pairs")
   }
 
+  test("daily-ingest front door: bloom dedup drops exact re-sends before clustering") {
+    // the complete front door: each day's batch is first exact-deduped
+    // against the accumulated store with Dedup.bloomAntiJoin (re-sent
+    // docs under fresh ids must never reach the store OR the labeling),
+    // then near-dup clustered incrementally as in the loop above.
+    import graft.pipeline.{Clustering, Dedup}
+    val labels = java.nio.file.Files.createTempDirectory("graft_front").toString + "/t"
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_front_store").toString + "/fp"
+
+    val rnd = new scala.util.Random(29)
+    val fpMap = scala.collection.mutable.LinkedHashMap[Long, Long]()
+    (0L until 60L).foreach { id =>
+      fpMap(id) =
+        if (id % 4 == 1) fpMap(id - 1) ^ (1L << rnd.nextInt(64)) // near-dup twin
+        else rnd.nextLong()
+    }
+    val original = fpMap.toSeq.toDF("doc_id", "fp").cache()
+    val asKeyed = (d: org.apache.spark.sql.DataFrame) =>
+      d.withColumn("k", $"fp".cast("string"))
+
+    (0 until 3).foreach { day =>
+      val organic = original
+        .filter($"doc_id" >= day * 20L && $"doc_id" < (day + 1) * 20L)
+      // re-send 5 of the previous day's docs under fresh negative ids:
+      // exact fingerprint dups the front door must swallow
+      val resent =
+        if (day == 0) organic.limit(0)
+        else original
+          .filter($"doc_id" >= (day - 1) * 20L && $"doc_id" < (day - 1) * 20L + 5L)
+          .select((-$"doc_id" - 1L).as("doc_id"), $"fp")
+      val batch = organic.unionByName(resent)
+      val store =
+        if (day == 0) Seq.empty[(Long, Long)].toDF("doc_id", "fp")
+        else spark.read.parquet(storeDir)
+      val fresh = Dedup.bloomAntiJoin(
+        asKeyed(batch), asKeyed(store), "k", expectedRightItems = 100L)
+        .drop("k").cache()
+      val pairs = Dedup.incrementalFingerprintPairs(
+        fresh, store, "doc_id", "fp", maxDist = 3)
+      TopnStreaming.clusterBatch(pairs, day.toLong, labels,
+        "doc_a", "doc_b", scope = "front-door-test")
+      fresh.write.mode(if (day == 0) "overwrite" else "append").parquet(storeDir)
+    }
+
+    // no re-sent (negative) id may survive the front door
+    val storedIds = spark.read.parquet(storeDir)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(storedIds === (0L until 60L).toSet,
+      "the store must hold exactly the first-occurrence corpus")
+    // and the labeling equals batch CC over the deduped corpus
+    val committed = TopnStreaming.committedClusters(spark, labels)
+      .as[(Long, Long)].collect().toMap
+    val want = Clustering.connectedComponents(
+      Dedup.fingerprintPairs(original, "doc_id", "fp", maxDist = 3),
+      "doc_a", "doc_b").as[(Long, Long)].collect().toMap
+    assert(committed === want,
+      "front-door dedup + incremental clustering must converge to batch CC")
+    assert(want.nonEmpty, "fixture must produce pairs")
+  }
+
   test("cluster commits rewrite only touched buckets; untouched files stay byte-identical") {
     val base = java.nio.file.Files.createTempDirectory("graft_cluster_buckets")
     val path = s"$base/t"
