@@ -28,6 +28,8 @@ object SparkEntry {
   private val ClsIters = 3
   private val ClsEtaNum = 1L
   private val ClsEtaDen = 256L
+  // hashed_embedding dimensionality — shared with the generated oracle
+  private val EmbDim = 64
 
   /** Stop-word probe for the quality_filter query, adapted to the
     * synthetic corpus vocabulary; the oracle list is generated from this
@@ -969,6 +971,27 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // feature-hashing document embeddings (Weinberger et al. 2009): the
+    // exact integer histogram tier is pinned by hash (counts_str); the
+    // normalized float tier — not a cross-engine hash target — is
+    // audited in-plan per doc (unit norm), the non-SQL-reproducible
+    // pattern. The float tier re-runs the count plan; audit-only cost
+    "hashed_embedding" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = tbl(spark, dir, "documents")
+      val counts = graft.pipeline.Embedding.hashedCounts(
+        docs, "doc_id", "text", EmbDim)
+      val emb = graft.pipeline.Embedding.hashedEmbedding(
+        docs, "doc_id", "text", EmbDim)
+      counts.join(emb, "doc_id")
+        .select($"doc_id",
+          array_join($"counts", " ").as("counts_str"),
+          (abs(aggregate($"embedding", lit(0.0d),
+            (a, x) => a + x.cast("double") * x.cast("double")) - lit(1.0d))
+            < 0.001d).as("norm_ok"))
+        .orderBy($"doc_id")
+    }),
+
     // trainable quality classifier (fastText-style hashed features): 3
     // exact fixed-point GD steps on the lang='en' slice, then score every
     // doc — the oracle replays TRAINING itself (no transcendentals)
@@ -1900,6 +1923,14 @@ object SparkEntry {
         |SELECT doc_id, fingerprint FROM inc i
         |WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE r.fingerprint = i.fingerprint)
         |ORDER BY doc_id""".stripMargin,
+
+    // integer tier replayed exactly (generated from the same constants);
+    // the float tier's unit-norm audit is in-plan, so its oracle column
+    // is the constant TRUE
+    "hashed_embedding" ->
+      s"""SELECT doc_id, counts_str, TRUE AS norm_ok
+         |FROM (${graft.pipeline.Embedding.hashedCountsSql(EmbDim)})
+         |ORDER BY doc_id""".stripMargin,
 
     // the classifier oracle replays the ENTIRE K-step training run as
     // unrolled iteration CTEs generated from the same constants as the

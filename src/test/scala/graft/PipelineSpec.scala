@@ -636,6 +636,67 @@ class PipelineSpec extends AnyFunSuite {
     assert(g(0)._2 === 1L && g(0)._3 === 2L) // dup group keeps min id
   }
 
+  // --- feature-hashing embeddings -----------------------------------------
+
+  /** Reference bucket: the same md5-prefix hash as Dsir.featureBucket,
+    * computed with java.security. */
+  private def embBucket(w: String, dim: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16) % dim
+  }
+
+  test("hashedCounts match a plain-Scala histogram exactly") {
+    import graft.pipeline.Embedding
+    val docs = Seq(
+      (1L, "a b a c a"), (2L, "b b"), (3L, ""), (4L, "unique tokens only"))
+      .toDF("doc_id", "text")
+    for (dim <- Seq(4, 256)) { // dim 4 forces collisions
+      val got = Embedding.hashedCounts(docs, "doc_id", "text", dim)
+        .as[(Long, Seq[Long])].collect().toMap
+      val want = Seq(
+        1L -> "a b a c a", 2L -> "b b", 3L -> "", 4L -> "unique tokens only")
+        .map { case (id, t) =>
+          val h = Array.fill(dim)(0L)
+          t.trim.split("\\s+").foreach(w => h(embBucket(w, dim).toInt) += 1)
+          id -> h.toSeq
+        }.toMap
+      assert(got === want, s"dim=$dim")
+    }
+  }
+
+  test("hashedEmbedding is unit-norm and feeds SemDedup end to end") {
+    import graft.pipeline.{Embedding, IVF, SemDedup}
+    // 30 distinct docs + exact re-phrasings of the first three: the text
+    // -> vector -> semantic-dedup path must group each pair
+    val base = (0L until 30L).map(id =>
+      (id, (0 until 8).map(j => s"w${(id * 3 + j * 7) % 40}").mkString(" ")))
+    val docs = (base ++ base.take(3).map { case (id, t) => (id + 100L, t) })
+      .toDF("doc_id", "text")
+    val emb = Embedding.hashedEmbedding(docs, "doc_id", "text", dim = 64).cache()
+    val norms = emb.select(
+      abs(aggregate($"embedding", lit(0.0d),
+        (a, x) => a + x.cast("double") * x.cast("double")) - 1.0d).as("d"))
+      .agg(max($"d")).as[Double].head()
+    assert(norms < 1e-6, s"embeddings must be unit-norm, max |n2-1| = $norms")
+    val model = IVF.train(emb, "doc_id", "embedding", k = 4)
+    val labels = SemDedup.labels(emb, "doc_id", "embedding", model, tau = 0.999)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toMap
+    (0L until 3L).foreach { id =>
+      assert(labels(id + 100L) === labels(id),
+        s"exact re-phrasing $id must share its original's cluster")
+    }
+  }
+
+  test("hashed embedding dim validation") {
+    import graft.pipeline.Embedding
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      Embedding.hashedCounts(df, "doc_id", "text", 1))
+    intercept[IllegalArgumentException](
+      Embedding.hashedEmbedding(df, "doc_id", "text", 1 << 17))
+  }
+
   // --- bloom-pruned cross-corpus dedup ------------------------------------
 
   test("bloomAntiJoin equals the plain anti join at any fpp") {

@@ -293,6 +293,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("UDF"), "bloom probe should appear as a pre-join filter")
   }
 
+  test("hashed embedding: keyed aggregations only, nothing vocabulary-sized") {
+    val df = SparkEntry.queries("hashed_embedding")(spark, dir)
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      "the histogram is built by keyed hash aggregations, never a pair join")
+    assert(p.contains("HashAggregate"),
+      "bucket counting must be a hash aggregation (map-side partials)")
+  }
+
   test("classifier: bounded-table broadcasts only, keyed joins, no cartesian") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val df = SparkEntry.queries("quality_classifier")(spark, dir)
