@@ -1043,6 +1043,12 @@ object SparkEntry {
       val model = graft.pipeline.IVF.train(emb, "vec_id", "embedding", k = 8)
       graft.pipeline.SemDedup.labels(emb, "vec_id", "embedding", model, 0.4)
     }),
+    // the embedding a user computes (the correctness query adds the
+    // integer-tier join + unit-norm audit on top)
+    "hashed_embedding_op" -> ((spark, dir) => {
+      graft.pipeline.Embedding.hashedEmbedding(
+        tbl(spark, dir, "documents"), "doc_id", "text", 64)
+    }),
     // the daily-ingest path alone: incremental candidates + incremental
     // relabel. The correctness query's batch twins, store CC and label
     // comparison are verification, not operator cost — in production the

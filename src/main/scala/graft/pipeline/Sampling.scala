@@ -244,4 +244,38 @@ object Sampling {
           s" DIV ${budget}L AS BIGINT)"))
       .drop("__graft_run")
   }
+
+  /**
+   * The sink end of the pipeline: write `df` as deterministic
+   * token-budgeted shards — `path/bin=K/` parquet directories where
+   * each shard holds a CONTIGUOUS id range summing to at most
+   * `tokensPerShard` weight (the [[packByBudget]] assignment, so shard
+   * membership is a pure function of the data: stable across reruns,
+   * partitionings, and cluster sizes — what a training job needs to
+   * resume or re-read a specific shard). Returns the per-shard summary
+   * (bin, docs, weight) the caller can persist as a manifest.
+   *
+   * Scale shape: packByBudget's two-pass prefix sum (never a global
+   * sort), then one `repartition(bin)` shuffle so each shard is written
+   * by one task as one file set — without it, every task appends to
+   * every `bin=K/` directory and a 10k-shard export produces
+   * tasks×shards small files. The summary is one hash aggregation over
+   * (bin) — shard-count-sized, not corpus-sized.
+   */
+  def exportShards(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      path: String,
+      tokensPerShard: Long): DataFrame = {
+    val binned = packByBudget(df, idCol, weightCol, tokensPerShard)
+    binned
+      .repartition(col("bin"))
+      .sortWithinPartitions(col("bin"), col(idCol))
+      .write.mode("overwrite").partitionBy("bin").parquet(path)
+    binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("docs"),
+        sum(coalesce(col(weightCol).cast("long"), lit(0L))).as("weight"))
+      .orderBy(col("bin"))
+  }
 }

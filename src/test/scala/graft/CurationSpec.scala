@@ -798,4 +798,44 @@ class CurationSpec extends AnyFunSuite {
     assert(uncapped === Array((1L, 1L, 10L)))
     assert(capped.isEmpty)
   }
+
+  test("exportShards writes deterministic budgeted shards with a true manifest") {
+    import graft.pipeline.Sampling
+    val rnd = new scala.util.Random(41)
+    val rows = (0L until 200L).map(id => (id, 1L + rnd.nextInt(50).toLong))
+    val df = rows.toDF("id", "w").repartition(7)
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val manifest = Sampling.exportShards(df, "id", "w", s"$dir/out", 300L)
+      .as[(Long, Long, Long)].collect().toSeq
+
+    // the written shards ARE the packByBudget assignment
+    val want = Sampling.packByBudget(df, "id", "w", 300L)
+      .select($"id", $"w", $"bin").as[(Long, Long, Long)].collect().toSet
+    val readBack = spark.read.parquet(s"$dir/out")
+      .select($"id", $"w", $"bin").as[(Long, Long, Long)].collect().toSet
+    assert(readBack === want)
+    assert(readBack.map(_._1) === rows.map(_._1).toSet, "no doc lost or duplicated")
+
+    // manifest matches what landed on disk (sum over a Seq — mapping the
+    // Set would collapse equal weights); bins use start-offset binning,
+    // so a shard may overflow by at most its last doc's weight
+    val byBin = readBack.groupBy(_._3).map { case (b, rs) => b -> rs.toSeq }
+    assert(manifest.toSet ===
+      byBin.map { case (b, rs) => (b, rs.size.toLong, rs.map(_._2).sum) }.toSet)
+    assert(byBin.values.forall(rs => rs.map(_._2).sum <= 300L + 50L))
+    // shard ids are contiguous ranges: max id of bin k < min id of bin k+1
+    val bounds = byBin.toSeq.sortBy(_._1)
+      .map { case (b, rs) => (b, rs.map(_._1).min, rs.map(_._1).max) }
+    bounds.sliding(2).foreach {
+      case Seq((_, _, hiA), (_, loB, _)) => assert(hiA < loB)
+      case _ =>
+    }
+
+    // a second export under a different partitioning is byte-equal on
+    // assignment (determinism is the resume contract)
+    Sampling.exportShards(df.repartition(3), "id", "w", s"$dir/out2", 300L)
+    val again = spark.read.parquet(s"$dir/out2")
+      .select($"id", $"w", $"bin").as[(Long, Long, Long)].collect().toSet
+    assert(again === readBack)
+  }
 }
