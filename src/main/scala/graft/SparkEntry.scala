@@ -971,6 +971,20 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // epoch-style upsampling (LLaMA-table mixing): src0 2.5 epochs, src1
+    // 1.3, src2 dropped, everything else 1 epoch — whole copies always
+    // kept, the fractional replica hash-selected with the same portable
+    // bucket as split/sample, so the oracle replays selection exactly
+    "corpus_upsample" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.pipeline.Sampling.upsampleCorpus(
+        tbl(spark, dir, "documents").select($"doc_id", $"source"),
+        "doc_id", "source",
+        Map("src0" -> 250, "src1" -> 130, "src2" -> 0), defaultPct = 100)
+        .select($"doc_id", $"copy_id".cast("long").as("copy_id"), $"source")
+        .orderBy($"doc_id", $"copy_id")
+    }),
+
     // feature-hashing document embeddings (Weinberger et al. 2009): the
     // exact integer histogram tier is pinned by hash (counts_str); the
     // normalized float tier — not a cross-engine hash target — is
@@ -1929,6 +1943,25 @@ object SparkEntry {
         |SELECT doc_id, fingerprint FROM inc i
         |WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE r.fingerprint = i.fingerprint)
         |ORDER BY doc_id""".stripMargin,
+
+    // whole epochs replicated via range(); the fractional replica uses
+    // the shared portable bucket (integer `//` division — DuckDB CAST
+    // of a .5 double would round-to-nearest where Spark truncates)
+    "corpus_upsample" ->
+      s"""WITH f AS (
+        |  SELECT doc_id, source,
+        |         CASE source WHEN 'src0' THEN 250 WHEN 'src1' THEN 130
+        |                     WHEN 'src2' THEN 0 ELSE 100 END AS pct
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, pct // 100 AS whole, pct % 100 AS frac FROM f),
+        |e AS (SELECT doc_id, source, whole, frac,
+        |             UNNEST(range(0, whole + CASE WHEN frac > 0 THEN 1 ELSE 0 END))
+        |               AS copy_id
+        |      FROM r)
+        |SELECT doc_id, CAST(copy_id AS BIGINT) AS copy_id, source FROM e
+        |WHERE copy_id < whole
+        |   OR ${graft.pipeline.Sampling.portableBucketSql("doc_id")} < frac
+        |ORDER BY doc_id, copy_id""".stripMargin,
 
     // integer tier replayed exactly (generated from the same constants);
     // the float tier's unit-norm audit is in-plan, so its oracle column

@@ -209,6 +209,58 @@ object Sampling {
   }
 
   /**
+   * Epoch-style corpus UPsampling — the other half of data mixing
+   * ([[mixCorpus]] keeps a fraction; this repeats a source): each group
+   * is replicated `pctByGroup(group) / 100` times, with the fractional
+   * epoch realized as a deterministic hash-selected subset (the LLaMA /
+   * Gopher "epochs per source" recipe — wikipedia 2.5 epochs, web 1,
+   * ... — spelled in integer percent so 250 = 2.5 epochs, exact
+   * arithmetic end to end). Output: every input column plus `copy_id`
+   * (0-based replica index); a doc's replicas are (id, copy_id)
+   * distinct, so downstream packing sees them as separate sequences.
+   * copy_id < whole epochs always survive; the one fractional replica
+   * survives iff the doc's [[hashBucket]] falls under the remainder —
+   * the same device (and salt discipline) as [[deterministicSample]],
+   * so selection is stable under repartitioning, replay, and
+   * incremental ingestion. pct 0 drops the group.
+   *
+   * Scale shape: one scan, a per-row `explode(sequence(...))` bounded
+   * by ceil(maxPct/100) replicas, a codegen'd hash filter — no shuffle,
+   * no join, nothing vocabulary- or corpus-sized.
+   */
+  def upsampleCorpus(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      pctByGroup: Map[String, Int],
+      defaultPct: Int = 100,
+      salt: Long = 0L): DataFrame = {
+    require((pctByGroup.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100000),
+      "epoch percentages must be in [0, 100000] (100 = one epoch)")
+    require(!df.columns.contains("copy_id"),
+      "input already has a 'copy_id' column; rename it — upsampleCorpus appends it")
+    val pct = pctByGroup.toSeq.sortBy(_._1).foldLeft(Option.empty[Column]) {
+      case (acc, (g, p)) =>
+        Some(acc match {
+          case None => when(col(groupCol) === g, lit(p))
+          case Some(c) => c.when(col(groupCol) === g, lit(p))
+        })
+    }.fold(lit(defaultPct))(_.otherwise(lit(defaultPct)))
+    df
+      .withColumn("__graft_whole", (pct.cast("int") / lit(100)).cast("int"))
+      .withColumn("__graft_frac", pct.cast("int") % lit(100))
+      .withColumn("__graft_reps",
+        col("__graft_whole") + when(col("__graft_frac") > 0, 1).otherwise(0))
+      .withColumn("copy_id",
+        explode(when(col("__graft_reps") > 0,
+          sequence(lit(0), col("__graft_reps") - 1))
+          .otherwise(array().cast("array<int>"))))
+      .filter(col("copy_id") < col("__graft_whole") ||
+        hashBucket(col(idCol), salt) < col("__graft_frac"))
+      .drop("__graft_whole", "__graft_frac", "__graft_reps")
+  }
+
+  /**
    * Token-budget sequence packing: assign documents to contiguous bins of
    * at most ~`budget` total weight (e.g. token count), walking the corpus
    * in `idCol` order — the deterministic greedy-fill rule used to pack

@@ -799,6 +799,42 @@ class CurationSpec extends AnyFunSuite {
     assert(capped.isEmpty)
   }
 
+  test("upsampleCorpus replicates whole epochs and hash-selects the fractional one") {
+    import graft.pipeline.Sampling
+    val docs = (0L until 120L)
+      .map(id => (id, s"g${id % 3}")).toDF("id", "g").repartition(5)
+    val up = Sampling.upsampleCorpus(docs, "id", "g",
+      Map("g0" -> 250, "g1" -> 0), defaultPct = 100)
+      .select($"id", $"g", $"copy_id").as[(Long, String, Int)].collect().toSeq
+
+    // g1 dropped entirely; g2 exactly one copy each
+    assert(!up.exists(_._2 == "g1"))
+    assert(up.filter(_._2 == "g2").groupBy(_._1).forall(_._2.map(_._3) == Seq(0)))
+    // g0: copies 0 and 1 for every doc; copy 2 is EXACTLY the
+    // deterministicSample(50%) keep set — the shared-selection contract
+    val g0 = up.filter(_._2 == "g0")
+    val g0Ids = (0L until 120L).filter(_ % 3 == 0)
+    assert(g0.filter(_._3 < 2).groupBy(_._1).view.mapValues(_.map(_._3).sorted).toMap ===
+      g0Ids.map(id => id -> Seq(0, 1)).toMap)
+    val fracKept = g0.filter(_._3 == 2).map(_._1).toSet
+    val sampleKept = Sampling.deterministicSample(
+      docs.filter($"g" === "g0"), "id", lit(50), salt = 0L)
+      .select($"id").as[Long].collect().toSet
+    assert(fracKept === sampleKept)
+
+    // deterministic under repartitioning
+    val again = Sampling.upsampleCorpus(docs.repartition(11), "id", "g",
+      Map("g0" -> 250, "g1" -> 0), defaultPct = 100)
+      .select($"id", $"g", $"copy_id").as[(Long, String, Int)].collect().toSeq
+    assert(again.sorted === up.sorted)
+
+    // guards: pct range and copy_id collision
+    intercept[IllegalArgumentException](
+      Sampling.upsampleCorpus(docs, "id", "g", Map("g0" -> -1)))
+    intercept[IllegalArgumentException](
+      Sampling.upsampleCorpus(docs.withColumn("copy_id", lit(1)), "id", "g", Map.empty))
+  }
+
   test("exportShards writes deterministic budgeted shards with a true manifest") {
     import graft.pipeline.Sampling
     val rnd = new scala.util.Random(41)

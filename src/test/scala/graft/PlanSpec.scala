@@ -293,6 +293,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("UDF"), "bloom probe should appear as a pre-join filter")
   }
 
+  test("corpus upsampling is a shuffle-free generate + filter") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val up = graft.pipeline.Sampling.upsampleCorpus(
+      docs, "doc_id", "source", Map("src0" -> 250), defaultPct = 100)
+    val p = up.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Exchange"),
+      "replication + fractional selection must stay map-side")
+    assert(p.contains("Generate"), "replicas come from an exploded sequence")
+  }
+
   test("hashed embedding: keyed aggregations only, nothing vocabulary-sized") {
     val df = SparkEntry.queries("hashed_embedding")(spark, dir)
     val p = df.queryExecution.explainString(FormattedMode)
