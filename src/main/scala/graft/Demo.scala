@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, length, sum}
+import org.apache.spark.sql.functions.{col, count, length, lit, sum}
 
 /** Usage example / smoke driver for the SQL surface. Run with:
   * `sbt "runMain graft.Demo"`.
@@ -107,6 +107,16 @@ object Demo {
       raw, "doc_id", "score_e6", pct = 50)
     println(s"classifier keeps the ${kept.count()} most en-like of the " +
       s"${raw.count()} non-en docs")
+
+    println("== export: token-budgeted shards + manifest ==")
+    val weighted = kept.join(docs.select("doc_id", "text"), "doc_id")
+      .withColumn("n_tokens",
+        pipeline.TextAnalysis.tokenCount(col("text")).cast("long"))
+    val outDir = java.nio.file.Files.createTempDirectory("graft_demo_shards")
+    val manifest = pipeline.Sampling.exportShards(
+      weighted, "doc_id", "n_tokens", s"$outDir/corpus", tokensPerShard = 1024L)
+    val m = manifest.agg(count(lit(1)), sum(col("weight"))).head()
+    println(s"wrote ${m.getLong(0)} shards, ${m.getLong(1)} tokens total")
 
     spark.stop()
   }
