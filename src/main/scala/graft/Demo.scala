@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, count, length, lit, sum}
+import org.apache.spark.sql.functions.{coalesce, col, count, length, lit, sum}
 
 /** Usage example / smoke driver for the SQL surface. Run with:
   * `sbt "runMain graft.Demo"`.
@@ -115,7 +115,8 @@ object Demo {
     val outDir = java.nio.file.Files.createTempDirectory("graft_demo_shards")
     val manifest = pipeline.Sampling.exportShards(
       weighted, "doc_id", "n_tokens", s"$outDir/corpus", tokensPerShard = 1024L)
-    val m = manifest.agg(count(lit(1)), sum(col("weight"))).head()
+    val m = manifest
+      .agg(count(lit(1)), coalesce(sum(col("weight")), lit(0L))).head()
     println(s"wrote ${m.getLong(0)} shards, ${m.getLong(1)} tokens total")
 
     spark.stop()

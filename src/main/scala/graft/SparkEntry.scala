@@ -980,10 +980,7 @@ object SparkEntry {
       graft.pipeline.Sampling.upsampleCorpus(
         tbl(spark, dir, "documents").select($"doc_id", $"source"),
         "doc_id", "source",
-        // tuple syntax: EntrySpec's duplicate-QUERY-key source guard
-        // greps for `"x" ->`, and these source names also appear in the
-        // corpus_mix entry's map
-        Map(("src0", 250), ("src1", 130), ("src2", 0)), defaultPct = 100)
+        Map("src0" -> 250, "src1" -> 130, "src2" -> 0), defaultPct = 100)
         .select($"doc_id", $"copy_id".cast("long").as("copy_id"), $"source")
         .orderBy($"doc_id", $"copy_id")
     }),

@@ -198,15 +198,21 @@ object Sampling {
       salt: Long = 0L): DataFrame = {
     require((pctByGroup.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
       "keep percentages must be in [0, 100]")
-    val pct = pctByGroup.toSeq.sortBy(_._1).foldLeft(Option.empty[Column]) {
+    deterministicSample(df, idCol,
+      groupPct(groupCol, pctByGroup, defaultPct), salt)
+  }
+
+  /** Per-group percentage as a chained-when column (shared by
+    * [[mixCorpus]] and [[upsampleCorpus]]). */
+  private def groupPct(
+      groupCol: String, pctByGroup: Map[String, Int], defaultPct: Int): Column =
+    pctByGroup.toSeq.sortBy(_._1).foldLeft(Option.empty[Column]) {
       case (acc, (g, p)) =>
         Some(acc match {
           case None => when(col(groupCol) === g, lit(p))
           case Some(c) => c.when(col(groupCol) === g, lit(p))
         })
     }.fold(lit(defaultPct))(_.otherwise(lit(defaultPct)))
-    deterministicSample(df, idCol, pct, salt)
-  }
 
   /**
    * Epoch-style corpus UPsampling — the other half of data mixing
@@ -239,13 +245,11 @@ object Sampling {
       "epoch percentages must be in [0, 100000] (100 = one epoch)")
     require(!df.columns.contains("copy_id"),
       "input already has a 'copy_id' column; rename it — upsampleCorpus appends it")
-    val pct = pctByGroup.toSeq.sortBy(_._1).foldLeft(Option.empty[Column]) {
-      case (acc, (g, p)) =>
-        Some(acc match {
-          case None => when(col(groupCol) === g, lit(p))
-          case Some(c) => c.when(col(groupCol) === g, lit(p))
-        })
-    }.fold(lit(defaultPct))(_.otherwise(lit(defaultPct)))
+    Seq("__graft_whole", "__graft_frac", "__graft_reps").foreach { c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column; rename it — upsampleCorpus uses it internally")
+    }
+    val pct = groupPct(groupCol, pctByGroup, defaultPct)
     df
       .withColumn("__graft_whole", (pct.cast("int") / lit(100)).cast("int"))
       .withColumn("__graft_frac", pct.cast("int") % lit(100))
@@ -311,8 +315,11 @@ object Sampling {
    * sort), then one `repartition(bin)` shuffle so each shard is written
    * by one task as one file set — without it, every task appends to
    * every `bin=K/` directory and a 10k-shard export produces
-   * tasks×shards small files. The summary is one hash aggregation over
-   * (bin) — shard-count-sized, not corpus-sized.
+   * tasks×shards small files. The manifest aggregates the files JUST
+   * WRITTEN (a column-pruned bin+weight read), not a re-execution of
+   * the input plan — so it describes the shards on disk by
+   * construction, even if the upstream plan were nondeterministic or
+   * its shuffle files evicted between the two passes.
    */
   def exportShards(
       df: DataFrame,
@@ -325,7 +332,8 @@ object Sampling {
       .repartition(col("bin"))
       .sortWithinPartitions(col("bin"), col(idCol))
       .write.mode("overwrite").partitionBy("bin").parquet(path)
-    binned.groupBy(col("bin"))
+    df.sparkSession.read.parquet(path)
+      .groupBy(col("bin").cast("long").as("bin"))
       .agg(count(lit(1)).as("docs"),
         sum(coalesce(col(weightCol).cast("long"), lit(0L))).as("weight"))
       .orderBy(col("bin"))

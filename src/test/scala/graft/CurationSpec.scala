@@ -807,9 +807,13 @@ class CurationSpec extends AnyFunSuite {
       Map("g0" -> 250, "g1" -> 0), defaultPct = 100)
       .select($"id", $"g", $"copy_id").as[(Long, String, Int)].collect().toSeq
 
-    // g1 dropped entirely; g2 exactly one copy each
+    // g1 dropped entirely; g2 (default pct) exactly one copy each —
+    // asserted over the full expected id set so a broken default that
+    // emits nothing cannot pass vacuously
     assert(!up.exists(_._2 == "g1"))
-    assert(up.filter(_._2 == "g2").groupBy(_._1).forall(_._2.map(_._3) == Seq(0)))
+    val g2 = up.filter(_._2 == "g2")
+    assert(g2.groupBy(_._1).view.mapValues(_.map(_._3)).toMap ===
+      (0L until 120L).filter(_ % 3 == 2).map(id => id -> Seq(0)).toMap)
     // g0: copies 0 and 1 for every doc; copy 2 is EXACTLY the
     // deterministicSample(50%) keep set — the shared-selection contract
     val g0 = up.filter(_._2 == "g0")

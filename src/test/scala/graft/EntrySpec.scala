@@ -25,7 +25,9 @@ class EntrySpec extends AnyFunSuite {
       java.nio.charset.StandardCharsets.UTF_8)
     val parts = src.split("def oracleSql", 2)
     assert(parts.length === 2, "oracleSql declaration not found")
-    val keyRe = """"([a-z0-9_]+)" ->""".r
+    // anchored to the entry position (4-space indent at line start) so
+    // string-keyed Map literals INSIDE query bodies don't false-trip
+    val keyRe = """(?m)^    "([a-z0-9_]+)" ->""".r
     for ((section, label) <- Seq((parts(0), "queries"), (parts(1), "oracleSql"))) {
       val keys = keyRe.findAllMatchIn(section).map(_.group(1)).toSeq
       val dups = keys.groupBy(identity).filter(_._2.size > 1).keys
