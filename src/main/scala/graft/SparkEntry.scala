@@ -971,6 +971,19 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // CCNet head/middle/tail bucketing by exact top-fraction thresholds
+    // (30/40/30 by n_chars here; in production, by negated LM surprise) —
+    // the corpus is never globally sorted or windowed; the oracle replays
+    // the same ceil-k + (score desc, id) tie rule via ROW_NUMBER
+    "ccnet_buckets" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.pipeline.Selection.assignFractionBuckets(
+        tbl(spark, dir, "documents").select($"doc_id", $"n_chars"),
+        "doc_id", "n_chars", headPct = 30, middlePct = 40)
+        .select($"doc_id", $"bucket")
+        .orderBy($"doc_id")
+    }),
+
     // epoch-style upsampling (LLaMA-table mixing): src0 2.5 epochs, src1
     // 1.3, src2 dropped, everything else 1 epoch — whole copies always
     // kept, the fractional replica hash-selected with the same portable
@@ -1943,6 +1956,20 @@ object SparkEntry {
         |SELECT doc_id, fingerprint FROM inc i
         |WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE r.fingerprint = i.fingerprint)
         |ORDER BY doc_id""".stripMargin,
+
+    // the oracle's window rank IS the semantics being pinned; the Spark
+    // plan computes the same sets threshold-wise without a global sort
+    "ccnet_buckets" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rk,
+        |         COUNT(*) OVER () AS n
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CASE WHEN rk <= (30 * n + 99) // 100 THEN 'head'
+        |            WHEN rk <= (70 * n + 99) // 100 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // whole epochs replicated via range(); the fractional replica uses
     // the shared portable bucket (integer `//` division — DuckDB CAST

@@ -127,4 +127,47 @@ object Selection {
 
     above.unionByName(tiesKept)
   }
+
+  /**
+   * CCNet-style head/middle/tail corpus bucketing (arXiv:1911.00359 §4.4
+   * splits by LM perplexity terciles): label every document `head`
+   * (top `headPct`% by score), `middle` (next `middlePct`%), or `tail`
+   * (the rest), with the EXACT [[selectTopFraction]] rule — k =
+   * ceil(pct·n/100), ties by (score desc, id) — so bucket membership is
+   * deterministic at any tie structure. Pass a score where HIGHER is
+   * better (for perplexity/surprise, negate it). NULL scores land in
+   * `tail`. The two keep sets nest by construction (same rule, larger
+   * k), so the labels partition the corpus.
+   *
+   * Scale shape: two threshold computations (each a distinct-score
+   * histogram + O(#partitions) prefix sum — the corpus is never
+   * globally sorted and never windowed) and two id-keyed joins of the
+   * corpus against its head / head+middle id sets. AQE sizes the joins;
+   * nothing is broadcast-hinted (the keep sets are corpus-fraction-
+   * sized, not bounded).
+   */
+  def assignFractionBuckets(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      headPct: Int,
+      middlePct: Int): DataFrame = {
+    require(headPct >= 1 && middlePct >= 1 && headPct + middlePct <= 100,
+      s"need headPct, middlePct >= 1 with sum <= 100; got $headPct + $middlePct")
+    require(!df.columns.contains("bucket"),
+      "input already has a 'bucket' column; rename it — " +
+        "assignFractionBuckets appends it")
+    val head = selectTopFraction(df, idCol, scoreCol, headPct)
+      .select(col(idCol).as("__graft_hid"))
+    val headMiddle = selectTopFraction(df, idCol, scoreCol, headPct + middlePct)
+      .select(col(idCol).as("__graft_mid"))
+    df
+      .join(head, col(idCol) === col("__graft_hid"), "left")
+      .join(headMiddle, col(idCol) === col("__graft_mid"), "left")
+      .withColumn("bucket",
+        when(col("__graft_hid").isNotNull, lit("head"))
+          .when(col("__graft_mid").isNotNull, lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__graft_hid", "__graft_mid")
+  }
 }

@@ -799,6 +799,42 @@ class CurationSpec extends AnyFunSuite {
     assert(capped.isEmpty)
   }
 
+  test("assignFractionBuckets matches the sort-rank reference at any tie structure") {
+    import graft.pipeline.Selection
+    def ref(rows: Seq[(Long, Long)], h: Int, m: Int): Map[Long, String] = {
+      val ranked = rows.sortBy { case (id, s) => (-s, id) }.map(_._1)
+      val n = rows.size.toLong
+      val k1 = (h * n + 99) / 100
+      val k2 = ((h + m) * n + 99) / 100
+      ranked.zipWithIndex.map { case (id, i) =>
+        id -> (if (i < k1) "head" else if (i < k2) "middle" else "tail")
+      }.toMap
+    }
+    def run(rows: Seq[(Long, Long)], h: Int, m: Int, parts: Int = 4) =
+      Selection.assignFractionBuckets(
+        rows.toDF("id", "s").repartition(parts), "id", "s", h, m)
+        .select($"id", $"bucket").as[(Long, String)].collect().toMap
+
+    val rnd = new scala.util.Random(53)
+    val rows = (0L until 150L).map(id => (id, rnd.nextInt(20).toLong)) // heavy ties
+    assert(run(rows, 30, 40) === ref(rows, 30, 40))
+    assert(run(rows, 30, 40, parts = 11) === ref(rows, 30, 40))
+    // all-ties corpus: buckets split purely by id order
+    val flat = (0L until 50L).map(id => (id, 7L))
+    assert(run(flat, 20, 30) === ref(flat, 20, 30))
+    // head+middle = 100: no tail
+    assert(!run(rows, 50, 50).values.exists(_ == "tail"))
+    // null scores land in tail
+    val withNull = Seq((1L, Some(5L)), (2L, None), (3L, Some(9L)))
+      .toDF("id", "s")
+    val got = Selection.assignFractionBuckets(withNull, "id", "s", 34, 33)
+      .select($"id", $"bucket").as[(Long, String)].collect().toMap
+    assert(got(2L) === "tail" && got(3L) === "head")
+    // guards
+    intercept[IllegalArgumentException](run(rows, 0, 50))
+    intercept[IllegalArgumentException](run(rows, 60, 50))
+  }
+
   test("upsampleCorpus replicates whole epochs and hash-selects the fractional one") {
     import graft.pipeline.Sampling
     val docs = (0L until 120L)

@@ -293,6 +293,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("UDF"), "bloom probe should appear as a pre-join filter")
   }
 
+  test("ccnet_buckets: no rank window, corpus joined by id against its keep sets") {
+    val df = SparkEntry.queries("ccnet_buckets")(spark, dir)
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Window"),
+      "bucketing must reuse the threshold machinery, not a global rank window")
+    assert(!p.contains("CartesianProduct"),
+      "keep sets join back by id; the only keyless joins are 1-row broadcasts")
+    // partition-LOCAL sorts are fine (sort-merge-join mechanics on the id
+    // key; AQE turns these joins broadcast at runtime when a side is
+    // small) — what must never appear is a global sort by SCORE feeding a
+    // rank, which is the plan this operator exists to avoid
+    val globalScoreSorts = p.linesIterator.count(l =>
+      l.contains("Sort [n_chars") || l.contains("Sort [s#"))
+    assert(globalScoreSorts === 0,
+      "bucketing must never sort the corpus by score")
+  }
+
   test("corpus upsampling is a shuffle-free generate + filter") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("source"))
