@@ -244,6 +244,30 @@ object Classifier {
       .groupBy(col("doc_id"))
       .agg(sum(col("w_e6")).as("score_e6"))
 
+  /**
+   * Per-ROW scoring with a frozen model: the same score as [[score]]
+   * (bias + sum of weights over the document's distinct buckets) as a
+   * pure projection Column — no join, no aggregation — so a trained
+   * quality gate runs ANYWHERE a Column does: inside Structured
+   * Streaming micro-batches (where [[score]]'s distinct + groupBy would
+   * need its own output-mode machinery), in a filter pushed into an
+   * ingest scan, or composed into another operator's projection. The
+   * bounded weight table (numBuckets+1 rows, the one collect here) rides
+   * along as a map literal in the plan — the classifier's whole point is
+   * that this object is a few KB at ANY corpus size.
+   */
+  def scoreColumn(textCol: Column, model: Model): Column = {
+    val w: Map[Long, Long] = model.weights
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bias = w.getOrElse(BiasFeature, 0L)
+    val perBucket = w - BiasFeature
+    val buckets = array_distinct(
+      transform(TextAnalysis.tokens(textCol),
+        t => Dsir.featureBucket(t, model.numBuckets)))
+    aggregate(buckets, lit(bias),
+      (acc, f) => acc + coalesce(element_at(typedLit(perBucket), f), lit(0L)))
+  }
+
   /** Persist a trained model: the weight table (numBuckets+1 rows of
     * (f, w_e6) — a few KB of parquet) plus a one-row meta table pinning
     * the bucket count. */

@@ -491,6 +491,23 @@ class ScoringSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Classifier.load(s"$dir/narrowed", spark))
   }
 
+  test("scoreColumn equals the join-based scorer row for row") {
+    import graft.pipeline.Classifier
+    val docs = Seq(
+      (1L, "alpha beta alpha", true), (2L, "noise junk", false),
+      (3L, "", false), (4L, "alpha junk web noise", true))
+      .toDF("doc_id", "text", "tgt")
+    val w = Classifier.train(docs, "doc_id", "text", col("tgt"),
+      numBuckets = 32, iters = 3)
+    val model = Classifier.Model(w, 32)
+    val viaJoin = Classifier.score(docs, "doc_id", "text", model)
+      .as[(Long, Long)].collect().toMap
+    val viaColumn = docs.select($"doc_id",
+      Classifier.scoreColumn($"text", model).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaColumn === viaJoin)
+  }
+
   test("classifier parameter validation") {
     import graft.pipeline.Classifier
     val df = Seq((1L, "a", true)).toDF("doc_id", "text", "tgt")

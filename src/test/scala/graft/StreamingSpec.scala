@@ -457,6 +457,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty, "fixture must produce pairs")
   }
 
+  test("frozen classifier scores a document stream identically to batch") {
+    // train on a batch corpus, then run the quality gate INSIDE a
+    // micro-batched stream as a pure projection (Classifier.scoreColumn)
+    // — per-doc scores must equal the batch trainScores run exactly
+    import graft.pipeline.Classifier
+    val docs = (0L until 60L).map { id =>
+      (id, (0 until 6).map(j => s"tok${(id + j * 11) % 25}").mkString(" "),
+        id % 3 == 0)
+    }.toDF("doc_id", "text", "tgt")
+    val model = Classifier.Model(
+      Classifier.train(docs, "doc_id", "text", $"tgt", numBuckets = 128, iters = 3),
+      128)
+    val want = Classifier.trainScores(docs, "doc_id", "text", $"tgt",
+      numBuckets = 128, iters = 3)
+      .select($"doc_id", $"score_e6").as[(Long, Long)].collect().toMap
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_clsstream").toString
+    docs.filter($"doc_id" < 30L).write.parquet(s"$dir/in/b0")
+    docs.filter($"doc_id" >= 30L).write.parquet(s"$dir/in/b1")
+    val in = s"$dir/stream"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    var part = 0
+    Seq("b0", "b1").foreach { b =>
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/in/$b")).forEach { p =>
+        if (p.toString.endsWith(".parquet")) {
+          java.nio.file.Files.copy(p,
+            java.nio.file.Paths.get(in, s"part$part.parquet"))
+          part += 1
+        }
+      }
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = stream
+      .select($"doc_id", Classifier.scoreColumn($"text", model).as("score_e6"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cls_stream").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("cls_stream")
+      .as[(Long, Long)].collect().toMap
+    assert(got === want,
+      "streamed frozen-model scores must equal the batch training run's")
+  }
+
   test("daily-ingest front door: bloom dedup drops exact re-sends before clustering") {
     // the complete front door: each day's batch is first exact-deduped
     // against the accumulated store with Dedup.bloomAntiJoin (re-sent
