@@ -61,6 +61,17 @@ import org.apache.spark.storage.StorageLevel
  * map-side partial aggregation. Per-iteration weights are
  * localCheckpoint'ed (numBuckets rows) so the K-step loop never grows
  * a deep lineage. No driver-side data beyond the one scalar n_docs.
+ *
+ * Fault-tolerance trade-off: `localCheckpoint` truncates lineage by
+ * keeping the checkpointed rows ONLY in executor storage — losing an
+ * executor mid-training loses blocks that can no longer be recomputed
+ * and fails the job. That is the right trade for the common case (the
+ * checkpointed table is numBuckets+1 rows and each iteration is
+ * seconds), but a many-iteration run on a flaky cluster should set
+ * `spark.sparkContext.setCheckpointDir(...)` and pass
+ * `reliableCheckpoint = true` to [[train]]/[[trainScores]], which
+ * swaps in a reliable `checkpoint()` (same bounded rows, written to
+ * the checkpoint dir, recoverable after executor loss).
  */
 object Classifier {
 
@@ -71,6 +82,12 @@ object Classifier {
   /** Residual clamp (gradient clipping) in 1e-6 units: ±1000.0. Keeps
     * `r * 1e6` within 2^53 so [[floorDiv]] is exact — see object doc. */
   val ClampE6: Long = 1000000000L
+
+  /** Largest bucket count [[scoreColumn]] will embed as a plan literal
+    * (~1 MB of map entries at 16 bytes each). Beyond this, the per-row
+    * path would ship a multi-MB literal with every task — [[score]]'s
+    * broadcast join is the right tier. */
+  val MaxScoreColumnBuckets: Int = 1 << 16
 
   /** Exact floor division a/n for n > 0, identical in both engines:
     * `(a - pmod(a, n)) / n`. The subtraction makes the numerator an
@@ -130,9 +147,11 @@ object Classifier {
       numBuckets: Int = 1 << 12,
       iters: Int = 3,
       etaNum: Long = 1L,
-      etaDen: Long = 256L): DataFrame = {
+      etaDen: Long = 256L,
+      reliableCheckpoint: Boolean = false): DataFrame = {
     val (weights, feats) =
-      trainWithFeatures(docs, idCol, textCol, isTarget, numBuckets, iters, etaNum, etaDen)
+      trainWithFeatures(docs, idCol, textCol, isTarget, numBuckets, iters,
+        etaNum, etaDen, reliableCheckpoint)
     feats.unpersist(blocking = false)
     weights
   }
@@ -151,9 +170,11 @@ object Classifier {
       numBuckets: Int = 1 << 12,
       iters: Int = 3,
       etaNum: Long = 1L,
-      etaDen: Long = 256L): DataFrame = {
+      etaDen: Long = 256L,
+      reliableCheckpoint: Boolean = false): DataFrame = {
     val (weights, feats) =
-      trainWithFeatures(docs, idCol, textCol, isTarget, numBuckets, iters, etaNum, etaDen)
+      trainWithFeatures(docs, idCol, textCol, isTarget, numBuckets, iters,
+        etaNum, etaDen, reliableCheckpoint)
     val labels = docs.select(col(idCol).as("doc_id"), isTarget.as("is_target"))
     val scores = feats
       .join(broadcast(weights), "f")
@@ -176,8 +197,12 @@ object Classifier {
       numBuckets: Int,
       iters: Int,
       etaNum: Long,
-      etaDen: Long): (DataFrame, DataFrame) = {
+      etaDen: Long,
+      reliableCheckpoint: Boolean): (DataFrame, DataFrame) = {
     requireEta(iters, etaNum, etaDen)
+    if (reliableCheckpoint)
+      require(docs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliableCheckpoint = true needs spark.sparkContext.setCheckpointDir(...) first")
 
     val feats = docFeatures(docs, idCol, textCol, numBuckets)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -219,7 +244,7 @@ object Classifier {
               (coalesce(col("w_e6"), lit(0L)) - step).as("w_e6"))
       // materialize the bounded weight table; the loop's lineage resets
       // to numBuckets+1 concrete rows each iteration
-      weights = next.localCheckpoint()
+      weights = if (reliableCheckpoint) next.checkpoint() else next.localCheckpoint()
     }
     (weights, feats)
   }
@@ -252,11 +277,18 @@ object Classifier {
    * Streaming micro-batches (where [[score]]'s distinct + groupBy would
    * need its own output-mode machinery), in a filter pushed into an
    * ingest scan, or composed into another operator's projection. The
-   * bounded weight table (numBuckets+1 rows, the one collect here) rides
-   * along as a map literal in the plan — the classifier's whole point is
-   * that this object is a few KB at ANY corpus size.
+   * weight table rides along as a map literal in the plan — a few KB at
+   * ANY corpus size for the default 4096 buckets, but proportional to
+   * `numBuckets`, NOT corpus size; models above [[MaxScoreColumnBuckets]]
+   * buckets would bloat every task's serialized plan, so this path
+   * refuses them — use [[score]]'s broadcast join for large-bucket
+   * models.
    */
   def scoreColumn(textCol: Column, model: Model): Column = {
+    require(model.numBuckets <= MaxScoreColumnBuckets,
+      s"scoreColumn embeds the weight table in the plan; numBuckets = " +
+        s"${model.numBuckets} exceeds $MaxScoreColumnBuckets — use score() " +
+        s"(broadcast join) for large-bucket models")
     val w: Map[Long, Long] = model.weights
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val bias = w.getOrElse(BiasFeature, 0L)

@@ -433,6 +433,9 @@ object Dedup {
       maxShingleDf: Int = Int.MaxValue): DataFrame = {
     require(maxSharedShingles >= 0L,
       s"maxSharedShingles must be >= 0, got $maxSharedShingles")
+    require(!train.columns.contains("__graft_contam_id"),
+      "input already has a '__graft_contam_id' column; rename it — " +
+        "removeContaminated uses it internally")
     val flagged = contamination(train, test, idCol, textCol, n, maxShingleDf)
       .filter($"n_shared_shingles" > maxSharedShingles)
       .select($"doc_id".as("__graft_contam_id"))

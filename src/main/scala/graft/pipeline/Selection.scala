@@ -15,6 +15,16 @@ import org.apache.spark.sql.functions._
  */
 object Selection {
 
+  import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+
+  /** The types [[selectTopFraction]]'s exact long threshold walk accepts:
+    * widening casts only — a float score would TRUNCATE, silently
+    * collapsing distinct scores into ties. */
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
   /**
    * Per-group cap by explicit priority: keep the `k` rows of each
    * `groupCol` value with the HIGHEST `priority` (all of them when the
@@ -85,6 +95,12 @@ object Selection {
       scoreCol: String,
       pct: Int): DataFrame = {
     require(pct >= 1 && pct <= 100, s"pct must be in [1, 100], got $pct")
+    require(isIntegral(df.schema(scoreCol).dataType),
+      s"selectTopFraction needs an integral score column (the exact " +
+        s"threshold walk is defined on longs); '$scoreCol' is " +
+        s"${df.schema(scoreCol).dataType.simpleString} — a float cast " +
+        s"would silently truncate distinct scores into ties. Scale to " +
+        s"fixed point first (e.g. (score * 1e6).cast(\"long\")).")
     val score = col(scoreCol).cast("long")
     val ranked = df.filter(score.isNotNull)
 

@@ -34,6 +34,21 @@ object Spans {
     * SQL engine reproduces with plain arithmetic. */
   val MaxPos: Int = 1 << 20
 
+  /** The id column as a long, failing FAST on a non-numeric id: a silent
+    * `cast("long")` turns a string id into NULL, which would then trip the
+    * packing-range guard with a misleading "out of packing range: null"
+    * instead of naming the real problem (wrong id type). */
+  private def idAsLong(idCol: String): org.apache.spark.sql.Column = {
+    val raw = col(idCol)
+    // try_cast, not cast: ANSI mode would otherwise throw a generic
+    // CAST_INVALID_INPUT before this guard can name the column
+    val casted = raw.try_cast(org.apache.spark.sql.types.LongType)
+    when(raw.isNull || casted.isNotNull, casted)
+      .otherwise(raise_error(format_string(
+        s"Spans: id column '$idCol' has non-integral value '%s' — pass a " +
+          "numeric id column", raw.cast("string"))))
+  }
+
   /**
    * Per-document span-duplication stats:
    *  - `n_spans`: spans the document contributes,
@@ -64,7 +79,7 @@ object Spans {
     // above the Generate node and re-run it per emitted span otherwise —
     // same idiom as TextAnalysis.repetitionStats).
     val spans = docs
-      .select(col(idCol).cast("long").as("doc_id"), toks.as("toks"))
+      .select(idAsLong(idCol).as("doc_id"), toks.as("toks"))
       .filter(size($"toks") >= n)
       .select($"doc_id",
         transform(sequence(lit(0), size($"toks") - n, lit(stride)),
@@ -130,7 +145,7 @@ object Spans {
 
     val toks = TextAnalysis.tokens(col(textCol))
     val chunks = docs
-      .select(col(idCol).cast("long").as("doc_id"), toks.as("toks"))
+      .select(idAsLong(idCol).as("doc_id"), toks.as("toks"))
       .select($"doc_id",
         // chunk ci covers tokens [ci*n+1, ci*n+n]; empty docs emit one
         // empty chunk (kept, like `split`'s empty-string element)

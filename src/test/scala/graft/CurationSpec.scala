@@ -522,6 +522,11 @@ class CurationSpec extends AnyFunSuite {
     val gotNull = Selection.selectTopFraction(withNull, "id", "score", 50)
       .as[(Long, Long)].collect().map(_._1).sorted.toSeq
     assert(gotNull === Seq(1L, 3L), "k = ceil(.5*3) = 2 over the 3 ranked rows")
+    // float scores must be refused, not silently truncated into ties
+    val floats = Seq((1L, 1.9), (2L, 1.1)).toDF("id", "score")
+    val eF = intercept[IllegalArgumentException](
+      Selection.selectTopFraction(floats, "id", "score", 50))
+    assert(eF.getMessage.contains("integral"))
   }
 
   // --- Gopher quality rules ------------------------------------------------

@@ -327,6 +327,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept(10L) === Seq(1L, 2L, 3L), "high bar passes everything through")
     intercept[IllegalArgumentException](
       Dedup.removeContaminated(train, test, "doc_id", "text", 3, -1L))
+    val clash = train.withColumn("__graft_contam_id", $"doc_id")
+    val eC = intercept[IllegalArgumentException](
+      Dedup.removeContaminated(clash, test, "doc_id", "text", 3, 0L))
+    assert(eC.getMessage.contains("__graft_contam_id"))
   }
 
   test("normalizeText: NFC composition, control strip, ASCII fast path, SQL surface") {

@@ -143,6 +143,14 @@ class ScoringSpec extends AnyFunSuite {
     val e = intercept[Exception](
       Spans.spanStats(bad, "doc_id", "text", 2, 1).collect())
     assert(e.getMessage.contains("packing range"))
+    // a non-numeric id must name the real problem, not "packing range: null"
+    val strId = Seq("doc-1" -> "a b c d").toDF("doc_id", "text")
+    val e2 = intercept[Exception](
+      Spans.spanStats(strId, "doc_id", "text", 2, 1).collect())
+    assert(e2.getMessage.contains("non-integral"))
+    val e3 = intercept[Exception](
+      Spans.dropDuplicatedSpans(strId, "doc_id", "text", 2).collect())
+    assert(e3.getMessage.contains("non-integral"))
   }
 
   // --- Dsir ---------------------------------------------------------------
@@ -525,5 +533,15 @@ class ScoringSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Classifier.trainScores(df.filter(col("doc_id") < 0L),
         "doc_id", "text", col("tgt")))
+    // scoreColumn refuses to embed a large-bucket weight table in the plan
+    val bigModel = Classifier.Model(
+      Seq((Classifier.BiasFeature, 0L)).toDF("f", "w_e6"),
+      Classifier.MaxScoreColumnBuckets * 2)
+    val eB = intercept[IllegalArgumentException](
+      Classifier.scoreColumn(col("text"), bigModel))
+    assert(eB.getMessage.contains("score()"))
+    // reliable checkpointing needs a checkpoint dir set first
+    intercept[IllegalArgumentException](
+      Classifier.train(df, "doc_id", "text", col("tgt"), reliableCheckpoint = true))
   }
 }
