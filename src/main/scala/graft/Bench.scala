@@ -176,6 +176,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val growthOn = sys.env.getOrElse("SPARK_GRAFT_GROWTH", "1") != "0"
+    // substring filter over query/op/growth names — for iterating on one
+    // operator without paying for the whole suite; unset = everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    def selected(name: String): Boolean = only.forall(name.contains)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -189,26 +193,45 @@ object Bench {
 
     // JVM/codegen warm-up on the smallest SF so per-query numbers measure
     // the engine, not first-call JIT + codegen compilation.
-    (SparkEntry.queries ++ SparkEntry.benchOnly).toSeq.sortBy(_._1).foreach {
-      case (_, fn) =>
-        try fn(spark, "/root/testdata/sf0.001").count()
-        catch { case _: Throwable => }
-    }
+    (SparkEntry.queries ++ SparkEntry.benchOnly).toSeq.sortBy(_._1)
+      .filter(kv => selected(kv._1)).foreach {
+        case (_, fn) =>
+          try fn(spark, "/root/testdata/sf0.001").count()
+          catch { case _: Throwable => }
+      }
 
     // min-of-3 per query (docs/BENCH_NOTES.md); growth stays single-run —
     // its signal is the slope WITHIN one run, which load shifts uniformly,
     // and tripling the replicated-input suite would dominate bench time
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> timeMin(3)(fn(spark, sfDir).count())
-    }
-    val ops = SparkEntry.benchOnly.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> timeMin(3)(fn(spark, sfDir).count())
-    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => selected(kv._1)).map { case (name, fn) =>
+        name -> timeMin(3)(fn(spark, sfDir).count())
+      }
+    val ops = SparkEntry.benchOnly.toSeq.sortBy(_._1)
+      .filter(kv => selected(kv._1)).map { case (name, fn) =>
+        name -> timeMin(3)(fn(spark, sfDir).count())
+      }
+    // growth: single-run normally (the slope WITHIN a run is the signal,
+    // and load shifts it uniformly) — but a point that lands more than 2x
+    // ABOVE the linear extrapolation from the operator's own 1x time is
+    // re-run once and the minimum kept, so one load spike can no longer
+    // masquerade as a slope cliff in the recorded artifact (round 8
+    // recorded g_dedup_minhash_lsh x10 = 40.2s where fresh runs gave ~6s).
     val growth =
       if (!growthOn) Seq.empty
-      else growthSuite(spark, sfDir).map { case (name, scales, build) =>
-        name -> scales.map(c => c -> time(build(c).count()))
-      }
+      else growthSuite(spark, sfDir).filter(g => selected(g._1))
+        .map { case (name, scales, build) =>
+          var t1 = -1.0
+          name -> scales.map { c =>
+            var t = time(build(c).count())
+            if (c == scales.head) t1 = t
+            else if (t1 > 0 && t > 2.0 * c * t1) {
+              val t2 = time(build(c).count())
+              if (t2 >= 0 && t2 < t) t = t2
+            }
+            c -> t
+          }
+        }
 
     def fmt(kvs: Seq[(String, Double)]) =
       kvs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
