@@ -460,24 +460,37 @@ object Dedup {
    * correctness.
    *
    * Scale shape (100 TB): one scan of `right` to build the filter, then
-   * two map-side-pruned passes over `left` — the probe (per-row filter
-   * lookup: the one UDF in this file, a bit-array probe no built-in
-   * expresses) runs in each pass, and only the `matches + fpp * |left|`
-   * survivors ever reach a shuffle; re-reading the batch beats
-   * shuffling it. The verifying anti join's RIGHT side is the reference
-   * key column: the filter cannot prune it (every reference key is in
-   * the filter by construction), so it is scanned once per batch and
-   * shuffled — unless the reference fingerprints are maintained as a
+   *
+   *  1. a KEY-PRUNED scan of `left` (just the probe's input columns)
+   *     whose codegen'd in-scan filter ([[graft.expressions
+   *     .BloomMightContain]] — a bit-array probe no built-in expresses,
+   *     generated into the scan's whole-stage filter, no boxed UDF) lets
+   *     only the `matches + fpp * |left|` flagged KEYS through to the
+   *     verifying semi join against `right` — the confirmed-present key
+   *     set, exact and matches-sized;
+   *  2. ONE full-width scan of `left`, anti-joined against that bounded
+   *     confirmed set — AQE broadcasts it in the common case (dups are
+   *     the exception, not the batch), so the batch's payload bytes are
+   *     read once and NEVER shuffled.
+   *
+   * (The tempting one-pass spelling — probe as a column, one anti join —
+   * would shuffle every batch row to meet the reference keys, which is
+   * the full anti-join shuffle the filter exists to prevent; paying a
+   * second column-pruned scan of the probe inputs instead is the whole
+   * trade. The verify semi join's RIGHT side is the reference key
+   * column: the filter cannot prune it — every reference key is in the
+   * filter by construction — so it is scanned once per batch and
+   * shuffled, unless the reference fingerprints are maintained as a
    * table bucketed by key (the [[graft.sources.Tables]] rollup device),
    * which makes the ref side shuffle-free and leaves only the
-   * survivor-sized left shuffle. The filter itself is the bounded
+   * flagged-keys shuffle. The filter itself is the bounded
    * driver/broadcast object: 1.44 · n · log2(1/fpp) bits — ~1.2 GB for
    * 10^9 keys at 1% — so for a 10^10-key reference raise `fpp` (the
    * verify join absorbs the extra false positives) or pre-partition
    * both sides and build per-partition filters. Size it with
    * `expectedRightItems`: an underestimate only degrades the filter
    * toward "might contain everything", which again costs shuffle, not
-   * correctness.
+   * correctness.)
    */
   def bloomAntiJoin(
       left: DataFrame,
@@ -508,11 +521,14 @@ object Dedup {
         (bf, k) => { bf.putString(k); bf },
         (a, b) => { a.mergeInPlace(b); a })
     val bc = spark.sparkContext.broadcast(filter)
-    val mightContain = udf((k: String) => k != null && bc.value.mightContainString(k))
-    val ruledOut = left.filter(!mightContain(col(keyCol)))
-    val verified = left.filter(mightContain(col(keyCol)))
-      .join(rightKeys, Seq(keyCol), "left_anti")
-    ruledOut.unionByName(verified)
+    val might = GraftShim.column(graft.expressions.BloomMightContain(
+      GraftShim.expression(col(keyCol)), bc))
+    // key-pruned probe scan -> flagged keys -> exact confirmed-present set
+    val present = left.select(col(keyCol)).filter(might)
+      .join(rightKeys, Seq(keyCol), "left_semi")
+      .distinct()
+    // the one full-width pass: anti join against the bounded confirmed set
+    left.join(present, Seq(keyCol), "left_anti")
   }
 
   /**

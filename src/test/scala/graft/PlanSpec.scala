@@ -287,10 +287,33 @@ class PlanSpec extends AnyFunSuite {
     val p = df.queryExecution.explainString(FormattedMode)
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
       "the verify step must be a fingerprint equi-join")
+    assert(p.contains("LeftSemi"),
+      "flagged keys must be verified against the reference (exact present set)")
     assert(p.contains("LeftAnti"), "exact semantics comes from the anti join")
-    // the bloom probe prunes BEFORE the join: the anti join's left input
-    // subtree must carry the UDF filter
-    assert(p.contains("UDF"), "bloom probe should appear as a pre-join filter")
+    // the bloom probe is a codegen'd expression inside the probe scan's
+    // filter — not a boxed Scala UDF, and not a two-branch union plan
+    assert(p.contains("bloom_might_contain"),
+      "bloom probe should appear as a codegen'd pre-join filter")
+    assert(!p.contains("UDF"), "the probe must not be a boxed Scala UDF")
+    // (the plan's one Union is the QUERY's organic-plus-planted input
+    // construction; the operator itself is branch-free — asserted on a
+    // union-free input in the bloomAntiJoin plan test below)
+  }
+
+  test("bloomAntiJoin: full-width batch scanned once, probe scan key-pruned") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ref = docs.filter(col("doc_id") % 3 === 0).select(col("lang"))
+    val df = graft.pipeline.Dedup.bloomAntiJoin(docs, ref, "lang", 100L)
+    val p = df.queryExecution.explainString(FormattedMode)
+    // the probe pass reads ONLY the key column; the payload columns are
+    // read by exactly one scan — the batch's bytes are read once
+    val fullScans = p.linesIterator.count(_.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string,source:string,n_chars:bigint>"))
+    assert(fullScans === 1, s"expected one full-width batch scan, got $fullScans:\n$p")
+    assert(p.contains("ReadSchema: struct<lang:string>"),
+      "probe/verify passes must be pruned to the key column")
+    assert(p.contains("bloom_might_contain") && !p.contains("UDF"))
+    assert(!p.contains("Union"),
+      "one full-width pass: no ruled-out/verified branch union")
   }
 
   test("ccnet_buckets: no rank window, corpus joined by id against its keep sets") {
