@@ -924,6 +924,32 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Lee et al. ExactSubstr at ARBITRARY alignment (stride-1 windows):
+    // a duplicated run collides at ANY offset, where the chunk-grid
+    // rewrite above only catches grid-aligned dups. The corpus has no
+    // organic cross-doc runs, so the query plants straddling copies:
+    // for doc_id % 9 == 2, a 12-token infix (source positions 2..13)
+    // re-enters a synthetic doc at position 1 — a different alignment
+    // mod 8. Planted ids sit at +100M: the (doc_id, pos) packing needs
+    // NON-NEGATIVE ids, so the negative-id planting convention of
+    // cross_corpus_dedup deliberately does not apply here
+    "exact_substr_rewrite" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = tbl(spark, dir, "documents").select($"doc_id", $"text")
+      val planted = docs.filter($"doc_id" % 9 === 2)
+        .select(($"doc_id" + 100000000L).as("doc_id"),
+          concat_ws(" ",
+            concat(lit("pfx"), $"doc_id"),
+            array_join(
+              slice(graft.pipeline.TextAnalysis.tokens($"text"), 3, 12), " "),
+            concat(lit("sfx"), $"doc_id")).as("text"))
+      graft.pipeline.Spans.dropDuplicatedSubstrings(
+        docs.unionByName(planted), "doc_id", "text", n = 8)
+        .select($"doc_id", $"n_tokens", $"n_dropped_tokens",
+          md5($"clean_text").as("clean_md5"))
+        .orderBy($"doc_id")
+    }),
+
     // DSIR-style importance weights (arXiv:2302.03169): per-doc
     // log-likelihood-ratio sums against the lang='en' target slice, over
     // the paper's hashed feature space (8192 buckets) so the stats table
@@ -1872,6 +1898,43 @@ object SparkEntry {
         |       md5(COALESCE(string_agg(CASE WHEN keep THEN chunk END, ' '
         |         ORDER BY ci), '')) AS clean_md5
         |FROM k GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // stride-1 8-token windows over the planted union, the same
+    // packed-min keeper, and the token-coverage retention rule: a token
+    // is dropped iff some non-keeper duplicated window starting in
+    // [j-7, j] covers it (the NOT EXISTS correlated range probe)
+    "exact_substr_rewrite" ->
+      """WITH pl AS (
+        |  SELECT doc_id + 100000000 AS doc_id,
+        |         'pfx' || CAST(doc_id AS VARCHAR) || ' ' ||
+        |         array_to_string((regexp_split_to_array(trim(text), '\s+'))[3:14], ' ') ||
+        |         ' sfx' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id % 9 = 2),
+        |base AS (SELECT doc_id, text FROM documents
+        |         UNION ALL SELECT doc_id, text FROM pl),
+        |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM base),
+        |w AS (SELECT doc_id, UNNEST(range(0, len(toks) - 7)) AS s, toks
+        |      FROM t WHERE len(toks) >= 8),
+        |wh AS (SELECT doc_id, s,
+        |              md5(array_to_string(toks[s+1 : s+8], ' ')) AS h,
+        |              CAST(doc_id * 1048576 + s AS BIGINT) AS packed
+        |       FROM w),
+        |g AS (SELECT h, COUNT(*) AS cnt, MIN(packed) AS keep FROM wh GROUP BY 1),
+        |d AS (SELECT wh.doc_id, wh.s FROM wh JOIN g USING (h)
+        |      WHERE g.cnt >= 2 AND wh.packed <> g.keep),
+        |tok AS (SELECT doc_id, UNNEST(range(0, len(toks))) AS j, toks FROM t),
+        |tk AS (SELECT doc_id, j, toks[j+1] AS tkn, len(toks) AS n_toks FROM tok),
+        |kept AS (
+        |  SELECT tk.doc_id, j, tkn, n_toks,
+        |         NOT EXISTS (SELECT 1 FROM d WHERE d.doc_id = tk.doc_id
+        |                     AND d.s BETWEEN j - 7 AND j) AS keep
+        |  FROM tk)
+        |SELECT doc_id,
+        |       CAST(MAX(n_toks) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped_tokens,
+        |       md5(COALESCE(string_agg(CASE WHEN keep THEN tkn END, ' ' ORDER BY j), ''))
+        |         AS clean_md5
+        |FROM kept GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // exact-integer counts feed one LN() per hashed feature bucket; the
     // 1e-6 floor lands BEFORE the per-doc sum, which is therefore an

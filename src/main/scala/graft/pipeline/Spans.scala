@@ -180,4 +180,107 @@ object Spans {
         sum(when($"full" && !$"keep", 1L).otherwise(0L)).as("n_dropped_spans"),
         Lines.rebuildText($"keep", $"ci", $"chunk", " ").as("clean_text"))
   }
+
+  /**
+   * Exact-substring deduplication at ARBITRARY alignment — the ExactSubstr
+   * device of Lee et al. 2022 (arXiv:2107.06499 §4.1: remove every
+   * duplicated substring of >= `n` tokens from all but one occurrence),
+   * re-expressed without suffix arrays. [[dropDuplicatedSpans]] only cuts
+   * duplicates that happen to align to its fixed n-token chunk grid; a
+   * duplicated passage entering two documents at different offsets
+   * straddles both grids and survives it. This tier closes that hole:
+   *
+   *  - every n-token window at STRIDE 1 is hashed, so a duplicated run of
+   *    length L >= n contributes L-n+1 colliding windows REGARDLESS of
+   *    alignment;
+   *  - per window hash, the globally-first occurrence — smallest
+   *    (doc_id, pos), the [[spanStats]] packing — is the keeper;
+   *  - a TOKEN is dropped iff it is covered by some non-keeper duplicated
+   *    window. For a duplicated run of length L >= n in a non-first
+   *    occurrence, the windows lying fully inside the run cover exactly
+   *    its L tokens (any boundary-straddling window mixes unique context
+   *    and stays a singleton), so removal is token-exact on maximal
+   *    duplicated runs — the retention rule of the paper at window
+   *    resolution.
+   *
+   * Output per input doc: (doc_id, n_tokens, n_dropped_tokens,
+   * clean_text); every doc appears, untouched docs with their
+   * whitespace-normalized text (tokens rejoined by single spaces — the
+   * same normalization every hash here applies).
+   *
+   * Scale shape (100 TB): stride-1 windows cost one 32-byte hash row per
+   * token (n× denser than [[spanStats]]' strided windows but NOT n× the
+   * bytes — each row is a hash, not a token slice). One scan generates
+   * them below the explode; ONE hash-partitioned window over `h` finds
+   * count + keeper with no self-join; the non-keeper dup rows that
+   * survive the filter are duplication-sized, not corpus-sized, and fold
+   * into per-doc sorted start lists (one keyed aggregation). The rebuild
+   * joins those lists back to the docs table by id — AQE broadcasts the
+   * drop side in the common sparse-duplication case, so the corpus is
+   * re-read but never shuffled. Before the per-token coverage test, the
+   * starts are merged into disjoint intervals (one per MAXIMAL duplicated
+   * run), so a fully-duplicated pathological doc costs O(L) with one
+   * interval, not O(L²) against L raw starts.
+   */
+  def dropDuplicatedSubstrings(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 50): DataFrame = {
+    require(n >= 2, s"window width n must be >= 2, got $n")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val base = docs.select(idAsLong(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+
+    val wins = base
+      .filter(size($"toks") >= n)
+      .select($"doc_id",
+        transform(sequence(lit(0), size($"toks") - n),
+          st => struct(st.as("pos"),
+            md5(concat_ws(" ", slice($"toks", st + 1, lit(n)))).as("h"))).as("sp"))
+      .select($"doc_id", explode($"sp").as("s"))
+      .select($"doc_id", $"s.pos".as("pos"), $"s.h".as("h"),
+        when($"doc_id".between(0L, (1L << 43) - 1) && $"s.pos" < MaxPos,
+          $"doc_id" * MaxPos + $"s.pos")
+          .otherwise(raise_error(format_string(
+            "dropDuplicatedSubstrings: doc_id/pos out of packing range: %d/%d",
+            $"doc_id", $"s.pos"))).as("packed"))
+
+    val byHash = Window.partitionBy($"h")
+    val drops = wins
+      .select($"doc_id", $"pos", $"packed",
+        count(lit(1)).over(byHash).as("n_occ"),
+        min($"packed").over(byHash).as("keep_key"))
+      .filter($"n_occ" >= 2 && $"packed" =!= $"keep_key")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list($"pos")).as("drop_starts"))
+
+    // disjoint covered intervals from the sorted starts: window at s
+    // covers [s, s+n-1]; consecutive starts closer than n merge into one
+    // maximal-run interval
+    val emptyIvs = array().cast("array<struct<s:int,e:int>>")
+    val merged = aggregate(
+      coalesce($"drop_starts", array().cast("array<int>")),
+      emptyIvs,
+      (acc, s) => {
+        val last = element_at(acc, -1)
+        when(size(acc) === 0 || last.getField("e") < s - 1,
+          concat(acc, array(struct(s.as("s"), (s + lit(n) - 1).as("e")))))
+          .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(last.getField("s").as("s"),
+              greatest(last.getField("e"), s + lit(n) - 1).as("e")))))
+      })
+
+    base.join(drops, Seq("doc_id"), "left")
+      .withColumn("__ivs", merged)
+      .withColumn("__kept", filter($"toks",
+        (t, j) => !exists($"__ivs",
+          iv => j >= iv.getField("s") && j <= iv.getField("e"))))
+      .select($"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        (size($"toks") - size($"__kept")).cast("long").as("n_dropped_tokens"),
+        array_join($"__kept", " ").as("clean_text"))
+  }
 }

@@ -249,6 +249,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window") && !p.contains("SinglePartition"))
   }
 
+  test("exact_substr_rewrite: hash-partitioned window, doc-keyed rebuild join only") {
+    val p = plan("exact_substr_rewrite")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      "window occurrences meet through the hash window, never an all-pairs join")
+    assert(p.contains("Window") && !p.contains("SinglePartition"),
+      "keeper selection must be the hash-partitioned window, no global funnel")
+    // the only join is the drop-list rebuild join, keyed by doc_id
+    val joins = p.linesIterator.count(_.matches(""".*\(\d+\) \w*HashJoin.*"""))
+    assert(joins <= 2,
+      s"expected only the doc-keyed rebuild join (per union branch), got $joins")
+  }
+
   test("incremental near-dup: candidate step is an equi-join, never all-pairs") {
     import graft.pipeline.Dedup
     val fps = spark.read.parquet(s"$dir/documents.parquet")

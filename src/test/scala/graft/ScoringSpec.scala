@@ -153,6 +153,96 @@ class ScoringSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("non-integral"))
   }
 
+  /** Reference exact-substring rewrite: stride-1 windows, global
+    * first-occurrence keeper per window text, token dropped iff covered
+    * by a non-keeper duplicated window — plain collections. */
+  private def refSubstr(docs: Seq[(Long, String)], n: Int)
+      : Map[Long, (Long, Long, String)] = {
+    val tk = docs.map { case (id, t) => id -> toks(t) }.toMap
+    val wins = docs.flatMap { case (id, _) =>
+      val w = tk(id)
+      if (w.length < n) Nil
+      else (0 to w.length - n).map(s => (w.slice(s, s + n).mkString(" "), id, s))
+    }
+    val byText = wins.groupBy(_._1)
+    val drops: Map[Long, Seq[Int]] = byText.values
+      .filter(_.size >= 2)
+      .flatMap { occs =>
+        val keep = occs.minBy(o => o._2 * (1L << 20) + o._3)
+        occs.filterNot(_ == keep).map(o => o._2 -> o._3)
+      }
+      .toSeq.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2) }
+    docs.map { case (id, _) =>
+      val w = tk(id)
+      val ds = drops.getOrElse(id, Nil)
+      val kept = w.zipWithIndex.collect {
+        case (t, j) if !ds.exists(s => s <= j && j <= s + n - 1) => t
+      }
+      id -> ((w.size.toLong, (w.size - kept.size).toLong, kept.mkString(" ")))
+    }.toMap
+  }
+
+  private def runSubstr(docs: Seq[(Long, String)], n: Int) =
+    Spans.dropDuplicatedSubstrings(docs.toDF("doc_id", "text"),
+        "doc_id", "text", n)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+
+  test("dropDuplicatedSubstrings catches straddling duplicates the chunk grid misses") {
+    // a 12-token passage enters doc 1 at offset 2 and doc 2 at offset 1:
+    // no n=4 grid chunk of doc 1 equals any chunk of doc 2, so the
+    // chunk-grid rewrite drops NOTHING — the alignment hole this tier closes
+    val passage = (1 to 12).map(i => s"P$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"a1 a2 $passage z1 z2",
+      2L -> s"b1 $passage y1")
+    val gridDrops = Spans.dropDuplicatedSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(gridDrops === Map(1L -> 0L, 2L -> 0L),
+      "the fixture must actually straddle the n=4 chunk grid")
+    val got = runSubstr(docs, 4)
+    assert(got === refSubstr(docs, 4))
+    assert(got(1L)._3 === s"a1 a2 $passage z1 z2", "first occurrence keeps the passage")
+    assert(got(2L) === ((14L, 12L, "b1 y1")), "later occurrence loses exactly the run")
+  }
+
+  test("dropDuplicatedSubstrings == reference on handcrafted and random corpora") {
+    val docs = Seq(
+      1L -> "a b c d x y z w",       // opens with doc 2's infix
+      2L -> "q a b c d r",           // loses "a b c d" (keeper is doc 1 pos 0)
+      3L -> "k l m n o k l m n o",   // intra-doc: second occurrence cut
+      4L -> "p1 p2 p3 p4 p5",        // unique
+      5L -> "t1 t2",                 // too short for any window
+      6L -> "")                      // empty
+    for (n <- Seq(3, 4, 5)) {
+      assert(runSubstr(docs, n) === refSubstr(docs, n), s"n=$n")
+    }
+    // random corpus with passages planted at RANDOM offsets (arbitrary
+    // alignment is the whole point)
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("u", "v", "w", "x", "y", "z")
+    val passage = (1 to 9).map(i => s"F$i")
+    val rdocs = (0L until 50L).map { id =>
+      val base = Seq.fill(6 + rnd.nextInt(18))(vocab(rnd.nextInt(vocab.size)))
+      val t =
+        if (id % 3 == 0) {
+          val at = rnd.nextInt(base.length + 1)
+          (base.take(at) ++ passage ++ base.drop(at)).mkString(" ")
+        } else base.mkString(" ")
+      id -> t
+    }
+    assert(runSubstr(rdocs, 6) === refSubstr(rdocs, 6))
+    // stable under repartitioning
+    val again = Spans.dropDuplicatedSubstrings(
+        rdocs.toDF("doc_id", "text").repartition(7), "doc_id", "text", 6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(again === runSubstr(rdocs, 6))
+    intercept[IllegalArgumentException](
+      Spans.dropDuplicatedSubstrings(docs.toDF("doc_id", "text"), "doc_id", "text", 1))
+  }
+
   // --- Dsir ---------------------------------------------------------------
 
   /** Reference importance weights, plain collections. */
