@@ -950,6 +950,32 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // crawl front door: raw HTML -> text (codegen'd HtmlToText: strip
+    // tags/script/style/comments, decode entities once, one line per
+    // block element, pinned whitespace chain). The documents table has
+    // no HTML, so the query wraps each doc's payload in a well-formed
+    // fixture — '&' and '<' pre-stripped from the payload so every
+    // entity/tag in play is planted and the oracle's RE2 replace chain
+    // is exactly equivalent to the kernel on these shapes
+    "html_extract" -> ((spark, dir) => {
+      import spark.implicits._
+      val payload = regexp_replace($"text", "[&<]", " ")
+      val html = concat(
+        lit("<html><head><title>t</title><style>p{x:1}</style>"),
+        lit("<script>var a = 1 < 2;</script></head>"),
+        lit("<body><!-- hidden <p>no</p> --><h1>Doc "), $"doc_id",
+        lit("</h1><p class=\"b\">"), payload,
+        lit("</p><ul><li>A &amp; B</li><li>&#72;&#x49;&nbsp;!</li></ul>"),
+        lit("<div>tail</div></body></html>"))
+      tbl(spark, dir, "documents")
+        .select($"doc_id",
+          graft.pipeline.TextAnalysis.htmlToText(html).as("clean"))
+        .select($"doc_id",
+          size(split($"clean", "\n", -1)).cast("long").as("n_lines"),
+          md5($"clean").as("text_md5"))
+        .orderBy($"doc_id")
+    }),
+
     // DSIR-style importance weights (arXiv:2302.03169): per-doc
     // log-likelihood-ratio sums against the lang='en' target slice, over
     // the paper's hashed feature space (8192 buckets) so the stats table
@@ -1935,6 +1961,44 @@ object SparkEntry {
         |       md5(COALESCE(string_agg(CASE WHEN keep THEN tkn END, ' ' ORDER BY j), ''))
         |         AS clean_md5
         |FROM kept GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // the same fixture construction, then an RE2 replace chain
+    // equivalent to the kernel on well-formed input: script/style
+    // content, comments, block tags to newline, generic tag strip,
+    // literal entity replaces with &amp; LAST (= decode-once), the
+    // pinned whitespace chain
+    "html_extract" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         '<html><head><title>t</title><style>p{x:1}</style>' ||
+        |         '<script>var a = 1 < 2;</script></head>' ||
+        |         '<body><!-- hidden <p>no</p> --><h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |         '</h1><p class="b">' || regexp_replace(text, '[&<]', ' ', 'g') ||
+        |         '</p><ul><li>A &amp; B</li><li>&#72;&#x49;&nbsp;!</li></ul>' ||
+        |         '<div>tail</div></body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(html,
+        |         '(?is)<script\b[^>]*>.*?</script\s*>', '', 'g') AS h FROM f),
+        |s2 AS (SELECT doc_id, regexp_replace(h,
+        |         '(?is)<style\b[^>]*>.*?</style\s*>', '', 'g') AS h FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(h, '(?s)<!--.*?-->', '', 'g') AS h FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(h,
+        |         '(?i)</?(p|div|br|hr|li|ul|ol|h[1-6]|tr|td|th|table|thead|tbody|blockquote|pre|section|article|header|footer|nav|main)(\s[^>]*)?/?\s*>',
+        |         chr(10), 'g') AS h FROM s3),
+        |s5 AS (SELECT doc_id, regexp_replace(h, '<[^>]*>', '', 'g') AS h FROM s4),
+        |e1 AS (SELECT doc_id,
+        |         replace(replace(replace(replace(replace(replace(replace(h,
+        |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+        |           '&nbsp;', ' '), '&#72;', 'H'), '&#x49;', 'I') AS h FROM s5),
+        |e2 AS (SELECT doc_id, replace(h, '&amp;', '&') AS h FROM e1),
+        |w1 AS (SELECT doc_id, regexp_replace(h, '[ \t\r]+', ' ', 'g') AS h FROM e2),
+        |w2 AS (SELECT doc_id, regexp_replace(h, ' *\n *', chr(10), 'g') AS h FROM w1),
+        |w3 AS (SELECT doc_id, regexp_replace(h, '\n+', chr(10), 'g') AS h FROM w2),
+        |w4 AS (SELECT doc_id, trim(h, ' ' || chr(10)) AS h FROM w3)
+        |SELECT doc_id,
+        |       CAST(len(string_split(h, chr(10))) AS BIGINT) AS n_lines,
+        |       md5(h) AS text_md5
+        |FROM w4 ORDER BY doc_id""".stripMargin,
 
     // exact-integer counts feed one LN() per hashed feature bucket; the
     // 1e-6 floor lands BEFORE the per-doc sum, which is therefore an

@@ -147,6 +147,10 @@ object TopnFunctions {
       "normalize_text(text) - Unicode NFC composition + control-character strip (corpus cleanup pass)",
       arity("normalize_text", 1, 1)(exprs =>
         graft.expressions.NormalizeText(exprs.head))),
+    ("html_to_text",
+      "html_to_text(html) - strip tags/script/style/comments, decode entities, one line per block element (crawl front door)",
+      arity("html_to_text", 1, 1)(exprs =>
+        graft.expressions.HtmlToText(exprs.head))),
     ("bpe_token_count",
       "bpe_token_count(text) - token count under the built-in demo BPE merge table (vocabulary-aware budget weight)",
       arity("bpe_token_count", 1, 1)(exprs =>

@@ -26,6 +26,15 @@ object TextAnalysis {
     GraftShim.column(graft.expressions.NormalizeText(GraftShim.expression(text)))
   }
 
+  /** HTML-to-text extraction (see [[graft.expressions.HtmlToText]] —
+    * codegen'd tag/script/style strip + entity decode, one line per block
+    * element): the crawl front door feeding [[normalizeText]] and the
+    * [[Lines]] boilerplate passes. */
+  def htmlToText(html: Column): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(graft.expressions.HtmlToText(GraftShim.expression(html)))
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Count of sentence/clause punctuation characters. */

@@ -371,6 +371,67 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("normalize_text requires STRING"))
   }
 
+  test("htmlToText goldens: tags, blocks, skip-content, entities, whitespace") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.expressions.HtmlToText
+    def x(s: String): String = HtmlToText.extract(UTF8String.fromString(s)).toString
+
+    // inline tags vanish WITHOUT inserting space; block tags break lines
+    assert(x("bo<b>ld</b> and <i>italic</i>") === "bold and italic")
+    assert(x("<p>one</p><p>two</p>") === "one\ntwo")
+    assert(x("a<br>b<BR/>c") === "a\nb\nc")
+    assert(x("<ul><li>x</li><li>y</li></ul>") === "x\ny")
+    // script/style/noscript/template content dropped, case-insensitive
+    assert(x("a<script>var x = 1 < 2;</script>b") === "ab")
+    assert(x("a<STYLE type='t'>p > span {}</STYLE>b") === "ab")
+    assert(x("a<noscript>hidden</noscript>b") === "ab")
+    // unterminated script swallows through end-of-input
+    assert(x("a<script>trailing junk") === "a")
+    // comments, incl. tags inside them
+    assert(x("a<!-- <p>not text</p> -->b") === "ab")
+    assert(x("a<!-- unterminated") === "a")
+    // entities: core named set + numeric dec/hex, decode ONCE (no re-scan),
+    // unknown stays literal, nbsp -> plain space
+    assert(x("A &amp; B &lt;tag&gt; &quot;q&quot; &apos;a&apos;") ===
+      "A & B <tag> \"q\" 'a'")
+    assert(x("&#65;&#x42;&#x1F600;") === "AB😀")
+    assert(x("&amp;lt; stays") === "&lt; stays")
+    assert(x("5 &foo; 7 & 8") === "5 &foo; 7 & 8")
+    assert(x("no&nbsp;break") === "no break")
+    // attributes, uppercase tags, tag-name prefixes do NOT match blocks
+    assert(x("""<DIV CLASS="x">a</DIV>""") === "a")
+    assert(x("<pre>a</pre>") === "a")
+    assert(x("<param>p</param>q") === "pq") // 'param' is not the block 'p'
+    // whitespace chain: collapse, trim around breaks, squeeze, strip ends
+    assert(x("  <p>  a   b  </p>\t<p>c</p>  ") === "a b\nc")
+    assert(x("<p></p><p></p>text<p></p>") === "text")
+    // dangling '<' is tag junk through end-of-input
+    assert(x("keep<") === "keep")
+
+    // DataFrame + codegen path, null passthrough, SQL surface
+    val df = Seq((1L, Some("<h1>T</h1><p>body &amp; soul</p>")), (2L, None))
+      .toDF("id", "html")
+      .select($"id", TextAnalysis.htmlToText($"html").as("t"))
+      .orderBy($"id").collect()
+    assert(df(0).getString(1) === "T\nbody & soul")
+    assert(df(1).isNullAt(1))
+    TopnFunctions.register(spark)
+    assert(spark.sql("SELECT html_to_text('<p>a</p><p>b</p>') AS t")
+      .head.getString(0) === "a\nb")
+    val eH = intercept[Exception](
+      spark.sql("SELECT html_to_text(42)").collect())
+    assert(eH.getMessage.contains("html_to_text requires STRING"))
+    // composes with the line-boilerplate front door: extraction output is
+    // one line per block, exactly what explodeLines consumes
+    val lines = graft.pipeline.Lines.explodeLines(
+      Seq((7L, "<h1>Head</h1><p>para one</p><div>footer</div>"))
+        .toDF("doc_id", "html")
+        .select($"doc_id", TextAnalysis.htmlToText($"html").as("text")),
+      "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(lines === Set((7L, 0, "Head"), (7L, 1, "para one"), (7L, 2, "footer")))
+  }
+
   test("incremental fingerprint pairs == batch pairs restricted to new ids; CC chain closes") {
     // random 64-bit fingerprints; every id % 3 == 1 is a near-twin of the
     // previous id (1-3 bits flipped), so pairs exist inside the store,

@@ -249,6 +249,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window") && !p.contains("SinglePartition"))
   }
 
+  test("html_extract is a shuffle-free codegen'd projection") {
+    val p = plan("html_extract")
+    val exchanges = p.linesIterator.count(_.matches(".*\\(\\d+\\) Exchange.*"))
+    assert(exchanges <= 1, s"expected only the ORDER BY exchange, got $exchanges")
+    assert(!p.contains("Join") && !p.contains("Generate"),
+      "extraction must be a flat scan->project plan")
+    assert(p.contains("html_to_text"), "the codegen'd expression must appear")
+  }
+
   test("exact_substr_rewrite: hash-partitioned window, doc-keyed rebuild join only") {
     val p = plan("exact_substr_rewrite")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
