@@ -26,6 +26,13 @@ object SparkEntry {
   // quality_classifier hyperparameters — shared with the generated oracle
   private val ClsBuckets = 4096
   private val ClsIters = 3
+  // FixedLog2 oracle CTE chains (deterministic IEEE-only log2, replayed
+  // op-for-op): per-feature for dsir_weights, per-query-term for
+  // bm25_search — generated from the kernel's own constants
+  private val dsirLogStages =
+    graft.expressions.FixedLog2.sqlCtes("dl", "rat", "x", Seq("f"))
+  private val bmLogStages =
+    graft.expressions.FixedLog2.sqlCtes("bl", "terms", "x", Seq("ti"))
   private val ClsEtaNum = 1L
   private val ClsEtaDen = 256L
   // hashed_embedding dimensionality — shared with the generated oracle
@@ -2002,7 +2009,8 @@ object SparkEntry {
 
     // exact-integer counts feed one LN() per hashed feature bucket; the
     // 1e-6 floor lands BEFORE the per-doc sum, which is therefore an
-    // order-independent integer sum (ln() last-ulp caveat: Dsir.scala doc).
+    // order-independent integer sum; the log2 is the FixedLog2 IEEE-only
+    // recurrence, replayed below as its unrolled CTE chain — no libm.
     // The bucket expression is generated from the same constants as the
     // Spark plan (Dsir.featureBucketSql), smoothing V is the fixed bucket
     // count — the paper's hashed feature space, bounded at any vocabulary.
@@ -2020,12 +2028,13 @@ object SparkEntry {
         |               CAST(SUM(c_target) AS BIGINT) AS n_target,
         |               $DsirBuckets AS v
         |        FROM ws),
-        |lr AS (SELECT f,
-        |              CAST(FLOOR(1000000.0 * LN(
-        |                ((CAST(c_target AS DOUBLE) + 1.0) * (CAST(n_raw AS DOUBLE) + CAST(v AS DOUBLE)))
-        |                / ((CAST(c_raw AS DOUBLE) + 1.0) * (CAST(n_target AS DOUBLE) + CAST(v AS DOUBLE)))))
-        |               AS BIGINT) AS lr_e6
-        |       FROM ws CROSS JOIN tot)
+        |rat AS (SELECT f,
+        |          ((CAST(c_target AS DOUBLE) + 1.0) * (CAST(n_raw AS DOUBLE) + CAST(v AS DOUBLE)))
+        |          / ((CAST(c_raw AS DOUBLE) + 1.0) * (CAST(n_target AS DOUBLE) + CAST(v AS DOUBLE))) AS x
+        |        FROM ws CROSS JOIN tot),
+        |${dsirLogStages._1},
+        |lr AS (SELECT f, CAST(FLOOR(1000000.0 * lg) AS BIGINT) AS lr_e6
+        |       FROM ${dsirLogStages._2})
         |SELECT e.doc_id,
         |       MAX(e.is_target) AS is_target,
         |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
@@ -2038,8 +2047,8 @@ object SparkEntry {
     // — double(1.2)+1.0 != double(2.2), so writing 2.2 would diverge.
     // Term order in the sum is fixed left-to-right in both engines.
     "bm25_search" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      s"""WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
         |base AS (
         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
         |         CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT) AS tf0,
@@ -2051,16 +2060,24 @@ object SparkEntry {
         |              SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
         |              SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
         |       FROM base),
+        |terms AS (
+        |  SELECT 0 AS ti, 1.0 + (CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5) AS x FROM st
+        |  UNION ALL
+        |  SELECT 1 AS ti, 1.0 + (CAST(n_docs AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5) AS x FROM st
+        |  UNION ALL
+        |  SELECT 2 AS ti, 1.0 + (CAST(n_docs AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5) AS x FROM st),
+        |${bmLogStages._1},
+        |idf AS (SELECT ti, lg FROM ${bmLogStages._2}),
         |sc AS (
         |  SELECT doc_id, n_tokens,
         |    CAST(FLOOR(1000000.0 * (
-        |      LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+        |      (SELECT lg FROM idf WHERE ti = 0)
         |        * ((CAST(tf0 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf0 AS DOUBLE)
         |            + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(n_tokens AS DOUBLE) / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
-        |      + LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+        |      + (SELECT lg FROM idf WHERE ti = 1)
         |        * ((CAST(tf1 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf1 AS DOUBLE)
         |            + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(n_tokens AS DOUBLE) / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
-        |      + LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+        |      + (SELECT lg FROM idf WHERE ti = 2)
         |        * ((CAST(tf2 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf2 AS DOUBLE)
         |            + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(n_tokens AS DOUBLE) / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
         |      )) AS BIGINT) AS score_e6

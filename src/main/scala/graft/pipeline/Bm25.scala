@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 /**
  * BM25 ranked retrieval over a document corpus (Robertson & Zaragoza 2009,
  * "The Probabilistic Relevance Framework: BM25 and Beyond"), with the
- * non-negative idf variant Lucene uses: idf(t) = ln(1 + (N - df + 0.5) /
- * (df + 0.5)). The workhorse relevance score for corpus exploration and
- * retrieval-style curation ("find the documents most about X").
+ * non-negative idf variant Lucene uses, in BASE-2 units:
+ * idf(t) = log2(1 + (N - df + 0.5) / (df + 0.5)) — a uniform 1/ln2
+ * rescale of the ln spelling, so rankings are identical. The workhorse
+ * relevance score for corpus exploration and retrieval-style curation
+ * ("find the documents most about X").
  *
  * Scale shape (100 TB): the query term list is a small literal, so term
  * frequencies are per-row array expressions — no explode, no inverted
@@ -22,12 +24,11 @@ import org.apache.spark.sql.functions._
  *
  * Determinism: tf/df/N are exact integers; the score is fixed IEEE
  * arithmetic over them with a fixed left-to-right term order, floored to
- * 1e-6 fixed point. Ties break by doc_id. Cross-engine caveat: the idf
- * ln() is a transcendental, not a correctly-rounded IEEE op — another
- * libm may differ in the last ulp and flip the floor on a knife-edge
- * score. Exact and stable on any one platform; near-exact across
- * platforms ([[LanguageModel]] shows the rational-arithmetic restructuring
- * when bit-identical cross-engine replay is a hard requirement).
+ * 1e-6 fixed point; the idf log2 is [[graft.expressions.FixedLog2]] —
+ * the IEEE-only recurrence, bit-identical on every platform and replayed
+ * op-for-op by the oracle — so NO transcendental appears anywhere in the
+ * floored score (the [[LanguageModel]] doctrine; no libm, no
+ * cross-platform caveat). Ties break by doc_id.
  */
 object Bm25 {
 
@@ -66,7 +67,7 @@ object Bm25 {
     val avgLen = scored("sum_len").cast("double") / scored("n_docs").cast("double")
     val lenNorm = lit(k1) * (lit(1.0 - b) + lit(b) * ($"n_tokens".cast("double") / avgLen))
     val score = terms.zipWithIndex.map { case (t, i) =>
-      val idf = log(lit(1.0) +
+      val idf = Dsir.fixedLog2(lit(1.0) +
         (scored("n_docs").cast("double") - scored(s"df_$i").cast("double") + lit(0.5)) /
           (scored(s"df_$i").cast("double") + lit(0.5)))
       val tfD = tf(t).cast("double")

@@ -29,8 +29,8 @@ import org.apache.spark.storage.StorageLevel
  *    bit-identical across engines and shuffle schedules — the DuckDB
  *    oracle replays TRAINING, not just scoring. This is the
  *    rational-arithmetic doctrine of [[LanguageModel]] applied to a
- *    trainable model (BM25/DSIR's ln() last-ulp caveat does not apply:
- *    there is no ln()).
+ *    trainable model (no transcendental anywhere; BM25/DSIR get the same
+ *    guarantee from [[graft.expressions.FixedLog2]]).
  *
  * Update rule, per iteration over documents d and features f:
  *

@@ -26,10 +26,10 @@ import org.apache.spark.sql.functions._
  *    size at runtime.
  *
  * Per-document weight: sum over token OCCURRENCES of the per-feature
- * log-likelihood ratio
+ * log-likelihood ratio, in BASE-2 units:
  *
- *   lr(f) = ln( ((c_target(f)+1) * (N_raw + V)) /
- *               ((c_raw(f)+1)    * (N_target + V)) )
+ *   lr(f) = log2( ((c_target(f)+1) * (N_raw + V)) /
+ *                 ((c_r(f)+1)      * (N_target + V)) )
  *
  * with c_* the feature counts in each slice, N_* the slice token totals,
  * and V the smoothing vocabulary: the observed distinct-feature count for
@@ -38,17 +38,18 @@ import org.apache.spark.sql.functions._
  * is a subset of raw, so one smoothing vocabulary serves both. An empty
  * target slice is tolerated: every ratio degrades to the same well-defined
  * negative constant family (c_target=0, N_target=0), uniformly
- * down-weighting everything rather than failing.
+ * down-weighting everything rather than failing. Base-2 instead of the
+ * paper's natural log is a uniform 1/ln2 rescale of every weight —
+ * rank-identical selection.
  *
  * Determinism: each per-feature ratio is floored to 1e-6 fixed point
  * BEFORE the per-doc sum, so the aggregate is an order-independent integer
- * sum — stable across shuffle schedules and partitionings. Cross-engine
- * caveat: the single ln() per feature is a transcendental, not a
- * correctly-rounded IEEE op, so another libm may differ in the last ulp
- * and flip a floor on a knife-edge ratio; exact on any one platform,
- * near-exact across platforms (see [[LanguageModel]] for the
- * rational-arithmetic alternative when bit-identical cross-engine replay
- * is a requirement).
+ * sum — stable across shuffle schedules and partitionings. The log itself
+ * is [[graft.expressions.FixedLog2]] — the square-and-compare recurrence
+ * in pure IEEE arithmetic, bit-identical on every platform and replayed
+ * op-for-op by the oracle's unrolled CTE chain — so there is NO
+ * transcendental anywhere in a floored, summed term (the [[LanguageModel]]
+ * doctrine; no libm, no cross-platform caveat).
  *
  * Scale shape (100 TB): two scans of the docs table (count, then score) —
  * the train-then-apply shape of [[LanguageModel]]. The feature-stats
@@ -74,6 +75,13 @@ object Dsir {
     require(numBuckets >= 2 && numBuckets <= (1 << 30),
       s"numBuckets must be in [2, 2^30], got $numBuckets")
     conv(substring(md5(token), 1, 15), 16, 10).cast("long") % numBuckets
+  }
+
+  /** [[graft.expressions.FixedLog2]] as a Column — the deterministic
+    * IEEE-only log2 shared by [[Dsir]] and [[Bm25]]. */
+  private[pipeline] def fixedLog2(x: Column): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(graft.expressions.FixedLog2(GraftShim.expression(x)))
   }
 
   /** The identical bucket computation as engine-neutral SQL over
@@ -148,17 +156,17 @@ object Dsir {
       .agg(sum($"c_raw").as("n_raw"), sum($"c_target").as("n_target"),
         fixedVocab.map(lit(_)).getOrElse(count(lit(1))).as("v"))
 
-    // Exact-integer inputs; one ln() per feature (cross-platform caveat in
-    // the object doc), and the 1e-6 floor happens per FEATURE so the
-    // doc-level sum is an order-independent integer sum.
+    // Exact-integer inputs; the per-feature log2 is the deterministic
+    // FixedLog2 recurrence (no libm), and the 1e-6 floor happens per
+    // FEATURE so the doc-level sum is an order-independent integer sum.
+    val ratio =
+      (($"c_target".cast("double") + lit(1.0)) *
+        ($"n_raw".cast("double") + $"v".cast("double"))) /
+        (($"c_raw".cast("double") + lit(1.0)) *
+          ($"n_target".cast("double") + $"v".cast("double")))
     val lr = featStats.crossJoin(broadcast(totals))
       .select($"f",
-        floor(lit(1e6) * log(
-          (($"c_target".cast("double") + lit(1.0)) *
-            ($"n_raw".cast("double") + $"v".cast("double"))) /
-            (($"c_raw".cast("double") + lit(1.0)) *
-              ($"n_target".cast("double") + $"v".cast("double")))))
-          .cast("long").as("lr_e6"))
+        floor(lit(1e6) * fixedLog2(ratio)).cast("long").as("lr_e6"))
 
     // keyed join, no broadcast hint: AQE picks the strategy from the lr
     // table's actual size (numBuckets rows hashed; vocab-sized raw)

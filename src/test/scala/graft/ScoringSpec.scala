@@ -254,7 +254,7 @@ class ScoringSpec extends AnyFunSuite {
     val nRaw = all.size.toLong
     val nTgt = all.count(_._2).toLong
     val v = cRaw.size.toLong
-    def lr(w: String): Long = math.floor(1e6 * math.log(
+    def lr(w: String): Long = math.floor(1e6 * graft.expressions.FixedLog2.log2(
       ((cTgt(w).toDouble + 1.0) * (nRaw.toDouble + v.toDouble)) /
         ((cRaw(w).toDouble + 1.0) * (nTgt.toDouble + v.toDouble)))).toLong
     docs.map { case (id, t, tgt) =>
@@ -313,7 +313,7 @@ class ScoringSpec extends AnyFunSuite {
     val nRaw = all.size.toLong
     val nTgt = all.count(_._2).toLong
     val v = numBuckets.toLong
-    def lr(f: Long): Long = math.floor(1e6 * math.log(
+    def lr(f: Long): Long = math.floor(1e6 * graft.expressions.FixedLog2.log2(
       ((cTgt(f).toDouble + 1.0) * (nRaw.toDouble + v.toDouble)) /
         ((cRaw(f).toDouble + 1.0) * (nTgt.toDouble + v.toDouble)))).toLong
     docs.map { case (id, t, tgt) =>
@@ -356,9 +356,9 @@ class ScoringSpec extends AnyFunSuite {
     // the corpus vocabulary maps into distinct buckets at this size, so
     // per-feature counts are identical and hashed vs raw weights differ
     // ONLY via the smoothing V (2^20 vs the observed vocab size): every
-    // per-token ratio shifts by the same constant K = ln((Nr+V)/(Nt+V)),
+    // per-token ratio shifts by the same constant K = log2((Nr+V)/(Nt+V)),
     // so per doc the two weights differ by n_tokens*K*1e6 up to ±1 floor
-    // jitter per token — an exact, checkable relationship
+    // jitter and ~1 fixed-log quantum per token — a checkable relationship
     val words = docs.flatMap(d => toks(d._2)).distinct
     assert(words.map(refBucket(_, b)).distinct.size === words.size,
       "test premise: no bucket collisions at 2^20")
@@ -366,13 +366,13 @@ class ScoringSpec extends AnyFunSuite {
     val all = docs.flatMap(d => toks(d._2).map(_ -> d._3))
     val nRaw = all.size.toDouble
     val nTgt = all.count(_._2).toDouble
-    def kOf(v: Double): Double = math.log((nRaw + v) / (nTgt + v))
+    def kOf(v: Double): Double = math.log((nRaw + v) / (nTgt + v)) / math.log(2.0)
     val deltaE6 = 1e6 * (kOf(words.size.toDouble) - kOf(b.toDouble))
     val rawW = runDsir(docs)
     val hashW = runDsirHashed(docs, b)
     for ((id, (_, n, wR)) <- rawW) {
       val wH = hashW(id)._3
-      assert(math.abs((wR - wH) - n * deltaE6) <= n.toDouble + 1.0,
+      assert(math.abs((wR - wH) - n * deltaE6) <= 2.0 * n.toDouble + 2.0,
         s"doc $id: raw $wR vs hashed $wH (n=$n, expected shift ${n * deltaE6})")
     }
   }
@@ -380,6 +380,51 @@ class ScoringSpec extends AnyFunSuite {
   test("featureBucket validates the bucket range") {
     intercept[IllegalArgumentException](Dsir.featureBucket(col("w"), 1))
     intercept[IllegalArgumentException](Dsir.featureBucketSql("w", 1))
+  }
+
+  // --- FixedLog2 (the deterministic log that replaced ln()) ---------------
+
+  test("FixedLog2 kernel: exact on powers of two, tracks log2, dyadic output") {
+    import graft.expressions.FixedLog2
+    assert(FixedLog2.log2(1.0) === 0.0)
+    assert(FixedLog2.log2(2.0) === 1.0)
+    assert(FixedLog2.log2(1024.0) === 10.0)
+    assert(FixedLog2.log2(0.25) === -2.0)
+    assert(FixedLog2.log2(math.pow(2, 100)) === 100.0)
+    assert(FixedLog2.log2(math.pow(2, -100)) === -100.0)
+    assert(FixedLog2.log2(0.0).isNaN && FixedLog2.log2(-3.0).isNaN)
+    assert(FixedLog2.log2(Double.NaN).isNaN)
+    val rnd = new scala.util.Random(5)
+    for (_ <- 1 to 2000) {
+      // ratios across the whole range the scorers produce
+      val x = math.exp(rnd.nextDouble() * 80.0 - 40.0)
+      val got = FixedLog2.log2(x)
+      val want = math.log(x) / math.log(2.0)
+      // truncation to 20 fraction bits (< 2^-20) plus squaring rounding
+      assert(got <= want + 1e-9 && want - got <= 1.1e-6, s"x=$x got=$got want=$want")
+      // the result is an exact dyadic with <= 20 fractional bits
+      val scaled = got * (1 << 20)
+      assert(scaled === math.rint(scaled), s"x=$x: $got is not 20-bit dyadic")
+    }
+  }
+
+  test("FixedLog2 SQL chain replays the kernel bit-for-bit") {
+    import graft.expressions.FixedLog2
+    val rnd = new scala.util.Random(17)
+    val xs = Seq(1.0, 2.0, 0.25, 1.5, 3.1415926, 1e-12, 1e12) ++
+      (1 to 50).map(_ => math.exp(rnd.nextDouble() * 60.0 - 30.0))
+    xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      .toDF("id", "x").createOrReplaceTempView("fixedlog_input")
+    val (stages, fin) = FixedLog2.sqlCtes("q", "src", "x", Seq("id"))
+    // Spark SQL executes the generated chain with the same IEEE ops the
+    // DuckDB oracle runs; equality with the kernel validates every stage
+    val got = spark.sql(
+      s"WITH src AS (SELECT id, x FROM fixedlog_input),\n$stages\n" +
+        s"SELECT id, lg FROM $fin")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    xs.zipWithIndex.foreach { case (x, i) =>
+      assert(got(i.toLong) === FixedLog2.log2(x), s"x=$x")
+    }
   }
 
   test("selectTopK keeps the k best raw docs, ties by doc_id, and validates k") {
@@ -408,7 +453,7 @@ class ScoringSpec extends AnyFunSuite {
     docs.map { case (id, d) =>
       val len = toks(d).size.toDouble
       val s = terms.zip(dfs).map { case (t, df) =>
-        val idf = math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+        val idf = graft.expressions.FixedLog2.log2(1.0 + (nDocs - df + 0.5) / (df + 0.5))
         val tf = toks(d).count(_ == t).toDouble
         idf * ((tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * (len / avg))))
       }.reduceLeft(_ + _)
