@@ -1151,6 +1151,21 @@ object SparkEntry {
       Clustering.incrementalUpdate(storeLabels,
         Dedup.incrementalFingerprintPairs(fresh, store, "doc_id", "fp", 3),
         "doc_a", "doc_b")
+    }),
+    // the production-vocabulary BPE tier end-to-end at real vocabulary
+    // size: the demo rules (which actually fire on text) padded to 50k
+    // with synthetic rules the rank-ordered worklist skips — most of a
+    // real 50k vocabulary never fires on any one document, so this IS
+    // the production cost shape. One plan node, one scan, one 1-row agg;
+    // the demo-vocabulary twin with its SQL-replayable literal chain is
+    // measured by `pack_bins_bpe`
+    "bpe_vocab_count_op" -> ((spark, dir) => {
+      import spark.implicits._
+      val merges = graft.pipeline.Bpe.DemoMerges ++
+        (0 until 50000).map(i => (s"Z$i", s"Q$i"))
+      tbl(spark, dir, "documents")
+        .select(graft.pipeline.Bpe.tokenCountVocab($"text", merges).as("n"))
+        .agg(sum($"n").as("total_bpe_tokens"))
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
