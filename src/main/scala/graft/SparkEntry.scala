@@ -1088,6 +1088,57 @@ object SparkEntry {
         numBuckets = ClsBuckets, iters = ClsIters,
         etaNum = ClsEtaNum, etaDen = ClsEtaDen)
         .orderBy($"doc_id")
+    }),
+
+    // THE PRODUCT IN ONE QUERY: the full daily-curation chain — bloom
+    // front door (exact dedup vs the reference corpus) -> near-dup
+    // candidates + CC keep-list within the batch -> decontamination vs a
+    // held-out benchmark slice -> Gopher rule gate -> trained-classifier
+    // scores -> CCNet head/middle/tail bucketing (tail cut) -> epoch
+    // upsampling (head 2x) -> budget-packed shards. Every stage is an
+    // operator with its own green oracle row; this chains their SQL
+    // spellings end to end, classifier TRAINING included. Planted
+    // re-keyed reference copies prove the front door fires; the rest of
+    // the knobs are the per-operator query defaults.
+    "pipeline_full_curation" -> ((spark, dir) => {
+      import spark.implicits._
+      import graft.pipeline._
+      val docs = tbl(spark, dir, "documents")
+      val ref = docs.filter($"doc_id" % 5 =!= 0)
+      val planted = ref.filter($"doc_id" % 7 === 1)
+        .select((-$"doc_id" - 1L).as("doc_id"), $"text", $"lang")
+      val incoming = docs.filter($"doc_id" % 5 === 0)
+        .select($"doc_id", $"text", $"lang").unionByName(planted)
+      val fresh = Dedup.crossCorpusDedup(incoming, ref, "doc_id", "text",
+        expectedRefItems = 10000L, fpp = 0.03).drop("fingerprint")
+      val labels = Clustering.connectedComponents(
+        Dedup.minhashLshPairs(fresh, "doc_id", "text", threshold = 0.5),
+        "doc_a", "doc_b")
+      val kept = fresh.join(labels, Seq("doc_id"), "left")
+        .filter($"cluster_id".isNull || $"cluster_id" === $"doc_id")
+        .drop("cluster_id")
+      val bench = docs.filter($"doc_id" % 31 === 4).select($"doc_id", $"text")
+      val decon = Dedup.removeContaminated(kept, bench, "doc_id", "text",
+        n = 3, maxSharedShingles = 20L)
+      val gophered = Quality.gopherFilter(decon, "doc_id", "text",
+        minWords = 20L, maxWords = 100000L, stopWords = QualityProbeWords)
+      val scored = Classifier.trainScores(gophered, "doc_id", "text",
+        $"lang" === "en", numBuckets = ClsBuckets, iters = ClsIters,
+        etaNum = ClsEtaNum, etaDen = ClsEtaDen)
+      val bucketed = Selection.assignFractionBuckets(
+        gophered.join(scored.select($"doc_id", $"score_e6"), "doc_id"),
+        "doc_id", "score_e6", headPct = 30, middlePct = 40)
+        .filter($"bucket" =!= "tail")
+      val upsampled = Sampling.upsampleCorpus(
+        bucketed.select($"doc_id", $"bucket", $"text"),
+        "doc_id", "bucket", Map("head" -> 200, "middle" -> 100), defaultPct = 0)
+      val weighted = upsampled.select(
+        ($"doc_id" * 4 + $"copy_id").as("uid"), $"doc_id",
+        $"copy_id".cast("long").as("copy_id"),
+        TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
+      Sampling.packByBudget(weighted, "uid", "n_tokens", budget = 2048L)
+        .select($"doc_id", $"copy_id", $"n_tokens", $"bin")
+        .orderBy($"doc_id", $"copy_id")
     })
   )
 
@@ -2163,6 +2214,125 @@ object SparkEntry {
     // throughout, so the hash match covers training, not just scoring
     "quality_classifier" ->
       graft.pipeline.Classifier.classifierSql(
-        "lang = 'en'", ClsBuckets, ClsIters, ClsEtaNum, ClsEtaDen)
+        "lang = 'en'", ClsBuckets, ClsIters, ClsEtaNum, ClsEtaDen),
+
+    // the whole curation chain, stage by stage in the same order as the
+    // Spark plan: each block is the (already individually green) oracle
+    // spelling of its operator, re-sourced from the previous stage —
+    // fingerprint anti join, exact-Jaccard pairs + recursive closure,
+    // shared-trigram decontamination, Gopher integer rules, the embedded
+    // K-iteration classifier training replay (classifierCtes), the
+    // ROW_NUMBER spelling of the exact fraction thresholds, epoch
+    // replication, and the running-sum bin assignment
+    "pipeline_full_curation" -> {
+      val (clsCtes, clsOut) = graft.pipeline.Classifier.classifierCtes(
+        "gq", "lang = 'en'", ClsBuckets, ClsIters, ClsEtaNum, ClsEtaDen, prefix = "pc")
+      s"""WITH RECURSIVE fp0 AS (
+        |  SELECT doc_id, text, lang,
+        |         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS f
+        |  FROM documents),
+        |refd AS (SELECT doc_id, text, lang, f FROM fp0 WHERE doc_id % 5 <> 0),
+        |pl AS (SELECT -doc_id - 1 AS doc_id, text, lang, f FROM refd WHERE doc_id % 7 = 1),
+        |inc AS (SELECT doc_id, text, lang, f FROM fp0 WHERE doc_id % 5 = 0
+        |        UNION ALL SELECT doc_id, text, lang, f FROM pl),
+        |fresh AS (SELECT doc_id, text, lang FROM inc i
+        |          WHERE NOT EXISTS (SELECT 1 FROM refd r WHERE r.f = i.f)),
+        |jt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM fresh),
+        |jsh AS (SELECT doc_id,
+        |          CASE WHEN len(toks) >= 3
+        |               THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |               ELSE [] END AS shingles
+        |        FROM jt),
+        |jex AS (SELECT doc_id, unnest(shingles) AS s FROM jsh),
+        |jshared AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS ns
+        |            FROM jex x JOIN jex y ON x.s = y.s AND x.doc_id < y.doc_id
+        |            GROUP BY 1, 2),
+        |jsz AS (SELECT doc_id, len(shingles) AS n FROM jsh),
+        |jpairs AS (SELECT a AS u, b AS v
+        |           FROM jshared JOIN jsz za ON jshared.a = za.doc_id
+        |                        JOIN jsz zb ON jshared.b = zb.doc_id
+        |           WHERE CAST(ns AS DOUBLE) / CAST(za.n + zb.n - ns AS DOUBLE) >= 0.5),
+        |jsym AS (SELECT u, v FROM jpairs UNION SELECT v, u FROM jpairs),
+        |jreach AS (SELECT u, v FROM jsym
+        |           UNION SELECT r.u, s2.v FROM jreach r JOIN jsym s2 ON r.v = s2.u),
+        |jlab AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM jreach GROUP BY u),
+        |keepd AS (SELECT fr.doc_id, fr.text, fr.lang
+        |          FROM fresh fr LEFT JOIN jlab l ON fr.doc_id = l.doc_id
+        |          WHERE l.cluster_id IS NULL OR l.cluster_id = fr.doc_id),
+        |bt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        |       FROM documents WHERE doc_id % 31 = 4),
+        |bsh AS (SELECT doc_id,
+        |          CASE WHEN len(toks) >= 3
+        |               THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |               ELSE [] END AS shingles
+        |        FROM bt),
+        |bex AS (SELECT DISTINCT unnest(shingles) AS s FROM bsh),
+        |kt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM keepd),
+        |ksh AS (SELECT doc_id,
+        |          CASE WHEN len(toks) >= 3
+        |               THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |               ELSE [] END AS shingles
+        |        FROM kt),
+        |kex AS (SELECT doc_id, unnest(shingles) AS s FROM ksh),
+        |flagged AS (SELECT kex.doc_id FROM kex JOIN bex ON kex.s = bex.s
+        |            GROUP BY 1 HAVING COUNT(DISTINCT kex.s) > 20),
+        |decon AS (SELECT k.doc_id, k.text, k.lang FROM keepd k
+        |          WHERE k.doc_id NOT IN (SELECT doc_id FROM flagged)),
+        |gt AS (SELECT doc_id, text, lang,
+        |              regexp_split_to_array(trim(text), '\\s+') AS toks,
+        |              regexp_split_to_array(text, '\\n') AS lns
+        |       FROM decon),
+        |gf AS (SELECT doc_id, text, lang,
+        |         CAST(len(toks) AS BIGINT) AS n_words,
+        |         CAST(COALESCE(list_sum(list_transform(toks, w -> length(w))), 0) AS BIGINT) AS sum_word_len,
+        |         CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+        |         CAST(len(lns) AS BIGINT) AS n_lines,
+        |         CAST(len(list_filter(lns, l -> starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* '))) AS BIGINT) AS bullet_lines,
+        |         CAST(len(list_filter(lns, l -> ends_with(rtrim(l), '...'))) AS BIGINT) AS ellipsis_lines,
+        |         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hash_marks,
+        |         CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS ellipses,
+        |         CAST(len(list_intersect(list_distinct(list_transform(toks, w -> lower(w))),
+        |              [${QualityProbeWords.map(w => s"'$w'").mkString(", ")}])) AS BIGINT) AS stop_hits
+        |       FROM gt),
+        |gq AS (SELECT doc_id, text, lang FROM gf
+        |       WHERE n_words >= 20 AND n_words <= 100000
+        |         AND sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words
+        |         AND 10 * bullet_lines <= 9 * n_lines
+        |         AND 10 * ellipsis_lines <= 3 * n_lines
+        |         AND 10 * (hash_marks + ellipses) <= n_words
+        |         AND 5 * alpha_words >= 4 * n_words
+        |         AND stop_hits >= 2),
+        |$clsCtes,
+        |rk AS (SELECT q.doc_id, q.text, s.score_e6,
+        |              ROW_NUMBER() OVER (ORDER BY s.score_e6 DESC, q.doc_id) AS rnk,
+        |              COUNT(*) OVER () AS n
+        |       FROM gq q JOIN $clsOut s ON q.doc_id = s.doc_id),
+        |bucketed AS (SELECT doc_id, text,
+        |               CASE WHEN rnk <= (30 * n + 99) // 100 THEN 'head'
+        |                    WHEN rnk <= (70 * n + 99) // 100 THEN 'middle'
+        |                    ELSE 'tail' END AS bucket
+        |             FROM rk),
+        |up AS (SELECT doc_id, text,
+        |              CASE bucket WHEN 'head' THEN 200 WHEN 'middle' THEN 100 ELSE 0 END AS pct
+        |       FROM bucketed WHERE bucket <> 'tail'),
+        |upr AS (SELECT doc_id, text, pct // 100 AS whole, pct % 100 AS frac FROM up),
+        |upe AS (SELECT doc_id, text, whole, frac,
+        |               UNNEST(range(0, whole + CASE WHEN frac > 0 THEN 1 ELSE 0 END)) AS copy_id
+        |        FROM upr),
+        |ups AS (SELECT doc_id, text, CAST(copy_id AS BIGINT) AS copy_id FROM upe
+        |        WHERE copy_id < whole
+        |           OR ${graft.pipeline.Sampling.portableBucketSql("doc_id")} < frac),
+        |pw AS (SELECT doc_id, copy_id, doc_id * 4 + copy_id AS uid,
+        |              CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        |       FROM ups),
+        |pc2 AS (SELECT doc_id, copy_id, n_tokens,
+        |              CAST(SUM(n_tokens) OVER (ORDER BY uid ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        |       FROM pw)
+        |SELECT doc_id, copy_id, n_tokens, (run - n_tokens) // 2048 AS bin
+        |FROM pc2 ORDER BY doc_id, copy_id""".stripMargin
+    }
   )
 }

@@ -347,50 +347,72 @@ object Classifier {
       iters: Int = 3,
       etaNum: Long = 1L,
       etaDen: Long = 256L): String = {
+    val (ctes, fin) = classifierCtes("documents", targetExpr, numBuckets,
+      iters, etaNum, etaDen)
+    s"WITH $ctes\nSELECT doc_id, is_target, score_e6 FROM $fin ORDER BY doc_id"
+  }
+
+  /**
+   * The same engine-neutral training + scoring replay as CTE STAGES over
+   * an arbitrary source relation `src` (any CTE/table with `doc_id` and
+   * `text` columns), so a larger statement — the end-to-end curation
+   * oracle — can embed a full training run mid-chain. Returns
+   * (ctesString, finalCteName); the final CTE yields (doc_id, is_target,
+   * score_e6). `prefix` namespaces every CTE name.
+   */
+  def classifierCtes(
+      src: String,
+      targetExpr: String,
+      numBuckets: Int = 1 << 12,
+      iters: Int = 3,
+      etaNum: Long = 1L,
+      etaDen: Long = 256L,
+      prefix: String = "c"): (String, String) = {
     requireEta(iters, etaNum, etaDen)
     val bucket = Dsir.featureBucketSql("w", numBuckets)
+    val p = prefix
     val header =
-      s"""WITH t AS (
+      s"""${p}t AS (
          |  SELECT doc_id, ($targetExpr) AS is_target,
-         |         regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
-         |lab AS (SELECT doc_id, is_target,
-         |               CASE WHEN is_target THEN 1000000 ELSE 0 END AS y_e6 FROM t),
-         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM lab),
-         |exw AS (SELECT DISTINCT doc_id, $bucket AS f
-         |        FROM (SELECT doc_id, unnest(toks) AS w FROM t)),
-         |ex AS (SELECT doc_id, f FROM exw
-         |       UNION ALL SELECT doc_id, CAST($BiasFeature AS BIGINT) AS f FROM t)""".stripMargin
+         |         regexp_split_to_array(trim(text), '\\s+') AS toks FROM $src),
+         |${p}lab AS (SELECT doc_id, is_target,
+         |               CASE WHEN is_target THEN 1000000 ELSE 0 END AS y_e6 FROM ${p}t),
+         |${p}n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM ${p}lab),
+         |${p}exw AS (SELECT DISTINCT doc_id, $bucket AS f
+         |        FROM (SELECT doc_id, unnest(toks) AS w FROM ${p}t)),
+         |${p}ex AS (SELECT doc_id, f FROM ${p}exw
+         |       UNION ALL SELECT doc_id, CAST($BiasFeature AS BIGINT) AS f FROM ${p}t)""".stripMargin
     val iterations = (1 to iters).map { k =>
       val resid =
         if (k == 1)
-          s"""r$k AS (SELECT doc_id,
-             |        GREATEST(-$ClampE6, LEAST($ClampE6, 0 - y_e6)) AS r_e6 FROM lab)""".stripMargin
+          s"""${p}r$k AS (SELECT doc_id,
+             |        GREATEST(-$ClampE6, LEAST($ClampE6, 0 - y_e6)) AS r_e6 FROM ${p}lab)""".stripMargin
         else
-          s"""y$k AS (SELECT e.doc_id, CAST(SUM(w.w_e6) AS BIGINT) AS yhat_e6
-             |       FROM ex e JOIN w${k - 1} w USING (f) GROUP BY 1),
-             |r$k AS (SELECT l.doc_id,
+          s"""${p}y$k AS (SELECT e.doc_id, CAST(SUM(w.w_e6) AS BIGINT) AS yhat_e6
+             |       FROM ${p}ex e JOIN ${p}w${k - 1} w USING (f) GROUP BY 1),
+             |${p}r$k AS (SELECT l.doc_id,
              |        GREATEST(-$ClampE6, LEAST($ClampE6, y.yhat_e6 - l.y_e6)) AS r_e6
-             |        FROM lab l JOIN y$k y USING (doc_id))""".stripMargin
+             |        FROM ${p}lab l JOIN ${p}y$k y USING (doc_id))""".stripMargin
       val update =
         if (k == 1)
-          s"""w$k AS (SELECT f, CAST(0 - ${floorDivSql(s"$etaNum * g_e12", s"${etaDen}000000")} AS BIGINT) AS w_e6
-             |       FROM g$k)""".stripMargin
+          s"""${p}w$k AS (SELECT f, CAST(0 - ${floorDivSql(s"$etaNum * g_e12", s"${etaDen}000000")} AS BIGINT) AS w_e6
+             |       FROM ${p}g$k)""".stripMargin
         else
-          s"""w$k AS (SELECT g.f,
+          s"""${p}w$k AS (SELECT g.f,
              |        CAST(COALESCE(w.w_e6, 0) - ${floorDivSql(s"$etaNum * g.g_e12", s"${etaDen}000000")} AS BIGINT) AS w_e6
-             |        FROM g$k g LEFT JOIN w${k - 1} w USING (f))""".stripMargin
+             |        FROM ${p}g$k g LEFT JOIN ${p}w${k - 1} w USING (f))""".stripMargin
       s"""$resid,
-         |gc$k AS (SELECT doc_id, ${floorDivSql("r_e6 * 1000000", "n_docs")} AS gc_e12
-         |        FROM r$k CROSS JOIN n),
-         |g$k AS (SELECT e.f, CAST(SUM(gc.gc_e12) AS BIGINT) AS g_e12
-         |       FROM ex e JOIN gc$k gc USING (doc_id) GROUP BY 1),
+         |${p}gc$k AS (SELECT doc_id, ${floorDivSql("r_e6 * 1000000", "n_docs")} AS gc_e12
+         |        FROM ${p}r$k CROSS JOIN ${p}n),
+         |${p}g$k AS (SELECT e.f, CAST(SUM(gc.gc_e12) AS BIGINT) AS g_e12
+         |       FROM ${p}ex e JOIN ${p}gc$k gc USING (doc_id) GROUP BY 1),
          |$update""".stripMargin
     }.mkString(",\n")
     val footer =
-      s"""sc AS (SELECT e.doc_id, CAST(SUM(w.w_e6) AS BIGINT) AS score_e6
-         |       FROM ex e JOIN w$iters w USING (f) GROUP BY 1)
-         |SELECT l.doc_id, l.is_target, sc.score_e6
-         |FROM lab l JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin
-    s"$header,\n$iterations,\n$footer"
+      s"""${p}sc AS (SELECT e.doc_id, CAST(SUM(w.w_e6) AS BIGINT) AS score_e6
+         |       FROM ${p}ex e JOIN ${p}w$iters w USING (f) GROUP BY 1),
+         |${p}out AS (SELECT l.doc_id, l.is_target, sc.score_e6
+         |       FROM ${p}lab l JOIN ${p}sc sc USING (doc_id))""".stripMargin
+    (s"$header,\n$iterations,\n$footer", s"${p}out")
   }
 }
