@@ -363,6 +363,100 @@ object Dedup {
   }
 
   /**
+   * Prepared MinHash store rows — the persisted form of a document for
+   * the banded-MinHash ingest loop: one row per doc carrying its LSH
+   * band keys (the blocking state) AND its distinct shingle set (the
+   * exact-verification state), computed ONCE when the doc first arrives.
+   * This is the [[incrementalFingerprintPairs]] fingerprint-store
+   * pattern with band keys in place of pigeonhole chunks: the streaming
+   * path appends each deduplicated batch's rows to the store and never
+   * re-tokenizes old documents. Output: (doc_id, shingles, bands) with
+   * `bands` an array of (band, bh) structs; docs with no shingles
+   * (< n tokens) are absent, mirroring [[minhashLshPairs]].
+   */
+  def minhashStoreRows(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      n: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    docs
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.wordShingles(col(textCol), n).as("shingles"))
+      .filter(size($"shingles") > 0)
+      .select($"doc_id", $"shingles",
+        TextAnalysis.bindOnce(minhashSignature($"shingles", numHashes, seed)) { s =>
+          array((0 until bands).map { b =>
+            struct(lit(b).as("band"),
+              xxhash64(slice(s, b * rowsPerBand + 1, rowsPerBand)).as("bh"))
+          }: _*)
+        }.as("bands"))
+  }
+
+  /**
+   * DAILY-INGEST banded-MinHash near-dup pairs: exact-Jaccard pairs at
+   * `>= threshold` between a NEW batch of [[minhashStoreRows]] and the
+   * persisted store — plus new-vs-new — with old-vs-old never
+   * recomputed. The streaming counterpart of [[minhashLshPairs]] the way
+   * [[incrementalFingerprintPairs]] is of [[fingerprintPairs]]: run it
+   * per micro-batch (foreachBatch), feed the pairs to
+   * [[graft.streaming.TopnStreaming.clusterBatch]], append the batch's
+   * rows to the store, and the stream maintains exactly the clusters the
+   * batch operator would compute over everything seen — StreamingSpec
+   * pins emitted pairs == `minhashLshPairs(store ∪ new)` restricted to
+   * pairs touching a new id, each pair exactly once across the stream's
+   * lifetime.
+   *
+   * Scale shape: the candidate step is an EQUI-JOIN of the new side's
+   * band keys against both sides' keys — work scales with |new| × band
+   * bucket occupancy, not |store|²; the store is never re-tokenized or
+   * re-hashed (its rows carry bands + shingles from ingest time). The
+   * verify join fetches only candidate docs' shingle sets by id. Ids
+   * must be globally unique across both frames.
+   */
+  def incrementalMinhashPairs(
+      newRows: DataFrame,
+      storeRows: DataFrame,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val newTagged = newRows
+      .select($"doc_id", $"shingles", $"bands", lit(true).as("is_new"))
+    val allTagged = storeRows
+      .select($"doc_id", $"shingles", $"bands", lit(false).as("is_new"))
+      .unionByName(newTagged)
+    def blocked(df: DataFrame, p: String) = df
+      .select(col("doc_id").as(s"${p}_id"), col("is_new").as(s"${p}_new"),
+        explode(col("bands")).as("bk"))
+      .select(col(s"${p}_id"), col(s"${p}_new"),
+        $"bk.band".as("band"), $"bk.bh".as("bh"))
+    // each unordered pair once: vs the store always (store ids are never
+    // on the left), among the new batch only in id order
+    val candidates = blocked(newTagged, "a")
+      .join(blocked(allTagged, "b"), Seq("band", "bh"))
+      .filter((!col("b_new") && col("a_id") =!= col("b_id")) ||
+        (col("b_new") && col("a_id") < col("b_id")))
+      .select(least($"a_id", $"b_id").as("doc_a"),
+        greatest($"a_id", $"b_id").as("doc_b"))
+      .distinct()
+    // exact-Jaccard verification of candidates only, sets fetched by id
+    val sets = allTagged.select($"doc_id", $"shingles")
+    candidates
+      .join(sets.select($"doc_id".as("doc_a"), $"shingles".as("sh_a")), "doc_a")
+      .join(sets.select($"doc_id".as("doc_b"), $"shingles".as("sh_b")), "doc_b")
+      .withColumn("n_shared", size(array_intersect($"sh_a", $"sh_b")))
+      .withColumn("jaccard",
+        $"n_shared".cast("double") /
+          (size($"sh_a") + size($"sh_b") - $"n_shared").cast("double"))
+      .filter($"jaccard" >= threshold)
+      .select($"doc_a", $"doc_b", $"jaccard")
+  }
+
+  /**
    * Test-set decontamination check: for every training document, count the
    * distinct word-n-gram shingles it shares with ANY held-out/test document
    * (and how many distinct test docs it collides with). Standard LLM

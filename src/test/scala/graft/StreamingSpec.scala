@@ -562,6 +562,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty, "fixture must produce pairs")
   }
 
+  test("streaming banded-MinHash ingest reproduces batch minhashLshPairs and its clustering") {
+    // the Jaccard-semantics streaming tier: per day, band keys of the new
+    // batch equi-join the persisted store (band keys as state — the
+    // fingerprint-store pattern), exact-Jaccard verification on
+    // candidates only; pairs across all days must equal the batch
+    // operator over the whole corpus, each pair exactly once, and the
+    // incremental clustering must converge to batch CC over those pairs
+    import graft.pipeline.{Clustering, Dedup}
+    val labels = java.nio.file.Files.createTempDirectory("graft_mh_lbl").toString + "/t"
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_mh_store").toString + "/mh"
+
+    val rnd = new scala.util.Random(37)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val texts = scala.collection.mutable.LinkedHashMap[Long, String]()
+    (0L until 60L).foreach { id =>
+      texts(id) =
+        if (id % 4 == 1) {
+          // near-dup twin: one token of the previous doc mutated
+          val t = texts(id - 1).split(" ")
+          val k = rnd.nextInt(t.length)
+          (t.take(k) ++ Seq(s"mut$id") ++ t.drop(k + 1)).mkString(" ")
+        } else (0 until 12 + rnd.nextInt(8))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val all = texts.toSeq.toDF("doc_id", "text").cache()
+
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    (0 until 3).foreach { day =>
+      val batchRows = Dedup.minhashStoreRows(
+        all.filter($"doc_id" >= day * 20L && $"doc_id" < (day + 1) * 20L),
+        "doc_id", "text")
+      val store =
+        if (day == 0) Dedup.minhashStoreRows(all.limit(0), "doc_id", "text")
+        else spark.read.parquet(storeDir)
+      val pairs = Dedup.incrementalMinhashPairs(batchRows, store, threshold = 0.5)
+      got ++= pairs.select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+      TopnStreaming.clusterBatch(pairs, day.toLong, labels,
+        "doc_a", "doc_b", scope = "minhash-ingest-test")
+      batchRows.write.mode(if (day == 0) "overwrite" else "append").parquet(storeDir)
+    }
+
+    val want = Dedup.minhashLshPairs(all, "doc_id", "text", threshold = 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty, "fixture must produce near-dup pairs")
+    assert(got.toSet === want,
+      "cross-batch collisions must equal the batch operator's pairs")
+    assert(got.size === got.toSet.size, "each pair must be emitted exactly once")
+    val committed = TopnStreaming.committedClusters(spark, labels)
+      .as[(Long, Long)].collect().toMap
+    val batchCc = Clustering.connectedComponents(
+      Dedup.minhashLshPairs(all, "doc_id", "text", threshold = 0.5),
+      "doc_a", "doc_b").as[(Long, Long)].collect().toMap
+    assert(committed === batchCc,
+      "three incremental days must converge to the batch minhash labeling")
+  }
+
   test("cluster commits rewrite only touched buckets; untouched files stay byte-identical") {
     val base = java.nio.file.Files.createTempDirectory("graft_cluster_buckets")
     val path = s"$base/t"
