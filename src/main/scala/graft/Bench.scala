@@ -101,6 +101,11 @@ object Bench {
     ("g_span_rewrite", Seq(1, 4, 10), (c: Int) =>
       graft.pipeline.Spans.dropDuplicatedSpans(
         scaledDocs(spark, dir, c), "doc_id", "text", n = 8)),
+    // the stride-1 tier: one hash row per TOKEN (vs per chunk above) —
+    // the dense window shuffle is exactly what must stay linear at scale
+    ("g_exact_substr", Seq(1, 4, 10), (c: Int) =>
+      graft.pipeline.Spans.dropDuplicatedSubstrings(
+        scaledDocs(spark, dir, c), "doc_id", "text", n = 8)),
     ("g_boilerplate", Seq(1, 4, 10), (c: Int) =>
       graft.pipeline.Lines.stripSketchBoilerplate(
         graft.pipeline.Lines.tokenWindowLines(

@@ -1109,8 +1109,16 @@ object SparkEntry {
         .select((-$"doc_id" - 1L).as("doc_id"), $"text", $"lang")
       val incoming = docs.filter($"doc_id" % 5 === 0)
         .select($"doc_id", $"text", $"lang").unionByName(planted)
+      // stage-boundary persists: every stage below feeds SEVERAL
+      // consumers (CC + keep-join; classifier training + score join;
+      // two threshold walks + the bucket join), and without a persist
+      // each consumer re-executes the whole upstream chain — measured
+      // 29s -> persisted cost at sf0.1 in docs/BENCH_NOTES.md. At 100 TB
+      // these boundaries are exactly where a pipeline writes its
+      // intermediate tables.
       val fresh = Dedup.crossCorpusDedup(incoming, ref, "doc_id", "text",
         expectedRefItems = 10000L, fpp = 0.03).drop("fingerprint")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val labels = Clustering.connectedComponents(
         Dedup.minhashLshPairs(fresh, "doc_id", "text", threshold = 0.5),
         "doc_a", "doc_b")
@@ -1122,12 +1130,14 @@ object SparkEntry {
         n = 3, maxSharedShingles = 20L)
       val gophered = Quality.gopherFilter(decon, "doc_id", "text",
         minWords = 20L, maxWords = 100000L, stopWords = QualityProbeWords)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val scored = Classifier.trainScores(gophered, "doc_id", "text",
         $"lang" === "en", numBuckets = ClsBuckets, iters = ClsIters,
         etaNum = ClsEtaNum, etaDen = ClsEtaDen)
+      val rescored = gophered.join(scored.select($"doc_id", $"score_e6"), "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bucketed = Selection.assignFractionBuckets(
-        gophered.join(scored.select($"doc_id", $"score_e6"), "doc_id"),
-        "doc_id", "score_e6", headPct = 30, middlePct = 40)
+        rescored, "doc_id", "score_e6", headPct = 30, middlePct = 40)
         .filter($"bucket" =!= "tail")
       val upsampled = Sampling.upsampleCorpus(
         bucketed.select($"doc_id", $"bucket", $"text"),
