@@ -102,10 +102,16 @@ object Bench {
       graft.pipeline.Spans.dropDuplicatedSpans(
         scaledDocs(spark, dir, c), "doc_id", "text", n = 8)),
     // the stride-1 tier: one hash row per TOKEN (vs per chunk above) —
-    // the dense window shuffle is exactly what must stay linear at scale
+    // the dense window shuffle is exactly what must stay linear at scale.
+    // The final agg FORCES the rebuild: a bare count() would let Catalyst
+    // eliminate the row-preserving drop-list join and prune the whole
+    // window subtree (measured: flat 0.3s at any scale — measuring the
+    // optimizer, not the operator)
     ("g_exact_substr", Seq(1, 4, 10), (c: Int) =>
       graft.pipeline.Spans.dropDuplicatedSubstrings(
-        scaledDocs(spark, dir, c), "doc_id", "text", n = 8)),
+        scaledDocs(spark, dir, c), "doc_id", "text", n = 8)
+        .agg(sum(length(col("clean_text"))).as("total_chars"),
+          sum(col("n_dropped_tokens")).as("total_dropped"))),
     ("g_boilerplate", Seq(1, 4, 10), (c: Int) =>
       graft.pipeline.Lines.stripSketchBoilerplate(
         graft.pipeline.Lines.tokenWindowLines(
