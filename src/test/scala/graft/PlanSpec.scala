@@ -354,6 +354,11 @@ class PlanSpec extends AnyFunSuite {
       "bucketing must never sort the corpus by score")
   }
 
+  // (No chain-level plan guard for pipeline_full_curation: the final
+  // packing stage's prefix sum materializes its input, so the returned
+  // df's physical plan is a projection over an RDD — the interesting
+  // plans belong to the stages, each of which has its own guard above.)
+
   test("corpus upsampling is a shuffle-free generate + filter") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("source"))
