@@ -108,6 +108,24 @@ object Demo {
     println(s"classifier keeps the ${kept.count()} most en-like of the " +
       s"${raw.count()} non-en docs")
 
+    println("== crawl front door: html_to_text -> normalize -> token count, from SQL ==")
+    spark.sql(
+      """SELECT html_to_text('<html><body><h1>Title</h1><p>Hello &amp; welcome.</p>
+        |<script>var hidden = 1;</script><ul><li>one</li><li>two</li></ul>
+        |</body></html>') AS extracted""".stripMargin.replace("\n", ""))
+      .show(false)
+    spark.sql(
+      """SELECT token_count(normalize_text(html_to_text(
+        |  '<p>A &#72;TML page</p><div>with two blocks</div>'))) AS n_tokens""".stripMargin)
+      .show(false)
+
+    println("== exact-substring rewrite: arbitrary-alignment dedup ==")
+    val straddle = spark.createDataFrame(Seq(
+      (1L, "intro words SHARED RUN OF EIGHT TOKENS EXACTLY HERE YES tail one"),
+      (2L, "other opening SHARED RUN OF EIGHT TOKENS EXACTLY HERE YES ending"))).toDF("doc_id", "text")
+    pipeline.Spans.dropDuplicatedSubstrings(straddle, "doc_id", "text", n = 8)
+      .show(false)
+
     println("== export: token-budgeted shards + manifest ==")
     val weighted = kept.join(docs.select("doc_id", "text"), "doc_id")
       .withColumn("n_tokens",

@@ -424,6 +424,11 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    Seq("new" -> newRows, "store" -> storeRows).foreach { case (side, df) =>
+      require(Seq("doc_id", "shingles", "bands").forall(df.columns.contains),
+        s"$side side is not a minhashStoreRows frame (need doc_id, " +
+          s"shingles, bands; got ${df.columns.mkString(", ")})")
+    }
     val newTagged = newRows
       .select($"doc_id", $"shingles", $"bands", lit(true).as("is_new"))
     val allTagged = storeRows
