@@ -151,6 +151,10 @@ object TopnFunctions {
       "html_to_text(html) - strip tags/script/style/comments, decode entities, one line per block element (crawl front door)",
       arity("html_to_text", 1, 1)(exprs =>
         graft.expressions.HtmlToText(exprs.head))),
+    ("fixed_log2",
+      "fixed_log2(x) - deterministic IEEE-only base-2 log (bit-identical on every platform, unlike libm ln/log2)",
+      arity("fixed_log2", 1, 1)(exprs =>
+        graft.expressions.FixedLog2(exprs.head))),
     ("bpe_token_count",
       "bpe_token_count(text) - token count under the built-in demo BPE merge table (vocabulary-aware budget weight)",
       arity("bpe_token_count", 1, 1)(exprs =>

@@ -408,6 +408,17 @@ class ScoringSpec extends AnyFunSuite {
     }
   }
 
+  test("FixedLog2 is callable from SQL and matches the kernel") {
+    import graft.expressions.FixedLog2
+    TopnFunctions.register(spark)
+    val got = spark.sql("SELECT fixed_log2(CAST(10.0 AS DOUBLE)) AS lg")
+      .head.getDouble(0)
+    assert(got === FixedLog2.log2(10.0))
+    val e = intercept[Exception](
+      spark.sql("SELECT fixed_log2('x')").collect())
+    assert(e.getMessage.contains("fixed_log2 requires DOUBLE"))
+  }
+
   test("FixedLog2 SQL chain replays the kernel bit-for-bit") {
     import graft.expressions.FixedLog2
     val rnd = new scala.util.Random(17)
