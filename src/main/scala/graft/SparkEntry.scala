@@ -1090,6 +1090,21 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // example packing (GPT-style pretraining layout): the corpus as one
+    // token stream cut into 512-token training sequences, documents
+    // SPLIT across boundaries so every context window is exactly full —
+    // pack_bins' whole-doc twin keeps bins ragged instead. Pure integer
+    // arithmetic over a prefix sum; the oracle replays it with a window
+    // sum + per-doc series expansion
+    "pack_sequences" -> ((spark, dir) => {
+      import spark.implicits._
+      val d = tbl(spark, dir, "documents").select($"doc_id",
+        graft.pipeline.TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
+      graft.pipeline.Sampling.packSequences(d, "doc_id", "n_tokens", seqLen = 512L)
+        .select($"doc_id", $"seq_id", $"frag_start", $"frag_len")
+        .orderBy($"doc_id", $"seq_id")
+    }),
+
     // THE PRODUCT IN ONE QUERY: the full daily-curation chain — bloom
     // front door (exact dedup vs the reference corpus) -> near-dup
     // candidates + CC keep-list within the batch -> decontamination vs a
@@ -2225,6 +2240,27 @@ object SparkEntry {
     "quality_classifier" ->
       graft.pipeline.Classifier.classifierSql(
         "lang = 'en'", ClsBuckets, ClsIters, ClsEtaNum, ClsEtaDen),
+
+    // same stream layout: exclusive prefix sum -> the range of sequence
+    // ids a doc overlaps -> clamped fragment arithmetic, all integers
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |             CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        |      FROM t),
+        |f AS (SELECT doc_id, n_tokens, run - n_tokens AS st FROM c),
+        |e AS (SELECT doc_id, n_tokens, st,
+        |             UNNEST(range(st // 512, (st + n_tokens - 1) // 512 + 1)) AS s
+        |      FROM f WHERE n_tokens > 0)
+        |SELECT doc_id, CAST(s AS BIGINT) AS seq_id,
+        |       CAST(GREATEST(0, s * 512 - st) AS BIGINT) AS frag_start,
+        |       CAST(LEAST(n_tokens, (s + 1) * 512 - st)
+        |            - GREATEST(0, s * 512 - st) AS BIGINT) AS frag_len
+        |FROM e ORDER BY doc_id, seq_id""".stripMargin,
 
     // the whole curation chain, stage by stage in the same order as the
     // Spark plan: each block is the (already individually green) oracle

@@ -302,6 +302,72 @@ object Sampling {
   }
 
   /**
+   * LLM-training sequence packing WITH document splitting — example
+   * packing: the corpus, walked in `idCol` order, becomes one token
+   * stream cut into fixed `seqLen`-token training sequences; a document
+   * crossing a boundary is SPLIT across the adjacent sequences. This is
+   * the GPT-style pretraining layout (every context window exactly full),
+   * in contrast to [[packByBudget]], which keeps documents whole and lets
+   * bins run ragged.
+   *
+   * Output: the input row repeated once per overlapped sequence, plus
+   * (seq_id, frag_start, frag_len): sequence `seq_id` covers stream
+   * tokens [seq_id·seqLen, (seq_id+1)·seqLen) and the fragment covers
+   * document tokens [frag_start, frag_start + frag_len) (0-based).
+   * Every token of every document lands in exactly ONE fragment;
+   * zero-weight docs emit no rows. Exact integer arithmetic throughout —
+   * the layout is a pure function of (ids, weights, seqLen), replayable
+   * by any engine.
+   *
+   * Scale shape: one [[graft.operators.PrefixSum.runningSum]] (two-pass,
+   * O(#partitions) offset table — never a single-partition window), then
+   * a per-row bounded explode of at most ceil(weight/seqLen)+1 fragment
+   * structs. No corpus-wide window, no driver state. Requires
+   * non-negative weights (a negative weight would corrupt the stream
+   * layout — raises per row) and globally unique ids.
+   */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    Seq("seq_id", "frag_start", "frag_len").foreach { c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column; rename it — packSequences appends it")
+    }
+    require(!df.columns.contains("__graft_run"),
+      "input already has a '__graft_run' column; rename it — " +
+        "packSequences uses it internally")
+    val run = graft.operators.PrefixSum
+      .runningSum(df, idCol, weightCol, outCol = "__graft_run")
+    // exact long arithmetic via DIV (the packByBudget doctrine); w/start
+    // guarded non-negative so the stream layout cannot silently corrupt
+    val w = s"COALESCE(CAST(`$weightCol` AS BIGINT), 0L)"
+    run
+      .withColumn("__graft_frag", expr(
+        s"""CASE
+           |  WHEN $w < 0 THEN raise_error(CONCAT(
+           |    'packSequences: negative weight ', CAST($w AS STRING)))
+           |  WHEN $w = 0 THEN CAST(array() AS ARRAY<STRUCT<seq_id: BIGINT, frag_start: BIGINT, frag_len: BIGINT>>)
+           |  ELSE transform(
+           |    sequence((__graft_run - $w) DIV ${seqLen}L,
+           |             (__graft_run - 1L) DIV ${seqLen}L),
+           |    s -> named_struct(
+           |      'seq_id', s,
+           |      'frag_start', GREATEST(0L, s * ${seqLen}L - (__graft_run - $w)),
+           |      'frag_len',
+           |        LEAST($w, (s + 1L) * ${seqLen}L - (__graft_run - $w))
+           |          - GREATEST(0L, s * ${seqLen}L - (__graft_run - $w))))
+           |END""".stripMargin))
+      .withColumn("__graft_f", explode(col("__graft_frag")))
+      .withColumn("seq_id", col("__graft_f.seq_id"))
+      .withColumn("frag_start", col("__graft_f.frag_start"))
+      .withColumn("frag_len", col("__graft_f.frag_len"))
+      .drop("__graft_run", "__graft_frag", "__graft_f")
+  }
+
+  /**
    * The sink end of the pipeline: write `df` as deterministic
    * token-budgeted shards — `path/bin=K/` parquet directories where
    * each shard holds a CONTIGUOUS id range summing to at most

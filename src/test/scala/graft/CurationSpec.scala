@@ -759,6 +759,59 @@ class CurationSpec extends AnyFunSuite {
     assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
   }
 
+  test("packSequences splits docs across fixed sequences, every token exactly once") {
+    import graft.pipeline.Sampling
+    val rnd = new Random(41)
+    // weights straddle the sequence length from every side: tiny docs,
+    // boundary-aligned docs, docs spanning several sequences, zero-weight
+    val rows = (0L until 400L).map { i =>
+      (i, rnd.nextInt(5) match {
+        case 0 => 0L
+        case 1 => 64L                       // exactly aligned sometimes
+        case _ => 1L + rnd.nextInt(200).toLong
+      })
+    }
+    val seqLen = 64L
+    // sequential reference
+    var run = 0L
+    val expected = rows.flatMap { case (id, w) =>
+      val start = run; run += w
+      if (w == 0) Nil
+      else (start / seqLen to (start + w - 1) / seqLen).map { s =>
+        val fs = math.max(0L, s * seqLen - start)
+        val fe = math.min(w, (s + 1) * seqLen - start)
+        (id, s, fs, fe - fs)
+      }
+    }.toSet
+    val got = Sampling.packSequences(
+      rows.toDF("id", "w").repartition(7), "id", "w", seqLen)
+      .select($"id", $"seq_id", $"frag_start", $"frag_len")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    // invariants: per-doc fragments tile [0, w); per-sequence fragments
+    // sum to exactly seqLen (except the final partial sequence)
+    val byDoc = got.groupBy(_._1)
+    rows.filter(_._2 > 0).foreach { case (id, w) =>
+      val frags = byDoc(id).toSeq.sortBy(_._3)
+      assert(frags.head._3 === 0L && frags.map(_._4).sum === w, s"doc $id")
+    }
+    val totalW = rows.map(_._2).sum
+    val bySeq = got.groupBy(_._2).view.mapValues(_.toSeq.map(_._4).sum).toMap
+    bySeq.foreach { case (s, tokens) =>
+      if (s < totalW / seqLen) assert(tokens === seqLen, s"sequence $s must be full")
+    }
+    // guards
+    assertThrows[IllegalArgumentException](
+      Sampling.packSequences(rows.toDF("id", "w"), "id", "w", 0L))
+    val neg = Seq((1L, -5L)).toDF("id", "w")
+    val e = intercept[Exception](
+      Sampling.packSequences(neg, "id", "w", 64L).collect())
+    assert(e.getMessage.contains("negative weight"))
+    assertThrows[IllegalArgumentException](
+      Sampling.packSequences(rows.toDF("id", "w")
+        .withColumn("seq_id", lit(1)), "id", "w", 64L))
+  }
+
   test("IVF model save/load round-trips bit-identically and reproduces search") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val model = graft.pipeline.IVF.train(emb, "vec_id", "embedding", k = 8)
