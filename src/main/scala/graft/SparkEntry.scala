@@ -1105,6 +1105,19 @@ object SparkEntry {
         .orderBy($"doc_id", $"seq_id")
     }),
 
+    // the materialized training sequences behind pack_sequences: each
+    // 512-token context window's actual text, assembled in stream order
+    // from every document fragment it overlaps (md5 keeps the compared
+    // output compact); the oracle rebuilds the same stream with a global
+    // token position
+    "pack_sequences_text" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.pipeline.Sampling.assembleSequences(
+        tbl(spark, dir, "documents"), "doc_id", "text", seqLen = 512L)
+        .select($"seq_id", $"n_tokens", md5($"seq_text").as("seq_md5"))
+        .orderBy($"seq_id")
+    }),
+
     // THE PRODUCT IN ONE QUERY: the full daily-curation chain — bloom
     // front door (exact dedup vs the reference corpus) -> near-dup
     // candidates + CC keep-list within the batch -> decontamination vs a
@@ -2261,6 +2274,21 @@ object SparkEntry {
         |       CAST(LEAST(n_tokens, (s + 1) * 512 - st)
         |            - GREATEST(0, s * 512 - st) AS BIGINT) AS frag_len
         |FROM e ORDER BY doc_id, seq_id""".stripMargin,
+
+    // the same stream with an explicit global token position: sequence
+    // membership is gpos // 512, text rebuilt with ordered string_agg
+    "pack_sequences_text" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |tok AS (SELECT doc_id, UNNEST(range(0, len(toks))) AS j, toks FROM t),
+        |tk AS (SELECT doc_id, j, toks[j + 1] AS tkn FROM tok),
+        |g AS (SELECT doc_id, j, tkn,
+        |             ROW_NUMBER() OVER (ORDER BY doc_id, j) - 1 AS gpos
+        |      FROM tk)
+        |SELECT CAST(gpos // 512 AS BIGINT) AS seq_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       md5(string_agg(tkn, ' ' ORDER BY gpos)) AS seq_md5
+        |FROM g GROUP BY 1 ORDER BY seq_id""".stripMargin,
 
     // the whole curation chain, stage by stage in the same order as the
     // Spark plan: each block is the (already individually green) oracle

@@ -368,6 +368,49 @@ object Sampling {
   }
 
   /**
+   * The materialized form of [[packSequences]]: the actual training
+   * sequences as text — one row per sequence, its `seqLen` tokens
+   * assembled in stream order from the fragments of every document it
+   * overlaps (the final sequence may be partial). Output: (seq_id,
+   * n_tokens, seq_text). The tokenization is [[TextAnalysis.tokens]];
+   * fragments slice the token array by the exact layout offsets, and the
+   * per-sequence reassembly is the position-ordered rebuild idiom keyed
+   * by `idCol` (stream order within a sequence IS document order).
+   *
+   * Scale shape: [[packSequences]]' prefix sum + bounded explode, one
+   * hash aggregation by seq_id; each group holds at most the few
+   * documents overlapping one context window, and the rebuilt text is
+   * bounded by seqLen tokens.
+   */
+  def assembleSequences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      seqLen: Long): DataFrame = {
+    require(!docs.columns.contains("__graft_toks"),
+      "input already has a '__graft_toks' column; rename it — " +
+        "assembleSequences uses it internally")
+    val toked = docs.select(col(idCol),
+      graft.pipeline.TextAnalysis.tokens(col(textCol)).as("__graft_toks"))
+      .withColumn("__graft_n", size(col("__graft_toks")).cast("long"))
+    packSequences(toked, idCol, "__graft_n", seqLen)
+      .select(col(idCol).as("__graft_id"), col("seq_id"),
+        array_join(slice(col("__graft_toks"),
+          (col("frag_start") + lit(1)).cast("int"),
+          col("frag_len").cast("int")), " ").as("__graft_piece"),
+        col("frag_len"))
+      .groupBy(col("seq_id"))
+      .agg(
+        sum(col("frag_len")).as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(
+              col("__graft_id").as("__i"), col("__graft_piece").as("__p")))),
+            s => s.getField("__p")),
+          " ").as("seq_text"))
+  }
+
+  /**
    * The sink end of the pipeline: write `df` as deterministic
    * token-budgeted shards — `path/bin=K/` parquet directories where
    * each shard holds a CONTIGUOUS id range summing to at most

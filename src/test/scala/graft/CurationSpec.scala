@@ -812,6 +812,27 @@ class CurationSpec extends AnyFunSuite {
         .withColumn("seq_id", lit(1)), "id", "w", 64L))
   }
 
+  test("assembleSequences materializes exactly the chunked token stream") {
+    import graft.pipeline.Sampling
+    val rnd = new Random(43)
+    val docs = (0L until 120L).map { i =>
+      (i, (0 until (1 + rnd.nextInt(20))).map(j => s"t${i}_$j").mkString(" "))
+    }
+    val seqLen = 8
+    val stream = docs.sortBy(_._1).flatMap(_._2.trim.split("\\s+").toSeq)
+    val expected = stream.grouped(seqLen).zipWithIndex.map { case (c, i) =>
+      (i.toLong, c.size.toLong, c.mkString(" "))
+    }.toSet
+    val got = Sampling.assembleSequences(
+      docs.toDF("id", "text").repartition(5), "id", "text", seqLen.toLong)
+      .select($"seq_id", $"n_tokens", $"seq_text")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got === expected)
+    // every sequence except the last is exactly full
+    val last = got.map(_._1).max
+    got.foreach { case (s, n, _) => if (s != last) assert(n === seqLen.toLong) }
+  }
+
   test("IVF model save/load round-trips bit-identically and reproduces search") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val model = graft.pipeline.IVF.train(emb, "vec_id", "embedding", k = 8)
