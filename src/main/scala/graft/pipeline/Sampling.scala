@@ -387,6 +387,8 @@ object Sampling {
       idCol: String,
       textCol: String,
       seqLen: Long): DataFrame = {
+    require(seqLen <= Int.MaxValue,
+      s"seqLen must fit an array slice (<= 2^31-1), got $seqLen")
     require(!docs.columns.contains("__graft_toks"),
       "input already has a '__graft_toks' column; rename it — " +
         "assembleSequences uses it internally")
