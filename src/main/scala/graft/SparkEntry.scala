@@ -983,6 +983,49 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // URL-level curation (C4/RefinedWeb family): host extraction,
+    // registered-domain reduction, canonicalization, and a domain
+    // blocklist anti join. The documents table has no URL column, so the
+    // query plants one per doc from deterministic variant classes —
+    // mixed-case hosts, userinfo, default and non-default ports, a
+    // multi-part suffix, an IPv4 literal, tracking params, fragments —
+    // and the oracle replays the identical construction plus the pinned
+    // regex chain (shared constants export the suffix set and tracking
+    // alternation, so the two engines cannot drift)
+    "url_filter" -> ((spark, dir) => {
+      import spark.implicits._
+      import graft.pipeline.Urls
+      val host = element_at(array(
+        lit("Example.COM"), lit("news.Example.co.uk"), lit("spam-Tracker.NET"),
+        lit("www.good-site.org"), lit("sub.deep.ads-network.com"),
+        lit("cdn.mirror-Example.com"), lit("192.168.0.1")),
+        (pmod($"doc_id", lit(7)) + 1).cast("int"))
+      val url = concat(
+        when(pmod($"doc_id", lit(2)) === 0, "http://").otherwise("https://"),
+        when(pmod($"doc_id", lit(11)) === 3, "user:pw@").otherwise(""),
+        host,
+        when(pmod($"doc_id", lit(5)) === 0, ":80")
+          .when(pmod($"doc_id", lit(5)) === 1, ":443")
+          .when(pmod($"doc_id", lit(5)) === 2, ":8080").otherwise(""),
+        when(pmod($"doc_id", lit(13)) === 0, lit("/"))
+          .otherwise(concat(lit("/Docs/"), $"doc_id")),
+        when(pmod($"doc_id", lit(4)) === 0, concat(lit("?utm_source=x&q="), $"doc_id"))
+          .when(pmod($"doc_id", lit(4)) === 1,
+            concat(lit("?q="), $"doc_id", lit("&fbclid=ab"), $"doc_id"))
+          .when(pmod($"doc_id", lit(4)) === 2, lit("?utm_a=1&ref=rss&utm_b=2"))
+          .otherwise(lit("")),
+        when(pmod($"doc_id", lit(3)) === 0, concat(lit("#Sec"), $"doc_id"))
+          .otherwise(lit("")))
+      val blocked = Seq("Ads-Network.com", "spam-tracker.net").toDF("domain")
+      Urls.withUrlColumns(
+        Urls.filterBlockedDomains(
+          tbl(spark, dir, "documents").select($"doc_id").withColumn("url", url),
+          "url", blocked),
+        "url")
+        .select($"doc_id", $"host", $"domain", $"url_norm")
+        .orderBy($"doc_id")
+    }),
+
     // DSIR-style importance weights (arXiv:2302.03169): per-doc
     // log-likelihood-ratio sums against the lang='en' target slice, over
     // the paper's hashed feature space (8192 buckets) so the stats table
@@ -2110,6 +2153,58 @@ object SparkEntry {
         |       CAST(len(string_split(h, chr(10))) AS BIGINT) AS n_lines,
         |       md5(h) AS text_md5
         |FROM w4 ORDER BY doc_id""".stripMargin,
+
+    // the same planted-URL construction, then the pinned chains replayed
+    // step for step: host = authority minus userinfo/port, lowered;
+    // registered domain by the shared multi-part-suffix set; normalize =
+    // fragment strip, scheme://authority lowercase, default-port drop,
+    // tracking-param strip (shared alternation) + separator repair,
+    // trailing-slash drop; finally the blocklist as NOT IN on the domain
+    "url_filter" ->
+      s"""WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END) ||
+        |    (CASE WHEN doc_id % 11 = 3 THEN 'user:pw@' ELSE '' END) ||
+        |    (CASE doc_id % 7 WHEN 0 THEN 'Example.COM' WHEN 1 THEN 'news.Example.co.uk'
+        |          WHEN 2 THEN 'spam-Tracker.NET' WHEN 3 THEN 'www.good-site.org'
+        |          WHEN 4 THEN 'sub.deep.ads-network.com' WHEN 5 THEN 'cdn.mirror-Example.com'
+        |          ELSE '192.168.0.1' END) ||
+        |    (CASE doc_id % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':443' WHEN 2 THEN ':8080' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 13 = 0 THEN '/' ELSE '/Docs/' || CAST(doc_id AS VARCHAR) END) ||
+        |    (CASE doc_id % 4 WHEN 0 THEN '?utm_source=x&q=' || CAST(doc_id AS VARCHAR)
+        |          WHEN 1 THEN '?q=' || CAST(doc_id AS VARCHAR) || '&fbclid=ab' || CAST(doc_id AS VARCHAR)
+        |          WHEN 2 THEN '?utm_a=1&ref=rss&utm_b=2' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '#Sec' || CAST(doc_id AS VARCHAR) ELSE '' END) AS url
+        |  FROM documents),
+        |h AS (SELECT doc_id, url,
+        |        lower(regexp_replace(regexp_replace(
+        |          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+        |          '^[^@]*@', ''), ':[0-9]*$$', '')) AS host FROM u),
+        |d AS (SELECT doc_id, url, host, string_split(host, '.') AS l,
+        |             len(string_split(host, '.')) AS n FROM h),
+        |dom AS (SELECT doc_id, url, host,
+        |        CASE WHEN regexp_matches(host, '^[0-9.]+$$') OR n <= 2 THEN host
+        |             WHEN array_to_string(list_slice(l, n - 1, n), '.') IN ${graft.pipeline.Urls.multiPartSuffixSqlList}
+        |               THEN array_to_string(list_slice(l, n - 2, n), '.')
+        |             ELSE array_to_string(list_slice(l, n - 1, n), '.') END AS domain FROM d),
+        |n1 AS (SELECT doc_id, host, domain, regexp_replace(url, '#.*', '') AS v FROM dom),
+        |n2 AS (SELECT doc_id, host, domain,
+        |        lower(regexp_extract(v, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
+        |        regexp_replace(v, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS v FROM n1),
+        |n3 AS (SELECT doc_id, host, domain,
+        |        regexp_replace(regexp_replace(v,
+        |          '^(http://[^/?#:]*):80([/?#].*)?$$', '\\1\\2'),
+        |          '^(https://[^/?#:]*):443([/?#].*)?$$', '\\1\\2') AS v FROM n2),
+        |n4 AS (SELECT doc_id, host, domain,
+        |        regexp_replace(v, '([?&])(?:${graft.pipeline.Urls.trackingAlternation})=[^&#]*', '\\1', 'g') AS v FROM n3),
+        |n5 AS (SELECT doc_id, host, domain,
+        |        regexp_replace(regexp_replace(regexp_replace(v,
+        |          '&&+', '&', 'g'), '\\?&', '?', 'g'), '[?&]+$$', '') AS v FROM n4),
+        |n6 AS (SELECT doc_id, host, domain,
+        |        regexp_replace(v, '^(https?://[^/?#]*)/$$', '\\1') AS url_norm FROM n5)
+        |SELECT doc_id, host, domain, url_norm FROM n6
+        |WHERE domain NOT IN ('ads-network.com', 'spam-tracker.net')
+        |ORDER BY doc_id""".stripMargin,
 
     // exact-integer counts feed one LN() per hashed feature bucket; the
     // 1e-6 floor lands BEFORE the per-doc sum, which is therefore an

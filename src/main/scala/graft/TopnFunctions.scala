@@ -158,7 +158,19 @@ object TopnFunctions {
     ("bpe_token_count",
       "bpe_token_count(text) - token count under the built-in demo BPE merge table (vocabulary-aware budget weight)",
       arity("bpe_token_count", 1, 1)(exprs =>
-        GraftShim.analyzableExpression(graft.pipeline.Bpe.tokenCount(GraftShim.column(exprs.head))))))
+        GraftShim.analyzableExpression(graft.pipeline.Bpe.tokenCount(GraftShim.column(exprs.head))))),
+    ("url_host",
+      "url_host(url) - lower-cased host of an absolute URL (userinfo/port stripped; '' when no authority)",
+      arity("url_host", 1, 1)(exprs =>
+        GraftShim.analyzableExpression(graft.pipeline.Urls.urlHost(GraftShim.column(exprs.head))))),
+    ("registered_domain",
+      "registered_domain(host) - eTLD+1 by the multi-part-suffix heuristic; IPs and short hosts pass through",
+      arity("registered_domain", 1, 1)(exprs =>
+        GraftShim.analyzableExpression(graft.pipeline.Urls.registeredDomain(GraftShim.column(exprs.head))))),
+    ("url_normalize",
+      "url_normalize(url) - canonical URL: fragment/tracking-param strip, authority lowercase, default-port drop",
+      arity("url_normalize", 1, 1)(exprs =>
+        GraftShim.analyzableExpression(graft.pipeline.Urls.urlNormalize(GraftShim.column(exprs.head))))))
 
   /** Register all functions in the session's function registry (usable from
     * `spark.sql` and, mixed with Columns, from the DataFrame API), and

@@ -258,6 +258,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("html_to_text"), "the codegen'd expression must appear")
   }
 
+  test("url_filter: map-side URL projection, one keyed anti join on the domain") {
+    val p = plan("url_filter")
+    assert(p.contains("LeftAnti"), "blocklist must be an anti join")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "the bounded blocklist side should broadcast (AQE), never shuffle the corpus")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must not sort-merge against a blocklist-sized side")
+    assert(!p.contains("Generate"),
+      "host/domain/normalize are flat projections, no explode")
+  }
+
   test("exact_substr_rewrite: hash-partitioned window, doc-keyed rebuild join only") {
     val p = plan("exact_substr_rewrite")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),

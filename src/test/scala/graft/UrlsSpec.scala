@@ -1,0 +1,112 @@
+package graft
+
+import graft.pipeline.Urls
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class UrlsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def host1(url: String): String =
+    Seq(url).toDF("u").select(Urls.urlHost($"u")).as[String].head()
+
+  private def domain1(host: String): String =
+    Seq(host).toDF("h").select(Urls.registeredDomain($"h")).as[String].head()
+
+  private def norm1(url: String): String =
+    Seq(url).toDF("u").select(Urls.urlNormalize($"u")).as[String].head()
+
+  test("urlHost: authority extract, userinfo/port strip, lowercase") {
+    assert(host1("https://Example.COM/a/b") === "example.com")
+    assert(host1("http://user:pw@News.Site.org:8080/x?q=1") === "news.site.org")
+    assert(host1("https://h.io:443") === "h.io")
+    assert(host1("ftp://files.example.net/pub") === "files.example.net")
+    assert(host1("no scheme here") === "")
+    assert(host1("/relative/path") === "")
+  }
+
+  test("registeredDomain: eTLD+1 with multi-part suffixes and IP passthrough") {
+    assert(domain1("news.example.co.uk") === "example.co.uk")
+    assert(domain1("a.b.c.example.com") === "example.com")
+    assert(domain1("example.com") === "example.com")
+    assert(domain1("localhost") === "localhost")
+    assert(domain1("192.168.0.1") === "192.168.0.1")
+    assert(domain1("deep.sub.site.com.au") === "site.com.au")
+    // co.uk itself has only two labels: passthrough, not truncation
+    assert(domain1("co.uk") === "co.uk")
+  }
+
+  test("urlNormalize: the pinned chain end to end") {
+    // fragment strip + authority lowercase, path case preserved
+    assert(norm1("HTTPS://Example.COM/Path/One#Sec2") === "https://example.com/Path/One")
+    // default ports drop, non-default ports stay
+    assert(norm1("http://h.io:80/a") === "http://h.io/a")
+    assert(norm1("https://h.io:443/a") === "https://h.io/a")
+    assert(norm1("http://h.io:8080/a") === "http://h.io:8080/a")
+    assert(norm1("https://h.io:80/a") === "https://h.io:80/a") // not the https default
+    // tracking params vanish, real params survive, separators repair
+    assert(norm1("https://h.io/p?utm_source=x&q=1") === "https://h.io/p?q=1")
+    assert(norm1("https://h.io/p?q=1&fbclid=abc") === "https://h.io/p?q=1")
+    assert(norm1("https://h.io/p?utm_a=1&ref=rss&utm_b=2") === "https://h.io/p")
+    assert(norm1("https://h.io/p?utm_a=1&utm_b=2&q=3") === "https://h.io/p?q=3")
+    // names only match as whole parameter names
+    assert(norm1("https://h.io/p?refresh=1&xref=2") === "https://h.io/p?refresh=1&xref=2")
+    // bare trailing slash drops; a real path keeps its slash
+    assert(norm1("https://h.io/") === "https://h.io")
+    assert(norm1("https://h.io/a/") === "https://h.io/a/")
+    // non-URL strings: fragment strip only, nothing else fires
+    assert(norm1("plain text # not a frag") === "plain text ")
+  }
+
+  test("withUrlColumns adds host/domain/url_norm and guards collisions") {
+    val df = Seq((1L, "https://www.Example.co.uk:443/x?gclid=1"))
+      .toDF("id", "url")
+    val out = Urls.withUrlColumns(df, "url")
+    val row = out.select($"host", $"domain", $"url_norm").head()
+    assert(row.getString(0) === "www.example.co.uk")
+    assert(row.getString(1) === "example.co.uk")
+    assert(row.getString(2) === "https://www.example.co.uk/x")
+    val clash = intercept[IllegalArgumentException] {
+      Urls.withUrlColumns(df.withColumn("host", lit("x")), "url")
+    }
+    assert(clash.getMessage.contains("host"))
+    intercept[IllegalArgumentException] { Urls.withUrlColumns(df, "nope") }
+  }
+
+  test("filterBlockedDomains drops every subdomain of a blocked domain") {
+    val docs = Seq(
+      (1L, "https://ads.example.com/x"),      // blocked (registered domain)
+      (2L, "https://deep.sub.ads.example.com/y"), // same registered domain
+      (3L, "https://example.org/z"),          // kept
+      (4L, "https://tracker.co.uk/w"),        // kept: blocklist has Tracker.net
+      (5L, "https://cdn.Tracker.NET/v")       // blocked case-insensitively
+    ).toDF("id", "url")
+    val blocked = Seq("example.com", "Tracker.net").toDF("domain")
+    val kept = Urls.filterBlockedDomains(docs, "url", blocked)
+      .select($"id").as[Long].collect().sorted
+    assert(kept === Array(3L, 4L))
+    // original columns untouched, temp column dropped
+    assert(Urls.filterBlockedDomains(docs, "url", blocked).columns.toSeq
+      === Seq("id", "url"))
+    intercept[IllegalArgumentException] {
+      Urls.filterBlockedDomains(docs, "url", Seq(("a", "b")).toDF("x", "y"))
+    }
+    intercept[IllegalArgumentException] {
+      Urls.filterBlockedDomains(
+        docs.withColumn("__graft_url_domain", lit(1)), "url", blocked)
+    }
+  }
+
+  test("SQL surface: url_host / registered_domain / url_normalize") {
+    TopnFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT url_host('https://User@News.Example.co.uk:8080/A?utm_x=1') AS h,
+        |       registered_domain(url_host('https://News.Example.co.uk/')) AS d,
+        |       url_normalize('HTTP://H.io:80/A?gclid=1&q=2#f') AS n""".stripMargin).head()
+    assert(row.getString(0) === "news.example.co.uk")
+    assert(row.getString(1) === "example.co.uk")
+    assert(row.getString(2) === "http://h.io/A?q=2")
+  }
+}
