@@ -983,6 +983,73 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // WARC ingestion front door (ISO 28500, the Common Crawl container):
+    // synthetic member-per-record .warc.gz and plain files are built ON
+    // EXECUTORS from the corpus docs (8 files, half gzipped, request +
+    // response + warcinfo records), parsed back by Warc.warcDocuments,
+    // and audited in-plan against the planted HTML — plus a garbage file
+    // that must parse to nothing and a clipped file whose final record
+    // must carry the truncated flag. Constant-boolean oracle (binary
+    // container parse is not SQL-reproducible), the multimodal pattern
+    "warc_extract" -> ((spark, dir) => {
+      import spark.implicits._
+      import graft.pipeline.Warc
+      val base = tbl(spark, dir, "documents")
+        .filter($"doc_id" < 60)
+        .select($"doc_id",
+          concat(lit("<html><body><h1>D"), $"doc_id", lit("</h1><p>"),
+            regexp_replace($"text", "[&<]", " "),
+            lit("</p></body></html>")).as("html"))
+      val files = base
+        .withColumn("file_id", pmod($"doc_id", lit(8)))
+        .groupBy($"file_id")
+        .agg(sort_array(collect_list(
+          struct($"doc_id".as("_1"), $"html".as("_2")))).as("items"))
+        .select($"file_id".as("_1"), $"items".as("_2"))
+        .as[(Long, Seq[(Long, String)])]
+        .map { case (fid, items) =>
+          Warc.WarcFile(fid, Warc.syntheticWarc(
+            items.map { case (id, h) => (s"https://corpus.test/doc/$id", h) },
+            gzipped = fid % 2 == 0))
+        }
+      val garbage = Seq(1000L).toDS().map(id =>
+        Warc.WarcFile(id, s"totally not a warc $id".getBytes("UTF-8")))
+      val truncated = Seq(9999L).toDS().map { id =>
+        val whole = Warc.syntheticWarc(
+          Seq(("https://corpus.test/trunc", "<p>clip me please</p>")),
+          gzipped = false)
+        Warc.WarcFile(id, java.util.Arrays.copyOfRange(whole, 0, whole.length - 10))
+      }
+      val parsed = Warc.warcDocuments(files.union(garbage).union(truncated))
+
+      val organic = parsed.filter($"file_id" < 1000)
+      val cmp = organic
+        .select(regexp_extract($"target_uri", "doc/([0-9]+)", 1)
+          .cast("long").as("doc_id"), $"html".as("got"))
+        .join(base.withColumnRenamed("html", "want"), Seq("doc_id"), "full_outer")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when($"got".isNull || $"want".isNull || $"got" =!= $"want",
+            lit(1)).otherwise(lit(0))).as("n_bad"))
+      // expected counts derived IN-PLAN from the corpus (not hard-coded),
+      // so the audit holds at every scale factor
+      val exp = base.agg(count(lit(1)).as("n_base"),
+        sum(when(pmod($"doc_id", lit(2)) === 0, lit(1)).otherwise(lit(0)))
+          .as("n_base_even"))
+      val gzc = organic.filter(pmod($"file_id", lit(2)) === 0)
+        .agg(count(lit(1)).as("n_gz"))
+      val cor = parsed.filter($"file_id" === 1000L)
+        .agg(count(lit(1)).as("n_corrupt"))
+      val tr = parsed.filter($"file_id" === 9999L)
+        .agg(count(lit(1)).as("n_trunc"),
+          sum(when($"truncated", lit(1)).otherwise(lit(0))).as("n_flagged"))
+      cmp.crossJoin(exp).crossJoin(gzc).crossJoin(cor).crossJoin(tr).select(
+        ($"n_base" > 0 && $"n_rows" === $"n_base" && $"n_bad" === 0)
+          .as("html_match"),
+        ($"n_gz" === $"n_base_even").as("gzip_files_parsed"),
+        ($"n_corrupt" === 0).as("corrupt_is_empty"),
+        ($"n_trunc" === 1 && $"n_flagged" === 1).as("truncated_flagged"))
+    }),
+
     // URL-level curation (C4/RefinedWeb family): host extraction,
     // registered-domain reduction, canonicalization, and a domain
     // blocklist anti join. The documents table has no URL column, so the
@@ -2153,6 +2220,12 @@ object SparkEntry {
         |       CAST(len(string_split(h, chr(10))) AS BIGINT) AS n_lines,
         |       md5(h) AS text_md5
         |FROM w4 ORDER BY doc_id""".stripMargin,
+
+    // binary container parse: in-plan audit (planted-HTML equality,
+    // gzip parity, corrupt/truncated handling), constant-boolean oracle
+    "warc_extract" ->
+      ("SELECT TRUE AS html_match, TRUE AS gzip_files_parsed, " +
+        "TRUE AS corrupt_is_empty, TRUE AS truncated_flagged"),
 
     // the same planted-URL construction, then the pinned chains replayed
     // step for step: host = authority minus userinfo/port, lowered;
