@@ -38,6 +38,13 @@ object SparkEntry {
   // hashed_embedding dimensionality — shared with the generated oracle
   private val EmbDim = 64
 
+  // domain names for the planted link graph (domain_pagerank /
+  // html_links) — shared by the Spark fixture and the oracle's CASE
+  private val PagerankDomains = Seq(
+    "example.com", "example.co.uk", "spam-tracker.net", "good-site.org",
+    "ads-network.com", "mirror-example.com", "plain-host.io")
+  private val PagerankIters = 5
+
   /** Stop-word probe for the quality_filter query, adapted to the
     * synthetic corpus vocabulary; the oracle list is generated from this
     * constant so the two spellings cannot drift. */
@@ -1091,6 +1098,52 @@ object SparkEntry {
         "url")
         .select($"doc_id", $"host", $"domain", $"url_norm")
         .orderBy($"doc_id")
+    }),
+
+    // outlink extraction feeding the URL operators: anchors planted in
+    // the canonical <a href="..."> spelling (two absolute links per doc
+    // + a relative one every third doc), extracted by the codegen'd
+    // html_links kernel, then host/domain/normalize per link. The oracle
+    // replays extraction as regexp_extract_all + the SAME urlSqlCtes
+    // chain the url_filter oracle uses
+    "html_links" -> ((spark, dir) => {
+      import spark.implicits._
+      import graft.pipeline.{TextAnalysis, Urls}
+      val dArr = array(PagerankDomains.map(lit): _*)
+      val hostA = element_at(dArr, (pmod($"doc_id", lit(7)) + 1).cast("int"))
+      val hostB = element_at(dArr, (pmod($"doc_id", lit(5)) + 1).cast("int"))
+      val html = concat(
+        lit("<p>intro</p><a href=\"https://"), hostA, lit("/d/"), $"doc_id",
+        lit("?utm_x=1&q=2\">one</a><div><a href=\"http://"), hostB,
+        lit("/p\">two</a></div>"),
+        when(pmod($"doc_id", lit(3)) === 0,
+          concat(lit("<a href=\"/rel/"), $"doc_id", lit("\">rel</a>")))
+          .otherwise(lit("")))
+      tbl(spark, dir, "documents").select($"doc_id", html.as("html"))
+        .select($"doc_id", explode(TextAnalysis.htmlLinks($"html")).as("url"))
+        .select($"doc_id", $"url",
+          Urls.registeredDomain(Urls.urlHost($"url")).as("domain"),
+          Urls.urlNormalize($"url").as("url_norm"))
+        .orderBy($"doc_id", $"url")
+    }),
+
+    // domain-graph PageRank (the web-curation quality prior) in exact
+    // integer fixed point — the Classifier training doctrine applied to
+    // graph iteration: the oracle replays all K iterations as unrolled
+    // CTE stages generated from the same constants. The planted graph
+    // (7 domains; src by doc_id%7, dst by doc_id%3, plus one extra
+    // planted edge) has asymmetric in/out degrees and dangling-decay
+    // dynamics, so the ranks discriminate every rule
+    "domain_pagerank" -> ((spark, dir) => {
+      import spark.implicits._
+      val dArr = array(PagerankDomains.map(lit): _*)
+      val base = tbl(spark, dir, "documents").select(
+        element_at(dArr, (pmod($"doc_id", lit(7)) + 1).cast("int")).as("src"),
+        element_at(dArr, (pmod($"doc_id", lit(3)) + 1).cast("int")).as("dst"))
+      val planted = Seq((PagerankDomains(2), PagerankDomains(6))).toDF("src", "dst")
+      graft.pipeline.Graph.pageRank(
+        base.unionByName(planted), "src", "dst", iterations = PagerankIters)
+        .orderBy($"rank_e6".desc, $"node")
     }),
 
     // DSIR-style importance weights (arXiv:2302.03169): per-doc
@@ -2249,35 +2302,52 @@ object SparkEntry {
         |          WHEN 2 THEN '?utm_a=1&ref=rss&utm_b=2' ELSE '' END) ||
         |    (CASE WHEN doc_id % 3 = 0 THEN '#Sec' || CAST(doc_id AS VARCHAR) ELSE '' END) AS url
         |  FROM documents),
-        |h AS (SELECT doc_id, url,
-        |        lower(regexp_replace(regexp_replace(
-        |          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
-        |          '^[^@]*@', ''), ':[0-9]*$$', '')) AS host FROM u),
-        |d AS (SELECT doc_id, url, host, string_split(host, '.') AS l,
-        |             len(string_split(host, '.')) AS n FROM h),
-        |dom AS (SELECT doc_id, url, host,
-        |        CASE WHEN regexp_matches(host, '^[0-9.]+$$') OR n <= 2 THEN host
-        |             WHEN array_to_string(list_slice(l, n - 1, n), '.') IN ${graft.pipeline.Urls.multiPartSuffixSqlList}
-        |               THEN array_to_string(list_slice(l, n - 2, n), '.')
-        |             ELSE array_to_string(list_slice(l, n - 1, n), '.') END AS domain FROM d),
-        |n1 AS (SELECT doc_id, host, domain, regexp_replace(url, '#.*', '') AS v FROM dom),
-        |n2 AS (SELECT doc_id, host, domain,
-        |        lower(regexp_extract(v, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
-        |        regexp_replace(v, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS v FROM n1),
-        |n3 AS (SELECT doc_id, host, domain,
-        |        regexp_replace(regexp_replace(v,
-        |          '^(http://[^/?#:]*):80([/?#].*)?$$', '\\1\\2'),
-        |          '^(https://[^/?#:]*):443([/?#].*)?$$', '\\1\\2') AS v FROM n2),
-        |n4 AS (SELECT doc_id, host, domain,
-        |        regexp_replace(v, '([?&])(?:${graft.pipeline.Urls.trackingAlternation})=[^&#]*', '\\1', 'g') AS v FROM n3),
-        |n5 AS (SELECT doc_id, host, domain,
-        |        regexp_replace(regexp_replace(regexp_replace(v,
-        |          '&&+', '&', 'g'), '\\?&', '?', 'g'), '[?&]+$$', '') AS v FROM n4),
-        |n6 AS (SELECT doc_id, host, domain,
-        |        regexp_replace(v, '^(https?://[^/?#]*)/$$', '\\1') AS url_norm FROM n5)
-        |SELECT doc_id, host, domain, url_norm FROM n6
+        |${graft.pipeline.Urls.urlSqlCtes("u", "url")._1}
+        |SELECT doc_id, host, domain, url_norm FROM ${graft.pipeline.Urls.urlSqlCtes("u", "url")._2}
         |WHERE domain NOT IN ('ads-network.com', 'spam-tracker.net')
         |ORDER BY doc_id""".stripMargin,
+
+    // the same planted anchors, extraction replayed as a single RE2
+    // regexp_extract_all (the fixtures use the canonical double-quoted
+    // spelling), then the SHARED urlSqlCtes chain per link
+    "html_links" -> {
+      def cse(m: Int): String = (0 until m)
+        .map(i => s"WHEN $i THEN '${PagerankDomains(i)}'").mkString(" ")
+      s"""WITH f AS (
+        |  SELECT doc_id,
+        |    '<p>intro</p><a href="https://' || (CASE doc_id % 7 ${cse(7)} END) ||
+        |    '/d/' || CAST(doc_id AS VARCHAR) || '?utm_x=1&q=2">one</a>' ||
+        |    '<div><a href="http://' || (CASE doc_id % 5 ${cse(5)} END) ||
+        |    '/p">two</a></div>' ||
+        |    (CASE WHEN doc_id % 3 = 0
+        |          THEN '<a href="/rel/' || CAST(doc_id AS VARCHAR) || '">rel</a>'
+        |          ELSE '' END) AS html
+        |  FROM documents),
+        |l AS (SELECT doc_id,
+        |        unnest(regexp_extract_all(html, '<a href="([^"]*)"', 1)) AS url
+        |      FROM f),
+        |${graft.pipeline.Urls.urlSqlCtes("l", "url")._1}
+        |SELECT doc_id, url, domain, url_norm
+        |FROM ${graft.pipeline.Urls.urlSqlCtes("l", "url")._2}
+        |ORDER BY doc_id, url""".stripMargin
+    },
+
+    // the same planted edge list, then the K PageRank iterations
+    // unrolled as CTE stages from the shared generator — integer `//`
+    // on non-negative BIGINTs matches Spark's `div` exactly
+    "domain_pagerank" -> {
+      def cse(m: Int): String = (0 until m)
+        .map(i => s"WHEN $i THEN '${PagerankDomains(i)}'").mkString(" ")
+      val (ctes, fin) = graft.pipeline.Graph.pageRankCtes("raw", PagerankIters)
+      s"""WITH raw AS (
+        |  SELECT (CASE doc_id % 7 ${cse(7)} END) AS src,
+        |         (CASE doc_id % 3 ${cse(3)} END) AS dst
+        |  FROM documents
+        |  UNION ALL SELECT '${PagerankDomains(2)}', '${PagerankDomains(6)}'),
+        |$ctes
+        |SELECT node, rank_e6 FROM $fin
+        |ORDER BY rank_e6 DESC, node""".stripMargin
+    },
 
     // exact-integer counts feed one LN() per hashed feature bucket; the
     // 1e-6 floor lands BEFORE the per-doc sum, which is therefore an

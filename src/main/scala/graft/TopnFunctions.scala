@@ -159,6 +159,10 @@ object TopnFunctions {
       "bpe_token_count(text) - token count under the built-in demo BPE merge table (vocabulary-aware budget weight)",
       arity("bpe_token_count", 1, 1)(exprs =>
         GraftShim.analyzableExpression(graft.pipeline.Bpe.tokenCount(GraftShim.column(exprs.head))))),
+    ("html_links",
+      "html_links(html) - href values of <a> tags in document order (link-graph front door)",
+      arity("html_links", 1, 1)(exprs =>
+        graft.expressions.HtmlLinks(exprs.head))),
     ("url_host",
       "url_host(url) - lower-cased host of an absolute URL (userinfo/port stripped; '' when no authority)",
       arity("url_host", 1, 1)(exprs =>

@@ -35,6 +35,14 @@ object TextAnalysis {
     GraftShim.column(graft.expressions.HtmlToText(GraftShim.expression(html)))
   }
 
+  /** Outlink extraction (see [[graft.expressions.HtmlLinks]] — every
+    * `<a>` tag's raw `href`, document order): the link-graph front door
+    * feeding [[Urls]] normalization and [[Graph]] ranking. */
+  def htmlLinks(html: Column): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(graft.expressions.HtmlLinks(GraftShim.expression(html)))
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Count of sentence/clause punctuation characters. */

@@ -137,6 +137,46 @@ object Urls {
   }
 
   /**
+   * The engine-neutral DuckDB replay of [[urlHost]] + [[registeredDomain]]
+   * + [[urlNormalize]] as CTE stages over an arbitrary relation `src`
+   * carrying `urlCol`: adds `host`, `domain`, `url_norm`, keeps every
+   * input column. One definition serves every oracle that touches URLs,
+   * so the SQL chain cannot drift per query. Returns
+   * (ctesString, finalCteName). `prefix` namespaces the CTE names.
+   */
+  def urlSqlCtes(src: String, urlCol: String, prefix: String = "u"): (String, String) = {
+    val p = prefix
+    val ctes =
+      s"""${p}h AS (SELECT *, lower(regexp_replace(regexp_replace(
+         |        regexp_extract($urlCol, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+         |        '^[^@]*@', ''), ':[0-9]*$$', '')) AS host FROM $src),
+         |${p}hd AS (SELECT *, len(string_split(host, '.')) AS ${p}_n,
+         |        string_split(host, '.') AS ${p}_l FROM ${p}h),
+         |${p}dom AS (SELECT * EXCLUDE (${p}_n, ${p}_l),
+         |        CASE WHEN regexp_matches(host, '^[0-9.]+$$') OR ${p}_n <= 2 THEN host
+         |             WHEN array_to_string(list_slice(${p}_l, ${p}_n - 1, ${p}_n), '.') IN $multiPartSuffixSqlList
+         |               THEN array_to_string(list_slice(${p}_l, ${p}_n - 2, ${p}_n), '.')
+         |             ELSE array_to_string(list_slice(${p}_l, ${p}_n - 1, ${p}_n), '.') END AS domain
+         |        FROM ${p}hd),
+         |${p}n1 AS (SELECT *, regexp_replace($urlCol, '#.*', '') AS ${p}_v FROM ${p}dom),
+         |${p}n2 AS (SELECT * EXCLUDE (${p}_v),
+         |        lower(regexp_extract(${p}_v, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
+         |        regexp_replace(${p}_v, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS ${p}_v FROM ${p}n1),
+         |${p}n3 AS (SELECT * EXCLUDE (${p}_v),
+         |        regexp_replace(regexp_replace(${p}_v,
+         |          '^(http://[^/?#:]*):80([/?#].*)?$$', '\\1\\2'),
+         |          '^(https://[^/?#:]*):443([/?#].*)?$$', '\\1\\2') AS ${p}_v FROM ${p}n2),
+         |${p}n4 AS (SELECT * EXCLUDE (${p}_v),
+         |        regexp_replace(${p}_v, '([?&])(?:$trackingAlternation)=[^&#]*', '\\1', 'g') AS ${p}_v FROM ${p}n3),
+         |${p}n5 AS (SELECT * EXCLUDE (${p}_v),
+         |        regexp_replace(regexp_replace(regexp_replace(${p}_v,
+         |          '&&+', '&', 'g'), '\\?&', '?', 'g'), '[?&]+$$', '') AS ${p}_v FROM ${p}n4),
+         |${p}n6 AS (SELECT * EXCLUDE (${p}_v),
+         |        regexp_replace(${p}_v, '^(https?://[^/?#]*)/$$', '\\1') AS url_norm FROM ${p}n5)""".stripMargin
+    (ctes, s"${p}n6")
+  }
+
+  /**
    * Drop every row whose URL's registered domain appears in `blocked` (a
    * one-column `domain` DataFrame, matched case-insensitively). Because the
    * key is the REGISTERED domain, all subdomains of a blocked domain are

@@ -432,6 +432,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(lines === Set((7L, 0, "Head"), (7L, 1, "para one"), (7L, 2, "footer")))
   }
 
+  test("htmlLinks goldens: quoting forms, order, boundaries, SQL surface") {
+    def x(h: String): Seq[String] =
+      Seq(h).toDF("html").select(TextAnalysis.htmlLinks($"html").as("l"))
+        .as[Seq[String]].head()
+
+    assert(x("""<a href="https://a.io/1">x</a><a href='b'>y</a><a href=c>z</a>""")
+      === Seq("https://a.io/1", "b", "c"))
+    // document order; first href in a tag wins; case/space tolerance
+    assert(x("""<A HREF = "u1">a</A><a data-href="no" href="u2">b</a>""")
+      === Seq("u1", "u2"))
+    // anchors without (or with empty) href, and non-anchor tags, skipped
+    assert(x("""<a name="top">t</a><a href="">e</a><area href="m"><p>p</p>""")
+      === Seq.empty)
+    // `<abbr>` is not an anchor; `<a` requires a whitespace boundary
+    assert(x("""<abbr href="no">x</abbr><a href="yes">y</a>""") === Seq("yes"))
+    // an unterminated anchor still yields a COMPLETED quoted value (the
+    // scan runs through end-of-input); a quote spanning the tag's early
+    // '>' cut is rejected (the <[^>]*> approximation)
+    assert(x("""<a href="u3" """) === Seq("u3"))
+    assert(x("""<a href="a>b">x</a>""") === Seq.empty)
+    // raw values: no entity decode, relative links kept verbatim
+    assert(x("""<a href="/rel?a=1&amp;b=2">r</a>""") === Seq("/rel?a=1&amp;b=2"))
+
+    // null passthrough + codegen path + SQL surface
+    val df = Seq((1L, Some("""<a href="k">k</a>""")), (2L, None))
+      .toDF("id", "html")
+      .select($"id", TextAnalysis.htmlLinks($"html").as("l"))
+      .orderBy($"id").collect()
+    assert(df(0).getSeq[String](1) === Seq("k"))
+    assert(df(1).isNullAt(1))
+    TopnFunctions.register(spark)
+    assert(spark.sql("""SELECT html_links('<a href="q">q</a>') AS l""")
+      .head.getSeq[String](0) === Seq("q"))
+    val eL = intercept[Exception](
+      spark.sql("SELECT html_links(42)").collect())
+    assert(eL.getMessage.contains("html_links requires STRING"))
+    // the link-graph front door composes: links -> url ops -> domains
+    val doms = Seq("""<a href="https://sub.Example.co.uk/p">1</a>
+        <a href="http://other.net/q?utm_a=1">2</a>""").toDF("html")
+      .select(explode(TextAnalysis.htmlLinks($"html")).as("u"))
+      .select(graft.pipeline.Urls.registeredDomain(
+        graft.pipeline.Urls.urlHost($"u")).as("d"))
+      .as[String].collect().toSet
+    assert(doms === Set("example.co.uk", "other.net"))
+  }
+
   test("incremental fingerprint pairs == batch pairs restricted to new ids; CC chain closes") {
     // random 64-bit fingerprints; every id % 3 == 1 is a near-twin of the
     // previous id (1-3 bits flipped), so pairs exist inside the store,

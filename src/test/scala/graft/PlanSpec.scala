@@ -269,6 +269,22 @@ class PlanSpec extends AnyFunSuite {
       "host/domain/normalize are flat projections, no explode")
   }
 
+  test("html_links: one generate over a flat projection, no join") {
+    val p = plan("html_links")
+    assert(p.contains("html_links"), "the codegen'd expression must appear")
+    assert(p.linesIterator.count(_.matches(".*\\(\\d+\\) Generate.*")) === 1,
+      "exactly the link explode, nothing else generates")
+    assert(!p.contains("Join"), "per-link url columns are projections, not joins")
+  }
+
+  test("domain_pagerank: keyed equi joins only, node-sized rank table") {
+    val p = plan("domain_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "every iteration must join on keys — no all-pairs fallback")
+    assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"),
+      "iterations must start from the checkpointed rank table, not replay lineage")
+  }
+
   test("exact_substr_rewrite: hash-partitioned window, doc-keyed rebuild join only") {
     val p = plan("exact_substr_rewrite")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
