@@ -152,6 +152,17 @@ object Bench {
     // survivor-side join input stay batch-sized. The batch is a re-keyed
     // copy of the 1x corpus, so every batch doc hits the filter and
     // flows through the verify join — the worst (heaviest-match) case
+    // PageRank over a synthetic link graph whose EDGE count scales with
+    // the corpus (one edge per doc) onto a fixed 2k-node domain set —
+    // the production shape: edges corpus-sized, rank table node-sized.
+    // The slope should track the per-iteration edge-list join scan;
+    // the checkpointed rank table stays 2k rows at every scale
+    ("g_pagerank", Seq(1, 4, 10), (c: Int) => {
+      val edges = scaledDocs(spark, dir, c).select(
+        concat(lit("d"), pmod(col("doc_id"), lit(2000))).as("src"),
+        concat(lit("d"), pmod(xxhash64(col("doc_id")), lit(2000))).as("dst"))
+      graft.pipeline.Graph.pageRank(edges, "src", "dst", iterations = 3)
+    }),
     ("g_bloom_dedup", Seq(1, 4, 10), (c: Int) => {
       val batch = scaledDocs(spark, dir, 1).select(
         (col("doc_id") + lit(100000000L)).as("doc_id"), col("text"))

@@ -126,6 +126,30 @@ object Demo {
     pipeline.Spans.dropDuplicatedSubstrings(straddle, "doc_id", "text", n = 8)
       .show(false)
 
+    println("== crawl bytes to clean text: WARC -> html -> links -> domains ==")
+    import spark.implicits._
+    val warcFiles = Seq(pipeline.Warc.WarcFile(0L, pipeline.Warc.syntheticWarc(Seq(
+      "https://News.Example.co.uk:443/a?utm_source=rss" ->
+        """<h1>Hi</h1><a href="https://other.net/x">out</a>""",
+      "https://other.net/x" -> "<p>plain page</p>"), gzipped = true))).toDS()
+    val crawl = pipeline.Warc.warcDocuments(warcFiles)
+      .select(col("target_uri"),
+        pipeline.TextAnalysis.htmlToText(col("html")).as("text"),
+        pipeline.TextAnalysis.htmlLinks(col("html")).as("links"))
+    crawl.show(false)
+    spark.sql(
+      """SELECT url_normalize('https://News.Example.co.uk:443/a?utm_source=rss') AS canonical,
+        |       registered_domain(url_host('https://News.Example.co.uk/a')) AS domain""".stripMargin)
+      .show(false)
+
+    println("== domain PageRank: exact integer ranks over a toy link graph ==")
+    pipeline.Graph.pageRank(Seq(
+      ("blog.example.com", "docs.example.org"),
+      ("news.example.net", "docs.example.org"),
+      ("docs.example.org", "blog.example.com")).toDF("src", "dst"),
+      "src", "dst", iterations = 4)
+      .orderBy(col("rank_e6").desc).show(false)
+
     println("== export: token-budgeted shards + manifest ==")
     val weighted = kept.join(docs.select("doc_id", "text"), "doc_id")
       .withColumn("n_tokens",

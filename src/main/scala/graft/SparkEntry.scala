@@ -45,6 +45,53 @@ object SparkEntry {
     "ads-network.com", "mirror-example.com", "plain-host.io")
   private val PagerankIters = 5
 
+  /** Planted per-doc URL population shared by url_filter /
+    * topn_url_domains: deterministic variant classes — mixed-case hosts,
+    * userinfo, default and non-default ports, a multi-part suffix, an
+    * IPv4 literal, tracking params, fragments. [[plantedUrlSql]] is the
+    * same construction for the oracles. */
+  private def plantedUrls(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val host = element_at(array(
+      lit("Example.COM"), lit("news.Example.co.uk"), lit("spam-Tracker.NET"),
+      lit("www.good-site.org"), lit("sub.deep.ads-network.com"),
+      lit("cdn.mirror-Example.com"), lit("192.168.0.1")),
+      (pmod($"doc_id", lit(7)) + 1).cast("int"))
+    val url = concat(
+      when(pmod($"doc_id", lit(2)) === 0, "http://").otherwise("https://"),
+      when(pmod($"doc_id", lit(11)) === 3, "user:pw@").otherwise(""),
+      host,
+      when(pmod($"doc_id", lit(5)) === 0, ":80")
+        .when(pmod($"doc_id", lit(5)) === 1, ":443")
+        .when(pmod($"doc_id", lit(5)) === 2, ":8080").otherwise(""),
+      when(pmod($"doc_id", lit(13)) === 0, lit("/"))
+        .otherwise(concat(lit("/Docs/"), $"doc_id")),
+      when(pmod($"doc_id", lit(4)) === 0, concat(lit("?utm_source=x&q="), $"doc_id"))
+        .when(pmod($"doc_id", lit(4)) === 1,
+          concat(lit("?q="), $"doc_id", lit("&fbclid=ab"), $"doc_id"))
+        .when(pmod($"doc_id", lit(4)) === 2, lit("?utm_a=1&ref=rss&utm_b=2"))
+        .otherwise(lit("")),
+      when(pmod($"doc_id", lit(3)) === 0, concat(lit("#Sec"), $"doc_id"))
+        .otherwise(lit("")))
+    tbl(spark, dir, "documents").select($"doc_id").withColumn("url", url)
+  }
+
+  /** The identical construction as a DuckDB scalar expression. */
+  private val plantedUrlSql: String =
+    """(CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END) ||
+      |    (CASE WHEN doc_id % 11 = 3 THEN 'user:pw@' ELSE '' END) ||
+      |    (CASE doc_id % 7 WHEN 0 THEN 'Example.COM' WHEN 1 THEN 'news.Example.co.uk'
+      |          WHEN 2 THEN 'spam-Tracker.NET' WHEN 3 THEN 'www.good-site.org'
+      |          WHEN 4 THEN 'sub.deep.ads-network.com' WHEN 5 THEN 'cdn.mirror-Example.com'
+      |          ELSE '192.168.0.1' END) ||
+      |    (CASE doc_id % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':443' WHEN 2 THEN ':8080' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 13 = 0 THEN '/' ELSE '/Docs/' || CAST(doc_id AS VARCHAR) END) ||
+      |    (CASE doc_id % 4 WHEN 0 THEN '?utm_source=x&q=' || CAST(doc_id AS VARCHAR)
+      |          WHEN 1 THEN '?q=' || CAST(doc_id AS VARCHAR) || '&fbclid=ab' || CAST(doc_id AS VARCHAR)
+      |          WHEN 2 THEN '?utm_a=1&ref=rss&utm_b=2' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN '#Sec' || CAST(doc_id AS VARCHAR) ELSE '' END)""".stripMargin
+
   /** Stop-word probe for the quality_filter query, adapted to the
     * synthetic corpus vocabulary; the oracle list is generated from this
     * constant so the two spellings cannot drift. */
@@ -1069,35 +1116,28 @@ object SparkEntry {
     "url_filter" -> ((spark, dir) => {
       import spark.implicits._
       import graft.pipeline.Urls
-      val host = element_at(array(
-        lit("Example.COM"), lit("news.Example.co.uk"), lit("spam-Tracker.NET"),
-        lit("www.good-site.org"), lit("sub.deep.ads-network.com"),
-        lit("cdn.mirror-Example.com"), lit("192.168.0.1")),
-        (pmod($"doc_id", lit(7)) + 1).cast("int"))
-      val url = concat(
-        when(pmod($"doc_id", lit(2)) === 0, "http://").otherwise("https://"),
-        when(pmod($"doc_id", lit(11)) === 3, "user:pw@").otherwise(""),
-        host,
-        when(pmod($"doc_id", lit(5)) === 0, ":80")
-          .when(pmod($"doc_id", lit(5)) === 1, ":443")
-          .when(pmod($"doc_id", lit(5)) === 2, ":8080").otherwise(""),
-        when(pmod($"doc_id", lit(13)) === 0, lit("/"))
-          .otherwise(concat(lit("/Docs/"), $"doc_id")),
-        when(pmod($"doc_id", lit(4)) === 0, concat(lit("?utm_source=x&q="), $"doc_id"))
-          .when(pmod($"doc_id", lit(4)) === 1,
-            concat(lit("?q="), $"doc_id", lit("&fbclid=ab"), $"doc_id"))
-          .when(pmod($"doc_id", lit(4)) === 2, lit("?utm_a=1&ref=rss&utm_b=2"))
-          .otherwise(lit("")),
-        when(pmod($"doc_id", lit(3)) === 0, concat(lit("#Sec"), $"doc_id"))
-          .otherwise(lit("")))
       val blocked = Seq("Ads-Network.com", "spam-tracker.net").toDF("domain")
       Urls.withUrlColumns(
-        Urls.filterBlockedDomains(
-          tbl(spark, dir, "documents").select($"doc_id").withColumn("url", url),
-          "url", blocked),
+        Urls.filterBlockedDomains(plantedUrls(spark, dir), "url", blocked),
         "url")
         .select($"doc_id", $"host", $"domain", $"url_norm")
         .orderBy($"doc_id")
+    }),
+
+    // the flagship sketch consuming the URL operators: top registered
+    // domains per shard via topn_add_agg — URL-level corpus statistics
+    // with bounded state, the reference operator on crawl metadata
+    "topn_url_domains" -> ((spark, dir) => {
+      import spark.implicits._
+      import graft.pipeline.Urls
+      plantedUrls(spark, dir)
+        .select(pmod($"doc_id", lit(3)).as("shard"),
+          Urls.registeredDomain(Urls.urlHost($"url")).as("domain"))
+        .groupBy($"shard")
+        .agg(TopnFunctions.topn_add_agg($"domain", ExactN).as("sketch"))
+        .select($"shard", explode(TopnFunctions.topn($"sketch", lit(5))).as("r"))
+        .select($"shard", $"r.item".as("item"), $"r.frequency".as("frequency"))
+        .orderBy($"shard", $"frequency".desc, $"item")
     }),
 
     // outlink extraction feeding the URL operators: anchors planted in
@@ -2287,25 +2327,26 @@ object SparkEntry {
     // tracking-param strip (shared alternation) + separator repair,
     // trailing-slash drop; finally the blocklist as NOT IN on the domain
     "url_filter" ->
-      s"""WITH u AS (
-        |  SELECT doc_id,
-        |    (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END) ||
-        |    (CASE WHEN doc_id % 11 = 3 THEN 'user:pw@' ELSE '' END) ||
-        |    (CASE doc_id % 7 WHEN 0 THEN 'Example.COM' WHEN 1 THEN 'news.Example.co.uk'
-        |          WHEN 2 THEN 'spam-Tracker.NET' WHEN 3 THEN 'www.good-site.org'
-        |          WHEN 4 THEN 'sub.deep.ads-network.com' WHEN 5 THEN 'cdn.mirror-Example.com'
-        |          ELSE '192.168.0.1' END) ||
-        |    (CASE doc_id % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':443' WHEN 2 THEN ':8080' ELSE '' END) ||
-        |    (CASE WHEN doc_id % 13 = 0 THEN '/' ELSE '/Docs/' || CAST(doc_id AS VARCHAR) END) ||
-        |    (CASE doc_id % 4 WHEN 0 THEN '?utm_source=x&q=' || CAST(doc_id AS VARCHAR)
-        |          WHEN 1 THEN '?q=' || CAST(doc_id AS VARCHAR) || '&fbclid=ab' || CAST(doc_id AS VARCHAR)
-        |          WHEN 2 THEN '?utm_a=1&ref=rss&utm_b=2' ELSE '' END) ||
-        |    (CASE WHEN doc_id % 3 = 0 THEN '#Sec' || CAST(doc_id AS VARCHAR) ELSE '' END) AS url
-        |  FROM documents),
+      s"""WITH u AS (SELECT doc_id, $plantedUrlSql AS url FROM documents),
         |${graft.pipeline.Urls.urlSqlCtes("u", "url")._1}
         |SELECT doc_id, host, domain, url_norm FROM ${graft.pipeline.Urls.urlSqlCtes("u", "url")._2}
         |WHERE domain NOT IN ('ads-network.com', 'spam-tracker.net')
         |ORDER BY doc_id""".stripMargin,
+
+    // same planted URLs + shared chain, then exact GROUP BY count with
+    // the sketch's pinned tie order (counters exact at this budget)
+    "topn_url_domains" ->
+      s"""WITH u AS (SELECT doc_id, $plantedUrlSql AS url FROM documents),
+        |${graft.pipeline.Urls.urlSqlCtes("u", "url")._1}
+        |, d AS (SELECT doc_id % 3 AS shard, domain
+        |        FROM ${graft.pipeline.Urls.urlSqlCtes("u", "url")._2})
+        |SELECT shard, item, frequency FROM (
+        |  SELECT shard, domain AS item, COUNT(*) AS frequency,
+        |         ROW_NUMBER() OVER (PARTITION BY shard
+        |                            ORDER BY COUNT(*) DESC, domain) AS rn
+        |  FROM d GROUP BY 1, 2) x
+        |WHERE rn <= 5
+        |ORDER BY shard, frequency DESC, item""".stripMargin,
 
     // the same planted anchors, extraction replayed as a single RE2
     // regexp_extract_all (the fixtures use the canonical double-quoted

@@ -144,6 +144,41 @@ class StreamingSpec extends AnyFunSuite {
       "min id of the first batch wins; later duplicates are swallowed")
   }
 
+  test("crawl-frontier dedup: urlNormalize + streaming exact dedup across batches") {
+    // the frontier recipe: canonicalize each discovered URL (a pure
+    // projection, so it runs inside the stream), then first-seen-wins
+    // exact dedup keyed by the canonical form — URLs differing only in
+    // tracking params, default ports, or fragments are one frontier entry
+    val dir = java.nio.file.Files.createTempDirectory("graft_frontier_in").toString
+    Seq((1L, "https://h.io/p?utm_source=a"), (2L, "http://other.net/x"))
+      .toDF("seq", "url").coalesce(1).write.parquet(s"$dir/tmp0")
+    Seq((3L, "https://h.io:443/p#frag"), (4L, "https://new.org/y"))
+      .toDF("seq", "url").coalesce(1).write.parquet(s"$dir/tmp1")
+    val in = java.nio.file.Files.createTempDirectory("graft_frontier_src").toString
+    for (b <- 0 to 1)
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/tmp$b")).forEach { p =>
+        if (p.toString.endsWith(".parquet")) {
+          val dst = java.nio.file.Paths.get(in, s"part$b.parquet")
+          java.nio.file.Files.copy(p, dst)
+          dst.toFile.setLastModified(1000000000000L + b * 60000L)
+        }
+      }
+
+    val schema = spark.read.parquet(s"$dir/tmp0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .select($"seq".as("doc_id"),
+        graft.pipeline.Urls.urlNormalize($"url").as("text"))
+    val q = TopnStreaming.streamingExactDedup(stream, "doc_id", "text")
+      .writeStream.outputMode("update").format("memory").queryName("frontier_keep").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val kept2 = spark.table("frontier_keep").select($"doc_id").as[Long].collect().sorted
+    // 3 normalizes to 1's canonical URL (default port + fragment) and is
+    // swallowed cross-batch; 2 and 4 are distinct frontier entries
+    assert(kept2 === Array(1L, 2L, 4L))
+  }
+
   test("streaming near-dup pairs: cross-batch SimHash collisions, deduped = batch answer") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ndup_in").toString
     // ids 1/2 share a text (hamming 0); id 3 distinct; batch 1 brings id 4
