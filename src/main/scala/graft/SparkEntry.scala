@@ -236,6 +236,20 @@ object SparkEntry {
         .orderBy($"day", $"frequency".desc, $"item")
     }),
 
+    // a WIDE frame (30 periods) through the prefix/suffix block
+    // decomposition — O(1) merges per period instead of the O(frameRows)
+    // the range-join/window forms pay (see Rollups.slidingUnionWideFrame)
+    "topn_window_30day_scalable" -> ((spark, dir) => {
+      import spark.implicits._
+      val daily = tbl(spark, dir, "orders")
+        .groupBy(date_format($"o_orderdate", "yyyy-MM-dd").as("day"))
+        .agg(TopnFunctions.topn_add_agg($"o_custkey".cast("string"), ExactN).as("sketch"))
+      graft.operators.Rollups.slidingUnionWideFrame(daily, "day", "sketch", frameRows = 30, ExactN)
+        .select($"day", explode(TopnFunctions.topn($"sketch", lit(5))).as("r"))
+        .select($"day", $"r.item".as("item"), $"r.frequency".as("frequency"))
+        .orderBy($"day", $"frequency".desc, $"item")
+    }),
+
     // events stream table (nanos-timestamp source) through the sketch path:
     // per-type hourly rollups -> union re-aggregation -> top-5 users
     "topn_events_by_type" -> ((spark, dir) => {
@@ -1395,6 +1409,19 @@ object SparkEntry {
    * gate (the twinned queries stay in [[queries]]).
    */
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the NAIVE wide frame: the same 30-period merge via slidingUnion's
+    // rank-range join, which replicates every period's sketch 30x — the
+    // head-to-head twin that prices slidingUnionWideFrame's decomposition
+    "topn_window_30day_rangejoin_op" -> ((spark, dir) => {
+      import spark.implicits._
+      val daily = tbl(spark, dir, "orders")
+        .groupBy(date_format($"o_orderdate", "yyyy-MM-dd").as("day"))
+        .agg(TopnFunctions.topn_add_agg($"o_custkey".cast("string"), ExactN).as("sketch"))
+      graft.operators.Rollups.slidingUnion(daily, "day", "sketch", frameRows = 30, ExactN)
+        .select($"day", explode(TopnFunctions.topn($"sketch", lit(5))).as("r"))
+        .select($"day", $"r.item".as("item"), $"r.frequency".as("frequency"))
+        .orderBy($"day", $"frequency".desc, $"item")
+    }),
     "dedup_simhash_op" -> ((spark, dir) => {
       graft.pipeline.Dedup.simhashPairs(
         tbl(spark, dir, "documents"), "doc_id", "text", maxDist = 3)
@@ -1552,6 +1579,28 @@ object SparkEntry {
         |  SELECT d.day, dl.item, CAST(SUM(dl.cnt) AS BIGINT) AS frequency
         |  FROM days d
         |  JOIN days d2 ON d2.rk BETWEEN d.rk - 6 AND d.rk
+        |  JOIN daily dl ON dl.day = d2.day
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT day, item, frequency,
+        |         ROW_NUMBER() OVER (PARTITION BY day ORDER BY frequency DESC, item) AS rn
+        |  FROM merged)
+        |SELECT day, item, frequency FROM ranked WHERE rn <= 5
+        |ORDER BY day, frequency DESC, item""".stripMargin,
+
+    // the 30-period frame replayed exactly: same shape, rk - 29
+    "topn_window_30day_scalable" ->
+      """WITH daily AS (
+        |  SELECT STRFTIME(o_orderdate, '%Y-%m-%d') AS day, CAST(o_custkey AS VARCHAR) AS item,
+        |         COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |days AS (
+        |  SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS rk
+        |  FROM (SELECT DISTINCT day FROM daily) d),
+        |merged AS (
+        |  SELECT d.day, dl.item, CAST(SUM(dl.cnt) AS BIGINT) AS frequency
+        |  FROM days d
+        |  JOIN days d2 ON d2.rk BETWEEN d.rk - 29 AND d.rk
         |  JOIN daily dl ON dl.day = d2.day
         |  GROUP BY 1, 2),
         |ranked AS (

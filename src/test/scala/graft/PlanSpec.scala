@@ -421,4 +421,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
       "classifier joins are keyed equi-joins (doc_id / f) — no pair blowup")
   }
+
+  test("wide-frame window: block-partitioned running merges, no range-join replication") {
+    val p = plan("topn_window_30day_scalable")
+    // the running prefix/suffix merges must partition by the frame block —
+    // parallel across blocks, never a data-sized single-partition window
+    assert(p.contains("windowspecdefinition(__blk"),
+      "prefix/suffix merges must be block-partitioned windows")
+    // the point of the decomposition: NO rank-range join, so no
+    // frameRows-fold replication of the rollup and no nested-loop join
+    // (slidingUnion's rk BETWEEN join is a BroadcastNestedLoopJoin)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      "the stitch must be a 1:1 equi-join on rank, not a range join")
+    // only the referenced columns reach the scan
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint,o_orderdate:timestamp_ntz>"),
+      "scan must read only custkey + orderdate")
+  }
 }

@@ -71,4 +71,46 @@ class ScaleOpsSpec extends AnyFunSuite {
     // and it still computes the right thing
     assert(reagg.count() === monthly.count())
   }
+
+  private def dailyRollup = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    .groupBy(date_format($"o_orderdate", "yyyy-MM-dd").as("day"))
+    .agg(TopnFunctions.topn_add_agg($"o_custkey".cast("string"), 2000000).as("sketch"))
+
+  private def flattened(df: org.apache.spark.sql.DataFrame) =
+    df.select($"day", explode($"sketch").as(Seq("item", "frequency")))
+
+  test("wide-frame sliding union equals the range-join form at several widths") {
+    val daily = dailyRollup.cache()
+    try {
+      // widths that exercise every stitch case: w=1 (every frame is its own
+      // block), a mid width where most frames straddle two blocks, the
+      // block-end/same-block boundary, and w > #periods (pure cumulative
+      // prefix within one giant block never completed — all frames partial)
+      val periods = daily.count().toInt
+      for (w <- Seq(1, 13, 30, periods + 10)) {
+        val expected = flattened(
+          Rollups.slidingUnion(daily, "day", "sketch", w, 2000000))
+        val got = flattened(
+          Rollups.slidingUnionWideFrame(daily, "day", "sketch", w, 2000000))
+        assert(got.exceptAll(expected).count() === 0 &&
+          expected.exceptAll(got).count() === 0,
+          s"wide-frame result diverged from the range-join form at frameRows=$w")
+      }
+    } finally daily.unpersist()
+  }
+
+  test("wide-frame sliding union pre-merges multi-row-per-period input") {
+    // per-group partials: several sketch rows per day, as a per-category
+    // rollup table would hold — the operator must fold them into the frame
+    val perGroup = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .groupBy(date_format($"o_orderdate", "yyyy-MM-dd").as("day"),
+        $"o_orderpriority")
+      .agg(TopnFunctions.topn_add_agg($"o_custkey".cast("string"), 2000000).as("sketch"))
+    val expected = flattened(
+      Rollups.slidingUnion(perGroup, "day", "sketch", 7, 2000000))
+    val got = flattened(
+      Rollups.slidingUnionWideFrame(perGroup, "day", "sketch", 7, 2000000))
+    assert(got.exceptAll(expected).count() === 0 &&
+      expected.exceptAll(got).count() === 0)
+  }
 }
