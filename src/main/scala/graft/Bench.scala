@@ -163,6 +163,12 @@ object Bench {
         concat(lit("d"), pmod(xxhash64(col("doc_id")), lit(2000))).as("dst"))
       graft.pipeline.Graph.pageRank(edges, "src", "dst", iterations = 3)
     }),
+    // the runner's count() would prune an unused `pos` and with it the
+    // whole shard window — the filter keeps the window load-bearing
+    ("g_shuffle_order", Seq(1, 4, 10), (c: Int) =>
+      graft.pipeline.Sampling.shuffleOrder(
+        scaledDocs(spark, dir, c).select(col("doc_id")), "doc_id", 64)
+        .filter(pmod(col("pos"), lit(97)) === 0)),
     ("g_bloom_dedup", Seq(1, 4, 10), (c: Int) => {
       val batch = scaledDocs(spark, dir, 1).select(
         (col("doc_id") + lit(100000000L)).as("doc_id"), col("text"))

@@ -161,6 +161,13 @@ object Demo {
       .agg(count(lit(1)), coalesce(sum(col("weight")), lit(0L))).head()
     println(s"wrote ${m.getLong(0)} shards, ${m.getLong(1)} tokens total")
 
+    println("== mixing: temperature weights -> deterministic training order ==")
+    pipeline.Mixture.temperatureWeights(docs, "source", 1, 2)
+      .orderBy(col("grp")).show(false)
+    pipeline.Sampling.shuffleOrder(docs.select("doc_id"), "doc_id",
+      numShards = 4, salt = 1L)
+      .orderBy(col("shard"), col("pos")).show(8, truncate = false)
+
     spark.stop()
   }
 

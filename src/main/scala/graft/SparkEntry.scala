@@ -833,6 +833,33 @@ object SparkEntry {
         .orderBy($"lang", $"frequency".desc, $"item")
     }),
 
+    // temperature-scaled mixture weights (the XLM-R multinomial alpha
+    // recipe) over the corpus sources, weighted by characters; n^alpha
+    // runs on the FixedLog2/FixedExp2 IEEE-only pair so every ppm floor
+    // is cross-engine deterministic — the oracle replays both
+    // recurrences as unrolled CTE chains from the same generators
+    "mix_temperature" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.pipeline.Mixture.temperatureWeights(
+        tbl(spark, dir, "documents").select($"doc_id", $"source", $"n_chars"),
+        "source", alphaNum = 7, alphaDen = 10, weightCol = Some("n_chars"))
+        .orderBy($"grp")
+    }),
+
+    // deterministic training-order shuffle: shard + in-shard position as
+    // a pure function of (id, salt) — stable across reruns and cluster
+    // sizes, resumable at (shard, pos), reshuffled per epoch by salt;
+    // the oracle replays the portable rank mix and the shard window
+    "shuffle_order" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.pipeline.Sampling.shuffleOrder(
+        tbl(spark, dir, "documents").select($"doc_id"),
+        "doc_id", numShards = 16, salt = 2L)
+        .select($"doc_id", $"shard".cast("long").as("shard"),
+          $"pos".cast("long").as("pos"))
+        .orderBy($"doc_id")
+    }),
+
     // balanced per-source subset: exactly k docs per source by portable
     // hash rank — deterministic, replayable, oracle-replayable
     "sample_per_group" -> ((spark, dir) => {
@@ -1771,6 +1798,28 @@ object SparkEntry {
         |ORDER BY lang, frequency DESC, item""".stripMargin,
 
     // rank expression generated from the same MixRounds as the plan
+    // both fixed-point recurrences (log2, exp2) unrolled from the same
+    // generators the Spark plan compiles — bit-identical doubles, so the
+    // ppm floors cannot flake
+    "mix_temperature" -> {
+      val (stages, fin) = graft.pipeline.Mixture.temperatureSqlCtes(
+        "mix_src", "source", "n_chars", 7, 10)
+      s"""WITH mix_src AS (SELECT doc_id, source, n_chars FROM documents),
+        |$stages
+        |SELECT grp, n, share_ppm, temp_share_ppm, rate_ppm FROM $fin
+        |ORDER BY grp""".stripMargin
+    },
+
+    "shuffle_order" -> {
+      val (shardSql, rankSql) =
+        graft.pipeline.Sampling.shuffleOrderSql("doc_id", 16, 2L)
+      s"""SELECT doc_id, CAST($shardSql AS BIGINT) AS shard,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY $shardSql
+        |         ORDER BY $rankSql, doc_id) AS BIGINT) AS pos
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+    },
+
     "sample_per_group" ->
       s"""SELECT doc_id, source, sample_rank FROM (
         |  SELECT doc_id, source,

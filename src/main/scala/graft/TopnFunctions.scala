@@ -155,6 +155,10 @@ object TopnFunctions {
       "fixed_log2(x) - deterministic IEEE-only base-2 log (bit-identical on every platform, unlike libm ln/log2)",
       arity("fixed_log2", 1, 1)(exprs =>
         graft.expressions.FixedLog2(exprs.head))),
+    ("fixed_exp2",
+      "fixed_exp2(x) - deterministic IEEE-only 2^x (sqrt-tower recurrence; with fixed_log2 gives libm-free n^alpha)",
+      arity("fixed_exp2", 1, 1)(exprs =>
+        graft.expressions.FixedExp2(exprs.head))),
     ("bpe_token_count",
       "bpe_token_count(text) - token count under the built-in demo BPE merge table (vocabulary-aware budget weight)",
       arity("bpe_token_count", 1, 1)(exprs =>

@@ -129,6 +129,55 @@ object Sampling {
   }
 
   /**
+   * Deterministic training-order shuffle — the last mile before a
+   * training job reads the corpus: every row gets a `shard` in
+   * [0, numShards) and a 1-based `pos` within its shard, and reading the
+   * shards in (shard, pos) order visits the corpus in a fixed
+   * pseudo-random permutation of ids. `ORDER BY random()` is neither
+   * stable nor resumable; this order is a pure function of (id, salt) —
+   * identical across reruns, repartitionings, and cluster sizes, so a
+   * job can restart mid-epoch at (shard, pos) and epoch k can reshuffle
+   * with salt = k. Same non-negative-id contract as [[portableRank]].
+   *
+   * Scale shape: this is how corpus-scale shuffles are actually done —
+   * never a global sort. One hash-partition shuffle on `shard` plus a
+   * per-shard (rank, id) sort window; pick numShards so a shard fits an
+   * executor (10k shards at 100 TB ≈ 10 GB each). Shard sizes are
+   * balanced by the hash (no skew surface: the key is the mixed rank,
+   * not a data value).
+   */
+  def shuffleOrder(
+      df: DataFrame,
+      idCol: String,
+      numShards: Int,
+      salt: Long = 0L): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    Seq("shard", "pos").foreach { c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column; rename it — shuffleOrder appends " +
+          "'shard' and 'pos'")
+    }
+    val r = portableRank(col(idCol), salt)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(r, col(idCol))
+    df.withColumn("shard", (r % lit(numShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+  }
+
+  /** [[shuffleOrder]]'s shard/order expressions as engine-neutral SQL
+    * over `idExpr`, for oracle construction — generated from
+    * [[portableRankSql]] so the spellings cannot drift. Returns
+    * (shardExpr, rankExpr); the oracle replays `pos` as
+    * `ROW_NUMBER() OVER (PARTITION BY shardExpr ORDER BY rankExpr, id)`. */
+  def shuffleOrderSql(idExpr: String, numShards: Int, salt: Long = 0L)
+      : (String, String) = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val rank = portableRankSql(idExpr, salt)
+    (s"CAST(($rank) % $numShards AS INT)", rank)
+  }
+
+  /**
    * Assign every row to exactly one named split by hashed-id bucket.
    * `weights` are integer percentages summing to 100, consumed in order as
    * cumulative cut points — e.g. `Seq("train" -> 80, "val" -> 10,

@@ -386,6 +386,41 @@ class PlanSpec extends AnyFunSuite {
   // df's physical plan is a projection over an RDD — the interesting
   // plans belong to the stages, each of which has its own guard above.)
 
+  test("temperature weights: one corpus scan, one G-row window stage, no join") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val mix = graft.pipeline.Mixture.temperatureWeights(
+      docs, "source", 7, 10, Some("n_chars"))
+    val p = mix.queryExecution.explainString(FormattedMode)
+    // count node DETAIL headers ("(3) Scan parquet") — the formatted dump
+    // also repeats each node in the tree drawing
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length === 1,
+      "the corpus must be scanned exactly once — totals come from a window " +
+        "over the G-row aggregate, never an agg-and-rejoin that replicates " +
+        "the scan")
+    assert(!p.contains("Join"), "no join anywhere in the mixture plan")
+    assert(p.contains("HashAggregate"),
+      "group weighing must be a two-phase hash aggregation")
+    assert("""\(\d+\) Window""".r.findAllIn(p).length >= 1 &&
+      """\(\d+\) Exchange""".r.findAllIn(p).length === 2,
+      "exactly two exchanges: the group aggregation and the G-row " +
+        "single-partition window stage")
+  }
+
+  test("training-order shuffle: one hash exchange on shard, never a global sort") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+    val sh = graft.pipeline.Sampling.shuffleOrder(docs, "doc_id", 16, salt = 2L)
+    val p = sh.queryExecution.explainString(FormattedMode)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length === 1,
+      "exactly one shuffle: the hash partition on shard")
+    assert(p.contains("hashpartitioning"),
+      "the shard exchange must be a hash partition")
+    assert(!p.contains("rangepartitioning"),
+      "a training-order shuffle must never globally sort the corpus")
+    assert(p.contains("Window"), "positions come from the per-shard window")
+  }
+
   test("corpus upsampling is a shuffle-free generate + filter") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("source"))
