@@ -537,6 +537,60 @@ class StreamingSpec extends AnyFunSuite {
       "streamed frozen-model scores must equal the batch training run's")
   }
 
+  test("frozen temperature-mixture gate filters a stream identically to batch") {
+    // the mixing recipe under streaming: measure temperature rates on a
+    // reference corpus ONCE, freeze them as integer percents, and apply
+    // mixCorpus inside the micro-batched stream — the gate is a stateless
+    // deterministic hash filter, so the streamed keep set equals the
+    // batch keep set for ANY batching (rates > 100% route to
+    // upsampleCorpus exactly as in batch; here the web head downsamples)
+    import graft.pipeline.{Mixture, Sampling}
+    val docs = (0L until 300L).map(i =>
+      (i, if (i % 10 < 7) "web" else if (i % 10 < 9) "books" else "code"))
+      .toDF("doc_id", "source")
+    val rates = Mixture.temperatureWeights(docs, "source", 1, 2)
+      .select($"grp", $"rate_ppm").as[(String, Long)].collect()
+    val pct = rates.map { case (g, r) =>
+      g -> math.min(100L, r / 10000L).toInt
+    }.toMap
+    assert(pct("web") < 100 && pct.values.exists(_ == 100),
+      s"fixture should downsample the head only, got $pct")
+    val want = Sampling.mixCorpus(docs, "doc_id", "source", pct,
+      defaultPct = 100)
+      .select($"doc_id").as[Long].collect().toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_mixstream").toString
+    val in = s"$dir/stream"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    docs.filter($"doc_id" < 150L).coalesce(1)
+      .write.parquet(s"$dir/in/b0")
+    docs.filter($"doc_id" >= 150L).coalesce(1)
+      .write.parquet(s"$dir/in/b1")
+    var part = 0
+    Seq("b0", "b1").foreach { b =>
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/in/$b")).forEach { p =>
+        if (p.toString.endsWith(".parquet")) {
+          java.nio.file.Files.copy(p,
+            java.nio.file.Paths.get(in, s"part$part.parquet"))
+          part += 1
+        }
+      }
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = Sampling.mixCorpus(stream.toDF(), "doc_id", "source", pct,
+      defaultPct = 100)
+      .select($"doc_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mix_stream").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("mix_stream").as[Long].collect().toSet
+    assert(got === want,
+      "the frozen mixture gate must keep the identical doc set under " +
+        "any micro-batching")
+  }
+
   test("daily-ingest front door: bloom dedup drops exact re-sends before clustering") {
     // the complete front door: each day's batch is first exact-deduped
     // against the accumulated store with Dedup.bloomAntiJoin (re-sent
