@@ -846,6 +846,24 @@ object SparkEntry {
         .orderBy($"grp")
     }),
 
+    // the full mixing loop, measured and applied in one query: count-
+    // based temperature rates over the (skewed) language distribution,
+    // frozen to integer percents (a G-row bounded collect, the IVF-
+    // centroid pattern), then realized by upsampleCorpus — the head
+    // language downsamples below one epoch, the tail gains fractional
+    // epochs, all hash-deterministic; the oracle recomputes the rates
+    // from its own recurrence chain and replays the replication
+    "mix_temperature_apply" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = tbl(spark, dir, "documents").select($"doc_id", $"lang")
+      val pct = graft.pipeline.Mixture.ratePercents(
+        graft.pipeline.Mixture.temperatureWeights(docs, "lang", 1, 2))
+      graft.pipeline.Sampling.upsampleCorpus(
+        docs, "doc_id", "lang", pct, defaultPct = 100)
+        .select($"doc_id", $"copy_id".cast("long").as("copy_id"), $"lang")
+        .orderBy($"doc_id", $"copy_id")
+    }),
+
     // deterministic training-order shuffle: shard + in-shard position as
     // a pure function of (id, salt) — stable across reruns and cluster
     // sizes, resumable at (shard, pos), reshuffled per epoch by salt;
@@ -1808,6 +1826,30 @@ object SparkEntry {
         |$stages
         |SELECT grp, n, share_ppm, temp_share_ppm, rate_ppm FROM $fin
         |ORDER BY grp""".stripMargin
+    },
+
+    // rates recomputed from the oracle's own recurrence chain (never
+    // pasted constants), then the same floor/clamp and the
+    // corpus_upsample replication spelling with rate-driven percents
+    "mix_temperature_apply" -> {
+      val (stages, fin) = graft.pipeline.Mixture.temperatureSqlCtes(
+        "mix_src", "lang", "1", 1, 2)
+      s"""WITH mix_src AS (SELECT doc_id, lang FROM documents),
+        |$stages,
+        |p AS (SELECT grp,
+        |             LEAST(COALESCE(rate_ppm // 10000, 1000), 1000) AS pct
+        |      FROM $fin),
+        |f AS (SELECT d.doc_id, d.lang, p.pct
+        |      FROM documents d JOIN p ON d.lang = p.grp),
+        |r AS (SELECT doc_id, lang, pct // 100 AS whole, pct % 100 AS frac FROM f),
+        |e AS (SELECT doc_id, lang, whole, frac,
+        |             UNNEST(range(0, whole + CASE WHEN frac > 0 THEN 1 ELSE 0 END))
+        |               AS copy_id
+        |      FROM r)
+        |SELECT doc_id, CAST(copy_id AS BIGINT) AS copy_id, lang FROM e
+        |WHERE copy_id < whole
+        |   OR ${graft.pipeline.Sampling.portableBucketSql("doc_id")} < frac
+        |ORDER BY doc_id, copy_id""".stripMargin
     },
 
     "shuffle_order" -> {

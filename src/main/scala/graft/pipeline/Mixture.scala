@@ -113,6 +113,32 @@ object Mixture {
   }
 
   /**
+   * [[temperatureWeights]]' rates as the integer-percent map
+   * [[Sampling.mixCorpus]] (rates below 100) and
+   * [[Sampling.upsampleCorpus]] (rates above 100, fractional epochs)
+   * consume — pct = floor(rate_ppm / 10000), clamped to `maxPct` so an
+   * adversarially tiny group cannot demand unbounded replication (the
+   * usual "epochs per source" cap; 1000 = 10 epochs). NULL rates
+   * (groups too small for their natural share to resolve in ppm) fall
+   * back to `maxPct` — by construction such a group is microscopically
+   * underrepresented, so the cap IS its intended rate.
+   *
+   * A G-row driver-side collect, bounded by the group count — the same
+   * bounded-collect pattern as IVF centroids; the corpus itself never
+   * moves.
+   */
+  def ratePercents(weights: DataFrame, maxPct: Int = 1000): Map[String, Int] = {
+    require(maxPct >= 0, s"maxPct must be >= 0, got $maxPct")
+    weights
+      .select(col("grp").cast("string"),
+        least(
+          coalesce((col("rate_ppm") / lit(10000L)).cast("long"),
+            lit(maxPct.toLong)),
+          lit(maxPct.toLong)).cast("int"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+  }
+
+  /**
    * The identical computation as an engine-neutral WITH-chain fragment
    * for oracle construction, generated from the same recurrences
    * ([[graft.expressions.FixedLog2.sqlCtes]] /

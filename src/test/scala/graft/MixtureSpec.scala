@@ -163,6 +163,20 @@ class MixtureSpec extends AnyFunSuite {
     assert(sql === op)
   }
 
+  test("ratePercents floors to integer percent, clamps, and caps null rates") {
+    val weights = Seq(
+      ("web", 100L, 500000L, 350000L, Some(700000L)),   // 0.7 -> 70
+      ("books", 100L, 400000L, 520000L, Some(1300000L)), // 1.3 -> 130
+      ("rare", 100L, 100000L, 130000L, Some(99999999L)), // clamped
+      ("dust", 100L, 0L, 1L, None))                      // null -> cap
+      .toDF("grp", "n", "share_ppm", "temp_share_ppm", "rate_ppm")
+      .withColumn("rate_ppm", col("rate_ppm").cast("long"))
+    val pct = Mixture.ratePercents(weights, maxPct = 1000)
+    assert(pct === Map("web" -> 70, "books" -> 130, "rare" -> 1000,
+      "dust" -> 1000))
+    intercept[IllegalArgumentException](Mixture.ratePercents(weights, -1))
+  }
+
   // --- deterministic training-order shuffle -------------------------------
 
   test("shuffleOrder: a permutation, deterministic, salt-sensitive, balanced") {
