@@ -131,6 +131,22 @@ object SparkEntry {
         .orderBy($"o_orderpriority", $"frequency".desc, $"item")
     }),
 
+    // the skew path under the gate: the same groupby build through
+    // Rollups.saltedTopnAdd's two-level (key, salt) -> key aggregation —
+    // hot group keys split across 32 reducers, merged by topn_union_agg.
+    // Below eviction the split is exact (merge associativity), so the
+    // UNSALTED oracle must hash-match, which is precisely the claim
+    "topn_salted_groupby" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.operators.Rollups.saltedTopnAdd(
+        tbl(spark, dir, "orders")
+          .select($"o_orderpriority", $"o_custkey".cast("string").as("cust")),
+        "o_orderpriority", "cust", ExactN)
+        .select($"o_orderpriority", explode(TopnFunctions.topn($"sketch", lit(10))).as("r"))
+        .select($"o_orderpriority", $"r.item".as("item"), $"r.frequency".as("frequency"))
+        .orderBy($"o_orderpriority", $"frequency".desc, $"item")
+    }),
+
     // heavy-path throughput anchor: sketch build over the full lineitem
     // table (600k rows at sf0.1), grouped by return flag
     "topn_lineitem_parts" -> ((spark, dir) => {
@@ -1536,6 +1552,18 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "topn_add_agg_groupby" ->
+      """SELECT o_orderpriority, item, frequency FROM (
+        |  SELECT o_orderpriority, CAST(o_custkey AS VARCHAR) AS item,
+        |         COUNT(*) AS frequency,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY COUNT(*) DESC, CAST(o_custkey AS VARCHAR)) AS rn
+        |  FROM orders GROUP BY 1, 2) t
+        |WHERE rn <= 10
+        |ORDER BY o_orderpriority, frequency DESC, item""".stripMargin,
+
+    // the salted two-level build is exact below eviction, so the plain
+    // unsalted count/rank oracle applies verbatim
+    "topn_salted_groupby" ->
       """SELECT o_orderpriority, item, frequency FROM (
         |  SELECT o_orderpriority, CAST(o_custkey AS VARCHAR) AS item,
         |         COUNT(*) AS frequency,
