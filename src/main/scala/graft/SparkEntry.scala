@@ -283,6 +283,16 @@ object SparkEntry {
 
     // --- beyond-reference: training-data pipeline operators --------------
 
+    // the corpus report card: one scan, one global aggregate, a stacked
+    // (metric, value) datasheet — integer metrics only so the whole card
+    // hash-matches the oracle's replay
+    "corpus_report" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.pipeline.TextAnalysis.corpusReport(
+        tbl(spark, dir, "documents").select($"text"), "text")
+        .orderBy($"metric")
+    }),
+
     // text analysis: tokenization, quality, language-ID, fingerprint
     "text_stats" -> ((spark, dir) => {
       import spark.implicits._
@@ -1691,6 +1701,57 @@ object SparkEntry {
         |  FROM events GROUP BY 1, 2) t
         |WHERE rn <= 5
         |ORDER BY event_type, frequency DESC, item""".stripMargin,
+
+    // every ingredient's DuckDB spelling is already hash-proven by
+    // text_stats / dedup_exact / pii_redact; the card just aggregates them
+    "corpus_report" ->
+      """WITH t AS (
+        |  SELECT text, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |         md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |s AS (
+        |  SELECT text, toks, fp,
+        |         len(list_filter(toks, w -> w IN ('the','and','of','to','is'))) AS s_en,
+        |         len(list_filter(toks, w -> w IN ('le','la','les','et','de'))) AS s_fr,
+        |         len(list_filter(toks, w -> w IN ('el','los','las','es','y'))) AS s_es,
+        |         len(list_filter(toks, w -> w IN ('der','die','das','und','ist'))) AS s_de
+        |  FROM t),
+        |l AS (
+        |  SELECT text, toks, fp,
+        |         CASE WHEN s_en + s_fr + s_es + s_de = 0 THEN 'und'
+        |              WHEN s_en >= GREATEST(s_fr, s_es, s_de) THEN 'en'
+        |              WHEN s_fr >= GREATEST(s_es, s_de) THEN 'fr'
+        |              WHEN s_es >= s_de THEN 'es'
+        |              ELSE 'de' END AS lang
+        |  FROM s),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS docs_total,
+        |         CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS chars_total,
+        |         CAST(COALESCE(SUM(len(toks)), 0) AS BIGINT) AS tokens_total,
+        |         CAST(COUNT(DISTINCT fp) AS BIGINT) AS fingerprints_distinct,
+        |         CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_empty,
+        |         CAST(COALESCE(SUM(len(regexp_extract_all(text,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))), 0) AS BIGINT) AS pii_email_hits,
+        |         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS lang_en,
+        |         CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS lang_fr,
+        |         CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS lang_es,
+        |         CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS lang_de,
+        |         CAST(SUM(CASE WHEN lang = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS lang_und
+        |  FROM l)
+        |SELECT metric, value FROM (
+        |  SELECT 'chars_total' AS metric, chars_total AS value FROM m
+        |  UNION ALL SELECT 'docs_empty', docs_empty FROM m
+        |  UNION ALL SELECT 'docs_exact_dup', docs_total - fingerprints_distinct FROM m
+        |  UNION ALL SELECT 'docs_total', docs_total FROM m
+        |  UNION ALL SELECT 'fingerprints_distinct', fingerprints_distinct FROM m
+        |  UNION ALL SELECT 'lang_de', lang_de FROM m
+        |  UNION ALL SELECT 'lang_en', lang_en FROM m
+        |  UNION ALL SELECT 'lang_es', lang_es FROM m
+        |  UNION ALL SELECT 'lang_fr', lang_fr FROM m
+        |  UNION ALL SELECT 'lang_und', lang_und FROM m
+        |  UNION ALL SELECT 'pii_email_hits', pii_email_hits FROM m
+        |  UNION ALL SELECT 'tokens_total', tokens_total FROM m)
+        |ORDER BY metric""".stripMargin,
 
     "text_stats" ->
       """WITH t AS (

@@ -139,6 +139,59 @@ object TextAnalysis {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
+  // --- corpus report card ---------------------------------------------------
+
+  /**
+   * One-scan corpus report card — the datasheet numbers a curation run
+   * publishes next to its shards (the practice the Pile / Dolma corpus
+   * papers standardize): doc / token / char totals, exact-duplicate mass
+   * via the dedup [[fingerprint]], empty-doc count, PII incidence, and
+   * the [[languageId]] distribution. Output: (metric STRING, value
+   * BIGINT) rows, one per metric — schema-stable as metrics are added,
+   * and integer-only so the card is oracle-replayable bit-for-bit.
+   *
+   * Scale shape: ONE corpus scan into one global aggregate (map-side
+   * partials; the COUNT DISTINCT fingerprint is the standard two-phase
+   * distinct — the only corpus-sized shuffle, and it is exactly the
+   * exact-dedup key count a curation run wants anyway), then a constant
+   * `stack` of the 1-row result. Nothing driver-sized, nothing
+   * vocabulary-sized.
+   */
+  def corpusReport(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    // coalesce: SUM over zero rows is NULL, and the empty card is all-zero
+    def flag(c: Column): Column =
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+    val one = docs.agg(
+      count(lit(1)).as("docs_total"),
+      coalesce(sum(length(t).cast("long")), lit(0L)).as("chars_total"),
+      coalesce(sum(tokenCount(t).cast("long")), lit(0L)).as("tokens_total"),
+      countDistinct(fingerprint(t)).as("fingerprints_distinct"),
+      flag(length(trim(t)) === 0).as("docs_empty"),
+      coalesce(sum(emailCount(t).cast("long")), lit(0L)).as("pii_email_hits"),
+      flag(languageId(t) === "en").as("lang_en"),
+      flag(languageId(t) === "fr").as("lang_fr"),
+      flag(languageId(t) === "es").as("lang_es"),
+      flag(languageId(t) === "de").as("lang_de"),
+      flag(languageId(t) === "und").as("lang_und"))
+      .withColumn("docs_exact_dup",
+        col("docs_total") - col("fingerprints_distinct"))
+    one.selectExpr(
+      """stack(12,
+        |  'chars_total', chars_total,
+        |  'docs_empty', docs_empty,
+        |  'docs_exact_dup', docs_exact_dup,
+        |  'docs_total', docs_total,
+        |  'fingerprints_distinct', fingerprints_distinct,
+        |  'lang_de', lang_de,
+        |  'lang_en', lang_en,
+        |  'lang_es', lang_es,
+        |  'lang_fr', lang_fr,
+        |  'lang_und', lang_und,
+        |  'pii_email_hits', pii_email_hits,
+        |  'tokens_total', tokens_total) AS (metric, value)""".stripMargin)
+  }
+
   // --- repetition / diversity quality signals ------------------------------
 
   /** Word bigrams as an array WITH duplicates (unlike [[wordShingles]],

@@ -29,6 +29,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(out === Array("en", "fr", "und"))
   }
 
+  test("corpusReport: datasheet metrics vs a plain-Scala reference; empty corpus") {
+    val rows = Seq(
+      (1L, "the cat and the dog is of to"),
+      (2L, "THE  cat and the dog is of to"), // dup of 1 modulo case/spacing
+      (3L, "le chat et la les de"),
+      (4L, ""),
+      (5L, "reach me a@b.co and c@d.org now"))
+    val got = TextAnalysis.corpusReport(rows.toDF("doc_id", "text"), "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("docs_total") === 5L)
+    assert(got("chars_total") === rows.map(_._2.length.toLong).sum)
+    // the split-on-empty quirk: "" tokenizes to [""], size 1 — both engines
+    assert(got("tokens_total") ===
+      rows.map(_._2.trim.split("\\s+").length.toLong).sum)
+    assert(got("fingerprints_distinct") === 4L) // 1 and 2 share a fingerprint
+    assert(got("docs_exact_dup") === 1L)
+    assert(got("docs_empty") === 1L)
+    assert(got("pii_email_hits") === 2L)
+    assert(got("lang_en") === 3L && got("lang_fr") === 1L &&
+      got("lang_und") === 1L && got("lang_es") === 0L && got("lang_de") === 0L)
+    assert(got.keySet.size === 12)
+
+    val empty = TextAnalysis.corpusReport(
+      rows.toDF("doc_id", "text").limit(0), "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(empty.keySet === got.keySet)
+    assert(empty.values.forall(_ === 0L), s"empty corpus card must be all zero: $empty")
+  }
+
   test("MinHashSignature expression is bit-identical to the composed hash chain") {
     // the LSH banding (and therefore the driver's exact-equality oracle)
     // depends on the native single-pass signature producing EXACTLY the
