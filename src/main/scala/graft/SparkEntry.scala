@@ -283,6 +283,21 @@ object SparkEntry {
 
     // --- beyond-reference: training-data pipeline operators --------------
 
+    // BPE ENCODE (not just count): the merge walk's actual pieces in
+    // document order — one vocabulary join from token ids; the oracle
+    // replays the identical replace chain and zips the piece list with
+    // its ordinals. Sampled to every 25th doc: the check is the piece
+    // CONTENT (count coverage is pack_bins_bpe's), not corpus volume
+    "bpe_encode" -> ((spark, dir) => {
+      import spark.implicits._
+      tbl(spark, dir, "documents")
+        .filter($"doc_id" % 25 === 0)
+        .select($"doc_id",
+          posexplode(graft.pipeline.Bpe.encode($"text")).as(Seq("token_idx", "piece")))
+        .select($"doc_id", $"token_idx".cast("long").as("token_idx"), $"piece")
+        .orderBy($"doc_id", $"token_idx")
+    }),
+
     // the corpus report card: one scan, one global aggregate, a stacked
     // (metric, value) datasheet — integer metrics only so the whole card
     // hash-matches the oracle's replay
@@ -1701,6 +1716,18 @@ object SparkEntry {
         |  FROM events GROUP BY 1, 2) t
         |WHERE rn <= 5
         |ORDER BY event_type, frequency DESC, item""".stripMargin,
+
+    // DuckDB zips multiple UNNESTs in one SELECT positionally — range()
+    // supplies the ordinals posexplode emits
+    "bpe_encode" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, ${graft.pipeline.Bpe.duckdbEncodeSql("text")} AS pieces
+        |  FROM documents WHERE doc_id % 25 = 0)
+        |SELECT doc_id,
+        |       CAST(UNNEST(range(len(pieces))) AS BIGINT) AS token_idx,
+        |       UNNEST(pieces) AS piece
+        |FROM t
+        |ORDER BY doc_id, token_idx""".stripMargin,
 
     // every ingredient's DuckDB spelling is already hash-proven by
     // text_stats / dedup_exact / pii_redact; the card just aggregates them

@@ -133,6 +133,40 @@ object Bpe {
         new graft.expressions.BpeMergeTable(merges)))
 
   /**
+   * BPE-encoded pieces of a document under `merges`, in document order,
+   * word-boundary markers dropped — the encode companion of
+   * [[tokenCount]]: `size(encode(t)) == tokenCount(t)` by construction
+   * (the count subtracts exactly the markers the filter drops), so a
+   * piece->id vocabulary join away from token ids. Same literal-chain
+   * tier and fine print as [[tokenCount]]; empty/whitespace-only text
+   * encodes to an empty array.
+   */
+  def encode(text: Column, merges: Seq[(String, String)] = DemoMerges): Column = {
+    require(merges.forall { case (a, b) => !(a + b).contains(Marker) && !(a + b).contains(" ") },
+      "merge symbols must not contain spaces or \\u001f")
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(filter(split(trim(mergedDoc(text, merges)), " "),
+        p => p =!= lit(Marker)))
+  }
+
+  /**
+   * [[encode]]'s piece list as DuckDB SQL over column `c`, for oracle
+   * construction — the same merge walk as [[duckdbTokenCountSql]], split
+   * instead of counted, markers filtered (chr(31) == the [[Marker]]).
+   */
+  def duckdbEncodeSql(c: String, merges: Seq[(String, String)] = DemoMerges): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val spacedDoc =
+      s"""(' ' || trim(regexp_replace(regexp_replace(trim($c), '\\s+', chr(31), 'g'), '(.)', '\\1 ', 'g')) || ' ')"""
+    val merged = merges.foldLeft(spacedDoc) { case (acc, (a, b)) =>
+      s"replace($acc, ' ${esc(a)} ${esc(b)} ', ' ${esc(a)}${esc(b)} ')"
+    }
+    s"""CASE WHEN length(trim($c)) = 0 THEN []
+       | ELSE list_filter(regexp_split_to_array(trim($merged), ' '), p -> p <> chr(31))
+       | END""".stripMargin
+  }
+
+  /**
    * The same merge walk as DuckDB SQL, for oracle construction: an
    * expression over column `c` computing the document's BPE token count.
    * Kept adjacent to the Spark spelling so the two walks cannot drift.

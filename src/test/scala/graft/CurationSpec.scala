@@ -325,6 +325,43 @@ class CurationSpec extends AnyFunSuite {
     }.sum
   }
 
+  /** Reference encode: the same per-word walk, pieces kept. */
+  private def refBpeEncode(
+      text: String, merges: Seq[(String, String)]): Seq[String] = {
+    val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+    toks.toSeq.flatMap { w =>
+      var s = " " + w.toCharArray.map(_.toString).mkString(" ") + " "
+      merges.foreach { case (a, b) => s = s.replace(s" $a $b ", s" $a$b ") }
+      s.trim.split(" ").toSeq
+    }
+  }
+
+  test("BPE encode yields the merge walk's pieces in order; size == tokenCount") {
+    import graft.pipeline.Bpe
+    val samples = Seq(
+      "the quick brown fox",
+      "running and jumping over the things",
+      "a",
+      "  padded   whitespace  everywhere ",
+      "rather bother therest",
+      "")
+    val got = samples.toDF("text")
+      .select(Bpe.encode(col("text")).as("p")).as[Seq[String]].collect()
+    samples.zip(got).foreach { case (t, pieces) =>
+      val want =
+        if (t.trim.isEmpty) Seq.empty[String]
+        else refBpeEncode(t, Bpe.DemoMerges)
+      assert(pieces === want, s"text='$t'")
+    }
+    // token alignment carries over: the count's "rather" fine print
+    assert(refBpeEncode("rather", Bpe.DemoMerges) === Seq("r", "a", "the", "r"))
+    // the documented contract: size(encode) == tokenCount, every doc
+    val both = samples.toDF("text").select(
+      size(Bpe.encode(col("text"))).as("s"),
+      Bpe.tokenCount(col("text")).as("n")).as[(Int, Int)].collect()
+    both.foreach { case (s, n) => assert(s === n) }
+  }
+
   test("BPE token count matches an independent merge-walk implementation") {
     import graft.pipeline.Bpe
     val samples = Seq(
