@@ -108,6 +108,40 @@ case class BpeTokenCount(child: Expression, table: BpeMergeTable)
   override def prettyName: String = "bpe_token_count_vocab"
 }
 
+/**
+ * Production-vocabulary BPE ENCODE — the pieces themselves (markers
+ * dropped, document order), same [[BpeMergeTable]] single-node plan
+ * shape and worklist walk as [[BpeTokenCount]]; `size(...)` of this
+ * expression equals the count expression by shared arithmetic. One
+ * vocabulary join from token ids at any vocabulary size.
+ */
+case class BpeEncodeVocab(child: Expression, table: BpeMergeTable)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    TopnTypeChecks.check(child.dataType == StringType,
+      s"bpe encode requires STRING, got ${child.dataType.sql}")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    BpeTokenCount.encode(v.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table, classOf[BpeMergeTable].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.BpeTokenCount.encode($a, $ref);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeEncodeVocab =
+    copy(child = c)
+  override def prettyName: String = "bpe_encode_vocab"
+}
+
 object BpeTokenCount {
 
   private final val Marker = "\u001f"
@@ -135,12 +169,48 @@ object BpeTokenCount {
    * over — exactly the literal chain's behavior).
    */
   def count(text: UTF8String, table: BpeMergeTable): Int = {
+    val w = mergeWalk(text, table)
+    if (w == null) 0 else w.live - (w.nWords - 1)
+  }
+
+  /** The encoded pieces in document order, markers dropped — the encode
+    * companion ([[graft.pipeline.Bpe.encodeVocab]]); size equals
+    * [[count]] by the same arithmetic (live tokens minus the nWords-1
+    * markers). */
+  def encode(text: UTF8String,
+      table: BpeMergeTable): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val w = mergeWalk(text, table)
+    if (w == null) {
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](0))
+    }
+    val out = new Array[Any](w.live - (w.nWords - 1))
+    var p = 0
+    var o = 0
+    while (p >= 0) {
+      val t = w.toks(p)
+      if (t != Marker) { out(o) = UTF8String.fromString(t); o += 1 }
+      p = w.next(p)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Walk result: the merged token array (consumed slots null), the
+    * live-list next pointers (node 0 is always live), live token count,
+    * and the split word count the marker arithmetic needs. */
+  private final class Walk(
+      val toks: Array[String], val next: Array[Int],
+      val live: Int, val nWords: Int)
+
+  /** The shared merge walk behind [[count]] and [[encode]]; null for
+    * empty/whitespace-only text. */
+  private def mergeWalk(text: UTF8String, table: BpeMergeTable): Walk = {
     val raw = text.toString
     var from = 0
     var to = raw.length
     while (from < to && raw.charAt(from) == ' ') from += 1
     while (to > from && raw.charAt(to - 1) == ' ') to -= 1
-    if (from >= to) return 0
+    if (from >= to) return null
     val s = raw.substring(from, to)
 
     // tokens: one per code point of the marker-collapsed document
@@ -210,6 +280,6 @@ object BpeTokenCount {
     }
 
     val nWords = s.split("\\s+", -1).length
-    live - (nWords - 1)
+    new Walk(toks, next, live, nWords)
   }
 }

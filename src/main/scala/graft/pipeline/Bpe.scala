@@ -133,6 +133,21 @@ object Bpe {
         new graft.expressions.BpeMergeTable(merges)))
 
   /**
+   * Production-vocabulary encode: the IDENTICAL pieces as [[encode]]
+   * (CurationSpec asserts parity), computed by the
+   * [[graft.expressions.BpeEncodeVocab]] expression — one plan node at
+   * any vocabulary size, same worklist walk as [[tokenCountVocab]].
+   * Prefer it for model-sized merges tables; prefer [[encode]] when the
+   * walk must be replayable as engine-neutral SQL (the `bpe_encode`
+   * oracle).
+   */
+  def encodeVocab(text: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graftshim.GraftShim.column(
+      graft.expressions.BpeEncodeVocab(
+        org.apache.spark.sql.graftshim.GraftShim.expression(text),
+        new graft.expressions.BpeMergeTable(merges)))
+
+  /**
    * BPE-encoded pieces of a document under `merges`, in document order,
    * word-boundary markers dropped — the encode companion of
    * [[tokenCount]]: `size(encode(t)) == tokenCount(t)` by construction

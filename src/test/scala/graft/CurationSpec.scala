@@ -433,6 +433,18 @@ class CurationSpec extends AnyFunSuite {
       .as[(Int, Int)].collect()
     for (((l, v), i) <- rows.zipWithIndex)
       assert(l === v, s"divergence on sample $i: literal=$l vocab=$v")
+    // the encode tiers must agree piece-for-piece on the same corpus,
+    // and size(encodeVocab) must equal the count expression
+    val enc = df.select(
+      Bpe.encode(col("text")).as("lit"),
+      Bpe.encodeVocab(col("text"), Bpe.DemoMerges).as("voc"),
+      size(Bpe.encodeVocab(col("text"), Bpe.DemoMerges)).as("vs"),
+      Bpe.tokenCountVocab(col("text"), Bpe.DemoMerges).as("vn"))
+      .as[(Seq[String], Seq[String], Int, Int)].collect()
+    for (((l, v, vs, vn), i) <- enc.zipWithIndex) {
+      assert(l === v, s"encode divergence on sample $i: literal=$l vocab=$v")
+      assert(vs === vn, s"size/count divergence on sample $i")
+    }
   }
 
   test("vocab-table BPE accepts a 50k-rule merges.txt and runs") {
