@@ -63,8 +63,11 @@ object Mixture {
     GraftShim.column(graft.expressions.FixedExp2(GraftShim.expression(x)))
 
   /** floor(1e6 · num / den) on integer-valued double inputs — the shared
-    * ppm spelling (multiply first: num <= 2^53/1e6 holds for every call
-    * site's bounds, and both engines round the same product). */
+    * ppm spelling. Exact whenever num <= 2^53/1e6 (~9e9: any doc-counted
+    * corpus; a token-weighted run beyond ~9e9 tokens per group rounds
+    * the product) — but DETERMINISM never depends on exactness: both
+    * engines compute the same correctly-rounded product and quotient at
+    * any magnitude, so the floors cannot diverge. */
   private def ppm(num: Column, den: Column): Column =
     floor((lit(1000000.0) * num.cast("double")) / den.cast("double")).cast("long")
 

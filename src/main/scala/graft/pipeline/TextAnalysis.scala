@@ -158,7 +158,9 @@ object TextAnalysis {
    * vocabulary-sized.
    */
   def corpusReport(docs: DataFrame, textCol: String): DataFrame = {
-    val t = col(textCol)
+    // a NULL text would count in docs_total but vanish from every other
+    // metric (SUM skips nulls) — treat it as the empty document instead
+    val t = coalesce(col(textCol), lit(""))
     // coalesce: SUM over zero rows is NULL, and the empty card is all-zero
     def flag(c: Column): Column =
       coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))

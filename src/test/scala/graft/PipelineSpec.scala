@@ -35,20 +35,22 @@ class PipelineSpec extends AnyFunSuite {
       (2L, "THE  cat and the dog is of to"), // dup of 1 modulo case/spacing
       (3L, "le chat et la les de"),
       (4L, ""),
-      (5L, "reach me a@b.co and c@d.org now"))
+      (5L, "reach me a@b.co and c@d.org now"),
+      (6L, null: String)) // counts as an empty doc, not a metric ghost
     val got = TextAnalysis.corpusReport(rows.toDF("doc_id", "text"), "text")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(got("docs_total") === 5L)
-    assert(got("chars_total") === rows.map(_._2.length.toLong).sum)
+    val texts = rows.map(r => Option(r._2).getOrElse(""))
+    assert(got("docs_total") === 6L)
+    assert(got("chars_total") === texts.map(_.length.toLong).sum)
     // the split-on-empty quirk: "" tokenizes to [""], size 1 — both engines
     assert(got("tokens_total") ===
-      rows.map(_._2.trim.split("\\s+").length.toLong).sum)
-    assert(got("fingerprints_distinct") === 4L) // 1 and 2 share a fingerprint
-    assert(got("docs_exact_dup") === 1L)
-    assert(got("docs_empty") === 1L)
+      texts.map(_.trim.split("\\s+").length.toLong).sum)
+    assert(got("fingerprints_distinct") === 4L) // 1=2 and 4=6 share
+    assert(got("docs_exact_dup") === 2L)
+    assert(got("docs_empty") === 2L)
     assert(got("pii_email_hits") === 2L)
     assert(got("lang_en") === 3L && got("lang_fr") === 1L &&
-      got("lang_und") === 1L && got("lang_es") === 0L && got("lang_de") === 0L)
+      got("lang_und") === 2L && got("lang_es") === 0L && got("lang_de") === 0L)
     assert(got.keySet.size === 12)
 
     val empty = TextAnalysis.corpusReport(
