@@ -298,6 +298,26 @@ object SparkEntry {
         .orderBy($"doc_id", $"token_idx")
     }),
 
+    // the tokenizer story end to end: corpus-derived vocabulary (dense
+    // lexicographic ids) + documents re-expressed as token-id arrays —
+    // model-ready shards. Vocab from the FULL corpus, output sampled to
+    // every 25th doc (content check, not volume); ids emitted as a
+    // joined string (the array-compare-safe spelling hashed_embedding
+    // established). Spark runs the PRODUCTION walk; the oracle replays
+    // the literal chain — their piece parity is CurationSpec-proven
+    "bpe_token_ids" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = tbl(spark, dir, "documents")
+      val vocab = graft.pipeline.Bpe.buildVocab(
+        docs, "text", graft.pipeline.Bpe.DemoMerges)
+      graft.pipeline.Bpe.tokenIds(
+        docs.filter($"doc_id" % 25 === 0), "doc_id", "text",
+        vocab, graft.pipeline.Bpe.DemoMerges)
+        .select($"doc_id", $"n_tokens",
+          array_join(transform($"ids", i => i.cast("string")), " ").as("ids_str"))
+        .orderBy($"doc_id")
+    }),
+
     // the corpus report card: one scan, one global aggregate, a stacked
     // (metric, value) datasheet — integer metrics only so the whole card
     // hash-matches the oracle's replay
@@ -1740,6 +1760,24 @@ object SparkEntry {
         |       UNNEST(pieces) AS piece
         |FROM t
         |ORDER BY doc_id, token_idx""".stripMargin,
+
+    // vocab = dense lexicographic rank over the distinct replayed pieces;
+    // ids re-assembled per doc with list(... ORDER BY idx)
+    "bpe_token_ids" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, ${graft.pipeline.Bpe.duckdbEncodeSql("text")} AS pieces
+        |  FROM documents),
+        |v AS (
+        |  SELECT piece, CAST(ROW_NUMBER() OVER (ORDER BY piece) - 1 AS BIGINT) AS id
+        |  FROM (SELECT DISTINCT UNNEST(pieces) AS piece FROM t)),
+        |e AS (
+        |  SELECT doc_id, UNNEST(range(len(pieces))) AS idx, UNNEST(pieces) AS piece
+        |  FROM t WHERE doc_id % 25 = 0),
+        |j AS (SELECT e.doc_id, e.idx, v.id FROM e JOIN v USING (piece))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       array_to_string(list(id ORDER BY idx), ' ') AS ids_str
+        |FROM j GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // every ingredient's DuckDB spelling is already hash-proven by
     // text_stats / dedup_exact / pii_redact; the card just aggregates them

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -179,6 +179,69 @@ object Bpe {
     s"""CASE WHEN length(trim($c)) = 0 THEN []
        | ELSE list_filter(regexp_split_to_array(trim($merged), ' '), p -> p <> chr(31))
        | END""".stripMargin
+  }
+
+  /**
+   * Corpus-derived vocabulary: one row per DISTINCT encoded piece with a
+   * dense 0-based id in lexicographic piece order — deterministic and
+   * engine-neutral (the oracle replays it as `ROW_NUMBER() OVER (ORDER BY
+   * piece) - 1`), unlike frequency-ordered ids whose ties depend on
+   * aggregation order. Runs the PRODUCTION walk ([[encodeVocab]]), which
+   * CurationSpec proves piece-identical to the literal tier the oracle
+   * replays.
+   *
+   * Scale shape: one corpus scan -> explode -> hash-distinct (map-side
+   * partials), then a single-partition window over the VOCABULARY-sized
+   * distinct set — bounded by the subword inventory (tens of thousands),
+   * never by the corpus.
+   */
+  def buildVocab(
+      docs: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val pieces = docs
+      .select(explode(encodeVocab(col(textCol), merges)).as("piece"))
+      .distinct()
+    pieces.withColumn("id",
+      row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("piece")))
+        .cast("long") - 1L)
+  }
+
+  /**
+   * Documents to token-id arrays under a (piece, id) `vocab` — the last
+   * step of the tokenizer story: shards can carry model-ready ids.
+   * Pieces absent from the vocabulary map to `oovId` (a frozen
+   * vocabulary applied to NEW data; a vocab built from the same corpus
+   * never produces one). Output: (idCol, n_tokens, ids ARRAY<LONG>) —
+   * documents that encode to zero pieces (empty text) are absent, the
+   * explode contract both engines share.
+   *
+   * Scale shape: posexplode -> equi join on piece (the vocab side is
+   * vocabulary-sized; AQE broadcasts it) -> one hash aggregate per doc
+   * re-assembling order via `array_sort(collect_list(struct(idx, id)))`
+   * — no window over the corpus, no global sort.
+   */
+  def tokenIds(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: DataFrame,
+      merges: Seq[(String, String)],
+      oovId: Long = -1L): DataFrame = {
+    val exploded = docs
+      .select(col(idCol),
+        posexplode(encodeVocab(col(textCol), merges)).as(Seq("__idx", "piece")))
+    exploded
+      .join(vocab.select(col("piece"), col("id")), Seq("piece"), "left")
+      .select(col(idCol), col("__idx"),
+        coalesce(col("id"), lit(oovId)).as("__id"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        transform(
+          array_sort(collect_list(struct(col("__idx"), col("__id")))),
+          s => s.getField("__id")).as("ids"))
   }
 
   /**

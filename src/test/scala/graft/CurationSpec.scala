@@ -447,6 +447,38 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("buildVocab + tokenIds: dense lexicographic ids, order-preserving round trip, OOV") {
+    import graft.pipeline.Bpe
+    val docs = Seq(
+      (1L, "the quick fox"),
+      (2L, "the the fox"),
+      (3L, "")).toDF("doc_id", "text")
+    val vocab = Bpe.buildVocab(docs, "text", Bpe.DemoMerges)
+    val v = vocab.as[(String, Long)].collect().sortBy(_._2)
+    // dense 0..V-1 ids in lexicographic piece order, one per distinct piece
+    assert(v.map(_._2).toSeq === v.indices.map(_.toLong))
+    assert(v.map(_._1).toSeq === v.map(_._1).sorted.toSeq)
+    assert(v.map(_._1).distinct.length === v.length)
+
+    val ids = Bpe.tokenIds(docs, "doc_id", "text", vocab, Bpe.DemoMerges)
+      .as[(Long, Long, Seq[Long])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // empty doc encodes to zero pieces and is absent (the explode contract)
+    assert(ids.keySet === Set(1L, 2L))
+    // round trip: mapping ids back through the vocab restores the pieces
+    val back = v.map { case (p, i) => i -> p }.toMap
+    val wantPieces = docs.filter($"doc_id" < 3).select($"doc_id",
+      Bpe.encode($"text").as("p")).as[(Long, Seq[String])].collect().toMap
+    ids.foreach { case (d, (n, seq)) =>
+      assert(n === seq.length.toLong)
+      assert(seq.map(back) === wantPieces(d), s"doc $d")
+    }
+    // a frozen vocab on unseen pieces maps to oovId
+    val unseen = Seq((9L, "zzz")).toDF("doc_id", "text")
+    val oov = Bpe.tokenIds(unseen, "doc_id", "text", vocab, Bpe.DemoMerges,
+      oovId = -7L).as[(Long, Long, Seq[Long])].collect().head
+    assert(oov._3.forall(_ === -7L) && oov._2 > 0L)
+  }
+
   test("vocab-table BPE accepts a 50k-rule merges.txt and runs") {
     import graft.pipeline.Bpe
     // DemoMerges up front, then 50k synthetic rules whose multi-char

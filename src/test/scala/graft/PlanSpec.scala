@@ -407,6 +407,18 @@ class PlanSpec extends AnyFunSuite {
         "single-partition window stage")
   }
 
+  test("corpus report: one scan, aggregates only, no join") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val card = graft.pipeline.TextAnalysis.corpusReport(docs, "text")
+    val p = card.queryExecution.explainString(FormattedMode)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length === 1,
+      "the card must be computed in exactly one corpus scan")
+    assert(!p.contains("Join"), "no join anywhere in the report plan")
+    assert(p.contains("HashAggregate"),
+      "metrics must aggregate with map-side partials")
+  }
+
   test("training-order shuffle: one hash exchange on shard, never a global sort") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"))
