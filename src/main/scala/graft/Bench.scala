@@ -163,6 +163,11 @@ object Bench {
         concat(lit("d"), pmod(xxhash64(col("doc_id")), lit(2000))).as("dst"))
       graft.pipeline.Graph.pageRank(edges, "src", "dst", iterations = 3)
     }),
+    // the card's only corpus-sized term is the fingerprint distinct —
+    // the slope here is that shuffle's
+    ("g_corpus_report", Seq(1, 4, 10), (c: Int) =>
+      graft.pipeline.TextAnalysis.corpusReport(
+        scaledDocs(spark, dir, c), "text")),
     // the runner's count() would prune an unused `pos` and with it the
     // whole shard window — the filter keeps the window load-bearing
     ("g_shuffle_order", Seq(1, 4, 10), (c: Int) =>

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{coalesce, col, count, length, lit, sum}
+import org.apache.spark.sql.functions.{coalesce, col, count, length, lit, slice, sum}
 
 /** Usage example / smoke driver for the SQL surface. Run with:
   * `sbt "runMain graft.Demo"`.
@@ -160,6 +160,17 @@ object Demo {
     val m = manifest
       .agg(count(lit(1)), coalesce(sum(col("weight")), lit(0L))).head()
     println(s"wrote ${m.getLong(0)} shards, ${m.getLong(1)} tokens total")
+
+    println("== tokenizer: corpus vocab -> documents as token ids ==")
+    val vocab = pipeline.Bpe.buildVocab(docs, "text", pipeline.Bpe.DemoMerges)
+    println(s"vocabulary: ${vocab.count()} distinct pieces")
+    pipeline.Bpe.tokenIds(docs.limit(3), "doc_id", "text", vocab,
+      pipeline.Bpe.DemoMerges)
+      .select(col("doc_id"), col("n_tokens"), slice(col("ids"), 1, 12).as("ids_head"))
+      .orderBy("doc_id").show(false)
+
+    println("== corpus report card ==")
+    pipeline.TextAnalysis.corpusReport(docs, "text").orderBy("metric").show(14, false)
 
     println("== mixing: temperature weights -> deterministic training order ==")
     pipeline.Mixture.temperatureWeights(docs, "source", 1, 2)
