@@ -5,8 +5,9 @@ import graft.core.TopnState
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData, MapData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -119,7 +120,7 @@ private[expressions] object TopnTypeChecks {
  * order, SURVEY §2.8.1). NULL sketch or NULL k yields NULL (STRICT).
  */
 case class TopnQuery(left: Expression, right: Expression, numCounters: Int)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     TopnTypeChecks.check(
@@ -129,14 +130,27 @@ case class TopnQuery(left: Expression, right: Expression, numCounters: Int)
   override def dataType: DataType =
     ArrayType(TopnExprUtils.recordType, containsNull = false)
 
-  override def nullSafeEval(sketch: Any, k: Any): Any = {
-    val n = k.asInstanceOf[Int]
-    if (n > numCounters) {
+  override def nullSafeEval(sketch: Any, k: Any): Any =
+    TopnQuery.query(sketch.asInstanceOf[MapData], k.asInstanceOf[Int], numCounters)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sk, k) =>
+      s"${ev.value} = graft.expressions.TopnQuery.query($sk, $k, $numCounters);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TopnQuery =
+    copy(left = l, right = r)
+  override def prettyName: String = "topn"
+}
+
+object TopnQuery {
+  /** The report kernel, shared by interpreted eval and codegen. */
+  def query(sketch: MapData, k: Int, numCounters: Int): ArrayData = {
+    if (k > numCounters) {
       throw new IllegalArgumentException(
-        s"desired number of counters ($n) is higher than the " +
+        s"desired number of counters ($k) is higher than the " +
           s"topn.number_of_counters variable ($numCounters)")
     }
-    val arr = TopnExprUtils.topEntries(sketch.asInstanceOf[MapData], n)
+    val arr = TopnExprUtils.topEntries(sketch, k)
     val out = new Array[Any](arr.length)
     var i = 0
     while (i < out.length) {
@@ -146,10 +160,6 @@ case class TopnQuery(left: Expression, right: Expression, numCounters: Int)
     }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): TopnQuery =
-    copy(left = l, right = r)
-  override def prettyName: String = "topn"
 }
 
 /**
@@ -159,7 +169,7 @@ case class TopnQuery(left: Expression, right: Expression, numCounters: Int)
  * (NULL, NULL) -> {}; (NULL, item) -> {item: 1}; (sketch, NULL) -> sketch.
  */
 case class TopnAddScalar(left: Expression, right: Expression, numCounters: Int)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     TopnTypeChecks.check(
@@ -169,25 +179,51 @@ case class TopnAddScalar(left: Expression, right: Expression, numCounters: Int)
   override def dataType: DataType = TopnExprUtils.sketchType
   override def nullable: Boolean = false
 
-  override def eval(input: InternalRow): Any = {
-    val sketch = left.eval(input)
-    val item = right.eval(input)
-    if (sketch == null && item == null) {
-      ArrayBasedMapData(Array.empty[Any], Array.empty[Any])
-    } else if (item == null) {
-      sketch // unchanged, NOT pruned (reference returns the input jsonb as-is)
-    } else {
-      val st =
-        if (sketch == null) TopnState.empty()
-        else TopnExprUtils.stateFromMapData(sketch.asInstanceOf[MapData], numCounters)
-      st.add(item.asInstanceOf[UTF8String], numCounters)
-      TopnExprUtils.toMapData(st.pack(numCounters))
-    }
+  override def eval(input: InternalRow): Any =
+    TopnAddScalar.ladder(
+      left.eval(input).asInstanceOf[MapData],
+      right.eval(input).asInstanceOf[UTF8String], numCounters)
+
+  // manual codegen: the NULL ladder means the default null-safe scaffold
+  // does not apply — both null patterns produce a non-null result
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val md = classOf[MapData].getName
+    ev.copy(
+      code = code"""
+        ${l.code}
+        ${r.code}
+        $md ${ev.value} = graft.expressions.TopnAddScalar.ladder(
+          ${l.isNull} ? null : ${l.value},
+          ${r.isNull} ? null : ${r.value},
+          $numCounters);
+      """,
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): TopnAddScalar =
     copy(left = l, right = r)
   override def prettyName: String = "topn_add"
+}
+
+object TopnAddScalar {
+  /** The reference's NULL ladder (topn.c:305-328), shared by interpreted
+    * eval and codegen: (NULL, NULL) -> {}; (sketch, NULL) -> sketch
+    * unchanged and NOT pruned; (NULL, item) -> {item: 1}. */
+  def ladder(sketch: MapData, item: UTF8String, numCounters: Int): MapData = {
+    if (sketch == null && item == null) {
+      ArrayBasedMapData(Array.empty[Any], Array.empty[Any])
+    } else if (item == null) {
+      sketch
+    } else {
+      val st =
+        if (sketch == null) TopnState.empty()
+        else TopnExprUtils.stateFromMapData(sketch, numCounters)
+      st.add(item, numCounters)
+      TopnExprUtils.toMapData(st.pack(numCounters))
+    }
+  }
 }
 
 /**
@@ -197,7 +233,7 @@ case class TopnAddScalar(left: Expression, right: Expression, numCounters: Int)
  * by sql/null_tests.sql:41-44.
  */
 case class TopnUnionScalar(left: Expression, right: Expression, numCounters: Int)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     TopnTypeChecks.check(
@@ -206,16 +242,27 @@ case class TopnUnionScalar(left: Expression, right: Expression, numCounters: Int
 
   override def dataType: DataType = TopnExprUtils.sketchType
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val st = TopnExprUtils.stateFromMapData(a.asInstanceOf[MapData], numCounters)
-    val other = TopnExprUtils.stateFromMapData(b.asInstanceOf[MapData], numCounters)
-    st.merge(other, numCounters)
-    TopnExprUtils.toMapData(st.pack(numCounters))
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TopnUnionScalar.union(
+      a.asInstanceOf[MapData], b.asInstanceOf[MapData], numCounters)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.TopnUnionScalar.union($a, $b, $numCounters);")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): TopnUnionScalar =
     copy(left = l, right = r)
   override def prettyName: String = "topn_union"
+}
+
+object TopnUnionScalar {
+  /** The merge kernel, shared by interpreted eval and codegen. */
+  def union(a: MapData, b: MapData, numCounters: Int): MapData = {
+    val st = TopnExprUtils.stateFromMapData(a, numCounters)
+    val other = TopnExprUtils.stateFromMapData(b, numCounters)
+    st.merge(other, numCounters)
+    TopnExprUtils.toMapData(st.pack(numCounters))
+  }
 }
 
 /**
@@ -225,15 +272,27 @@ case class TopnUnionScalar(left: Expression, right: Expression, numCounters: Int
  * jsonb key ordering). Escaping matches PG's `escape_json` (topn.c:1016-1025).
  */
 case class TopnToJson(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     TopnTypeChecks.check(TopnTypeChecks.isSketch(child.dataType),
       s"topn_to_json requires a MAP<STRING,BIGINT> sketch, got ${child.dataType.sql}")
   override def dataType: DataType = StringType
 
-  override def nullSafeEval(sketch: Any): Any = {
-    val md = sketch.asInstanceOf[MapData]
+  override def nullSafeEval(sketch: Any): Any =
+    TopnToJson.json(sketch.asInstanceOf[MapData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, sk =>
+      s"${ev.value} = graft.expressions.TopnToJson.json($sk);")
+
+  override protected def withNewChildInternal(c: Expression): TopnToJson = copy(child = c)
+  override def prettyName: String = "topn_to_json"
+}
+
+object TopnToJson {
+  /** The render kernel, shared by interpreted eval and codegen. */
+  def json(md: MapData): UTF8String = {
     val keys = md.keyArray()
     val vals = md.valueArray()
     val n = md.numElements()
@@ -286,6 +345,4 @@ case class TopnToJson(child: Expression)
     sb.toString
   }
 
-  override protected def withNewChildInternal(c: Expression): TopnToJson = copy(child = c)
-  override def prettyName: String = "topn_to_json"
 }
