@@ -131,6 +131,22 @@ object SparkEntry {
         .orderBy($"o_orderpriority", $"frequency".desc, $"item")
     }),
 
+    // the fan-in path under the gate: per-priority sketches merged to ONE
+    // global sketch through Rollups.hierarchicalUnion's intermediate
+    // level (the 100k-partition final-reducer fix) — exact below
+    // eviction by merge associativity, so the plain global top-10 oracle
+    // must hash-match through the two-stage tree
+    "topn_hierarchical_union" -> ((spark, dir) => {
+      import spark.implicits._
+      val perGroup = tbl(spark, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(TopnFunctions.topn_add_agg($"o_custkey".cast("string"), ExactN).as("sketch"))
+      graft.operators.Rollups.hierarchicalUnion(perGroup, "sketch", ExactN, fanIn = 3)
+        .select(explode(TopnFunctions.topn($"sketch", lit(10))).as("r"))
+        .select($"r.item".as("item"), $"r.frequency".as("frequency"))
+        .orderBy($"frequency".desc, $"item")
+    }),
+
     // the skew path under the gate: the same groupby build through
     // Rollups.saltedTopnAdd's two-level (key, salt) -> key aggregation —
     // hot group keys split across 32 reducers, merged by topn_union_agg.
@@ -1617,6 +1633,18 @@ object SparkEntry {
         |  FROM orders GROUP BY 1, 2) t
         |WHERE rn <= 10
         |ORDER BY o_orderpriority, frequency DESC, item""".stripMargin,
+
+    // exact below eviction through the fan-in tree -> the flat global
+    // top-10 is the oracle
+    "topn_hierarchical_union" ->
+      """SELECT item, frequency FROM (
+        |  SELECT CAST(o_custkey AS VARCHAR) AS item,
+        |         COUNT(*) AS frequency,
+        |         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC,
+        |                            CAST(o_custkey AS VARCHAR)) AS rn
+        |  FROM orders GROUP BY 1) t
+        |WHERE rn <= 10
+        |ORDER BY frequency DESC, item""".stripMargin,
 
     // the salted two-level build is exact below eviction, so the plain
     // unsalted count/rank oracle applies verbatim
