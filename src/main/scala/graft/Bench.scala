@@ -163,6 +163,17 @@ object Bench {
         concat(lit("d"), pmod(xxhash64(col("doc_id")), lit(2000))).as("dst"))
       graft.pipeline.Graph.pageRank(edges, "src", "dst", iterations = 3)
     }),
+    // frozen x1 vocabulary applied to the scaled corpus (the injected
+    // copy markers exercise the OOV path); the size filter keeps the
+    // id-assembly aggregate load-bearing under the runner's count()
+    ("g_token_ids", Seq(1, 4, 10), (c: Int) => {
+      val vocab = graft.pipeline.Bpe.buildVocab(
+        scaledDocs(spark, dir, 1), "text", graft.pipeline.Bpe.DemoMerges)
+      graft.pipeline.Bpe.tokenIds(
+        scaledDocs(spark, dir, c), "doc_id", "text", vocab,
+        graft.pipeline.Bpe.DemoMerges)
+        .filter(size(col("ids")) > 0)
+    }),
     // the card's only corpus-sized term is the fingerprint distinct —
     // the slope here is that shuffle's
     ("g_corpus_report", Seq(1, 4, 10), (c: Int) =>
