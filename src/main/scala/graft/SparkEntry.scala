@@ -334,6 +334,16 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // overlapping context-window chunking (RAG / long-doc training):
+    // chunk k = tokens [3k, 3k+8), shortening at the tail — shuffle-free
+    // generate; the oracle replays the slice arithmetic
+    "chunk_documents" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.pipeline.TextAnalysis.chunkTokens(
+        tbl(spark, dir, "documents"), "doc_id", "text", width = 8, stride = 3)
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+
     // the corpus report card: one scan, one global aggregate, a stacked
     // (metric, value) datasheet — integer metrics only so the whole card
     // hash-matches the oracle's replay
@@ -1806,6 +1816,25 @@ object SparkEntry {
         |       array_to_string(list(id ORDER BY idx), ' ') AS ids_str
         |FROM j GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // list_slice is 1-based with an INCLUSIVE end, matching Spark's
+    // slice(start, length) at begin = 3k+1, end = 3k+8; both clamp at
+    // the array tail
+    "chunk_documents" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |e AS (
+        |  SELECT doc_id, toks,
+        |         UNNEST(range(((len(toks) - 1) // 3) + 1)) AS chunk_idx
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |         list_slice(toks, chunk_idx * 3 + 1, chunk_idx * 3 + 8) AS ch
+        |  FROM e)
+        |SELECT doc_id, chunk_idx,
+        |       CAST(len(ch) AS BIGINT) AS n_chunk_tokens,
+        |       array_to_string(ch, ' ') AS chunk
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // every ingredient's DuckDB spelling is already hash-proven by
     // text_stats / dedup_exact / pii_redact; the card just aggregates them

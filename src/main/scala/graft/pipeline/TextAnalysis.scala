@@ -227,6 +227,44 @@ object TextAnalysis {
    * bigram mode is then two hash aggregations keyed by doc —
    * embarrassingly parallel, no global shuffle hotspot, no join.
    */
+  /**
+   * Overlapping token-window chunking — the context-window primitive a
+   * RAG index or a long-document training pipeline needs that
+   * [[graft.pipeline.Sampling.packSequences]]' non-overlapping splits
+   * cannot express: chunk k covers tokens [k·stride, k·stride + width)
+   * for k in 0..floor((n-1)/stride), the final chunks shortening at the
+   * document tail (`stride < width` gives the usual sliding overlap;
+   * `stride == width` degenerates to disjoint windows). Output:
+   * (doc_id, chunk_idx, n_chunk_tokens, chunk) with chunk text rebuilt
+   * by single-space join, one row per chunk, documents in any order.
+   *
+   * Scale shape: one scan, per-row `explode(sequence(...))` bounded by
+   * the per-document chunk count, slice + join as codegen'd array
+   * built-ins — no shuffle, no state, nothing corpus-sized (the same
+   * shuffle-free generate shape as [[Lines.tokenWindowLines]]).
+   */
+  def chunkTokens(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int,
+      stride: Int): DataFrame = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    require(stride >= 1 && stride <= width,
+      s"stride must be in [1, width]: got stride=$stride width=$width")
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        explode(sequence(lit(0),
+          floor((size(col("__toks")) - 1) / lit(stride)).cast("int"))).as("chunk_idx"))
+      .select(col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("__toks"), col("chunk_idx") * stride + 1, lit(width)).as("__c"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("__c")).cast("long").as("n_chunk_tokens"),
+        array_join(col("__c"), " ").as("chunk"))
+  }
+
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))

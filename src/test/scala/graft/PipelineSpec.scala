@@ -29,6 +29,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(out === Array("en", "fr", "und"))
   }
 
+  test("chunkTokens: overlapping windows vs a plain-Scala reference; guards") {
+    /** Reference chunking: the same start/width contract on collections. */
+    def ref(text: String, width: Int, stride: Int): Seq[(Long, Long, String)] = {
+      val toks = text.trim.split("\\s+", -1).toSeq
+      (0 to (toks.length - 1) / stride).map { k =>
+        val c = toks.slice(k * stride, k * stride + width)
+        (k.toLong, c.length.toLong, c.mkString(" "))
+      }
+    }
+    val samples = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens: full + shortening tails
+      (2L, "one two three"),       // shorter than width
+      (3L, ""),                    // the [""]-token quirk: one empty chunk
+      (4L, "x y z w v u t s r q p o n m")) // 14 tokens
+    for ((w, st) <- Seq((4, 2), (8, 3), (5, 5), (3, 1))) {
+      val got = graft.pipeline.TextAnalysis.chunkTokens(
+        samples.toDF("doc_id", "text"), "doc_id", "text", w, st)
+        .as[(Long, Long, Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._2, r._3, r._4)).toSeq).toMap
+      samples.foreach { case (id, text) =>
+        assert(got(id) === ref(text, w, st), s"doc $id width=$w stride=$st")
+      }
+    }
+    // stride == width degenerates to disjoint windows covering every token
+    val disjoint = graft.pipeline.TextAnalysis.chunkTokens(
+      samples.toDF("doc_id", "text"), "doc_id", "text", 5, 5)
+      .groupBy("doc_id").agg(sum("n_chunk_tokens").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(disjoint(1L) === 10L && disjoint(4L) === 14L)
+    intercept[IllegalArgumentException](
+      graft.pipeline.TextAnalysis.chunkTokens(
+        samples.toDF("doc_id", "text"), "doc_id", "text", 4, 5))
+    intercept[IllegalArgumentException](
+      graft.pipeline.TextAnalysis.chunkTokens(
+        samples.toDF("doc_id", "text"), "doc_id", "text", 0, 1))
+  }
+
   test("corpusReport: datasheet metrics vs a plain-Scala reference; empty corpus") {
     val rows = Seq(
       (1L, "the cat and the dog is of to"),
