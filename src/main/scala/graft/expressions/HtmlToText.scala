@@ -100,7 +100,7 @@ object HtmlToText {
           val name = tagName(s, i)
           val gt = s.indexOf('>', i)
           if (name.nonEmpty && !isClosing(s, i) && SkipContent.contains(name)) {
-            val close = indexOfIgnoreCase(s, "</" + name, if (gt < 0) n else gt + 1)
+            val close = indexOfCloseTag(s, name, if (gt < 0) n else gt + 1)
             if (close < 0) i = n
             else {
               val cgt = s.indexOf('>', close)
@@ -148,6 +148,24 @@ object HtmlToText {
     while (i <= last) {
       if (s.regionMatches(true, i, needle, 0, needle.length)) return i
       i += 1
+    }
+    -1
+  }
+
+  /** Find `</name` where the tag name actually ends there — the next char must
+    * be '>', whitespace, or '/', so `</scripts>` cannot close `<script>`. */
+  private def indexOfCloseTag(s: String, name: String, from: Int): Int = {
+    val needle = "</" + name
+    var i = from
+    while (i >= 0) {
+      i = indexOfIgnoreCase(s, needle, i)
+      if (i >= 0) {
+        val after = i + needle.length
+        if (after >= s.length) return i
+        val c = s.charAt(after)
+        if (c == '>' || c == '/' || Character.isWhitespace(c)) return i
+        i += 1
+      }
     }
     -1
   }

@@ -153,6 +153,11 @@ object Rollups {
    * join) and re-deriving it would re-run the caller's rollup aggregation
    * — the multi-consumer lesson from the curation chain. It is
    * periods-sized (bounded by counters x periods), never corpus-sized.
+   * The persist lives inside the RETURNED lazy plan, so it cannot be
+   * released here; a long-lived service issuing many of these should
+   * `spark.catalog.clearCache()` between query batches (the block is
+   * periods-sized, so the leak is small — unlike the corpus-sized
+   * tables pageRank now releases itself).
    */
   def slidingUnionWideFrame(
       rollup: DataFrame,

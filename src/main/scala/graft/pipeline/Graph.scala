@@ -92,6 +92,11 @@ object Graph {
       // K-iteration loop never grows a K-deep lineage
       ranks = if (reliableCheckpoint) next.checkpoint() else next.localCheckpoint()
     }
+    // The returned ranks are checkpointed — lineage no longer reaches the
+    // cached tables. Without this, every pageRank call in a long-lived
+    // session leaks two cached tables until LRU pressure evicts them.
+    nodes.unpersist(blocking = false)
+    edgesDeg.unpersist(blocking = false)
     ranks
   }
 

@@ -38,12 +38,28 @@ object Spans {
     * `cast("long")` turns a string id into NULL, which would then trip the
     * packing-range guard with a misleading "out of packing range: null"
     * instead of naming the real problem (wrong id type). */
-  private def idAsLong(idCol: String): org.apache.spark.sql.Column = {
+  private def idAsLong(docs: DataFrame, idCol: String): org.apache.spark.sql.Column = {
     val raw = col(idCol)
     // try_cast, not cast: ANSI mode would otherwise throw a generic
     // CAST_INVALID_INPUT before this guard can name the column
     val casted = raw.try_cast(org.apache.spark.sql.types.LongType)
-    when(raw.isNull || casted.isNotNull, casted)
+    val rawType = docs.schema(idCol).dataType
+    // A fractional id (DOUBLE 1.5) try_casts fine but silently TRUNCATES,
+    // which can collide two distinct ids in the (doc_id, pos) packing — the
+    // exact corruption class this guard exists for. Require round-trip
+    // equality for fractional input types (string ids keep the plain path:
+    // a round-trip check would reject valid non-canonical spellings like
+    // "01", and a string that parses as a long never truncates).
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
+    val isFractional = rawType match {
+      case DoubleType | FloatType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+    val ok =
+      if (isFractional) casted.isNotNull && casted.cast(rawType) === raw
+      else casted.isNotNull
+    when(raw.isNull || ok, casted)
       .otherwise(raise_error(format_string(
         s"Spans: id column '$idCol' has non-integral value '%s' — pass a " +
           "numeric id column", raw.cast("string"))))
@@ -79,7 +95,7 @@ object Spans {
     // above the Generate node and re-run it per emitted span otherwise —
     // same idiom as TextAnalysis.repetitionStats).
     val spans = docs
-      .select(idAsLong(idCol).as("doc_id"), toks.as("toks"))
+      .select(idAsLong(docs, idCol).as("doc_id"), toks.as("toks"))
       .filter(size($"toks") >= n)
       .select($"doc_id",
         transform(sequence(lit(0), size($"toks") - n, lit(stride)),
@@ -145,7 +161,7 @@ object Spans {
 
     val toks = TextAnalysis.tokens(col(textCol))
     val chunks = docs
-      .select(idAsLong(idCol).as("doc_id"), toks.as("toks"))
+      .select(idAsLong(docs, idCol).as("doc_id"), toks.as("toks"))
       .select($"doc_id",
         // chunk ci covers tokens [ci*n+1, ci*n+n]; empty docs emit one
         // empty chunk (kept, like `split`'s empty-string element)
@@ -231,7 +247,7 @@ object Spans {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val base = docs.select(idAsLong(idCol).as("doc_id"),
+    val base = docs.select(idAsLong(docs, idCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("toks"))
 
     val wins = base

@@ -82,7 +82,12 @@ object Warc {
     * whatever inflated cleanly. Non-gzip input passes through. */
   private[pipeline] def maybeGunzip(bytes: Array[Byte]): Array[Byte] = {
     if (bytes.length < 2 || bytes(0) != GzipMagic0 || bytes(1) != GzipMagic1) return bytes
-    val out = new ByteArrayOutputStream(bytes.length * 4)
+    // Clamp the pre-size: `length * 4` overflows Int past ~512 MiB and a
+    // negative capacity would throw OUTSIDE the try below, killing the task on
+    // a large shard. The stream grows as needed; inflated size is still bound
+    // by the JVM's 2 GiB array ceiling (Common Crawl shards are ~1 GiB).
+    val preSize = math.min(bytes.length.toLong * 4, 1L << 26).toInt
+    val out = new ByteArrayOutputStream(preSize)
     try {
       val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
       val buf = new Array[Byte](8192)

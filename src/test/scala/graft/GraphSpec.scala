@@ -85,6 +85,21 @@ class GraphSpec extends AnyFunSuite {
     assert(run(e, 3, d = 100) === refPageRank(e, 3, 100))
   }
 
+  test("no cached tables leak after pageRank returns") {
+    // nodes/edgesDeg are persisted for the iteration loop and must be
+    // released once the checkpointed ranks no longer need them — a
+    // long-lived service calling pageRank repeatedly would otherwise
+    // accumulate cached tables until LRU pressure. (localCheckpoint blocks
+    // for the RETURNED ranks are expected and excluded: they live in the
+    // RDD store, not the DataFrame cache manager asserted here.)
+    spark.sharedState.cacheManager.clearCache()
+    val e = Seq("a" -> "b", "b" -> "c", "c" -> "a").toDF("src", "dst")
+    val out = Graph.pageRank(e, "src", "dst", 3)
+    out.collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "pageRank must unpersist its loop-scoped tables")
+  }
+
   test("parameter guards") {
     val e = Seq("a" -> "b").toDF("src", "dst")
     intercept[IllegalArgumentException] { Graph.pageRank(e, "src", "dst", 0) }

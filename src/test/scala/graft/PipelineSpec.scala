@@ -453,6 +453,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(x("a<script>var x = 1 < 2;</script>b") === "ab")
     assert(x("a<STYLE type='t'>p > span {}</STYLE>b") === "ab")
     assert(x("a<noscript>hidden</noscript>b") === "ab")
+    // a close tag whose name merely STARTS with the open tag's name must
+    // not terminate the block: everything until the MATCHING close tag
+    assert(x("a<script>x</scripts>y</script>b") === "ab")
+    assert(x("a<style>p {}</stylesheet>q</style>b") === "ab")
+    // ...but whitespace/self-closing spellings of the real close tag do
+    assert(x("a<script>x</script >b") === "ab")
     // unterminated script swallows through end-of-input
     assert(x("a<script>trailing junk") === "a")
     // comments, incl. tags inside them

@@ -151,6 +151,15 @@ class ScoringSpec extends AnyFunSuite {
     val e3 = intercept[Exception](
       Spans.dropDuplicatedSpans(strId, "doc_id", "text", 2).collect())
     assert(e3.getMessage.contains("non-integral"))
+    // a FRACTIONAL id try_casts successfully but would silently truncate —
+    // 1.0 and 1.5 would collide in the (doc_id, pos) packing; must raise
+    val fracId = Seq(1.5 -> "a b c d").toDF("doc_id", "text")
+    val e4 = intercept[Exception](
+      Spans.spanStats(fracId, "doc_id", "text", 2, 1).collect())
+    assert(e4.getMessage.contains("non-integral"))
+    // an integral-valued double is fine
+    val okId = Seq(2.0 -> "a b c d").toDF("doc_id", "text")
+    assert(Spans.spanStats(okId, "doc_id", "text", 2, 1).collect().nonEmpty)
   }
 
   /** Reference exact-substring rewrite: stride-1 windows, global
