@@ -216,6 +216,48 @@ object Bench {
     best
   }
 
+  /** Growth-point measurement with an outlier re-run policy anchored on the
+    * operator's OWN previous point, not on linear extrapolation from 1x.
+    *
+    * Round 8/9 lesson: the old trigger (`t > 2.0 * c * t1`) only fired above
+    * 2x PERFECT-LINEAR growth, so for operators whose honest slope is
+    * ~2-3x at 10x, a 6-14x load spike sailed under the bar and was recorded
+    * as a slope cliff (g_text_repetition x10 = 19.6s vs ~3.5s fresh), and a
+    * loaded x1 raised the bar further. The bar is now
+    * `slack * (c / prevScale) * prevTime`: a point more than `slack` times
+    * the proportional scaling of the operator's own previous point re-runs
+    * (up to `maxRetries` times, minimum kept). The anchor point (first
+    * scale) is itself the minimum of two runs — it is the cheapest point
+    * and everything downstream is judged relative to it. Load only ever
+    * ADDS time, so taking minima never understates cost.
+    */
+  private[graft] def measureGrowth(
+      scales: Seq[Int],
+      measure: Int => Double,
+      slack: Double = 1.5,
+      maxRetries: Int = 2): Seq[(Int, Double)] = {
+    var prevC = 0
+    var prev = -1.0
+    scales.map { c =>
+      var t = measure(c)
+      if (prev <= 0) {
+        // anchor point: min of 2 (cheap — smallest input of the series)
+        val t2 = measure(c)
+        if (t2 >= 0 && (t < 0 || t2 < t)) t = t2
+      } else if (t >= 0) {
+        val bar = slack * (c.toDouble / prevC) * prev
+        var tries = 0
+        while (t > bar && tries < maxRetries) {
+          val t2 = measure(c)
+          if (t2 >= 0 && t2 < t) t = t2
+          tries += 1
+        }
+      }
+      if (t >= 0) { prevC = c; prev = t }
+      c -> t
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -256,25 +298,15 @@ object Bench {
         name -> timeMin(3)(fn(spark, sfDir).count())
       }
     // growth: single-run normally (the slope WITHIN a run is the signal,
-    // and load shifts it uniformly) — but a point that lands more than 2x
-    // ABOVE the linear extrapolation from the operator's own 1x time is
-    // re-run once and the minimum kept, so one load spike can no longer
-    // masquerade as a slope cliff in the recorded artifact (round 8
-    // recorded g_dedup_minhash_lsh x10 = 40.2s where fresh runs gave ~6s).
+    // and load shifts it uniformly) — with measureGrowth's re-run policy:
+    // any point landing above 1.5x the proportional scaling of the
+    // operator's own previous point re-runs (min kept), so one load spike
+    // can no longer masquerade as a slope cliff in the recorded artifact.
     val growth =
       if (!growthOn) Seq.empty
       else growthSuite(spark, sfDir).filter(g => selected(g._1))
         .map { case (name, scales, build) =>
-          var t1 = -1.0
-          name -> scales.map { c =>
-            var t = time(build(c).count())
-            if (c == scales.head) t1 = t
-            else if (t1 > 0 && t > 2.0 * c * t1) {
-              val t2 = time(build(c).count())
-              if (t2 >= 0 && t2 < t) t = t2
-            }
-            c -> t
-          }
+          name -> measureGrowth(scales, c => time(build(c).count()))
         }
 
     def fmt(kvs: Seq[(String, Double)]) =

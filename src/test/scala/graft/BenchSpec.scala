@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The growth-measurement outlier policy, exercised with planted timing
+  * sequences (no Spark): a load spike on a shallow-slope operator must
+  * trigger a re-run, while a REAL slope cliff that reproduces must be
+  * recorded as measured. */
+class BenchSpec extends AnyFunSuite {
+
+  /** A scripted measurer: consumes per-scale queues of planted timings and
+    * records how many runs each scale consumed. */
+  private class Script(planted: Map[Int, Seq[Double]]) {
+    val queues = scala.collection.mutable.Map(
+      planted.view.mapValues(scala.collection.mutable.Queue(_: _*)).toSeq: _*)
+    val calls = scala.collection.mutable.Map.empty[Int, Int].withDefaultValue(0)
+    def measure(c: Int): Double = {
+      calls(c) += 1
+      val q = queues(c)
+      if (q.size > 1) q.dequeue() else q.head
+    }
+  }
+
+  test("clean linear growth: no re-runs beyond the min-of-2 anchor") {
+    val s = new Script(Map(1 -> Seq(1.0), 4 -> Seq(4.0), 10 -> Seq(10.0)))
+    val out = Bench.measureGrowth(Seq(1, 4, 10), s.measure)
+    assert(out === Seq(1 -> 1.0, 4 -> 4.0, 10 -> 10.0))
+    assert(s.calls(1) === 2, "anchor is min-of-2")
+    assert(s.calls(4) === 1 && s.calls(10) === 1, "in-bar points run once")
+  }
+
+  test("the round-9 artifact scenario: a 6.7x spike on a ~2.5x-slope operator re-runs") {
+    // g_text_repetition as recorded in BENCH_r09.json: 1.37 / 2.92 / 19.57.
+    // The OLD bar (2 * c * t1 = 27.4s at x10) never fired; the new bar
+    // (1.5 * 10/4 * 2.92 = 10.95s) must, and the fresh ~3.5s re-run wins.
+    val s = new Script(Map(1 -> Seq(1.37), 4 -> Seq(2.92), 10 -> Seq(19.57, 3.5)))
+    val out = Bench.measureGrowth(Seq(1, 4, 10), s.measure)
+    assert(out.last === (10 -> 3.5))
+    assert(s.calls(10) === 2, "the spike must trigger exactly one re-run")
+  }
+
+  test("a spike at the MIDDLE point re-runs too (not only the last)") {
+    val s = new Script(Map(1 -> Seq(1.0), 4 -> Seq(16.2, 4.1), 10 -> Seq(10.0)))
+    val out = Bench.measureGrowth(Seq(1, 4, 10), s.measure)
+    assert(out(1) === (4 -> 4.1))
+    // the honest x4 then anchors the x10 bar: 1.5 * 2.5 * 4.1 = 15.4 > 10
+    assert(s.calls(10) === 1)
+  }
+
+  test("a reproducing cliff is recorded as measured, not retried forever") {
+    val s = new Script(Map(1 -> Seq(1.0), 4 -> Seq(30.0)))
+    val out = Bench.measureGrowth(Seq(1, 4), s.measure)
+    assert(out.last === (4 -> 30.0), "a real regression must survive the policy")
+    assert(s.calls(4) === 3, "initial run + maxRetries = 2 re-runs, then stop")
+  }
+
+  test("a loaded anchor cannot hide a later spike: min-of-2 keeps the anchor honest") {
+    // first x1 sample is loaded (9.0); the second (1.0) wins and sets the bar
+    val s = new Script(Map(1 -> Seq(9.0, 1.0), 4 -> Seq(16.0, 4.0)))
+    val out = Bench.measureGrowth(Seq(1, 4), s.measure)
+    assert(out.head === (1 -> 1.0))
+    // bar = 1.5 * 4 * 1.0 = 6.0 — the 16.0 spike fires and 4.0 is kept
+    assert(out.last === (4 -> 4.0))
+  }
+
+  test("a failed measurement (-1) propagates without retry arithmetic on it") {
+    val s = new Script(Map(1 -> Seq(1.0), 4 -> Seq(-1.0), 10 -> Seq(10.0)))
+    val out = Bench.measureGrowth(Seq(1, 4, 10), s.measure)
+    assert(out(1) === (4 -> -1.0))
+    // the failed point must not become the anchor: x10 is judged vs x1
+    // (bar = 1.5 * 10 * 1.0 = 15.0, so 10.0 passes without re-run)
+    assert(s.calls(10) === 1)
+  }
+}
