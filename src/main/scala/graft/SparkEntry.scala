@@ -1467,6 +1467,29 @@ object SparkEntry {
         .orderBy($"seq_id")
     }),
 
+    // the tokenizer -> packing composition closed: corpus-derived BPE
+    // vocabulary -> documents as token-id arrays -> fixed 256-token
+    // training windows of input_ids with doc_starts boundaries — NO text
+    // round-trip (a BPE merge spanning a fragment cut makes
+    // text-then-retokenize inexact). Spark runs the production vocab
+    // walk; the oracle replays the literal chain, the prefix sum, and
+    // the window tiling, and checks every id and every boundary
+    "pack_token_sequences" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = tbl(spark, dir, "documents")
+      val vocab = graft.pipeline.Bpe.buildVocab(
+        docs, "text", graft.pipeline.Bpe.DemoMerges)
+      val ids = graft.pipeline.Bpe.tokenIds(
+        docs, "doc_id", "text", vocab, graft.pipeline.Bpe.DemoMerges)
+      graft.pipeline.Sampling.packTokenIds(ids, "doc_id", "ids", seqLen = 256L)
+        .select($"seq_id", $"n_tokens",
+          array_join(transform($"input_ids", i => i.cast("string")), " ")
+            .as("ids_str"),
+          array_join(transform($"doc_starts", i => i.cast("string")), " ")
+            .as("doc_starts_str"))
+        .orderBy($"seq_id")
+    }),
+
     // THE PRODUCT IN ONE QUERY: the full daily-curation chain — bloom
     // front door (exact dedup vs the reference corpus) -> near-dup
     // candidates + CC keep-list within the batch -> decontamination vs a
@@ -2931,6 +2954,52 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
         |       md5(string_agg(tkn, ' ' ORDER BY gpos)) AS seq_md5
         |FROM g GROUP BY 1 ORDER BY seq_id""".stripMargin,
+
+    // bpe_token_ids' replay (vocab + per-doc id lists) feeding
+    // pack_sequences' replay (exclusive prefix sum + window tiling),
+    // fragments sliced from the id lists and stitched per window; the
+    // in-window offset is the windowed exclusive SUM of fragment
+    // lengths in doc order (windows tile from 0 by construction), and
+    // doc_starts keeps only fragments at a document's token 0
+    "pack_token_sequences" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, ${graft.pipeline.Bpe.duckdbEncodeSql("text")} AS pieces
+        |  FROM documents),
+        |v AS (
+        |  SELECT piece, CAST(ROW_NUMBER() OVER (ORDER BY piece) - 1 AS BIGINT) AS id
+        |  FROM (SELECT DISTINCT UNNEST(pieces) AS piece FROM t)),
+        |e AS (
+        |  SELECT doc_id, UNNEST(range(len(pieces))) AS idx, UNNEST(pieces) AS piece
+        |  FROM t),
+        |d AS (SELECT e.doc_id, list(v.id ORDER BY e.idx) AS ids,
+        |             CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM e JOIN v USING (piece) GROUP BY e.doc_id),
+        |c AS (SELECT doc_id, ids, n,
+        |             CAST(SUM(n) OVER (ORDER BY doc_id
+        |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        |      FROM d),
+        |f AS (SELECT doc_id, ids, n, run - n AS st FROM c WHERE n > 0),
+        |x AS (SELECT doc_id, ids, n, st,
+        |             UNNEST(range(st // 256, (st + n - 1) // 256 + 1)) AS s
+        |      FROM f),
+        |frag AS (SELECT CAST(s AS BIGINT) AS seq_id, doc_id,
+        |                CAST(GREATEST(0, s * 256 - st) AS BIGINT) AS fs,
+        |                CAST(LEAST(n, (s + 1) * 256 - st)
+        |                     - GREATEST(0, s * 256 - st) AS BIGINT) AS fl,
+        |                ids
+        |         FROM x),
+        |sl AS (SELECT seq_id, doc_id, fs, fl,
+        |              list_slice(ids, fs + 1, fs + fl) AS frag_ids,
+        |              CAST(SUM(fl) OVER (PARTITION BY seq_id ORDER BY doc_id
+        |                ROWS UNBOUNDED PRECEDING) - fl AS BIGINT) AS seq_off
+        |       FROM frag)
+        |SELECT seq_id, CAST(SUM(fl) AS BIGINT) AS n_tokens,
+        |       array_to_string(flatten(list(frag_ids ORDER BY doc_id)), ' ') AS ids_str,
+        |       array_to_string(
+        |         COALESCE(list(seq_off ORDER BY doc_id) FILTER (WHERE fs = 0), []),
+        |         ' ') AS doc_starts_str
+        |FROM sl GROUP BY seq_id
+        |ORDER BY seq_id""".stripMargin,
 
     // the whole curation chain, stage by stage in the same order as the
     // Spark plan: each block is the (already individually green) oracle

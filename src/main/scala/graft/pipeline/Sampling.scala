@@ -462,6 +462,76 @@ object Sampling {
   }
 
   /**
+   * Packed TOKEN-ID training sequences — the GPT-pretraining deliverable:
+   * documents already expressed as token-id arrays (e.g.
+   * [[Bpe.tokenIds]]' output) become fixed-length `seqLen`-token windows
+   * of `input_ids`, documents split across window boundaries, with
+   * `doc_starts` marking where a NEW document begins inside each window
+   * (the attention-mask / loss-boundary input every packed-pretraining
+   * loader needs). No text round-trip: re-tokenizing packed TEXT is not
+   * token-exact at fragment cuts (a BPE merge can span the cut), so the
+   * ids flow straight from the tokenizer through the layout.
+   *
+   * Output: (seq_id, n_tokens, input_ids ARRAY<BIGINT>,
+   * doc_starts ARRAY<BIGINT>) — sequence `seq_id` carries stream tokens
+   * [seq_id·seqLen, (seq_id+1)·seqLen) (the last window may be partial),
+   * `input_ids` is the window's tokens in stream order, and `doc_starts`
+   * the 0-based in-window offsets where a document's token 0 lands
+   * (empty when the window is entirely mid-document). Every id of every
+   * document appears exactly once across all windows, in document order
+   * — the [[packSequences]] layout guarantee, id-for-id.
+   *
+   * Scale shape: [[packSequences]]' two-pass prefix sum + bounded
+   * fragment explode, a per-fragment array slice, then ONE hash
+   * aggregation by seq_id; each group holds only the few documents
+   * overlapping one context window, so the rebuilt arrays are bounded by
+   * seqLen. The in-window offsets need no global position: windows are
+   * tiled contiguously from 0 by construction, so offset = the exclusive
+   * in-group prefix sum of fragment lengths in id order (computed by a
+   * bounded `aggregate` fold over the sorted fragment structs).
+   */
+  def packTokenIds(
+      docs: DataFrame,
+      idCol: String,
+      idsCol: String,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0 && seqLen <= Int.MaxValue,
+      s"seqLen must be in (0, 2^31) (array slices are Int-indexed), got $seqLen")
+    Seq("__graft_ids", "__graft_n", "__graft_sorted").foreach { c =>
+      require(!docs.columns.contains(c),
+        s"input already has a '$c' column; rename it — packTokenIds uses it internally")
+    }
+    val d = docs.select(col(idCol), col(idsCol).cast("array<long>").as("__graft_ids"))
+      .withColumn("__graft_n", size(col("__graft_ids")).cast("long"))
+    packSequences(d, idCol, "__graft_n", seqLen)
+      .select(col(idCol).as("__graft_id"), col("seq_id"),
+        slice(col("__graft_ids"),
+          (col("frag_start") + lit(1)).cast("int"),
+          col("frag_len").cast("int")).as("__graft_frag"),
+        col("frag_start"))
+      .groupBy(col("seq_id"))
+      .agg(
+        // struct sort orders by the leading __i field (ids are unique
+        // within a sequence, so the tail fields never tie-break)
+        array_sort(collect_list(struct(
+          col("__graft_id").as("__i"),
+          col("__graft_frag").as("__ids"),
+          col("frag_start").as("__fs")))).as("__graft_sorted"))
+      .select(col("seq_id"),
+        expr("CAST(aggregate(__graft_sorted, 0L, (n, s) -> n + size(s.__ids)) AS BIGINT)")
+          .as("n_tokens"),
+        flatten(transform(col("__graft_sorted"), s => s.getField("__ids")))
+          .as("input_ids"),
+        expr("""aggregate(__graft_sorted,
+          |  named_struct('off', 0L, 'starts', CAST(array() AS ARRAY<BIGINT>)),
+          |  (acc, s) -> named_struct(
+          |    'off', acc.off + CAST(size(s.__ids) AS BIGINT),
+          |    'starts', IF(s.__fs = 0L, array_append(acc.starts, acc.off),
+          |                 acc.starts)),
+          |  acc -> acc.starts)""".stripMargin).as("doc_starts"))
+  }
+
+  /**
    * The sink end of the pipeline: write `df` as deterministic
    * token-budgeted shards — `path/bin=K/` parquet directories where
    * each shard holds a CONTIGUOUS id range summing to at most
