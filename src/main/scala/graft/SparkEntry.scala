@@ -2995,9 +2995,9 @@ object SparkEntry {
         |       FROM frag)
         |SELECT seq_id, CAST(SUM(fl) AS BIGINT) AS n_tokens,
         |       array_to_string(flatten(list(frag_ids ORDER BY doc_id)), ' ') AS ids_str,
-        |       array_to_string(
-        |         COALESCE(list(seq_off ORDER BY doc_id) FILTER (WHERE fs = 0), []),
-        |         ' ') AS doc_starts_str
+        |       COALESCE(array_to_string(
+        |         list(seq_off ORDER BY doc_id) FILTER (WHERE fs = 0),
+        |         ' '), '') AS doc_starts_str
         |FROM sl GROUP BY seq_id
         |ORDER BY seq_id""".stripMargin,
 

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /**
  * Readers for the engine's table layouts (parquet-first; CSV ingest mirrors
@@ -14,10 +15,13 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /**
-   * The events stream table ships TIMESTAMP(NANOS) parquet, which Spark's
-   * vectorized reader refuses by default. Read nanos as long
-   * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a microsecond
-   * timestamp column, preserving the original column order.
+   * The events stream table has shipped two physical layouts for `ts`:
+   * TIMESTAMP(NANOS) (which Spark's vectorized reader refuses by default —
+   * read nanos as long via `spark.sql.legacy.parquet.nanosAsLong` and
+   * convert) and plain `timestamp[us]` (read as TIMESTAMP_NTZ). Branch on
+   * the loaded type so both layouts land on the same TimestampType column
+   * (sessions run UTC, so the NTZ cast is value-preserving); preserve the
+   * original column order.
    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
@@ -25,8 +29,14 @@ object Tables {
     spark.conf.set(key, "true")
     try {
       val raw = spark.read.parquet(s"$dir/events.parquet")
-      // integer `div`, not `/`: nanos exceed 2^53, float division loses precision
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ts = raw.schema("ts").dataType match {
+        // nanos-as-int64 layout; integer `div`, not `/`: nanos exceed 2^53,
+        // float division loses precision
+        case LongType => timestamp_micros(expr("ts div 1000"))
+        case TimestampNTZType => col("ts").cast("timestamp")
+        case _ => col("ts")
+      }
+      raw.withColumn("ts", ts)
         .select(raw.columns.map(col).toIndexedSeq: _*)
     } finally {
       prev match {

@@ -66,6 +66,36 @@ class InteropSpec extends AnyFunSuite {
     assert(top("Fiction") === "P000000001")
   }
 
+  test("Tables.events reads every physical ts layout to the same TimestampType column") {
+    // The testdata generator has shipped `ts` as TIMESTAMP(NANOS) (loaded
+    // as int64 nanos under nanosAsLong), as plain timestamp[us] (loaded as
+    // TIMESTAMP_NTZ), and a plain TimestampType write is the third
+    // possibility. All three must land on identical TimestampType values.
+    val micros = Seq(1704067200000000L, 1704067205500000L, 1704153599999999L)
+    val base = micros.zipWithIndex.map { case (us, i) =>
+      (i.toLong, us, i.toLong % 2, s"t$i", i * 1.5, "{}")
+    }.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+
+    def writeAs(tsCol: org.apache.spark.sql.Column): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_events").toString
+      base.select($"event_id", tsCol.as("ts"), $"user_id", $"event_type", $"value", $"props")
+        .coalesce(1).write.mode("overwrite").parquet(dir + "/events.parquet")
+      dir
+    }
+    val asNanosLong = writeAs(($"us" * 1000L).cast("long"))
+    val asNtz = writeAs(timestamp_micros($"us").cast("timestamp_ntz"))
+    val asTimestamp = writeAs(timestamp_micros($"us"))
+
+    for (dir <- Seq(asNanosLong, asNtz, asTimestamp)) {
+      val df = graft.sources.Tables.events(spark, dir)
+      assert(df.schema("ts").dataType === org.apache.spark.sql.types.TimestampType)
+      assert(df.columns.toSeq === Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+      val got = df.orderBy($"event_id")
+        .select(unix_micros($"ts")).as[Long].collect().toSeq
+      assert(got === micros, s"layout at $dir")
+    }
+  }
+
   test("fixture-scale CSV ingest: 150k reviews through the flagship rollup flow") {
     // The reference's regression fixture is ~590k real Amazon reviews
     // loaded via \COPY (test_data_provider:3, copy_data.sql:17). Exercise
