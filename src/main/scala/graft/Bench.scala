@@ -313,7 +313,18 @@ object Bench {
     // substring filter over query/op/growth names — for iterating on one
     // operator without paying for the whole suite; unset = everything
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-    def selected(name: String): Boolean = only.forall(name.contains)
+    // Audit-only rows: their OUTPUT is the verification verdict (constant-
+    // boolean oracle) and the operator a user pays for is already priced by
+    // its twin in SparkEntry.benchOnly — timing them prices the verifier
+    // (brute-force twins, batch re-derivations, independent CC audits),
+    // ~1/3 of the round-10 wall. The driver's correctness gate still runs
+    // every one of them (Verify has no timing and no skip list), so oracle
+    // coverage is unchanged; SPARK_GRAFT_AUDIT_ROWS=1 times them anyway.
+    val auditRows = Set("dedup_simhash", "ann_lsh_top10", "ann_ivf_top10",
+      "lsh_neardup_pairs", "incremental_neardup", "semantic_dedup")
+    val skipAudits = sys.env.getOrElse("SPARK_GRAFT_AUDIT_ROWS", "0") == "0"
+    def selected(name: String): Boolean =
+      only.forall(name.contains) && !(skipAudits && auditRows(name))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")

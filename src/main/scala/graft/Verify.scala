@@ -19,6 +19,14 @@ object Verify {
     // (the driver's correctness runs set nothing and dump everything)
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name would otherwise produce a silently partial run that
+    // reads as a passing subset
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"[verify] WARNING: SPARK_GRAFT_QUERIES names match no registered query: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

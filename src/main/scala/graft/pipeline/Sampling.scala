@@ -481,6 +481,12 @@ object Sampling {
    * document appears exactly once across all windows, in document order
    * — the [[packSequences]] layout guarantee, id-for-id.
    *
+   * Limit: a SINGLE document's token count must stay below 2^31 (array
+   * slices are Int-indexed — Spark arrays themselves cap at ~2^31
+   * elements); a longer document fails the slice's ANSI Int cast at
+   * runtime. The packed STREAM is unbounded — only per-document length
+   * is capped. [[assembleSequences]] shares the same per-document bound.
+   *
    * Scale shape: [[packSequences]]' two-pass prefix sum + bounded
    * fragment explode, a per-fragment array slice, then ONE hash
    * aggregation by seq_id; each group holds only the few documents
@@ -496,7 +502,8 @@ object Sampling {
       idsCol: String,
       seqLen: Long): DataFrame = {
     require(seqLen > 0 && seqLen <= Int.MaxValue,
-      s"seqLen must be in (0, 2^31) (array slices are Int-indexed), got $seqLen")
+      s"seqLen must be in (0, 2^31) (array slices are Int-indexed; " +
+        s"per-DOCUMENT token counts share the same 2^31 bound), got $seqLen")
     Seq("__graft_ids", "__graft_n", "__graft_sorted").foreach { c =>
       require(!docs.columns.contains(c),
         s"input already has a '$c' column; rename it — packTokenIds uses it internally")
