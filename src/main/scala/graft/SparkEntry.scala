@@ -48,16 +48,21 @@ object SparkEntry {
   /** Planted per-doc URL population shared by url_filter /
     * topn_url_domains: deterministic variant classes — mixed-case hosts,
     * userinfo, default and non-default ports, a multi-part suffix, an
-    * IPv4 literal, tracking params, fragments. [[plantedUrlSql]] is the
-    * same construction for the oracles. */
+    * IPv4 literal, a private-section hosted-platform subdomain
+    * (user.github.io-style), a depth-3 private suffix (s3.amazonaws.com),
+    * a wildcard-rule host (*.ck) and its exception (!www.ck), tracking
+    * params, fragments. [[plantedUrlSql]] is the same construction for
+    * the oracles. */
   private def plantedUrls(spark: SparkSession, dir: String) = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val host = element_at(array(
       lit("Example.COM"), lit("news.Example.co.uk"), lit("spam-Tracker.NET"),
       lit("www.good-site.org"), lit("sub.deep.ads-network.com"),
-      lit("cdn.mirror-Example.com"), lit("192.168.0.1")),
-      (pmod($"doc_id", lit(7)) + 1).cast("int"))
+      lit("cdn.mirror-Example.com"), lit("192.168.0.1"),
+      lit("Alice.GitHub.IO"), lit("assets.Bucket.S3.amazonaws.com"),
+      lit("deep.www.CK"), lit("shop.foo.CK")),
+      (pmod($"doc_id", lit(11)) + 1).cast("int"))
     val url = concat(
       when(pmod($"doc_id", lit(2)) === 0, "http://").otherwise("https://"),
       when(pmod($"doc_id", lit(11)) === 3, "user:pw@").otherwise(""),
@@ -81,10 +86,13 @@ object SparkEntry {
   private val plantedUrlSql: String =
     """(CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END) ||
       |    (CASE WHEN doc_id % 11 = 3 THEN 'user:pw@' ELSE '' END) ||
-      |    (CASE doc_id % 7 WHEN 0 THEN 'Example.COM' WHEN 1 THEN 'news.Example.co.uk'
+      |    (CASE doc_id % 11 WHEN 0 THEN 'Example.COM' WHEN 1 THEN 'news.Example.co.uk'
       |          WHEN 2 THEN 'spam-Tracker.NET' WHEN 3 THEN 'www.good-site.org'
       |          WHEN 4 THEN 'sub.deep.ads-network.com' WHEN 5 THEN 'cdn.mirror-Example.com'
-      |          ELSE '192.168.0.1' END) ||
+      |          WHEN 6 THEN '192.168.0.1' WHEN 7 THEN 'Alice.GitHub.IO'
+      |          WHEN 8 THEN 'assets.Bucket.S3.amazonaws.com'
+      |          WHEN 9 THEN 'deep.www.CK'
+      |          ELSE 'shop.foo.CK' END) ||
       |    (CASE doc_id % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':443' WHEN 2 THEN ':8080' ELSE '' END) ||
       |    (CASE WHEN doc_id % 13 = 0 THEN '/' ELSE '/Docs/' || CAST(doc_id AS VARCHAR) END) ||
       |    (CASE doc_id % 4 WHEN 0 THEN '?utm_source=x&q=' || CAST(doc_id AS VARCHAR)

@@ -26,11 +26,44 @@ import org.apache.spark.sql.functions._
 object Urls {
 
   /**
-   * Multi-part public suffixes recognized by [[registeredDomain]]. A tiny,
-   * deterministic subset of the public suffix list: the common second-level
-   * country registrations. The full PSL is a versioned external artifact;
-   * a production deployment swaps this constant for a loaded copy — the
-   * rule (longest matching suffix + one label) is the same.
+   * Public-suffix rules in the publicsuffix.org list format's three rule
+   * kinds: `exact` multi-label suffixes (`co.uk`, `github.io`),
+   * `wildcardBases` for `*.base` rules (`ck` for `*.ck` — ANY single label
+   * under the base is a public suffix), and `exceptions` for `!name` rules
+   * (`www.ck` — registrable despite a covering wildcard). Single-label
+   * rules (`com`) are never stored: they coincide with the list's implicit
+   * default rule `*` (suffix = the last label), which [[registeredDomain]]
+   * applies when nothing else matches.
+   *
+   * All entries are lower-case label sequences; accessors return sorted
+   * sequences so the generated Column expression and oracle SQL are
+   * deterministic for a given rule set.
+   */
+  final case class SuffixRules(
+      exact: Set[String],
+      wildcardBases: Set[String],
+      exceptions: Set[String]) {
+    require((exact ++ wildcardBases ++ exceptions).forall(s =>
+      s.nonEmpty && s == s.toLowerCase && !s.startsWith(".") && !s.endsWith(".")),
+      "suffix rules must be non-empty lower-case dotted names")
+    private[Urls] def depth(s: String): Int = s.count(_ == '.') + 1
+    def exactAtDepth(d: Int): Seq[String] =
+      exact.filter(depth(_) == d).toSeq.sorted
+    def wildcardBasesAtDepth(b: Int): Seq[String] =
+      wildcardBases.filter(depth(_) == b).toSeq.sorted
+    /** Exceptions grouped by label count, deepest first. */
+    def exceptionsByDepth: Seq[(Int, Seq[String])] =
+      exceptions.groupBy(depth).toSeq.sortBy(-_._1)
+        .map { case (k, s) => (k, s.toSeq.sorted) }
+    /** Deepest public suffix any rule can produce (a `*.base` rule's
+      * suffix is one label deeper than its base); at least 2. */
+    def maxRuleDepth: Int =
+      (exact.map(depth) ++ wildcardBases.map(depth(_) + 1) + 2).max
+  }
+
+  /**
+   * Multi-part ICANN suffixes recognized by default: the common
+   * second-level country registrations (publicsuffix.org ICANN section).
    */
   val MultiPartSuffixes: Seq[String] = Seq(
     "co.uk", "ac.uk", "gov.uk", "org.uk",
@@ -38,6 +71,56 @@ object Urls {
     "co.jp", "or.jp", "ne.jp",
     "co.in", "co.kr", "co.za", "co.nz",
     "com.br", "com.mx", "com.cn", "com.ar", "com.tr", "com.sg", "com.hk")
+
+  /**
+   * The built-in rule set: [[MultiPartSuffixes]] plus the PRIVATE-section
+   * entries a crawl pipeline actually hits — the hosted-platform domains
+   * where every subdomain is a different registrant (`user.github.io` must
+   * NOT collapse into one `github.io` key for blocklists, per-domain caps,
+   * or PageRank) — and representative wildcard/exception rules in the real
+   * list's spelling (`*.ck` with `!www.ck`; `*.compute.amazonaws.com`).
+   * A production deployment swaps in a full versioned list via
+   * [[loadSuffixes]]; the matching algorithm is identical.
+   */
+  val DefaultRules: SuffixRules = SuffixRules(
+    exact = MultiPartSuffixes.toSet ++ Set(
+      "github.io", "gitlab.io", "blogspot.com", "appspot.com",
+      "herokuapp.com", "azurewebsites.net", "cloudfront.net",
+      "firebaseapp.com", "netlify.app", "vercel.app", "pages.dev",
+      "workers.dev", "web.app", "readthedocs.io", "s3.amazonaws.com"),
+    wildcardBases = Set("ck", "bd", "er", "compute.amazonaws.com"),
+    exceptions = Set("www.ck"))
+
+  /**
+   * Parse rules in the publicsuffix.org file format: one rule per line
+   * (the rule ends at the first whitespace), `//` comment lines and blank
+   * lines skipped, `!` marking exceptions, `*.` marking wildcards.
+   * Single-label exact rules are dropped (they equal the implicit default
+   * rule — keeping ~1500 TLD lines would bloat the generated expression
+   * for zero behavior change). Case-folded to lower.
+   */
+  def parsePsl(lines: IterableOnce[String]): SuffixRules = {
+    val exact = Set.newBuilder[String]
+    val wild = Set.newBuilder[String]
+    val exc = Set.newBuilder[String]
+    for (raw <- lines.iterator) {
+      val t = raw.trim
+      if (t.nonEmpty && !t.startsWith("//")) {
+        val rule = t.takeWhile(!_.isWhitespace).toLowerCase
+        if (rule.startsWith("!")) exc += rule.drop(1)
+        else if (rule.startsWith("*.")) wild += rule.drop(2)
+        else if (rule.contains('.')) exact += rule
+      }
+    }
+    SuffixRules(exact.result(), wild.result(), exc.result())
+  }
+
+  /** Load a public-suffix list file (publicsuffix.org format) from disk. */
+  def loadSuffixes(path: String): SuffixRules = {
+    import scala.jdk.CollectionConverters._
+    parsePsl(java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path)).asScala)
+  }
 
   /** Exact-name tracking parameters stripped by [[urlNormalize]] (the
     * `utm_*` family is matched by pattern in addition to these). */
@@ -47,11 +130,6 @@ object Urls {
     * built from [[TrackingParams]] so Spark and the oracle share it. */
   def trackingAlternation: String =
     ("utm_[A-Za-z0-9_]*" +: TrackingParams).mkString("|")
-
-  /** SQL `('co.uk', ...)` literal list for the oracle, from the same
-    * constant as the Spark plan. */
-  def multiPartSuffixSqlList: String =
-    MultiPartSuffixes.map(s => s"'$s'").mkString("(", ", ", ")")
 
   private val AuthorityRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 
@@ -66,24 +144,91 @@ object Urls {
       regexp_extract(url, AuthorityRe, 1), "^[^@]*@", ""), ":[0-9]*$", ""))
 
   /**
-   * Registered domain (eTLD+1) of a host: the last two labels, or the last
-   * THREE when the last two form a multi-part suffix from
-   * [[MultiPartSuffixes]] (`news.example.co.uk` -> `example.co.uk`, while
-   * `sub.deep.ads.example.com` -> `example.com`). IPv4 literals and hosts
-   * with fewer than three labels pass through unchanged — an IP has no
-   * registrable domain, and truncating it would merge unrelated hosts.
+   * Registered domain (eTLD+1) of a host under `rules`, the publicsuffix
+   * algorithm: the longest matching rule's suffix plus one more host label
+   * (`news.example.co.uk` -> `example.co.uk`; `user.github.io` ->
+   * `user.github.io` — github.io is a private-section suffix;
+   * `shop.foo.ck` -> `shop.foo.ck` under `*.ck`; `deep.www.ck` -> `www.ck`
+   * under `!www.ck`). Exceptions outrank wildcards; deeper suffixes
+   * outrank shallower; the implicit default rule `*` (suffix = last label,
+   * domain = last two) applies when nothing matches. IPv4 literals, single
+   * labels, and hosts that ARE a public suffix pass through unchanged —
+   * they have no registrable domain, and truncating an IP would merge
+   * unrelated hosts.
    *
-   * This is THE dedup/blocklist key for URL-level curation: every subdomain
-   * of a blocked or capped domain maps onto the same key.
+   * This is THE dedup/blocklist key for URL-level curation: every
+   * subdomain of a blocked or capped domain maps onto the same key, while
+   * hosted-platform subdomains (different registrants) stay distinct.
+   *
+   * The expression is GENERATED from `rules` as a when-chain over
+   * last-k-label joins with set membership (Catalyst turns the literal
+   * lists into hashed InSet lookups, so a loaded multi-thousand-rule list
+   * stays codegen'd and map-side — no join, no shuffle).
+   * [[registeredDomainSqlCase]] generates the identical decision chain for
+   * the DuckDB oracle from the same rules, so the engines cannot drift.
    */
-  def registeredDomain(host: Column): Column = {
+  def registeredDomain(host: Column, rules: SuffixRules): Column = {
     val labels = split(host, "\\.")
     val n = size(labels)
-    val last2 = array_join(slice(labels, -2, 2), ".")
-    val last3 = array_join(slice(labels, -3, 3), ".")
-    when(host.rlike("^[0-9.]+$") || n <= 2, host)
-      .when(last2.isin(MultiPartSuffixes.map(x => x: Any): _*), last3)
-      .otherwise(last2)
+    def lastK(k: Int) = array_join(slice(labels, -k, k), ".")
+    def inSet(c: Column, xs: Seq[String]) = c.isin(xs.map(x => x: Any): _*)
+    var e: Column = when(host.rlike("^[0-9.]+$") || n <= 1, host)
+    for ((k, xs) <- rules.exceptionsByDepth)
+      e = e.when(inSet(lastK(k), xs), lastK(k))
+    for (d <- rules.maxRuleDepth to 2 by -1) {
+      val ex = rules.exactAtDepth(d)
+      val wb = rules.wildcardBasesAtDepth(d - 1)
+      val conds =
+        (if (ex.nonEmpty) Seq(inSet(lastK(d), ex)) else Nil) ++
+          (if (wb.nonEmpty) Seq(inSet(lastK(d - 1), wb) && n >= d) else Nil)
+      if (conds.nonEmpty) {
+        val m = conds.reduce(_ || _)
+        // suffix matched: one more label is the domain; a host that IS
+        // the suffix has no registrable domain and passes through
+        e = e.when(m && n > d, lastK(d + 1)).when(m, host)
+      }
+    }
+    e.when(n <= 2, host).otherwise(lastK(2))
+  }
+
+  /** [[registeredDomain]] under the built-in [[DefaultRules]]. */
+  def registeredDomain(host: Column): Column =
+    registeredDomain(host, DefaultRules)
+
+  /**
+   * The DuckDB spelling of [[registeredDomain]]'s decision chain,
+   * generated from the same `rules` (same order: IP/single-label pass,
+   * exceptions deepest-first, suffix depths descending, default rule
+   * last). `hostVar`/`lVar`/`nVar` name the host string, its label list,
+   * and the label count in the surrounding query. Comparisons against
+   * too-short hosts are safe without guards: a clamped `list_slice` joins
+   * fewer labels than any k-label suffix contains, so equality cannot
+   * hold; result slices are reached only behind `n > d`.
+   */
+  def registeredDomainSqlCase(
+      rules: SuffixRules, hostVar: String, lVar: String, nVar: String): String = {
+    def lastK(k: Int) =
+      s"array_to_string(list_slice($lVar, $nVar - ${k - 1}, $nVar), '.')"
+    def inList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ", ", ")")
+    val sb = new StringBuilder(
+      s"CASE WHEN regexp_matches($hostVar, '^[0-9.]+$$') OR $nVar <= 1 THEN $hostVar")
+    for ((k, xs) <- rules.exceptionsByDepth)
+      sb ++= s"\n             WHEN ${lastK(k)} IN ${inList(xs)} THEN ${lastK(k)}"
+    for (d <- rules.maxRuleDepth to 2 by -1) {
+      val ex = rules.exactAtDepth(d)
+      val wb = rules.wildcardBasesAtDepth(d - 1)
+      val conds =
+        (if (ex.nonEmpty) Seq(s"${lastK(d)} IN ${inList(ex)}") else Nil) ++
+          (if (wb.nonEmpty)
+            Seq(s"($nVar >= $d AND ${lastK(d - 1)} IN ${inList(wb)})") else Nil)
+      if (conds.nonEmpty) {
+        val m = conds.mkString("(", " OR ", ")")
+        sb ++= s"\n             WHEN $m AND $nVar > $d THEN ${lastK(d + 1)}"
+        sb ++= s"\n             WHEN $m THEN $hostVar"
+      }
+    }
+    sb ++= s"\n             WHEN $nVar <= 2 THEN $hostVar ELSE ${lastK(2)} END"
+    sb.toString
   }
 
   /**
@@ -153,10 +298,7 @@ object Urls {
          |${p}hd AS (SELECT *, len(string_split(host, '.')) AS ${p}_n,
          |        string_split(host, '.') AS ${p}_l FROM ${p}h),
          |${p}dom AS (SELECT * EXCLUDE (${p}_n, ${p}_l),
-         |        CASE WHEN regexp_matches(host, '^[0-9.]+$$') OR ${p}_n <= 2 THEN host
-         |             WHEN array_to_string(list_slice(${p}_l, ${p}_n - 1, ${p}_n), '.') IN $multiPartSuffixSqlList
-         |               THEN array_to_string(list_slice(${p}_l, ${p}_n - 2, ${p}_n), '.')
-         |             ELSE array_to_string(list_slice(${p}_l, ${p}_n - 1, ${p}_n), '.') END AS domain
+         |        ${registeredDomainSqlCase(DefaultRules, "host", s"${p}_l", s"${p}_n")} AS domain
          |        FROM ${p}hd),
          |${p}n1 AS (SELECT *, regexp_replace($urlCol, '#.*', '') AS ${p}_v FROM ${p}dom),
          |${p}n2 AS (SELECT * EXCLUDE (${p}_v),

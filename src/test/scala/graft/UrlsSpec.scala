@@ -38,6 +38,64 @@ class UrlsSpec extends AnyFunSuite {
     assert(domain1("co.uk") === "co.uk")
   }
 
+  test("registeredDomain: private-section, wildcard, and exception rules (DefaultRules)") {
+    // hosted-platform subdomains are different registrants: each keeps its key
+    assert(domain1("alice.github.io") === "alice.github.io")
+    assert(domain1("www.alice.github.io") === "alice.github.io")
+    assert(domain1("github.io") === "github.io") // IS a suffix: passthrough
+    // depth-3 private suffix
+    assert(domain1("assets.bucket.s3.amazonaws.com") === "bucket.s3.amazonaws.com")
+    assert(domain1("s3.amazonaws.com") === "s3.amazonaws.com")
+    // wildcard *.ck: any label under ck is a public suffix
+    assert(domain1("shop.foo.ck") === "shop.foo.ck")
+    assert(domain1("deep.shop.foo.ck") === "shop.foo.ck")
+    assert(domain1("foo.ck") === "foo.ck") // IS a suffix under *.ck
+    // exception !www.ck beats the wildcard
+    assert(domain1("www.ck") === "www.ck")
+    assert(domain1("deep.www.ck") === "www.ck")
+    // *.compute.amazonaws.com (depth-3 wildcard base)
+    assert(domain1("vm1.ec2.compute.amazonaws.com") === "vm1.ec2.compute.amazonaws.com")
+    assert(domain1("a.vm1.ec2.compute.amazonaws.com") === "vm1.ec2.compute.amazonaws.com")
+    // the base itself is NOT matched by its *-rule: default rule applies
+    assert(domain1("compute.amazonaws.com") === "amazonaws.com")
+  }
+
+  test("parsePsl / loadSuffixes: the publicsuffix.org file format") {
+    val rules = Urls.parsePsl(Seq(
+      "// ===BEGIN ICANN DOMAINS===",
+      "com", "uk", "co.uk", "*.ck", "!www.ck", "",
+      "  GitHub.IO  trailing junk", "// comment", "s3.amazonaws.com"))
+    assert(rules.exact === Set("co.uk", "github.io", "s3.amazonaws.com"))
+    assert(rules.wildcardBases === Set("ck"))
+    assert(rules.exceptions === Set("www.ck"))
+    // single-label rules (com, uk) equal the default rule and are dropped
+    assert(rules.maxRuleDepth === 3)
+
+    val f = java.nio.file.Files.createTempFile("graft_psl", ".dat")
+    java.nio.file.Files.writeString(f, "// psl\nco.jp\n*.bd\n!exempt.bd\n")
+    val loaded = Urls.loadSuffixes(f.toString)
+    assert(loaded === Urls.SuffixRules(Set("co.jp"), Set("bd"), Set("exempt.bd")))
+    // and the loaded rules drive the generated expression
+    val d = Seq("x.y.bd").toDF("h")
+      .select(Urls.registeredDomain($"h", loaded)).as[String].head()
+    assert(d === "x.y.bd")
+    val e = Seq("deep.exempt.bd").toDF("h")
+      .select(Urls.registeredDomain($"h", loaded)).as[String].head()
+    assert(e === "exempt.bd")
+  }
+
+  test("registeredDomainSqlCase mirrors the Column chain (DuckDB-shape CASE text)") {
+    val sql = Urls.registeredDomainSqlCase(Urls.DefaultRules, "host", "l", "n")
+    // exceptions come before suffix matches, deepest suffixes before shallower
+    val excPos = sql.indexOf("'www.ck'")
+    val d4Pos = sql.indexOf("n > 4") // compute.amazonaws.com wildcard level
+    val d2Pos = sql.indexOf("'github.io'")
+    assert(excPos >= 0 && d4Pos >= 0 && d2Pos >= 0)
+    assert(excPos < d4Pos && d4Pos < d2Pos)
+    assert(sql.startsWith("CASE WHEN regexp_matches(host, '^[0-9.]+$')"))
+    assert(sql.endsWith("END"))
+  }
+
   test("urlNormalize: the pinned chain end to end") {
     // fragment strip + authority lowercase, path case preserved
     assert(norm1("HTTPS://Example.COM/Path/One#Sec2") === "https://example.com/Path/One")
