@@ -44,6 +44,11 @@ object SparkEntry {
     "example.com", "example.co.uk", "spam-tracker.net", "good-site.org",
     "ads-network.com", "mirror-example.com", "plain-host.io")
   private val PagerankIters = 5
+  // personalized/weighted/converged PageRank gate: 50% damping contracts
+  // the L1 delta ~2x per step, so the stop lands well inside the unroll cap
+  private val PprMaxIters = 12
+  private val PprTolE6 = 50000L
+  private val PprDamping = 50
 
   /** Planted per-doc URL population shared by url_filter /
     * topn_url_domains: deterministic variant classes — mixed-case hosts,
@@ -1337,6 +1342,30 @@ object SparkEntry {
       val planted = Seq((PagerankDomains(2), PagerankDomains(6))).toDF("src", "dst")
       graft.pipeline.Graph.pageRank(
         base.unionByName(planted), "src", "dst", iterations = PagerankIters)
+        .orderBy($"rank_e6".desc, $"node")
+    }),
+
+    // the full PageRank surface in one gate: WEIGHTED edges (per-pair
+    // weight sums drive proportional rank splits), a PERSONALIZED
+    // teleport prior concentrated on a 2-domain seed set (non-seed nodes
+    // get zero restart mass — reachable only through links), and the
+    // L1-delta CONVERGENCE stop, whose stopped iteration is emitted as a
+    // column so the oracle must land on the identical K by replaying the
+    // same first-at-or-under-tolerance rule over the same exact integers
+    "domain_pagerank_personalized" -> ((spark, dir) => {
+      import spark.implicits._
+      val dArr = array(PagerankDomains.map(lit): _*)
+      val edges = tbl(spark, dir, "documents").select(
+        element_at(dArr, (pmod($"doc_id", lit(7)) + 1).cast("int")).as("src"),
+        element_at(dArr, (pmod($"doc_id", lit(3)) + 1).cast("int")).as("dst"),
+        (pmod($"doc_id", lit(4)) + 1).as("w"))
+      val prior = Seq((PagerankDomains(3), 3L), (PagerankDomains(0), 1L))
+        .toDF("node", "prior")
+      val (ranks, k) = graft.pipeline.Graph.pageRankConverged(
+        edges, "src", "dst", maxIterations = PprMaxIters, tolE6 = PprTolE6,
+        dampingPct = PprDamping, weightCol = Some("w"),
+        personalization = Some(prior))
+      ranks.withColumn("stopped_k", lit(k.toLong))
         .orderBy($"rank_e6".desc, $"node")
     }),
 
@@ -2781,6 +2810,28 @@ object SparkEntry {
         |  UNION ALL SELECT '${PagerankDomains(2)}', '${PagerankDomains(6)}'),
         |$ctes
         |SELECT node, rank_e6 FROM $fin
+        |ORDER BY rank_e6 DESC, node""".stripMargin
+    },
+
+    // weighted edges (per-pair weight sums), seed-set personalization,
+    // and the DATA-DRIVEN stop: all stages unrolled to the cap, each
+    // stage's L1 delta computed, the reported iteration chosen by the
+    // same first-at-or-under-tolerance rule the Spark loop applies
+    "domain_pagerank_personalized" -> {
+      def cse(m: Int): String = (0 until m)
+        .map(i => s"WHEN $i THEN '${PagerankDomains(i)}'").mkString(" ")
+      val (ctes, fin) = graft.pipeline.Graph.pageRankFlexCtes(
+        "raw", PprMaxIters, PprDamping, "pz",
+        weighted = true, persSrc = Some("pri"), tolE6 = Some(PprTolE6))
+      s"""WITH raw AS (
+        |  SELECT (CASE doc_id % 7 ${cse(7)} END) AS src,
+        |         (CASE doc_id % 3 ${cse(3)} END) AS dst,
+        |         CAST(doc_id % 4 + 1 AS BIGINT) AS w
+        |  FROM documents),
+        |pri AS (SELECT '${PagerankDomains(3)}' AS node, CAST(3 AS BIGINT) AS prior
+        |        UNION ALL SELECT '${PagerankDomains(0)}', CAST(1 AS BIGINT)),
+        |$ctes
+        |SELECT node, rank_e6, (SELECT ks FROM pzks) AS stopped_k FROM $fin
         |ORDER BY rank_e6 DESC, node""".stripMargin
     },
 
