@@ -87,6 +87,37 @@ object SparkEntry {
     tbl(spark, dir, "documents").select($"doc_id").withColumn("url", url)
   }
 
+  /** The DuckDB replay of [[graft.pipeline.TextAnalysis.htmlToText]] as
+    * CTE stages over `src`, rewriting `htmlCol` into cleaned-text `outCol`
+    * (all other columns ride along; `htmlCol` is dropped at the first
+    * stage). Entity decode covers the named set plus the numeric
+    * spellings planted in the fixtures (&#72;, &#x49;) — extend alongside
+    * any new fixture entities. Returns (ctesString, finalCteName). */
+  private def htmlToTextSqlCtes(src: String, htmlCol: String, outCol: String,
+      prefix: String): (String, String) = {
+    val p = prefix
+    val ctes =
+      s"""${p}s1 AS (SELECT * EXCLUDE ($htmlCol), regexp_replace($htmlCol,
+         |         '(?is)<script\\b[^>]*>.*?</script\\s*>', '', 'g') AS ${p}_h FROM $src),
+         |${p}s2 AS (SELECT * EXCLUDE (${p}_h), regexp_replace(${p}_h,
+         |         '(?is)<style\\b[^>]*>.*?</style\\s*>', '', 'g') AS ${p}_h FROM ${p}s1),
+         |${p}s3 AS (SELECT * EXCLUDE (${p}_h), regexp_replace(${p}_h, '(?s)<!--.*?-->', '', 'g') AS ${p}_h FROM ${p}s2),
+         |${p}s4 AS (SELECT * EXCLUDE (${p}_h), regexp_replace(${p}_h,
+         |         '(?i)</?(p|div|br|hr|li|ul|ol|h[1-6]|tr|td|th|table|thead|tbody|blockquote|pre|section|article|header|footer|nav|main)(\\s[^>]*)?/?\\s*>',
+         |         chr(10), 'g') AS ${p}_h FROM ${p}s3),
+         |${p}s5 AS (SELECT * EXCLUDE (${p}_h), regexp_replace(${p}_h, '<[^>]*>', '', 'g') AS ${p}_h FROM ${p}s4),
+         |${p}e1 AS (SELECT * EXCLUDE (${p}_h),
+         |         replace(replace(replace(replace(replace(replace(replace(${p}_h,
+         |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+         |           '&nbsp;', ' '), '&#72;', 'H'), '&#x49;', 'I') AS ${p}_h FROM ${p}s5),
+         |${p}e2 AS (SELECT * EXCLUDE (${p}_h), replace(${p}_h, '&amp;', '&') AS ${p}_h FROM ${p}e1),
+         |${p}w1 AS (SELECT * EXCLUDE (${p}_h), regexp_replace(${p}_h, '[ \\t\\r]+', ' ', 'g') AS ${p}_h FROM ${p}e2),
+         |${p}w2 AS (SELECT * EXCLUDE (${p}_h), regexp_replace(${p}_h, ' *\\n *', chr(10), 'g') AS ${p}_h FROM ${p}w1),
+         |${p}w3 AS (SELECT * EXCLUDE (${p}_h), regexp_replace(${p}_h, '\\n+', chr(10), 'g') AS ${p}_h FROM ${p}w2),
+         |${p}w4 AS (SELECT * EXCLUDE (${p}_h), trim(${p}_h, ' ' || chr(10)) AS $outCol FROM ${p}w3)""".stripMargin
+    (ctes, s"${p}w4")
+  }
+
   /** The identical construction as a DuckDB scalar expression. */
   private val plantedUrlSql: String =
     """(CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END) ||
@@ -1367,6 +1398,81 @@ object SparkEntry {
         personalization = Some(prior))
       ranks.withColumn("stopped_k", lit(k.toLong))
         .orderBy($"rank_e6".desc, $"node")
+    }),
+
+    // the crawl product's whole pitch in ONE flow (the reference analog:
+    // sql/customer_reviews_query.sql:2-70's chained ingest -> rollup ->
+    // re-aggregation -> report, done for the web-crawl domain): WARC
+    // container bytes -> parsed records -> html_to_text + html_links ->
+    // registered-domain URL gating -> link-graph PageRank as the
+    // selection prior (top-4 domains) -> token-budget packed shards.
+    // The binary container leg is audited IN-PLAN (round-trip equality
+    // against the planted pages — not SQL-reproducible) and emitted as a
+    // constant boolean column; everything from the text stage on is
+    // HASH-EXACT against the oracle's replay of the same chain from the
+    // documents table. Stage-boundary persists on the two multi-consumer
+    // tables (base: files + audit; parsed: audit + text + link graph) —
+    // the pipeline_full_curation doctrine.
+    "pipeline_crawl_corpus" -> ((spark, dir) => {
+      import spark.implicits._
+      import graft.pipeline.{Sampling, TextAnalysis, Urls, Warc}
+      val dArr = array(PagerankDomains.map(lit): _*)
+      val base = tbl(spark, dir, "documents").select($"doc_id",
+        concat(lit("https://"),
+          element_at(dArr, (pmod($"doc_id", lit(7)) + 1).cast("int")),
+          lit("/doc/"), $"doc_id", lit("?utm_x=1#f")).as("url"),
+        concat(lit("<html><body><h1>D"), $"doc_id", lit("</h1><p>"),
+          regexp_replace($"text", "[&<]", " "),
+          lit("</p><a href=\"https://"),
+          element_at(dArr, (pmod($"doc_id", lit(5)) + 1).cast("int")),
+          lit("/l/"), $"doc_id", lit("\">a</a><a href=\"https://"),
+          element_at(dArr, (pmod($"doc_id", lit(3)) + 1).cast("int")),
+          lit("/m\">b</a></body></html>")).as("html"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val files = base
+        .withColumn("file_id", pmod($"doc_id", lit(16)))
+        .groupBy($"file_id")
+        .agg(sort_array(collect_list(
+          struct($"url".as("_1"), $"html".as("_2")))).as("items"))
+        .select($"file_id".as("_1"), $"items".as("_2"))
+        .as[(Long, Seq[(String, String)])]
+        .map { case (fid, items) =>
+          Warc.WarcFile(fid, Warc.syntheticWarc(items, gzipped = fid % 2 == 0)) }
+      val parsed = Warc.warcDocuments(files)
+        .select($"target_uri".as("url"), $"html")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // container-leg audit: every planted page comes back byte-identical
+      val warcOk = parsed
+        .join(base.select($"url", $"html".as("want")), Seq("url"), "full_outer")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"html".isNull || $"want".isNull || $"html" =!= $"want",
+            lit(1)).otherwise(lit(0))).as("bad"))
+        .crossJoin(base.agg(count(lit(1)).as("n_base")))
+        .select(($"n_base" > 0 && $"n" === $"n_base" && $"bad" === 0)
+          .as("warc_roundtrip_ok"))
+      // from here on the engine consumes PARSED crawl rows only
+      val docs = parsed.select(
+        regexp_extract($"url", "/doc/([0-9]+)", 1).cast("long").as("doc_id"),
+        $"url", TextAnalysis.htmlToText($"html").as("text"))
+      val edges = parsed.select(
+        Urls.registeredDomain(Urls.urlHost($"url")).as("src"),
+        explode(TextAnalysis.htmlLinks($"html")).as("link"))
+        .select($"src", Urls.registeredDomain(Urls.urlHost($"link")).as("dst"))
+      val ranks = graft.pipeline.Graph.pageRank(edges, "src", "dst",
+        iterations = PagerankIters)
+      val top4 = ranks.orderBy($"rank_e6".desc, $"node").limit(4)
+        .select($"node".as("domain"))
+      val blocked = Seq("ads-network.com", "spam-tracker.net").toDF("domain")
+      val gated = Urls.filterBlockedDomains(docs, "url", blocked)
+        .select($"doc_id",
+          Urls.registeredDomain(Urls.urlHost($"url")).as("domain"),
+          TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
+        .join(top4, Seq("domain"))
+        .filter($"n_tokens" >= 10)
+      Sampling.packByBudget(gated, "doc_id", "n_tokens", budget = 2048L)
+        .select($"doc_id", $"domain", $"n_tokens", $"bin")
+        .crossJoin(warcOk)
+        .orderBy($"doc_id")
     }),
 
     // DSIR-style importance weights (arXiv:2302.03169): per-doc
@@ -2704,8 +2810,9 @@ object SparkEntry {
     // content, comments, block tags to newline, generic tag strip,
     // literal entity replaces with &amp; LAST (= decode-once), the
     // pinned whitespace chain
-    "html_extract" ->
-      """WITH f AS (
+    "html_extract" -> {
+      val (h2t, h2tFin) = htmlToTextSqlCtes("f", "html", "h", "x")
+      s"""WITH f AS (
         |  SELECT doc_id,
         |         '<html><head><title>t</title><style>p{x:1}</style>' ||
         |         '<script>var a = 1 < 2;</script></head>' ||
@@ -2714,28 +2821,12 @@ object SparkEntry {
         |         '</p><ul><li>A &amp; B</li><li>&#72;&#x49;&nbsp;!</li></ul>' ||
         |         '<div>tail</div></body></html>' AS html
         |  FROM documents),
-        |s1 AS (SELECT doc_id, regexp_replace(html,
-        |         '(?is)<script\b[^>]*>.*?</script\s*>', '', 'g') AS h FROM f),
-        |s2 AS (SELECT doc_id, regexp_replace(h,
-        |         '(?is)<style\b[^>]*>.*?</style\s*>', '', 'g') AS h FROM s1),
-        |s3 AS (SELECT doc_id, regexp_replace(h, '(?s)<!--.*?-->', '', 'g') AS h FROM s2),
-        |s4 AS (SELECT doc_id, regexp_replace(h,
-        |         '(?i)</?(p|div|br|hr|li|ul|ol|h[1-6]|tr|td|th|table|thead|tbody|blockquote|pre|section|article|header|footer|nav|main)(\s[^>]*)?/?\s*>',
-        |         chr(10), 'g') AS h FROM s3),
-        |s5 AS (SELECT doc_id, regexp_replace(h, '<[^>]*>', '', 'g') AS h FROM s4),
-        |e1 AS (SELECT doc_id,
-        |         replace(replace(replace(replace(replace(replace(replace(h,
-        |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
-        |           '&nbsp;', ' '), '&#72;', 'H'), '&#x49;', 'I') AS h FROM s5),
-        |e2 AS (SELECT doc_id, replace(h, '&amp;', '&') AS h FROM e1),
-        |w1 AS (SELECT doc_id, regexp_replace(h, '[ \t\r]+', ' ', 'g') AS h FROM e2),
-        |w2 AS (SELECT doc_id, regexp_replace(h, ' *\n *', chr(10), 'g') AS h FROM w1),
-        |w3 AS (SELECT doc_id, regexp_replace(h, '\n+', chr(10), 'g') AS h FROM w2),
-        |w4 AS (SELECT doc_id, trim(h, ' ' || chr(10)) AS h FROM w3)
+        |$h2t
         |SELECT doc_id,
         |       CAST(len(string_split(h, chr(10))) AS BIGINT) AS n_lines,
         |       md5(h) AS text_md5
-        |FROM w4 ORDER BY doc_id""".stripMargin,
+        |FROM $h2tFin ORDER BY doc_id""".stripMargin
+    },
 
     // binary container parse: in-plan audit (planted-HTML equality,
     // gzip parity, corrupt/truncated handling), constant-boolean oracle
@@ -2833,6 +2924,57 @@ object SparkEntry {
         |$ctes
         |SELECT node, rank_e6, (SELECT ks FROM pzks) AS stopped_k FROM $fin
         |ORDER BY rank_e6 DESC, node""".stripMargin
+    },
+
+    // the crawl chain replayed stage for stage from the documents table
+    // (the WARC container leg is the in-plan audit -> constant TRUE):
+    // same page/URL/anchor construction, the shared html_to_text stages,
+    // link extraction as regexp_extract_all, the shared URL chain for
+    // both the page URL and each link, the unrolled PageRank, the top-4
+    // rank gate, blocklist NOT IN, token floor, running-sum bin packing
+    "pipeline_crawl_corpus" -> {
+      def cse(m: Int): String = (0 until m)
+        .map(i => s"WHEN $i THEN '${PagerankDomains(i)}'").mkString(" ")
+      val (h2t, h2tFin) = htmlToTextSqlCtes("crawl", "html", "text", "cw")
+      val (ownU, ownFin) = graft.pipeline.Urls.urlSqlCtes(h2tFin, "url", "cu")
+      val (lnkU, lnkFin) = graft.pipeline.Urls.urlSqlCtes("links", "lurl", "cl")
+      val (prc, prFin) = graft.pipeline.Graph.pageRankCtes("edges", PagerankIters, prefix = "cp")
+      s"""WITH crawl AS (
+        |  SELECT doc_id,
+        |         'https://' || (CASE doc_id % 7 ${cse(7)} END) ||
+        |           '/doc/' || CAST(doc_id AS VARCHAR) || '?utm_x=1#f' AS url,
+        |         '<html><body><h1>D' || CAST(doc_id AS VARCHAR) || '</h1><p>' ||
+        |         regexp_replace(text, '[&<]', ' ', 'g') ||
+        |         '</p><a href="https://' || (CASE doc_id % 5 ${cse(5)} END) ||
+        |           '/l/' || CAST(doc_id AS VARCHAR) || '">a</a>' ||
+        |         '<a href="https://' || (CASE doc_id % 3 ${cse(3)} END) ||
+        |           '/m">b</a></body></html>' AS html
+        |  FROM documents),
+        |$h2t,
+        |$ownU,
+        |links AS (SELECT doc_id,
+        |            unnest(regexp_extract_all(html, '<a href="([^"]*)"', 1)) AS lurl
+        |          FROM crawl),
+        |$lnkU,
+        |edges AS (SELECT a.domain AS src, b.domain AS dst
+        |          FROM $ownFin a JOIN $lnkFin b USING (doc_id)),
+        |$prc,
+        |top4 AS (SELECT node AS domain FROM (
+        |           SELECT node, ROW_NUMBER() OVER (ORDER BY rank_e6 DESC, node) AS rn
+        |           FROM $prFin) WHERE rn <= 4),
+        |sel AS (SELECT doc_id, domain,
+        |          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        |        FROM $ownFin
+        |        WHERE domain NOT IN ('ads-network.com', 'spam-tracker.net')
+        |          AND domain IN (SELECT domain FROM top4)),
+        |q AS (SELECT * FROM sel WHERE n_tokens >= 10),
+        |c AS (SELECT doc_id, domain, n_tokens,
+        |        CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        |      FROM q)
+        |SELECT doc_id, domain, n_tokens, (run - n_tokens) // 2048 AS bin,
+        |       TRUE AS warc_roundtrip_ok
+        |FROM c ORDER BY doc_id""".stripMargin
     },
 
     // exact-integer counts feed one LN() per hashed feature bucket; the
