@@ -822,6 +822,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(cellDirs.nonEmpty, "vector snapshots must be cell-partitioned")
   }
 
+  test("streaming WARC ingest: parse + canonical-URL dedup + frozen quality gate = batch twin") {
+    import graft.pipeline.{Classifier, Dsir, TextAnalysis, Urls, Warc}
+    // a frozen model: +0.1 bias admits everything EXCEPT docs carrying the
+    // 'clickbait' token, whose bucket weight sinks the score below zero
+    val buckets = 64
+    val badBucket = Seq("clickbait").toDF("t")
+      .select(Dsir.featureBucket($"t", buckets)).as[Long].head()
+    val model = Classifier.Model(
+      Seq((Classifier.BiasFeature, 100000L), (badBucket, -1000000L)).toDF("f", "w_e6"),
+      buckets)
+
+    // batch-0 shard (gzipped): u1a + u2; batch-1 shard (plain): u1b (same
+    // canonical URL as u1a — different tracking spelling AND different
+    // content, so cross-batch first-wins is observable) + u3 (quality-bad)
+    val pages0 = Seq(
+      ("https://site.io/p?utm_source=x", "<html><body><p>good words here</p></body></html>"),
+      ("https://other.net/q", "<html><body><p>more fine text</p></body></html>"))
+    val pages1 = Seq(
+      ("https://site.io:443/p#frag", "<html><body><p>late duplicate body</p></body></html>"),
+      ("https://spam.example/z", "<html><body><p>clickbait garbage</p></body></html>"))
+    val in = java.nio.file.Files.createTempDirectory("graft_warc_stream").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(in, "shard0.warc.gz"),
+      Warc.syntheticWarc(pages0, gzipped = true))
+    java.nio.file.Files.write(java.nio.file.Paths.get(in, "shard1.warc"),
+      Warc.syntheticWarc(pages1, gzipped = false))
+    new java.io.File(in, "shard0.warc.gz").setLastModified(1000000000000L)
+    new java.io.File(in, "shard1.warc").setLastModified(1000000060000L)
+
+    val stream = spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
+      .option("maxFilesPerTrigger", "1").load(in)
+    val q = graft.streaming.WarcStreaming
+      .streamingWarcIngest(stream, model, minScoreE6 = 0L)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("warc_ingest").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("warc_ingest")
+      .select($"url_norm", $"target_uri", $"text", $"score_e6")
+      .as[(String, String, String, Long)].collect().toSet
+
+    // batch twin over the SAME kernels: all pages -> normalize + extract,
+    // min-(uri, text) per canonical URL, frozen gate
+    val batch = (pages0 ++ pages1).toDF("target_uri", "html")
+      .select(Urls.urlNormalize($"target_uri").as("url_norm"),
+        $"target_uri", TextAnalysis.htmlToText($"html").as("text"))
+      .as[(String, String, String)].collect()
+      .groupBy(_._1).map { case (_, rows) => rows.minBy(r => (r._2, r._3)) }
+    val expected = batch.toSeq.toDF("url_norm", "target_uri", "text")
+      .withColumn("score_e6", Classifier.scoreColumn($"text", model))
+      .filter($"score_e6" >= 0L)
+      .as[(String, String, String, Long)].collect().toSet
+    assert(got === expected)
+
+    // the content checks the equality already proves, spelled out: the
+    // canonical-dup URL admits its BATCH-0 copy (state beats batch-1's
+    // arrival), and the clickbait page is parsed but gated out
+    assert(got.map(_._1) === Set("https://site.io/p", "https://other.net/q"))
+    assert(got.find(_._1 === "https://site.io/p").get._3 === "good words here")
+  }
+
   private implicit class JavaSetOps[A](s: java.util.Set[A]) {
     def asScala: scala.collection.mutable.Set[A] =
       scala.jdk.CollectionConverters.SetHasAsScala(s).asScala
