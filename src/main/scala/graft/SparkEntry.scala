@@ -1578,7 +1578,7 @@ object SparkEntry {
       graft.pipeline.Classifier.trainScores(
         tbl(spark, dir, "documents"), "doc_id", "text", col("lang") === "en",
         numBuckets = ClsBuckets, iters = ClsIters,
-        etaNum = ClsEtaNum, etaDen = ClsEtaDen)
+        etaNum = ClsEtaNum, etaDen = ClsEtaDen, bigrams = true)
         .orderBy($"doc_id")
     }),
 
@@ -3118,7 +3118,8 @@ object SparkEntry {
     // throughout, so the hash match covers training, not just scoring
     "quality_classifier" ->
       graft.pipeline.Classifier.classifierSql(
-        "lang = 'en'", ClsBuckets, ClsIters, ClsEtaNum, ClsEtaDen),
+        "lang = 'en'", ClsBuckets, ClsIters, ClsEtaNum, ClsEtaDen,
+        bigrams = true),
 
     // same stream layout: exclusive prefix sum -> the range of sequence
     // ids a doc overlaps -> clamped fragment arithmetic, all integers

@@ -117,18 +117,42 @@ object Classifier {
         s"inside the 2^53 exact-division window): $etaNum/$etaDen")
   }
 
+  /** Adjacent-word bigrams of a token array, space-joined ("deep learning"
+    * stays one feature string). Tokens split on whitespace, so the space
+    * joiner cannot occur inside a token — no ambiguity with unigrams
+    * beyond ordinary hashing-trick collisions. Empty for < 2 tokens. */
+  private def wordBigrams(toks: Column): Column = {
+    val n = size(toks)
+    when(n >= 2,
+      zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /**
    * The doc-feature table: one row per (doc_id, distinct hashed bucket)
    * plus the bias row per document. One scan: tokenize, hash, distinct.
+   *
+   * `bigrams = true` adds hashed adjacent-word-pair presence features
+   * (the fastText device: quality signals like "click here" or
+   * "peer reviewed" live in word ORDER, which unigram presence cannot
+   * see) into the SAME bucket space — still bounded at numBuckets+1
+   * weights no matter the vocabulary, still one scan (the bigram array
+   * concatenates onto the token array before the explode). Bigrams
+   * roughly double a document's distinct-feature count m, and the
+   * GD-stability bound eta < 2/m tightens accordingly — the default
+   * 1/256 remains safe for documents to ~250 tokens.
    */
   def docFeatures(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      numBuckets: Int): DataFrame = {
+      numBuckets: Int,
+      bigrams: Boolean = false): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val words = if (bigrams) concat(toks, wordBigrams(toks)) else toks
     val tokens = docs
-      .select(col(idCol).as("doc_id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .select(col(idCol).as("doc_id"), explode(words).as("w"))
       .select(col("doc_id"), Dsir.featureBucket(col("w"), numBuckets).as("f"))
       .distinct()
     tokens.unionByName(
@@ -148,10 +172,11 @@ object Classifier {
       iters: Int = 3,
       etaNum: Long = 1L,
       etaDen: Long = 256L,
-      reliableCheckpoint: Boolean = false): DataFrame = {
+      reliableCheckpoint: Boolean = false,
+      bigrams: Boolean = false): DataFrame = {
     val (weights, feats) =
       trainWithFeatures(docs, idCol, textCol, isTarget, numBuckets, iters,
-        etaNum, etaDen, reliableCheckpoint)
+        etaNum, etaDen, reliableCheckpoint, bigrams)
     feats.unpersist(blocking = false)
     weights
   }
@@ -171,10 +196,11 @@ object Classifier {
       iters: Int = 3,
       etaNum: Long = 1L,
       etaDen: Long = 256L,
-      reliableCheckpoint: Boolean = false): DataFrame = {
+      reliableCheckpoint: Boolean = false,
+      bigrams: Boolean = false): DataFrame = {
     val (weights, feats) =
       trainWithFeatures(docs, idCol, textCol, isTarget, numBuckets, iters,
-        etaNum, etaDen, reliableCheckpoint)
+        etaNum, etaDen, reliableCheckpoint, bigrams)
     val labels = docs.select(col(idCol).as("doc_id"), isTarget.as("is_target"))
     val scores = feats
       .join(broadcast(weights), "f")
@@ -198,13 +224,14 @@ object Classifier {
       iters: Int,
       etaNum: Long,
       etaDen: Long,
-      reliableCheckpoint: Boolean): (DataFrame, DataFrame) = {
+      reliableCheckpoint: Boolean,
+      bigrams: Boolean = false): (DataFrame, DataFrame) = {
     requireEta(iters, etaNum, etaDen)
     if (reliableCheckpoint)
       require(docs.sparkSession.sparkContext.getCheckpointDir.isDefined,
         "reliableCheckpoint = true needs spark.sparkContext.setCheckpointDir(...) first")
 
-    val feats = docFeatures(docs, idCol, textCol, numBuckets)
+    val feats = docFeatures(docs, idCol, textCol, numBuckets, bigrams)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val labels = docs
       .select(col(idCol).as("doc_id"),
@@ -250,11 +277,13 @@ object Classifier {
   }
 
   /** A trained model: the bounded weight table plus the bucket count it
-    * was trained with. The two travel together because scoring with a
-    * mismatched `numBuckets` re-hashes every token into the wrong
+    * was trained with, plus whether bigram features were on. The three
+    * travel together because scoring with a mismatched `numBuckets` (or
+    * a mismatched feature set) re-hashes every token into the wrong
     * bucket — silently garbage scores, the exact drift [[load]] exists
     * to prevent. */
-  final case class Model(weights: DataFrame, numBuckets: Int)
+  final case class Model(weights: DataFrame, numBuckets: Int,
+      bigrams: Boolean = false)
 
   /**
    * Score documents with an already-trained model — the production
@@ -264,7 +293,7 @@ object Classifier {
    * bounded weight table, one per-doc sum. Output: (doc_id, score_e6).
    */
   def score(docs: DataFrame, idCol: String, textCol: String, model: Model): DataFrame =
-    docFeatures(docs, idCol, textCol, model.numBuckets)
+    docFeatures(docs, idCol, textCol, model.numBuckets, model.bigrams)
       .join(broadcast(model.weights), "f")
       .groupBy(col("doc_id"))
       .agg(sum(col("w_e6")).as("score_e6"))
@@ -293,9 +322,10 @@ object Classifier {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val bias = w.getOrElse(BiasFeature, 0L)
     val perBucket = w - BiasFeature
+    val toks = TextAnalysis.tokens(textCol)
+    val words = if (model.bigrams) concat(toks, wordBigrams(toks)) else toks
     val buckets = array_distinct(
-      transform(TextAnalysis.tokens(textCol),
-        t => Dsir.featureBucket(t, model.numBuckets)))
+      transform(words, t => Dsir.featureBucket(t, model.numBuckets)))
     aggregate(buckets, lit(bias),
       (acc, f) => acc + coalesce(element_at(typedLit(perBucket), f), lit(0L)))
   }
@@ -307,7 +337,8 @@ object Classifier {
     model.weights.write.mode("overwrite").parquet(s"$path/weights")
     val spark = model.weights.sparkSession
     import spark.implicits._
-    Seq(model.numBuckets.toLong).toDF("num_buckets")
+    Seq((model.numBuckets.toLong, model.bigrams))
+      .toDF("num_buckets", "use_bigrams")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -324,13 +355,15 @@ object Classifier {
         s"got ${w.schema.simpleString})")
     val meta = spark.read.parquet(s"$path/meta")
     require(meta.schema.fields.map(f => f.name -> f.dataType)
-      .sameElements(Seq("num_buckets" -> LongType)),
+      .sameElements(Seq("num_buckets" -> LongType,
+        "use_bigrams" -> org.apache.spark.sql.types.BooleanType)),
       s"not a Classifier.save meta layout at $path " +
         s"(got ${meta.schema.simpleString})")
-    val buckets = meta.head.getLong(0)
+    val metaRow = meta.head
+    val buckets = metaRow.getLong(0)
     require(buckets >= 2L && buckets <= (1L << 30),
       s"persisted num_buckets out of range at $path: $buckets")
-    Model(w, buckets.toInt)
+    Model(w, buckets.toInt, metaRow.getBoolean(1))
   }
 
   /**
@@ -346,9 +379,10 @@ object Classifier {
       numBuckets: Int = 1 << 12,
       iters: Int = 3,
       etaNum: Long = 1L,
-      etaDen: Long = 256L): String = {
+      etaDen: Long = 256L,
+      bigrams: Boolean = false): String = {
     val (ctes, fin) = classifierCtes("documents", targetExpr, numBuckets,
-      iters, etaNum, etaDen)
+      iters, etaNum, etaDen, bigrams = bigrams)
     s"WITH $ctes\nSELECT doc_id, is_target, score_e6 FROM $fin ORDER BY doc_id"
   }
 
@@ -367,10 +401,19 @@ object Classifier {
       iters: Int = 3,
       etaNum: Long = 1L,
       etaDen: Long = 256L,
-      prefix: String = "c"): (String, String) = {
+      prefix: String = "c",
+      bigrams: Boolean = false): (String, String) = {
     requireEta(iters, etaNum, etaDen)
     val bucket = Dsir.featureBucketSql("w", numBuckets)
     val p = prefix
+    // the same one-scan feature spelling as docFeatures: bigram strings
+    // concatenate onto the token list before the unnest (DuckDB range()
+    // is stop-exclusive and lists are 1-indexed, so i pairs toks[i] with
+    // toks[i+1] for i in [1, len-1]; < 2 tokens yields the empty range)
+    val wordsExpr =
+      if (bigrams)
+        "list_concat(toks, list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))"
+      else "toks"
     val header =
       s"""${p}t AS (
          |  SELECT doc_id, ($targetExpr) AS is_target,
@@ -379,7 +422,7 @@ object Classifier {
          |               CASE WHEN is_target THEN 1000000 ELSE 0 END AS y_e6 FROM ${p}t),
          |${p}n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM ${p}lab),
          |${p}exw AS (SELECT DISTINCT doc_id, $bucket AS f
-         |        FROM (SELECT doc_id, unnest(toks) AS w FROM ${p}t)),
+         |        FROM (SELECT doc_id, unnest($wordsExpr) AS w FROM ${p}t)),
          |${p}ex AS (SELECT doc_id, f FROM ${p}exw
          |       UNION ALL SELECT doc_id, CAST($BiasFeature AS BIGINT) AS f FROM ${p}t)""".stripMargin
     val iterations = (1 to iters).map { k =>

@@ -527,10 +527,15 @@ class ScoringSpec extends AnyFunSuite {
   private def refClassifier(
       docs: Seq[(Long, String, Boolean)],
       numBuckets: Int, iters: Int,
-      etaNum: Long, etaDen: Long): Map[Long, (Boolean, Long)] = {
+      etaNum: Long, etaDen: Long,
+      bigrams: Boolean = false): Map[Long, (Boolean, Long)] = {
     import graft.pipeline.Classifier.{BiasFeature, ClampE6}
     val feats: Map[Long, Set[Long]] = docs.map { case (id, t, _) =>
-      id -> (toks(t).map(w => refBucket(w, numBuckets)).toSet + BiasFeature)
+      val ts = toks(t)
+      val grams =
+        if (bigrams) ts ++ ts.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+        else ts
+      id -> (grams.map(w => refBucket(w, numBuckets)).toSet + BiasFeature)
     }.toMap
     val y = docs.map { case (id, _, tg) =>
       id -> (if (tg) 1000000L else 0L) }.toMap
@@ -669,6 +674,64 @@ class ScoringSpec extends AnyFunSuite {
       Classifier.scoreColumn($"text", model).as("s"))
       .as[(Long, Long)].collect().toMap
     assert(viaColumn === viaJoin)
+  }
+
+  test("bigram features match the reference and discriminate word order") {
+    import graft.pipeline.Classifier
+    // docs 1 and 2 share one unigram multiset in opposite orders: unigram
+    // training cannot tell them apart, bigram training must
+    val docs = Seq(
+      (1L, "peer reviewed study results", true),
+      (2L, "results study reviewed peer", false),
+      (3L, "click here buy now", false),
+      (4L, "study results peer reviewed", true),
+      (5L, "x", false), (6L, "", false))
+    def run(bg: Boolean) = Classifier.trainScores(
+      docs.toDF("doc_id", "text", "tgt").repartition(5),
+      "doc_id", "text", col("tgt"), numBuckets = 4096, iters = 3,
+      bigrams = bg)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    // exact-integer reference equality in BOTH modes (collisions included)
+    assert(run(false) === refClassifier(docs, 4096, 3, 1L, 256L))
+    val got = run(true)
+    assert(got === refClassifier(docs, 4096, 3, 1L, 256L, bigrams = true))
+    // unigram scores of the order-swapped pair are identical...
+    val uni = run(false)
+    assert(uni(1L)._2 === uni(2L)._2)
+    // ...bigram scores are not, and favor the target-ordered doc
+    assert(got(1L)._2 > got(2L)._2)
+  }
+
+  test("bigram flag travels with the model: score/scoreColumn parity and save/load") {
+    import graft.pipeline.Classifier
+    val docs = Seq(
+      (1L, "peer reviewed work", true), (2L, "work reviewed peer", false),
+      (3L, "click here now", false), (4L, "", false))
+      .toDF("doc_id", "text", "tgt")
+    val w = Classifier.train(docs, "doc_id", "text", col("tgt"),
+      numBuckets = 64, iters = 3, bigrams = true)
+    val model = Classifier.Model(w, 64, bigrams = true)
+    val viaJoin = Classifier.score(docs, "doc_id", "text", model)
+      .as[(Long, Long)].collect().toMap
+    val viaColumn = docs.select($"doc_id",
+      Classifier.scoreColumn($"text", model).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaColumn === viaJoin)
+    // the flag round-trips through save/load; a reloaded model scores
+    // identically (dropping the flag would silently re-bucket every doc)
+    val dir = java.nio.file.Files.createTempDirectory("clsmodel_bg").toString
+    Classifier.save(model, s"$dir/m")
+    val loaded = Classifier.load(s"$dir/m", spark)
+    assert(loaded.bigrams && loaded.numBuckets === 64)
+    val reloaded = Classifier.score(docs, "doc_id", "text", loaded)
+      .as[(Long, Long)].collect().toMap
+    assert(reloaded === viaJoin)
+    // and the unigram spelling of the same weights scores DIFFERENTLY on
+    // multi-token docs — the reason the flag is part of the model
+    val wrong = Classifier.score(docs, "doc_id", "text",
+      Classifier.Model(w, 64, bigrams = false))
+      .as[(Long, Long)].collect().toMap
+    assert(wrong(1L) !== viaJoin(1L))
   }
 
   test("classifier parameter validation") {
