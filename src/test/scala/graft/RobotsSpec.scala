@@ -1,0 +1,193 @@
+package graft
+
+import graft.pipeline.Robots
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RobotsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private val Agent = "graftbot"
+
+  private def rulesOf(txt: String, agent: String = Agent): Seq[(Int, String)] =
+    Robots.parseRules(Seq(("h", txt)).toDF("host", "robots_txt"), agent)
+      .select($"rule_allow", $"pattern")
+      .as[(Int, String)].collect().toSeq.sorted
+
+  private def verdicts(txt: String, urls: Seq[String],
+      agent: String = Agent): Seq[Boolean] = {
+    val rules = Robots.parseRules(
+      Seq(("example.com", txt)).toDF("host", "robots_txt"), agent)
+    val u = urls.zipWithIndex
+      .map { case (url, i) => (i.toLong, s"https://example.com$url") }
+      .toDF("id", "url")
+    Robots.withRobotsVerdict(u, "url", "id", rules)
+      .orderBy($"id").select($"allowed").as[Boolean].collect().toSeq
+  }
+
+  /** Plain-Scala reference matcher for one pattern against one path —
+    * naive backtracking over '*' segments, '$' anchor, prefix default. */
+  private def refMatch(pattern: String, path: String): Boolean = {
+    val (core, anchored) =
+      if (pattern.endsWith("$")) (pattern.dropRight(1), true) else (pattern, false)
+    val parts = core.split("\\*", -1).toSeq
+    def find(segs: Seq[String], pos: Int, first: Boolean): Boolean = segs match {
+      case Seq() => !anchored || pos == path.length
+      case Seq(last) if anchored =>
+        if (first) path.length - pos == last.length && path.startsWith(last, pos)
+        else path.length - pos >= last.length && path.endsWith(last) &&
+          path.length - last.length >= pos
+      case s +: rest =>
+        if (first) path.startsWith(s, pos) && find(rest, pos + s.length, first = false)
+        else {
+          val idx = path.indexOf(s, pos)
+          idx >= 0 && find(rest, idx + s.length, first = false)
+        }
+    }
+    find(parts, 0, first = true)
+  }
+
+  test("parse: groups, comments, CRLF, unknown fields, empty values") {
+    val txt =
+      "# header comment\r\n" +
+        "User-Agent: graftbot # trailing comment\r\n" +
+        "Disallow: /a\r\n" +
+        "Crawl-delay: 10\r\n" +       // transparent: must not split the group
+        "Allow: /a/b\r\n" +
+        "Disallow:\r\n" +             // empty value: no rule
+        "\r\n" +
+        "User-agent: other\r\n" +
+        "Disallow: /everything\r\n"
+    assert(rulesOf(txt) === Seq((0, "/a"), (1, "/a/b")))
+  }
+
+  test("parse: rules before any user-agent line are dropped") {
+    assert(rulesOf("Disallow: /pre\nUser-agent: graftbot\nDisallow: /x") ===
+      Seq((0, "/x")))
+  }
+
+  test("parse: specific group beats *; agent match is case-insensitive") {
+    val txt = "User-agent: *\nDisallow: /star\n\nUser-agent: GraftBot\nDisallow: /mine"
+    assert(rulesOf(txt) === Seq((0, "/mine")))
+    // an agent with no specific group falls back to the * group
+    assert(rulesOf(txt, "otherbot") === Seq((0, "/star")))
+  }
+
+  test("parse: multi-UA group headers and multiple matching groups combine") {
+    val multi = "User-agent: a\nUser-agent: graftbot\nDisallow: /m"
+    assert(rulesOf(multi) === Seq((0, "/m")))
+    val two = "User-agent: graftbot\nDisallow: /one\n\nUser-agent: graftbot\nAllow: /two"
+    assert(rulesOf(two) === Seq((0, "/one"), (1, "/two")))
+    // two * groups combine the same way when no specific group exists
+    val twoStar = "User-agent: *\nDisallow: /s1\n\nUser-agent: *\nDisallow: /s2"
+    assert(rulesOf(twoStar) === Seq((0, "/s1"), (0, "/s2")))
+  }
+
+  test("parse: whitespace around the colon and the field is tolerated") {
+    assert(rulesOf("User-agent : graftbot\n   Disallow  :   /sp   ") ===
+      Seq((0, "/sp")))
+  }
+
+  test("verdict: prefix default, * wildcard, $ anchor") {
+    val txt = "User-agent: *\nDisallow: /private\nDisallow: /tmp/*.log$\nDisallow: /exact$"
+    assert(verdicts(txt, Seq(
+      "/private", "/private/sub", "/privateer",  // prefix semantics
+      "/pub",
+      "/tmp/a.log", "/tmp/deep/b.log", "/tmp/a.log.bak", // anchored wildcard
+      "/exact", "/exact/no")) ===
+      Seq(false, false, false, true, false, false, true, false, true))
+  }
+
+  test("verdict: longest match wins; allow beats disallow on ties") {
+    val txt = "User-agent: *\nDisallow: /d\nAllow: /docs/pub\nDisallow: /tie\nAllow: /tie"
+    assert(verdicts(txt, Seq("/docs/x", "/docs/pub/y", "/d", "/tie/z")) ===
+      Seq(false, true, false, true))
+  }
+
+  test("verdict: no matching rule, no group, and no robots row all allow") {
+    assert(verdicts("User-agent: *\nDisallow: /other", Seq("/fine")) === Seq(true))
+    assert(verdicts("User-agent: foreignbot\nDisallow: /", Seq("/fine")) === Seq(true))
+    val rules = Robots.parseRules(
+      Seq(("nothere.com", "User-agent: *\nDisallow: /")).toDF("host", "robots_txt"),
+      Agent)
+    val u = Seq((1L, "https://unlisted.org/x")).toDF("id", "url")
+    assert(Robots.withRobotsVerdict(u, "url", "id", rules)
+      .select($"allowed").as[Boolean].head())
+  }
+
+  test("verdict: match target is path+query without fragment; bare host is /") {
+    val txt = "User-agent: *\nDisallow: /p?x=*&utm\nDisallow: /$"
+    val rules = Robots.parseRules(
+      Seq(("example.com", txt)).toDF("host", "robots_txt"), Agent)
+    val u = Seq(
+      (1L, "https://example.com/p?x=1&utm"),
+      (2L, "https://example.com/p?x=1&utm#frag"), // fragment excluded -> same
+      (3L, "https://example.com"),                // no path -> "/" -> /$ fires
+      (4L, "https://example.com/q")).toDF("id", "url")
+    assert(Robots.withRobotsVerdict(u, "url", "id", rules)
+      .orderBy($"id").select($"allowed").as[Boolean].collect().toSeq ===
+      Seq(false, false, false, true))
+  }
+
+  test("verdict: paths are case-sensitive, LIKE specials are literal") {
+    val txt = "User-agent: *\nDisallow: /Docs\nDisallow: /u_x\nDisallow: /p%y"
+    assert(verdicts(txt, Seq("/Docs/1", "/docs/1", "/u_x", "/uax", "/p%y", "/pay")) ===
+      Seq(false, true, false, true, false, true))
+  }
+
+  test("matching parity vs plain-Scala reference on adversarial patterns") {
+    val patterns = Seq("/a", "/a$", "/*a", "*a$", "/a*b*c", "/a*b$", "*", "*$",
+      "/a**b", "/%", "/_", "/\\", "/a*", "$", "/*$")
+    val paths = Seq("/", "/a", "/ab", "/ba", "/axb", "/axbyc", "/a/b/c",
+      "/aab", "/%", "/x", "/_", "/\\", "/a b", "/ab$", "/a$b")
+    val cases = for { p <- patterns; t <- paths } yield (p, t)
+    val rules = Robots.parseRules(
+      patterns.zipWithIndex.map { case (p, i) =>
+        (s"h$i.com", s"User-agent: *\nDisallow: $p")
+      }.toDF("host", "robots_txt"), Agent)
+    val urls = cases.zipWithIndex.map { case ((p, t), i) =>
+      (i.toLong, s"https://h${patterns.indexOf(p)}.com$t")
+    }.toDF("id", "url")
+    val got = Robots.withRobotsVerdict(urls, "url", "id", rules)
+      .orderBy($"id").select($"allowed").as[Boolean].collect().toSeq
+    val want = cases.map { case (p, t) => !refMatch(p, t) }
+    for (((c, g), w) <- cases.zip(got).zip(want))
+      assert(g === w, s"pattern '${c._1}' vs path '${c._2}'")
+  }
+
+  test("verdict is repartition-stable and keeps row multiplicity") {
+    val txt = "User-agent: *\nDisallow: /blocked"
+    val rules = Robots.parseRules(
+      Seq(("example.com", txt)).toDF("host", "robots_txt"), Agent)
+    val u = (0 until 200)
+      .map(i => (i.toLong, s"https://example.com/${if (i % 3 == 0) "blocked" else "ok"}/$i"))
+      .toDF("id", "url")
+    val base = Robots.withRobotsVerdict(u, "url", "id", rules)
+    assert(base.count() === 200)
+    assert(base.filter(!$"allowed").count() === 67)
+    val shuffled = Robots.withRobotsVerdict(u.repartition(13), "url", "id", rules)
+    assert(shuffled.orderBy($"id").select($"id", $"allowed").collect().toSeq ===
+      base.orderBy($"id").select($"id", $"allowed").collect().toSeq)
+    val gated = Robots.filterDisallowed(u, "url", "id", rules)
+    assert(gated.columns.toSeq === Seq("id", "url"))
+    assert(gated.count() === 133)
+  }
+
+  test("guards: bad agent, missing columns, reserved columns") {
+    val robots = Seq(("h", "User-agent: *\nDisallow: /")).toDF("host", "robots_txt")
+    intercept[IllegalArgumentException](Robots.parseRules(robots, "*"))
+    intercept[IllegalArgumentException](Robots.parseRules(robots, ""))
+    intercept[IllegalArgumentException](
+      Robots.parseRules(Seq("x").toDF("host"), Agent))
+    val rules = Robots.parseRules(robots, Agent)
+    val u = Seq((1L, "https://h/x")).toDF("id", "url")
+    intercept[IllegalArgumentException](
+      Robots.withRobotsVerdict(u, "nope", "id", rules))
+    intercept[IllegalArgumentException](
+      Robots.withRobotsVerdict(u.withColumn("path", lit("x")), "url", "id", rules))
+    intercept[IllegalArgumentException](
+      Robots.withRobotsVerdict(u, "url", "id", rules.drop("like_pat")))
+  }
+}
