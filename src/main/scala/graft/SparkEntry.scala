@@ -136,6 +136,48 @@ object SparkEntry {
       |          WHEN 2 THEN '?utm_a=1&ref=rss&utm_b=2' ELSE '' END) ||
       |    (CASE WHEN doc_id % 3 = 0 THEN '#Sec' || CAST(doc_id AS VARCHAR) ELSE '' END)""".stripMargin
 
+  /** Crawler product token for the robots_gate query (shared with the
+    * oracle's generated rule chain). */
+  private val RobotsAgent = "graftbot"
+
+  /** Planted per-host robots.txt bodies for robots_gate, keyed by the
+    * LOWERED hosts of [[plantedUrls]] (urlHost lowers; robots hosts are
+    * stored lowered). Deliberate coverage: a specific graftbot group that
+    * overrides a disallow-all `*` group (example.com), a multi-UA group
+    * with an ignored unknown field (news.example.co.uk), disallow-all
+    * (spam-tracker.net), an empty-value rule + comments + sitemap
+    * (www.good-site.org), a foreign-agent-only file (sub.deep... ->
+    * allowed), longest-match precedence (cdn.mirror-example.com),
+    * equal-length allow-wins tie + a leading-wildcard `$` rule with a
+    * LIKE-special `_` in it (192.168.0.1), two specific groups whose
+    * rules combine (alice.github.io), CRLF + whitespace-around-colon +
+    * wildcard-with-anchor (deep.www.ck), case-insensitive agent match +
+    * a query-string wildcard (shop.foo.ck). assets.bucket.s3.amazonaws.com
+    * has NO row: the no-robots default-allow path. */
+  private val RobotsFixture: Seq[(String, String)] = Seq(
+    "example.com" ->
+      ("# robots for example.com\nUser-Agent: graftbot\nDisallow: /Docs/*1$\n" +
+        "Allow: /Docs/1*\n\nUser-agent: *\nDisallow: /"),
+    "news.example.co.uk" ->
+      "User-agent: otherbot\nUser-agent: graftbot\nDisallow: /Docs/\nAllow: /Docs/2\nCrawl-delay: 5",
+    "spam-tracker.net" -> "User-agent: *\nDisallow: /",
+    "www.good-site.org" ->
+      "# only comments and an empty rule\nUser-agent: *\nDisallow:\nSitemap: https://www.good-site.org/sitemap.xml",
+    "sub.deep.ads-network.com" -> "User-agent: otherbot\nDisallow: /",
+    "cdn.mirror-example.com" -> "User-agent: *\nDisallow: /Docs\nAllow: /Docs/1",
+    "192.168.0.1" -> "User-agent: *\nAllow: /Docs\nDisallow: /Docs\nDisallow: *utm_b=2$",
+    "alice.github.io" ->
+      "User-agent: graftbot\nDisallow: /Docs/3\n\nUser-agent: graftbot\nDisallow: /Docs/4",
+    "deep.www.ck" -> "User-agent:    *\r\n  Disallow  : /Docs/*9$\r\n",
+    "shop.foo.ck" -> "User-agent: GraftBot\nDisallow: /*?*")
+
+  /** A string as a DuckDB expression, newlines/CRs spelled as chr()
+    * concats so robots bodies survive SQL embedding. */
+  private def sqlTextLit(s: String): String =
+    "'" + s.replace("'", "''")
+      .replace("\r", "' || chr(13) || '")
+      .replace("\n", "' || chr(10) || '") + "'"
+
   /** Stop-word probe for the quality_filter query, adapted to the
     * synthetic corpus vocabulary; the oracle list is generated from this
     * constant so the two spellings cannot drift. */
@@ -1314,6 +1356,22 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // robots.txt crawl-admission gate (RFC 9309): planted per-host robots
+    // bodies parsed into the graftbot rule table, then every planted URL
+    // gets its longest-match verdict — group selection, `*`/`$` wildcards,
+    // allow-wins ties, default-allow for unknown hosts all in play. The
+    // oracle replays parse + grading + LIKE-translated matching from the
+    // SAME constants via Robots.rulesSqlCtes
+    "robots_gate" -> ((spark, dir) => {
+      import spark.implicits._
+      import graft.pipeline.Robots
+      val robots = RobotsFixture.toDF("host", "robots_txt")
+      val rules = Robots.parseRules(robots, RobotsAgent)
+      Robots.withRobotsVerdict(plantedUrls(spark, dir), "url", "doc_id", rules)
+        .select($"doc_id", $"host", $"path", $"allowed")
+        .orderBy($"doc_id")
+    }),
+
     // the flagship sketch consuming the URL operators: top registered
     // domains per shard via topn_add_agg — URL-level corpus statistics
     // with bounded state, the reference operator on crawl metadata
@@ -1355,6 +1413,39 @@ object SparkEntry {
           Urls.registeredDomain(Urls.urlHost($"url")).as("domain"),
           Urls.urlNormalize($"url").as("url_norm"))
         .orderBy($"doc_id", $"url")
+    }),
+
+    // anchor-text statistics per link TARGET: (href, text) pairs from the
+    // codegen'd html_anchors kernel (inner-tag strip + whitespace
+    // collapse), target reduced to its registered domain, anchor terms
+    // counted with the reference sketch — "what the web calls this
+    // domain", the classic target-side relevance/spam signal. The oracle
+    // replays extraction as regexp_extract_all pairs + the shared URL
+    // chain + exact GROUP BY with the pinned tie order
+    "topn_anchor_terms" -> ((spark, dir) => {
+      import spark.implicits._
+      import graft.pipeline.{TextAnalysis, Urls}
+      val dArr = array(PagerankDomains.map(lit): _*)
+      val hostA = element_at(dArr, (pmod($"doc_id", lit(7)) + 1).cast("int"))
+      val hostB = element_at(dArr, (pmod($"doc_id", lit(5)) + 1).cast("int"))
+      val html = concat(
+        lit("<p>intro</p><a href=\"https://"), hostA, lit("/d/"), $"doc_id",
+        lit("\">Visit <b>Portal</b>  page "), pmod($"doc_id", lit(4)),
+        lit("</a><div><a href=\"http://"), hostB,
+        lit("/p\">  mirror   copy  </a></div>"),
+        when(pmod($"doc_id", lit(3)) === 0,
+          concat(lit("<a href=\"/rel/"), $"doc_id", lit("\">relative link</a>")))
+          .otherwise(lit("")))
+      tbl(spark, dir, "documents").select($"doc_id", html.as("html"))
+        .select(explode(TextAnalysis.htmlAnchors($"html")).as("a"))
+        .select(Urls.registeredDomain(Urls.urlHost($"a.href")).as("domain"),
+          explode(split($"a.text", " ")).as("term"))
+        .filter($"domain" =!= "" && $"term" =!= "")
+        .groupBy($"domain")
+        .agg(TopnFunctions.topn_add_agg($"term", ExactN).as("sketch"))
+        .select($"domain", explode(TopnFunctions.topn($"sketch", lit(6))).as("r"))
+        .select($"domain", $"r.item".as("item"), $"r.frequency".as("frequency"))
+        .orderBy($"domain", $"frequency".desc, $"item")
     }),
 
     // domain-graph PageRank (the web-curation quality prior) in exact
@@ -2847,6 +2938,35 @@ object SparkEntry {
         |WHERE domain NOT IN ('ads-network.com', 'spam-tracker.net')
         |ORDER BY doc_id""".stripMargin,
 
+    // same planted URLs; the robots fixture embedded as VALUES; parse,
+    // agent grading, and the LIKE-pattern translation generated from the
+    // SAME Robots constants; verdict = the identical max(plen*2+allow)
+    // integer fold with default-allow on no match / no host row
+    "robots_gate" -> {
+      val (rbCtes, rbRules) =
+        graft.pipeline.Robots.rulesSqlCtes("rsrc", RobotsAgent)
+      val fixture = RobotsFixture
+        .map { case (h, t) => s"('$h', ${sqlTextLit(t)})" }
+        .mkString(",\n        ")
+      s"""WITH u AS (SELECT doc_id, $plantedUrlSql AS url FROM documents),
+        |rsrc AS (SELECT * FROM (VALUES
+        |        $fixture) AS t(host, robots_txt)),
+        |$rbCtes,
+        |uh AS (SELECT doc_id, url,
+        |        lower(regexp_replace(regexp_replace(
+        |          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+        |          '^[^@]*@', ''), ':[0-9]*$$', '')) AS host,
+        |        ${graft.pipeline.Robots.pathSql("url")} AS path FROM u),
+        |cand AS (SELECT uh.doc_id, uh.host, uh.path, r.rule_allow, r.plen,
+        |        (uh.path LIKE r.like_pat ESCAPE '\\') AS m
+        |        FROM uh LEFT JOIN $rbRules r USING (host)),
+        |v AS (SELECT doc_id, host, path,
+        |        max(CASE WHEN m THEN plen * 2 + rule_allow END) AS best
+        |      FROM cand GROUP BY 1, 2, 3)
+        |SELECT doc_id, host, path, coalesce(best % 2 = 1, TRUE) AS allowed
+        |FROM v ORDER BY doc_id""".stripMargin
+    },
+
     // same planted URLs + shared chain, then exact GROUP BY count with
     // the sketch's pinned tie order (counters exact at this budget)
     "topn_url_domains" ->
@@ -2885,6 +3005,48 @@ object SparkEntry {
         |SELECT doc_id, url, domain, url_norm
         |FROM ${graft.pipeline.Urls.urlSqlCtes("l", "url")._2}
         |ORDER BY doc_id, url""".stripMargin
+    },
+
+    // the same planted anchors with text: pairs extracted by one lazy
+    // RE2 pattern (group 1 = href, group 2 = inner markup up to the
+    // first </a> — identical to the kernel's close-tag scan on these
+    // fixtures), inner tags stripped + whitespace collapsed the way the
+    // kernel does, the SHARED urlSqlCtes chain for the target domain,
+    // then exact GROUP BY count with the sketch's pinned tie order
+    "topn_anchor_terms" -> {
+      def cse(m: Int): String = (0 until m)
+        .map(i => s"WHEN $i THEN '${PagerankDomains(i)}'").mkString(" ")
+      s"""WITH f AS (
+        |  SELECT doc_id,
+        |    '<p>intro</p><a href="https://' || (CASE doc_id % 7 ${cse(7)} END) ||
+        |    '/d/' || CAST(doc_id AS VARCHAR) || '">Visit <b>Portal</b>  page ' ||
+        |    CAST(doc_id % 4 AS VARCHAR) ||
+        |    '</a><div><a href="http://' || (CASE doc_id % 5 ${cse(5)} END) ||
+        |    '/p">  mirror   copy  </a></div>' ||
+        |    (CASE WHEN doc_id % 3 = 0
+        |          THEN '<a href="/rel/' || CAST(doc_id AS VARCHAR) || '">relative link</a>'
+        |          ELSE '' END) AS html
+        |  FROM documents),
+        |x AS (SELECT doc_id,
+        |        regexp_extract_all(html, '(?s)<a href="([^"]*)">(.*?)</a>', 1) AS hs,
+        |        regexp_extract_all(html, '(?s)<a href="([^"]*)">(.*?)</a>', 2) AS ts
+        |      FROM f),
+        |p AS (SELECT doc_id, unnest(list_transform(range(1, len(hs) + 1),
+        |        i -> struct_pack(href := hs[i], txt := ts[i]))) AS r FROM x),
+        |links AS (SELECT r.href AS url,
+        |        trim(regexp_replace(regexp_replace(r.txt, '<[^>]*>', '', 'g'),
+        |          '[ \\t\\n\\r]+', ' ', 'g')) AS atext FROM p),
+        |${graft.pipeline.Urls.urlSqlCtes("links", "url", "at")._1},
+        |t AS (SELECT domain, unnest(string_split(atext, ' ')) AS term
+        |      FROM ${graft.pipeline.Urls.urlSqlCtes("links", "url", "at")._2}),
+        |g AS (SELECT domain, term FROM t WHERE domain <> '' AND term <> '')
+        |SELECT domain, item, frequency FROM (
+        |  SELECT domain, term AS item, COUNT(*) AS frequency,
+        |         ROW_NUMBER() OVER (PARTITION BY domain
+        |                            ORDER BY COUNT(*) DESC, term) AS rn
+        |  FROM g GROUP BY 1, 2) q
+        |WHERE rn <= 6
+        |ORDER BY domain, frequency DESC, item""".stripMargin
     },
 
     // the same planted edge list, then the K PageRank iterations

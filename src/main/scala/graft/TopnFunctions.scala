@@ -167,6 +167,10 @@ object TopnFunctions {
       "html_links(html) - href values of <a> tags in document order (link-graph front door)",
       arity("html_links", 1, 1)(exprs =>
         graft.expressions.HtmlLinks(exprs.head))),
+    ("html_anchors",
+      "html_anchors(html) - (href, text) pairs of <a> tags in document order (anchor-text signal for the link target)",
+      arity("html_anchors", 1, 1)(exprs =>
+        graft.expressions.HtmlAnchors(exprs.head))),
     ("url_host",
       "url_host(url) - lower-cased host of an absolute URL (userinfo/port stripped; '' when no authority)",
       arity("url_host", 1, 1)(exprs =>

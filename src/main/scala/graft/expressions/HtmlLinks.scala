@@ -85,8 +85,9 @@ object HtmlLinks {
     new GenericArrayData(out.toArray)
   }
 
-  /** First `href` attribute value inside `[from, end)`, or null. */
-  private def findHref(s: String, from: Int, end: Int): String = {
+  /** First `href` attribute value inside `[from, end)`, or null —
+    * shared with [[HtmlAnchors]] so the two surfaces cannot drift. */
+  private[expressions] def findHref(s: String, from: Int, end: Int): String = {
     var i = from
     while (i + 4 <= end) {
       if (s.regionMatches(true, i, "href", 0, 4)

@@ -43,6 +43,15 @@ object TextAnalysis {
     GraftShim.column(graft.expressions.HtmlLinks(GraftShim.expression(html)))
   }
 
+  /** Anchor extraction with text (see [[graft.expressions.HtmlAnchors]] —
+    * every `<a>` tag's `(href, text)` pair, href rule shared with
+    * [[htmlLinks]]): anchor text is the target-side relevance signal for
+    * per-domain anchor-term statistics and link-spam phrase analysis. */
+  def htmlAnchors(html: Column): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(graft.expressions.HtmlAnchors(GraftShim.expression(html)))
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Count of sentence/clause punctuation characters. */
