@@ -1372,6 +1372,38 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // recrawl snapshot versioning: each doc planted as 1-3 fetches whose
+    // URL spelling drifts (tracking param on odd snaps — urlNormalize
+    // collapses them to one page), content changing every 1st or 2nd
+    // snap, one timestamp tie broken by the fetch id. keepLatest +
+    // changeLog reduce to (latest version, churn stats) per canonical
+    // URL; the oracle replays the same windows over the shared URL chain
+    "recrawl_latest" -> ((spark, dir) => {
+      import spark.implicits._
+      import graft.pipeline.Recrawl
+      val snaps = tbl(spark, dir, "documents")
+        .select($"doc_id", explode(sequence(lit(0), pmod($"doc_id", lit(3)))).as("snap"))
+        .select($"doc_id", $"snap",
+          ($"doc_id" * 10 + $"snap").as("fetch_id"),
+          expr("1000 + (snap div 2)").cast("long").as("fetch_ts"),
+          concat(lit("https://h"), pmod($"doc_id", lit(50)),
+            lit(".example.com/p/"), $"doc_id",
+            when(pmod($"snap", lit(2)) === 1, lit("?utm_source=s&x=1"))
+              .otherwise(lit("?x=1"))).as("url"),
+          concat(lit("content-"), $"doc_id", lit("-v"),
+            expr("snap div (1 + doc_id % 2)")).as("content"))
+      val changes = Recrawl.changeLog(snaps, "url", "fetch_ts", "fetch_id", "content")
+        .groupBy($"url_norm")
+        .agg(sum(when($"status" === "changed", 1).otherwise(0))
+          .cast("long").as("n_changed"))
+      Recrawl.keepLatest(snaps, "url", "fetch_ts", "fetch_id")
+        .join(changes, Seq("url_norm"))
+        .select($"url_norm", $"fetch_id".as("latest_id"),
+          $"n_versions".cast("long").as("n_versions"), $"n_changed",
+          md5($"content").as("content_md5"))
+        .orderBy($"url_norm")
+    }),
+
     // the flagship sketch consuming the URL operators: top registered
     // domains per shard via topn_add_agg — URL-level corpus statistics
     // with bounded state, the reference operator on crawl metadata
@@ -2965,6 +2997,42 @@ object SparkEntry {
         |      FROM cand GROUP BY 1, 2, 3)
         |SELECT doc_id, host, path, coalesce(best % 2 = 1, TRUE) AS allowed
         |FROM v ORDER BY doc_id""".stripMargin
+    },
+
+    // the same planted snapshots; url_norm via the SHARED urlSqlCtes
+    // chain; latest pick, version count, and change log as the identical
+    // windows (`//` floor division == Spark `div` on non-negatives;
+    // IS DISTINCT FROM == the null-safe <=>)
+    "recrawl_latest" -> {
+      val (uCtes, uFin) = graft.pipeline.Urls.urlSqlCtes("s", "url", "rc")
+      s"""WITH s AS (
+        |  SELECT doc_id, r AS snap, doc_id * 10 + r AS fetch_id,
+        |         CAST(1000 + r // 2 AS BIGINT) AS fetch_ts,
+        |         'https://h' || CAST(doc_id % 50 AS VARCHAR) || '.example.com/p/' ||
+        |           CAST(doc_id AS VARCHAR) ||
+        |           (CASE WHEN r % 2 = 1 THEN '?utm_source=s&x=1' ELSE '?x=1' END) AS url,
+        |         'content-' || CAST(doc_id AS VARCHAR) || '-v' ||
+        |           CAST(r // (1 + doc_id % 2) AS VARCHAR) AS content
+        |  FROM (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS r FROM documents)),
+        |$uCtes,
+        |w1 AS (SELECT url_norm, fetch_id, content,
+        |         ROW_NUMBER() OVER (PARTITION BY url_norm
+        |                            ORDER BY fetch_ts DESC, fetch_id DESC) AS rn,
+        |         COUNT(*) OVER (PARTITION BY url_norm) AS n_versions,
+        |         ROW_NUMBER() OVER (PARTITION BY url_norm
+        |                            ORDER BY fetch_ts ASC, fetch_id ASC) AS rna,
+        |         lag(content) OVER (PARTITION BY url_norm
+        |                            ORDER BY fetch_ts ASC, fetch_id ASC) AS prev
+        |       FROM $uFin),
+        |ch AS (SELECT url_norm,
+        |         CAST(SUM(CASE WHEN rna > 1 AND prev IS DISTINCT FROM content
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+        |       FROM w1 GROUP BY 1)
+        |SELECT w1.url_norm AS url_norm, fetch_id AS latest_id,
+        |       CAST(n_versions AS BIGINT) AS n_versions, n_changed,
+        |       md5(content) AS content_md5
+        |FROM w1 JOIN ch USING (url_norm) WHERE rn = 1
+        |ORDER BY url_norm""".stripMargin
     },
 
     // same planted URLs + shared chain, then exact GROUP BY count with
