@@ -209,6 +209,67 @@ object Robots {
       .drop("host", "path", "allowed")
 
   /**
+   * [[parseRules]] output folded to ONE row per host with a
+   * `robots_rules` array column — the join-once layout: the verdict
+   * becomes a pure array expression ([[allowedColumn]]), so gating is a
+   * single keyed equi join plus a projection, with no post-join
+   * re-aggregation. That makes it legal inside a Structured Streaming
+   * query (stream-static join + projection, no second stateful op) and
+   * cheaper in batch (the fan-out rows never exist). Rule order inside
+   * the array is irrelevant — the verdict fold is a max.
+   */
+  def packRules(rules: DataFrame): DataFrame = {
+    require(RuleColumns.forall(rules.columns.contains),
+      s"rules must carry ${RuleColumns.mkString(", ")} (from parseRules)")
+    rules.groupBy("host")
+      .agg(collect_list(struct(col("rule_allow"), col("plen"), col("like_pat")))
+        .as("robots_rules"))
+  }
+
+  /** The robots verdict as a pure Column over a URL's match `path` and a
+    * host's packed `robots_rules` array (NULL array -> no robots row ->
+    * allowed): the same `max(plen*2+rule_allow)` fold as
+    * [[withRobotsVerdict]], spelled with array higher-order functions. */
+  def allowedColumn(path: Column, packedRules: Column): Column = {
+    val matched = filter(packedRules, r =>
+      like(path, r.getField("like_pat"), lit("\\")))
+    val best = array_max(transform(matched, r =>
+      r.getField("plen").cast("long") * 2 + r.getField("rule_allow")))
+    coalesce(best % 2 === 1, lit(true))
+  }
+
+  /**
+   * [[withRobotsVerdict]] against a [[packRules]] table — identical
+   * verdicts (RobotsSpec asserts equality), different plan: ONE left
+   * equi join on `host` (AQE-broadcast when the packed table fits) and a
+   * map-side verdict projection. Use this form at URL-corpus scale and
+   * in streams; `idCol` needs no uniqueness here (no re-aggregation).
+   */
+  def withRobotsVerdictPacked(urls: DataFrame, urlCol: String,
+      packed: DataFrame): DataFrame = {
+    require(urls.columns.contains(urlCol), s"missing column '$urlCol'")
+    Seq("host", "path", "allowed", "robots_rules").foreach(c =>
+      require(!urls.columns.contains(c),
+        s"withRobotsVerdictPacked would overwrite column '$c'"))
+    require(packed.columns.sorted.sameElements(Array("host", "robots_rules")),
+      s"packed rules must be (host, robots_rules) from packRules, got ${packed.columns.mkString(", ")}")
+    urls
+      .withColumn("host", Urls.urlHost(col(urlCol)))
+      .withColumn("path", pathOf(col(urlCol)))
+      .join(packed, Seq("host"), "left")
+      .withColumn("allowed", allowedColumn(col("path"), col("robots_rules")))
+      .drop("robots_rules")
+  }
+
+  /** The gate form of [[withRobotsVerdictPacked]]: only allowed rows,
+    * original columns — stream-legal (join + filter, nothing stateful). */
+  def filterDisallowedPacked(urls: DataFrame, urlCol: String,
+      packed: DataFrame): DataFrame =
+    withRobotsVerdictPacked(urls, urlCol, packed)
+      .filter(col("allowed"))
+      .drop("host", "path", "allowed")
+
+  /**
    * The DuckDB replay of [[parseRules]] as CTE stages over `src` (a
    * relation with `host`, `robots_txt`), generated from the same pinned
    * regexes and grading constants. Returns (ctesString, rulesCteName);

@@ -54,7 +54,8 @@ object WarcStreaming {
       warcShards: DataFrame,
       model: graft.pipeline.Classifier.Model,
       minScoreE6: Long,
-      stateTtl: Option[String] = None): DataFrame = {
+      stateTtl: Option[String] = None,
+      robotsRules: Option[DataFrame] = None): DataFrame = {
     import warcShards.sparkSession.implicits._
     val files: Dataset[graft.pipeline.Warc.WarcFile] = warcShards
       .select(col("path").cast("string"), col("content"))
@@ -65,12 +66,21 @@ object WarcStreaming {
         graft.pipeline.Warc.WarcFile(
           scala.util.hashing.MurmurHash3.stringHash(p).toLong, bytes)
       }
-    val parsed = graft.pipeline.Warc.warcDocuments(files)
+    val extracted = graft.pipeline.Warc.warcDocuments(files)
       .filter(!col("truncated"))
       .select(
         graft.pipeline.Urls.urlNormalize(col("target_uri")).as("url_norm"),
         col("target_uri"),
         graft.pipeline.TextAnalysis.htmlToText(col("html")).as("text"))
+    // robots admission runs BEFORE the URL-dedup state: a disallowed URL
+    // must not occupy state (a later allow-listed variant of the same
+    // canonical URL should still be admissible). The packed-rules gate is
+    // a stream-static join + projection — stream-legal by construction
+    // (robotsRules is a frozen static snapshot, same doctrine as `model`)
+    val parsed = robotsRules
+      .map(r => graft.pipeline.Robots.filterDisallowedPacked(
+        extracted, "target_uri", graft.pipeline.Robots.packRules(r)))
+      .getOrElse(extracted)
       .as[AdmittedDoc]
 
     val timeout =

@@ -175,6 +175,30 @@ class RobotsSpec extends AnyFunSuite {
     assert(gated.count() === 133)
   }
 
+  test("packed-rules verdicts equal the join+agg verdicts everywhere") {
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /d\nAllow: /d/pub\nDisallow: /t*x$\nAllow: /t*x$"),
+      ("b.com", "User-agent: graftbot\nDisallow: /\n\nUser-agent: *\nAllow: /"),
+      ("c.com", "User-agent: nobody\nDisallow: /")).toDF("host", "robots_txt")
+    val rules = Robots.parseRules(robots, Agent)
+    val packed = Robots.packRules(rules)
+    val urls = (0 until 300).map { i =>
+      val host = Seq("a.com", "b.com", "c.com", "unlisted.org")(i % 4)
+      val path = Seq("/d/x", "/d/pub/y", "/tzzx", "/ok", "/t-x-not-end")(i % 5)
+      (i.toLong, s"https://$host$path")
+    }.toDF("id", "url")
+    val viaAgg = Robots.withRobotsVerdict(urls, "url", "id", rules)
+      .orderBy($"id").select($"id", $"allowed").as[(Long, Boolean)].collect().toSeq
+    val viaPacked = Robots.withRobotsVerdictPacked(urls, "url", packed)
+      .orderBy($"id").select($"id", $"allowed").as[(Long, Boolean)].collect().toSeq
+    assert(viaPacked === viaAgg)
+    // and both observe the expected mix of outcomes (not vacuously equal)
+    assert(viaAgg.count(!_._2) > 0 && viaAgg.count(_._2) > 0)
+    val gated = Robots.filterDisallowedPacked(urls, "url", packed)
+    assert(gated.columns.toSeq === Seq("id", "url"))
+    assert(gated.count() === viaAgg.count(_._2))
+  }
+
   test("guards: bad agent, missing columns, reserved columns") {
     val robots = Seq(("h", "User-agent: *\nDisallow: /")).toDF("host", "robots_txt")
     intercept[IllegalArgumentException](Robots.parseRules(robots, "*"))

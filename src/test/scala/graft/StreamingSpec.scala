@@ -882,6 +882,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.find(_._1 === "https://site.io/p").get._3 === "good words here")
   }
 
+  test("streaming WARC ingest: robots gate runs before URL-dedup state, = batch twin") {
+    import graft.pipeline.{Classifier, Robots, TextAnalysis, Urls, Warc}
+    val model = Classifier.Model(
+      Seq((Classifier.BiasFeature, 100000L)).toDF("f", "w_e6"), 64)
+    // other.net is fully disallowed; site.io blocks /blocked* and any
+    // raw fetch whose path ends in the utm_track=1 tracking spelling
+    val rules = Robots.parseRules(Seq(
+      ("other.net", "User-agent: *\nDisallow: /"),
+      ("site.io",
+        "User-agent: graftbot\nDisallow: /blocked\nDisallow: *utm_track=1$"))
+      .toDF("host", "robots_txt"), "graftbot")
+    val pages0 = Seq(
+      ("https://site.io/p?utm_source=x", "<html><body><p>good words here</p></body></html>"),
+      ("https://site.io/blocked/1", "<html><body><p>robots says no</p></body></html>"),
+      // disallowed by the tracking rule — but its CANONICAL url is the
+      // clean /s, so this fetch must NOT occupy /s's dedup state
+      ("https://site.io/s?utm_track=1", "<html><body><p>tracked fetch</p></body></html>"),
+      ("https://other.net/q", "<html><body><p>disallowed host</p></body></html>"))
+    val pages1 = Seq(
+      // the allowed spelling of the same canonical URL, one batch later:
+      // admitted iff the gate ran BEFORE the stateful dedup
+      ("https://site.io/s", "<html><body><p>clean fetch</p></body></html>"))
+    val in = java.nio.file.Files.createTempDirectory("graft_warc_robots").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(in, "s0.warc"),
+      Warc.syntheticWarc(pages0, gzipped = false))
+    java.nio.file.Files.write(java.nio.file.Paths.get(in, "s1.warc"),
+      Warc.syntheticWarc(pages1, gzipped = false))
+    new java.io.File(in, "s0.warc").setLastModified(1000000000000L)
+    new java.io.File(in, "s1.warc").setLastModified(1000000060000L)
+
+    val stream = spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
+      .option("maxFilesPerTrigger", "1").load(in)
+    val q = graft.streaming.WarcStreaming
+      .streamingWarcIngest(stream, model, minScoreE6 = 0L,
+        robotsRules = Some(rules))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("warc_ingest_robots").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("warc_ingest_robots")
+      .select($"url_norm", $"target_uri", $"text", $"score_e6")
+      .as[(String, String, String, Long)].collect().toSet
+
+    // batch twin: extract -> packed robots gate -> first-wins -> score
+    val extracted = (pages0 ++ pages1).toDF("target_uri", "html")
+      .select(Urls.urlNormalize($"target_uri").as("url_norm"),
+        $"target_uri", TextAnalysis.htmlToText($"html").as("text"))
+    val expected = Robots.filterDisallowedPacked(
+      extracted, "target_uri", Robots.packRules(rules))
+      .as[(String, String, String)].collect()
+      .groupBy(_._1).map { case (_, rows) => rows.minBy(r => (r._2, r._3)) }
+      .toSeq.toDF("url_norm", "target_uri", "text")
+      .withColumn("score_e6", Classifier.scoreColumn($"text", model))
+      .filter($"score_e6" >= 0L)
+      .as[(String, String, String, Long)].collect().toSet
+    assert(got === expected)
+    // spelled out: /p admitted, blocked path + disallowed host gone, and
+    // the clean late /s fetch admitted despite its blocked batch-0 twin
+    assert(got.map(_._1) === Set("https://site.io/p", "https://site.io/s"))
+    assert(got.find(_._1 === "https://site.io/s").get._3 === "clean fetch")
+  }
+
   private implicit class JavaSetOps[A](s: java.util.Set[A]) {
     def asScala: scala.collection.mutable.Set[A] =
       scala.jdk.CollectionConverters.SetHasAsScala(s).asScala
