@@ -484,4 +484,59 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<o_custkey:bigint,o_orderdate:timestamp_ntz>"),
       "scan must read only custkey + orderdate")
   }
+
+  test("robots_gate: rules side broadcasts, no cartesian, verdict is a keyed agg") {
+    val p = plan("robots_gate")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "the bounded rules table should broadcast against the URL corpus")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "rule matching must join on the host key, never all-pairs")
+  }
+
+  test("packed robots gate: one join, pure-projection verdict, no re-aggregation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rules = graft.pipeline.Robots.parseRules(
+      Seq(("h.com", "User-agent: *\nDisallow: /x")).toDF("host", "robots_txt"),
+      "graftbot")
+    val urls = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), concat(lit("https://h.com/p/"), col("doc_id")).as("url"))
+    val gated = graft.pipeline.Robots.filterDisallowedPacked(
+      urls, "url", graft.pipeline.Robots.packRules(rules))
+    val p = gated.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // 3 joins total: TWO inside the bounded rules-side build (uaLevels,
+    // hostLvl — robots-corpus-sized) and ONE host join against the URL
+    // corpus; all broadcast-hash, none corpus×corpus
+    val joins = p.linesIterator.count(_.matches(""".*\(\d+\) BroadcastHashJoin.*"""))
+    assert(joins === 3, s"host join + two rules-side joins, got $joins")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans === 1, s"the URL corpus must be scanned exactly once, got $scans")
+    // the verdict is the array fold in a projection/filter — the corpus
+    // is never re-grouped after the join (no aggregate touches url rows)
+    assert(p.contains("array_max"),
+      "packed verdict must fold matched rules with array_max in-plan")
+  }
+
+  test("topn_anchor_terms: one anchor generate, no join before the sketch agg") {
+    val p = plan("topn_anchor_terms")
+    assert(p.contains("html_anchors"), "the codegen'd expression must appear")
+    assert(!p.contains("Join"),
+      "domain/term columns are projections over the generate, not joins")
+    assert(p.contains("partial_topn_add_agg"),
+      "sketch build must pre-aggregate map-side before the domain shuffle")
+  }
+
+  test("recrawl_latest: hash-partitioned windows only, no global sort, no self-join") {
+    val p = plan("recrawl_latest")
+    // windows partition by the canonical URL — never a data-wide empty
+    // partition spec (the single-partition cliff)
+    assert(p.contains("windowspecdefinition(url_norm"),
+      "version windows must partition by url_norm")
+    assert(!p.contains("windowspecdefinition()"),
+      "no unpartitioned window may appear")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "latest-pick and change-count must stay keyed")
+  }
 }
