@@ -171,6 +171,15 @@ object SparkEntry {
     "deep.www.ck" -> "User-agent:    *\r\n  Disallow  : /Docs/*9$\r\n",
     "shop.foo.ck" -> "User-agent: GraftBot\nDisallow: /*?*")
 
+  /** robots bodies for the crawl end-to-end query's admission gate:
+    * example.co.uk blocks graftbot's /doc/ fetches whose id ends in 3
+    * (the raw path is "/doc/<id>?utm_x=1", so the rule needs the
+    * wildcard-then-query spelling), and a foreign-agent-only file that
+    * must gate nothing. */
+  private val CrawlRobotsFixture: Seq[(String, String)] = Seq(
+    "example.co.uk" -> "User-agent: graftbot\nDisallow: /doc/*3?*",
+    "good-site.org" -> "User-agent: otherbot\nDisallow: /")
+
   /** A string as a DuckDB expression, newlines/CRs spelled as chr()
     * concats so robots bodies survive SQL embedding. */
   private def sqlTextLit(s: String): String =
@@ -1499,6 +1508,45 @@ object SparkEntry {
         .orderBy($"rank_e6".desc, $"node")
     }),
 
+    // crawl-frontier prioritization (the scheduler side of the front
+    // door): outlinks canonicalized, already-fetched pages removed by ONE
+    // keyed anti join on the canonical URL, the remainder prioritized by
+    // their target domain's PageRank, capped at 3 frontier slots per
+    // domain (hash-partitioned rank window, no global sort). The oracle
+    // replays extraction, both shared URL chains, the unrolled PageRank,
+    // the NOT IN anti join, and the same capped window
+    "crawl_frontier" -> ((spark, dir) => {
+      import spark.implicits._
+      import graft.pipeline.{Selection, TextAnalysis, Urls}
+      val dArr = array(PagerankDomains.map(lit): _*)
+      val hostA = element_at(dArr, (pmod($"doc_id", lit(7)) + 1).cast("int"))
+      val hostB = element_at(dArr, (pmod($"doc_id", lit(5)) + 1).cast("int"))
+      val pages = tbl(spark, dir, "documents").select($"doc_id",
+        concat(lit("https://"), hostA, lit("/d/"), $"doc_id").as("url"),
+        concat(
+          lit("<a href=\"https://"), hostB, lit("/d/"), pmod($"doc_id", lit(40)),
+          lit("\">x</a><a href=\"https://"), hostA, lit("/n/"), $"doc_id",
+          lit("?utm_y=1\">y</a>")).as("html"))
+      val fetched = pages.select(Urls.urlNormalize($"url").as("url_norm")).distinct()
+      val cand = pages
+        .select(explode(TextAnalysis.htmlLinks($"html")).as("link"))
+        .select(Urls.urlNormalize($"link").as("url_norm"),
+          Urls.registeredDomain(Urls.urlHost($"link")).as("domain"))
+        .distinct()
+        .join(fetched, Seq("url_norm"), "left_anti")
+      val edges = pages.select(
+        Urls.registeredDomain(Urls.urlHost($"url")).as("src"),
+        explode(TextAnalysis.htmlLinks($"html")).as("l"))
+        .select($"src", Urls.registeredDomain(Urls.urlHost($"l")).as("dst"))
+      val ranks = graft.pipeline.Graph.pageRank(edges, "src", "dst",
+        iterations = PagerankIters)
+      val prioritized = cand.join(ranks, cand("domain") === ranks("node"), "left")
+        .select($"url_norm", $"domain", coalesce($"rank_e6", lit(0L)).as("rank_e6"))
+      Selection.topKPerGroup(prioritized, "url_norm", "domain", 3, $"rank_e6")
+        .select($"domain", $"url_norm", $"rank_e6", $"cap_rank")
+        .orderBy($"domain", $"url_norm")
+    }),
+
     // the full PageRank surface in one gate: WEIGHTED edges (per-pair
     // weight sums drive proportional rank splits), a PERSONALIZED
     // teleport prior concentrated on a 2-domain seed set (non-seed nodes
@@ -1526,7 +1574,8 @@ object SparkEntry {
     // the crawl product's whole pitch in ONE flow (the reference analog:
     // sql/customer_reviews_query.sql:2-70's chained ingest -> rollup ->
     // re-aggregation -> report, done for the web-crawl domain): WARC
-    // container bytes -> parsed records -> html_to_text + html_links ->
+    // container bytes -> parsed records -> robots.txt admission (RFC
+    // 9309, packed join-once gate) -> html_to_text + html_links ->
     // registered-domain URL gating -> link-graph PageRank as the
     // selection prior (top-4 domains) -> token-budget packed shards.
     // The binary container leg is audited IN-PLAN (round-trip equality
@@ -1577,6 +1626,14 @@ object SparkEntry {
       val docs = parsed.select(
         regexp_extract($"url", "/doc/([0-9]+)", 1).cast("long").as("doc_id"),
         $"url", TextAnalysis.htmlToText($"html").as("text"))
+      // robots admission (RFC 9309) gates CONTENT, not link observation:
+      // the link graph below still sees every parsed page, but a
+      // disallowed fetch contributes no document — the packed join-once
+      // gate, same as the streaming recipe
+      val admitted = graft.pipeline.Robots.filterDisallowedPacked(
+        docs, "url", graft.pipeline.Robots.packRules(
+          graft.pipeline.Robots.parseRules(
+            CrawlRobotsFixture.toDF("host", "robots_txt"), RobotsAgent)))
       val edges = parsed.select(
         Urls.registeredDomain(Urls.urlHost($"url")).as("src"),
         explode(TextAnalysis.htmlLinks($"html")).as("link"))
@@ -1586,7 +1643,7 @@ object SparkEntry {
       val top4 = ranks.orderBy($"rank_e6".desc, $"node").limit(4)
         .select($"node".as("domain"))
       val blocked = Seq("ads-network.com", "spam-tracker.net").toDF("domain")
-      val gated = Urls.filterBlockedDomains(docs, "url", blocked)
+      val gated = Urls.filterBlockedDomains(admitted, "url", blocked)
         .select($"doc_id",
           Urls.registeredDomain(Urls.urlHost($"url")).as("domain"),
           TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
@@ -3138,6 +3195,47 @@ object SparkEntry {
     // and the DATA-DRIVEN stop: all stages unrolled to the cap, each
     // stage's L1 delta computed, the reported iteration chosen by the
     // same first-at-or-under-tolerance rule the Spark loop applies
+    // frontier replay: same pages/links, both shared URL chains, the
+    // unrolled PageRank over the page->link domain graph, NOT IN against
+    // the fetched canonical set, and the identical capped rank window
+    "crawl_frontier" -> {
+      def cse(m: Int): String = (0 until m)
+        .map(i => s"WHEN $i THEN '${PagerankDomains(i)}'").mkString(" ")
+      val (fU, fFin) = graft.pipeline.Urls.urlSqlCtes("f", "url", "ff")
+      val (lU, lFin) = graft.pipeline.Urls.urlSqlCtes("lnk", "lurl", "fl")
+      val (prc, prFin) = graft.pipeline.Graph.pageRankCtes(
+        "edges", PagerankIters, prefix = "fq")
+      s"""WITH f AS (
+        |  SELECT doc_id,
+        |    'https://' || (CASE doc_id % 7 ${cse(7)} END) ||
+        |      '/d/' || CAST(doc_id AS VARCHAR) AS url,
+        |    '<a href="https://' || (CASE doc_id % 5 ${cse(5)} END) ||
+        |      '/d/' || CAST(doc_id % 40 AS VARCHAR) ||
+        |      '">x</a><a href="https://' || (CASE doc_id % 7 ${cse(7)} END) ||
+        |      '/n/' || CAST(doc_id AS VARCHAR) || '?utm_y=1">y</a>' AS html
+        |  FROM documents),
+        |$fU,
+        |fetched AS (SELECT DISTINCT url_norm FROM $fFin),
+        |lnk AS (SELECT doc_id,
+        |          unnest(regexp_extract_all(html, '<a href="([^"]*)"', 1)) AS lurl
+        |        FROM f),
+        |$lU,
+        |cand AS (SELECT DISTINCT url_norm, domain FROM $lFin
+        |         WHERE url_norm NOT IN (SELECT url_norm FROM fetched)),
+        |edges AS (SELECT p.domain AS src, l.domain AS dst
+        |          FROM $fFin p JOIN $lFin l USING (doc_id)),
+        |$prc,
+        |pri AS (SELECT c.url_norm, c.domain,
+        |          CAST(coalesce(k.rank_e6, 0) AS BIGINT) AS rank_e6
+        |        FROM cand c LEFT JOIN $prFin k ON c.domain = k.node)
+        |SELECT domain, url_norm, rank_e6, cap_rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY domain
+        |                               ORDER BY rank_e6 DESC, url_norm) AS cap_rank
+        |  FROM pri) x
+        |WHERE cap_rank <= 3
+        |ORDER BY domain, url_norm""".stripMargin
+    },
+
     "domain_pagerank_personalized" -> {
       def cse(m: Int): String = (0 until m)
         .map(i => s"WHEN $i THEN '${PagerankDomains(i)}'").mkString(" ")
@@ -3169,6 +3267,11 @@ object SparkEntry {
       val (ownU, ownFin) = graft.pipeline.Urls.urlSqlCtes(h2tFin, "url", "cu")
       val (lnkU, lnkFin) = graft.pipeline.Urls.urlSqlCtes("links", "lurl", "cl")
       val (prc, prFin) = graft.pipeline.Graph.pageRankCtes("edges", PagerankIters, prefix = "cp")
+      val (crbCtes, crbRules) =
+        graft.pipeline.Robots.rulesSqlCtes("crsrc", RobotsAgent, "cr")
+      val crFixture = CrawlRobotsFixture
+        .map { case (h, t) => s"('$h', ${sqlTextLit(t)})" }
+        .mkString(",\n        ")
       s"""WITH crawl AS (
         |  SELECT doc_id,
         |         'https://' || (CASE doc_id % 7 ${cse(7)} END) ||
@@ -3192,10 +3295,21 @@ object SparkEntry {
         |top4 AS (SELECT node AS domain FROM (
         |           SELECT node, ROW_NUMBER() OVER (ORDER BY rank_e6 DESC, node) AS rn
         |           FROM $prFin) WHERE rn <= 4),
+        |crsrc AS (SELECT * FROM (VALUES
+        |        $crFixture) AS t(host, robots_txt)),
+        |$crbCtes,
+        |crwp AS (SELECT doc_id, domain, text, host,
+        |          ${graft.pipeline.Robots.pathSql("url")} AS rpath FROM $ownFin),
+        |crwa AS (SELECT doc_id, domain, text,
+        |          max(CASE WHEN rpath LIKE r.like_pat ESCAPE '\\'
+        |                   THEN r.plen * 2 + r.rule_allow END) AS best
+        |        FROM crwp LEFT JOIN $crbRules r USING (host)
+        |        GROUP BY 1, 2, 3),
         |sel AS (SELECT doc_id, domain,
         |          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
-        |        FROM $ownFin
-        |        WHERE domain NOT IN ('ads-network.com', 'spam-tracker.net')
+        |        FROM crwa
+        |        WHERE coalesce(best % 2 = 1, TRUE)
+        |          AND domain NOT IN ('ads-network.com', 'spam-tracker.net')
         |          AND domain IN (SELECT domain FROM top4)),
         |q AS (SELECT * FROM sel WHERE n_tokens >= 10),
         |c AS (SELECT doc_id, domain, n_tokens,
