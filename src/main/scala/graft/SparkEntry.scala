@@ -153,23 +153,29 @@ object SparkEntry {
     * rules combine (alice.github.io), CRLF + whitespace-around-colon +
     * wildcard-with-anchor (deep.www.ck), case-insensitive agent match +
     * a query-string wildcard (shop.foo.ck). assets.bucket.s3.amazonaws.com
-    * has NO row: the no-robots default-allow path. */
+    * has NO row: the no-robots default-allow path. Metadata coverage for
+    * robots_meta: crawl-delay in a `*` group (spam-tracker), in the
+    * second of two combined specific groups (alice.github.io), in a
+    * foreign-agent group (ads-network -> ignored), non-integer
+    * (shop.foo.ck -> ignored); sitemap lines on spam-tracker and
+    * good-site. */
   private val RobotsFixture: Seq[(String, String)] = Seq(
     "example.com" ->
       ("# robots for example.com\nUser-Agent: graftbot\nDisallow: /Docs/*1$\n" +
         "Allow: /Docs/1*\n\nUser-agent: *\nDisallow: /"),
     "news.example.co.uk" ->
       "User-agent: otherbot\nUser-agent: graftbot\nDisallow: /Docs/\nAllow: /Docs/2\nCrawl-delay: 5",
-    "spam-tracker.net" -> "User-agent: *\nDisallow: /",
+    "spam-tracker.net" ->
+      "User-agent: *\nDisallow: /\nCrawl-delay: 10\nSitemap: https://spam-tracker.net/sm.xml",
     "www.good-site.org" ->
       "# only comments and an empty rule\nUser-agent: *\nDisallow:\nSitemap: https://www.good-site.org/sitemap.xml",
-    "sub.deep.ads-network.com" -> "User-agent: otherbot\nDisallow: /",
+    "sub.deep.ads-network.com" -> "User-agent: otherbot\nDisallow: /\nCrawl-delay: 99",
     "cdn.mirror-example.com" -> "User-agent: *\nDisallow: /Docs\nAllow: /Docs/1",
     "192.168.0.1" -> "User-agent: *\nAllow: /Docs\nDisallow: /Docs\nDisallow: *utm_b=2$",
     "alice.github.io" ->
-      "User-agent: graftbot\nDisallow: /Docs/3\n\nUser-agent: graftbot\nDisallow: /Docs/4",
+      "User-agent: graftbot\nDisallow: /Docs/3\n\nUser-agent: graftbot\nDisallow: /Docs/4\nCrawl-delay: 7",
     "deep.www.ck" -> "User-agent:    *\r\n  Disallow  : /Docs/*9$\r\n",
-    "shop.foo.ck" -> "User-agent: GraftBot\nDisallow: /*?*")
+    "shop.foo.ck" -> "User-agent: GraftBot\nDisallow: /*?*\nCrawl-delay: abc")
 
   /** robots bodies for the crawl end-to-end query's admission gate:
     * example.co.uk blocks graftbot's /doc/ fetches whose id ends in 3
@@ -1379,6 +1385,27 @@ object SparkEntry {
       Robots.withRobotsVerdict(plantedUrls(spark, dir), "url", "doc_id", rules)
         .select($"doc_id", $"host", $"path", $"allowed")
         .orderBy($"doc_id")
+    }),
+
+    // robots metadata surfaces: per-host politeness delay for the agent
+    // (group-scoped, specific-beats-*, max across combined groups,
+    // integer-only pinned) and the file-scoped sitemap directives —
+    // what a crawl scheduler reads next to the admission rules
+    "robots_meta" -> ((spark, dir) => {
+      import spark.implicits._
+      import graft.pipeline.Robots
+      val robots = RobotsFixture.toDF("host", "robots_txt")
+      val delays = Robots.crawlDelays(robots, RobotsAgent)
+      val sitemaps = Robots.sitemapsOf(robots)
+        .groupBy($"host")
+        .agg(array_join(sort_array(collect_list($"sitemap")), "|").as("sitemaps_str"))
+      robots.select($"host").distinct()
+        .join(delays, Seq("host"), "left")
+        .join(sitemaps, Seq("host"), "left")
+        .select($"host",
+          coalesce($"crawl_delay_s", lit(-1L)).as("crawl_delay_s"),
+          coalesce($"sitemaps_str", lit("")).as("sitemaps_str"))
+        .orderBy($"host")
     }),
 
     // recrawl snapshot versioning: each doc planted as 1-3 fetches whose
@@ -3054,6 +3081,34 @@ object SparkEntry {
         |      FROM cand GROUP BY 1, 2, 3)
         |SELECT doc_id, host, path, coalesce(best % 2 = 1, TRUE) AS allowed
         |FROM v ORDER BY doc_id""".stripMargin
+    },
+
+    // the same robots fixture; delays replay the group-selection CTEs
+    // (the generator's documented intermediate contract), sitemaps read
+    // the pre-filter parse CTE — shared constants end to end
+    "robots_meta" -> {
+      val (rbCtes, _) =
+        graft.pipeline.Robots.rulesSqlCtes("rsrc", RobotsAgent)
+      val fixture = RobotsFixture
+        .map { case (h, t) => s"('$h', ${sqlTextLit(t)})" }
+        .mkString(",\n        ")
+      s"""WITH rsrc AS (SELECT * FROM (VALUES
+        |        $fixture) AS t(host, robots_txt)),
+        |$rbCtes,
+        |d AS (SELECT g.host AS host, max(CAST(g.value AS BIGINT)) AS crawl_delay_s
+        |      FROM rbg g JOIN rbua USING (host, grp) JOIN rbhl USING (host)
+        |      WHERE g.field = 'crawl-delay' AND regexp_matches(g.value, '^[0-9]+$$')
+        |        AND lvl = hlvl AND hlvl > 0
+        |      GROUP BY 1),
+        |sm AS (SELECT host, string_agg(value, '|' ORDER BY value) AS sitemaps_str
+        |       FROM (SELECT DISTINCT host, value FROM rbp
+        |             WHERE field = 'sitemap' AND value <> '')
+        |       GROUP BY 1),
+        |h AS (SELECT DISTINCT host FROM rsrc)
+        |SELECT h.host AS host, coalesce(crawl_delay_s, -1) AS crawl_delay_s,
+        |       coalesce(sitemaps_str, '') AS sitemaps_str
+        |FROM h LEFT JOIN d USING (host) LEFT JOIN sm USING (host)
+        |ORDER BY host""".stripMargin
     },
 
     // the same planted snapshots; url_norm via the SHARED urlSqlCtes

@@ -125,20 +125,36 @@ object Robots {
    * group's agent match (2 specific / 1 generic), take each host's max
    * grade, keep rules from max-grade groups. Two hash aggs + two keyed
    * joins, all on `host`(+`grp`) — robots-corpus-sized, never URL-sized.
+   * (The doc describes [[parseRules]]; the trunk is shared with
+   * [[crawlDelays]] below.)
    */
-  def parseRules(robots: DataFrame, agent: String): DataFrame = {
-    val a = requireAgent(agent)
+  /** Group-scoped directive fields: group members for the boundary rule
+    * (a `user-agent` line after any of these opens a NEW group — the
+    * de-facto parser behavior; `sitemap` etc. stay transparent). */
+  private val GroupFields = Seq("user-agent", "allow", "disallow", "crawl-delay")
+
+  /** All directives parsed with the pinned regexes: (host, ln, field,
+    * value), BEFORE any field filtering. */
+  private def directives(robots: DataFrame): DataFrame = {
     Seq("host", "robots_txt").foreach(c => require(robots.columns.contains(c),
       s"robots corpus must carry '$c' (got ${robots.columns.mkString(", ")})"))
-    val w = Window.partitionBy("host").orderBy("ln")
-    val parsed = robots
+    robots
       .select(col("host"), posexplode(split(col("robots_txt"), "\n")).as(Seq("ln", "raw")))
       .withColumn("clean",
         trim(regexp_replace(regexp_replace(col("raw"), "\r", ""), "#.*", "")))
       .withColumn("field", lower(trim(regexp_extract(col("clean"), "^([^:]+):", 1))))
       .withColumn("value", trim(regexp_replace(col("clean"), "^[^:]+:", "")))
-      .filter(col("field").isin("user-agent", "allow", "disallow"))
-    val grouped = parsed
+      .select("host", "ln", "field", "value")
+  }
+
+  /** Group-numbered directives plus the per-group / per-host agent
+    * grades — the shared trunk of [[parseRules]] and [[crawlDelays]]. */
+  private def groupedWithLevels(robots: DataFrame, agent: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val a = requireAgent(agent)
+    val w = Window.partitionBy("host").orderBy("ln")
+    val grouped = directives(robots)
+      .filter(col("field").isin(GroupFields.map(x => x: Any): _*))
       .withColumn("grp", sum(
         when(col("field") === "user-agent" &&
           coalesce(lag(col("field"), 1).over(w), lit("")) =!= "user-agent", 1)
@@ -150,6 +166,11 @@ object Robots {
           .when(col("value") === "*", 1)
           .otherwise(0)).as("lvl"))
     val hostLvl = uaLevels.groupBy("host").agg(max("lvl").as("hlvl"))
+    (grouped, uaLevels, hostLvl)
+  }
+
+  def parseRules(robots: DataFrame, agent: String): DataFrame = {
+    val (grouped, uaLevels, hostLvl) = groupedWithLevels(robots, agent)
     grouped
       .filter(col("field").isin("allow", "disallow") && col("value") =!= "")
       .join(uaLevels, Seq("host", "grp"))
@@ -161,6 +182,34 @@ object Robots {
         length(col("value")).as("plen"),
         likePattern(col("value")).as("like_pat"))
   }
+
+  /**
+   * Per-host politeness delay for `agent`: the `crawl-delay` value from
+   * the selected groups (same specific-beats-`*` selection and group
+   * combine as [[parseRules]]; the MAX across combined groups, pinned).
+   * The field is de-facto, not RFC 9309 — pinned semantics: non-negative
+   * INTEGER seconds only, anything else ignored. Hosts without an
+   * applicable delay have no row.
+   */
+  def crawlDelays(robots: DataFrame, agent: String): DataFrame = {
+    val (grouped, uaLevels, hostLvl) = groupedWithLevels(robots, agent)
+    grouped
+      .filter(col("field") === "crawl-delay" && col("value").rlike("^[0-9]+$"))
+      .join(uaLevels, Seq("host", "grp"))
+      .join(hostLvl, Seq("host"))
+      .filter(col("lvl") === col("hlvl") && col("hlvl") > 0)
+      .groupBy("host")
+      .agg(max(col("value").cast("long")).as("crawl_delay_s"))
+  }
+
+  /** Every `sitemap` directive per host — NOT group-scoped (the sitemaps
+    * protocol attaches them to the whole file; they are transparent to
+    * group boundaries). Empty values dropped; duplicates collapse. */
+  def sitemapsOf(robots: DataFrame): DataFrame =
+    directives(robots)
+      .filter(col("field") === "sitemap" && col("value") =!= "")
+      .select(col("host"), col("value").as("sitemap"))
+      .distinct()
 
   /**
    * Per-URL robots verdict: the input columns plus `host`, `path`, and
@@ -273,7 +322,11 @@ object Robots {
    * The DuckDB replay of [[parseRules]] as CTE stages over `src` (a
    * relation with `host`, `robots_txt`), generated from the same pinned
    * regexes and grading constants. Returns (ctesString, rulesCteName);
-   * the final CTE has [[RuleColumns]].
+   * the final CTE has [[RuleColumns]]. The intermediate CTEs are part of
+   * the contract for metadata consumers: `<p>p` (all parsed directives),
+   * `<p>g` (group-numbered [[GroupFields]] lines), `<p>ua` / `<p>hl`
+   * (group / host agent grades) — the [[crawlDelays]] / [[sitemapsOf]]
+   * oracles build on them.
    */
   def rulesSqlCtes(src: String, agent: String, prefix: String = "rb"): (String, String) = {
     val a = requireAgent(agent)
@@ -292,7 +345,7 @@ object Robots {
          |${p}s AS (SELECT *, CASE WHEN field = 'user-agent' AND
          |              coalesce(lag(field) OVER (PARTITION BY host ORDER BY ln), '') <> 'user-agent'
          |              THEN 1 ELSE 0 END AS starts
-         |          FROM ${p}p WHERE field IN ('user-agent', 'allow', 'disallow')),
+         |          FROM ${p}p WHERE field IN (${GroupFields.map(f => s"'$f'").mkString(", ")})),
          |${p}g AS (SELECT *, SUM(starts)
          |            OVER (PARTITION BY host ORDER BY ln ROWS UNBOUNDED PRECEDING) AS grp
          |          FROM ${p}s),

@@ -199,6 +199,39 @@ class RobotsSpec extends AnyFunSuite {
     assert(gated.count() === viaAgg.count(_._2))
   }
 
+  test("crawlDelays: group-scoped, specific beats *, max across combined groups") {
+    val robots = Seq(
+      ("a.com", "User-agent: *\nCrawl-delay: 10\n\nUser-agent: graftbot\nDisallow: /x\nCrawl-delay: 4"),
+      ("b.com", "User-agent: graftbot\nCrawl-delay: 3\n\nUser-agent: graftbot\nCrawl-delay: 8"),
+      ("c.com", "User-agent: otherbot\nCrawl-delay: 99"),          // foreign agent
+      ("d.com", "User-agent: *\nCrawl-delay: abc\nCrawl-delay: 2.5"), // non-integer
+      ("e.com", "User-agent: *\nCrawl-delay: 6"))
+      .toDF("host", "robots_txt")
+    val got = Robots.crawlDelays(robots, Agent)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a.com" -> 4L, "b.com" -> 8L, "e.com" -> 6L))
+  }
+
+  test("crawl-delay is a group member: a UA line after it opens a NEW group") {
+    val txt = "User-agent: graftbot\nCrawl-delay: 1\nUser-agent: other\nDisallow: /x"
+    // the Disallow belongs to the second (foreign) group, not graftbot's
+    assert(rulesOf(txt) === Seq())
+    assert(Robots.crawlDelays(
+      Seq(("h", txt)).toDF("host", "robots_txt"), Agent)
+      .as[(String, Long)].collect().toMap === Map("h" -> 1L))
+  }
+
+  test("sitemapsOf: file-scoped, transparent to group boundaries, dedup") {
+    val txt = "User-agent: a\nSitemap: https://h/s1.xml\nUser-agent: graftbot\n" +
+      "Disallow: /x\nSitemap: https://h/s2.xml\nSitemap: https://h/s1.xml\nSitemap:"
+    val robots = Seq(("h", txt)).toDF("host", "robots_txt")
+    assert(Robots.sitemapsOf(robots).as[(String, String)].collect().toSet ===
+      Set(("h", "https://h/s1.xml"), ("h", "https://h/s2.xml")))
+    // sitemap between the UA lines did NOT split the multi-UA header:
+    // both agents head ONE group, so graftbot gets the /x rule
+    assert(rulesOf(txt) === Seq((0, "/x")))
+  }
+
   test("guards: bad agent, missing columns, reserved columns") {
     val robots = Seq(("h", "User-agent: *\nDisallow: /")).toDF("host", "robots_txt")
     intercept[IllegalArgumentException](Robots.parseRules(robots, "*"))
