@@ -1555,16 +1555,19 @@ object SparkEntry {
           lit("\">x</a><a href=\"https://"), hostA, lit("/n/"), $"doc_id",
           lit("?utm_y=1\">y</a>")).as("html"))
       val fetched = pages.select(Urls.urlNormalize($"url").as("url_norm")).distinct()
-      val cand = pages
-        .select(explode(TextAnalysis.htmlLinks($"html")).as("link"))
-        .select(Urls.urlNormalize($"link").as("url_norm"),
-          Urls.registeredDomain(Urls.urlHost($"link")).as("domain"))
-        .distinct()
-        .join(fetched, Seq("url_norm"), "left_anti")
-      val edges = pages.select(
+      // one link explode feeds BOTH the candidate set and the rank edges —
+      // persisted at the multi-consumer boundary (the curation-chain
+      // doctrine) so the extraction scan runs once
+      val links = pages.select(
         Urls.registeredDomain(Urls.urlHost($"url")).as("src"),
-        explode(TextAnalysis.htmlLinks($"html")).as("l"))
-        .select($"src", Urls.registeredDomain(Urls.urlHost($"l")).as("dst"))
+        explode(TextAnalysis.htmlLinks($"html")).as("link"))
+        .select($"src",
+          Urls.urlNormalize($"link").as("url_norm"),
+          Urls.registeredDomain(Urls.urlHost($"link")).as("domain"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = links.select($"url_norm", $"domain").distinct()
+        .join(fetched, Seq("url_norm"), "left_anti")
+      val edges = links.select($"src", $"domain".as("dst"))
       val ranks = graft.pipeline.Graph.pageRank(edges, "src", "dst",
         iterations = PagerankIters)
       val prioritized = cand.join(ranks, cand("domain") === ranks("node"), "left")
