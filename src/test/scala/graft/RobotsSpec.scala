@@ -157,6 +157,34 @@ class RobotsSpec extends AnyFunSuite {
       assert(g === w, s"pattern '${c._1}' vs path '${c._2}'")
   }
 
+  test("matching parity vs reference on 400 random wildcard patterns/paths") {
+    // alphabet loads on the translation hazards: LIKE specials (%, _),
+    // the escape char, both robots wildcards, and plain letters; no '#'
+    // (comment strip) and no whitespace (value trim) — those are grammar
+    // features with their own goldens
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab*$/%_\\"
+    def randStr(n: Int): String =
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val cases = (0 until 400).map { i =>
+      (i, "/" + randStr(1 + rnd.nextInt(5)), "/" + randStr(rnd.nextInt(8)))
+    }
+    val rules = Robots.parseRules(
+      cases.map { case (i, p, _) =>
+        (s"h$i.com", s"User-agent: *\nDisallow: $p")
+      }.toDF("host", "robots_txt"), Agent)
+    val urls = cases.map { case (i, _, t) => (i.toLong, s"https://h$i.com$t") }
+      .toDF("id", "url")
+    val got = Robots.withRobotsVerdict(urls, "url", "id", rules)
+      .orderBy($"id").select($"allowed").as[Boolean].collect().toSeq
+    for (((i, p, t), g) <- cases.zip(got))
+      assert(g === !refMatch(p, t), s"case $i: pattern '$p' vs path '$t'")
+    // and the packed spelling agrees case for case
+    val packed = Robots.withRobotsVerdictPacked(urls, "url", Robots.packRules(rules))
+      .orderBy($"id").select($"allowed").as[Boolean].collect().toSeq
+    assert(packed === got)
+  }
+
   test("verdict is repartition-stable and keeps row multiplicity") {
     val txt = "User-agent: *\nDisallow: /blocked"
     val rules = Robots.parseRules(
