@@ -1,0 +1,258 @@
+package graft.pipeline
+
+import graft.expressions.{PqAdc, PqEncode, PqLut}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.GraftShim
+
+/**
+ * Product-quantized ANN (IVF-PQ): the compressed-index tier of the
+ * similarity-search family (brute force -> LSH -> IVF -> IVF-PQ), after
+ * Jegou et al., TPAMI 2011.
+ *
+ * Scale design — this is the tier that actually fits 100 TB of
+ * embeddings:
+ *  - The INDEX stores no raw vectors: each candidate row carries its IVF
+ *    cell id plus M small codes (ARRAY<INT>, ks<=256 so byte-sized on
+ *    disk after parquet dictionary encoding). At dim 768 / M=96 that is
+ *    a ~32x smaller table than float32 — the difference between an index
+ *    that fits in cluster page cache and one that doesn't.
+ *  - Training is driver-side Lloyd's per subspace on the SAME bounded,
+ *    deterministic sample discipline as [[IVF.train]]; the model is
+ *    M*ks*dsub doubles, broadcast inside the codegen'd expressions.
+ *  - Search: queries precompute an ADC lookup table once (PqLut), probe
+ *    nprobe IVF cells, and every candidate in a probed cell costs M
+ *    integer lookups (PqAdc) — no floats are read from the index at all.
+ *    The scored stream reduces through the same bounded-heap top-k
+ *    aggregate as every other tier (map-side partials, ~k rows per
+ *    partition per query cross the wire).
+ *  - Optional exact rerank: take a shortlist of `rerank` ADC candidates,
+ *    join BACK to the raw-vector table by id (keyed join against the
+ *    shortlist only — the full vector table is never scanned), and
+ *    re-score exactly. Standard IVF-PQ practice: ADC recall at small M
+ *    is approximate, rerank restores exactness on the shortlist.
+ */
+object Pq {
+
+  /** PQ model: `m` codebooks of `ks` sub-centroids of `dim/m` doubles. */
+  final case class Model(codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def ks: Int = codebooks(0).length
+    def dsub: Int = codebooks(0)(0).length
+  }
+
+  /**
+   * Train per-subspace k-means on a deterministic sample (first
+   * `sampleSize` rows by id order — the same discipline as IVF.train:
+   * at 100 TB you still train on a bounded sample and broadcast the
+   * model). Vectors are unit-normalized BEFORE splitting, matching the
+   * kernels, so ADC sums approximate cosine. `dim` must divide by `m`.
+   */
+  def train(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      ks: Int = 16,
+      iters: Int = 10,
+      sampleSize: Int = 10000): Model = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(ks >= 1 && ks <= 256, s"ks must be in [1, 256], got $ks")
+    val sample: Array[Array[Double]] = vectors
+      .orderBy(col(idCol))
+      .limit(sampleSize)
+      .select(col(vecCol).cast("array<double>"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+      .map(unitNorm)
+    require(sample.length >= ks,
+      s"sample (${sample.length}) smaller than ks ($ks)")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")
+    val dsub = dim / m
+
+    val codebooks = Array.tabulate(m) { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      kmeansL2(sub, ks, iters)
+    }
+    Model(codebooks)
+  }
+
+  private def unitNorm(v: Array[Double]): Array[Double] = {
+    var n = 0.0
+    var i = 0
+    while (i < v.length) { n += v(i) * v(i); i += 1 }
+    if (n == 0.0) return v.clone()
+    val inv = 1.0 / math.sqrt(n)
+    val out = new Array[Double](v.length)
+    i = 0
+    while (i < v.length) { out(i) = v(i) * inv; i += 1 }
+    out
+  }
+
+  /** Plain (non-spherical) Lloyd's in L2 — sub-centroids are means, NOT
+    * re-normalized: subvectors of a unit vector are not unit themselves.
+    * Deterministic spread init (every (n/ks)-th sample subvector), ties
+    * in assignment break to the lowest centroid index, empty cells keep
+    * their previous centroid — same determinism contract as IVF.train. */
+  private def kmeansL2(
+      sample: Array[Array[Double]], ks: Int, iters: Int): Array[Array[Double]] = {
+    val dsub = sample.head.length
+    var centroids = Array.tabulate(ks)(i => sample(i * sample.length / ks).clone())
+    var iter = 0
+    while (iter < iters) {
+      val sums = Array.fill(ks)(new Array[Double](dsub))
+      val counts = new Array[Int](ks)
+      sample.foreach { v =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < ks) {
+          var d = 0.0
+          var j = 0
+          while (j < dsub) { val t = v(j) - centroids(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dsub) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(ks) { c =>
+        if (counts(c) == 0) centroids(c)
+        else {
+          val out = new Array[Double](dsub)
+          var j = 0
+          while (j < dsub) { out(j) = sums(c)(j) / counts(c); j += 1 }
+          out
+        }
+      }
+      iter += 1
+    }
+    centroids
+  }
+
+  /** The M PQ codes of a vector column (ARRAY<INT>, each in [0, ks)). */
+  def encode(vec: Column, model: Model): Column =
+    GraftShim.column(PqEncode(GraftShim.expression(vec), model.codebooks))
+
+  /** The flattened M*ks ADC lookup table of a query vector column. */
+  def lut(vec: Column, model: Model): Column =
+    GraftShim.column(PqLut(GraftShim.expression(vec), model.codebooks))
+
+  /** ADC score: sum over subspaces of lut[s*ks + codes[s]] (~ cosine). */
+  def adc(codes: Column, lutCol: Column): Column =
+    GraftShim.column(PqAdc(GraftShim.expression(codes), GraftShim.expression(lutCol)))
+
+  /**
+   * Persist a PQ model as a tiny parquet table (subspace, centroid_id,
+   * centroid) — m*ks rows of dsub doubles. Train ONCE, save, and every
+   * indexing/search job loads the same model: an index encoded under one
+   * model scored against a LUT from another is garbage (PqAdc fails fast
+   * only when the SHAPES differ).
+   */
+  def save(model: Model, path: String, spark: SparkSession): Unit = {
+    import spark.implicits._
+    model.codebooks.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (c, i) => (s, i, c.toSeq) }
+    }.toSeq
+      .toDF("subspace", "centroid_id", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model persisted by [[save]]; round-trips bit-identically. */
+  def load(path: String, spark: SparkSession): Model = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select($"subspace".cast("int"), $"centroid_id".cast("int"),
+        $"centroid".cast("array<double>"))
+      .as[(Int, Int, Seq[Double])]
+      .collect()
+      .sortBy(r => (r._1, r._2))
+    require(rows.nonEmpty, s"no PQ model at $path")
+    val m = rows.map(_._1).max + 1
+    val ks = rows.map(_._2).max + 1
+    require(rows.length == m * ks &&
+        rows.map(r => (r._1, r._2)).toSeq ==
+          (for (s <- 0 until m; c <- 0 until ks) yield (s, c)),
+      s"corrupt PQ model at $path: non-contiguous (subspace, centroid_id)")
+    Model(rows.map(_._3.toArray).grouped(ks).map(_.toArray).toArray)
+  }
+
+  /**
+   * Build the compressed index: one pure projection, no shuffle —
+   * (id, cell, codes). Persist `partitionBy("cell")` for probe-time
+   * partition pruning; the raw vector column is dropped.
+   */
+  def index(
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      pq: Model,
+      ivf: IVF.Model): DataFrame =
+    candidates.select(
+      col(idCol).as("cand_id"),
+      element_at(IVF.cells(col(vecCol), ivf, 1), 1).as("cell"),
+      encode(col(vecCol), pq).as("codes"))
+
+  /**
+   * IVF-PQ top-k: probe `nprobe` cells, ADC-score every candidate code
+   * in a probed cell, bounded-heap top-k per query. With `rerank > k`,
+   * the ADC shortlist of that size is re-scored exactly against the raw
+   * vectors (keyed join on the shortlist ids only) before the final
+   * top-k. Output matches the other ANN tiers:
+   * (query_id, rank, neighbor_id).
+   */
+  def topK(
+      candidates: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      pq: Model,
+      ivf: IVF.Model,
+      nprobe: Int = 4,
+      rerank: Int = 0): DataFrame = {
+    require(rerank == 0 || rerank >= k,
+      s"rerank shortlist ($rerank) must be 0 (off) or >= k ($k)")
+    val idx = index(candidates, idCol, vecCol, pq, ivf)
+    val qs = queries.select(
+      col(idCol).as("query_id"),
+      lut(col(vecCol), pq).as("q_lut"),
+      explode(IVF.cells(col(vecCol), ivf, nprobe)).as("cell"))
+
+    val shortlistK = if (rerank > 0) rerank else k
+    val scored = idx
+      .join(broadcast(qs), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        adc(col("codes"), col("q_lut")).as("sim"))
+      .groupBy("query_id")
+      .agg(Similarity.topkByScore(col("cand_id"), col("sim"), shortlistK).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("r.id").as("neighbor_id"))
+
+    if (rerank == 0) scored
+    else {
+      // exact rerank of the bounded shortlist: join raw vectors back in
+      // by id (both sides keyed; the shortlist is queries*rerank rows, so
+      // AQE broadcasts it against the vector table's scan)
+      val cand = candidates.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("cand_vec"))
+      val qvec = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("query_vec"))
+      scored.select("query_id", "neighbor_id")
+        .join(cand, Seq("neighbor_id"))
+        .join(broadcast(qvec), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          Similarity.cosineSim(col("cand_vec"), col("query_vec")).as("sim"))
+        .groupBy("query_id")
+        .agg(Similarity.topkByScore(col("neighbor_id"), col("sim"), k).as("top"))
+        .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "r")))
+        .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("r.id").as("neighbor_id"))
+    }
+  }
+}

@@ -43,6 +43,19 @@ class PlanSpec extends AnyFunSuite {
         "(only ~k rows per partition per query may cross the wire)")
   }
 
+  test("ivf-pq: broadcast queries, codes-only index, map-side top-k partials") {
+    val p = SparkEntry.benchOnly("ann_ivfpq_top10_op")(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastExchange"),
+      "the probe set (query LUTs) must broadcast into the index scan")
+    assert(p.contains("partial_topk_by_score"),
+      "bounded-heap partial aggregation must run before any shuffle")
+    // the ADC scan must score codes, never raw floats: after pq_encode the
+    // embedding column may appear only on the bounded rerank join's sides
+    assert(p.contains("pq_adc") && p.contains("pq_encode") && p.contains("pq_lut"),
+      "ADC path must run on PQ codes via the native kernels")
+  }
+
   test("dedup scans read only (doc_id, text)") {
     val p = plan("dedup_jaccard_pairs")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
