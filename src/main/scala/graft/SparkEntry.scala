@@ -1173,6 +1173,25 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // JSONL source/sink round-trip: the corpus (text salted with the JSON
+    // hard cases — newline, quote, backslash, tab, multibyte) is written
+    // as line-delimited JSON shards and read back through the explicit-
+    // schema reader; output is the read-back rows themselves, so the
+    // straight-SQL oracle over the parquet table is hash-exact only if
+    // BOTH the writer's escaping and the reader's parsing are faithful
+    "jsonl_roundtrip" -> ((spark, dir) => {
+      import spark.implicits._
+      val dirty = concat($"text", lit("\n\"json\\edge\t"), lit("é€"))
+      val docs = tbl(spark, dir, "documents")
+        .select($"doc_id", $"lang", $"source", dirty.as("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+      graft.sources.Tables.writeJsonl(docs, tmp, shards = 4)
+      graft.sources.Tables.jsonl(spark, tmp,
+          "doc_id BIGINT, lang STRING, source STRING, text STRING")
+        .select($"doc_id", $"lang", $"source", md5($"text").as("text_md5"))
+        .orderBy($"doc_id")
+    }),
+
     // daily-ingest near-dup: the new batch's fingerprints against the
     // persisted store via the asymmetric pigeonhole join, then the
     // incremental CC relabel — audited in-plan against the batch twins
@@ -2641,6 +2660,16 @@ object SparkEntry {
 
     // same dirty-string construction, DuckDB's standard-library NFC; both
     // engines implement Unicode canonical composition, so the md5s match
+    // the salt spelled with chr(): chr(10) newline, chr(34) quote, a
+    // literal backslash (DuckDB standard strings do not process escapes),
+    // chr(9) tab, then the multibyte pair; md5 hashes the UTF-8 bytes in
+    // both engines
+    "jsonl_roundtrip" ->
+      """SELECT doc_id, lang, source,
+        |       md5(text || chr(10) || chr(34) || 'json\edge' || chr(9) || 'é€')
+        |         AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "text_normalize" ->
       """WITH d AS (
         |  SELECT doc_id,

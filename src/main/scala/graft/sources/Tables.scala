@@ -57,4 +57,42 @@ object Tables {
       .option("header", header.toString)
       .schema(ddl)
       .csv(path)
+
+  /**
+   * JSONL (line-delimited JSON) ingest — the interchange format LLM
+   * corpora actually ship in (one JSON object per line). Discipline for
+   * 100 TB:
+   *  - EXPLICIT schema, never inference: schema inference is a full
+   *    extra pass over the data before the real read starts.
+   *  - One object per line (`multiLine` stays false) so the input is
+   *    splittable: each executor task parses its own byte range. A
+   *    single-document JSON array would serialize the whole file through
+   *    one task. (Same caveat for compression: `.jsonl.gz` files are not
+   *    splittable — parallelism is then capped at #files — so shard the
+   *    corpus into many files or use a splittable codec.)
+   *  - PERMISSIVE by default: a corrupt line yields a null row, not a
+   *    dead 100 TB job. Include `_corrupt_record STRING` in `ddl` to
+   *    retain the bad lines for a quarantine audit, or pass
+   *    `mode -> FAILFAST` in `options` when ingesting trusted output.
+   */
+  def jsonl(spark: SparkSession, path: String, ddl: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.read
+      .options(options)
+      .schema(ddl)
+      .json(path)
+
+  /**
+   * The matching JSONL writer: one JSON object per line, UTF-8, values
+   * JSON-escaped by the writer so any text (newlines, quotes, control
+   * chars) round-trips through [[jsonl]] byte-exactly. `shards` bounds
+   * output file count — at scale, pick it so files land in the
+   * 100 MB - 1 GB sweet spot (many small files punish the next reader's
+   * task scheduler; one giant unsplittable-after-gzip file punishes
+   * parallelism).
+   */
+  def writeJsonl(df: DataFrame, path: String, shards: Int = 0): Unit = {
+    val out = if (shards > 0) df.repartition(shards) else df
+    out.write.mode("overwrite").json(path)
+  }
 }

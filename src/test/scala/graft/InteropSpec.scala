@@ -147,4 +147,58 @@ class InteropSpec extends AnyFunSuite {
       assert(got === expected)
     } finally df.unpersist()
   }
+
+  // --- JSONL source/sink ---------------------------------------------------
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  test("JSONL round-trips hostile text byte-exactly (writer escape + reader parse)") {
+    val rows = Seq(
+      (1L, "plain ascii"),
+      (2L, "line\nbreak and \"quotes\" and \\backslash\\"),
+      (3L, "tab\tbellnul-adjacentctl"),
+      (4L, "multibyte é € 中文 🙂 combining é"),
+      (5L, null.asInstanceOf[String]),
+      (6L, ""))
+    val df = rows.toDF("id", "text")
+    val path = tmpDir("graft-jsonl-rt")
+    graft.sources.Tables.writeJsonl(df, path)
+    val back = graft.sources.Tables.jsonl(spark, path, "id BIGINT, text STRING")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(back === rows.sortBy(_._1))
+  }
+
+  test("JSONL corrupt lines: PERMISSIVE quarantine column vs FAILFAST error") {
+    val path = tmpDir("graft-jsonl-bad")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$path/part-0.jsonl"),
+      """{"id": 1, "text": "good"}
+        |this is not json at all
+        |{"id": 3, "text": "also good"}
+        |""".stripMargin)
+    val quarantined = graft.sources.Tables.jsonl(spark, path,
+        "id BIGINT, text STRING, _corrupt_record STRING")
+      .select($"id", $"text", $"_corrupt_record".isNotNull.as("bad"))
+      .as[(Option[Long], Option[String], Boolean)].collect().toSet
+    assert(quarantined === Set(
+      (Some(1L), Some("good"), false),
+      (None, None, true),
+      (Some(3L), Some("also good"), false)),
+      "a corrupt line must surface as one quarantine row, not kill the read")
+    val ex = intercept[Exception] {
+      graft.sources.Tables.jsonl(spark, path, "id BIGINT, text STRING",
+        Map("mode" -> "FAILFAST")).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("JSONL writer shards bound the output file count") {
+    val df = (0 until 100).map(i => (i.toLong, s"doc $i")).toDF("id", "text")
+    val path = tmpDir("graft-jsonl-shards")
+    graft.sources.Tables.writeJsonl(df, path, shards = 3)
+    val parts = new java.io.File(path).listFiles().count(_.getName.startsWith("part-"))
+    assert(parts === 3)
+    assert(graft.sources.Tables.jsonl(spark, path, "id BIGINT, text STRING")
+      .count() === 100L)
+  }
 }
