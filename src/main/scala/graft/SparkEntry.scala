@@ -1300,6 +1300,32 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // span-level decontamination: excise from each training doc exactly
+    // the >= 8-token runs it shares with the held-out slice (doc_id % 7
+    // == 0 as the eval benchmark), keeping the rest — the surgical
+    // sibling of decontaminate_filter's whole-doc drop. Planted
+    // contaminated docs (+2e8 ids embedding a 12-token test slice
+    // between unique pfx/sfx markers) make the excision non-vacuous and
+    // alignment-independent
+    "decontaminate_scrub" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = tbl(spark, dir, "documents").select($"doc_id", $"text")
+      val test = docs.filter($"doc_id" % 7 === 0)
+      val planted = test.filter($"doc_id" % 21 === 0)
+        .select(($"doc_id" + 200000000L).as("doc_id"),
+          concat_ws(" ",
+            concat(lit("pfx"), $"doc_id"),
+            array_join(
+              slice(graft.pipeline.TextAnalysis.tokens($"text"), 3, 12), " "),
+            concat(lit("sfx"), $"doc_id")).as("text"))
+      val train = docs.filter($"doc_id" % 7 =!= 0).unionByName(planted)
+      graft.pipeline.Spans.scrubSharedSubstrings(
+        train, test, "doc_id", "text", n = 8)
+        .select($"doc_id", $"n_tokens", $"n_dropped_tokens",
+          md5($"clean_text").as("clean_md5"))
+        .orderBy($"doc_id")
+    }),
+
     // crawl front door: raw HTML -> text (codegen'd HtmlToText: strip
     // tags/script/style/comments, decode entities once, one line per
     // block element, pinned whitespace chain). The documents table has
@@ -3067,6 +3093,43 @@ object SparkEntry {
         |d AS (SELECT wh.doc_id, wh.s FROM wh JOIN g USING (h)
         |      WHERE g.cnt >= 2 AND wh.packed <> g.keep),
         |tok AS (SELECT doc_id, UNNEST(range(0, len(toks))) AS j, toks FROM t),
+        |tk AS (SELECT doc_id, j, toks[j+1] AS tkn, len(toks) AS n_toks FROM tok),
+        |kept AS (
+        |  SELECT tk.doc_id, j, tkn, n_toks,
+        |         NOT EXISTS (SELECT 1 FROM d WHERE d.doc_id = tk.doc_id
+        |                     AND d.s BETWEEN j - 7 AND j) AS keep
+        |  FROM tk)
+        |SELECT doc_id,
+        |       CAST(MAX(n_toks) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped_tokens,
+        |       md5(COALESCE(string_agg(CASE WHEN keep THEN tkn END, ' ' ORDER BY j), ''))
+        |         AS clean_md5
+        |FROM kept GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // same window/coverage replay as exact_substr_rewrite, but the drop
+    // predicate is membership in the test slice's DISTINCT window-hash
+    // set (no keeper: the test set retains its copy by definition)
+    "decontaminate_scrub" ->
+      """WITH te AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+        |pl AS (
+        |  SELECT doc_id + 200000000 AS doc_id,
+        |         'pfx' || CAST(doc_id AS VARCHAR) || ' ' ||
+        |         array_to_string((regexp_split_to_array(trim(text), '\s+'))[3:14], ' ') ||
+        |         ' sfx' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM te WHERE doc_id % 21 = 0),
+        |tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+        |       UNION ALL SELECT doc_id, text FROM pl),
+        |tt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM tr),
+        |tew AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM te),
+        |tews AS (SELECT UNNEST(range(0, len(toks) - 7)) AS s, toks
+        |         FROM tew WHERE len(toks) >= 8),
+        |teh AS (SELECT DISTINCT md5(array_to_string(toks[s+1 : s+8], ' ')) AS h
+        |        FROM tews),
+        |w AS (SELECT doc_id, UNNEST(range(0, len(toks) - 7)) AS s, toks
+        |      FROM tt WHERE len(toks) >= 8),
+        |d AS (SELECT doc_id, s FROM w
+        |      WHERE md5(array_to_string(toks[s+1 : s+8], ' ')) IN (SELECT h FROM teh)),
+        |tok AS (SELECT doc_id, UNNEST(range(0, len(toks))) AS j, toks FROM tt),
         |tk AS (SELECT doc_id, j, toks[j+1] AS tkn, len(toks) AS n_toks FROM tok),
         |kept AS (
         |  SELECT tk.doc_id, j, tkn, n_toks,

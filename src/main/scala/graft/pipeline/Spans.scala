@@ -273,9 +273,78 @@ object Spans {
       .groupBy($"doc_id")
       .agg(sort_array(collect_list($"pos")).as("drop_starts"))
 
-    // disjoint covered intervals from the sorted starts: window at s
-    // covers [s, s+n-1]; consecutive starts closer than n merge into one
-    // maximal-run interval
+    rebuildWithoutCoveredTokens(base, drops, n)
+  }
+
+  /**
+   * Span-level test-set decontamination: drop from every TRAINING
+   * document exactly the token runs it shares (as >= `n`-token
+   * substrings, at any alignment) with the TEST/held-out corpus, keeping
+   * the rest of the document. The surgical sibling of
+   * [[graft.pipeline.Dedup.contamination]]'s doc-level removal: where
+   * that tier discards a 10k-token document over one leaked benchmark
+   * passage, this one excises the passage — the hygiene/yield trade
+   * large pipelines actually want for long documents.
+   *
+   * Same window device as [[dropDuplicatedSubstrings]], different
+   * predicate: a train token is dropped iff covered by a stride-1
+   * n-token window whose hash occurs ANYWHERE in the test corpus (no
+   * keeper — the test set keeps its copy by definition, so every
+   * colliding train window drops). Removal is token-exact on maximal
+   * shared runs, by the same boundary argument.
+   *
+   * Output per TRAIN doc: (doc_id, n_tokens, n_dropped_tokens,
+   * clean_text) — every train doc appears; test docs are not output.
+   *
+   * Scale shape (100 TB train corpus): the train side is scanned once
+   * and its windows never self-join; the test side (an eval benchmark —
+   * tiny by construction) reduces to DISTINCT window hashes, which AQE
+   * broadcasts into the semi join, making the whole match map-side. The
+   * drop lists and rebuild join are identical to
+   * [[dropDuplicatedSubstrings]] (duplication-sized, corpus re-read but
+   * never shuffled).
+   */
+  def scrubSharedSubstrings(
+      train: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 2, s"window width n must be >= 2, got $n")
+    val spark = train.sparkSession
+    import spark.implicits._
+
+    def windows(df: DataFrame) = df
+      .select(idAsLong(df, idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size($"toks") >= n)
+      .select($"doc_id",
+        transform(sequence(lit(0), size($"toks") - n),
+          st => struct(st.as("pos"),
+            md5(concat_ws(" ", slice($"toks", st + 1, lit(n)))).as("h"))).as("sp"))
+      .select($"doc_id", explode($"sp").as("s"))
+      .select($"doc_id", $"s.pos".as("pos"), $"s.h".as("h"))
+
+    val base = train.select(idAsLong(train, idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    val testHashes = windows(test).select($"h").distinct()
+    val drops = windows(train)
+      .join(testHashes, Seq("h"), "left_semi")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list($"pos")).as("drop_starts"))
+
+    rebuildWithoutCoveredTokens(base, drops, n)
+  }
+
+  /** Shared rebuild: merge sorted window starts into disjoint covered
+    * intervals (window at s covers [s, s+n-1]; starts closer than n fuse
+    * into one maximal-run interval — a fully-covered doc costs O(L) with
+    * one interval, not O(L²) against L raw starts), then keep exactly the
+    * uncovered tokens. */
+  private def rebuildWithoutCoveredTokens(
+      base: DataFrame, drops: DataFrame, n: Int): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
     val emptyIvs = array().cast("array<struct<s:int,e:int>>")
     val merged = aggregate(
       coalesce($"drop_starts", array().cast("array<int>")),

@@ -252,6 +252,86 @@ class ScoringSpec extends AnyFunSuite {
       Spans.dropDuplicatedSubstrings(docs.toDF("doc_id", "text"), "doc_id", "text", 1))
   }
 
+  /** Reference span scrub: train token dropped iff covered by a stride-1
+    * n-window whose text occurs anywhere in the test corpus. */
+  private def refScrub(
+      train: Seq[(Long, String)], test: Seq[(Long, String)], n: Int)
+      : Map[Long, (Long, Long, String)] = {
+    val testWins = test.flatMap { case (_, t) =>
+      val w = toks(t)
+      if (w.length < n) Nil
+      else (0 to w.length - n).map(s => w.slice(s, s + n).mkString(" "))
+    }.toSet
+    train.map { case (id, t) =>
+      val w = toks(t)
+      val starts =
+        if (w.length < n) Nil
+        else (0 to w.length - n).filter(s =>
+          testWins(w.slice(s, s + n).mkString(" ")))
+      val kept = w.zipWithIndex.collect {
+        case (tk, j) if !starts.exists(s => s <= j && j <= s + n - 1) => tk
+      }
+      id -> ((w.size.toLong, (w.size - kept.size).toLong, kept.mkString(" ")))
+    }.toMap
+  }
+
+  private def runScrub(
+      train: Seq[(Long, String)], test: Seq[(Long, String)], n: Int) =
+    Spans.scrubSharedSubstrings(train.toDF("doc_id", "text"),
+        test.toDF("doc_id", "text"), "doc_id", "text", n)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+
+  test("scrubSharedSubstrings excises exactly the shared runs, any alignment") {
+    val leak = (1 to 10).map(i => s"L$i").mkString(" ")
+    val test = Seq(100L -> s"intro $leak outro")
+    val train = Seq(
+      1L -> s"a1 a2 $leak z1",       // leak at offset 2
+      2L -> s"$leak tail",           // leak at offset 0
+      3L -> "clean c1 c2 c3 c4 c5",  // untouched
+      4L -> "short")                 // below window width
+    val got = runScrub(train, test, 4)
+    assert(got === refScrub(train, test, 4))
+    assert(got(1L) === ((13L, 10L, "a1 a2 z1")), "excise exactly the run")
+    assert(got(2L) === ((11L, 10L, "tail")))
+    assert(got(3L)._2 === 0L, "clean docs stay whole")
+    assert(!got.contains(100L), "test docs are not output")
+    // duplicates WITHIN train (no test collision) must NOT be scrubbed —
+    // that's dropDuplicatedSubstrings' job, not decontamination's
+    val dupTrain = Seq(1L -> "d1 d2 d3 d4 d5", 2L -> "d1 d2 d3 d4 d5")
+    assert(runScrub(dupTrain, test, 4).values.forall(_._2 == 0L),
+      "train-internal duplication is not contamination")
+  }
+
+  test("scrubSharedSubstrings == reference on a random corpus, stable under repartitioning") {
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("u", "v", "w", "x", "y", "z")
+    val bench = (1 to 9).map(i => s"B$i")
+    val test = (1000L until 1005L).map { id =>
+      id -> (Seq.fill(4)(vocab(rnd.nextInt(vocab.size))) ++ bench ++
+        Seq.fill(4)(vocab(rnd.nextInt(vocab.size)))).mkString(" ")
+    }
+    val train = (0L until 50L).map { id =>
+      val base = Seq.fill(6 + rnd.nextInt(18))(vocab(rnd.nextInt(vocab.size)))
+      val t =
+        if (id % 4 == 0) {
+          val at = rnd.nextInt(base.length + 1)
+          (base.take(at) ++ bench ++ base.drop(at)).mkString(" ")
+        } else base.mkString(" ")
+      id -> t
+    }
+    assert(runScrub(train, test, 6) === refScrub(train, test, 6))
+    val again = Spans.scrubSharedSubstrings(
+        train.toDF("doc_id", "text").repartition(7),
+        test.toDF("doc_id", "text").repartition(3), "doc_id", "text", 6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(again === refScrub(train, test, 6))
+    intercept[IllegalArgumentException](
+      Spans.scrubSharedSubstrings(train.toDF("doc_id", "text"),
+        test.toDF("doc_id", "text"), "doc_id", "text", 1))
+  }
+
   // --- Dsir ---------------------------------------------------------------
 
   /** Reference importance weights, plain collections. */
