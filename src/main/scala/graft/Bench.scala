@@ -185,6 +185,32 @@ object Bench {
       graft.pipeline.Sampling.shuffleOrder(
         scaledDocs(spark, dir, c).select(col("doc_id")), "doc_id", 64)
         .filter(pmod(col("pos"), lit(97)) === 0)),
+    // fixed 20-query probe against a compressed index growing 1x -> 10x,
+    // models FROZEN on the x1 corpus (the production pattern — train
+    // once, reuse; lazy so the one-time driver-side training lands in
+    // the x1 anchor's first rep, which min-of-2 discards). The slope is
+    // the encode scan + the probed cells' ADC scan; rerank stays
+    // shortlist-sized at every scale
+    ("g_ann_ivfpq", Seq(1, 4, 10), {
+      lazy val base = scaledEmb(spark, dir, 1)
+      lazy val ivf = graft.pipeline.IVF.train(base, "vec_id", "embedding", k = 16)
+      lazy val pq = graft.pipeline.Pq.train(base, "vec_id", "embedding", m = 16, ks = 16)
+      (c: Int) =>
+        graft.pipeline.Pq.topK(scaledEmb(spark, dir, c),
+          base.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10,
+          pq, ivf, nprobe = 8, rerank = 50)
+    }),
+    // fixed eval set (the x1 %7 slice) against a train corpus growing
+    // 1x -> 10x: the slope is the train side's stride-1 window generate +
+    // semi join against the benchmark-sized broadcast hash set; the same
+    // load-bearing agg as g_exact_substr keeps the rebuild un-pruned
+    ("g_decon_scrub", Seq(1, 4, 10), (c: Int) =>
+      graft.pipeline.Spans.scrubSharedSubstrings(
+        scaledDocs(spark, dir, c),
+        scaledDocs(spark, dir, 1).filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", n = 8)
+        .agg(sum(length(col("clean_text"))).as("total_chars"),
+          sum(col("n_dropped_tokens")).as("total_dropped"))),
     ("g_bloom_dedup", Seq(1, 4, 10), (c: Int) => {
       val batch = scaledDocs(spark, dir, 1).select(
         (col("doc_id") + lit(100000000L)).as("doc_id"), col("text"))
