@@ -197,6 +197,87 @@ object Pq {
       encode(col(vecCol), pq).as("codes"))
 
   /**
+   * Persist the compressed index PARTITIONED by IVF cell: the `cell=`
+   * directory layout turns a probe's cell list into parquet partition
+   * pruning, so a query batch reads O(nprobe/k) of the index bytes —
+   * never the corpus. At 100 TB this is the difference between a probe
+   * that touches a few hundred files and one that scans the index. Codes
+   * are small ints, so parquet dictionary/byte encoding keeps each row
+   * at ~M bytes on disk.
+   */
+  def saveIndex(
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      pq: Model,
+      ivf: IVF.Model,
+      path: String): Unit =
+    index(candidates, idCol, vecCol, pq, ivf)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /**
+   * Probe a persisted index: the query batch's probed-cell set (bounded
+   * by the quantizer's k — driver-side data by construction) becomes an
+   * `isin` partition filter on the `cell=` layout, then the same
+   * broadcast-LUT ADC scan and bounded-heap top-k as [[topK]]. Pass
+   * `rerankWith` (the raw-vector table) + `rerank` to re-score the ADC
+   * shortlist exactly — the vector table is only ever joined against
+   * shortlist ids, never scanned.
+   */
+  def searchIndex(
+      path: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      pq: Model,
+      ivf: IVF.Model,
+      nprobe: Int = 4,
+      rerank: Int = 0,
+      rerankWith: Option[DataFrame] = None): DataFrame = {
+    require(rerank == 0 || rerank >= k,
+      s"rerank shortlist ($rerank) must be 0 (off) or >= k ($k)")
+    require((rerank == 0) == rerankWith.isEmpty,
+      "rerank and rerankWith must be set together")
+    val spark = queries.sparkSession
+    val touched = queries
+      .select(explode(IVF.cells(col(vecCol), ivf, nprobe)).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val idx = spark.read.parquet(path).filter(col("cell").isin(touched: _*))
+    val qs = queries.select(
+      col(idCol).as("query_id"),
+      lut(col(vecCol), pq).as("q_lut"),
+      explode(IVF.cells(col(vecCol), ivf, nprobe)).as("cell"))
+    val shortlistK = if (rerank > 0) rerank else k
+    val scored = idx
+      .join(broadcast(qs), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        adc(col("codes"), col("q_lut")).as("sim"))
+      .groupBy("query_id")
+      .agg(Similarity.topkByScore(col("cand_id"), col("sim"), shortlistK).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("r.id").as("neighbor_id"))
+    rerankWith match {
+      case None => scored
+      case Some(vecs) =>
+        val cand = vecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("cand_vec"))
+        val qvec = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+        scored.select("query_id", "neighbor_id")
+          .join(cand, Seq("neighbor_id"))
+          .join(broadcast(qvec), Seq("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            Similarity.cosineSim(col("cand_vec"), col("query_vec")).as("sim"))
+          .groupBy("query_id")
+          .agg(Similarity.topkByScore(col("neighbor_id"), col("sim"), k).as("top"))
+          .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "r")))
+          .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+            col("r.id").as("neighbor_id"))
+    }
+  }
+
+  /**
    * IVF-PQ top-k: probe `nprobe` cells, ADC-score every candidate code
    * in a probed cell, bounded-heap top-k per query. With `rerank > k`,
    * the ADC shortlist of that size is re-scored exactly against the raw
