@@ -1142,6 +1142,19 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // C4's term-blocklist device (Raffel et al. 2020 §2.2) generalized
+    // to phrases: per-doc hit counts against a curated list, matched
+    // case-insensitively on word boundaries. The list mixes a unigram, a
+    // two-word phrase, a punctuated/cased spelling that only matches
+    // because of normalization, and a never-occurring term
+    "term_blocklist" -> ((spark, dir) => {
+      import spark.implicits._
+      val terms = Seq("dup", "Slow Join", "(vector)", "zeppelin").toDF("term")
+      graft.pipeline.Quality.blocklistHits(
+        tbl(spark, dir, "documents"), "doc_id", "text", terms)
+        .orderBy($"doc_id")
+    }),
+
     // CCNet-style line-level boilerplate dedup (arXiv:1911.00359): the
     // corpus has no newline structure, so pseudo-lines are fixed 8-token
     // windows; a line occurring in >1 distinct docs is boilerplate. The
@@ -2573,6 +2586,35 @@ object SparkEntry {
     // every rule is exact integer arithmetic (cross-multiplied rational
     // thresholds), so the flags replay bit-identically; the stop list is
     // generated from the same QualityProbeWords constant as the plan
+    // the blocklist spelled POST-normalization (the engine normalizes the
+    // raw 'Slow Join' / '(vector)' spellings with the same regex pair the
+    // token side uses); overlapping occurrences each count
+    "term_blocklist" ->
+      """WITH bl AS (SELECT UNNEST(['dup', 'slow join', 'vector', 'zeppelin']) AS term),
+        |tk AS (
+        |  SELECT doc_id,
+        |         list_filter(
+        |           list_transform(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |             t -> regexp_replace(regexp_replace(t, '^[^a-z0-9]+', ''),
+        |                                 '[^a-z0-9]+$', '')),
+        |           t -> t <> '') AS toks
+        |  FROM documents),
+        |u1 AS (SELECT doc_id, UNNEST(toks) AS g FROM tk),
+        |b2 AS (SELECT doc_id, toks, UNNEST(range(0, len(toks) - 1)) AS i
+        |       FROM tk WHERE len(toks) >= 2),
+        |u2 AS (SELECT doc_id, array_to_string(toks[i+1 : i+2], ' ') AS g FROM b2),
+        |h AS (SELECT doc_id, g
+        |      FROM (SELECT * FROM u1 UNION ALL SELECT * FROM u2)
+        |      WHERE g IN (SELECT term FROM bl)),
+        |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |              CAST(COUNT(DISTINCT g) AS BIGINT) AS n_terms
+        |       FROM h GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(ag.n_hits, 0) AS BIGINT) AS n_hits,
+        |       CAST(COALESCE(ag.n_terms, 0) AS BIGINT) AS n_terms,
+        |       ag.n_hits IS NULL AS kept
+        |FROM documents d LEFT JOIN ag USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     "quality_filter" ->
       s"""WITH t AS (
         |  SELECT doc_id, text,

@@ -118,4 +118,90 @@ object Quality {
       .select(col(idCol).as("__graft_quality_id"))
     docs.join(keep, docs(idCol) === col("__graft_quality_id"), "left_semi")
   }
+
+  // --- Term-blocklist filtering (the C4 device) ----------------------------
+
+  /** Word-boundary normalization shared by both sides of the blocklist
+    * match: lowercase, then strip leading/trailing non-alphanumerics from
+    * each token — so "Bad," and "(bad)" match the listed term "bad".
+    * Spelled with the exact regex pair the DuckDB oracle replays. */
+  private def normTokens(text: Column): Column =
+    filter(
+      transform(TextAnalysis.tokens(lower(text)), t =>
+        regexp_replace(regexp_replace(t, "^[^a-z0-9]+", ""), "[^a-z0-9]+$", "")),
+      t => t =!= "")
+
+  /**
+   * Per-document hits against a term blocklist — the C4 curation device
+   * (Raffel et al. 2020 §2.2: drop any page containing a word from a
+   * public blocklist), generalized to multi-word phrases. Matching is
+   * case-insensitive on word boundaries ([[normTokens]]): a phrase hits
+   * when its words appear as CONSECUTIVE normalized tokens. Overlapping
+   * occurrences each count.
+   *
+   * Output: one row per input doc — (id, n_hits, n_terms, kept) with
+   * `kept = n_hits == 0`.
+   *
+   * Scale shape: the corpus is scanned once and exploded to its
+   * normalized n-grams only for the n values actually PRESENT in the
+   * blocklist (collected driver-side — the list is human-curated, tiny
+   * by construction, and AQE broadcasts it into the hash join); hits
+   * reduce by doc id. Nothing here is corpus²; the blocklist side never
+   * shuffles the corpus.
+   */
+  def blocklistHits(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: DataFrame,
+      termCol: String = "term"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val normTerms = terms
+      .select(array_join(normTokens(col(termCol)), " ").as("__term"))
+      .filter($"__term" =!= "")
+      .distinct()
+    val ns = normTerms
+      .select(size(split($"__term", " ")).as("n")).distinct()
+      .as[Int].collect().sorted
+    require(ns.nonEmpty, "blocklist has no usable terms after normalization")
+    require(ns.last <= 8,
+      s"blocklist phrases longer than 8 words (got ${ns.last}) — not a curated term list")
+
+    val toks = docs.select(col(idCol).as("__doc_id"), normTokens(col(textCol)).as("__toks"))
+    val grams = ns.map { n =>
+      toks
+        .filter(size($"__toks") >= n)
+        .select($"__doc_id", explode(
+          transform(sequence(lit(0), size($"__toks") - n),
+            i => array_join(slice($"__toks", i + 1, lit(n)), " "))).as("__term"))
+    }.reduce(_.unionByName(_))
+
+    val hits = grams
+      .join(normTerms, Seq("__term"))
+      .groupBy($"__doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct($"__term").as("n_terms"))
+
+    docs.select(col(idCol).as("__doc_id"))
+      .join(hits, Seq("__doc_id"), "left")
+      .select($"__doc_id".as(idCol),
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        coalesce($"n_terms", lit(0L)).as("n_terms"),
+        ($"n_hits".isNull).as("kept"))
+  }
+
+  /** The filter composition: input rows with NO blocklist hit, via a
+    * keyed anti join against the (hit-doc-sized) flag list. */
+  def blocklistFilter(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: DataFrame,
+      termCol: String = "term"): DataFrame = {
+    val flagged = blocklistHits(docs, idCol, textCol, terms, termCol)
+      .filter(!col("kept"))
+      .select(col(idCol).as("__graft_blocked_id"))
+    docs.join(flagged, docs(idCol) === col("__graft_blocked_id"), "left_anti")
+  }
 }

@@ -1074,4 +1074,66 @@ class CurationSpec extends AnyFunSuite {
       .select($"id", $"w", $"bin").as[(Long, Long, Long)].collect().toSet
     assert(again === readBack)
   }
+
+  // --- term blocklist (the C4 device) --------------------------------------
+
+  private def hits(docs: Seq[(Long, String)], terms: Seq[String]) =
+    graft.pipeline.Quality.blocklistHits(
+        docs.toDF("doc_id", "text"), "doc_id", "text", terms.toDF("term"))
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+
+  test("blocklistHits: word-boundary, case-insensitive, phrase, overlap semantics") {
+    val docs = Seq(
+      1L -> "a Bad, day with (bad) apples",      // "Bad," and "(bad)" both hit via normalization
+      2L -> "badly worded but never bad-free",   // substrings must NOT hit ("badly", "bad-free" -> badfree? no: strip only edges -> "bad-free" keeps inner hyphen)
+      3L -> "pretty bad weather pretty bad mood", // phrase "pretty bad" twice + unigram twice
+      4L -> "totally clean text here",
+      5L -> "")
+    val got = hits(docs, Seq("BAD", "Pretty Bad"))
+    assert(got(1L) === ((1L, 2L, 1L, false)), "two normalized unigram hits")
+    assert(got(2L) === ((2L, 0L, 0L, true)),
+      "substring occurrences inside larger words must not match")
+    assert(got(3L) === ((3L, 4L, 2L, false)),
+      "phrase and its inner unigram each count, per occurrence")
+    assert(got(4L) === ((4L, 0L, 0L, true)))
+    assert(got(5L) === ((5L, 0L, 0L, true)), "empty docs survive with zero hits")
+
+    val kept = graft.pipeline.Quality.blocklistFilter(
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        Seq("BAD", "Pretty Bad").toDF("term"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 4L, 5L))
+  }
+
+  test("blocklistHits matches a plain-Scala reference on random corpora") {
+    val rnd = new Random(61)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "Epsilon", "zeta,")
+    val docs = (0L until 80L).map { id =>
+      id -> Seq.fill(3 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val terms = Seq("epsilon", "beta gamma", "zeta")
+    def norm(s: String) = s.toLowerCase
+      .replaceAll("^[^a-z0-9]+", "").replaceAll("[^a-z0-9]+$", "")
+    val normTerms = terms.map(t => t.split("\\s+").map(norm).mkString(" "))
+    val want = docs.map { case (id, t) =>
+      val toks = t.toLowerCase.trim.split("\\s+").map(norm).filter(_.nonEmpty)
+      val grams = toks ++ toks.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      val hit = grams.filter(normTerms.contains)
+      id -> ((id, hit.length.toLong, hit.distinct.length.toLong, hit.isEmpty))
+    }.toMap
+    assert(hits(docs, terms) === want)
+  }
+
+  test("blocklist guards: empty list, absurd phrase length") {
+    val docs = Seq(1L -> "x").toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Quality.blocklistHits(
+        docs, "doc_id", "text", Seq(",,,").toDF("term")).collect()
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Quality.blocklistHits(
+        docs, "doc_id", "text",
+        Seq((1 to 9).map(i => s"w$i").mkString(" ")).toDF("term")).collect()
+    }
+  }
 }
