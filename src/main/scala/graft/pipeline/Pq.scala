@@ -240,10 +240,34 @@ object Pq {
     require((rerank == 0) == rerankWith.isEmpty,
       "rerank and rerankWith must be set together")
     val spark = queries.sparkSession
-    val touched = queries
+    val touched = probedCells(queries, vecCol, ivf, nprobe)
+    val idx = spark.read.parquet(path).filter(col("cell").isin(touched: _*))
+    searchOn(idx, queries, idCol, vecCol, k, pq, ivf, nprobe, rerank, rerankWith)
+  }
+
+  /** The probed-cell set of a query batch — bounded by the quantizer's k,
+    * so collecting it driver-side is free; it becomes the partition
+    * filter on `cell=`-layout indexes. */
+  def probedCells(
+      queries: DataFrame, vecCol: String, ivf: IVF.Model, nprobe: Int): Seq[Int] =
+    queries
       .select(explode(IVF.cells(col(vecCol), ivf, nprobe)).as("cell"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val idx = spark.read.parquet(path).filter(col("cell").isin(touched: _*))
+
+  /** ADC search over an already-materialized index DataFrame
+    * ((cand_id, cell, codes) — e.g. a partition-pruned read of a
+    * [[saveIndex]] layout, or a streaming store's committed union). */
+  private[graft] def searchOn(
+      idx: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      pq: Model,
+      ivf: IVF.Model,
+      nprobe: Int,
+      rerank: Int,
+      rerankWith: Option[DataFrame]): DataFrame = {
     val qs = queries.select(
       col(idCol).as("query_id"),
       lut(col(vecCol), pq).as("q_lut"),

@@ -56,6 +56,14 @@ class PlanSpec extends AnyFunSuite {
       "ADC path must run on PQ codes via the native kernels")
   }
 
+  test("term_blocklist: corpus scanned once per gram width, list side broadcast, no cartesian") {
+    val p = plan("term_blocklist")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the blocklist match must stay a keyed hash join")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "the documents scan must prune to (doc_id, text)")
+  }
+
   test("dedup scans read only (doc_id, text)") {
     val p = plan("dedup_jaccard_pairs")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))

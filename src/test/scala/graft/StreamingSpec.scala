@@ -944,6 +944,102 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.find(_._1 === "https://site.io/s").get._3 === "clean fetch")
   }
 
+  // --- streaming PQ index maintenance --------------------------------------
+
+  test("streaming PQ index: batches append under markers, probe == batch IVF-PQ") {
+    import graft.pipeline.{IVF, Pq}
+    import graft.streaming.PqStreaming
+    val rnd = new scala.util.Random(71)
+    val all = (0 until 300).map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val allDf = all.toDF("vec_id", "embedding")
+    // models frozen on the first batch — the train-once contract
+    val b0 = all.filter(_._1 % 3 != 2).toDF("vec_id", "embedding")
+    val b1 = all.filter(_._1 % 3 === 2).toDF("vec_id", "embedding")
+    val ivf = IVF.train(b0, "vec_id", "embedding", k = 4, sampleSize = 300)
+    val pq = Pq.train(b0, "vec_id", "embedding", m = 4, ks = 8, sampleSize = 300)
+    val store = java.nio.file.Files.createTempDirectory("graft_pqidx").toString + "/s"
+
+    PqStreaming.appendBatch(b0, 0L, "vec_id", "embedding", pq, ivf, store)
+    PqStreaming.appendBatch(b1, 1L, "vec_id", "embedding", pq, ivf, store)
+    assert(PqStreaming.committedBatches(spark, store) === Seq(0L, 1L))
+
+    // committed index == the batch encode over the concatenated corpus
+    val stored = PqStreaming.committedIndex(spark, store)
+      .select($"cand_id", $"cell", $"codes")
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    val direct = Pq.index(allDf, "vec_id", "embedding", pq, ivf)
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(stored === direct)
+
+    // probe of the committed store == the in-memory plan over all vectors
+    val qs = allDf.filter($"vec_id" < 5)
+    val got = PqStreaming.searchCommitted(spark, store, qs, "vec_id", "embedding",
+        k = 5, pq, ivf, nprobe = 2, rerank = 20, rerankWith = Some(allDf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Pq.topK(allDf, qs, "vec_id", "embedding", k = 5, pq, ivf,
+        nprobe = 2, rerank = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+
+    // replay of a committed batch is a no-op (no duplicate rows)
+    PqStreaming.appendBatch(b0, 0L, "vec_id", "embedding", pq, ivf, store)
+    assert(PqStreaming.committedIndex(spark, store).count() === all.size.toLong)
+  }
+
+  test("streaming PQ index: orphan batch dir is invisible until its replay commits") {
+    import graft.pipeline.{IVF, Pq}
+    import graft.streaming.PqStreaming
+    val rnd = new scala.util.Random(73)
+    val rows = (0 until 100).map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val ivf = IVF.train(df, "vec_id", "embedding", k = 4, sampleSize = 100)
+    val pq = Pq.train(df, "vec_id", "embedding", m = 4, ks = 8, sampleSize = 100)
+    val store = java.nio.file.Files.createTempDirectory("graft_pqcrash").toString + "/s"
+
+    // crash between data write and marker: data exists, no commit
+    Pq.index(df, "vec_id", "embedding", pq, ivf)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$store/data/b=0")
+    assert(PqStreaming.committedBatches(spark, store).isEmpty)
+    assert(PqStreaming.committedIndex(spark, store).isEmpty,
+      "an uncommitted batch directory must be invisible to readers")
+
+    // the replay overwrites the orphan and commits it exactly once
+    PqStreaming.appendBatch(df, 0L, "vec_id", "embedding", pq, ivf, store)
+    assert(PqStreaming.committedBatches(spark, store) === Seq(0L))
+    assert(PqStreaming.committedIndex(spark, store).count() === 100L)
+
+    // empty batches commit nothing and do not wedge the store
+    PqStreaming.appendBatch(df.filter($"vec_id" < 0), 1L,
+      "vec_id", "embedding", pq, ivf, store)
+    assert(PqStreaming.committedBatches(spark, store) === Seq(0L))
+  }
+
+  test("streaming PQ index: end-to-end through maintainIndex over a file stream") {
+    import graft.pipeline.{IVF, Pq}
+    import graft.streaming.PqStreaming
+    val rnd = new scala.util.Random(79)
+    val rows = (0 until 200).map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_pqin").toString
+    df.filter($"vec_id" % 2 === 0).coalesce(1).write.parquet(s"$inDir/f0.parquet")
+    df.filter($"vec_id" % 2 === 1).coalesce(1).write.parquet(s"$inDir/f1.parquet")
+    val ivf = IVF.train(df, "vec_id", "embedding", k = 4, sampleSize = 200)
+    val pq = Pq.train(df, "vec_id", "embedding", m = 4, ks = 8, sampleSize = 200)
+    val store = java.nio.file.Files.createTempDirectory("graft_pqe2e").toString + "/s"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pqck").toString
+
+    val stream = spark.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$inDir/*")
+    val q = PqStreaming.maintainIndex(stream, "vec_id", "embedding", pq, ivf, store, ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    val stored = PqStreaming.committedIndex(spark, store)
+      .select($"cand_id", $"cell", $"codes").as[(Long, Int, Seq[Int])].collect().toSet
+    val direct = Pq.index(df, "vec_id", "embedding", pq, ivf)
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(stored === direct, "streamed store must equal the batch encode")
+  }
+
   private implicit class JavaSetOps[A](s: java.util.Set[A]) {
     def asScala: scala.collection.mutable.Set[A] =
       scala.jdk.CollectionConverters.SetHasAsScala(s).asScala
