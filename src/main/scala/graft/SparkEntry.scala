@@ -832,6 +832,22 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // quality-aware cluster keeper: same LSH clusters as dedup_clusters,
+    // but each cluster keeps its LONGEST member (token count, ties to the
+    // smallest id) instead of the min-id one — the selection real
+    // pipelines run (a truncated copy must not displace the original
+    // just because it got the smaller id)
+    "dedup_best_keeper" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = tbl(spark, dir, "documents").select($"doc_id", $"text",
+        size(graft.pipeline.TextAnalysis.tokens($"text")).cast("long").as("n_tokens"))
+      val pairs = graft.pipeline.Dedup.minhashLshPairs(
+        docs, "doc_id", "text", threshold = 0.5)
+      graft.pipeline.Clustering.clusterKeepers(
+        docs, "doc_id", "n_tokens", pairs, "doc_a", "doc_b")
+        .orderBy($"doc_id")
+    }),
+
     // PII redaction over documents with synthetic PII appended (the corpus
     // itself is clean, so the query injects one of each category per doc —
     // mirrored exactly in the oracle); verified via match counts + md5 of
@@ -2868,6 +2884,45 @@ object SparkEntry {
         |SELECT CAST(u AS BIGINT) AS doc_id,
         |       CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    // dedup_clusters' exact-Jaccard closure + the keeper window
+    "dedup_best_keeper" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) >= 3
+        |              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |              ELSE [] END AS shingles
+        |  FROM t),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |shared AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS ns
+        |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |pairs AS (
+        |  SELECT a AS u, b AS v
+        |  FROM shared JOIN sz za ON shared.a = za.doc_id
+        |              JOIN sz zb ON shared.b = zb.doc_id
+        |  WHERE CAST(ns AS DOUBLE) / CAST(za.n + zb.n - ns AS DOUBLE) >= 0.5),
+        |sym AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+        |labels AS (
+        |  SELECT CAST(u AS BIGINT) AS doc_id,
+        |         CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY u),
+        |scored AS (
+        |  SELECT l.doc_id, l.cluster_id, CAST(len(t.toks) AS BIGINT) AS n_tokens
+        |  FROM labels l JOIN t ON l.doc_id = t.doc_id)
+        |SELECT doc_id, cluster_id, n_tokens,
+        |       ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |                          ORDER BY n_tokens DESC, doc_id) = 1 AS kept
+        |FROM scored ORDER BY doc_id""".stripMargin,
 
     "pii_redact" ->
       """WITH t AS (

@@ -262,4 +262,57 @@ object Clustering {
       .select(col("doc_id").as("__graft_drop_id"))
     docs.join(drop, docs(idCol) === col("__graft_drop_id"), "left_anti")
   }
+
+  /**
+   * Quality-aware keeper flags: for every CLUSTERED document, its
+   * cluster label, score, and whether it is the cluster's best member —
+   * highest `scoreCol`, ties to the smallest id, so the choice is total
+   * and deterministic. This is the selection pipelines actually want
+   * from near-dup clusters: [[canonicalize]]'s min-id keeper throws away
+   * a long original in favor of a truncated copy whenever the copy got
+   * the smaller id; keeping the best-scoring member (longest, highest
+   * quality score, newest snapshot...) preserves the most valuable
+   * representative.
+   *
+   * Scale shape: one keyed join of the (duplication-sized) label table
+   * against the docs' score projection, then ONE hash-partitioned window
+   * per cluster — partitions are cluster-sized, never corpus-sized, and
+   * there is no global sort.
+   */
+  def clusterKeepers(
+      docs: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val labels = connectedComponents(pairs, aCol, bCol)
+    val scored = labels.join(
+      docs.select(col(idCol).as("doc_id"), col(scoreCol).as("__score")),
+      Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("__score").desc, col("doc_id"))
+    scored
+      .withColumn("kept", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"),
+        col("__score").as(scoreCol), col("kept"))
+  }
+
+  /** The keep-list composition over [[clusterKeepers]]: drop every
+    * clustered document that is not its cluster's best-scoring member;
+    * docs not mentioned in `pairs` pass through. The drop list is
+    * duplication-sized, so the anti join broadcasts. */
+  def canonicalizeBy(
+      docs: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val drop = clusterKeepers(docs, idCol, scoreCol, pairs, aCol, bCol)
+      .filter(!col("kept"))
+      .select(col("doc_id").as("__graft_drop_id"))
+    docs.join(drop, docs(idCol) === col("__graft_drop_id"), "left_anti")
+  }
 }

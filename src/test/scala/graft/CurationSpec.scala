@@ -1075,6 +1075,44 @@ class CurationSpec extends AnyFunSuite {
     assert(again === readBack)
   }
 
+  // --- quality-aware cluster keepers ---------------------------------------
+
+  test("clusterKeepers keeps the best-scoring member; canonicalizeBy composes the drop") {
+    // clusters {1,2,3} and {10,11}; 20 is unclustered
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val docs = Seq(
+      (1L, 5L), (2L, 9L), (3L, 9L),   // 2 and 3 tie on score -> 2 wins by id
+      (10L, 1L), (11L, 7L),           // 11 wins on score despite the larger id
+      (20L, 100L)).toDF("doc_id", "score")
+    val flags = Clustering.clusterKeepers(docs, "doc_id", "score", pairs, "a", "b")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(flags(2L)._4 && !flags(1L)._4 && !flags(3L)._4,
+      "score ties must break to the smallest id")
+    assert(flags(11L)._4 && !flags(10L)._4,
+      "the best score must win even with the larger id")
+    assert(!flags.contains(20L), "unclustered docs carry no flag row")
+
+    val kept = Clustering.canonicalizeBy(docs, "doc_id", "score", pairs, "a", "b")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 11L, 20L),
+      "canonicalizeBy keeps best members and passes unclustered docs through")
+    // contrast with the min-id keeper: same clusters, different survivors
+    val minKept = Clustering.canonicalize(docs, "doc_id", pairs, "a", "b")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(minKept === Set(1L, 10L, 20L))
+  }
+
+  test("clusterKeepers is stable under repartitioning") {
+    val rnd = new Random(67)
+    val pairs = (0 until 60).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2).toDF("a", "b")
+    val docs = (0L until 40L).map(i => (i, rnd.nextInt(100).toLong)).toDF("doc_id", "score")
+    def run(d: org.apache.spark.sql.DataFrame, p: org.apache.spark.sql.DataFrame) =
+      Clustering.clusterKeepers(d, "doc_id", "score", p, "a", "b")
+        .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(run(docs, pairs) === run(docs.repartition(7), pairs.repartition(5)))
+  }
+
   // --- term blocklist (the C4 device) --------------------------------------
 
   private def hits(docs: Seq[(Long, String)], terms: Seq[String]) =
