@@ -191,6 +191,39 @@ object Quality {
         ($"n_hits".isNull).as("kept"))
   }
 
+  /**
+   * The pure-projection spelling of the blocklist hit count for a FIXED
+   * literal list — no join, no aggregation, so it runs inside Structured
+   * Streaming projections, pushed filters, and scoreColumn-style gates.
+   * Same normalization and phrase semantics as [[blocklistHits]]
+   * (equality is pinned by CurationSpec); use the DataFrame tier when
+   * the list lives in a table or grows beyond a comfortable literal.
+   */
+  def blocklistHitCount(text: Column, terms: Seq[String]): Column = {
+    def normTerm(t: String): String = t.toLowerCase.trim.split("\\s+")
+      .map(_.replaceAll("^[^a-z0-9]+", "").replaceAll("[^a-z0-9]+$", ""))
+      .filter(_.nonEmpty).mkString(" ")
+    val normed = terms.map(normTerm).filter(_.nonEmpty).distinct
+    require(normed.nonEmpty, "blocklist has no usable terms after normalization")
+    val byWidth = normed.groupBy(_.count(_ == ' ') + 1)
+    require(byWidth.keys.max <= 8,
+      s"blocklist phrases longer than 8 words (got ${byWidth.keys.max}) — not a curated term list")
+    // bindOnce: the tokenize+normalize subtree evaluates ONCE per row,
+    // not once per width (Spark HOF lambdas re-evaluate unbound subtrees)
+    TextAnalysis.bindOnce(normTokens(text)) { toks =>
+      byWidth.toSeq.sortBy(_._1).map { case (n, ts) =>
+        val listed = typedlit(ts)
+        val grams =
+          if (n == 1) toks
+          else when(size(toks) >= n,
+            transform(sequence(lit(0), size(toks) - n),
+              i => array_join(slice(toks, i + 1, lit(n)), " ")))
+            .otherwise(array().cast("array<string>"))
+        size(filter(grams, g => array_contains(listed, g))).cast("long")
+      }.reduce(_ + _)
+    }
+  }
+
   /** The filter composition: input rows with NO blocklist hit, via a
     * keyed anti join against the (hit-doc-sized) flag list. */
   def blocklistFilter(

@@ -1162,6 +1162,25 @@ class CurationSpec extends AnyFunSuite {
     assert(hits(docs, terms) === want)
   }
 
+  test("blocklistHitCount projection equals the join tier row for row") {
+    val rnd = new Random(83)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "Epsilon", "zeta,")
+    val docs = ((0L until 60L).map { id =>
+      id -> Seq.fill(1 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    } :+ (99L -> "")).toDF("doc_id", "text")
+    val terms = Seq("epsilon", "beta gamma", "ZETA", "never-present")
+    val fromJoin = graft.pipeline.Quality.blocklistHits(
+        docs, "doc_id", "text", terms.toDF("term"))
+      .select($"doc_id", $"n_hits").as[(Long, Long)].collect().toMap
+    val fromColumn = docs.select($"doc_id",
+        graft.pipeline.Quality.blocklistHitCount($"text", terms).as("n_hits"))
+      .as[(Long, Long)].collect().toMap
+    assert(fromColumn === fromJoin,
+      "the streaming-legal projection must equal the join tier")
+    intercept[IllegalArgumentException](
+      graft.pipeline.Quality.blocklistHitCount($"text", Seq(",,,")))
+  }
+
   test("blocklist guards: empty list, absurd phrase length") {
     val docs = Seq(1L -> "x").toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
