@@ -1381,6 +1381,50 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // RFC 6596 canonical-link extraction: planted <link rel=canonical>
+    // declarations in BOTH attribute orders (doc_id%3: rel-first /
+    // href-first / absent) — the page-author canonicalization signal the
+    // recrawl keep-latest chain consumes
+    "html_canonical" -> ((spark, dir) => {
+      import spark.implicits._
+      val link = when(pmod($"doc_id", lit(3)) === 0,
+          concat(lit("<link rel=\"canonical\" href=\"https://corpus.test/c/"),
+            $"doc_id", lit("\">")))
+        .when(pmod($"doc_id", lit(3)) === 1,
+          concat(lit("<link href='https://corpus.test/c/"), $"doc_id",
+            lit("' rel=canonical>")))
+        .otherwise(lit(""))
+      val html = concat(lit("<html><head><title>t</title>"), link,
+        lit("</head><body><p>"), regexp_replace($"text", "[&<]", " "),
+        lit("</p></body></html>"))
+      tbl(spark, dir, "documents")
+        .select($"doc_id", graft.pipeline.Urls.htmlCanonicalUrl(html).as("canonical"))
+        .select($"doc_id", $"canonical", ($"canonical" =!= "").as("has_canonical"))
+        .orderBy($"doc_id")
+    }),
+
+    // sitemaps.org <loc> extraction: one synthetic sitemap per host
+    // (8 hosts over the corpus; entries carry planted inner whitespace
+    // to exercise the trim), the URL-discovery channel Robots.sitemapsOf
+    // points the crawler at
+    "sitemap_locs" -> ((spark, dir) => {
+      import spark.implicits._
+      val pieces = tbl(spark, dir, "documents")
+        .select(pmod($"doc_id", lit(8)).as("host_id"),
+          struct($"doc_id",
+            concat(lit("<url><loc>\n https://h"), pmod($"doc_id", lit(8)),
+              lit(".test/p/"), $"doc_id", lit(" \n</loc></url>")).as("p")).as("s"))
+      pieces.groupBy($"host_id")
+        .agg(concat(lit("<urlset>"),
+          concat_ws("", transform(sort_array(collect_list($"s")),
+            x => x.getField("p"))), lit("</urlset>")).as("xml"))
+        .select($"host_id".cast("long").as("host_id"),
+          graft.pipeline.Urls.sitemapLocs($"xml").as("locs"))
+        .select($"host_id", size($"locs").cast("long").as("n_locs"),
+          md5(array_join($"locs", " ")).as("locs_md5"))
+        .orderBy($"host_id")
+    }),
+
     // WARC ingestion front door (ISO 28500, the Common Crawl container):
     // synthetic member-per-record .warc.gz and plain files are built ON
     // EXECUTORS from the corpus docs (8 files, half gzipped, request +
@@ -3262,6 +3306,52 @@ object SparkEntry {
         |       md5(h) AS text_md5
         |FROM $h2tFin ORDER BY doc_id""".stripMargin
     },
+
+    // same fixture + the same two RE2 extracts, leftmost-match in both
+    // engines; DuckDB regexp_extract is COALESCE-guarded for no-match
+    "html_canonical" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>t</title>' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |           THEN '<link rel="canonical" href="https://corpus.test/c/'
+        |                || CAST(doc_id AS VARCHAR) || '">'
+        |         WHEN doc_id % 3 = 1
+        |           THEN '<link href=''https://corpus.test/c/'
+        |                || CAST(doc_id AS VARCHAR) || ''' rel=canonical>'
+        |         ELSE '' END ||
+        |    '</head><body><p>' || regexp_replace(text, '[&<]', ' ', 'g') ||
+        |    '</p></body></html>' AS html
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id,
+        |    COALESCE(regexp_extract(html,
+        |      '(?is)<link[^>]*rel\s*=\s*["'']?canonical["'']?[^>]*href\s*=\s*["'']?([^"''>\s]+)', 1), '') AS r1,
+        |    COALESCE(regexp_extract(html,
+        |      '(?is)<link[^>]*href\s*=\s*["'']?([^"''>\s]+)["'']?[^>]*rel\s*=\s*["'']?canonical["'']?', 1), '') AS r2
+        |  FROM f)
+        |SELECT doc_id,
+        |       CASE WHEN r1 <> '' THEN r1 ELSE r2 END AS canonical,
+        |       (CASE WHEN r1 <> '' THEN r1 ELSE r2 END) <> '' AS has_canonical
+        |FROM x ORDER BY doc_id""".stripMargin,
+
+    "sitemap_locs" ->
+      """WITH p AS (
+        |  SELECT doc_id % 8 AS host_id, doc_id,
+        |         '<url><loc>' || chr(10) || ' https://h' || CAST(doc_id % 8 AS VARCHAR)
+        |         || '.test/p/' || CAST(doc_id AS VARCHAR) || ' ' || chr(10)
+        |         || '</loc></url>' AS piece
+        |  FROM documents),
+        |m AS (SELECT host_id,
+        |             '<urlset>' || string_agg(piece, '' ORDER BY doc_id) || '</urlset>' AS xml
+        |      FROM p GROUP BY 1),
+        |l AS (SELECT host_id,
+        |             regexp_extract_all(xml, '(?is)<loc>\s*([^<]*?)\s*</loc>', 1) AS locs
+        |      FROM m)
+        |SELECT CAST(host_id AS BIGINT) AS host_id,
+        |       CAST(len(locs) AS BIGINT) AS n_locs,
+        |       md5(array_to_string(locs, ' ')) AS locs_md5
+        |FROM l ORDER BY host_id""".stripMargin,
 
     // binary container parse: in-plan audit (planted-HTML equality,
     // gzip parity, corrupt/truncated handling), constant-boolean oracle

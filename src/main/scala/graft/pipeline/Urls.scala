@@ -341,4 +341,34 @@ object Urls {
         Seq(tmp), "left_anti")
       .drop(tmp)
   }
+
+  /**
+   * `<loc>` entries of a sitemap / sitemap-index XML body (sitemaps.org
+   * protocol — the URL-discovery channel `Robots.sitemapsOf` points the
+   * crawler at), inner whitespace trimmed, document order preserved.
+   * Lazy RE2-compatible pattern, so the DuckDB oracle replays it with
+   * the same spelling; a pure projection (one `regexp_extract_all`) that
+   * runs anywhere, including streaming fetch pipelines.
+   */
+  def sitemapLocs(xml: Column): Column =
+    regexp_extract_all(xml, lit("(?is)<loc>\\s*([^<]*?)\\s*</loc>"), lit(1))
+
+  /**
+   * The canonical-URL declaration of an HTML page — `<link
+   * rel="canonical" href=...>` (RFC 6596), the page-author counterpart
+   * of [[urlNormalize]]'s syntactic canonicalization and the input the
+   * recrawl keep-latest chain actually wants when a site serves one
+   * document under many URLs. Both attribute orders are handled
+   * (rel-then-href and href-then-rel); empty string when the page
+   * declares none. Case-insensitive, quote-style tolerant, first
+   * declaration wins (regexp_extract takes the leftmost match in both
+   * engines).
+   */
+  def htmlCanonicalUrl(html: Column): Column = {
+    val relFirst = regexp_extract(html,
+      "(?is)<link[^>]*rel\\s*=\\s*[\"']?canonical[\"']?[^>]*href\\s*=\\s*[\"']?([^\"'>\\s]+)", 1)
+    val hrefFirst = regexp_extract(html,
+      "(?is)<link[^>]*href\\s*=\\s*[\"']?([^\"'>\\s]+)[\"']?[^>]*rel\\s*=\\s*[\"']?canonical[\"']?", 1)
+    when(relFirst =!= "", relFirst).otherwise(hrefFirst)
+  }
 }

@@ -167,4 +167,40 @@ class UrlsSpec extends AnyFunSuite {
     assert(row.getString(1) === "example.co.uk")
     assert(row.getString(2) === "http://h.io/A?q=2")
   }
+
+  // --- canonical link + sitemap extraction ---------------------------------
+
+  private def canon(html: String): String =
+    Seq(html).toDF("h").select(Urls.htmlCanonicalUrl($"h")).as[String].head()
+
+  test("htmlCanonicalUrl: attribute orders, quote styles, absence, first-wins") {
+    assert(canon("""<head><link rel="canonical" href="https://a.io/x"></head>""")
+      === "https://a.io/x")
+    assert(canon("""<link href='https://a.io/y' rel=canonical>""") === "https://a.io/y")
+    assert(canon("""<LINK REL=CANONICAL HREF=https://a.io/z>""") === "https://a.io/z",
+      "case-insensitive, unquoted attributes")
+    assert(canon("""<link rel="stylesheet" href="https://a.io/css">""") === "",
+      "non-canonical links must not match")
+    assert(canon("<p>no links at all</p>") === "")
+    assert(canon(
+      """<link rel="canonical" href="https://a.io/first">
+        |<link rel="canonical" href="https://a.io/second">""".stripMargin)
+      === "https://a.io/first", "first declaration wins")
+    // a canonical link spanning a newline inside the tag
+    assert(canon("<link rel=\"canonical\"\n href=\"https://a.io/nl\">")
+      === "https://a.io/nl")
+  }
+
+  test("sitemapLocs: trim, order, multiline, empties") {
+    def locs(xml: String): Seq[String] =
+      Seq(xml).toDF("x").select(Urls.sitemapLocs($"x")).as[Seq[String]].head()
+    assert(locs("<urlset><url><loc> https://a.io/1 </loc></url>" +
+        "<url><loc>\nhttps://a.io/2\n</loc></url></urlset>")
+      === Seq("https://a.io/1", "https://a.io/2"))
+    assert(locs("<sitemapindex><sitemap><LOC>https://a.io/s.xml</LOC></sitemap></sitemapindex>")
+      === Seq("https://a.io/s.xml"), "tag match is case-insensitive")
+    assert(locs("<urlset></urlset>") === Seq.empty)
+    assert(locs("<urlset><url><loc></loc></url></urlset>") === Seq(""),
+      "an empty loc entry stays an (empty) entry, not a dropped one")
+  }
 }
