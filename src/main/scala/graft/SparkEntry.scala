@@ -1581,6 +1581,46 @@ object SparkEntry {
         .orderBy($"url_norm")
     }),
 
+    // recrawl keyed by the AUTHOR-declared canonical (RFC 6596,
+    // htmlCanonicalUrl's output): mirror-host fetches declaring an
+    // absolute canonical fuse with the main page's versions; a relative
+    // declaration is ignored (falls back to the fetch URL). Non-vacuous:
+    // without the override the mirror snapshots would be separate keys
+    "recrawl_canonical" -> ((spark, dir) => {
+      import spark.implicits._
+      import graft.pipeline.Recrawl
+      val snaps = tbl(spark, dir, "documents")
+        .select($"doc_id", explode(sequence(lit(0), pmod($"doc_id", lit(3)))).as("snap"))
+        .select($"doc_id", $"snap",
+          ($"doc_id" * 10 + $"snap").as("fetch_id"),
+          expr("1000 + snap").cast("long").as("fetch_ts"),
+          when(pmod($"snap", lit(2)) === 1,
+            concat(lit("https://m"), pmod($"doc_id", lit(50)),
+              lit(".example.com/mirror/"), $"doc_id", lit("?x=1")))
+            .otherwise(concat(lit("https://h"), pmod($"doc_id", lit(50)),
+              lit(".example.com/p/"), $"doc_id", lit("?x=1"))).as("url"),
+          when(pmod($"snap", lit(2)) === 1,
+            concat(lit("https://h"), pmod($"doc_id", lit(50)),
+              lit(".example.com/p/"), $"doc_id", lit("?x=1")))
+            .when(pmod($"doc_id", lit(5)) === 0,
+              concat(lit("/p/"), $"doc_id"))
+            .otherwise(lit("")).as("canonical"),
+          concat(lit("content-"), $"doc_id", lit("-v"),
+            expr("snap div (1 + doc_id % 2)")).as("content"))
+      val changes = Recrawl.changeLog(snaps, "url", "fetch_ts", "fetch_id",
+          "content", canonicalCol = Some("canonical"))
+        .groupBy($"url_norm")
+        .agg(sum(when($"status" === "changed", 1).otherwise(0))
+          .cast("long").as("n_changed"))
+      Recrawl.keepLatest(snaps, "url", "fetch_ts", "fetch_id",
+          canonicalCol = Some("canonical"))
+        .join(changes, Seq("url_norm"))
+        .select($"url_norm", $"fetch_id".as("latest_id"),
+          $"n_versions".cast("long").as("n_versions"), $"n_changed",
+          md5($"content").as("content_md5"))
+        .orderBy($"url_norm")
+    }),
+
     // the flagship sketch consuming the URL operators: top registered
     // domains per shard via topn_add_agg — URL-level corpus statistics
     // with bounded state, the reference operator on crawl metadata
@@ -3444,6 +3484,51 @@ object SparkEntry {
         |         'content-' || CAST(doc_id AS VARCHAR) || '-v' ||
         |           CAST(r // (1 + doc_id % 2) AS VARCHAR) AS content
         |  FROM (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS r FROM documents)),
+        |$uCtes,
+        |w1 AS (SELECT url_norm, fetch_id, content,
+        |         ROW_NUMBER() OVER (PARTITION BY url_norm
+        |                            ORDER BY fetch_ts DESC, fetch_id DESC) AS rn,
+        |         COUNT(*) OVER (PARTITION BY url_norm) AS n_versions,
+        |         ROW_NUMBER() OVER (PARTITION BY url_norm
+        |                            ORDER BY fetch_ts ASC, fetch_id ASC) AS rna,
+        |         lag(content) OVER (PARTITION BY url_norm
+        |                            ORDER BY fetch_ts ASC, fetch_id ASC) AS prev
+        |       FROM $uFin),
+        |ch AS (SELECT url_norm,
+        |         CAST(SUM(CASE WHEN rna > 1 AND prev IS DISTINCT FROM content
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+        |       FROM w1 GROUP BY 1)
+        |SELECT w1.url_norm AS url_norm, fetch_id AS latest_id,
+        |       CAST(n_versions AS BIGINT) AS n_versions, n_changed,
+        |       md5(content) AS content_md5
+        |FROM w1 JOIN ch USING (url_norm) WHERE rn = 1
+        |ORDER BY url_norm""".stripMargin
+    },
+
+    // same shape as recrawl_latest, but the url chain runs on the
+    // canonical-override key (absolute http(s) canonical wins, anything
+    // else falls back to the fetch URL)
+    "recrawl_canonical" -> {
+      val (uCtes, uFin) = graft.pipeline.Urls.urlSqlCtes("s", "keyu", "rcc")
+      s"""WITH s0 AS (
+        |  SELECT doc_id, r AS snap, doc_id * 10 + r AS fetch_id,
+        |         CAST(1000 + r AS BIGINT) AS fetch_ts,
+        |         CASE WHEN r % 2 = 1
+        |              THEN 'https://m' || CAST(doc_id % 50 AS VARCHAR)
+        |                   || '.example.com/mirror/' || CAST(doc_id AS VARCHAR) || '?x=1'
+        |              ELSE 'https://h' || CAST(doc_id % 50 AS VARCHAR)
+        |                   || '.example.com/p/' || CAST(doc_id AS VARCHAR) || '?x=1'
+        |         END AS url,
+        |         CASE WHEN r % 2 = 1
+        |              THEN 'https://h' || CAST(doc_id % 50 AS VARCHAR)
+        |                   || '.example.com/p/' || CAST(doc_id AS VARCHAR) || '?x=1'
+        |              WHEN doc_id % 5 = 0 THEN '/p/' || CAST(doc_id AS VARCHAR)
+        |              ELSE '' END AS canonical,
+        |         'content-' || CAST(doc_id AS VARCHAR) || '-v' ||
+        |           CAST(r // (1 + doc_id % 2) AS VARCHAR) AS content
+        |  FROM (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS r FROM documents)),
+        |s AS (SELECT *, CASE WHEN regexp_matches(lower(canonical), '^https?://')
+        |                     THEN canonical ELSE url END AS keyu FROM s0),
         |$uCtes,
         |w1 AS (SELECT url_norm, fetch_id, content,
         |         ROW_NUMBER() OVER (PARTITION BY url_norm

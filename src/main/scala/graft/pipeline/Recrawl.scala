@@ -39,12 +39,23 @@ import org.apache.spark.sql.functions._
 object Recrawl {
 
   private def keyed(df: DataFrame, urlCol: String, tsCol: String,
-      idCol: String): DataFrame = {
+      idCol: String, canonicalCol: Option[String] = None): DataFrame = {
     Seq(urlCol, tsCol, idCol).foreach(c =>
       require(df.columns.contains(c), s"missing column '$c'"))
     require(!df.columns.contains("url_norm"),
       "input already contains reserved column 'url_norm'")
-    df.withColumn("url_norm", Urls.urlNormalize(col(urlCol)))
+    val base = canonicalCol match {
+      case None => col(urlCol)
+      case Some(c) =>
+        require(df.columns.contains(c), s"missing column '$c'")
+        // author-declared canonical (RFC 6596, e.g. Urls.htmlCanonicalUrl)
+        // overrides the fetch URL as the version key, but ONLY when it is
+        // an absolute http(s) URL — a relative or junk declaration falls
+        // back to the fetch URL rather than fusing unrelated pages under
+        // a malformed key
+        when(lower(col(c)).rlike("^https?://"), col(c)).otherwise(col(urlCol))
+    }
+    df.withColumn("url_norm", Urls.urlNormalize(base))
   }
 
   /**
@@ -53,12 +64,12 @@ object Recrawl {
    * page had — the crawl-churn signal). One window, no join.
    */
   def keepLatest(df: DataFrame, urlCol: String, tsCol: String,
-      idCol: String): DataFrame = {
+      idCol: String, canonicalCol: Option[String] = None): DataFrame = {
     require(!df.columns.contains("n_versions"),
       "input already contains reserved column 'n_versions'")
     val w = Window.partitionBy("url_norm")
       .orderBy(col(tsCol).desc, col(idCol).desc)
-    keyed(df, urlCol, tsCol, idCol)
+    keyed(df, urlCol, tsCol, idCol, canonicalCol)
       .withColumn("__graft_rn", row_number().over(w))
       .withColumn("n_versions", count(lit(1)).over(Window.partitionBy("url_norm")))
       .filter(col("__graft_rn") === 1)
@@ -71,13 +82,14 @@ object Recrawl {
    * `status <> 'unchanged'` is the incremental re-processing slice.
    */
   def changeLog(df: DataFrame, urlCol: String, tsCol: String,
-      idCol: String, contentCol: String): DataFrame = {
+      idCol: String, contentCol: String,
+      canonicalCol: Option[String] = None): DataFrame = {
     require(df.columns.contains(contentCol), s"missing column '$contentCol'")
     require(!df.columns.contains("status"),
       "input already contains reserved column 'status'")
     val w = Window.partitionBy("url_norm")
       .orderBy(col(tsCol).asc, col(idCol).asc)
-    keyed(df, urlCol, tsCol, idCol)
+    keyed(df, urlCol, tsCol, idCol, canonicalCol)
       .withColumn("__graft_rn", row_number().over(w))
       .withColumn("__graft_prev", lag(col(contentCol), 1).over(w))
       // first-version test is positional (row_number), not prev-is-null,

@@ -80,4 +80,34 @@ class RecrawlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Recrawl.changeLog(df, "url", "ts", "id", "nope"))
   }
+
+  test("canonical override: absolute declaration fuses mirrors, relative/junk falls back") {
+    // main page fetched directly (id 1), via a mirror declaring the
+    // absolute canonical (id 2), via a mirror with a RELATIVE declaration
+    // (id 3 — must stay its own key), and an unrelated page (id 4)
+    val df = Seq(
+      (1L, 10L, "https://h.io/p?x=1", "", "v1"),
+      (2L, 20L, "https://m.io/mirror", "https://h.io/p?x=1", "v2"),
+      (3L, 30L, "https://m2.io/mirror", "/p", "v3"),
+      (4L, 40L, "https://other.io/q", "", "v4"))
+      .toDF("id", "ts", "url", "canonical", "content")
+    val kept = Recrawl.keepLatest(df, "url", "ts", "id", Some("canonical"))
+      .select($"url_norm", $"id", $"n_versions")
+      .as[(String, Long, Long)].collect().toSet
+    assert(kept === Set(
+      ("https://h.io/p?x=1", 2L, 2L),   // mirror fused in; newest (ts 20) wins
+      ("https://m2.io/mirror", 3L, 1L), // relative declaration ignored
+      ("https://other.io/q", 4L, 1L)))
+    // without the override the mirror is its own key — the fixture is
+    // non-vacuous
+    val plain = Recrawl.keepLatest(df, "url", "ts", "id")
+      .select($"url_norm").as[String].collect().toSet
+    assert(plain.size === 4)
+    // changeLog sees the fused history in ts order
+    val statuses = Recrawl.changeLog(df, "url", "ts", "id", "content", Some("canonical"))
+      .select($"id", $"status").as[(Long, String)].collect().toMap
+    assert(statuses === Map(1L -> "new", 2L -> "changed", 3L -> "new", 4L -> "new"))
+    intercept[IllegalArgumentException](
+      Recrawl.keepLatest(df, "url", "ts", "id", Some("nope")))
+  }
 }
