@@ -33,6 +33,12 @@ object SparkEntry {
     graft.expressions.FixedLog2.sqlCtes("dl", "rat", "x", Seq("f"))
   private val bmLogStages =
     graft.expressions.FixedLog2.sqlCtes("bl", "terms", "x", Seq("ti"))
+  // token_entropy: one chain per DISTINCT per-token count, one per
+  // distinct doc length — both joined back by value
+  private val entCountLogStages =
+    graft.expressions.FixedLog2.sqlCtes("ec", "ecv", "CAST(c AS DOUBLE)", Seq("c"))
+  private val entLenLogStages =
+    graft.expressions.FixedLog2.sqlCtes("en", "env", "CAST(n AS DOUBLE)", Seq("n"))
   private val ClsEtaNum = 1L
   private val ClsEtaDen = 256L
   // hashed_embedding dimensionality — shared with the generated oracle
@@ -872,6 +878,17 @@ object SparkEntry {
     }),
 
     // Gopher-style repetition/diversity quality signals per document
+    // token-distribution Shannon entropy in exact 1e-6 fixed-point bits:
+    // the distribution-shape quality signal (low entropy = templated
+    // text), every log2 the FixedLog2 recurrence, per-term floors before
+    // the order-independent integer sum
+    "token_entropy" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.pipeline.TextAnalysis.tokenEntropy(
+        tbl(spark, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
     "repetition_stats" -> ((spark, dir) => {
       import spark.implicits._
       graft.pipeline.TextAnalysis.repetitionStats(
@@ -3027,6 +3044,32 @@ object SparkEntry {
         |         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
         |         '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')) AS redacted_fp
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // H = log2(n) - (1/n) * sum c*log2(c): log chains over DISTINCT count
+    // and length values (joined back by value), per-term 1e-6 floors
+    // before the integer sum, numerator clamped at 0 before the division
+    "token_entropy" ->
+      s"""WITH tk AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        |  FROM documents),
+        |ct AS (SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+        |ecv AS (SELECT DISTINCT c FROM ct),
+        |${entCountLogStages._1},
+        |nt AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+        |              CAST(COUNT(*) AS BIGINT) AS n_distinct
+        |       FROM ct GROUP BY 1),
+        |env AS (SELECT DISTINCT n FROM nt),
+        |${entLenLogStages._1},
+        |terms AS (
+        |  SELECT ct.doc_id, CAST(FLOOR(1e6 * ct.c * l.lg) AS BIGINT) AS term
+        |  FROM ct JOIN ${entCountLogStages._2} l USING (c)),
+        |sm AS (SELECT doc_id, CAST(SUM(term) AS BIGINT) AS s FROM terms GROUP BY 1)
+        |SELECT nt.doc_id, nt.n AS n_tokens, nt.n_distinct,
+        |       CAST(GREATEST(nt.n * CAST(FLOOR(1e6 * nl.lg) AS BIGINT) - sm.s, 0)
+        |            // nt.n AS BIGINT) AS entropy_e6
+        |FROM nt JOIN ${entLenLogStages._2} nl USING (n)
+        |        JOIN sm USING (doc_id)
+        |ORDER BY nt.doc_id""".stripMargin,
 
     "repetition_stats" ->
       """WITH t AS (

@@ -310,6 +310,50 @@ object TextAnalysis {
   }
 
   /**
+   * Per-document token-distribution (Shannon) entropy in EXACT 1e-6
+   * fixed-point bits — the distribution-shape quality signal
+   * [[repetitionStats]]' ratio facts don't capture (a doc repeating one
+   * phrase and a doc cycling ten phrases can share a distinct-token
+   * fraction yet differ sharply in entropy; low entropy = templated/
+   * machine-generated text).
+   *
+   * Exact cross-engine spelling of H = log2(n) − (1/n)·Σ c·log2(c):
+   * every log2 is the deterministic [[graft.expressions.FixedLog2]]
+   * recurrence, each Σ term is floored to a 1e-6 integer BEFORE the sum
+   * (order-independent integer addition — no float-summation-order
+   * assumption), and the final division clamps the numerator at 0 (the
+   * single-token-type knife edge where the two floors cross) so integer
+   * division agrees in any engine. Output: (doc_id, n_tokens,
+   * n_distinct, entropy_e6); docs with no tokens emit no row.
+   *
+   * Scale shape: one explode + two keyed hash aggregations (by
+   * (doc, token), then by doc) — no window, no join, partial aggregation
+   * map-side on both.
+   */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def log2c(x: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graftshim.GraftShim.column(
+        graft.expressions.FixedLog2(
+          org.apache.spark.sql.graftshim.GraftShim.expression(x)))
+    docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("c"),
+        floor(lit(1e6) * col("c") * log2c(col("c").cast("double")))
+          .cast("long").as("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"),
+        sum(col("term")).as("s"))
+      .withColumn("__lg_n", log2c(col("n").cast("double")))
+      .select(col("doc_id"),
+        col("n").cast("long").as("n_tokens"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        expr("greatest(n * cast(floor(1e6 * __lg_n) as bigint) - s, 0L) div n")
+          .as("entropy_e6"))
+  }
+
+  /**
    * Evaluate `c` once per row and pass the bound result to `f`.
    *
    * Spark's higher-order functions re-evaluate any *unbound* subtree inside

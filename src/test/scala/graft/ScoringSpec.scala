@@ -332,6 +332,50 @@ class ScoringSpec extends AnyFunSuite {
         test.toDF("doc_id", "text"), "doc_id", "text", 1))
   }
 
+  // --- token entropy -------------------------------------------------------
+
+  /** Reference entropy, plain collections + the same FixedLog2 kernel. */
+  private def refEntropy(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long)] =
+    docs.filter(d => toks(d._2).nonEmpty).map { case (id, t) =>
+      val cs = toks(t).groupBy(identity).values.map(_.size.toLong).toSeq
+      val n = cs.sum
+      val s = cs.map(c =>
+        math.floor(1e6 * c * graft.expressions.FixedLog2.log2(c.toDouble)).toLong).sum
+      val a = n * math.floor(1e6 * graft.expressions.FixedLog2.log2(n.toDouble)).toLong
+      id -> ((n, cs.size.toLong, math.max(a - s, 0L) / n))
+    }.toMap
+
+  test("tokenEntropy matches the fixed-point reference; extremes behave") {
+    val docs = Seq(
+      1L -> "a a a a a a a a",          // single type: entropy 0 (clamped knife edge)
+      2L -> "a b c d e f g h",          // uniform over 8: exactly ~3 bits
+      3L -> "a a a a b b c d",          // skewed
+      4L -> "x")                        // one token: n=1, entropy 0
+    val got = graft.pipeline.TextAnalysis.tokenEntropy(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === refEntropy(docs))
+    assert(got(1L)._3 === 0L, "degenerate distribution has zero entropy")
+    assert(math.abs(got(2L)._3 - 3000000L) < 5000,
+      "uniform over 8 types is ~3.0 bits")
+    assert(got(3L)._3 > 0L && got(3L)._3 < got(2L)._3,
+      "skew strictly lowers entropy")
+    // random corpora, repartition stability
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector("u", "v", "w", "x", "y", "z")
+    val rdocs = (0L until 60L).map { id =>
+      id -> Seq.fill(1 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val a = graft.pipeline.TextAnalysis.tokenEntropy(
+        rdocs.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(a === refEntropy(rdocs))
+    val b = graft.pipeline.TextAnalysis.tokenEntropy(
+        rdocs.toDF("doc_id", "text").repartition(7), "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(b === a)
+  }
+
   // --- Dsir ---------------------------------------------------------------
 
   /** Reference importance weights, plain collections. */
