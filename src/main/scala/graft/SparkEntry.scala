@@ -298,6 +298,26 @@ object SparkEntry {
 
     // topn_union_agg re-aggregation of stored rollup sketches (§2.1 row 5;
     // README.md:100-116 incremental-rollup story)
+    // heavy-change detection between two period sketches: top movers of
+    // the customer-frequency distribution across the 1998-01-01 split —
+    // the "what changed vs yesterday" query on stored rollups; exact at
+    // this counter budget, so the oracle replays exact counts
+    "topn_delta_periods" -> ((spark, dir) => {
+      import spark.implicits._
+      val o = tbl(spark, dir, "orders")
+      def sk(pred: org.apache.spark.sql.Column) = o.filter(pred)
+        .agg(TopnFunctions.topn_add_agg($"o_custkey".cast("string"), ExactN).as("s"))
+      val a = sk($"o_orderdate" < "1998-01-01").select($"s".as("sa"))
+      val b = sk($"o_orderdate" >= "1998-01-01").select($"s".as("sb"))
+      a.crossJoin(b)
+        .select(posexplode(TopnFunctions.topn_delta($"sa", $"sb", 10))
+          .as(Seq("pos", "r")))
+        .select(($"pos" + 1).cast("long").as("rank"), $"r.item".as("item"),
+          $"r.freq_a".as("freq_a"), $"r.freq_b".as("freq_b"),
+          $"r.delta".as("delta"))
+        .orderBy($"rank")
+    }),
+
     "topn_union_agg_rollup" -> ((spark, dir) => {
       import spark.implicits._
       val monthly = tbl(spark, dir, "orders")
@@ -2283,6 +2303,26 @@ object SparkEntry {
         |  FROM lineitem GROUP BY 1, 2) t
         |WHERE rn <= 20
         |ORDER BY l_returnflag, frequency DESC, item""".stripMargin,
+
+    // exact per-period counts, full-outer on item, pinned
+    // (|delta| desc, item asc) order
+    "topn_delta_periods" ->
+      """WITH a AS (SELECT CAST(o_custkey AS VARCHAR) AS item, COUNT(*) AS fa
+        |           FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |           GROUP BY 1),
+        |b AS (SELECT CAST(o_custkey AS VARCHAR) AS item, COUNT(*) AS fb
+        |      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |      GROUP BY 1),
+        |j AS (SELECT COALESCE(a.item, b.item) AS item,
+        |             CAST(COALESCE(fa, 0) AS BIGINT) AS freq_a,
+        |             CAST(COALESCE(fb, 0) AS BIGINT) AS freq_b
+        |      FROM a FULL OUTER JOIN b ON a.item = b.item),
+        |r AS (SELECT item, freq_a, freq_b, freq_b - freq_a AS delta,
+        |             ROW_NUMBER() OVER (ORDER BY ABS(freq_b - freq_a) DESC, item)
+        |               AS rank
+        |      FROM j)
+        |SELECT CAST(rank AS BIGINT) AS rank, item, freq_a, freq_b, delta
+        |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
     "topn_union_agg_rollup" ->
       """SELECT CAST(o_custkey AS VARCHAR) AS item, COUNT(*) AS frequency

@@ -78,6 +78,11 @@ object TopnFunctions {
     ("topn_add_weighted_agg",
       "topn_add_weighted_agg(item, weight) - builds a sketch counting each item `weight` times",
       arity("topn_add_weighted_agg", 2, 2)(exprs => TopnAddWeightedAgg(exprs(0), exprs(1), GraftConf.numberOfCounters))),
+    ("topn_delta",
+      "topn_delta(a, b, k) - top-k items by absolute frequency movement between two sketches",
+      arity("topn_delta", 3, 3)(exprs => GraftShim.analyzableExpression(
+        topn_delta(GraftShim.column(exprs(0)), GraftShim.column(exprs(1)),
+          litNum(exprs(2), "topn_delta", "k").toInt)))),
     ("topn_rows",
       "topn_rows(sketch, k) - set-returning topn for LATERAL VIEW: rows of (item, frequency)",
       arity("topn_rows", 2, 2)(exprs => TopnRows(exprs(0), exprs(1), GraftConf.numberOfCounters))),
@@ -236,6 +241,47 @@ object TopnFunctions {
 
   def topn_to_json(sketch: Column): Column =
     GraftShim.column(TopnToJson(GraftShim.expression(sketch)))
+
+  /**
+   * Heavy-change detection between two sketches — "what moved between
+   * yesterday's rollup and today's": the top `k` items by ABSOLUTE
+   * frequency movement across the union of both key sets, as
+   * `array<struct<item, freq_a, freq_b, delta>>` with `delta = freq_b -
+   * freq_a` and the pinned total order (|delta| desc, item asc). An item
+   * absent from one side counts 0 there, so arrivals and departures rank
+   * by their full frequency. STRICT like the other scalars: NULL if
+   * either sketch is NULL. Exact when the sketches are exact at their
+   * counter budget; under eviction it inherits the sketches' usual
+   * SpaceSaving overestimate semantics.
+   *
+   * A pure Column composition over the map type (codegen'd built-ins:
+   * map_keys/element_at/array_sort), so it runs anywhere a projection
+   * does — including over a stored rollup table, the intended use.
+   */
+  def topn_delta(a0: Column, b0: Column, k: Int): Column = {
+    require(k >= 1, s"topn_delta: k must be >= 1, got $k")
+    import org.apache.spark.sql.functions._
+    // coerce to the sketch type so untyped SQL NULL / MAP() literals
+    // resolve (the STRICT null contract must survive `topn_delta(NULL, s, k)`)
+    val a = a0.cast("map<string,bigint>")
+    val b = b0.cast("map<string,bigint>")
+    val keys = array_distinct(concat(map_keys(a), map_keys(b)))
+    val entries = transform(keys, key => {
+      val fa = coalesce(element_at(a, key), lit(0L))
+      val fb = coalesce(element_at(b, key), lit(0L))
+      struct(key.as("item"), fa.as("freq_a"), fb.as("freq_b"),
+        (fb - fa).as("delta"))
+    })
+    val sorted = array_sort(entries, (l, r) => {
+      val la = abs(l.getField("delta"))
+      val ra = abs(r.getField("delta"))
+      when(la > ra, lit(-1)).when(la < ra, lit(1))
+        .when(l.getField("item") < r.getField("item"), lit(-1))
+        .when(l.getField("item") > r.getField("item"), lit(1))
+        .otherwise(lit(0))
+    })
+    when(a.isNotNull && b.isNotNull, slice(sorted, 1, k))
+  }
 
   /** The reference also spells sketch merge as the jsonb `+` operator
     * (update/topn--2.0.0.sql:48-53). Spark SQL has no operator

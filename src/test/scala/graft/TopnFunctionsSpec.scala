@@ -321,4 +321,32 @@ class TopnFunctionsSpec extends AnyFunSuite {
       assert(out === expected, s"parts=$parts")
     }
   }
+
+  test("topn_delta: movers, arrivals, departures, pinned ties, STRICT nulls, SQL surface") {
+    TopnFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT topn_delta(
+        |  map('a', 10L, 'b', 5L, 'gone', 3L),
+        |  map('a', 10L, 'b', 9L, 'new', 4L), 3) AS d""".stripMargin)
+      .select(explode($"d").as("r"))
+      .select($"r.item", $"r.freq_a", $"r.freq_b", $"r.delta")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // |delta|: b=4, new=4, gone=3, a=0 -> tie b/new breaks item-asc
+    assert(rows === Seq(("b", 5L, 9L, 4L), ("new", 0L, 4L, 4L),
+      ("gone", 3L, 0L, -3L)))
+    // unchanged items rank last and still appear when k allows
+    val all = spark.sql(
+      "SELECT topn_delta(map('a', 1L), map('a', 1L, 'z', 2L), 5) AS d")
+      .select(explode($"d").as("r")).select($"r.item", $"r.delta")
+      .as[(String, Long)].collect().toSeq
+    assert(all === Seq(("z", 2L), ("a", 0L)))
+    // STRICT: NULL either side -> NULL
+    assert(spark.sql("SELECT topn_delta(NULL, map('a', 1L), 2) AS d")
+      .filter($"d".isNull).count() === 1L)
+    assert(spark.sql("SELECT topn_delta(map('a', 1L), NULL, 2) AS d")
+      .filter($"d".isNull).count() === 1L)
+    // k validation (plan-time literal)
+    intercept[Exception](
+      spark.sql("SELECT topn_delta(map('a',1L), map('a',1L), 0)").collect())
+  }
 }
