@@ -55,7 +55,8 @@ object WarcStreaming {
       model: graft.pipeline.Classifier.Model,
       minScoreE6: Long,
       stateTtl: Option[String] = None,
-      robotsRules: Option[DataFrame] = None): DataFrame = {
+      robotsRules: Option[DataFrame] = None,
+      blockTerms: Seq[String] = Nil): DataFrame = {
     import warcShards.sparkSession.implicits._
     val files: Dataset[graft.pipeline.Warc.WarcFile] = warcShards
       .select(col("path").cast("string"), col("content"))
@@ -103,12 +104,19 @@ object WarcStreaming {
           }
       }
 
-    // the frozen-model gate is a pure projection over the admitted rows —
-    // it composes after the stateful stage with no extra output-mode
-    // machinery (the reason scoreColumn exists alongside score())
-    admitted.toDF()
+    // the frozen content gates are pure projections over the admitted
+    // rows — they compose after the stateful stage with no extra
+    // output-mode machinery (the reason scoreColumn and
+    // blocklistHitCount exist as projection columns). Content gates run
+    // AFTER admission state deliberately, unlike the robots POLICY gate:
+    // a page that failed on content still claims its canonical URL slot,
+    // matching the batch pipelines' admit-then-filter order.
+    val scored = admitted.toDF()
       .withColumn("score_e6",
         graft.pipeline.Classifier.scoreColumn(col("text"), model))
       .filter(col("score_e6") >= minScoreE6)
+    if (blockTerms.isEmpty) scored
+    else scored.filter(
+      graft.pipeline.Quality.blocklistHitCount(col("text"), blockTerms) === 0L)
   }
 }

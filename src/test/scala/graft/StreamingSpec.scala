@@ -880,6 +880,26 @@ class StreamingSpec extends AnyFunSuite {
     // arrival), and the clickbait page is parsed but gated out
     assert(got.map(_._1) === Set("https://site.io/p", "https://other.net/q"))
     assert(got.find(_._1 === "https://site.io/p").get._3 === "good words here")
+
+    // same stream with a term blocklist: the projection gate drops the
+    // doc containing the listed phrase, and == the batch twin with the
+    // identical blocklistHitCount filter
+    val q2 = graft.streaming.WarcStreaming
+      .streamingWarcIngest(stream, model, minScoreE6 = 0L,
+        blockTerms = Seq("Fine Text"))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("warc_ingest_bl").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val gotBl = spark.table("warc_ingest_bl")
+      .select($"url_norm").as[String].collect().toSet
+    val expectedBl = expected.filter { case (_, _, text, _) =>
+      Seq(text).toDF("text").select(
+        graft.pipeline.Quality.blocklistHitCount($"text", Seq("Fine Text")))
+        .as[Long].head() == 0L
+    }.map(_._1)
+    assert(gotBl === expectedBl)
+    assert(gotBl === Set("https://site.io/p"),
+      "the 'more fine text' page must fall to the phrase blocklist")
   }
 
   test("streaming WARC ingest: robots gate runs before URL-dedup state, = batch twin") {
