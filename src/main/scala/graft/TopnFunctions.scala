@@ -265,22 +265,24 @@ object TopnFunctions {
     // resolve (the STRICT null contract must survive `topn_delta(NULL, s, k)`)
     val a = a0.cast("map<string,bigint>")
     val b = b0.cast("map<string,bigint>")
-    val keys = array_distinct(concat(map_keys(a), map_keys(b)))
-    val entries = transform(keys, key => {
-      val fa = coalesce(element_at(a, key), lit(0L))
-      val fb = coalesce(element_at(b, key), lit(0L))
-      struct(key.as("item"), fa.as("freq_a"), fb.as("freq_b"),
-        (fb - fa).as("delta"))
-    })
-    val sorted = array_sort(entries, (l, r) => {
-      val la = abs(l.getField("delta"))
-      val ra = abs(r.getField("delta"))
-      when(la > ra, lit(-1)).when(la < ra, lit(1))
-        .when(l.getField("item") < r.getField("item"), lit(-1))
-        .when(l.getField("item") > r.getField("item"), lit(1))
-        .otherwise(lit(0))
-    })
-    when(a.isNotNull && b.isNotNull, slice(sorted, 1, k))
+    // map_zip_with merges the two key sets in ONE native pass with BOUND
+    // per-key values — the per-key `element_at(map, key)` spelling costs
+    // O(|map|) per lookup under the interpreted HOF and measured 10s on a
+    // 1500-key sketch pair at sf0.1; this one is milliseconds. The pinned
+    // (|delta| desc, item asc) order rides the struct's NATURAL ordering
+    // via a leading -|delta| field, so array_sort needs no interpreted
+    // comparator lambda either.
+    val entries = map_values(map_zip_with(a, b, (key, va, vb) => {
+      val fa = coalesce(va, lit(0L))
+      val fb = coalesce(vb, lit(0L))
+      struct((-abs(fb - fa)).as("neg_abs_delta"), key.as("item"),
+        fa.as("freq_a"), fb.as("freq_b"), (fb - fa).as("delta"))
+    }))
+    val top = slice(array_sort(entries), 1, k)
+    when(a.isNotNull && b.isNotNull,
+      transform(top, e => struct(
+        e.getField("item").as("item"), e.getField("freq_a").as("freq_a"),
+        e.getField("freq_b").as("freq_b"), e.getField("delta").as("delta"))))
   }
 
   /** The reference also spells sketch merge as the jsonb `+` operator
