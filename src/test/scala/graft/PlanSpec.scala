@@ -318,6 +318,24 @@ class PlanSpec extends AnyFunSuite {
       s"expected only the doc-keyed rebuild join (per union branch), got $joins")
   }
 
+  test("decontaminate_scrub: no self-join, test side reduces before the semi join") {
+    val p = plan("decontaminate_scrub")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      "train windows must meet the test hash SET through a keyed semi join")
+    assert(p.contains("LeftSemi"),
+      "the test-window match must be a semi join (set membership, no fanout)")
+  }
+
+  test("dedup_best_keeper: keeper selection is a cluster-keyed window, no global sort") {
+    val p = plan("dedup_best_keeper")
+    assert(!p.contains("CartesianProduct"),
+      "labels join docs by id; nothing may go all-pairs")
+    // the keeper row_number partitions by cluster_id; the only
+    // SinglePartition window would be a global-sort funnel
+    assert(p.contains("Window"),
+      "keeper selection must run as a window over cluster_id")
+  }
+
   test("incremental near-dup: candidate step is an equi-join, never all-pairs") {
     import graft.pipeline.Dedup
     val fps = spark.read.parquet(s"$dir/documents.parquet")
