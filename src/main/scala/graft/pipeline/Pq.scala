@@ -31,6 +31,18 @@ import org.apache.spark.sql.graftshim.GraftShim
  *    shortlist only — the full vector table is never scanned), and
  *    re-score exactly. Standard IVF-PQ practice: ADC recall at small M
  *    is approximate, rerank restores exactness on the shortlist.
+ *
+ * Sizing the rerank knob: ADC cannot order candidates whose true
+ * distances differ by less than the quantization noise, so recall@k is
+ * governed by whether the shortlist COVERS the query's near-tie
+ * population. On corpora with organic distance spread a small shortlist
+ * suffices (measured avg recall ~0.73 at rerank=50 on the sf0.1
+ * embeddings); on a corpus with thousands of near-duplicates of the
+ * query, rerank must reach that population size (500k-vector soak in
+ * docs/BENCH_NOTES.md: recall 0.005 -> 1.000 as rerank grows 50 ->
+ * near-tie count, probe time ~flat because the shortlist join stays
+ * keyed). Near-dup-heavy corpora should dedup (SemDedup/LSH) BEFORE
+ * indexing — which this library does upstream anyway.
  */
 object Pq {
 
