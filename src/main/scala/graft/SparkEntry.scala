@@ -3449,9 +3449,9 @@ object SparkEntry {
         |x AS (
         |  SELECT doc_id,
         |    COALESCE(regexp_extract(html,
-        |      '(?is)<link[^>]*rel\s*=\s*["'']?canonical["'']?[^>]*href\s*=\s*["'']?([^"''>\s]+)', 1), '') AS r1,
+        |      '(?is)<link[^>]*[\s"'']rel\s*=\s*["'']?canonical["'']?[\s/](?:[^>]*[\s"''])?href\s*=\s*["'']?([^"''>\s]+)', 1), '') AS r1,
         |    COALESCE(regexp_extract(html,
-        |      '(?is)<link[^>]*href\s*=\s*["'']?([^"''>\s]+)["'']?[^>]*rel\s*=\s*["'']?canonical["'']?', 1), '') AS r2
+        |      '(?is)<link[^>]*[\s"'']href\s*=\s*["'']?([^"''>\s]+)["'']?(?:[^>]*[\s"''])?rel\s*=\s*["'']?canonical["''\s/>]', 1), '') AS r2
         |  FROM f)
         |SELECT doc_id,
         |       CASE WHEN r1 <> '' THEN r1 ELSE r2 END AS canonical,

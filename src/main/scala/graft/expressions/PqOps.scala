@@ -88,6 +88,14 @@ case class PqEncode(
     val vec = PqKernels.toUnitVec(v.asInstanceOf[ArrayData], isFloat)
     val m = codebooks.length
     val dsub = codebooks(0)(0).length
+    // fail fast, never clamp: a vector that does not match the model's
+    // dimensionality would silently encode to garbage codes (an index
+    // built with one embedding model scored under another)
+    if (vec.length != m * dsub) {
+      throw new IllegalArgumentException(
+        s"pq_encode: vector dim ${vec.length} != model dim ${m * dsub} " +
+          s"(m=$m x dsub=$dsub) — vector and PQ model disagree")
+    }
     val out = new Array[Any](m)
     var s = 0
     while (s < m) {
@@ -101,8 +109,7 @@ case class PqEncode(
         val cent = book(c)
         var dot = bias(c)
         var j = 0
-        val n = math.min(dsub, math.max(0, vec.length - off))
-        while (j < n) { dot += vec(off + j) * cent(j); j += 1 }
+        while (j < dsub) { dot += vec(off + j) * cent(j); j += 1 }
         if (dot > bestScore) { bestScore = dot; best = c }
         c += 1
       }
@@ -159,18 +166,24 @@ case class PqLut(
     val m = codebooks.length
     val ks = codebooks(0).length
     val dsub = codebooks(0)(0).length
+    // same fail-fast as PqEncode: a clamped LUT would silently zero the
+    // out-of-range subspaces and mis-rank every candidate
+    if (vec.length != m * dsub) {
+      throw new IllegalArgumentException(
+        s"pq_lut: query dim ${vec.length} != model dim ${m * dsub} " +
+          s"(m=$m x dsub=$dsub) — query and PQ model disagree")
+    }
     val out = new Array[Any](m * ks)
     var s = 0
     while (s < m) {
       val book = codebooks(s)
       val off = s * dsub
-      val n = math.min(dsub, math.max(0, vec.length - off))
       var c = 0
       while (c < ks) {
         val cent = book(c)
         var dot = 0.0
         var j = 0
-        while (j < n) { dot += vec(off + j) * cent(j); j += 1 }
+        while (j < dsub) { dot += vec(off + j) * cent(j); j += 1 }
         out(s * ks + c) = dot
         c += 1
       }

@@ -333,43 +333,8 @@ object Pq {
       rerank: Int = 0): DataFrame = {
     require(rerank == 0 || rerank >= k,
       s"rerank shortlist ($rerank) must be 0 (off) or >= k ($k)")
-    val idx = index(candidates, idCol, vecCol, pq, ivf)
-    val qs = queries.select(
-      col(idCol).as("query_id"),
-      lut(col(vecCol), pq).as("q_lut"),
-      explode(IVF.cells(col(vecCol), ivf, nprobe)).as("cell"))
-
-    val shortlistK = if (rerank > 0) rerank else k
-    val scored = idx
-      .join(broadcast(qs), Seq("cell"))
-      .filter(col("cand_id") =!= col("query_id"))
-      .select(col("query_id"), col("cand_id"),
-        adc(col("codes"), col("q_lut")).as("sim"))
-      .groupBy("query_id")
-      .agg(Similarity.topkByScore(col("cand_id"), col("sim"), shortlistK).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "r")))
-      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("r.id").as("neighbor_id"))
-
-    if (rerank == 0) scored
-    else {
-      // exact rerank of the bounded shortlist: join raw vectors back in
-      // by id (both sides keyed; the shortlist is queries*rerank rows, so
-      // AQE broadcasts it against the vector table's scan)
-      val cand = candidates.select(col(idCol).as("neighbor_id"),
-        col(vecCol).as("cand_vec"))
-      val qvec = queries.select(col(idCol).as("query_id"),
-        col(vecCol).as("query_vec"))
-      scored.select("query_id", "neighbor_id")
-        .join(cand, Seq("neighbor_id"))
-        .join(broadcast(qvec), Seq("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          Similarity.cosineSim(col("cand_vec"), col("query_vec")).as("sim"))
-        .groupBy("query_id")
-        .agg(Similarity.topkByScore(col("neighbor_id"), col("sim"), k).as("top"))
-        .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "r")))
-        .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-          col("r.id").as("neighbor_id"))
-    }
+    searchOn(index(candidates, idCol, vecCol, pq, ivf), queries,
+      idCol, vecCol, k, pq, ivf, nprobe, rerank,
+      if (rerank == 0) None else Some(candidates))
   }
 }

@@ -168,14 +168,20 @@ object Quality {
     require(ns.last <= 8,
       s"blocklist phrases longer than 8 words (got ${ns.last}) — not a curated term list")
 
-    val toks = docs.select(col(idCol).as("__doc_id"), normTokens(col(textCol)).as("__toks"))
-    val grams = ns.map { n =>
-      toks
-        .filter(size($"__toks") >= n)
-        .select($"__doc_id", explode(
-          transform(sequence(lit(0), size($"__toks") - n),
-            i => array_join(slice($"__toks", i + 1, lit(n)), " "))).as("__term"))
-    }.reduce(_.unionByName(_))
+    // ONE tokenize + ONE explode for ALL gram widths: per-width union
+    // branches would re-scan and re-tokenize the corpus once per width.
+    // bindOnce keeps the tokenize+normalize subtree at one eval per row
+    // across the per-width gram builders.
+    val grams = docs.select(col(idCol).as("__doc_id"),
+      explode(TextAnalysis.bindOnce(normTokens(col(textCol))) { toks =>
+        concat(ns.map { n =>
+          if (n == 1) toks
+          else when(size(toks) >= n,
+            transform(sequence(lit(0), size(toks) - n),
+              i => array_join(slice(toks, i + 1, lit(n)), " ")))
+            .otherwise(array().cast("array<string>"))
+        }: _*)
+      }).as("__term"))
 
     val hits = grams
       .join(normTerms, Seq("__term"))
@@ -209,8 +215,11 @@ object Quality {
     require(byWidth.keys.max <= 8,
       s"blocklist phrases longer than 8 words (got ${byWidth.keys.max}) — not a curated term list")
     // bindOnce: the tokenize+normalize subtree evaluates ONCE per row,
-    // not once per width (Spark HOF lambdas re-evaluate unbound subtrees)
-    TextAnalysis.bindOnce(normTokens(text)) { toks =>
+    // not once per width (Spark HOF lambdas re-evaluate unbound subtrees).
+    // NULL text pins to 0 hits (kept) — matching blocklistHits' left-join
+    // semantics; without the guard, size(NULL) = -1 would leak through
+    // the unigram branch.
+    val counted = TextAnalysis.bindOnce(normTokens(text)) { toks =>
       byWidth.toSeq.sortBy(_._1).map { case (n, ts) =>
         val listed = typedlit(ts)
         val grams =
@@ -222,6 +231,7 @@ object Quality {
         size(filter(grams, g => array_contains(listed, g))).cast("long")
       }.reduce(_ + _)
     }
+    when(text.isNull, lit(0L)).otherwise(counted)
   }
 
   /** The filter composition: input rows with NO blocklist hit, via a

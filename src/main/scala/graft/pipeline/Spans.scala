@@ -250,19 +250,13 @@ object Spans {
     val base = docs.select(idAsLong(docs, idCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("toks"))
 
-    val wins = base
-      .filter(size($"toks") >= n)
-      .select($"doc_id",
-        transform(sequence(lit(0), size($"toks") - n),
-          st => struct(st.as("pos"),
-            md5(concat_ws(" ", slice($"toks", st + 1, lit(n)))).as("h"))).as("sp"))
-      .select($"doc_id", explode($"sp").as("s"))
-      .select($"doc_id", $"s.pos".as("pos"), $"s.h".as("h"),
-        when($"doc_id".between(0L, (1L << 43) - 1) && $"s.pos" < MaxPos,
-          $"doc_id" * MaxPos + $"s.pos")
+    val wins = strideOneWindows(base, n)
+      .select($"doc_id", $"pos", $"h",
+        when($"doc_id".between(0L, (1L << 43) - 1) && $"pos" < MaxPos,
+          $"doc_id" * MaxPos + $"pos")
           .otherwise(raise_error(format_string(
             "dropDuplicatedSubstrings: doc_id/pos out of packing range: %d/%d",
-            $"doc_id", $"s.pos"))).as("packed"))
+            $"doc_id", $"pos"))).as("packed"))
 
     val byHash = Window.partitionBy($"h")
     val drops = wins
@@ -314,16 +308,9 @@ object Spans {
     val spark = train.sparkSession
     import spark.implicits._
 
-    def windows(df: DataFrame) = df
-      .select(idAsLong(df, idCol).as("doc_id"),
-        TextAnalysis.tokens(col(textCol)).as("toks"))
-      .filter(size($"toks") >= n)
-      .select($"doc_id",
-        transform(sequence(lit(0), size($"toks") - n),
-          st => struct(st.as("pos"),
-            md5(concat_ws(" ", slice($"toks", st + 1, lit(n)))).as("h"))).as("sp"))
-      .select($"doc_id", explode($"sp").as("s"))
-      .select($"doc_id", $"s.pos".as("pos"), $"s.h".as("h"))
+    def windows(df: DataFrame) = strideOneWindows(
+      df.select(idAsLong(df, idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("toks")), n)
 
     val base = train.select(idAsLong(train, idCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("toks"))
@@ -334,6 +321,23 @@ object Spans {
       .agg(sort_array(collect_list($"pos")).as("drop_starts"))
 
     rebuildWithoutCoveredTokens(base, drops, n)
+  }
+
+  /** Shared stride-1 window generator over a (doc_id, toks) base: one
+    * md5-hashed n-token window per token position, (doc_id, pos, h) —
+    * the hashing spelling BOTH substring tiers' DuckDB oracles replay
+    * verbatim, kept in exactly one place so the tiers cannot drift. */
+  private def strideOneWindows(base: DataFrame, n: Int): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    base
+      .filter(size($"toks") >= n)
+      .select($"doc_id",
+        transform(sequence(lit(0), size($"toks") - n),
+          st => struct(st.as("pos"),
+            md5(concat_ws(" ", slice($"toks", st + 1, lit(n)))).as("h"))).as("sp"))
+      .select($"doc_id", explode($"sp").as("s"))
+      .select($"doc_id", $"s.pos".as("pos"), $"s.h".as("h"))
   }
 
   /** Shared rebuild: merge sorted window starts into disjoint covered

@@ -365,10 +365,16 @@ object Urls {
    * engines).
    */
   def htmlCanonicalUrl(html: Column): Column = {
+    // attribute-name boundaries ([\s"'] before rel/href — so data-rel= /
+    // data-href= cannot match) and a value terminator after canonical
+    // (closing quote and/or separator — so rel="canonicalized" cannot
+    // match). The `(?:[^>]*[\s"'])?` junk group lets further attributes
+    // intervene but forces a boundary char immediately before the next
+    // attribute name (RE2-safe: no lookarounds).
     val relFirst = regexp_extract(html,
-      "(?is)<link[^>]*rel\\s*=\\s*[\"']?canonical[\"']?[^>]*href\\s*=\\s*[\"']?([^\"'>\\s]+)", 1)
+      "(?is)<link[^>]*[\\s\"']rel\\s*=\\s*[\"']?canonical[\"']?[\\s/](?:[^>]*[\\s\"'])?href\\s*=\\s*[\"']?([^\"'>\\s]+)", 1)
     val hrefFirst = regexp_extract(html,
-      "(?is)<link[^>]*href\\s*=\\s*[\"']?([^\"'>\\s]+)[\"']?[^>]*rel\\s*=\\s*[\"']?canonical[\"']?", 1)
+      "(?is)<link[^>]*[\\s\"']href\\s*=\\s*[\"']?([^\"'>\\s]+)[\"']?(?:[^>]*[\\s\"'])?rel\\s*=\\s*[\"']?canonical[\"'\\s/>]", 1)
     when(relFirst =!= "", relFirst).otherwise(hrefFirst)
   }
 }

@@ -112,6 +112,13 @@ object PqStreaming {
       s"rerank shortlist ($rerank) must be 0 (off) or >= k ($k)")
     require((rerank == 0) == rerankWith.isEmpty,
       "rerank and rerankWith must be set together")
+    // a store with no committed batch yet is empty, not broken — return
+    // zero rows with the output schema instead of failing to resolve a
+    // `cell` column on the schemaless empty fallback
+    if (committedBatches(spark, storePath).isEmpty) {
+      return queries.select(col(idCol).as("query_id"),
+        lit(0L).as("rank"), col(idCol).as("neighbor_id")).limit(0)
+    }
     val touched = Pq.probedCells(queries, vecCol, ivf, nprobe)
     val idx = committedIndex(spark, storePath).filter(col("cell").isin(touched: _*))
     Pq.searchOn(idx, queries, idCol, vecCol, k, pq, ivf, nprobe, rerank, rerankWith)

@@ -1177,6 +1177,17 @@ class CurationSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(fromColumn === fromJoin,
       "the streaming-legal projection must equal the join tier")
+    // NULL text: both tiers report 0 hits / kept (the projection must not
+    // leak size(NULL) = -1 through the unigram branch)
+    val nulled = Seq((1L, null.asInstanceOf[String]), (2L, "epsilon here"))
+      .toDF("doc_id", "text")
+    val colHits = nulled.select($"doc_id",
+        graft.pipeline.Quality.blocklistHitCount($"text", terms).as("h"))
+      .as[(Long, Long)].collect().toMap
+    val joinHits = graft.pipeline.Quality.blocklistHits(
+        nulled, "doc_id", "text", terms.toDF("term"))
+      .select($"doc_id", $"n_hits").as[(Long, Long)].collect().toMap
+    assert(colHits === joinHits && colHits(1L) === 0L && colHits(2L) === 1L)
     intercept[IllegalArgumentException](
       graft.pipeline.Quality.blocklistHitCount($"text", Seq(",,,")))
   }

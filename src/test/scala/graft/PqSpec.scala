@@ -171,6 +171,22 @@ class PqSpec extends AnyFunSuite {
     assert(ex2.getMessage != null)
   }
 
+  test("vector/model dimension mismatch fails fast, never clamps") {
+    val df = randVecs(60, 16, seed = 43).toDF("vec_id", "embedding")
+    val model = Pq.train(df, "vec_id", "embedding", m = 4, ks = 4, sampleSize = 60)
+    val shorter = randVecs(5, 8, seed = 47).toDF("vec_id", "embedding")
+    val exEnc = intercept[Exception] {
+      shorter.select(Pq.encode($"embedding", model)).collect()
+    }
+    assert(exEnc.getMessage.contains("model dim") ||
+      exEnc.getCause != null && exEnc.getCause.getMessage.contains("model dim"),
+      s"encode must name the dim mismatch, got: ${exEnc.getMessage}")
+    val exLut = intercept[Exception] {
+      shorter.select(Pq.lut($"embedding", model)).collect()
+    }
+    assert(exLut.getMessage != null)
+  }
+
   test("train validates m / ks / divisibility") {
     val df = randVecs(50, 16, seed = 37).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {

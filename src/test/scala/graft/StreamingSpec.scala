@@ -1016,6 +1016,13 @@ class StreamingSpec extends AnyFunSuite {
     val pq = Pq.train(df, "vec_id", "embedding", m = 4, ks = 8, sampleSize = 100)
     val store = java.nio.file.Files.createTempDirectory("graft_pqcrash").toString + "/s"
 
+    // probing a store with no committed batch returns zero rows with the
+    // output schema (never an unresolved-column failure)
+    val pre = PqStreaming.searchCommitted(spark, store,
+      df.filter($"vec_id" < 3), "vec_id", "embedding", k = 5, pq, ivf, nprobe = 2)
+    assert(pre.columns.toSeq === Seq("query_id", "rank", "neighbor_id"))
+    assert(pre.count() === 0L, "a pre-first-commit store is empty, not broken")
+
     // crash between data write and marker: data exists, no commit
     Pq.index(df, "vec_id", "embedding", pq, ivf)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$store/data/b=0")

@@ -189,6 +189,15 @@ class UrlsSpec extends AnyFunSuite {
     // a canonical link spanning a newline inside the tag
     assert(canon("<link rel=\"canonical\"\n href=\"https://a.io/nl\">")
       === "https://a.io/nl")
+    // adversarial attribute-substring shapes must NOT match
+    assert(canon("""<link rel="stylesheet" data-rel="canonical" href="/theme.css">""")
+      === "", "data-rel is not rel")
+    assert(canon("""<link href="/x" data-rel="canonical">""") === "",
+      "href-first data-rel is not rel either")
+    assert(canon("""<link rel="canonicalized" href="https://a.io/x">""") === "",
+      "a rel value merely PREFIXED by canonical must not match")
+    assert(canon("""<link data-href="/no" rel="canonical" href="https://a.io/y">""")
+      === "https://a.io/y", "data-href must not shadow the real href")
   }
 
   test("sitemapLocs: trim, order, multiline, empties") {
