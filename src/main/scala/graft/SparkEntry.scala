@@ -1795,6 +1795,71 @@ object SparkEntry {
         .orderBy($"domain", $"url_norm")
     }),
 
+    // the frontier with BOTH discovery channels: outlinks AND sitemaps
+    // (per-host sitemap XML bodies -> sitemapLocs -> the same URL chain),
+    // unioned into one candidate set with per-channel provenance flags;
+    // overlap planted (every 6th doc's sitemap repeats its outlink
+    // target) so via_link AND via_sitemap both-true rows exist. Rank
+    // edges come from links only — a sitemap asserts existence, not
+    // endorsement.
+    "crawl_frontier_sitemaps" -> ((spark, dir) => {
+      import spark.implicits._
+      import graft.pipeline.{Selection, TextAnalysis, Urls}
+      val dArr = array(PagerankDomains.map(lit): _*)
+      val hostA = element_at(dArr, (pmod($"doc_id", lit(7)) + 1).cast("int"))
+      val hostB = element_at(dArr, (pmod($"doc_id", lit(5)) + 1).cast("int"))
+      val pages = tbl(spark, dir, "documents").select($"doc_id",
+        concat(lit("https://"), hostA, lit("/d/"), $"doc_id").as("url"),
+        concat(
+          lit("<a href=\"https://"), hostB, lit("/d/"), pmod($"doc_id", lit(40)),
+          lit("\">x</a><a href=\"https://"), hostA, lit("/n/"), $"doc_id",
+          lit("?utm_y=1\">y</a>")).as("html"))
+      val fetched = pages.select(Urls.urlNormalize($"url").as("url_norm")).distinct()
+      val links = pages.select(
+        Urls.registeredDomain(Urls.urlHost($"url")).as("src"),
+        explode(TextAnalysis.htmlLinks($"html")).as("link"))
+        .select($"src",
+          Urls.urlNormalize($"link").as("url_norm"),
+          Urls.registeredDomain(Urls.urlHost($"link")).as("domain"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+      val sitemaps = tbl(spark, dir, "documents")
+        .filter($"doc_id" % 50 === 0)
+        .select(hostA.as("host"), struct($"doc_id",
+          concat(
+            lit("<url><loc>\n https://"), hostA, lit("/a/"), $"doc_id",
+            lit("?utm_z=1 \n</loc></url>"),
+            when(pmod($"doc_id", lit(6)) === 0,
+              concat(lit("<url><loc>https://"), hostB, lit("/d/"),
+                pmod($"doc_id", lit(40)), lit("</loc></url>")))
+              .otherwise(lit(""))).as("p")).as("s"))
+        .groupBy($"host")
+        .agg(concat(lit("<urlset>"),
+          concat_ws("", transform(sort_array(collect_list($"s")),
+            x => x.getField("p"))), lit("</urlset>")).as("xml"))
+      val smCand = sitemaps
+        .select(explode(Urls.sitemapLocs($"xml")).as("lurl"))
+        .select(Urls.urlNormalize($"lurl").as("url_norm"),
+          Urls.registeredDomain(Urls.urlHost($"lurl")).as("domain"))
+
+      val cand = links.select($"url_norm", $"domain", lit(1).as("src_l"))
+        .unionByName(smCand.select($"url_norm", $"domain", lit(0).as("src_l")))
+        .join(fetched, Seq("url_norm"), "left_anti")
+        .groupBy($"url_norm", $"domain")
+        .agg((max($"src_l") === 1).as("via_link"),
+          (min($"src_l") === 0).as("via_sitemap"))
+      val edges = links.select($"src", $"domain".as("dst"))
+      val ranks = graft.pipeline.Graph.pageRank(edges, "src", "dst",
+        iterations = PagerankIters)
+      val prioritized = cand.join(ranks, cand("domain") === ranks("node"), "left")
+        .select($"url_norm", $"domain", $"via_link", $"via_sitemap",
+          coalesce($"rank_e6", lit(0L)).as("rank_e6"))
+      Selection.topKPerGroup(prioritized, "url_norm", "domain", 3, $"rank_e6")
+        .select($"domain", $"url_norm", $"via_link", $"via_sitemap",
+          $"rank_e6", $"cap_rank")
+        .orderBy($"domain", $"url_norm")
+    }),
+
     // the full PageRank surface in one gate: WEIGHTED edges (per-pair
     // weight sums drive proportional rank splits), a PERSONALIZED
     // teleport prior concentrated on a 2-domain seed set (non-seed nodes
@@ -3770,6 +3835,65 @@ object SparkEntry {
         |          CAST(coalesce(k.rank_e6, 0) AS BIGINT) AS rank_e6
         |        FROM cand c LEFT JOIN $prFin k ON c.domain = k.node)
         |SELECT domain, url_norm, rank_e6, cap_rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY domain
+        |                               ORDER BY rank_e6 DESC, url_norm) AS cap_rank
+        |  FROM pri) x
+        |WHERE cap_rank <= 3
+        |ORDER BY domain, url_norm""".stripMargin
+    },
+
+    "crawl_frontier_sitemaps" -> {
+      def cse(m: Int): String = (0 until m)
+        .map(i => s"WHEN $i THEN '${PagerankDomains(i)}'").mkString(" ")
+      val (fU, fFin) = graft.pipeline.Urls.urlSqlCtes("f", "url", "gf")
+      val (lU, lFin) = graft.pipeline.Urls.urlSqlCtes("lnk", "lurl", "gl")
+      val (sU, sFin) = graft.pipeline.Urls.urlSqlCtes("smx", "smurl", "gs")
+      val (prc, prFin) = graft.pipeline.Graph.pageRankCtes(
+        "edges", PagerankIters, prefix = "gq")
+      s"""WITH f AS (
+        |  SELECT doc_id,
+        |    'https://' || (CASE doc_id % 7 ${cse(7)} END) ||
+        |      '/d/' || CAST(doc_id AS VARCHAR) AS url,
+        |    '<a href="https://' || (CASE doc_id % 5 ${cse(5)} END) ||
+        |      '/d/' || CAST(doc_id % 40 AS VARCHAR) ||
+        |      '">x</a><a href="https://' || (CASE doc_id % 7 ${cse(7)} END) ||
+        |      '/n/' || CAST(doc_id AS VARCHAR) || '?utm_y=1">y</a>' AS html
+        |  FROM documents),
+        |$fU,
+        |fetched AS (SELECT DISTINCT url_norm FROM $fFin),
+        |lnk AS (SELECT doc_id,
+        |          unnest(regexp_extract_all(html, '<a href="([^"]*)"', 1)) AS lurl
+        |        FROM f),
+        |$lU,
+        |sm0 AS (
+        |  SELECT (CASE doc_id % 7 ${cse(7)} END) AS host, doc_id,
+        |    '<url><loc>' || chr(10) || ' https://' || (CASE doc_id % 7 ${cse(7)} END)
+        |    || '/a/' || CAST(doc_id AS VARCHAR) || '?utm_z=1 ' || chr(10) || '</loc></url>'
+        |    || (CASE WHEN doc_id % 6 = 0
+        |        THEN '<url><loc>https://' || (CASE doc_id % 5 ${cse(5)} END)
+        |             || '/d/' || CAST(doc_id % 40 AS VARCHAR) || '</loc></url>'
+        |        ELSE '' END) AS p
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |sm AS (SELECT host,
+        |         '<urlset>' || string_agg(p, '' ORDER BY doc_id) || '</urlset>' AS xml
+        |       FROM sm0 GROUP BY 1),
+        |smx AS (SELECT unnest(regexp_extract_all(xml,
+        |          '(?is)<loc>\\s*([^<]*?)\\s*</loc>', 1)) AS smurl FROM sm),
+        |$sU,
+        |allc AS (SELECT url_norm, domain, 1 AS src_l FROM $lFin
+        |         UNION ALL SELECT url_norm, domain, 0 AS src_l FROM $sFin),
+        |cand AS (SELECT url_norm, domain,
+        |           MAX(src_l) = 1 AS via_link, MIN(src_l) = 0 AS via_sitemap
+        |         FROM allc
+        |         WHERE url_norm NOT IN (SELECT url_norm FROM fetched)
+        |         GROUP BY 1, 2),
+        |edges AS (SELECT p.domain AS src, l.domain AS dst
+        |          FROM $fFin p JOIN $lFin l USING (doc_id)),
+        |$prc,
+        |pri AS (SELECT c.url_norm, c.domain, c.via_link, c.via_sitemap,
+        |          CAST(coalesce(k.rank_e6, 0) AS BIGINT) AS rank_e6
+        |        FROM cand c LEFT JOIN $prFin k ON c.domain = k.node)
+        |SELECT domain, url_norm, via_link, via_sitemap, rank_e6, cap_rank FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY domain
         |                               ORDER BY rank_e6 DESC, url_norm) AS cap_rank
         |  FROM pri) x
