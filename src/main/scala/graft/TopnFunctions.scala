@@ -176,6 +176,16 @@ object TopnFunctions {
       "html_anchors(html) - (href, text) pairs of <a> tags in document order (anchor-text signal for the link target)",
       arity("html_anchors", 1, 1)(exprs =>
         graft.expressions.HtmlAnchors(exprs.head))),
+    ("html_canonical_url",
+      "html_canonical_url(html) - href of <link rel=\"canonical\"> (RFC 6596), both attribute orders; '' when absent",
+      arity("html_canonical_url", 1, 1)(exprs =>
+        GraftShim.analyzableExpression(
+          graft.pipeline.Urls.htmlCanonicalUrl(GraftShim.column(exprs.head))))),
+    ("sitemap_locs",
+      "sitemap_locs(xml) - <loc> entries of a sitemap/sitemap-index body, trimmed, in document order",
+      arity("sitemap_locs", 1, 1)(exprs =>
+        GraftShim.analyzableExpression(
+          graft.pipeline.Urls.sitemapLocs(GraftShim.column(exprs.head))))),
     ("url_host",
       "url_host(url) - lower-cased host of an absolute URL (userinfo/port stripped; '' when no authority)",
       arity("url_host", 1, 1)(exprs =>

@@ -212,4 +212,14 @@ class UrlsSpec extends AnyFunSuite {
     assert(locs("<urlset><url><loc></loc></url></urlset>") === Seq(""),
       "an empty loc entry stays an (empty) entry, not a dropped one")
   }
+
+  test("SQL surface: html_canonical_url / sitemap_locs") {
+    TopnFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT html_canonical_url('<link rel="canonical" href="https://a.io/x">') AS c,
+        |       sitemap_locs('<urlset><loc> https://a.io/1 </loc></urlset>') AS l""".stripMargin)
+      .head()
+    assert(row.getString(0) === "https://a.io/x")
+    assert(row.getSeq[String](1) === Seq("https://a.io/1"))
+  }
 }
