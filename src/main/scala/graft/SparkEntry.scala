@@ -927,6 +927,20 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // leakage-safe split keyed by registered DOMAIN: every page of a
+    // domain lands in the same split (per-row hashing would scatter a
+    // site's near-identical pages across train and eval)
+    "split_by_domain" -> ((spark, dir) => {
+      import spark.implicits._
+      import graft.pipeline.{Sampling, Urls}
+      val docs = plantedUrls(spark, dir)
+        .select($"doc_id", Urls.registeredDomain(Urls.urlHost($"url")).as("domain"))
+      Sampling.groupSplit(docs, "domain",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select($"doc_id", $"domain", $"bucket", $"split_name")
+        .orderBy($"doc_id")
+    }),
+
     // deterministic corpus mixing: per-source keep rates (up-weight the
     // "curated" sources, down-sample the rest) applied by hash bucket —
     // reproducible membership, no RNG
@@ -3201,6 +3215,24 @@ object SparkEntry {
 
     // bucket expression generated from Sampling.MixRounds (single source
     // of truth with the Spark-side hashBucket)
+    // the same planted-URL domain chain, bucket = the md5-prefix group
+    // hash over '<salt>:<domain>' (Dsir.featureBucketSql at 100)
+    "split_by_domain" -> {
+      val (uC, uFin) = graft.pipeline.Urls.urlSqlCtes("u", "url", "sd")
+      s"""WITH u AS (SELECT doc_id, $plantedUrlSql AS url FROM documents),
+        |$uC,
+        |b AS (
+        |  SELECT doc_id, domain,
+        |         CAST(${graft.pipeline.Dsir.featureBucketSql("'0:' || domain", 100)}
+        |              AS BIGINT) AS bucket
+        |  FROM $uFin)
+        |SELECT doc_id, domain, bucket,
+        |       CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val'
+        |            ELSE 'test' END AS split_name
+        |FROM b ORDER BY doc_id""".stripMargin
+    },
+
     "split_assign" ->
       s"""WITH b AS (
         |  SELECT doc_id,

@@ -193,6 +193,29 @@ object Sampling {
       salt: Long = 0L): DataFrame =
     assignSplit(df, weights, hashBucket(col(idCol), salt))
 
+  /**
+   * Leakage-safe split: every row of a GROUP (registered domain, source,
+   * near-dup cluster id...) lands in the SAME split. Per-row hashing
+   * scatters a domain's near-identical pages across train and eval —
+   * the classic split-leakage bug; keying the bucket on the group makes
+   * the split a partition of groups, not rows. Bucket = portable
+   * md5-prefix hash of `"<salt>:<group>"` ([[Dsir.featureBucket]]'s
+   * engine-replayable spelling at 100 buckets), so re-salting re-deals
+   * whole groups and the oracle replays the assignment exactly. NULL
+   * groups hash together (deterministically) under the salt alone.
+   * Note: split SIZES now follow the group-size distribution — a giant
+   * group drags its whole mass into one split; that is the point.
+   */
+  def groupSplit(
+      df: DataFrame,
+      groupCol: String,
+      weights: Seq[(String, Int)],
+      salt: Long = 0L): DataFrame = {
+    require(df.columns.contains(groupCol), s"missing column '$groupCol'")
+    assignSplit(df, weights,
+      Dsir.featureBucket(concat_ws(":", lit(salt), col(groupCol)), 100))
+  }
+
   /** As above with an explicit bucket expression (e.g. [[xxhashBucket]]). */
   def assignSplit(
       df: DataFrame,

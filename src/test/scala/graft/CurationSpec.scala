@@ -1075,6 +1075,43 @@ class CurationSpec extends AnyFunSuite {
     assert(again === readBack)
   }
 
+  // --- group-keyed (leakage-safe) splits -----------------------------------
+
+  test("groupSplit: whole groups land in one split; re-salting re-deals groups") {
+    val rnd = new Random(89)
+    val docs = (0L until 400L).map(i => (i, s"g${rnd.nextInt(37)}"))
+      .toDF("doc_id", "grp")
+    val split = Sampling.groupSplit(docs, "grp",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val byGroup = split.groupBy($"grp")
+      .agg(countDistinct($"split_name").as("n")).as[(String, Long)].collect()
+    assert(byGroup.forall(_._2 == 1L),
+      "every group's rows must share one split (no leakage)")
+    // per-ROW hashing DOES scatter groups — the bug this API fixes
+    val rowSplit = Sampling.assignSplit(docs, "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    assert(rowSplit.groupBy($"grp")
+      .agg(countDistinct($"split_name").as("n"))
+      .filter($"n" > 1).count() > 0,
+      "fixture must be non-vacuous: row-keyed split must leak")
+    // re-salting re-deals at least one group
+    val resalted = Sampling.groupSplit(docs, "grp",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10), salt = 7L)
+    val a = split.select($"grp", $"split_name").distinct()
+      .as[(String, String)].collect().toMap
+    val b = resalted.select($"grp", $"split_name").distinct()
+      .as[(String, String)].collect().toMap
+    assert(a.keySet === b.keySet && a != b, "a new salt must re-deal groups")
+    // null groups hash together deterministically
+    val withNull = Seq((1L, null.asInstanceOf[String]),
+      (2L, null.asInstanceOf[String]), (3L, "x")).toDF("doc_id", "grp")
+    val ns = Sampling.groupSplit(withNull, "grp", Seq("a" -> 50, "b" -> 50))
+      .select($"doc_id", $"split_name").as[(Long, String)].collect().toMap
+    assert(ns(1L) === ns(2L), "null-group rows must share a split")
+    intercept[IllegalArgumentException](
+      Sampling.groupSplit(docs, "nope", Seq("a" -> 100)))
+  }
+
   // --- quality-aware cluster keepers ---------------------------------------
 
   test("clusterKeepers keeps the best-scoring member; canonicalizeBy composes the drop") {
