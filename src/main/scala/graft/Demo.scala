@@ -179,6 +179,16 @@ object Demo {
       numShards = 4, salt = 1L)
       .orderBy(col("shard"), col("pos")).show(8, truncate = false)
 
+    println("== sketch analytics: what moved between two halves of the corpus ==")
+    spark.sql(
+      """WITH a AS (SELECT topn_add_agg(language_id(text)) AS s
+        |           FROM documents WHERE doc_id % 2 = 0),
+        |     b AS (SELECT topn_add_agg(language_id(text)) AS s
+        |           FROM documents WHERE doc_id % 2 = 1)
+        |SELECT d.item, d.freq_a, d.freq_b, d.delta
+        |FROM (SELECT explode(topn_delta(a.s, b.s, 5)) AS d
+        |      FROM a CROSS JOIN b)""".stripMargin).show(false)
+
     spark.stop()
   }
 
