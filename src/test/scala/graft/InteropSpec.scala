@@ -192,6 +192,34 @@ class InteropSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("JSONL directory streams: two file drops == the batch read") {
+    // the arrival mode LLM corpora actually have — JSONL files dropped
+    // into a directory — consumed as a Structured Streaming file source
+    // with the same explicit schema as the batch reader
+    val dir = tmpDir("graft-jsonl-stream")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/drop0.jsonl"),
+      """{"id": 1, "text": "first drop"}
+        |{"id": 2, "text": "multi\nline and \"quoted\""}
+        |""".stripMargin)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/drop1.jsonl"),
+      """{"id": 3, "text": "second drop"}
+        |""".stripMargin)
+    val stream = spark.readStream
+      .schema("id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .json(dir)
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("jsonl_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("jsonl_stream")
+      .as[(Long, String)].collect().toSet
+    val batch = graft.sources.Tables.jsonl(spark, dir, "id BIGINT, text STRING")
+      .as[(Long, String)].collect().toSet
+    assert(got === batch && got.size === 3)
+    assert(got.contains((2L, "multi\nline and \"quoted\"")),
+      "escapes must round-trip through the streaming reader too")
+  }
+
   test("JSONL writer shards bound the output file count") {
     val df = (0 until 100).map(i => (i.toLong, s"doc $i")).toDF("id", "text")
     val path = tmpDir("graft-jsonl-shards")
