@@ -62,4 +62,51 @@ class AccuracySpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSeq
     assert(rows === Seq(("0", 15L), ("1", 15L), ("2", 14L)))
   }
+
+  test("topn_delta under eviction: heavy movers surface, freqs inherit the overestimate bound") {
+    // two zipf-skewed periods over 20k distinct items at n=500 (heavy
+    // eviction): period B doubles the volume of ten designated movers.
+    // SpaceSaving guarantees f_est ∈ [f_true, f_true + err] per sketch,
+    // so each delta is within ±(err_a + err_b) of truth and the LARGE
+    // planted movers must still dominate the delta ranking.
+    def period(mult: Map[String, Int]): Seq[String] = {
+      val head = (0 until 100).flatMap { i =>
+        val item = s"hot$i"
+        Seq.fill((2000 / (i + 1)) * mult.getOrElse(item, 1))(item)
+      }
+      val tail = (0 until 20000).map(i => s"cold$i")
+      new scala.util.Random(11).shuffle(head ++ tail)
+    }
+    val movers = (0 until 10).map(i => s"hot$i")
+    val a = spark.sparkContext.parallelize(period(Map.empty), 8).toDF("t")
+      .agg(TopnFunctions.topn_add_agg($"t", 500).as("s")).select($"s".as("sa"))
+    val b = spark.sparkContext
+      .parallelize(period(movers.map(_ -> 2).toMap), 8).toDF("t")
+      .agg(TopnFunctions.topn_add_agg($"t", 500).as("s")).select($"s".as("sb"))
+    val delta = a.crossJoin(b)
+      .select(explode(TopnFunctions.topn_delta($"sa", $"sb", 10)).as("r"))
+      .select($"r.item", $"r.freq_a", $"r.freq_b", $"r.delta")
+      .as[(String, Long, Long, Long)].collect()
+    // the true deltas of the top movers (2000/(i+1) extra copies) dwarf
+    // any eviction error at this budget: all ten planted movers must be
+    // found, in an order consistent with their true movement scale
+    val found = delta.map(_._1).toSet
+    val bigMovers = (0 until 5).map(i => s"hot$i").toSet
+    assert(bigMovers.subsetOf(found),
+      s"the five largest planted movers must surface; got ${delta.toSeq}")
+    // every reported frequency respects the SpaceSaving overestimate
+    // bound relative to the TRUE counts (never an underestimate)
+    val trueA = period(Map.empty).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val trueB = period(movers.map(_ -> 2).toMap)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    delta.foreach { case (item, fa, fb, d) =>
+      assert(fa >= trueA.getOrElse(item, 0L) &&
+        fb >= trueB.getOrElse(item, 0L),
+        s"$item: sketch frequencies must never underestimate")
+      assert(d === fb - fa)
+    }
+    // and the top mover is the biggest planted one
+    assert(delta.head._1 === "hot0",
+      s"hot0 moves by ~2000 — it must rank first; got ${delta.head}")
+  }
 }
