@@ -927,6 +927,24 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // the strongest leakage control: split keyed by NEAR-DUP CLUSTER, so
+    // near-identical documents can never straddle train and eval even
+    // when they live on different domains (singletons key by their own
+    // id — the degenerate one-doc cluster)
+    "split_by_cluster" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = tbl(spark, dir, "documents").select($"doc_id", $"text")
+      val labels = graft.pipeline.Clustering.connectedComponents(
+        graft.pipeline.Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5),
+        "doc_a", "doc_b")
+      val keyed = docs.join(labels, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
+      graft.pipeline.Sampling.groupSplit(keyed, "cluster_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select($"doc_id", $"cluster_id", $"bucket", $"split_name")
+        .orderBy($"doc_id")
+    }),
+
     // leakage-safe split keyed by registered DOMAIN: every page of a
     // domain lands in the same split (per-row hashing would scatter a
     // site's near-identical pages across train and eval)
@@ -3215,6 +3233,52 @@ object SparkEntry {
 
     // bucket expression generated from Sampling.MixRounds (single source
     // of truth with the Spark-side hashBucket)
+    // dedup_clusters' exact-Jaccard closure -> labels (singletons keyed
+    // by their own id), then the same md5-prefix group bucket + CASE
+    "split_by_cluster" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) >= 3
+        |              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |              ELSE [] END AS shingles
+        |  FROM t),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |shared AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS ns
+        |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |pairs AS (
+        |  SELECT a AS u, b AS v
+        |  FROM shared JOIN sz za ON shared.a = za.doc_id
+        |              JOIN sz zb ON shared.b = zb.doc_id
+        |  WHERE CAST(ns AS DOUBLE) / CAST(za.n + zb.n - ns AS DOUBLE) >= 0.5),
+        |sym AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+        |labels AS (
+        |  SELECT CAST(u AS BIGINT) AS doc_id,
+        |         CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY u),
+        |keyed AS (
+        |  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+        |b AS (
+        |  SELECT doc_id, cluster_id,
+        |         CAST((CAST(('0x' || substr(md5('0:' || CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100)
+        |              AS BIGINT) AS bucket
+        |  FROM keyed)
+        |SELECT doc_id, cluster_id, bucket,
+        |       CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val'
+        |            ELSE 'test' END AS split_name
+        |FROM b ORDER BY doc_id""".stripMargin,
+
     // the same planted-URL domain chain, bucket = the md5-prefix group
     // hash over '<salt>:<domain>' (Dsir.featureBucketSql at 100)
     "split_by_domain" -> {
