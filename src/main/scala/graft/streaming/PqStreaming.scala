@@ -15,7 +15,18 @@ import org.apache.spark.sql.streaming.StreamingQuery
  * The daily-embedding-ingest story at 100 TB: vectors arrive
  * continuously, the index is always queryable at its last committed
  * state, and each batch costs one encode projection + one
- * partitioned write — never a rewrite of history. Because batch
+ * partitioned write — never a rewrite of history.
+ *
+ * Operational note — small files: a long-running stream accumulates one
+ * directory tree per batch, and probe planning cost grows with the file
+ * count. Because batch directories are immutable and the markers are
+ * the ONLY liveness signal, in-place compaction cannot be made safe for
+ * concurrent readers under this scheme (a reader unioning old and new
+ * copies would double-count candidates). The supported pattern is the
+ * offline rebuild: `Pq.saveIndex(committedIndex-derived vectors, ...)`
+ * — or re-encode from the source vector table — into a FRESH path, then
+ * point new queries at it and retire the old store. Same train-once
+ * models, so the rebuilt index is bit-identical per row. Because batch
  * directories are IMMUTABLE (append-only index; deletes are the
  * dedup store's job), the commit protocol is simpler than
  * [[TopnStreaming.maintainRollup]]'s manifest: data lands in
