@@ -318,6 +318,27 @@ object SparkEntry {
         .orderBy($"rank")
     }),
 
+    // the windowed consumption shape of topn_delta: month-over-month top
+    // movers via lag(sketch) over the stored rollup — the recurring
+    // "what changed since last period" report. The lag window is the one
+    // single-partition step, over the tiny period dimension (~dozens of
+    // months), the same documented exception as the rollup ranking
+    "topn_delta_monthly" -> ((spark, dir) => {
+      import spark.implicits._
+      val monthly = tbl(spark, dir, "orders")
+        .groupBy(date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM").as("month"))
+        .agg(TopnFunctions.topn_add_agg($"o_custkey".cast("string"), ExactN).as("s"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"month")
+      monthly.withColumn("prev", lag($"s", 1).over(w))
+        .filter($"prev".isNotNull)
+        .select($"month",
+          posexplode(TopnFunctions.topn_delta($"prev", $"s", 3)).as(Seq("pos", "r")))
+        .select($"month", ($"pos" + 1).cast("long").as("rank"),
+          $"r.item".as("item"), $"r.freq_a".as("freq_a"),
+          $"r.freq_b".as("freq_b"), $"r.delta".as("delta"))
+        .orderBy($"month", $"rank")
+    }),
+
     "topn_union_agg_rollup" -> ((spark, dir) => {
       import spark.implicits._
       val monthly = tbl(spark, dir, "orders")
@@ -2400,6 +2421,33 @@ object SparkEntry {
         |  FROM lineitem GROUP BY 1, 2) t
         |WHERE rn <= 20
         |ORDER BY l_returnflag, frequency DESC, item""".stripMargin,
+
+    // exact per-month counts; each month's item universe = the union of
+    // its and the previous month's items; same pinned ranking per month
+    "topn_delta_monthly" ->
+      """WITH m AS (
+        |  SELECT STRFTIME(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        |         CAST(o_custkey AS VARCHAR) AS item, COUNT(*) AS f
+        |  FROM orders GROUP BY 1, 2),
+        |mo AS (SELECT DISTINCT month FROM m),
+        |pairs AS (SELECT month, LAG(month) OVER (ORDER BY month) AS pmonth FROM mo),
+        |it AS (SELECT p.month, m.item
+        |       FROM pairs p JOIN m ON m.month IN (p.month, p.pmonth)
+        |       WHERE p.pmonth IS NOT NULL
+        |       GROUP BY 1, 2),
+        |j AS (SELECT it.month, it.item,
+        |        CAST(COALESCE(a.f, 0) AS BIGINT) AS freq_a,
+        |        CAST(COALESCE(b.f, 0) AS BIGINT) AS freq_b
+        |      FROM it
+        |      JOIN pairs p ON p.month = it.month
+        |      LEFT JOIN m a ON a.month = p.pmonth AND a.item = it.item
+        |      LEFT JOIN m b ON b.month = it.month AND b.item = it.item),
+        |r AS (SELECT month, item, freq_a, freq_b, freq_b - freq_a AS delta,
+        |        ROW_NUMBER() OVER (PARTITION BY month
+        |                           ORDER BY ABS(freq_b - freq_a) DESC, item) AS rank
+        |      FROM j)
+        |SELECT month, CAST(rank AS BIGINT) AS rank, item, freq_a, freq_b, delta
+        |FROM r WHERE rank <= 3 ORDER BY month, rank""".stripMargin,
 
     // exact per-period counts, full-outer on item, pinned
     // (|delta| desc, item asc) order
