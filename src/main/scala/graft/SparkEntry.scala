@@ -29,6 +29,101 @@ object SparkEntry {
   // FixedLog2 oracle CTE chains (deterministic IEEE-only log2, replayed
   // op-for-op): per-feature for dsir_weights, per-query-term for
   // bm25_search — generated from the kernel's own constants
+  /** CASE arm list mapping `doc_id % m` to the planted PagerankDomains —
+    * shared by every oracle replaying the planted link/crawl fixtures. */
+  private def domainCase(m: Int): String = (0 until m)
+    .map(i => s"WHEN $i THEN '${PagerankDomains(i)}'").mkString(" ")
+
+  /** The exact-Jaccard trigram closure as CTEs `t..reach` (callers must
+    * open with WITH RECURSIVE) — ONE spelling shared by dedup_clusters /
+    * dedup_best_keeper / split_by_cluster so the three oracles cannot
+    * drift. */
+  private val jaccardClosureCtes: String =
+    """t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(toks) >= 3
+      |              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+      |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+      |              ELSE [] END AS shingles
+      |  FROM t),
+      |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |shared AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS ns
+      |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+      |pairs AS (
+      |  SELECT a AS u, b AS v
+      |  FROM shared JOIN sz za ON shared.a = za.doc_id
+      |              JOIN sz zb ON shared.b = zb.doc_id
+      |  WHERE CAST(ns AS DOUBLE) / CAST(za.n + zb.n - ns AS DOUBLE) >= 0.5),
+      |sym AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+      |reach AS (
+      |  SELECT u, v FROM sym
+      |  UNION
+      |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)""".stripMargin
+
+  /** `doc_id % mod`-indexed planted host over [[PagerankDomains]] — the
+    * Column twin of [[domainCase]]. */
+  private def plantedHost(mod: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    element_at(array(PagerankDomains.map(lit): _*),
+      (pmod(col("doc_id"), lit(mod)) + 1).cast("int"))
+  }
+
+  /** The planted crawl fixture SHARED by the two frontier queries: pages
+    * with two outlinks each, the fetched canonical set, and ONE persisted
+    * link explode feeding both the candidate set and the rank edges (the
+    * multi-consumer boundary doctrine). Returns (fetched, links). */
+  private def frontierBase(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    import graft.pipeline.{TextAnalysis, Urls}
+    val pages = tbl(spark, dir, "documents").select($"doc_id",
+      concat(lit("https://"), plantedHost(7), lit("/d/"), $"doc_id").as("url"),
+      concat(
+        lit("<a href=\"https://"), plantedHost(5), lit("/d/"), pmod($"doc_id", lit(40)),
+        lit("\">x</a><a href=\"https://"), plantedHost(7), lit("/n/"), $"doc_id",
+        lit("?utm_y=1\">y</a>")).as("html"))
+    val fetched = pages.select(Urls.urlNormalize($"url").as("url_norm")).distinct()
+    val links = pages.select(
+      Urls.registeredDomain(Urls.urlHost($"url")).as("src"),
+      explode(TextAnalysis.htmlLinks($"html")).as("link"))
+      .select($"src",
+        Urls.urlNormalize($"link").as("url_norm"),
+        Urls.registeredDomain(Urls.urlHost($"link")).as("domain"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (fetched, links)
+  }
+
+  /** The frontier fixture's oracle CTEs (`f`, the page URL chain ending
+    * in `ffn6`, `fetched`, `lnk`, the link chain ending in `fln6`) —
+    * shared by both frontier oracles so the two cannot test different
+    * corpora. */
+  private lazy val frontierFixtureSql: (String, String, String) = {
+    val (fU, fFin) = graft.pipeline.Urls.urlSqlCtes("f", "url", "ff")
+    val (lU, lFin) = graft.pipeline.Urls.urlSqlCtes("lnk", "lurl", "fl")
+    val ctes =
+      s"""f AS (
+        |  SELECT doc_id,
+        |    'https://' || (CASE doc_id % 7 ${domainCase(7)} END) ||
+        |      '/d/' || CAST(doc_id AS VARCHAR) AS url,
+        |    '<a href="https://' || (CASE doc_id % 5 ${domainCase(5)} END) ||
+        |      '/d/' || CAST(doc_id % 40 AS VARCHAR) ||
+        |      '">x</a><a href="https://' || (CASE doc_id % 7 ${domainCase(7)} END) ||
+        |      '/n/' || CAST(doc_id AS VARCHAR) || '?utm_y=1">y</a>' AS html
+        |  FROM documents),
+        |$fU,
+        |fetched AS (SELECT DISTINCT url_norm FROM $fFin),
+        |lnk AS (SELECT doc_id,
+        |          unnest(regexp_extract_all(html, '<a href="([^"]*)"', 1)) AS lurl
+        |        FROM f),
+        |$lU""".stripMargin
+    (ctes, fFin, lFin)
+  }
+
   private val dsirLogStages =
     graft.expressions.FixedLog2.sqlCtes("dl", "rat", "x", Seq("f"))
   private val bmLogStages =
@@ -1815,27 +1910,8 @@ object SparkEntry {
     // the NOT IN anti join, and the same capped window
     "crawl_frontier" -> ((spark, dir) => {
       import spark.implicits._
-      import graft.pipeline.{Selection, TextAnalysis, Urls}
-      val dArr = array(PagerankDomains.map(lit): _*)
-      val hostA = element_at(dArr, (pmod($"doc_id", lit(7)) + 1).cast("int"))
-      val hostB = element_at(dArr, (pmod($"doc_id", lit(5)) + 1).cast("int"))
-      val pages = tbl(spark, dir, "documents").select($"doc_id",
-        concat(lit("https://"), hostA, lit("/d/"), $"doc_id").as("url"),
-        concat(
-          lit("<a href=\"https://"), hostB, lit("/d/"), pmod($"doc_id", lit(40)),
-          lit("\">x</a><a href=\"https://"), hostA, lit("/n/"), $"doc_id",
-          lit("?utm_y=1\">y</a>")).as("html"))
-      val fetched = pages.select(Urls.urlNormalize($"url").as("url_norm")).distinct()
-      // one link explode feeds BOTH the candidate set and the rank edges —
-      // persisted at the multi-consumer boundary (the curation-chain
-      // doctrine) so the extraction scan runs once
-      val links = pages.select(
-        Urls.registeredDomain(Urls.urlHost($"url")).as("src"),
-        explode(TextAnalysis.htmlLinks($"html")).as("link"))
-        .select($"src",
-          Urls.urlNormalize($"link").as("url_norm"),
-          Urls.registeredDomain(Urls.urlHost($"link")).as("domain"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      import graft.pipeline.Selection
+      val (fetched, links) = frontierBase(spark, dir)
       val cand = links.select($"url_norm", $"domain").distinct()
         .join(fetched, Seq("url_norm"), "left_anti")
       val edges = links.select($"src", $"domain".as("dst"))
@@ -1857,33 +1933,17 @@ object SparkEntry {
     // endorsement.
     "crawl_frontier_sitemaps" -> ((spark, dir) => {
       import spark.implicits._
-      import graft.pipeline.{Selection, TextAnalysis, Urls}
-      val dArr = array(PagerankDomains.map(lit): _*)
-      val hostA = element_at(dArr, (pmod($"doc_id", lit(7)) + 1).cast("int"))
-      val hostB = element_at(dArr, (pmod($"doc_id", lit(5)) + 1).cast("int"))
-      val pages = tbl(spark, dir, "documents").select($"doc_id",
-        concat(lit("https://"), hostA, lit("/d/"), $"doc_id").as("url"),
-        concat(
-          lit("<a href=\"https://"), hostB, lit("/d/"), pmod($"doc_id", lit(40)),
-          lit("\">x</a><a href=\"https://"), hostA, lit("/n/"), $"doc_id",
-          lit("?utm_y=1\">y</a>")).as("html"))
-      val fetched = pages.select(Urls.urlNormalize($"url").as("url_norm")).distinct()
-      val links = pages.select(
-        Urls.registeredDomain(Urls.urlHost($"url")).as("src"),
-        explode(TextAnalysis.htmlLinks($"html")).as("link"))
-        .select($"src",
-          Urls.urlNormalize($"link").as("url_norm"),
-          Urls.registeredDomain(Urls.urlHost($"link")).as("domain"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      import graft.pipeline.{Selection, Urls}
+      val (fetched, links) = frontierBase(spark, dir)
 
       val sitemaps = tbl(spark, dir, "documents")
         .filter($"doc_id" % 50 === 0)
-        .select(hostA.as("host"), struct($"doc_id",
+        .select(plantedHost(7).as("host"), struct($"doc_id",
           concat(
-            lit("<url><loc>\n https://"), hostA, lit("/a/"), $"doc_id",
+            lit("<url><loc>\n https://"), plantedHost(7), lit("/a/"), $"doc_id",
             lit("?utm_z=1 \n</loc></url>"),
             when(pmod($"doc_id", lit(6)) === 0,
-              concat(lit("<url><loc>https://"), hostB, lit("/d/"),
+              concat(lit("<url><loc>https://"), plantedHost(5), lit("/d/"),
                 pmod($"doc_id", lit(40)), lit("</loc></url>")))
               .otherwise(lit(""))).as("p")).as("s"))
         .groupBy($"host")
@@ -3142,62 +3202,16 @@ object SparkEntry {
     // the test corpus ever gains such pairs, widen bands before blaming
     // the operator.
     "dedup_clusters" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |         CASE WHEN len(toks) >= 3
-        |              THEN list_distinct(list_transform(range(1, len(toks) - 1),
-        |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-        |              ELSE [] END AS shingles
-        |  FROM t),
-        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-        |shared AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS ns
-        |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2),
-        |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
-        |pairs AS (
-        |  SELECT a AS u, b AS v
-        |  FROM shared JOIN sz za ON shared.a = za.doc_id
-        |              JOIN sz zb ON shared.b = zb.doc_id
-        |  WHERE CAST(ns AS DOUBLE) / CAST(za.n + zb.n - ns AS DOUBLE) >= 0.5),
-        |sym AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
-        |reach AS (
-        |  SELECT u, v FROM sym
-        |  UNION
-        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+      s"""WITH RECURSIVE
+        |$jaccardClosureCtes
         |SELECT CAST(u AS BIGINT) AS doc_id,
         |       CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
 
     // dedup_clusters' exact-Jaccard closure + the keeper window
     "dedup_best_keeper" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |         CASE WHEN len(toks) >= 3
-        |              THEN list_distinct(list_transform(range(1, len(toks) - 1),
-        |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-        |              ELSE [] END AS shingles
-        |  FROM t),
-        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-        |shared AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS ns
-        |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2),
-        |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
-        |pairs AS (
-        |  SELECT a AS u, b AS v
-        |  FROM shared JOIN sz za ON shared.a = za.doc_id
-        |              JOIN sz zb ON shared.b = zb.doc_id
-        |  WHERE CAST(ns AS DOUBLE) / CAST(za.n + zb.n - ns AS DOUBLE) >= 0.5),
-        |sym AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
-        |reach AS (
-        |  SELECT u, v FROM sym
-        |  UNION
-        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+      s"""WITH RECURSIVE
+        |$jaccardClosureCtes,
         |labels AS (
         |  SELECT CAST(u AS BIGINT) AS doc_id,
         |         CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster_id
@@ -3284,31 +3298,8 @@ object SparkEntry {
     // dedup_clusters' exact-Jaccard closure -> labels (singletons keyed
     // by their own id), then the same md5-prefix group bucket + CASE
     "split_by_cluster" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |         CASE WHEN len(toks) >= 3
-        |              THEN list_distinct(list_transform(range(1, len(toks) - 1),
-        |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-        |              ELSE [] END AS shingles
-        |  FROM t),
-        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-        |shared AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS ns
-        |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2),
-        |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
-        |pairs AS (
-        |  SELECT a AS u, b AS v
-        |  FROM shared JOIN sz za ON shared.a = za.doc_id
-        |              JOIN sz zb ON shared.b = zb.doc_id
-        |  WHERE CAST(ns AS DOUBLE) / CAST(za.n + zb.n - ns AS DOUBLE) >= 0.5),
-        |sym AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
-        |reach AS (
-        |  SELECT u, v FROM sym
-        |  UNION
-        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+      s"""WITH RECURSIVE
+        |$jaccardClosureCtes,
         |labels AS (
         |  SELECT CAST(u AS BIGINT) AS doc_id,
         |         CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster_id
@@ -3861,13 +3852,11 @@ object SparkEntry {
     // regexp_extract_all (the fixtures use the canonical double-quoted
     // spelling), then the SHARED urlSqlCtes chain per link
     "html_links" -> {
-      def cse(m: Int): String = (0 until m)
-        .map(i => s"WHEN $i THEN '${PagerankDomains(i)}'").mkString(" ")
       s"""WITH f AS (
         |  SELECT doc_id,
-        |    '<p>intro</p><a href="https://' || (CASE doc_id % 7 ${cse(7)} END) ||
+        |    '<p>intro</p><a href="https://' || (CASE doc_id % 7 ${domainCase(7)} END) ||
         |    '/d/' || CAST(doc_id AS VARCHAR) || '?utm_x=1&q=2">one</a>' ||
-        |    '<div><a href="http://' || (CASE doc_id % 5 ${cse(5)} END) ||
+        |    '<div><a href="http://' || (CASE doc_id % 5 ${domainCase(5)} END) ||
         |    '/p">two</a></div>' ||
         |    (CASE WHEN doc_id % 3 = 0
         |          THEN '<a href="/rel/' || CAST(doc_id AS VARCHAR) || '">rel</a>'
@@ -3889,14 +3878,12 @@ object SparkEntry {
     // kernel does, the SHARED urlSqlCtes chain for the target domain,
     // then exact GROUP BY count with the sketch's pinned tie order
     "topn_anchor_terms" -> {
-      def cse(m: Int): String = (0 until m)
-        .map(i => s"WHEN $i THEN '${PagerankDomains(i)}'").mkString(" ")
       s"""WITH f AS (
         |  SELECT doc_id,
-        |    '<p>intro</p><a href="https://' || (CASE doc_id % 7 ${cse(7)} END) ||
+        |    '<p>intro</p><a href="https://' || (CASE doc_id % 7 ${domainCase(7)} END) ||
         |    '/d/' || CAST(doc_id AS VARCHAR) || '">Visit <b>Portal</b>  page ' ||
         |    CAST(doc_id % 4 AS VARCHAR) ||
-        |    '</a><div><a href="http://' || (CASE doc_id % 5 ${cse(5)} END) ||
+        |    '</a><div><a href="http://' || (CASE doc_id % 5 ${domainCase(5)} END) ||
         |    '/p">  mirror   copy  </a></div>' ||
         |    (CASE WHEN doc_id % 3 = 0
         |          THEN '<a href="/rel/' || CAST(doc_id AS VARCHAR) || '">relative link</a>'
@@ -3928,12 +3915,10 @@ object SparkEntry {
     // unrolled as CTE stages from the shared generator — integer `//`
     // on non-negative BIGINTs matches Spark's `div` exactly
     "domain_pagerank" -> {
-      def cse(m: Int): String = (0 until m)
-        .map(i => s"WHEN $i THEN '${PagerankDomains(i)}'").mkString(" ")
       val (ctes, fin) = graft.pipeline.Graph.pageRankCtes("raw", PagerankIters)
       s"""WITH raw AS (
-        |  SELECT (CASE doc_id % 7 ${cse(7)} END) AS src,
-        |         (CASE doc_id % 3 ${cse(3)} END) AS dst
+        |  SELECT (CASE doc_id % 7 ${domainCase(7)} END) AS src,
+        |         (CASE doc_id % 3 ${domainCase(3)} END) AS dst
         |  FROM documents
         |  UNION ALL SELECT '${PagerankDomains(2)}', '${PagerankDomains(6)}'),
         |$ctes
@@ -3949,27 +3934,10 @@ object SparkEntry {
     // unrolled PageRank over the page->link domain graph, NOT IN against
     // the fetched canonical set, and the identical capped rank window
     "crawl_frontier" -> {
-      def cse(m: Int): String = (0 until m)
-        .map(i => s"WHEN $i THEN '${PagerankDomains(i)}'").mkString(" ")
-      val (fU, fFin) = graft.pipeline.Urls.urlSqlCtes("f", "url", "ff")
-      val (lU, lFin) = graft.pipeline.Urls.urlSqlCtes("lnk", "lurl", "fl")
+      val (fix, fFin, lFin) = frontierFixtureSql
       val (prc, prFin) = graft.pipeline.Graph.pageRankCtes(
         "edges", PagerankIters, prefix = "fq")
-      s"""WITH f AS (
-        |  SELECT doc_id,
-        |    'https://' || (CASE doc_id % 7 ${cse(7)} END) ||
-        |      '/d/' || CAST(doc_id AS VARCHAR) AS url,
-        |    '<a href="https://' || (CASE doc_id % 5 ${cse(5)} END) ||
-        |      '/d/' || CAST(doc_id % 40 AS VARCHAR) ||
-        |      '">x</a><a href="https://' || (CASE doc_id % 7 ${cse(7)} END) ||
-        |      '/n/' || CAST(doc_id AS VARCHAR) || '?utm_y=1">y</a>' AS html
-        |  FROM documents),
-        |$fU,
-        |fetched AS (SELECT DISTINCT url_norm FROM $fFin),
-        |lnk AS (SELECT doc_id,
-        |          unnest(regexp_extract_all(html, '<a href="([^"]*)"', 1)) AS lurl
-        |        FROM f),
-        |$lU,
+      s"""WITH $fix,
         |cand AS (SELECT DISTINCT url_norm, domain FROM $lFin
         |         WHERE url_norm NOT IN (SELECT url_norm FROM fetched)),
         |edges AS (SELECT p.domain AS src, l.domain AS dst
@@ -3987,34 +3955,17 @@ object SparkEntry {
     },
 
     "crawl_frontier_sitemaps" -> {
-      def cse(m: Int): String = (0 until m)
-        .map(i => s"WHEN $i THEN '${PagerankDomains(i)}'").mkString(" ")
-      val (fU, fFin) = graft.pipeline.Urls.urlSqlCtes("f", "url", "gf")
-      val (lU, lFin) = graft.pipeline.Urls.urlSqlCtes("lnk", "lurl", "gl")
+      val (fix, fFin, lFin) = frontierFixtureSql
       val (sU, sFin) = graft.pipeline.Urls.urlSqlCtes("smx", "smurl", "gs")
       val (prc, prFin) = graft.pipeline.Graph.pageRankCtes(
         "edges", PagerankIters, prefix = "gq")
-      s"""WITH f AS (
-        |  SELECT doc_id,
-        |    'https://' || (CASE doc_id % 7 ${cse(7)} END) ||
-        |      '/d/' || CAST(doc_id AS VARCHAR) AS url,
-        |    '<a href="https://' || (CASE doc_id % 5 ${cse(5)} END) ||
-        |      '/d/' || CAST(doc_id % 40 AS VARCHAR) ||
-        |      '">x</a><a href="https://' || (CASE doc_id % 7 ${cse(7)} END) ||
-        |      '/n/' || CAST(doc_id AS VARCHAR) || '?utm_y=1">y</a>' AS html
-        |  FROM documents),
-        |$fU,
-        |fetched AS (SELECT DISTINCT url_norm FROM $fFin),
-        |lnk AS (SELECT doc_id,
-        |          unnest(regexp_extract_all(html, '<a href="([^"]*)"', 1)) AS lurl
-        |        FROM f),
-        |$lU,
+      s"""WITH $fix,
         |sm0 AS (
-        |  SELECT (CASE doc_id % 7 ${cse(7)} END) AS host, doc_id,
-        |    '<url><loc>' || chr(10) || ' https://' || (CASE doc_id % 7 ${cse(7)} END)
+        |  SELECT (CASE doc_id % 7 ${domainCase(7)} END) AS host, doc_id,
+        |    '<url><loc>' || chr(10) || ' https://' || (CASE doc_id % 7 ${domainCase(7)} END)
         |    || '/a/' || CAST(doc_id AS VARCHAR) || '?utm_z=1 ' || chr(10) || '</loc></url>'
         |    || (CASE WHEN doc_id % 6 = 0
-        |        THEN '<url><loc>https://' || (CASE doc_id % 5 ${cse(5)} END)
+        |        THEN '<url><loc>https://' || (CASE doc_id % 5 ${domainCase(5)} END)
         |             || '/d/' || CAST(doc_id % 40 AS VARCHAR) || '</loc></url>'
         |        ELSE '' END) AS p
         |  FROM documents WHERE doc_id % 50 = 0),
@@ -4046,14 +3997,12 @@ object SparkEntry {
     },
 
     "domain_pagerank_personalized" -> {
-      def cse(m: Int): String = (0 until m)
-        .map(i => s"WHEN $i THEN '${PagerankDomains(i)}'").mkString(" ")
       val (ctes, fin) = graft.pipeline.Graph.pageRankFlexCtes(
         "raw", PprMaxIters, PprDamping, "pz",
         weighted = true, persSrc = Some("pri"), tolE6 = Some(PprTolE6))
       s"""WITH raw AS (
-        |  SELECT (CASE doc_id % 7 ${cse(7)} END) AS src,
-        |         (CASE doc_id % 3 ${cse(3)} END) AS dst,
+        |  SELECT (CASE doc_id % 7 ${domainCase(7)} END) AS src,
+        |         (CASE doc_id % 3 ${domainCase(3)} END) AS dst,
         |         CAST(doc_id % 4 + 1 AS BIGINT) AS w
         |  FROM documents),
         |pri AS (SELECT '${PagerankDomains(3)}' AS node, CAST(3 AS BIGINT) AS prior
@@ -4070,8 +4019,6 @@ object SparkEntry {
     // both the page URL and each link, the unrolled PageRank, the top-4
     // rank gate, blocklist NOT IN, token floor, running-sum bin packing
     "pipeline_crawl_corpus" -> {
-      def cse(m: Int): String = (0 until m)
-        .map(i => s"WHEN $i THEN '${PagerankDomains(i)}'").mkString(" ")
       val (h2t, h2tFin) = htmlToTextSqlCtes("crawl", "html", "text", "cw")
       val (ownU, ownFin) = graft.pipeline.Urls.urlSqlCtes(h2tFin, "url", "cu")
       val (lnkU, lnkFin) = graft.pipeline.Urls.urlSqlCtes("links", "lurl", "cl")
@@ -4083,13 +4030,13 @@ object SparkEntry {
         .mkString(",\n        ")
       s"""WITH crawl AS (
         |  SELECT doc_id,
-        |         'https://' || (CASE doc_id % 7 ${cse(7)} END) ||
+        |         'https://' || (CASE doc_id % 7 ${domainCase(7)} END) ||
         |           '/doc/' || CAST(doc_id AS VARCHAR) || '?utm_x=1#f' AS url,
         |         '<html><body><h1>D' || CAST(doc_id AS VARCHAR) || '</h1><p>' ||
         |         regexp_replace(text, '[&<]', ' ', 'g') ||
-        |         '</p><a href="https://' || (CASE doc_id % 5 ${cse(5)} END) ||
+        |         '</p><a href="https://' || (CASE doc_id % 5 ${domainCase(5)} END) ||
         |           '/l/' || CAST(doc_id AS VARCHAR) || '">a</a>' ||
-        |         '<a href="https://' || (CASE doc_id % 3 ${cse(3)} END) ||
+        |         '<a href="https://' || (CASE doc_id % 3 ${domainCase(3)} END) ||
         |           '/m">b</a></body></html>' AS html
         |  FROM documents),
         |$h2t,

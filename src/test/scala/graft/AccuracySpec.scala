@@ -87,9 +87,11 @@ class AccuracySpec extends AnyFunSuite {
       .select(explode(TopnFunctions.topn_delta($"sa", $"sb", 10)).as("r"))
       .select($"r.item", $"r.freq_a", $"r.freq_b", $"r.delta")
       .as[(String, Long, Long, Long)].collect()
-    // the true deltas of the top movers (2000/(i+1) extra copies) dwarf
-    // any eviction error at this budget: all ten planted movers must be
-    // found, in an order consistent with their true movement scale
+    // the LARGEST planted movers' true deltas (2000/(i+1) extra copies)
+    // dwarf the eviction error at this budget and must surface; the
+    // smallest movers (hot8/hot9, true delta ~200-220) sit near the
+    // error margin, so only the top five are asserted — a deliberate
+    // bound, not an oversight
     val found = delta.map(_._1).toSet
     val bigMovers = (0 until 5).map(i => s"hot$i").toSet
     assert(bigMovers.subsetOf(found),
