@@ -290,6 +290,30 @@ object Bench {
     best
   }
 
+  /** Suite-end bootstrap for anchor-less flat rows (new queries). The
+    * round-11 lesson: `measureAnchored` protects every row that has a prior
+    * recorded artifact, but a NEW query has no anchor, falls back to plain
+    * min-of-reps, and a load window over its slot ships an inflated FIRST
+    * recording (r11: topn_delta_monthly 1.495s recorded vs 0.814s fresh) —
+    * which then becomes the row's anchor and can't be tightened below a
+    * genuine fresh value until some later round happens to run unloaded.
+    * Fix: after the whole suite has run, re-measure each anchor-less row
+    * once more and keep the min. The two samples are separated by the rest
+    * of the suite's wall-clock, so a load window must span the ENTIRE run
+    * to inflate a first recording. Bounded cost: one extra rep per new row,
+    * only in the round that introduces it. */
+  private[graft] def bootstrapAnchorless(
+      rows: Seq[(String, Double)],
+      hasAnchor: String => Boolean,
+      remeasure: String => Double): Seq[(String, Double)] =
+    rows.map { case (name, t) =>
+      if (hasAnchor(name) || t < 0) name -> t
+      else {
+        val t2 = remeasure(name)
+        name -> (if (t2 >= 0) math.min(t, t2) else t)
+      }
+    }
+
   /** Growth-point measurement with an outlier re-run policy anchored on the
     * operator's OWN previous point, not on linear extrapolation from 1x.
     *
@@ -400,14 +424,23 @@ object Bench {
           name -> measureGrowth(scales, c => time(build(c).count()))
         }
 
+    // Suite-end bootstrap pass for rows with no prior-artifact anchor (new
+    // queries) — runs AFTER the growth suite so the re-measure is maximally
+    // separated in time from the row's main-pass slot (see
+    // bootstrapAnchorless).
+    val resultsFinal = bootstrapAnchorless(results, anchors.contains,
+      name => time(SparkEntry.queries(name)(spark, sfDir).count()))
+    val opsFinal = bootstrapAnchorless(ops, anchors.contains,
+      name => time(SparkEntry.benchOnly(name)(spark, sfDir).count()))
+
     def fmt(kvs: Seq[(String, Double)]) =
       kvs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val qs = fmt(results)
-    val opsJson = fmt(ops)
+    val qs = fmt(resultsFinal)
+    val opsJson = fmt(opsFinal)
     val growthJson = growth.map { case (name, ts) =>
       "\"" + name + "\":" + fmt(ts.map { case (c, t) => (s"x$c", t) })
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = resultsFinal.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ops":$opsJson,"growth":$growthJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -112,6 +112,31 @@ class BenchSpec extends AnyFunSuite {
     assert(s.calls === 3)
   }
 
+  test("round-11 artifact scenario: an anchor-less row's loaded first recording is repaired at suite end") {
+    // topn_delta_monthly as recorded in BENCH_r11.json: new query, no prior
+    // anchor, min-of-3 ran inside a load window and recorded 1.495s; the
+    // judge's fresh isolated re-run measured 0.814s. The suite-end bootstrap
+    // re-measures the anchor-less row once more — by then the load window
+    // has passed — and the min ships.
+    var remeasured = List.empty[String]
+    val out = Bench.bootstrapAnchorless(
+      Seq("topn_delta_monthly" -> 1.495, "topn_window_7day" -> 1.638),
+      hasAnchor = Set("topn_window_7day"), // anchored rows are already protected
+      remeasure = { n => remeasured ::= n; 0.814 })
+    assert(out === Seq("topn_delta_monthly" -> 0.814, "topn_window_7day" -> 1.638))
+    assert(remeasured === List("topn_delta_monthly"),
+      "anchored rows must not pay the bootstrap rep")
+  }
+
+  test("bootstrap keeps the main-pass value when the re-measure is worse or fails") {
+    val out = Bench.bootstrapAnchorless(
+      Seq("a" -> 0.5, "b" -> 0.5, "c" -> -1.0),
+      hasAnchor = _ => false,
+      remeasure = Map("a" -> 0.9, "b" -> -1.0, "c" -> 0.2))
+    assert(out === Seq("a" -> 0.5, "b" -> 0.5, "c" -> -1.0),
+      "min wins; a failed re-measure or failed main pass is left as-is")
+  }
+
   test("loadAnchors takes the minimum across artifacts and tolerates escaped tails") {
     val dir = java.nio.file.Files.createTempDirectory("graft_anchor")
     // r(N-1): plain JSON-line style; r(N): the driver's escaped-"tail" style
