@@ -23,10 +23,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
  * the ONLY liveness signal, in-place compaction cannot be made safe for
  * concurrent readers under this scheme (a reader unioning old and new
  * copies would double-count candidates). The supported pattern is the
- * offline rebuild: `Pq.saveIndex(committedIndex-derived vectors, ...)`
- * — or re-encode from the source vector table — into a FRESH path, then
- * point new queries at it and retire the old store. Same train-once
- * models, so the rebuilt index is bit-identical per row. Because batch
+ * offline rebuild into a FRESH path — [[rebuildIndex]] is the one-call
+ * operator: it collapses the committed batches to a single
+ * `data/b=0/cell=*` tree (one file per cell), commits it under the same
+ * marker protocol, and stamps the old store with a retire pointer
+ * ([[retiredTo]]) that new queries follow. Old readers keep working
+ * against the old store's unchanged committed state. Same train-once
+ * models, so the rebuilt index holds the same rows. Because batch
  * directories are IMMUTABLE (append-only index; deletes are the
  * dedup store's job), the commit protocol is simpler than
  * [[TopnStreaming.maintainRollup]]'s manifest: data lands in
@@ -76,8 +79,14 @@ object PqStreaming {
     Pq.index(batch, idCol, vecCol, pq, ivf)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$storePath/data/b=$batchId")
+    commitMarker(fs, root, batchId)
+  }
 
-    // the atomic commit: rename of an empty marker file
+  /** The atomic commit: rename of an empty marker file. */
+  private def commitMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      batchId: Long): Unit = {
     val dir = markerDir(root)
     fs.mkdirs(dir)
     val tmp = new org.apache.hadoop.fs.Path(dir,
@@ -100,6 +109,91 @@ object PqStreaming {
       .map(id => spark.read.parquet(s"$storePath/data/b=$id"))
       .reduceOption(_ unionByName _)
       .getOrElse(spark.emptyDataFrame)
+
+  /**
+   * One-call offline rebuild of a committed index store into a FRESH
+   * path — the close of the small-files contract in the object doc. A
+   * long-running stream leaves one immutable directory tree per batch;
+   * this reads the COMMITTED index (orphans never included), collapses
+   * it to a single batch tree `data/b=0/cell=*` in `rebuiltPath` —
+   * repartitioned on `cell` so each cell lands in one file — commits it
+   * under the same atomic-marker protocol, and stamps the old store
+   * with a retire pointer ([[retiredTo]]).
+   *
+   * Safety properties, all pinned by StreamingSpec:
+   *  - the rebuilt store's [[searchCommitted]] results equal the old
+   *    store's bit-identically (same (cand_id, codes, cell) rows, same
+   *    frozen models — the rebuild moves bytes, it never re-encodes);
+   *  - the old store is NOT mutated: its committed state stays readable
+   *    throughout and after (concurrent readers are safe by
+   *    construction — this is why compaction is a fresh path, not
+   *    in-place);
+   *  - replay no-op: a `rebuiltPath` that already has a committed batch
+   *    returns without writing, so a crashed-and-retried rebuild (or a
+   *    double call) cannot duplicate rows; a crash BETWEEN data and
+   *    marker leaves an orphan the retry overwrites from the same
+   *    committed source before committing.
+   *
+   * Streams writing to the old store after the rebuild snapshot keep
+   * committing there (the pointer does not redirect writers); restart
+   * the maintenance stream against `rebuiltPath` with a fresh
+   * checkpoint to migrate, then drop the old store once its readers
+   * drain.
+   *
+   * (The [[TopnStreaming.maintainClusters]] bucketed label store does
+   * NOT need this operator: its manifest GC keeps live data directories
+   * bounded by `numBuckets` — dirs referenced by neither the new nor
+   * previous manifest are deleted at each commit — so file count is
+   * O(numBuckets), not O(stream lifetime).)
+   */
+  def rebuildIndex(
+      spark: SparkSession,
+      storePath: String,
+      rebuiltPath: String): Unit = {
+    val (fs, root) = fsOf(spark, storePath)
+    val (rfs, rroot) = fsOf(spark, rebuiltPath)
+    require(rfs.makeQualified(rroot) != fs.makeQualified(root),
+      s"rebuildIndex target must be a FRESH path, got the store itself: " +
+        s"$storePath (in-place compaction is unsafe for concurrent readers)")
+    if (committedBatches(spark, rebuiltPath).isEmpty &&
+        committedBatches(spark, storePath).nonEmpty) {
+      committedIndex(spark, storePath)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$rebuiltPath/data/b=0")
+      commitMarker(rfs, rroot, 0L)
+    }
+    // retire pointer LAST — only after the rebuilt store is committed (or
+    // was already); temp+rename so readers never see a partial pointer
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s"._retired.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    out.write(rebuiltPath.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    val dst = new org.apache.hadoop.fs.Path(root, "_retired")
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      if (!fs.exists(dst)) {
+        throw new java.io.IOException(s"could not write retire pointer $dst")
+      }
+    }
+  }
+
+  /** Where a retired store points (None for a live store): the fresh path
+    * written by [[rebuildIndex]]. New queries should follow it; old
+    * readers keep working against the retired store's committed state. */
+  def retiredTo(spark: SparkSession, storePath: String): Option[String] = {
+    val (fs, root) = fsOf(spark, storePath)
+    val p = new org.apache.hadoop.fs.Path(root, "_retired")
+    if (!fs.exists(p)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(buf) finally in.close()
+      Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
 
   /**
    * Probe the committed index: the query batch's probed-cell set becomes

@@ -1067,6 +1067,78 @@ class StreamingSpec extends AnyFunSuite {
     assert(stored === direct, "streamed store must equal the batch encode")
   }
 
+  test("streaming PQ index: rebuildIndex collapses the store, probes bit-identical, replay no-op") {
+    import graft.pipeline.{IVF, Pq}
+    import graft.streaming.PqStreaming
+    val rnd = new scala.util.Random(83)
+    val all = (0 until 240).map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = all.toDF("vec_id", "embedding")
+    val ivf = IVF.train(df, "vec_id", "embedding", k = 4, sampleSize = 240)
+    val pq = Pq.train(df, "vec_id", "embedding", m = 4, ks = 8, sampleSize = 240)
+    val base = java.nio.file.Files.createTempDirectory("graft_pqrebuild").toString
+    val store = s"$base/old"
+    val fresh = s"$base/new"
+    // a long-running stream's shape: many small committed batches
+    (0 until 6).foreach { b =>
+      PqStreaming.appendBatch(df.filter($"vec_id" % 6 === b), b.toLong,
+        "vec_id", "embedding", pq, ivf, store)
+    }
+
+    def parquetFiles(p: String): Seq[java.nio.file.Path] = {
+      val root = java.nio.file.Paths.get(p)
+      if (!java.nio.file.Files.exists(root)) Seq.empty
+      else {
+        val s = java.nio.file.Files.walk(root)
+        try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+          .asScala.filter(_.toString.endsWith(".parquet")).toSeq
+        finally s.close()
+      }
+    }
+    val filesBefore = parquetFiles(s"$store/data").size
+
+    PqStreaming.rebuildIndex(spark, store, fresh)
+
+    // file count collapses to one batch tree with one file per cell
+    assert(PqStreaming.committedBatches(spark, fresh) === Seq(0L))
+    val cells = spark.read.parquet(s"$fresh/data/b=0")
+      .select("cell").distinct().count()
+    val freshFiles = parquetFiles(s"$fresh/data")
+    assert(freshFiles.size === cells, "repartition(cell) => one file per cell")
+    assert(freshFiles.size < filesBefore,
+      s"rebuild must shrink the file count (had $filesBefore)")
+
+    // identical rows, bit-identical probe results; old store untouched
+    def rows(p: String) = PqStreaming.committedIndex(spark, p)
+      .select($"cand_id", $"cell", $"codes").as[(Long, Int, Seq[Int])].collect().toSet
+    assert(rows(fresh) === rows(store))
+    val qs = df.filter($"vec_id" < 5)
+    def probe(p: String) = PqStreaming.searchCommitted(spark, p, qs,
+        "vec_id", "embedding", k = 5, pq, ivf, nprobe = 2, rerank = 20,
+        rerankWith = Some(df))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probe(fresh) === probe(store))
+    assert(PqStreaming.committedBatches(spark, store) === (0L until 6L),
+      "the old store's committed state must survive the rebuild unchanged")
+
+    // retire pointer: old store points at the fresh one; fresh store is live
+    assert(PqStreaming.retiredTo(spark, store) === Some(fresh))
+    assert(PqStreaming.retiredTo(spark, fresh) === None)
+
+    // replay no-op: a second call (crash-retry / double call) rewrites nothing
+    val listing = freshFiles.map(p =>
+      p.toString -> java.nio.file.Files.getLastModifiedTime(p)).toMap
+    PqStreaming.rebuildIndex(spark, store, fresh)
+    val listing2 = parquetFiles(s"$fresh/data").map(p =>
+      p.toString -> java.nio.file.Files.getLastModifiedTime(p)).toMap
+    assert(listing2 === listing, "an already-committed rebuild target is read-only")
+
+    // in-place compaction is rejected up front
+    val err = intercept[IllegalArgumentException] {
+      PqStreaming.rebuildIndex(spark, store, store)
+    }
+    assert(err.getMessage.contains("FRESH path"))
+  }
+
   private implicit class JavaSetOps[A](s: java.util.Set[A]) {
     def asScala: scala.collection.mutable.Set[A] =
       scala.jdk.CollectionConverters.SetHasAsScala(s).asScala
