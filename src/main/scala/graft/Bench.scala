@@ -372,7 +372,7 @@ object Bench {
     // coverage is unchanged; SPARK_GRAFT_AUDIT_ROWS=1 times them anyway.
     val auditRows = Set("dedup_simhash", "ann_lsh_top10", "ann_ivf_top10",
       "ann_ivfpq_top10", "lsh_neardup_pairs", "incremental_neardup",
-      "semantic_dedup")
+      "semantic_dedup", "pq_drift_score")
     val skipAudits = sys.env.getOrElse("SPARK_GRAFT_AUDIT_ROWS", "0") == "0"
     def selected(name: String): Boolean =
       only.forall(name.contains) && !(skipAudits && auditRows(name))

@@ -742,6 +742,41 @@ object SparkEntry {
         .orderBy($"query_id")
     }),
 
+    // Quantizer drift audit — the detection query that gates the
+    // retrain-then-rebuild loop (Pq.driftScore doc): ADC-vs-exact rank
+    // agreement for FROZEN models over (a) the training-distribution
+    // corpus and (b) a planted shifted corpus under the same stale
+    // models. Driver-verified like the other ANN tiers (deterministic
+    // training, fixed-point agreement arithmetic): the stationary mean
+    // must hold its measured floor while the planted shift must fall a
+    // measured margin below it — recall decay that probes alone cannot
+    // see (they still return k rows). Measured means: stationary
+    // 510k/575k/435k e6 at sf0.001/0.01/0.1, drifted 180k/205k/185k —
+    // floor 300k, margin 150k.
+    "pq_drift_score" -> ((spark, dir) => {
+      import spark.implicits._
+      val emb = tbl(spark, dir, "embeddings")
+      val ivf = graft.pipeline.IVF.train(emb, "vec_id", "embedding", k = 16)
+      val pq = graft.pipeline.Pq.train(emb, "vec_id", "embedding", m = 16, ks = 16)
+      def agree(corpus: org.apache.spark.sql.DataFrame) =
+        graft.pipeline.Pq.driftScore(
+          graft.pipeline.Pq.index(corpus, "vec_id", "embedding", pq, ivf),
+          corpus, corpus.filter($"vec_id" < 20), "vec_id", "embedding",
+          k = 10, pq, ivf, nprobe = 8, rerank = 50)
+          .agg(avg($"agree_e6").as("mean_e6"), count(lit(1)).as("n"))
+      // the planted shift: offset + rescale, renormalized by the kernels —
+      // the corpus collapses toward one direction, quantization error
+      // dominates the true distance spread (the drift failure mode)
+      val shifted = emb.select($"vec_id",
+        transform($"embedding", x => x * lit(0.05d) + lit(2.0d))
+          .cast("array<float>").as("embedding"))
+      agree(emb).select($"n".as("n_queries"), $"mean_e6".as("stat_e6"))
+        .crossJoin(agree(shifted).select($"mean_e6".as("drift_e6")))
+        .select($"n_queries",
+          ($"stat_e6" >= 300000.0).as("stationary_ok"),
+          ($"drift_e6" <= $"stat_e6" - 150000.0).as("drift_detected"))
+    }),
+
     // top-50 most cosine-similar embedding pairs (embedding near-dup scan,
     // exact O(n^2) tier)
     "cosine_neardup_pairs" -> ((spark, dir) => {
@@ -2352,6 +2387,19 @@ object SparkEntry {
         emb, emb.filter($"vec_id" < 20), "vec_id", "embedding", k = 10,
         pq, ivf, nprobe = 8, rerank = 50)
     }),
+    // the audit a user actually schedules: one driftScore pass over the
+    // LIVE corpus (the correctness row adds the planted-shift twin, which
+    // is verification, not operator cost)
+    "pq_drift_op" -> ((spark, dir) => {
+      import spark.implicits._
+      val emb = tbl(spark, dir, "embeddings")
+      val ivf = graft.pipeline.IVF.train(emb, "vec_id", "embedding", k = 16)
+      val pq = graft.pipeline.Pq.train(emb, "vec_id", "embedding", m = 16, ks = 16)
+      graft.pipeline.Pq.driftScore(
+        graft.pipeline.Pq.index(emb, "vec_id", "embedding", pq, ivf),
+        emb, emb.filter($"vec_id" < 20), "vec_id", "embedding",
+        k = 10, pq, ivf, nprobe = 8, rerank = 50)
+    }),
     "lsh_neardup_pairs_op" -> ((spark, dir) => {
       graft.pipeline.Similarity.lshNearDupPairs(
         tbl(spark, dir, "embeddings"), "vec_id", "embedding", topPairs = 50, dim = 64)
@@ -3080,6 +3128,10 @@ object SparkEntry {
     "ann_ivfpq_top10" ->
       """SELECT vec_id AS query_id, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 20 ORDER BY query_id""".stripMargin,
+
+    "pq_drift_score" ->
+      """SELECT CAST(20 AS BIGINT) AS n_queries, TRUE AS stationary_ok,
+        |       TRUE AS drift_detected""".stripMargin,
 
     "lsh_neardup_pairs" ->
       "SELECT CAST(50 AS BIGINT) AS n_pairs, TRUE AS recall_ok",

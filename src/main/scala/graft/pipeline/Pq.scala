@@ -234,7 +234,9 @@ object Pq {
    * broadcast-LUT ADC scan and bounded-heap top-k as [[topK]]. Pass
    * `rerankWith` (the raw-vector table) + `rerank` to re-score the ADC
    * shortlist exactly — the vector table is only ever joined against
-   * shortlist ids, never scanned.
+   * shortlist ids, never scanned. The query side must be a bounded
+   * batch (<= [[MaxQueryBatch]] rows — it is broadcast); split larger
+   * workloads into batches.
    */
   def searchIndex(
       path: String,
@@ -266,9 +268,30 @@ object Pq {
       .select(explode(IVF.cells(col(vecCol), ivf, nprobe)).as("cell"))
       .distinct().collect().map(_.getInt(0)).toSeq
 
+  /** Query batches are BROADCAST (per-probe, after the nprobe explode):
+    * every search entry point assumes a bounded batch or sample, never a
+    * corpus. The cap makes that contract executable — a corpus-sized
+    * query side fails fast with a clear message instead of a driver-side
+    * broadcast blow-up. At `nprobe` rows per query after the explode,
+    * 2^20 queries is already ~1 GiB of broadcast LUTs at m*ks=256 — the
+    * practical ceiling, not a tight bound. Split larger workloads into
+    * batches (the streaming maintenance path does exactly that). */
+  private[graft] val MaxQueryBatch: Long = 1L << 20
+
+  private def requireBoundedQueries(queries: DataFrame): Unit = {
+    // limit(cap+1).count() instead of count(): stops as soon as the cap is
+    // exceeded rather than scanning an arbitrarily large query side
+    val n = queries.limit(MaxQueryBatch.toInt + 1).count()
+    require(n <= MaxQueryBatch,
+      s"query batch exceeds $MaxQueryBatch rows: query batches are broadcast " +
+        "(per-probe LUTs), so they must be bounded samples/batches, never a " +
+        "corpus. Split the workload into batches.")
+  }
+
   /** ADC search over an already-materialized index DataFrame
     * ((cand_id, cell, codes) — e.g. a partition-pruned read of a
-    * [[saveIndex]] layout, or a streaming store's committed union). */
+    * [[saveIndex]] layout, or a streaming store's committed union).
+    * The query side must be a bounded batch (see [[MaxQueryBatch]]). */
   private[graft] def searchOn(
       idx: DataFrame,
       queries: DataFrame,
@@ -280,6 +303,7 @@ object Pq {
       nprobe: Int,
       rerank: Int,
       rerankWith: Option[DataFrame]): DataFrame = {
+    requireBoundedQueries(queries)
     val qs = queries.select(
       col(idCol).as("query_id"),
       lut(col(vecCol), pq).as("q_lut"),
@@ -314,12 +338,75 @@ object Pq {
   }
 
   /**
+   * Quantizer drift score: per sampled query, the rank agreement between
+   * the pure-ADC top-k and the exact-reranked top-k over the same probed
+   * candidate stream — `agree_e6 = floor(1e6 * |adc_topk INTERSECT
+   * exact_topk| / k)`, exact integer arithmetic (order-independent,
+   * deterministic — the token_entropy discipline), so the score is
+   * hash-stable and oracle-checkable.
+   *
+   * Why this detects drift: IVF/PQ codebooks are FROZEN at train time
+   * (train-once contract — see [[PqStreaming.maintainIndex]]). As the
+   * ingested distribution drifts away from the training sample, PQ
+   * quantization error grows and the ADC ordering decouples from the
+   * exact ordering — recall decays SILENTLY because probes still return
+   * k rows. The exact-rerank side is ground truth on the shortlist, so
+   * falling agreement is a direct, bounded-cost measurement of that
+   * decay: cost is two probes of the same index for K sampled queries
+   * (the ADC scan is shared work; the exact side joins raw vectors
+   * against shortlist ids only — never a corpus scan).
+   *
+   * The retrain loop it gates: run periodically over a sample of recent
+   * committed queries; when the mean of `agree_e6` falls below the floor
+   * measured at deploy time, (1) retrain [[IVF.train]] + [[train]] on a
+   * fresh sample of the CURRENT corpus, (2) re-encode the source vector
+   * table under the new models with [[saveIndex]] — or, for a streaming
+   * store, rebuild into a fresh path and retire the old one
+   * ([[graft.streaming.PqStreaming.rebuildIndex]] is the file-layout
+   * half; re-encoding under new models additionally requires the raw
+   * vector source, since codes are not invertible) — and (3) point
+   * queries at the new index. Never retrain in place: an index encoded
+   * under one model scored against another's LUT is garbage.
+   *
+   * `queries` is a bounded sample batch (same contract as [[topK]]);
+   * `rerank` sizes the exact side's shortlist (>= k, larger = stricter
+   * ground truth). Output: (query_id, agree_e6), one row per query that
+   * produced a full ADC top-k.
+   */
+  def driftScore(
+      index: DataFrame,
+      vectors: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      pq: Model,
+      ivf: IVF.Model,
+      nprobe: Int = 4,
+      rerank: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k) for a drift audit")
+    val adcTop = searchOn(index, queries, idCol, vecCol, k, pq, ivf,
+      nprobe, rerank = 0, rerankWith = None)
+    val exactTop = searchOn(index, queries, idCol, vecCol, k, pq, ivf,
+      nprobe, rerank, rerankWith = Some(vectors))
+      .select(col("query_id").as("eq"), col("neighbor_id").as("en"))
+    adcTop
+      .join(exactTop,
+        col("query_id") === col("eq") && col("neighbor_id") === col("en"), "left")
+      .groupBy(col("query_id"))
+      .agg((count(col("en")) * lit(1000000L) / count(lit(1)))
+        .cast("long").as("agree_e6"))
+  }
+
+  /**
    * IVF-PQ top-k: probe `nprobe` cells, ADC-score every candidate code
    * in a probed cell, bounded-heap top-k per query. With `rerank > k`,
    * the ADC shortlist of that size is re-scored exactly against the raw
    * vectors (keyed join on the shortlist ids only) before the final
    * top-k. Output matches the other ANN tiers:
-   * (query_id, rank, neighbor_id).
+   * (query_id, rank, neighbor_id). The query side must be a bounded
+   * batch (<= [[MaxQueryBatch]] rows — it is broadcast).
    */
   def topK(
       candidates: DataFrame,

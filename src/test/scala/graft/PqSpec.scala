@@ -124,6 +124,57 @@ class PqSpec extends AnyFunSuite {
       "result must not depend on physical partitioning")
   }
 
+  /** The drift audit: models FROZEN on a stationary gaussian corpus keep
+    * ADC-vs-exact rank agreement high; the same stale models applied to a
+    * shifted distribution (constant offset — after unit-norm the corpus
+    * collapses toward one direction, so quantization error dominates the
+    * true distance spread) must drop it. Seeded end to end, so the planted
+    * gap is a stable fixture, not a flaky margin. */
+  test("driftScore: a planted distribution shift trips the score, the stationary corpus does not") {
+    val data = randVecs(400, 16, seed = 31)
+    val df = data.toDF("vec_id", "embedding")
+    val ivf = IVF.train(df, "vec_id", "embedding", k = 4, sampleSize = 400)
+    // fine quantization (dsub=2, ks=32): in-distribution ADC error is small
+    // relative to the corpus' distance spread, so stationary agreement is
+    // high and the drop under drift is attributable to the shift alone
+    val pq = Pq.train(df, "vec_id", "embedding", m = 8, ks = 32, sampleSize = 400)
+
+    def meanAgree(corpus: org.apache.spark.sql.DataFrame): Double =
+      Pq.driftScore(Pq.index(corpus, "vec_id", "embedding", pq, ivf), corpus,
+          corpus.filter($"vec_id" < 30), "vec_id", "embedding",
+          k = 5, pq, ivf, nprobe = 2, rerank = 50)
+        .agg(org.apache.spark.sql.functions.avg($"agree_e6"))
+        .head.getDouble(0)
+
+    val stat = meanAgree(df)
+    val shifted = data.map { case (id, v) => (id, v.map(x => x * 0.05f + 2.0f)) }
+      .toDF("vec_id", "embedding")
+    val drift = meanAgree(shifted)
+
+    assert(stat >= 600000.0,
+      s"stationary agreement must stay high, got $stat")
+    assert(drift <= stat - 200000.0,
+      s"planted shift must trip the score: stationary=$stat drifted=$drift")
+  }
+
+  test("driftScore per-query arithmetic is exact fixed-point (k=5 grid)") {
+    // agreement values can only be multiples of 1e6/k — the integer
+    // arithmetic contract that makes the score hash-stable
+    val data = randVecs(400, 16, seed = 31)
+    val df = data.toDF("vec_id", "embedding")
+    val ivf = IVF.train(df, "vec_id", "embedding", k = 4, sampleSize = 400)
+    val pq = Pq.train(df, "vec_id", "embedding", m = 8, ks = 32, sampleSize = 400)
+    val rows = Pq.driftScore(Pq.index(df, "vec_id", "embedding", pq, ivf), df,
+        df.filter($"vec_id" < 30), "vec_id", "embedding",
+        k = 5, pq, ivf, nprobe = 2, rerank = 50)
+      .as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, a) =>
+      assert(a % 200000L == 0L && a >= 0L && a <= 1000000L,
+        s"query $q: agree_e6=$a is off the 1e6/k grid")
+    }
+  }
+
   test("model save/load round-trips bit-identically") {
     val df = randVecs(100, 16, seed = 23).toDF("vec_id", "embedding")
     val model = Pq.train(df, "vec_id", "embedding", m = 4, ks = 4, sampleSize = 100)
