@@ -26,12 +26,11 @@ object GraftConf {
       try raw.toInt
       catch {
         case _: NumberFormatException =>
-          throw new IllegalArgumentException(
-            s"$NumberOfCountersKey must be an integer, got '$raw'")
+          throw GraftErrors.confNotInteger(NumberOfCountersKey, raw)
       }
     if (n < 1 || n > MaxNumberOfCounters) {
-      throw new IllegalArgumentException(
-        s"$n is outside the valid range for parameter \"$NumberOfCountersKey\" (1 .. $MaxNumberOfCounters)")
+      throw GraftErrors.countersOutOfRange(
+        NumberOfCountersKey, n, MaxNumberOfCounters)
     }
     n
   }

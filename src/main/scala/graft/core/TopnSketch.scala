@@ -98,8 +98,7 @@ final class TopnState private (
    */
   def mergeEntry(item: UTF8String, freq: Long, numCounters: Int): Unit = {
     if (item.numBytes > MaxKeyBytes + 1) {
-      throw new IllegalArgumentException(
-        s"this sketch includes a key which is longer than allowed topn key size (${MaxKeyBytes + 1} bytes)")
+      throw graft.GraftErrors.sketchKeyTooLong(MaxKeyBytes + 1)
     }
     val prev = counters.get(item)
     if (prev == null) {
@@ -177,9 +176,7 @@ final class TopnState private (
   def topK(k: Int, numCounters: Int): Array[(String, Long)] = {
     if (k > numCounters) {
       // wording mirrors the reference, topn.c:231-232
-      throw new IllegalArgumentException(
-        s"desired number of counters ($k) is higher than the " +
-          s"topn.number_of_counters variable ($numCounters)")
+      throw graft.GraftErrors.kExceedsCounters(k, numCounters)
     }
     sortedEntries().take(math.min(k, counters.size))
       .map(e => (e._1.toString, e._2.longValue))

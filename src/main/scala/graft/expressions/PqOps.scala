@@ -92,9 +92,7 @@ case class PqEncode(
     // dimensionality would silently encode to garbage codes (an index
     // built with one embedding model scored under another)
     if (vec.length != m * dsub) {
-      throw new IllegalArgumentException(
-        s"pq_encode: vector dim ${vec.length} != model dim ${m * dsub} " +
-          s"(m=$m x dsub=$dsub) — vector and PQ model disagree")
+      throw graft.GraftErrors.dimMismatch("pq_encode", "vector", vec.length, m, dsub)
     }
     val out = new Array[Any](m)
     var s = 0
@@ -169,9 +167,7 @@ case class PqLut(
     // same fail-fast as PqEncode: a clamped LUT would silently zero the
     // out-of-range subspaces and mis-rank every candidate
     if (vec.length != m * dsub) {
-      throw new IllegalArgumentException(
-        s"pq_lut: query dim ${vec.length} != model dim ${m * dsub} " +
-          s"(m=$m x dsub=$dsub) — query and PQ model disagree")
+      throw graft.GraftErrors.dimMismatch("pq_lut", "query", vec.length, m, dsub)
     }
     val out = new Array[Any](m * ks)
     var s = 0
@@ -237,8 +233,8 @@ case class PqAdc(left: Expression, right: Expression)
     val m = codes.numElements()
     val total = lut.numElements()
     if (m == 0 || total % m != 0) {
-      throw new IllegalArgumentException(
-        s"pq_adc: lut length $total is not a multiple of code length $m " +
+      throw graft.GraftErrors.pqModelMismatch(
+        s"lut length $total is not a multiple of code length $m " +
           "(index and query built from different PQ models?)")
     }
     val ks = total / m
@@ -247,8 +243,8 @@ case class PqAdc(left: Expression, right: Expression)
     while (s < m) {
       val c = codes.getInt(s)
       if (c < 0 || c >= ks) {
-        throw new IllegalArgumentException(
-          s"pq_adc: code $c out of range [0, $ks) at subspace $s")
+        throw graft.GraftErrors.pqModelMismatch(
+          s"code $c out of range [0, $ks) at subspace $s")
       }
       sum += lut.getDouble(s * ks + c)
       s += 1

@@ -146,9 +146,8 @@ object TopnQuery {
   /** The report kernel, shared by interpreted eval and codegen. */
   def query(sketch: MapData, k: Int, numCounters: Int): ArrayData = {
     if (k > numCounters) {
-      throw new IllegalArgumentException(
-        s"desired number of counters ($k) is higher than the " +
-          s"topn.number_of_counters variable ($numCounters)")
+      // wording mirrors the reference, topn.c:231-232
+      throw graft.GraftErrors.kExceedsCounters(k, numCounters)
     }
     val arr = TopnExprUtils.topEntries(sketch, k)
     val out = new Array[Any](arr.length)

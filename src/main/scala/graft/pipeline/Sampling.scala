@@ -221,11 +221,15 @@ object Sampling {
       df: DataFrame,
       weights: Seq[(String, Int)],
       bucket: Column): DataFrame = {
-    require(weights.nonEmpty && weights.map(_._2).sum == 100,
-      s"split weights must sum to 100, got $weights")
-    require(weights.forall(_._2 > 0),
-      s"every split weight must be positive, got $weights (a non-positive " +
-        "weight makes that split empty and shifts the others' cut points)")
+    if (!(weights.nonEmpty && weights.map(_._2).sum == 100)) {
+      throw graft.GraftErrors.invalidSplitWeights(weights,
+        "split weights must sum to 100")
+    }
+    if (!weights.forall(_._2 > 0)) {
+      throw graft.GraftErrors.invalidSplitWeights(weights,
+        "every split weight must be positive (a non-positive weight makes " +
+          "that split empty and shifts the others' cut points)")
+    }
     for (c <- Seq("bucket", "split_name"))
       require(!df.columns.contains(c),
         s"input already has a '$c' column; rename it — assignSplit appends " +
