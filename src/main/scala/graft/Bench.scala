@@ -211,6 +211,40 @@ object Bench {
         "doc_id", "text", n = 8)
         .agg(sum(length(col("clean_text"))).as("total_chars"),
           sum(col("n_dropped_tokens")).as("total_dropped"))),
+    // width sweep, not an input-scale sweep: the "scale" axis here is the
+    // FRAME WIDTH over a fixed daily rollup. The range-join form replicates
+    // each period's sketch `width` times, so its cost must grow with the
+    // axis, while the block-decomposed wide-frame form holds the
+    // ~3-merges-per-period invariant (Rollups.slidingUnionWideFrame doc) and
+    // should stay ~flat — the ratio between the two rows IS the claim.
+    // The rollup is SYNTHETIC (4000 periods x 200 uniques/day, counters
+    // 100): the sf0.1 orders rollup (~2400 days x ~60 uniques) leaves both
+    // forms overhead-bound (~1s floor — measured; the merge term is tens of
+    // ms), so the slope would measure plan overhead, not the operator. The
+    // incremental_neardup precedent: synthesize the shape the claim is
+    // about. The final agg consumes the merged sketches — under the
+    // runner's bare count() Catalyst prunes the range-join form's merge
+    // aggregate entirely (while the wide-frame form's persist forces its
+    // windows) and the sweep would compare a real merge against a pruned
+    // one.
+    // clearCache before each build: slidingUnionWideFrame persists its
+    // periods-sized running table inside the returned plan, and Spark's
+    // CacheManager matches it by canonicalized plan — without the clear,
+    // reps 2..n of a width (and the min-of-2 anchor) would measure the
+    // CACHED running table instead of the operator, while the range-join
+    // form (no persist) pays full price every rep.
+    ("g_sliding_rangejoin_w", Seq(7, 30, 90, 365), (w: Int) => {
+      spark.catalog.clearCache()
+      graft.operators.Rollups.slidingUnion(
+        syntheticRollup(spark), "day", "sketch", frameRows = w, 100)
+        .agg(sum(size(col("sketch"))).as("total_entries"))
+    }),
+    ("g_sliding_wideframe_w", Seq(7, 30, 90, 365), (w: Int) => {
+      spark.catalog.clearCache()
+      graft.operators.Rollups.slidingUnionWideFrame(
+        syntheticRollup(spark), "day", "sketch", frameRows = w, 100)
+        .agg(sum(size(col("sketch"))).as("total_entries"))
+    }),
     ("g_bloom_dedup", Seq(1, 4, 10), (c: Int) => {
       val batch = scaledDocs(spark, dir, 1).select(
         (col("doc_id") + lit(100000000L)).as("doc_id"), col("text"))
@@ -218,6 +252,18 @@ object Bench {
         batch, scaledDocs(spark, dir, c), "doc_id", "text",
         expectedRefItems = 60000L * c, fpp = 0.03)
     }))
+
+  /** Synthetic daily rollup for the sliding-window width sweep: 4000
+    * periods x 200 unique items/day under a 100-counter budget — wide
+    * frames SATURATE the budget (90x200 candidates into 100 counters), the
+    * production regime where the merge-work difference between the
+    * range-join and block-decomposed forms is the dominant term. */
+  private def syntheticRollup(spark: SparkSession): DataFrame =
+    spark.range(10000L * 200)
+      .select(format_string("d%06d", (col("id") / 200).cast("int")).as("day"),
+        xxhash64(col("id")).cast("string").as("item"))
+      .groupBy(col("day"))
+      .agg(TopnFunctions.topn_add_agg(col("item"), 100).as("sketch"))
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime()

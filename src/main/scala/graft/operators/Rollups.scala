@@ -140,6 +140,28 @@ object Rollups {
    * width, vs `frameRows` merges in [[slidingUnion]] — at a 365-period
    * frame that is a 100x reduction in both shuffle bytes and merge work.
    *
+   * Block width is NOT a tunable knob: it must equal `frameRows`, because
+   * that is the unique width for which every frame either starts exactly
+   * at its own block's start (pre(t) alone is the frame) or spans exactly
+   * two adjacent blocks (suf(s) ++ pre(t) is a disjoint cover) — the proof
+   * in step 3. A narrower block (e.g. the sqrt-decomposition's
+   * sqrt(frame)) would let frames span full MIDDLE blocks, adding
+   * per-period middle-block merges and a variable-arity stitch for no
+   * gain: the ~3-merges-per-period invariant already holds at every
+   * width, and the per-block state is frameRows sketch rows — small at
+   * any realistic frame. (ScaleOpsSpec pins equality with the range-join
+   * form at w = 1/7/13/30/90/365/beyond-#periods.)
+   *
+   * Measured crossover (g_sliding_*_w bench rows, 10k-period synthetic
+   * rollup, 200 uniques/day, 100 counters, local[32]): this form is
+   * ~flat in width (1.7-1.9s at w = 7..365) while the range-join form
+   * grows with it (1.4s at w=7 -> 3.0s at w=365, and quadratically in
+   * #periods through its non-equi broadcast join — 7s+ at 40k periods
+   * where this form holds ~2s). Below the crossover (narrow frames,
+   * moderate period counts) the range-join's smaller fixed costs win:
+   * [[slidingUnion]] stays the right spelling for the 7-day frame, this
+   * one for wide frames or large period dimensions.
+   *
    * Exactly the window/range-join result below the eviction threshold
    * (merge is order-free there). Above it, the running merges prune after
    * each period (the aggregate finalizer is policy A), which is the same

@@ -87,7 +87,7 @@ class ScaleOpsSpec extends AnyFunSuite {
       // block-end/same-block boundary, and w > #periods (pure cumulative
       // prefix within one giant block never completed — all frames partial)
       val periods = daily.count().toInt
-      for (w <- Seq(1, 13, 30, periods + 10)) {
+      for (w <- Seq(1, 7, 13, 30, 90, 365, periods + 10)) {
         val expected = flattened(
           Rollups.slidingUnion(daily, "day", "sketch", w, 2000000))
         val got = flattened(
