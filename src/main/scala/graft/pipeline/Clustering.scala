@@ -286,6 +286,13 @@ object Clustering {
       pairs: DataFrame,
       aCol: String,
       bCol: String): DataFrame = {
+    // reserved-output guard (keepLatest/dedupLines convention): a scoreCol
+    // named like an output column would alias back over it and emit a
+    // duplicate/shadowed column instead of a clear error
+    for (c <- Seq("doc_id", "cluster_id", "kept"))
+      require(scoreCol != c,
+        s"scoreCol '$scoreCol' collides with output column '$c'; rename it — " +
+          s"clusterKeepers emits (doc_id, cluster_id, <scoreCol>, kept)")
     val labels = connectedComponents(pairs, aCol, bCol)
     val scored = labels.join(
       docs.select(col(idCol).as("doc_id"), col(scoreCol).as("__score")),

@@ -366,15 +366,24 @@ object Urls {
    */
   def htmlCanonicalUrl(html: Column): Column = {
     // attribute-name boundaries ([\s"'] before rel/href — so data-rel= /
-    // data-href= cannot match) and a value terminator after canonical
-    // (closing quote and/or separator — so rel="canonicalized" cannot
-    // match). The `(?:[^>]*[\s"'])?` junk group lets further attributes
-    // intervene but forces a boundary char immediately before the next
-    // attribute name (RE2-safe: no lookarounds).
+    // data-href= cannot match) and a token terminator after canonical (a
+    // quote or separator — so rel="canonicalized" cannot match, while the
+    // browser-accepted quote-adjacent form rel="canonical"href=... does).
+    // `canonical` may sit anywhere in a space-separated rel token list
+    // (rel="nofollow canonical"): the `(?:["'](?:[^"'>]*\s)?)?` prefix
+    // admits earlier tokens ONLY inside a quoted value (an unquoted value
+    // cannot contain spaces), and its [^"'>]* junk cannot cross the
+    // closing quote, so tokens of OTHER attributes never match. In the
+    // rel-first pattern the terminator excludes '>' (href must follow in
+    // the SAME tag — admitting '>' would let the junk group walk into the
+    // next tag's href); in the href-first pattern rel is last, so '>' is
+    // a valid end. The `(?:[^>]*[\s"'])?` junk group lets further
+    // attributes intervene but forces a boundary char immediately before
+    // the next attribute name (RE2-safe: no lookarounds).
     val relFirst = regexp_extract(html,
-      "(?is)<link[^>]*[\\s\"']rel\\s*=\\s*[\"']?canonical[\"']?[\\s/](?:[^>]*[\\s\"'])?href\\s*=\\s*[\"']?([^\"'>\\s]+)", 1)
+      "(?is)<link[^>]*[\\s\"']rel\\s*=\\s*(?:[\"'](?:[^\"'>]*\\s)?)?canonical[\"'\\s/](?:[^>]*[\\s\"'])?href\\s*=\\s*[\"']?([^\"'>\\s]+)", 1)
     val hrefFirst = regexp_extract(html,
-      "(?is)<link[^>]*[\\s\"']href\\s*=\\s*[\"']?([^\"'>\\s]+)[\"']?(?:[^>]*[\\s\"'])?rel\\s*=\\s*[\"']?canonical[\"'\\s/>]", 1)
+      "(?is)<link[^>]*[\\s\"']href\\s*=\\s*[\"']?([^\"'>\\s]+)[\"']?(?:[^>]*[\\s\"'])?rel\\s*=\\s*(?:[\"'](?:[^\"'>]*\\s)?)?canonical[\"'\\s/>]", 1)
     when(relFirst =!= "", relFirst).otherwise(hrefFirst)
   }
 }

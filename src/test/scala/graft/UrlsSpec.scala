@@ -200,6 +200,34 @@ class UrlsSpec extends AnyFunSuite {
       === "https://a.io/y", "data-href must not shadow the real href")
   }
 
+  test("htmlCanonicalUrl: browser-accepted quote-adjacent and token-list forms") {
+    // attribute starting immediately after the closing quote — browsers
+    // accept it, the recrawl chain must not silently fall back to fetch URL
+    assert(canon("""<link rel="canonical"href="https://a.io/adj">""")
+      === "https://a.io/adj", "quote-adjacent href after rel")
+    assert(canon("""<link href="https://a.io/adj2"rel="canonical">""")
+      === "https://a.io/adj2", "quote-adjacent rel after href")
+    // canonical anywhere in a space-separated rel token list (RFC 6596
+    // composes with other link types)
+    assert(canon("""<link rel="nofollow canonical" href="https://a.io/tok">""")
+      === "https://a.io/tok")
+    assert(canon("""<link href='https://a.io/tok2' rel='alternate canonical'>""")
+      === "https://a.io/tok2")
+    // rel last in the tag, closed without a separator
+    assert(canon("""<link href="https://a.io/end" rel=canonical>""")
+      === "https://a.io/end")
+    // guards retained: prefixed token, token list without canonical, and
+    // canonical appearing only in ANOTHER attribute's value
+    assert(canon("""<link rel="nofollow canonicalized" href="https://a.io/x">""")
+      === "", "token-list entry merely prefixed by canonical must not match")
+    assert(canon("""<link rel="nofollow external" href="https://a.io/x">""") === "")
+    assert(canon("""<link title="not canonical " rel="stylesheet" href="/c.css">""")
+      === "", "the token must live in rel's own quoted value")
+    // rel-first pattern must not walk past the tag end into a later href
+    assert(canon("""<link rel=canonical><a href="https://a.io/next">""")
+      === "", "a rel-only link tag must not capture the next tag's href")
+  }
+
   test("sitemapLocs: trim, order, multiline, empties") {
     def locs(xml: String): Seq[String] =
       Seq(xml).toDF("x").select(Urls.sitemapLocs($"x")).as[Seq[String]].head()
