@@ -609,6 +609,44 @@ object SparkEntry {
         .orderBy($"metric")
     }),
 
+    // the per-split leakage audit a curation pipeline runs before
+    // shipping shards: near-dup cluster labels -> cluster-keyed split
+    // assignment (the split_by_cluster spelling) -> per split: doc
+    // count, residual dup mass (non-representative cluster members
+    // still present), contamination incidence vs the held-out benchmark
+    // slice — and the headline guarantee as a measured number:
+    // clusters straddling two splits (0 by construction of groupSplit;
+    // this row PROVES it instead of asserting it)
+    "corpus_split_report" -> ((spark, dir) => {
+      import spark.implicits._
+      import graft.pipeline._
+      val docs = tbl(spark, dir, "documents").select($"doc_id", $"text")
+      val labels = Clustering.connectedComponents(
+        Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5),
+        "doc_a", "doc_b")
+      val keyed = docs.select($"doc_id").join(labels, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
+      val assigned = Sampling.groupSplit(keyed, "cluster_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select($"doc_id", $"cluster_id", $"split_name")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bench = docs.filter($"doc_id" % 31 === 4)
+      val contaminated = Dedup.contamination(docs, bench, "doc_id", "text", n = 3)
+        .filter($"n_shared_shingles" > 20L)
+        .select($"doc_id", lit(1L).as("c"))
+      val perSplit = assigned
+        .join(contaminated, Seq("doc_id"), "left")
+        .groupBy($"split_name")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"cluster_id" =!= $"doc_id", 1L).otherwise(0L)).as("n_dup_docs"),
+          sum(coalesce($"c", lit(0L))).as("n_contaminated"))
+      val straddle = assigned.groupBy($"cluster_id")
+        .agg(countDistinct($"split_name").as("ns"))
+        .filter($"ns" > 1)
+        .agg(count(lit(1)).as("n_straddling_clusters"))
+      perSplit.crossJoin(straddle).orderBy($"split_name")
+    }),
+
     // text analysis: tokenization, quality, language-ID, fingerprint
     "text_stats" -> ((spark, dir) => {
       import spark.implicits._
@@ -2342,8 +2380,27 @@ object SparkEntry {
         ($"doc_id" * 4 + $"copy_id").as("uid"), $"doc_id",
         $"copy_id".cast("long").as("copy_id"),
         TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
-      Sampling.packByBudget(weighted, "uid", "n_tokens", budget = 2048L)
-        .select($"doc_id", $"copy_id", $"n_tokens", $"bin")
+      // leakage-safe split keyed by NEAR-DUP CLUSTER (the split_by_cluster
+      // spelling), reusing the SAME labels the keep stage derived — cluster
+      // members share a split by construction, so near-identical documents
+      // (and every upsampled copy) can never straddle train and eval. The
+      // assignment is over the full post-front-door batch, so it is stable
+      // even for docs later removed by dedup/decon/quality.
+      val assigned = Sampling.groupSplit(
+        fresh.join(labels, Seq("doc_id"), "left")
+          .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id")),
+        "cluster_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select($"doc_id", $"split_name")
+      val withSplit = weighted.join(assigned, Seq("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // pack PER SPLIT: shards are train-only or eval-only — a shared bin
+      // would mix splits inside one shard file
+      val packed = Seq("train", "val", "test").map { s =>
+        Sampling.packByBudget(
+          withSplit.filter($"split_name" === s), "uid", "n_tokens", budget = 2048L)
+      }.reduce(_ unionByName _)
+      packed
+        .select($"doc_id", $"copy_id", $"n_tokens", $"split_name", $"bin")
         .orderBy($"doc_id", $"copy_id")
     })
   )
@@ -2726,6 +2783,51 @@ object SparkEntry {
 
     // every ingredient's DuckDB spelling is already hash-proven by
     // text_stats / dedup_exact / pii_redact; the card just aggregates them
+    // cluster labels + cluster-keyed buckets (split_by_cluster spelling),
+    // trigram contamination (decontaminate spelling) — composed per split
+    "corpus_split_report" ->
+      s"""WITH RECURSIVE
+        |$jaccardClosureCtes,
+        |labels AS (
+        |  SELECT CAST(u AS BIGINT) AS doc_id,
+        |         CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY u),
+        |asg AS (
+        |  SELECT d.doc_id,
+        |         COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+        |         CASE WHEN CAST(('0x' || substr(md5('0:' ||
+        |                CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)), 1, 15))
+        |                AS BIGINT) % 100 < 80 THEN 'train'
+        |              WHEN CAST(('0x' || substr(md5('0:' ||
+        |                CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)), 1, 15))
+        |                AS BIGINT) % 100 < 90 THEN 'val'
+        |              ELSE 'test' END AS split_name
+        |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+        |ct AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        |       FROM documents),
+        |csh AS (SELECT doc_id,
+        |          CASE WHEN len(toks) >= 3
+        |               THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |               ELSE [] END AS shingles
+        |        FROM ct),
+        |cex AS (SELECT doc_id, unnest(shingles) AS s FROM csh),
+        |bex AS (SELECT DISTINCT s FROM cex WHERE doc_id % 31 = 4),
+        |flg AS (SELECT cex.doc_id FROM cex JOIN bex ON cex.s = bex.s
+        |        GROUP BY 1 HAVING COUNT(DISTINCT cex.s) > 20),
+        |per AS (SELECT split_name,
+        |          CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |          CAST(SUM(CASE WHEN cluster_id <> doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |            AS n_dup_docs,
+        |          CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM flg)
+        |                        THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+        |        FROM asg GROUP BY 1),
+        |str AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_straddling_clusters
+        |        FROM (SELECT cluster_id FROM asg
+        |              GROUP BY 1 HAVING COUNT(DISTINCT split_name) > 1))
+        |SELECT split_name, n_docs, n_dup_docs, n_contaminated, n_straddling_clusters
+        |FROM per CROSS JOIN str ORDER BY split_name""".stripMargin,
+
     "corpus_report" ->
       """WITH t AS (
         |  SELECT text, regexp_split_to_array(trim(text), '\s+') AS toks,
@@ -4479,10 +4581,20 @@ object SparkEntry {
         |pw AS (SELECT doc_id, copy_id, doc_id * 4 + copy_id AS uid,
         |              CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
         |       FROM ups),
-        |pc2 AS (SELECT doc_id, copy_id, n_tokens,
-        |              CAST(SUM(n_tokens) OVER (ORDER BY uid ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
-        |       FROM pw)
-        |SELECT doc_id, copy_id, n_tokens, (run - n_tokens) // 2048 AS bin
+        |spl AS (SELECT fr.doc_id,
+        |          CASE WHEN CAST(('0x' || substr(md5('0:' ||
+        |                 CAST(COALESCE(l.cluster_id, fr.doc_id) AS VARCHAR)), 1, 15))
+        |                 AS BIGINT) % 100 < 80 THEN 'train'
+        |               WHEN CAST(('0x' || substr(md5('0:' ||
+        |                 CAST(COALESCE(l.cluster_id, fr.doc_id) AS VARCHAR)), 1, 15))
+        |                 AS BIGINT) % 100 < 90 THEN 'val'
+        |               ELSE 'test' END AS split_name
+        |        FROM fresh fr LEFT JOIN jlab l ON fr.doc_id = l.doc_id),
+        |pc2 AS (SELECT pw.doc_id, copy_id, n_tokens, split_name,
+        |              CAST(SUM(n_tokens) OVER (PARTITION BY split_name
+        |                ORDER BY uid ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        |       FROM pw JOIN spl ON pw.doc_id = spl.doc_id)
+        |SELECT doc_id, copy_id, n_tokens, split_name, (run - n_tokens) // 2048 AS bin
         |FROM pc2 ORDER BY doc_id, copy_id""".stripMargin
     }
   )
