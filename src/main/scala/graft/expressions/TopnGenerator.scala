@@ -19,6 +19,16 @@ import org.apache.spark.unsafe.types.UTF8String
  *
  * Same semantics as [[TopnQuery]]: canonical (freq desc, item asc) order,
  * error when k exceeds the counter budget, zero rows for NULL/empty input.
+ *
+ * CodegenFallback is RETAINED deliberately (measured, round 12): a topn
+ * generator's input is always REPORT-sized — one row per group after the
+ * sketch aggregation, never corpus-sized — so the interpreted generate
+ * step is microseconds and the whole-stage-codegen break sits at a stage
+ * boundary the aggregation forces anyway. Measured on the one query that
+ * exercises it (`topn_join_cte_sql`, 50 sketches through LATERAL VIEW):
+ * 0.74s isolated, dominated by the two sketch aggregations on either
+ * side; a codegen'd generator could reclaim at most the ~50-row
+ * iterator's cost. Revisit only if a corpus-sized generate appears.
  */
 case class TopnRows(left: Expression, right: Expression, numCounters: Int)
   extends CollectionGenerator with CodegenFallback {
@@ -41,9 +51,8 @@ case class TopnRows(left: Expression, right: Expression, numCounters: Int)
     if (sketch == null || k == null) return Iterator.empty
     val n = k.asInstanceOf[Int]
     if (n > numCounters) {
-      throw new IllegalArgumentException(
-        s"desired number of counters ($n) is higher than the " +
-          s"topn.number_of_counters variable ($numCounters)")
+      // wording mirrors the reference, topn.c:231-232
+      throw graft.GraftErrors.kExceedsCounters(n, numCounters)
     }
     TopnExprUtils.topEntries(sketch.asInstanceOf[MapData], n).iterator
       .map { case (item, freq) =>
