@@ -229,6 +229,39 @@ object PqStreaming {
     Pq.searchOn(idx, queries, idCol, vecCol, k, pq, ivf, nprobe, rerank, rerankWith)
   }
 
+  /**
+   * The drift audit bound to a committed store: [[graft.pipeline.Pq.driftScore]]
+   * over the committed batches (partition-pruned to the sampled queries'
+   * probed cells, like [[searchCommitted]]). This is the periodic health
+   * check a long-running [[maintainIndex]] stream schedules — frozen
+   * models decay SILENTLY as the ingested distribution drifts, and when
+   * the mean `agree_e6` falls below the deploy-time floor the operator
+   * sequence is: retrain on a fresh sample of the current vectors,
+   * re-encode into a fresh store, [[rebuildIndex]]-style retire of the
+   * old one (re-encoding needs the raw vector source — codes are not
+   * invertible). Empty store -> zero rows with the output schema.
+   */
+  def driftScoreCommitted(
+      spark: SparkSession,
+      storePath: String,
+      vectors: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      pq: Pq.Model,
+      ivf: IVF.Model,
+      nprobe: Int = 4,
+      rerank: Int = 50): DataFrame = {
+    if (committedBatches(spark, storePath).isEmpty) {
+      return queries.select(col(idCol).as("query_id"), lit(0L).as("agree_e6"))
+        .limit(0)
+    }
+    val touched = Pq.probedCells(queries, vecCol, ivf, nprobe)
+    val idx = committedIndex(spark, storePath).filter(col("cell").isin(touched: _*))
+    Pq.driftScore(idx, vectors, queries, idCol, vecCol, k, pq, ivf, nprobe, rerank)
+  }
+
   /** Drive [[appendBatch]] from a streaming (id, vector) source. */
   def maintainIndex(
       stream: DataFrame,

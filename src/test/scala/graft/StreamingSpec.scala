@@ -1139,6 +1139,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(err.getMessage.contains("FRESH path"))
   }
 
+  test("streaming PQ index: driftScoreCommitted == batch driftScore; empty store is empty") {
+    import graft.pipeline.{IVF, Pq}
+    import graft.streaming.PqStreaming
+    val rnd = new scala.util.Random(89)
+    val all = (0 until 200).map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = all.toDF("vec_id", "embedding")
+    val ivf = IVF.train(df, "vec_id", "embedding", k = 4, sampleSize = 200)
+    val pq = Pq.train(df, "vec_id", "embedding", m = 8, ks = 16, sampleSize = 200)
+    val store = java.nio.file.Files.createTempDirectory("graft_pqdrift").toString + "/s"
+    val qs = df.filter($"vec_id" < 10)
+
+    // pre-commit: empty result with the output schema, not a failure
+    val pre = PqStreaming.driftScoreCommitted(spark, store, df, qs,
+      "vec_id", "embedding", k = 5, pq, ivf, nprobe = 2, rerank = 50)
+    assert(pre.columns.toSeq === Seq("query_id", "agree_e6") && pre.count() === 0L)
+
+    PqStreaming.appendBatch(df.filter($"vec_id" % 2 === 0), 0L,
+      "vec_id", "embedding", pq, ivf, store)
+    PqStreaming.appendBatch(df.filter($"vec_id" % 2 === 1), 1L,
+      "vec_id", "embedding", pq, ivf, store)
+
+    val got = PqStreaming.driftScoreCommitted(spark, store, df, qs,
+        "vec_id", "embedding", k = 5, pq, ivf, nprobe = 2, rerank = 50)
+      .as[(Long, Long)].collect().toSet
+    val want = Pq.driftScore(Pq.index(df, "vec_id", "embedding", pq, ivf), df,
+        qs, "vec_id", "embedding", k = 5, pq, ivf, nprobe = 2, rerank = 50)
+      .as[(Long, Long)].collect().toSet
+    assert(got === want,
+      "the committed store's drift audit must equal the batch audit over the same rows")
+  }
+
   private implicit class JavaSetOps[A](s: java.util.Set[A]) {
     def asScala: scala.collection.mutable.Set[A] =
       scala.jdk.CollectionConverters.SetHasAsScala(s).asScala
