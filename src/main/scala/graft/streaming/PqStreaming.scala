@@ -163,8 +163,16 @@ object PqStreaming {
         .parquet(s"$rebuiltPath/data/b=0")
       commitMarker(rfs, rroot, 0L)
     }
-    // retire pointer LAST — only after the rebuilt store is committed (or
-    // was already); temp+rename so readers never see a partial pointer
+    writeRetirePointer(fs, root, rebuiltPath)
+  }
+
+  /** Retire pointer, written LAST — only after the rebuilt store is
+    * committed (or was already); temp+rename so readers never see a
+    * partial pointer. */
+  private def writeRetirePointer(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      rebuiltPath: String): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(root,
       s"._retired.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
@@ -178,6 +186,44 @@ object PqStreaming {
         throw new java.io.IOException(s"could not write retire pointer $dst")
       }
     }
+  }
+
+  /**
+   * The other half of the drift-retrain loop: rebuild a store under NEW
+   * models. [[rebuildIndex]] moves committed bytes (same models —
+   * compaction); after [[graft.pipeline.Pq.driftScore]] trips and the
+   * models are retrained, the codes themselves are stale and NOT
+   * invertible, so the fresh store must re-encode from the raw vector
+   * source. One call: encode `vectors` under `newPq`/`newIvf` into
+   * `rebuiltPath` as a single committed `data/b=0/cell=*` tree (the
+   * compacted layout — one file per cell) and stamp the old store with
+   * the retire pointer. Same idempotence/fresh-path contract as
+   * [[rebuildIndex]]. Queries against the new store MUST use the new
+   * models — an index encoded under one model scored against another's
+   * LUT is garbage (PqAdc fails fast only on shape mismatch).
+   */
+  def reencodeStore(
+      spark: SparkSession,
+      storePath: String,
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      newPq: Pq.Model,
+      newIvf: IVF.Model,
+      rebuiltPath: String): Unit = {
+    val (fs, root) = fsOf(spark, storePath)
+    val (rfs, rroot) = fsOf(spark, rebuiltPath)
+    require(rfs.makeQualified(rroot) != fs.makeQualified(root),
+      s"reencodeStore target must be a FRESH path, got the store itself: " +
+        s"$storePath (in-place re-encoding is unsafe for concurrent readers)")
+    if (committedBatches(spark, rebuiltPath).isEmpty) {
+      Pq.index(vectors, idCol, vecCol, newPq, newIvf)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$rebuiltPath/data/b=0")
+      commitMarker(rfs, rroot, 0L)
+    }
+    writeRetirePointer(fs, root, rebuiltPath)
   }
 
   /** Where a retired store points (None for a live store): the fresh path

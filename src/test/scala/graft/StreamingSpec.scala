@@ -1139,6 +1139,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(err.getMessage.contains("FRESH path"))
   }
 
+  test("streaming PQ index: reencodeStore rebuilds under NEW models, retires the old store") {
+    import graft.pipeline.{IVF, Pq}
+    import graft.streaming.PqStreaming
+    val rnd = new scala.util.Random(97)
+    val all = (0 until 200).map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = all.toDF("vec_id", "embedding")
+    val ivf = IVF.train(df, "vec_id", "embedding", k = 4, sampleSize = 200)
+    val pq = Pq.train(df, "vec_id", "embedding", m = 4, ks = 8, sampleSize = 200)
+    val base = java.nio.file.Files.createTempDirectory("graft_pqreenc").toString
+    val store = s"$base/old"
+    val fresh = s"$base/new"
+    PqStreaming.appendBatch(df, 0L, "vec_id", "embedding", pq, ivf, store)
+
+    // retrained models (different shape entirely — the drift-loop outcome)
+    val ivf2 = IVF.train(df, "vec_id", "embedding", k = 8, sampleSize = 200)
+    val pq2 = Pq.train(df, "vec_id", "embedding", m = 8, ks = 16, sampleSize = 200)
+    PqStreaming.reencodeStore(spark, store, df, "vec_id", "embedding", pq2, ivf2, fresh)
+
+    assert(PqStreaming.committedBatches(spark, fresh) === Seq(0L))
+    assert(PqStreaming.retiredTo(spark, store) === Some(fresh))
+    // the fresh store IS the new-model encode — probes under the new
+    // models equal the batch IVF-PQ plan under those models
+    val qs = df.filter($"vec_id" < 5)
+    val got = PqStreaming.searchCommitted(spark, fresh, qs, "vec_id", "embedding",
+        k = 5, pq2, ivf2, nprobe = 2, rerank = 20, rerankWith = Some(df))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Pq.topK(df, qs, "vec_id", "embedding", k = 5, pq2, ivf2,
+        nprobe = 2, rerank = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+    // old store untouched and still readable under the OLD models
+    assert(PqStreaming.committedIndex(spark, store).count() === 200L)
+    // idempotent + fresh-path contract shared with rebuildIndex
+    PqStreaming.reencodeStore(spark, store, df, "vec_id", "embedding", pq2, ivf2, fresh)
+    assert(PqStreaming.committedIndex(spark, fresh).count() === 200L)
+    intercept[IllegalArgumentException] {
+      PqStreaming.reencodeStore(spark, store, df, "vec_id", "embedding", pq2, ivf2, store)
+    }
+  }
+
   test("streaming PQ index: driftScoreCommitted == batch driftScore; empty store is empty") {
     import graft.pipeline.{IVF, Pq}
     import graft.streaming.PqStreaming
