@@ -211,13 +211,23 @@ object Bench {
         "doc_id", "text", n = 8)
         .agg(sum(length(col("clean_text"))).as("total_chars"),
           sum(col("n_dropped_tokens")).as("total_dropped"))),
-    // width sweep, not an input-scale sweep: the "scale" axis here is the
-    // FRAME WIDTH over a fixed daily rollup. The range-join form replicates
-    // each period's sketch `width` times, so its cost must grow with the
-    // axis, while the block-decomposed wide-frame form holds the
-    // ~3-merges-per-period invariant (Rollups.slidingUnionWideFrame doc) and
-    // should stay ~flat — the ratio between the two rows IS the claim.
-    // The rollup is SYNTHETIC (4000 periods x 200 uniques/day, counters
+    ("g_bloom_dedup", Seq(1, 4, 10), (c: Int) => {
+      val batch = scaledDocs(spark, dir, 1).select(
+        (col("doc_id") + lit(100000000L)).as("doc_id"), col("text"))
+      graft.pipeline.Dedup.crossCorpusDedup(
+        batch, scaledDocs(spark, dir, c), "doc_id", "text",
+        expectedRefItems = 60000L * c, fpp = 0.03)
+    }),
+    // Width sweep, not an input-scale sweep — deliberately LAST in the
+    // suite: the builders clearCache, and running them after every other
+    // growth entry keeps the wipe from cooling caches those entries (or
+    // the suite-end bootstrap pass) rely on. The "scale" axis is the FRAME
+    // WIDTH over a fixed daily rollup: the range-join form replicates each
+    // period's sketch `width` times, so its cost must grow with the axis,
+    // while the block-decomposed wide-frame form holds the
+    // ~3-merges-per-period invariant (Rollups.slidingUnionWideFrame doc)
+    // and stays ~flat — the ratio between the two rows IS the claim.
+    // The rollup is SYNTHETIC (10,000 periods x 200 uniques/day, counters
     // 100): the sf0.1 orders rollup (~2400 days x ~60 uniques) leaves both
     // forms overhead-bound (~1s floor — measured; the merge term is tens of
     // ms), so the slope would measure plan overhead, not the operator. The
@@ -244,16 +254,9 @@ object Bench {
       graft.operators.Rollups.slidingUnionWideFrame(
         syntheticRollup(spark), "day", "sketch", frameRows = w, 100)
         .agg(sum(size(col("sketch"))).as("total_entries"))
-    }),
-    ("g_bloom_dedup", Seq(1, 4, 10), (c: Int) => {
-      val batch = scaledDocs(spark, dir, 1).select(
-        (col("doc_id") + lit(100000000L)).as("doc_id"), col("text"))
-      graft.pipeline.Dedup.crossCorpusDedup(
-        batch, scaledDocs(spark, dir, c), "doc_id", "text",
-        expectedRefItems = 60000L * c, fpp = 0.03)
     }))
 
-  /** Synthetic daily rollup for the sliding-window width sweep: 4000
+  /** Synthetic daily rollup for the sliding-window width sweep: 10,000
     * periods x 200 unique items/day under a 100-counter budget — wide
     * frames SATURATE the budget (90x200 candidates into 100 counters), the
     * production regime where the merge-work difference between the

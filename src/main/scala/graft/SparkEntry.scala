@@ -81,9 +81,15 @@ object SparkEntry {
   private val frontierBaseCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
 
-  private def frontierBase(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+  private def frontierBase(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // bounded: a driver cycling SparkSessions against this object must not
+    // pin stopped sessions (and their persisted plans) for the JVM's life —
+    // dropping the handful of stale entries just means the next call
+    // re-registers its persist, the pre-holder behavior
+    if (frontierBaseCache.size > 4) frontierBaseCache.clear()
     frontierBaseCache.computeIfAbsent((spark, dir),
       _ => buildFrontierBase(spark, dir))
+  }
 
   /** The planted crawl fixture SHARED by the two frontier queries: pages
     * with two outlinks each, the fetched canonical set, and ONE persisted

@@ -253,6 +253,7 @@ object Pq {
       s"rerank shortlist ($rerank) must be 0 (off) or >= k ($k)")
     require((rerank == 0) == rerankWith.isEmpty,
       "rerank and rerankWith must be set together")
+    requireBoundedQueries(queries)
     val spark = queries.sparkSession
     val touched = probedCells(queries, vecCol, ivf, nprobe)
     val idx = spark.read.parquet(path).filter(col("cell").isin(touched: _*))
@@ -278,7 +279,13 @@ object Pq {
     * batches (the streaming maintenance path does exactly that). */
   private[graft] val MaxQueryBatch: Long = 1L << 20
 
-  private def requireBoundedQueries(queries: DataFrame): Unit = {
+  /** Enforced once per PUBLIC entry point (topK / searchIndex /
+    * driftScore / the streaming searchCommitted) — NOT inside searchOn,
+    * which some of those call twice: the guard is an eager Spark job over
+    * the query side, so placing it in the shared internal would scan an
+    * unpersisted query plan once per internal call and make plan
+    * construction eager at every layer. */
+  private[graft] def requireBoundedQueries(queries: DataFrame): Unit = {
     // limit(cap+1).count() instead of count(): stops as soon as the cap is
     // exceeded rather than scanning an arbitrarily large query side
     val n = queries.limit(MaxQueryBatch.toInt + 1).count()
@@ -303,7 +310,6 @@ object Pq {
       nprobe: Int,
       rerank: Int,
       rerankWith: Option[DataFrame]): DataFrame = {
-    requireBoundedQueries(queries)
     val qs = queries.select(
       col(idCol).as("query_id"),
       lut(col(vecCol), pq).as("q_lut"),
@@ -386,17 +392,26 @@ object Pq {
       rerank: Int = 50): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k) for a drift audit")
+    requireBoundedQueries(queries)
     val adcTop = searchOn(index, queries, idCol, vecCol, k, pq, ivf,
       nprobe, rerank = 0, rerankWith = None)
     val exactTop = searchOn(index, queries, idCol, vecCol, k, pq, ivf,
       nprobe, rerank, rerankWith = Some(vectors))
       .select(col("query_id").as("eq"), col("neighbor_id").as("en"))
+    // normalize by k, and keep ONLY queries whose probed cells produced a
+    // FULL ADC top-k: a query with <= k probed candidates has ADC top-k ==
+    // exact top-k trivially (both are all candidates), so under sparse
+    // probes or heavy drift those rows would report perfect agreement and
+    // mask the decay the audit exists to detect
     adcTop
       .join(exactTop,
         col("query_id") === col("eq") && col("neighbor_id") === col("en"), "left")
       .groupBy(col("query_id"))
-      .agg((count(col("en")) * lit(1000000L) / count(lit(1)))
-        .cast("long").as("agree_e6"))
+      .agg(count(col("en")).as("__matches"), count(lit(1)).as("__rows"))
+      .filter(col("__rows") === k)
+      .select(col("query_id"),
+        (col("__matches") * lit(1000000L) / lit(k.toLong)).cast("long")
+          .as("agree_e6"))
   }
 
   /**
@@ -420,6 +435,7 @@ object Pq {
       rerank: Int = 0): DataFrame = {
     require(rerank == 0 || rerank >= k,
       s"rerank shortlist ($rerank) must be 0 (off) or >= k ($k)")
+    requireBoundedQueries(queries)
     searchOn(index(candidates, idCol, vecCol, pq, ivf), queries,
       idCol, vecCol, k, pq, ivf, nprobe, rerank,
       if (rerank == 0) None else Some(candidates))

@@ -155,8 +155,17 @@ object PqStreaming {
     require(rfs.makeQualified(rroot) != fs.makeQualified(root),
       s"rebuildIndex target must be a FRESH path, got the store itself: " +
         s"$storePath (in-place compaction is unsafe for concurrent readers)")
-    if (committedBatches(spark, rebuiltPath).isEmpty &&
-        committedBatches(spark, storePath).nonEmpty) {
+    // an empty source means nothing to rebuild — stamping a retire pointer
+    // at a data-less target would silently dead-end readers that follow it
+    // (and a mistyped source path would retire a live store)
+    require(committedBatches(spark, storePath).nonEmpty,
+      s"nothing to rebuild: $storePath has no committed batches")
+    // bind the target to THIS rebuild before writing: a crash-retry of the
+    // same call sees its own stamp and proceeds idempotently, while reusing
+    // a path some OTHER rebuild/re-encode already produced fails fast
+    // instead of retiring the old store to data it did not build
+    claimRebuildTarget(rfs, rroot, s"rebuild:$storePath", "rebuildIndex")
+    if (committedBatches(spark, rebuiltPath).isEmpty) {
       committedIndex(spark, storePath)
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell")
@@ -168,18 +177,29 @@ object PqStreaming {
 
   /** Retire pointer, written LAST — only after the rebuilt store is
     * committed (or was already); temp+rename so readers never see a
-    * partial pointer. */
+    * partial pointer. A re-stamp with the SAME target (the common
+    * crash-retry) is a read-compare no-op, so it opens no delete/rename
+    * window; only a genuine repoint deletes first, and [[retiredTo]]
+    * tolerates that brief gap with one retry. */
   private def writeRetirePointer(
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path,
       rebuiltPath: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(root, "_retired")
+    if (fs.exists(dst)) {
+      val buf = new Array[Byte](fs.getFileStatus(dst).getLen.toInt)
+      val in = fs.open(dst)
+      try in.readFully(buf) finally in.close()
+      if (new String(buf, java.nio.charset.StandardCharsets.UTF_8) == rebuiltPath) {
+        return
+      }
+      fs.delete(dst, false)
+    }
     val tmp = new org.apache.hadoop.fs.Path(root,
       s"._retired.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     out.write(rebuiltPath.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
-    val dst = new org.apache.hadoop.fs.Path(root, "_retired")
-    fs.delete(dst, false)
     if (!fs.rename(tmp, dst)) {
       fs.delete(tmp, false)
       if (!fs.exists(dst)) {
@@ -216,6 +236,14 @@ object PqStreaming {
     require(rfs.makeQualified(rroot) != fs.makeQualified(root),
       s"reencodeStore target must be a FRESH path, got the store itself: " +
         s"$storePath (in-place re-encoding is unsafe for concurrent readers)")
+    // the claim includes a MODEL fingerprint: a retry of this exact
+    // re-encode is idempotent, but a path holding a different rebuild (or
+    // a re-encode under different models — possibly the SAME (m, ks)
+    // shape, which PqAdc cannot catch) fails fast instead of retiring the
+    // old store to codes that do not match the models queries will use
+    claimRebuildTarget(rfs, rroot,
+      s"reencode:$storePath:${modelFingerprint(newPq, newIvf)}",
+      "reencodeStore")
     if (committedBatches(spark, rebuiltPath).isEmpty) {
       Pq.index(vectors, idCol, vecCol, newPq, newIvf)
         .repartition(col("cell"))
@@ -226,19 +254,69 @@ object PqStreaming {
     writeRetirePointer(fs, root, rebuiltPath)
   }
 
+  /** Deterministic value fingerprint of a model pair (same bytes -> same
+    * fingerprint on any JVM: Scala Seq[Double] hashing is MurmurHash3 over
+    * the elements' fixed hashCodes). */
+  private def modelFingerprint(pq: Pq.Model, ivf: IVF.Model): String = {
+    val h1 = pq.codebooks.flatten.flatten.toSeq.hashCode()
+    val h2 = ivf.centroids.flatten.toSeq.hashCode()
+    f"$h1%08x-$h2%08x-m${pq.m}k${pq.ks}c${ivf.k}"
+  }
+
+  /** Bind a rebuild/re-encode target path to one producing operation via a
+    * write-once `_graft_rebuild_src` stamp (temp+rename): absent -> claim
+    * it; present and equal -> our own crash-retry, proceed; present and
+    * different -> fail fast. */
+  private def claimRebuildTarget(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      claim: String,
+      op: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(root, "_graft_rebuild_src")
+    if (fs.exists(dst)) {
+      val buf = new Array[Byte](fs.getFileStatus(dst).getLen.toInt)
+      val in = fs.open(dst)
+      try in.readFully(buf) finally in.close()
+      val existing = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+      require(existing == claim,
+        s"$op target $root was produced by '$existing' and cannot be reused " +
+          s"for '$claim' — every rebuild/re-encode needs a FRESH path " +
+          "(reusing one would point retired readers at codes built by a " +
+          "different operation or different models)")
+      return
+    }
+    fs.mkdirs(root)
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s"._graft_rebuild_src.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    out.write(claim.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      if (!fs.exists(dst)) {
+        throw new java.io.IOException(s"could not claim rebuild target $dst")
+      }
+    }
+  }
+
   /** Where a retired store points (None for a live store): the fresh path
     * written by [[rebuildIndex]]. New queries should follow it; old
     * readers keep working against the retired store's committed state. */
   def retiredTo(spark: SparkSession, storePath: String): Option[String] = {
     val (fs, root) = fsOf(spark, storePath)
     val p = new org.apache.hadoop.fs.Path(root, "_retired")
-    if (!fs.exists(p)) None
-    else {
-      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-      val in = fs.open(p)
-      try in.readFully(buf) finally in.close()
-      Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
-    }
+    def readOnce(): Option[String] =
+      if (!fs.exists(p)) None
+      else {
+        val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        val in = fs.open(p)
+        try in.readFully(buf) finally in.close()
+        Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+      }
+    // one retry: a concurrent REPOINT (not the common same-target re-stamp,
+    // which never deletes) has a brief delete->rename window
+    try readOnce()
+    catch { case _: java.io.FileNotFoundException => readOnce() }
   }
 
   /**
@@ -263,6 +341,7 @@ object PqStreaming {
       s"rerank shortlist ($rerank) must be 0 (off) or >= k ($k)")
     require((rerank == 0) == rerankWith.isEmpty,
       "rerank and rerankWith must be set together")
+    Pq.requireBoundedQueries(queries)
     // a store with no committed batch yet is empty, not broken — return
     // zero rows with the output schema instead of failing to resolve a
     // `cell` column on the schemaless empty fallback

@@ -1177,6 +1177,24 @@ class StreamingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       PqStreaming.reencodeStore(spark, store, df, "vec_id", "embedding", pq2, ivf2, store)
     }
+    // target-claim guard: a path produced by a DIFFERENT operation (or
+    // different models — even same-shape ones PqAdc cannot catch) must be
+    // refused, not silently retired-to with stale codes
+    val err = intercept[IllegalArgumentException] {
+      PqStreaming.reencodeStore(spark, store, df, "vec_id", "embedding", pq, ivf, fresh)
+    }
+    assert(err.getMessage.contains("cannot be reused"))
+    val compacted = s"$base/compacted"
+    PqStreaming.rebuildIndex(spark, store, compacted)
+    intercept[IllegalArgumentException] {
+      PqStreaming.reencodeStore(spark, store, df, "vec_id", "embedding",
+        pq2, ivf2, compacted)
+    }
+    // an empty source has nothing to rebuild — retiring it to a data-less
+    // target would dead-end readers, so it must fail fast
+    intercept[IllegalArgumentException] {
+      PqStreaming.rebuildIndex(spark, s"$base/neverwritten", s"$base/neverwritten2")
+    }
   }
 
   test("streaming PQ index: driftScoreCommitted == batch driftScore; empty store is empty") {
