@@ -91,6 +91,61 @@ object SparkEntry {
       _ => buildFrontierBase(spark, dir))
   }
 
+  /** Stage tables of the full-curation chain, shared by
+    * `pipeline_full_curation` (which consumes them onward into the
+    * cluster-keyed split and per-split packing) and `curation_funnel`
+    * (which counts each stage's survivors). One definition so the two
+    * queries cannot drift apart. Persist boundaries preserved exactly:
+    * every persisted stage feeds several consumers (CC + keep-join;
+    * classifier training + score join; two threshold walks + the bucket
+    * join), and without a persist each consumer re-executes the whole
+    * upstream chain — measured 29s -> persisted cost at sf0.1 in
+    * docs/BENCH_NOTES.md. At 100 TB these boundaries are exactly where a
+    * pipeline writes its intermediate tables. */
+  private final case class CurationStages(
+      incoming: DataFrame,
+      fresh: DataFrame,
+      labels: DataFrame,
+      kept: DataFrame,
+      decon: DataFrame,
+      gophered: DataFrame,
+      bucketed: DataFrame)
+
+  private def curationStages(spark: SparkSession, dir: String): CurationStages = {
+    import spark.implicits._
+    import graft.pipeline._
+    val docs = tbl(spark, dir, "documents")
+    val ref = docs.filter($"doc_id" % 5 =!= 0)
+    val planted = ref.filter($"doc_id" % 7 === 1)
+      .select((-$"doc_id" - 1L).as("doc_id"), $"text", $"lang")
+    val incoming = docs.filter($"doc_id" % 5 === 0)
+      .select($"doc_id", $"text", $"lang").unionByName(planted)
+    val fresh = Dedup.crossCorpusDedup(incoming, ref, "doc_id", "text",
+      expectedRefItems = 10000L, fpp = 0.03).drop("fingerprint")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = Clustering.connectedComponents(
+      Dedup.minhashLshPairs(fresh, "doc_id", "text", threshold = 0.5),
+      "doc_a", "doc_b")
+    val kept = fresh.join(labels, Seq("doc_id"), "left")
+      .filter($"cluster_id".isNull || $"cluster_id" === $"doc_id")
+      .drop("cluster_id")
+    val bench = docs.filter($"doc_id" % 31 === 4).select($"doc_id", $"text")
+    val decon = Dedup.removeContaminated(kept, bench, "doc_id", "text",
+      n = 3, maxSharedShingles = 20L)
+    val gophered = Quality.gopherFilter(decon, "doc_id", "text",
+      minWords = 20L, maxWords = 100000L, stopWords = QualityProbeWords)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scored = Classifier.trainScores(gophered, "doc_id", "text",
+      $"lang" === "en", numBuckets = ClsBuckets, iters = ClsIters,
+      etaNum = ClsEtaNum, etaDen = ClsEtaDen)
+    val rescored = gophered.join(scored.select($"doc_id", $"score_e6"), "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketed = Selection.assignFractionBuckets(
+      rescored, "doc_id", "score_e6", headPct = 30, middlePct = 40)
+      .filter($"bucket" =!= "tail")
+    CurationStages(incoming, fresh, labels, kept, decon, gophered, bucketed)
+  }
+
   /** The planted crawl fixture SHARED by the two frontier queries: pages
     * with two outlinks each, the fetched canonical set, and ONE persisted
     * link explode feeding both the candidate set and the rank edges (the
@@ -2340,45 +2395,35 @@ object SparkEntry {
     // spellings end to end, classifier TRAINING included. Planted
     // re-keyed reference copies prove the front door fires; the rest of
     // the knobs are the per-operator query defaults.
+    // the attrition funnel over the SAME chain — the per-stage survivor
+    // counts a pipeline operator reads before shipping: how much mass the
+    // exact front door, the near-dup keep-list, decontamination, the
+    // quality gate, and the classifier tail cut each removed. One shared
+    // stage builder with pipeline_full_curation, so the funnel can never
+    // describe a different chain than the one that ships.
+    "curation_funnel" -> ((spark, dir) => {
+      import spark.implicits._
+      val st = curationStages(spark, dir)
+      Seq(
+        "00_incoming" -> st.incoming,
+        "01_exact_front_door" -> st.fresh,
+        "02_neardup_keep" -> st.kept,
+        "03_decontaminated" -> st.decon,
+        "04_quality_gate" -> st.gophered,
+        "05_head_middle" -> st.bucketed)
+        .map { case (stage, df) =>
+          df.agg(count(lit(1)).cast("long").as("n_docs"))
+            .select(lit(stage).as("stage"), $"n_docs")
+        }
+        .reduce(_ unionByName _)
+        .orderBy($"stage")
+    }),
+
     "pipeline_full_curation" -> ((spark, dir) => {
       import spark.implicits._
       import graft.pipeline._
-      val docs = tbl(spark, dir, "documents")
-      val ref = docs.filter($"doc_id" % 5 =!= 0)
-      val planted = ref.filter($"doc_id" % 7 === 1)
-        .select((-$"doc_id" - 1L).as("doc_id"), $"text", $"lang")
-      val incoming = docs.filter($"doc_id" % 5 === 0)
-        .select($"doc_id", $"text", $"lang").unionByName(planted)
-      // stage-boundary persists: every stage below feeds SEVERAL
-      // consumers (CC + keep-join; classifier training + score join;
-      // two threshold walks + the bucket join), and without a persist
-      // each consumer re-executes the whole upstream chain — measured
-      // 29s -> persisted cost at sf0.1 in docs/BENCH_NOTES.md. At 100 TB
-      // these boundaries are exactly where a pipeline writes its
-      // intermediate tables.
-      val fresh = Dedup.crossCorpusDedup(incoming, ref, "doc_id", "text",
-        expectedRefItems = 10000L, fpp = 0.03).drop("fingerprint")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val labels = Clustering.connectedComponents(
-        Dedup.minhashLshPairs(fresh, "doc_id", "text", threshold = 0.5),
-        "doc_a", "doc_b")
-      val kept = fresh.join(labels, Seq("doc_id"), "left")
-        .filter($"cluster_id".isNull || $"cluster_id" === $"doc_id")
-        .drop("cluster_id")
-      val bench = docs.filter($"doc_id" % 31 === 4).select($"doc_id", $"text")
-      val decon = Dedup.removeContaminated(kept, bench, "doc_id", "text",
-        n = 3, maxSharedShingles = 20L)
-      val gophered = Quality.gopherFilter(decon, "doc_id", "text",
-        minWords = 20L, maxWords = 100000L, stopWords = QualityProbeWords)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val scored = Classifier.trainScores(gophered, "doc_id", "text",
-        $"lang" === "en", numBuckets = ClsBuckets, iters = ClsIters,
-        etaNum = ClsEtaNum, etaDen = ClsEtaDen)
-      val rescored = gophered.join(scored.select($"doc_id", $"score_e6"), "doc_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bucketed = Selection.assignFractionBuckets(
-        rescored, "doc_id", "score_e6", headPct = 30, middlePct = 40)
-        .filter($"bucket" =!= "tail")
+      val st = curationStages(spark, dir)
+      import st.{bucketed, fresh, labels}
       val upsampled = Sampling.upsampleCorpus(
         bucketed.select($"doc_id", $"bucket", $"text"),
         "doc_id", "bucket", Map("head" -> 200, "middle" -> 100), defaultPct = 0)
@@ -2537,6 +2582,102 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** The full-curation oracle's stage CTEs (front door through the
+    * head/middle/tail bucketing, classifier training included) — shared
+    * by the `pipeline_full_curation` and `curation_funnel` oracles. */
+  private lazy val curationOracleCtes: String = {
+    val (clsCtes, clsOut) = graft.pipeline.Classifier.classifierCtes(
+      "gq", "lang = 'en'", ClsBuckets, ClsIters, ClsEtaNum, ClsEtaDen, prefix = "pc")
+    s"""fp0 AS (
+        |  SELECT doc_id, text, lang,
+        |         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS f
+        |  FROM documents),
+        |refd AS (SELECT doc_id, text, lang, f FROM fp0 WHERE doc_id % 5 <> 0),
+        |pl AS (SELECT -doc_id - 1 AS doc_id, text, lang, f FROM refd WHERE doc_id % 7 = 1),
+        |inc AS (SELECT doc_id, text, lang, f FROM fp0 WHERE doc_id % 5 = 0
+        |        UNION ALL SELECT doc_id, text, lang, f FROM pl),
+        |fresh AS (SELECT doc_id, text, lang FROM inc i
+        |          WHERE NOT EXISTS (SELECT 1 FROM refd r WHERE r.f = i.f)),
+        |jt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM fresh),
+        |jsh AS (SELECT doc_id,
+        |          CASE WHEN len(toks) >= 3
+        |               THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |               ELSE [] END AS shingles
+        |        FROM jt),
+        |jex AS (SELECT doc_id, unnest(shingles) AS s FROM jsh),
+        |jshared AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS ns
+        |            FROM jex x JOIN jex y ON x.s = y.s AND x.doc_id < y.doc_id
+        |            GROUP BY 1, 2),
+        |jsz AS (SELECT doc_id, len(shingles) AS n FROM jsh),
+        |jpairs AS (SELECT a AS u, b AS v
+        |           FROM jshared JOIN jsz za ON jshared.a = za.doc_id
+        |                        JOIN jsz zb ON jshared.b = zb.doc_id
+        |           WHERE CAST(ns AS DOUBLE) / CAST(za.n + zb.n - ns AS DOUBLE) >= 0.5),
+        |jsym AS (SELECT u, v FROM jpairs UNION SELECT v, u FROM jpairs),
+        |jreach AS (SELECT u, v FROM jsym
+        |           UNION SELECT r.u, s2.v FROM jreach r JOIN jsym s2 ON r.v = s2.u),
+        |jlab AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM jreach GROUP BY u),
+        |keepd AS (SELECT fr.doc_id, fr.text, fr.lang
+        |          FROM fresh fr LEFT JOIN jlab l ON fr.doc_id = l.doc_id
+        |          WHERE l.cluster_id IS NULL OR l.cluster_id = fr.doc_id),
+        |bt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        |       FROM documents WHERE doc_id % 31 = 4),
+        |bsh AS (SELECT doc_id,
+        |          CASE WHEN len(toks) >= 3
+        |               THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |               ELSE [] END AS shingles
+        |        FROM bt),
+        |bex AS (SELECT DISTINCT unnest(shingles) AS s FROM bsh),
+        |kt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM keepd),
+        |ksh AS (SELECT doc_id,
+        |          CASE WHEN len(toks) >= 3
+        |               THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |               ELSE [] END AS shingles
+        |        FROM kt),
+        |kex AS (SELECT doc_id, unnest(shingles) AS s FROM ksh),
+        |flagged AS (SELECT kex.doc_id FROM kex JOIN bex ON kex.s = bex.s
+        |            GROUP BY 1 HAVING COUNT(DISTINCT kex.s) > 20),
+        |decon AS (SELECT k.doc_id, k.text, k.lang FROM keepd k
+        |          WHERE k.doc_id NOT IN (SELECT doc_id FROM flagged)),
+        |gt AS (SELECT doc_id, text, lang,
+        |              regexp_split_to_array(trim(text), '\\s+') AS toks,
+        |              regexp_split_to_array(text, '\\n') AS lns
+        |       FROM decon),
+        |gf AS (SELECT doc_id, text, lang,
+        |         CAST(len(toks) AS BIGINT) AS n_words,
+        |         CAST(COALESCE(list_sum(list_transform(toks, w -> length(w))), 0) AS BIGINT) AS sum_word_len,
+        |         CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+        |         CAST(len(lns) AS BIGINT) AS n_lines,
+        |         CAST(len(list_filter(lns, l -> starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* '))) AS BIGINT) AS bullet_lines,
+        |         CAST(len(list_filter(lns, l -> ends_with(rtrim(l), '...'))) AS BIGINT) AS ellipsis_lines,
+        |         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hash_marks,
+        |         CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS ellipses,
+        |         CAST(len(list_intersect(list_distinct(list_transform(toks, w -> lower(w))),
+        |              [${QualityProbeWords.map(w => s"'$w'").mkString(", ")}])) AS BIGINT) AS stop_hits
+        |       FROM gt),
+        |gq AS (SELECT doc_id, text, lang FROM gf
+        |       WHERE n_words >= 20 AND n_words <= 100000
+        |         AND sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words
+        |         AND 10 * bullet_lines <= 9 * n_lines
+        |         AND 10 * ellipsis_lines <= 3 * n_lines
+        |         AND 10 * (hash_marks + ellipses) <= n_words
+        |         AND 5 * alpha_words >= 4 * n_words
+        |         AND stop_hits >= 2),
+        |$clsCtes,
+        |rk AS (SELECT q.doc_id, q.text, s.score_e6,
+        |              ROW_NUMBER() OVER (ORDER BY s.score_e6 DESC, q.doc_id) AS rnk,
+        |              COUNT(*) OVER () AS n
+        |       FROM gq q JOIN $clsOut s ON q.doc_id = s.doc_id),
+        |bucketed AS (SELECT doc_id, text,
+        |               CASE WHEN rnk <= (30 * n + 99) // 100 THEN 'head'
+        |                    WHEN rnk <= (70 * n + 99) // 100 THEN 'middle'
+        |                    ELSE 'tail' END AS bucket
+        |             FROM rk)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "topn_add_agg_groupby" ->
       """SELECT o_orderpriority, item, frequency FROM (
@@ -4483,97 +4624,23 @@ object SparkEntry {
     // K-iteration classifier training replay (classifierCtes), the
     // ROW_NUMBER spelling of the exact fraction thresholds, epoch
     // replication, and the running-sum bin assignment
-    "pipeline_full_curation" -> {
-      val (clsCtes, clsOut) = graft.pipeline.Classifier.classifierCtes(
-        "gq", "lang = 'en'", ClsBuckets, ClsIters, ClsEtaNum, ClsEtaDen, prefix = "pc")
-      s"""WITH RECURSIVE fp0 AS (
-        |  SELECT doc_id, text, lang,
-        |         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS f
-        |  FROM documents),
-        |refd AS (SELECT doc_id, text, lang, f FROM fp0 WHERE doc_id % 5 <> 0),
-        |pl AS (SELECT -doc_id - 1 AS doc_id, text, lang, f FROM refd WHERE doc_id % 7 = 1),
-        |inc AS (SELECT doc_id, text, lang, f FROM fp0 WHERE doc_id % 5 = 0
-        |        UNION ALL SELECT doc_id, text, lang, f FROM pl),
-        |fresh AS (SELECT doc_id, text, lang FROM inc i
-        |          WHERE NOT EXISTS (SELECT 1 FROM refd r WHERE r.f = i.f)),
-        |jt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM fresh),
-        |jsh AS (SELECT doc_id,
-        |          CASE WHEN len(toks) >= 3
-        |               THEN list_distinct(list_transform(range(1, len(toks) - 1),
-        |                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-        |               ELSE [] END AS shingles
-        |        FROM jt),
-        |jex AS (SELECT doc_id, unnest(shingles) AS s FROM jsh),
-        |jshared AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS ns
-        |            FROM jex x JOIN jex y ON x.s = y.s AND x.doc_id < y.doc_id
-        |            GROUP BY 1, 2),
-        |jsz AS (SELECT doc_id, len(shingles) AS n FROM jsh),
-        |jpairs AS (SELECT a AS u, b AS v
-        |           FROM jshared JOIN jsz za ON jshared.a = za.doc_id
-        |                        JOIN jsz zb ON jshared.b = zb.doc_id
-        |           WHERE CAST(ns AS DOUBLE) / CAST(za.n + zb.n - ns AS DOUBLE) >= 0.5),
-        |jsym AS (SELECT u, v FROM jpairs UNION SELECT v, u FROM jpairs),
-        |jreach AS (SELECT u, v FROM jsym
-        |           UNION SELECT r.u, s2.v FROM jreach r JOIN jsym s2 ON r.v = s2.u),
-        |jlab AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM jreach GROUP BY u),
-        |keepd AS (SELECT fr.doc_id, fr.text, fr.lang
-        |          FROM fresh fr LEFT JOIN jlab l ON fr.doc_id = l.doc_id
-        |          WHERE l.cluster_id IS NULL OR l.cluster_id = fr.doc_id),
-        |bt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-        |       FROM documents WHERE doc_id % 31 = 4),
-        |bsh AS (SELECT doc_id,
-        |          CASE WHEN len(toks) >= 3
-        |               THEN list_distinct(list_transform(range(1, len(toks) - 1),
-        |                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-        |               ELSE [] END AS shingles
-        |        FROM bt),
-        |bex AS (SELECT DISTINCT unnest(shingles) AS s FROM bsh),
-        |kt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM keepd),
-        |ksh AS (SELECT doc_id,
-        |          CASE WHEN len(toks) >= 3
-        |               THEN list_distinct(list_transform(range(1, len(toks) - 1),
-        |                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-        |               ELSE [] END AS shingles
-        |        FROM kt),
-        |kex AS (SELECT doc_id, unnest(shingles) AS s FROM ksh),
-        |flagged AS (SELECT kex.doc_id FROM kex JOIN bex ON kex.s = bex.s
-        |            GROUP BY 1 HAVING COUNT(DISTINCT kex.s) > 20),
-        |decon AS (SELECT k.doc_id, k.text, k.lang FROM keepd k
-        |          WHERE k.doc_id NOT IN (SELECT doc_id FROM flagged)),
-        |gt AS (SELECT doc_id, text, lang,
-        |              regexp_split_to_array(trim(text), '\\s+') AS toks,
-        |              regexp_split_to_array(text, '\\n') AS lns
-        |       FROM decon),
-        |gf AS (SELECT doc_id, text, lang,
-        |         CAST(len(toks) AS BIGINT) AS n_words,
-        |         CAST(COALESCE(list_sum(list_transform(toks, w -> length(w))), 0) AS BIGINT) AS sum_word_len,
-        |         CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
-        |         CAST(len(lns) AS BIGINT) AS n_lines,
-        |         CAST(len(list_filter(lns, l -> starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* '))) AS BIGINT) AS bullet_lines,
-        |         CAST(len(list_filter(lns, l -> ends_with(rtrim(l), '...'))) AS BIGINT) AS ellipsis_lines,
-        |         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hash_marks,
-        |         CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS ellipses,
-        |         CAST(len(list_intersect(list_distinct(list_transform(toks, w -> lower(w))),
-        |              [${QualityProbeWords.map(w => s"'$w'").mkString(", ")}])) AS BIGINT) AS stop_hits
-        |       FROM gt),
-        |gq AS (SELECT doc_id, text, lang FROM gf
-        |       WHERE n_words >= 20 AND n_words <= 100000
-        |         AND sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words
-        |         AND 10 * bullet_lines <= 9 * n_lines
-        |         AND 10 * ellipsis_lines <= 3 * n_lines
-        |         AND 10 * (hash_marks + ellipses) <= n_words
-        |         AND 5 * alpha_words >= 4 * n_words
-        |         AND stop_hits >= 2),
-        |$clsCtes,
-        |rk AS (SELECT q.doc_id, q.text, s.score_e6,
-        |              ROW_NUMBER() OVER (ORDER BY s.score_e6 DESC, q.doc_id) AS rnk,
-        |              COUNT(*) OVER () AS n
-        |       FROM gq q JOIN $clsOut s ON q.doc_id = s.doc_id),
-        |bucketed AS (SELECT doc_id, text,
-        |               CASE WHEN rnk <= (30 * n + 99) // 100 THEN 'head'
-        |                    WHEN rnk <= (70 * n + 99) // 100 THEN 'middle'
-        |                    ELSE 'tail' END AS bucket
-        |             FROM rk),
+    // per-stage survivor counts over the same CTE chain as
+    // pipeline_full_curation (shared prefix builder — the two oracles
+    // cannot describe different chains)
+    "curation_funnel" ->
+      s"""WITH RECURSIVE $curationOracleCtes
+        |SELECT stage, n_docs FROM (
+        |  SELECT '00_incoming' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM inc
+        |  UNION ALL SELECT '01_exact_front_door', CAST(COUNT(*) AS BIGINT) FROM fresh
+        |  UNION ALL SELECT '02_neardup_keep', CAST(COUNT(*) AS BIGINT) FROM keepd
+        |  UNION ALL SELECT '03_decontaminated', CAST(COUNT(*) AS BIGINT) FROM decon
+        |  UNION ALL SELECT '04_quality_gate', CAST(COUNT(*) AS BIGINT) FROM gq
+        |  UNION ALL SELECT '05_head_middle', CAST(COUNT(*) AS BIGINT)
+        |            FROM bucketed WHERE bucket <> 'tail'
+        |) ORDER BY stage""".stripMargin,
+
+    "pipeline_full_curation" ->
+      s"""WITH RECURSIVE $curationOracleCtes,
         |up AS (SELECT doc_id, text,
         |              CASE bucket WHEN 'head' THEN 200 WHEN 'middle' THEN 100 ELSE 0 END AS pct
         |       FROM bucketed WHERE bucket <> 'tail'),
@@ -4602,6 +4669,5 @@ object SparkEntry {
         |       FROM pw JOIN spl ON pw.doc_id = spl.doc_id)
         |SELECT doc_id, copy_id, n_tokens, split_name, (run - n_tokens) // 2048 AS bin
         |FROM pc2 ORDER BY doc_id, copy_id""".stripMargin
-    }
   )
 }
