@@ -602,4 +602,51 @@ object Sampling {
         sum(coalesce(col(weightCol).cast("long"), lit(0L))).as("weight"))
       .orderBy(col("bin"))
   }
+
+  /**
+   * [[exportShards]] for a SPLIT corpus — the sink end of a chain that
+   * emits leakage-safe splits ([[groupSplit]] / the curation chain's
+   * cluster-keyed stage): each split packs INDEPENDENTLY, so every shard
+   * file is train-only or eval-only by layout (`path/<splitCol>=S/bin=K/`
+   * — a shared bin numbering would mix splits inside one shard file and
+   * the training job would have to re-filter every read). Returns the
+   * per-shard manifest (split, bin, docs, weight), aggregated from the
+   * files JUST WRITTEN like [[exportShards]].
+   *
+   * Scale shape: one [[packByBudget]] prefix-sum pass per split — the
+   * split set is a handful by contract (train/val/test), enforced with a
+   * driver-side bound — then ONE repartition on (split, bin) over the
+   * union so each shard is written by one task as one file set.
+   */
+  def exportSplitShards(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      splitCol: String,
+      path: String,
+      tokensPerShard: Long): DataFrame = {
+    require(df.columns.contains(splitCol), s"missing column '$splitCol'")
+    val spark = df.sparkSession
+    val splits = df.select(col(splitCol).cast("string")).distinct()
+      .collect().flatMap(r => Option(r.getString(0))).sorted.toSeq
+    require(splits.nonEmpty, "no rows (or only NULL split names) to export")
+    require(splits.size <= 64,
+      s"${splits.size} distinct '$splitCol' values — the split column " +
+        "should carry a few split names (train/val/test), not a corpus key; " +
+        "each split pays its own packing pass")
+    val binned = splits.map { sName =>
+      packByBudget(df.filter(col(splitCol) === sName),
+        idCol, weightCol, tokensPerShard)
+    }.reduce(_ unionByName _)
+    binned
+      .repartition(col(splitCol), col("bin"))
+      .sortWithinPartitions(col(splitCol), col("bin"), col(idCol))
+      .write.mode("overwrite").partitionBy(splitCol, "bin").parquet(path)
+    spark.read.parquet(path)
+      .groupBy(col(splitCol).cast("string").as(splitCol),
+        col("bin").cast("long").as("bin"))
+      .agg(count(lit(1)).as("docs"),
+        sum(coalesce(col(weightCol).cast("long"), lit(0L))).as("weight"))
+      .orderBy(col(splitCol), col("bin"))
+  }
 }

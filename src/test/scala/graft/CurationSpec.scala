@@ -1075,6 +1075,58 @@ class CurationSpec extends AnyFunSuite {
     assert(again === readBack)
   }
 
+  test("exportSplitShards: per-split packing, split-pure shards, true manifest") {
+    import graft.pipeline.Sampling
+    val rnd = new scala.util.Random(43)
+    val rows = (0L until 300L).map(id =>
+      (id, 1L + rnd.nextInt(50).toLong, if (id % 10 < 8) "train" else "eval"))
+    val df = rows.toDF("id", "w", "split_name").repartition(7)
+    val dir = java.nio.file.Files.createTempDirectory("graft_split_shards").toString
+    val manifest = Sampling.exportSplitShards(
+        df, "id", "w", "split_name", s"$dir/out", 300L)
+      .as[(String, Long, Long, Long)].collect().toSeq
+
+    // the written shards ARE each split's own packByBudget assignment —
+    // a shared bin numbering would mix splits inside one shard file
+    val want = Seq("eval", "train").flatMap { sName =>
+      Sampling.packByBudget(df.filter($"split_name" === sName), "id", "w", 300L)
+        .select($"id", $"w", $"bin").as[(Long, Long, Long)].collect()
+        .map { case (id, w, b) => (sName, id, w, b) }
+    }.toSet
+    val readBack = spark.read.parquet(s"$dir/out")
+      .select($"split_name", $"id", $"w", $"bin")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(readBack === want)
+    assert(readBack.map(_._2) === rows.map(_._1).toSet, "no doc lost or duplicated")
+
+    // every on-disk shard directory is split-pure by layout
+    val shardDirs = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(shardDirs === Set("split_name=train", "split_name=eval"))
+
+    // manifest matches disk, per (split, bin)
+    val byShard = readBack.groupBy(r => (r._1, r._4)).map {
+      case ((sName, b), rs) => (sName, b, rs.size.toLong, rs.toSeq.map(_._3).sum)
+    }
+    assert(manifest.toSet === byShard.toSet)
+
+    // determinism across partitionings (the resume contract)
+    Sampling.exportSplitShards(
+      df.repartition(3), "id", "w", "split_name", s"$dir/out2", 300L)
+    val again = spark.read.parquet(s"$dir/out2")
+      .select($"split_name", $"id", $"w", $"bin")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(again === readBack)
+
+    // guards: a corpus-keyed split column is refused
+    val err = intercept[IllegalArgumentException] {
+      Sampling.exportSplitShards(
+        (0L until 200L).map(i => (i, 1L, s"s$i")).toDF("id", "w", "split_name"),
+        "id", "w", "split_name", s"$dir/out3", 300L)
+    }
+    assert(err.getMessage.contains("split names"))
+  }
+
   // --- group-keyed (leakage-safe) splits -----------------------------------
 
   test("groupSplit: whole groups land in one split; re-salting re-deals groups") {
