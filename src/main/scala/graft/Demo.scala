@@ -46,7 +46,16 @@ object Demo {
       spark.sql("SELECT topn(topn_add_agg(o_orderpriority), 2000) FROM orders").collect()
       println("ERROR: should have thrown")
     } catch {
-      case e: Exception => println(s"got expected error: ${rootCause(e).getMessage}")
+      case e: Exception =>
+        val cause = rootCause(e)
+        println(s"got expected error: ${cause.getMessage}")
+        cause match {
+          case st: org.apache.spark.SparkThrowable =>
+            // the GRAFT_* error-class surface: stable condition + SQLSTATE
+            // for tooling, not just message text
+            println(s"error class: ${st.getCondition}  SQLSTATE: ${st.getSqlState}")
+          case _ =>
+        }
     }
 
     println("== error path: wrong input type without cast ==")
