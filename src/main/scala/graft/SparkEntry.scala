@@ -2349,6 +2349,24 @@ object SparkEntry {
         .orderBy($"doc_id", $"seq_id")
     }),
 
+    // SFT packing with loss masks: each doc a (prompt, response) pair —
+    // prompt = the first third of its tokens (deterministic synthetic
+    // split) — packed as a token stream with per-fragment loss intervals
+    // in SEQUENCE coordinates (response spans train, prompt spans don't).
+    // Pure integer arithmetic; the oracle replays layout AND mask
+    "pack_sft_sequences" -> ((spark, dir) => {
+      import spark.implicits._
+      val d = tbl(spark, dir, "documents").select($"doc_id",
+        graft.pipeline.TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
+        .select($"doc_id", ($"n_tokens" / 3).cast("long").as("prompt_len"),
+          $"n_tokens")
+      graft.pipeline.Sampling.packMaskedSequences(
+          d, "doc_id", "prompt_len", "n_tokens", seqLen = 512L)
+        .select($"doc_id", $"seq_id", $"frag_start", $"frag_len",
+          $"seq_off", $"loss_off", $"loss_len")
+        .orderBy($"doc_id", $"seq_id")
+    }),
+
     // the materialized training sequences behind pack_sequences: each
     // 512-token context window's actual text, assembled in stream order
     // from every document fragment it overlaps (md5 keeps the compared
@@ -4554,6 +4572,35 @@ object SparkEntry {
         |       CAST(LEAST(n_tokens, (s + 1) * 512 - st)
         |            - GREATEST(0, s * 512 - st) AS BIGINT) AS frag_len
         |FROM e ORDER BY doc_id, seq_id""".stripMargin,
+
+    // the same layout replay + the mask arithmetic in SQL: seq_off from
+    // the stream offset, loss interval = fragment ∩ [prompt_len, total)
+    "pack_sft_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |tp AS (SELECT doc_id, n_tokens // 3 AS p, n_tokens FROM t),
+        |c AS (SELECT doc_id, p, n_tokens,
+        |             CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        |      FROM tp),
+        |f AS (SELECT doc_id, p, n_tokens, run - n_tokens AS st FROM c),
+        |e AS (SELECT doc_id, p, n_tokens, st,
+        |             UNNEST(range(st // 512, (st + n_tokens - 1) // 512 + 1)) AS s
+        |      FROM f WHERE n_tokens > 0),
+        |x AS (SELECT doc_id, p, CAST(s AS BIGINT) AS seq_id,
+        |             CAST(GREATEST(0, s * 512 - st) AS BIGINT) AS frag_start,
+        |             CAST(LEAST(n_tokens, (s + 1) * 512 - st)
+        |                  - GREATEST(0, s * 512 - st) AS BIGINT) AS frag_len,
+        |             CAST(GREATEST(0, st - s * 512) AS BIGINT) AS seq_off
+        |      FROM e)
+        |SELECT doc_id, seq_id, frag_start, frag_len, seq_off,
+        |       CAST(seq_off + LEAST(frag_len, GREATEST(0, p - frag_start))
+        |            AS BIGINT) AS loss_off,
+        |       CAST(GREATEST(0, frag_start + frag_len - GREATEST(frag_start, p))
+        |            AS BIGINT) AS loss_len
+        |FROM x ORDER BY doc_id, seq_id""".stripMargin,
 
     // the same stream with an explicit global token position: sequence
     // membership is gpos // 512, text rebuilt with ordered string_agg

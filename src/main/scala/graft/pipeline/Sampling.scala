@@ -444,6 +444,82 @@ object Sampling {
   }
 
   /**
+   * [[packSequences]] for SFT / instruction-tuning corpora: each document
+   * is a (prompt, response) pair packed as `totalLenCol` stream tokens of
+   * which the FIRST `promptLenCol` are excluded from the loss (the
+   * standard SFT masking — context tokens train nothing, response tokens
+   * do). On top of the example-packing layout this emits, per fragment:
+   *
+   *  - `seq_off`: the fragment's offset INSIDE its sequence (0-based) —
+   *    the coordinate a loss mask is written in;
+   *  - `loss_off` / `loss_len`: the fragment's loss interval in sequence
+   *    coordinates — the overlap of [frag_start, frag_start + frag_len)
+   *    with the document's response span [prompt_len, total_len),
+   *    re-based to the sequence (`loss_len = 0` with
+   *    `loss_off = seq_off + frag_len` when the fragment is pure prompt).
+   *
+   * A training job ORs the (loss_off, loss_len) intervals of a sequence's
+   * fragments into its loss mask; every response token of every document
+   * lands in exactly one interval, prompt tokens in none. Exact integer
+   * arithmetic throughout (DuckDB-replayable); per-row raise on negative
+   * lengths or `prompt_len > total_len`. Same scale shape as
+   * [[packSequences]]: one two-pass prefix sum + a bounded per-row
+   * fragment explode — no corpus-wide window, no driver state.
+   */
+  def packMaskedSequences(
+      df: DataFrame,
+      idCol: String,
+      promptLenCol: String,
+      totalLenCol: String,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    Seq("seq_id", "frag_start", "frag_len", "seq_off", "loss_off", "loss_len")
+      .foreach { c =>
+        require(!df.columns.contains(c),
+          s"input already has a '$c' column; rename it — packMaskedSequences appends it")
+      }
+    require(!df.columns.contains("__graft_run"),
+      "input already has a '__graft_run' column; rename it — " +
+        "packMaskedSequences uses it internally")
+    val run = graft.operators.PrefixSum
+      .runningSum(df, idCol, totalLenCol, outCol = "__graft_run")
+    val w = s"COALESCE(CAST(`$totalLenCol` AS BIGINT), 0L)"
+    val p = s"COALESCE(CAST(`$promptLenCol` AS BIGINT), 0L)"
+    run
+      .withColumn("__graft_frag", expr(
+        s"""CASE
+           |  WHEN $w < 0 OR $p < 0 OR $p > $w THEN raise_error(CONCAT(
+           |    'packMaskedSequences: need 0 <= prompt_len <= total_len, got (',
+           |    CAST($p AS STRING), ', ', CAST($w AS STRING), ')'))
+           |  WHEN $w = 0 THEN CAST(array() AS ARRAY<STRUCT<seq_id: BIGINT, frag_start: BIGINT, frag_len: BIGINT, seq_off: BIGINT>>)
+           |  ELSE transform(
+           |    sequence((__graft_run - $w) DIV ${seqLen}L,
+           |             (__graft_run - 1L) DIV ${seqLen}L),
+           |    s -> named_struct(
+           |      'seq_id', s,
+           |      'frag_start', GREATEST(0L, s * ${seqLen}L - (__graft_run - $w)),
+           |      'frag_len',
+           |        LEAST($w, (s + 1L) * ${seqLen}L - (__graft_run - $w))
+           |          - GREATEST(0L, s * ${seqLen}L - (__graft_run - $w)),
+           |      'seq_off', GREATEST(0L, (__graft_run - $w) - s * ${seqLen}L)))
+           |END""".stripMargin))
+      .withColumn("__graft_f", explode(col("__graft_frag")))
+      .withColumn("seq_id", col("__graft_f.seq_id"))
+      .withColumn("frag_start", col("__graft_f.frag_start"))
+      .withColumn("frag_len", col("__graft_f.frag_len"))
+      .withColumn("seq_off", col("__graft_f.seq_off"))
+      // loss interval: overlap of the fragment with the response span
+      // [prompt_len, total_len), re-based to sequence coordinates — pure
+      // projections over the exploded layout, so the mask arithmetic is
+      // independently readable (and replayable) from the fragment fields
+      .withColumn("loss_len",
+        expr(s"GREATEST(0L, frag_start + frag_len - GREATEST(frag_start, $p))"))
+      .withColumn("loss_off",
+        expr(s"seq_off + LEAST(frag_len, GREATEST(0L, $p - frag_start))"))
+      .drop("__graft_run", "__graft_frag", "__graft_f")
+  }
+
+  /**
    * The materialized form of [[packSequences]]: the actual training
    * sequences as text — one row per sequence, its `seqLen` tokens
    * assembled in stream order from the fragments of every document it

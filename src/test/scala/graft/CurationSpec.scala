@@ -893,6 +893,78 @@ class CurationSpec extends AnyFunSuite {
         .withColumn("seq_id", lit(1)), "id", "w", 64L))
   }
 
+  test("packMaskedSequences: SFT loss intervals cover response tokens exactly once, prompts never") {
+    import graft.pipeline.Sampling
+    val rnd = new Random(47)
+    // prompt/total shapes straddling every case: empty docs, pure-prompt
+    // docs, pure-response docs, boundary-aligned, multi-sequence spans
+    val rows = (0L until 300L).map { i =>
+      val w = rnd.nextInt(5) match {
+        case 0 => 0L
+        case 1 => 64L
+        case _ => 1L + rnd.nextInt(200).toLong
+      }
+      val p = if (w == 0) 0L else rnd.nextInt(4) match {
+        case 0 => 0L   // pure response
+        case 1 => w    // pure prompt
+        case _ => rnd.nextLong(w + 1)
+      }
+      (i, p, w)
+    }
+    val seqLen = 64L
+    // sequential reference: walk the stream, compute fragment + mask
+    var run = 0L
+    val expected = rows.flatMap { case (id, p, w) =>
+      val start = run; run += w
+      if (w == 0) Nil
+      else (start / seqLen to (start + w - 1) / seqLen).map { s =>
+        val fs = math.max(0L, s * seqLen - start)
+        val fe = math.min(w, (s + 1) * seqLen - start)
+        val off = math.max(0L, start - s * seqLen)
+        val lo = math.max(fs, p)
+        val lossLen = math.max(0L, fe - lo)
+        val lossOff = off + math.min(fe - fs, math.max(0L, p - fs))
+        (id, s, fs, fe - fs, off, lossOff, lossLen)
+      }
+    }.toSet
+    val got = Sampling.packMaskedSequences(
+        rows.toDF("id", "p", "w").repartition(7), "id", "p", "w", seqLen)
+      .select($"id", $"seq_id", $"frag_start", $"frag_len",
+        $"seq_off", $"loss_off", $"loss_len")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+
+    // mask coverage: per document, the loss intervals (mapped back to doc
+    // coordinates) tile EXACTLY [prompt_len, total_len); per sequence,
+    // intervals stay inside [0, seqLen) and never overlap
+    val byDoc = got.groupBy(_._1)
+    rows.filter(_._3 > 0).foreach { case (id, p, w) =>
+      val lossTokens = byDoc(id).toSeq.flatMap { r =>
+        val docLossStart = r._3 + (r._6 - r._5) // frag_start + (loss_off - seq_off)
+        (docLossStart until docLossStart + r._7)
+      }
+      assert(lossTokens.sorted === (p until w).toSeq,
+        s"doc $id: response tokens must be covered exactly once, prompts never")
+    }
+    got.groupBy(_._2).foreach { case (s, frs) =>
+      val ivs = frs.toSeq.filter(_._7 > 0).map(r => (r._6, r._6 + r._7)).sortBy(_._1)
+      ivs.foreach { case (a, b) => assert(a >= 0 && b <= seqLen, s"seq $s bounds") }
+      ivs.sliding(2).foreach {
+        case Seq((_, b1), (a2, _)) => assert(b1 <= a2, s"seq $s overlap")
+        case _ =>
+      }
+    }
+
+    // guards: prompt_len > total_len raises per row; reserved columns
+    val bad = Seq((1L, 6L, 5L)).toDF("id", "p", "w")
+    val e = intercept[Exception](
+      Sampling.packMaskedSequences(bad, "id", "p", "w", 64L).collect())
+    assert(e.getMessage.contains("prompt_len <= total_len"))
+    assertThrows[IllegalArgumentException](
+      Sampling.packMaskedSequences(
+        rows.toDF("id", "p", "w").withColumn("loss_off", lit(1)), "id", "p", "w", 64L))
+  }
+
   test("assembleSequences materializes exactly the chunked token stream") {
     import graft.pipeline.Sampling
     val rnd = new Random(43)
