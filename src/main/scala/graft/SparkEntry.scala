@@ -1178,6 +1178,18 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // sketch-driven key-skew profile: the diagnostic an operator runs
+    // BEFORE choosing salt buckets / AQE skew knobs — one pass, bounded
+    // state, exact below eviction (the reference operator in its
+    // engineering role; a groupBy-count profile of the same key shuffles
+    // the corpus to learn what the sketch learns map-side)
+    "skew_report" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.operators.Diagnostics.keySkewReport(
+        tbl(spark, dir, "orders"), "o_custkey", k = 20, counters = ExactN)
+        .orderBy($"freq".desc, $"key")
+    }),
+
     // deterministic hash-bucket train/val/test assignment (stable under
     // repartitioning, replays, and incremental ingestion)
     "split_assign" -> ((spark, dir) => {
@@ -3666,6 +3678,17 @@ object SparkEntry {
         |            ELSE 'test' END AS split_name
         |FROM b ORDER BY doc_id""".stripMargin
     },
+
+    "skew_report" ->
+      """WITH c AS (SELECT CAST(o_custkey AS VARCHAR) AS key,
+        |                  CAST(COUNT(*) AS BIGINT) AS freq
+        |           FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_rows FROM orders)
+        |SELECT key, freq,
+        |       CAST(freq * 1000000 // total_rows AS BIGINT) AS share_e6,
+        |       total_rows
+        |FROM c CROSS JOIN t
+        |ORDER BY freq DESC, key LIMIT 20""".stripMargin,
 
     "split_assign" ->
       s"""WITH b AS (
