@@ -98,12 +98,21 @@ object Rollups {
     val ranked = rollup.select(col(periodCol)).distinct()
       .withColumn("rk", row_number().over(Window.orderBy(col(periodCol))))
 
-    // (target period) -> (member period) pairs inside the frame
-    val frame = ranked.as("d")
-      .join(broadcast(ranked.as("m")),
-        col("m.rk") >= col("d.rk") - (frameRows - 1) && col("m.rk") <= col("d.rk"))
-      .select(col(s"d.$periodCol").as("target_period"),
-        col(s"m.$periodCol").as("member_period"))
+    // (target period) -> (member period) pairs inside the frame, built as
+    // an EQUI join: each target explodes its frameRows member ranks and
+    // joins the rank dimension on equality. The obvious spelling — a rank
+    // BETWEEN range join — plans as a BroadcastNestedLoopJoin and pays
+    // O(#periods^2) pair evaluations REGARDLESS of frame width (measured
+    // 7s+ at 40k periods before any merge work); the explode form is
+    // O(#periods x frameRows) rows through a hash join.
+    val frame = ranked
+      .select(col(periodCol).as("target_period"),
+        explode(sequence(col("rk") - (frameRows - 1), col("rk"))).as("m_rk"))
+      .filter(col("m_rk") >= 1)
+      .join(broadcast(ranked
+        .select(col(periodCol).as("member_period"), col("rk").as("m_rk"))),
+        Seq("m_rk"))
+      .select(col("target_period"), col("member_period"))
 
     rollup
       .join(broadcast(frame), col(periodCol) === col("member_period"))
@@ -153,14 +162,14 @@ object Rollups {
    * form at w = 1/7/13/30/90/365/beyond-#periods.)
    *
    * Measured crossover (g_sliding_*_w bench rows, 10k-period synthetic
-   * rollup, 200 uniques/day, 100 counters, local[32]): this form is
-   * ~flat in width (1.7-1.9s at w = 7..365) while the range-join form
-   * grows with it (1.4s at w=7 -> 3.0s at w=365, and quadratically in
-   * #periods through its non-equi broadcast join — 7s+ at 40k periods
-   * where this form holds ~2s). Below the crossover (narrow frames,
-   * moderate period counts) the range-join's smaller fixed costs win:
+   * rollup, 200 uniques/day, 100 counters, local[32], after
+   * [[slidingUnion]]'s frame join moved to the explode+equi form): this
+   * form is ~flat in width (~1.3s at w = 7..365) while the range-join
+   * form grows with it (0.97s at w=7 -> 2.3s at w=365 — the
+   * frameRows-fold replication is intrinsic to its shape). Below the
+   * crossover (narrow frames) the range-join's smaller fixed costs win:
    * [[slidingUnion]] stays the right spelling for the 7-day frame, this
-   * one for wide frames or large period dimensions.
+   * one for wide frames.
    *
    * Exactly the window/range-join result below the eviction threshold
    * (merge is order-free there). Above it, the running merges prune after

@@ -508,6 +508,17 @@ class PlanSpec extends AnyFunSuite {
       "classifier joins are keyed equi-joins (doc_id / f) — no pair blowup")
   }
 
+  test("sliding rank-frame: equi hash join on rank, no nested-loop range join") {
+    // the frame pair table is explode(member ranks) + equi join — the rank
+    // BETWEEN spelling planned as a BroadcastNestedLoopJoin and paid
+    // O(#periods^2) pair evaluations regardless of frame width
+    val p = plan("topn_window_7day_scalable")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      "the frame join must be an equi join on the exploded member rank")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "member periods should hash-join the rank dimension")
+  }
+
   test("wide-frame window: block-partitioned running merges, no range-join replication") {
     val p = plan("topn_window_30day_scalable")
     // the running prefix/suffix merges must partition by the frame block —
