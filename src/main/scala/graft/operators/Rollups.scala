@@ -25,7 +25,9 @@ object Rollups {
    * one partition (both here and in PostgreSQL). This variant instead:
    *  1. ranks the distinct periods (a tiny dimension: one row per day/hour
    *     — the only single-partition step, over #periods rows, not data);
-   *  2. broadcast range-joins period->frame member periods;
+   *  2. builds the period->frame-member pair table by exploding each
+   *     target's member ranks and equi-joining the rank dimension
+   *     (broadcast hash join — never a nested-loop range join);
    *  3. re-aggregates sketches with `topn_union_agg` grouped by the target
    *     period — an ordinary shuffled aggregation, fully parallel in the
    *     number of periods x groups.
