@@ -2415,6 +2415,34 @@ object SparkEntry {
         .orderBy($"seq_id")
     }),
 
+    // the SFT deliverable: BPE token-id docs whose first third is prompt,
+    // packed into 256-token windows with in-window loss intervals — the
+    // loader ORs them into per-window loss masks. Interval arithmetic is
+    // pack_sft_sequences' (oracle replays layout + mask over the same
+    // BPE id stream); rendered as strings like pack_token_sequences
+    "pack_masked_token_ids" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = tbl(spark, dir, "documents")
+      val vocab = graft.pipeline.Bpe.buildVocab(
+        docs, "text", graft.pipeline.Bpe.DemoMerges)
+      val ids = graft.pipeline.Bpe.tokenIds(
+        docs, "doc_id", "text", vocab, graft.pipeline.Bpe.DemoMerges)
+        .select($"doc_id", $"ids",
+          (size($"ids") / 3).cast("long").as("prompt_len"))
+      graft.pipeline.Sampling.packMaskedTokenIds(
+          ids, "doc_id", "ids", "prompt_len", seqLen = 256L)
+        .select($"seq_id", $"n_tokens",
+          array_join(transform($"input_ids", i => i.cast("string")), " ")
+            .as("ids_str"),
+          array_join(transform($"doc_starts", i => i.cast("string")), " ")
+            .as("doc_starts_str"),
+          array_join(transform($"loss_intervals",
+            x => concat(x.getField("loss_off").cast("string"), lit(":"),
+              x.getField("loss_len").cast("string"))), " ")
+            .as("loss_str"))
+        .orderBy($"seq_id")
+    }),
+
     // THE PRODUCT IN ONE QUERY: the full daily-curation chain — bloom
     // front door (exact dedup vs the reference corpus) -> near-dup
     // candidates + CC keep-list within the batch -> decontamination vs a
@@ -4684,6 +4712,56 @@ object SparkEntry {
         |         list(seq_off ORDER BY doc_id) FILTER (WHERE fs = 0),
         |         ' '), '') AS doc_starts_str
         |FROM sl GROUP BY seq_id
+        |ORDER BY seq_id""".stripMargin,
+
+    // the same BPE id stream + prompt_len = n // 3, with the
+    // pack_sft_sequences mask arithmetic rendered per window
+    "pack_masked_token_ids" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, ${graft.pipeline.Bpe.duckdbEncodeSql("text")} AS pieces
+        |  FROM documents),
+        |v AS (
+        |  SELECT piece, CAST(ROW_NUMBER() OVER (ORDER BY piece) - 1 AS BIGINT) AS id
+        |  FROM (SELECT DISTINCT UNNEST(pieces) AS piece FROM t)),
+        |e AS (
+        |  SELECT doc_id, UNNEST(range(len(pieces))) AS idx, UNNEST(pieces) AS piece
+        |  FROM t),
+        |d AS (SELECT e.doc_id, list(v.id ORDER BY e.idx) AS ids,
+        |             CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM e JOIN v USING (piece) GROUP BY e.doc_id),
+        |c AS (SELECT doc_id, ids, n, n // 3 AS p,
+        |             CAST(SUM(n) OVER (ORDER BY doc_id
+        |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        |      FROM d),
+        |f AS (SELECT doc_id, ids, n, p, run - n AS st FROM c WHERE n > 0),
+        |x AS (SELECT doc_id, ids, n, p, st,
+        |             UNNEST(range(st // 256, (st + n - 1) // 256 + 1)) AS s
+        |      FROM f),
+        |frag AS (SELECT CAST(s AS BIGINT) AS seq_id, doc_id, p,
+        |                CAST(GREATEST(0, s * 256 - st) AS BIGINT) AS fs,
+        |                CAST(LEAST(n, (s + 1) * 256 - st)
+        |                     - GREATEST(0, s * 256 - st) AS BIGINT) AS fl,
+        |                ids
+        |         FROM x),
+        |sl AS (SELECT seq_id, doc_id, p, fs, fl,
+        |              list_slice(ids, fs + 1, fs + fl) AS frag_ids,
+        |              CAST(SUM(fl) OVER (PARTITION BY seq_id ORDER BY doc_id
+        |                ROWS UNBOUNDED PRECEDING) - fl AS BIGINT) AS seq_off
+        |       FROM frag),
+        |m AS (SELECT seq_id, doc_id, fs, fl, frag_ids, seq_off,
+        |             CAST(seq_off + LEAST(fl, GREATEST(0, p - fs)) AS BIGINT) AS lo,
+        |             CAST(GREATEST(0, fs + fl - GREATEST(fs, p)) AS BIGINT) AS ll
+        |      FROM sl)
+        |SELECT seq_id, CAST(SUM(fl) AS BIGINT) AS n_tokens,
+        |       array_to_string(flatten(list(frag_ids ORDER BY doc_id)), ' ') AS ids_str,
+        |       COALESCE(array_to_string(
+        |         list(seq_off ORDER BY doc_id) FILTER (WHERE fs = 0),
+        |         ' '), '') AS doc_starts_str,
+        |       COALESCE(array_to_string(
+        |         list(CAST(lo AS VARCHAR) || ':' || CAST(ll AS VARCHAR)
+        |              ORDER BY doc_id) FILTER (WHERE ll > 0),
+        |         ' '), '') AS loss_str
+        |FROM m GROUP BY seq_id
         |ORDER BY seq_id""".stripMargin,
 
     // the whole curation chain, stage by stage in the same order as the

@@ -642,6 +642,67 @@ object Sampling {
   }
 
   /**
+   * [[packTokenIds]] for SFT corpora — the materialized deliverable of
+   * [[packMaskedSequences]]: documents as token-id arrays whose FIRST
+   * `promptLenCol` ids are prompt (excluded from loss), packed into
+   * fixed `seqLen` windows of `input_ids` + `doc_starts`, PLUS
+   * `loss_intervals`: the window's (loss_off, loss_len) response spans
+   * in in-window coordinates, stream-ordered and non-overlapping — the
+   * loader ORs them into the loss mask. Every response id of every
+   * document is covered by exactly one interval across all windows,
+   * prompt ids by none. Same per-document 2^31 bound and scale shape as
+   * [[packTokenIds]] (one prefix sum, bounded explode, one hash agg).
+   */
+  def packMaskedTokenIds(
+      docs: DataFrame,
+      idCol: String,
+      idsCol: String,
+      promptLenCol: String,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0 && seqLen <= Int.MaxValue,
+      s"seqLen must be in (0, 2^31) (array slices are Int-indexed; " +
+        s"per-DOCUMENT token counts share the same 2^31 bound), got $seqLen")
+    Seq("__graft_ids", "__graft_n", "__graft_sorted").foreach { c =>
+      require(!docs.columns.contains(c),
+        s"input already has a '$c' column; rename it — packMaskedTokenIds uses it internally")
+    }
+    val d = docs.select(col(idCol), col(promptLenCol),
+        col(idsCol).cast("array<long>").as("__graft_ids"))
+      .withColumn("__graft_n", size(col("__graft_ids")).cast("long"))
+    packMaskedSequences(d, idCol, promptLenCol, "__graft_n", seqLen)
+      .select(col(idCol).as("__graft_id"), col("seq_id"),
+        slice(col("__graft_ids"),
+          (col("frag_start") + lit(1)).cast("int"),
+          col("frag_len").cast("int")).as("__graft_frag"),
+        col("frag_start"), col("loss_off"), col("loss_len"))
+      .groupBy(col("seq_id"))
+      .agg(
+        array_sort(collect_list(struct(
+          col("__graft_id").as("__i"),
+          col("__graft_frag").as("__ids"),
+          col("frag_start").as("__fs"),
+          col("loss_off").as("__lo"),
+          col("loss_len").as("__ll")))).as("__graft_sorted"))
+      .select(col("seq_id"),
+        expr("CAST(aggregate(__graft_sorted, 0L, (n, s) -> n + size(s.__ids)) AS BIGINT)")
+          .as("n_tokens"),
+        flatten(transform(col("__graft_sorted"), s => s.getField("__ids")))
+          .as("input_ids"),
+        expr("""aggregate(__graft_sorted,
+          |  named_struct('off', 0L, 'starts', CAST(array() AS ARRAY<BIGINT>)),
+          |  (acc, s) -> named_struct(
+          |    'off', acc.off + CAST(size(s.__ids) AS BIGINT),
+          |    'starts', IF(s.__fs = 0L, array_append(acc.starts, acc.off),
+          |                 acc.starts)),
+          |  acc -> acc.starts)""".stripMargin).as("doc_starts"),
+        // stream order == ascending loss_off (windows tile contiguously),
+        // so the sorted struct list IS the interval order
+        expr("""filter(transform(__graft_sorted,
+          |  s -> named_struct('loss_off', s.__lo, 'loss_len', s.__ll)),
+          |  x -> x.loss_len > 0L)""".stripMargin).as("loss_intervals"))
+  }
+
+  /**
    * The sink end of the pipeline: write `df` as deterministic
    * token-budgeted shards — `path/bin=K/` parquet directories where
    * each shard holds a CONTIGUOUS id range summing to at most

@@ -965,6 +965,51 @@ class CurationSpec extends AnyFunSuite {
         rows.toDF("id", "p", "w").withColumn("loss_off", lit(1)), "id", "p", "w", 64L))
   }
 
+  test("packMaskedTokenIds: interval-selected ids are exactly the response ids, in stream order") {
+    import graft.pipeline.Sampling
+    val rnd = new Random(53)
+    val docs = (0L until 120L).map { i =>
+      val n = rnd.nextInt(4) match {
+        case 0 => 0
+        case 1 => 32
+        case _ => 1 + rnd.nextInt(90)
+      }
+      val ids = Seq.fill(n)(rnd.nextLong(100000L))
+      val p = if (n == 0) 0L else rnd.nextLong(n + 1L)
+      (i, ids, p)
+    }
+    val seqLen = 32L
+    val out = Sampling.packMaskedTokenIds(
+        docs.toDF("doc_id", "ids", "p").repartition(5), "doc_id", "ids", "p", seqLen)
+      .orderBy($"seq_id")
+      .select($"seq_id", $"n_tokens", $"input_ids", $"doc_starts",
+        $"loss_intervals")
+      .as[(Long, Long, Seq[Long], Seq[Long], Seq[(Long, Long)])].collect()
+
+    // the packed stream is the doc-order concatenation, id-for-id
+    val stream = docs.flatMap(_._2)
+    assert(out.flatMap(_._3).toSeq === stream)
+    assert(out.forall(r => r._2 === r._3.size && r._2 <= seqLen))
+    assert(out.dropRight(1).forall(_._2 === seqLen), "only the last window partial")
+
+    // interval-selected ids across all windows == the response ids
+    // (each doc's ids[p..n)) concatenated in stream order
+    val selected = out.flatMap { case (_, _, ids, _, ivs) =>
+      ivs.flatMap { case (off, len) => ids.slice(off.toInt, (off + len).toInt) }
+    }.toSeq
+    val responses = docs.flatMap { case (_, ids, p) => ids.drop(p.toInt) }
+    assert(selected === responses,
+      "loss intervals must select exactly the response tokens, prompts never")
+
+    // doc_starts mark where each doc's token 0 lands
+    var gpos = 0L
+    val expectedStarts = docs.filter(_._2.nonEmpty).map { case (_, ids, _) =>
+      val s = gpos; gpos += ids.size; (s / seqLen, s % seqLen)
+    }
+    val gotStarts = out.flatMap { case (sq, _, _, starts, _) => starts.map(sq -> _) }
+    assert(gotStarts.toSeq === expectedStarts)
+  }
+
   test("assembleSequences materializes exactly the chunked token stream") {
     import graft.pipeline.Sampling
     val rnd = new Random(43)
