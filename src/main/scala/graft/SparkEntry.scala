@@ -571,7 +571,7 @@ object SparkEntry {
         .orderBy($"day", $"frequency".desc, $"item")
     }),
 
-    // the same 7-day sliding merge via the scale-path rank-range join
+    // the same 7-day sliding merge via the scale-path rank equi-join
     // (no single-partition window sort; see graft.operators.Rollups)
     "topn_window_7day_scalable" -> ((spark, dir) => {
       import spark.implicits._

@@ -45,7 +45,11 @@ object Diagnostics {
         col("__n"))
       .select(col("__r.item").as("key"),
         col("__r.frequency").as("freq"),
-        expr("CAST(__r.frequency * 1000000L DIV __n AS BIGINT)").as("share_e6"),
+        // DECIMAL(38) intermediate: freq * 1e6 wraps BIGINT once a key
+        // holds > ~9.2e12 rows — inside the 100 TB scale this profiles —
+        // and a wrapped share on exactly the hot key defeats the tool
+        expr("CAST(CAST(__r.frequency AS DECIMAL(38,0)) * 1000000 DIV __n AS BIGINT)")
+          .as("share_e6"),
         col("__n").as("total_rows"))
   }
 }

@@ -107,10 +107,15 @@ object Rollups {
     // O(#periods^2) pair evaluations REGARDLESS of frame width (measured
     // 7s+ at 40k periods before any merge work); the explode form is
     // O(#periods x frameRows) rows through a hash join.
+    // start clamped INSIDE the sequence: an unclamped rk-(frameRows-1)
+    // start would materialize a frameRows-length array per period before
+    // any filter — a "merge everything so far" caller passing a huge
+    // frameRows would generate mostly-dead elements (and Spark's sequence
+    // caps near 2^31); clamping bounds the array at min(rk, frameRows)
     val frame = ranked
       .select(col(periodCol).as("target_period"),
-        explode(sequence(col("rk") - (frameRows - 1), col("rk"))).as("m_rk"))
-      .filter(col("m_rk") >= 1)
+        explode(sequence(
+          greatest(lit(1), col("rk") - (frameRows - 1)), col("rk"))).as("m_rk"))
       .join(broadcast(ranked
         .select(col(periodCol).as("member_period"), col("rk").as("m_rk"))),
         Seq("m_rk"))

@@ -764,9 +764,16 @@ object Sampling {
       tokensPerShard: Long): DataFrame = {
     require(df.columns.contains(splitCol), s"missing column '$splitCol'")
     val spark = df.sparkSession
-    val splits = df.select(col(splitCol).cast("string")).distinct()
-      .collect().flatMap(r => Option(r.getString(0))).sorted.toSeq
-    require(splits.nonEmpty, "no rows (or only NULL split names) to export")
+    val rawSplits = df.select(col(splitCol).cast("string")).distinct()
+      .collect().map(r => Option(r.getString(0)))
+    // a NULL split name must fail, not silently export into no shard: the
+    // per-split filters below would skip those rows entirely (the sibling
+    // exportShards exports every row — this sink must too, or say why not)
+    require(!rawSplits.contains(None),
+      s"NULL values in '$splitCol': every row must carry a split name — " +
+        "rows with a NULL split would land in no shard and no manifest row")
+    val splits = rawSplits.flatten.sorted.toSeq
+    require(splits.nonEmpty, "no rows to export")
     require(splits.size <= 64,
       s"${splits.size} distinct '$splitCol' values — the split column " +
         "should carry a few split names (train/val/test), not a corpus key; " +

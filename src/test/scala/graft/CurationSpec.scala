@@ -1242,6 +1242,13 @@ class CurationSpec extends AnyFunSuite {
         "id", "w", "split_name", s"$dir/out3", 300L)
     }
     assert(err.getMessage.contains("split names"))
+    // NULL split names must fail, not silently export into no shard
+    val withNull = Seq((1L, 1L, "train"), (2L, 1L, null.asInstanceOf[String]))
+      .toDF("id", "w", "split_name")
+    val nullErr = intercept[IllegalArgumentException] {
+      Sampling.exportSplitShards(withNull, "id", "w", "split_name", s"$dir/out4", 300L)
+    }
+    assert(nullErr.getMessage.contains("NULL"))
   }
 
   // --- group-keyed (leakage-safe) splits -----------------------------------

@@ -87,7 +87,10 @@ class ScaleOpsSpec extends AnyFunSuite {
       // block-end/same-block boundary, and w > #periods (pure cumulative
       // prefix within one giant block never completed — all frames partial)
       val periods = daily.count().toInt
-      for (w <- Seq(1, 7, 13, 30, 90, 365, periods + 10)) {
+      // the 100000 width pins the clamped-sequence contract: a frame far
+      // wider than the period count must stay O(periods^2) work, not
+      // materialize a frameRows-length array per period
+      for (w <- Seq(1, 7, 13, 30, 90, 365, periods + 10, 100000)) {
         val expected = flattened(
           Rollups.slidingUnion(daily, "day", "sketch", w, 2000000))
         val got = flattened(
