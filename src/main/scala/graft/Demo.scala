@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{coalesce, col, count, length, lit, slice, sum}
+import org.apache.spark.sql.functions.{avg, coalesce, col, count, length, lit, slice, sum}
 
 /** Usage example / smoke driver for the SQL surface. Run with:
   * `sbt "runMain graft.Demo"`.
@@ -116,6 +116,21 @@ object Demo {
       raw, "doc_id", "score_e6", pct = 50)
     println(s"classifier keeps the ${kept.count()} most en-like of the " +
       s"${raw.count()} non-en docs")
+
+    println("== ops tour: shuffle-key skew profile (the salting diagnostic) ==")
+    operators.Diagnostics.keySkewReport(docs, "source", k = 5, counters = 100000)
+      .show(false)
+
+    println("== ANN ops tour: quantizer drift audit (frozen models, agree_e6) ==")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ivf = pipeline.IVF.train(emb, "vec_id", "embedding", k = 8)
+    val pqm = pipeline.Pq.train(emb, "vec_id", "embedding", m = 16, ks = 16)
+    val drift = pipeline.Pq.driftScore(
+      pipeline.Pq.index(emb, "vec_id", "embedding", pqm, ivf), emb,
+      emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, pqm, ivf, nprobe = 4, rerank = 50)
+    drift.agg(avg(col("agree_e6")).cast("long").as("mean_agree_e6"),
+      count(lit(1)).as("n_queries")).show(false)
 
     println("== crawl front door: html_to_text -> normalize -> token count, from SQL ==")
     spark.sql(

@@ -84,9 +84,15 @@ object SparkEntry {
   private def frontierBase(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // bounded: a driver cycling SparkSessions against this object must not
     // pin stopped sessions (and their persisted plans) for the JVM's life —
-    // dropping the handful of stale entries just means the next call
-    // re-registers its persist, the pre-holder behavior
-    if (frontierBaseCache.size > 4) frontierBaseCache.clear()
+    // evicted entries release their persist (best-effort: the session may
+    // already be stopped), and the next call re-registers, the pre-holder
+    // behavior
+    if (frontierBaseCache.size > 4) {
+      frontierBaseCache.values().forEach { case (_, links) =>
+        try links.unpersist() catch { case _: Throwable => }
+      }
+      frontierBaseCache.clear()
+    }
     frontierBaseCache.computeIfAbsent((spark, dir),
       _ => buildFrontierBase(spark, dir))
   }
