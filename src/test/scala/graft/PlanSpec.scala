@@ -508,6 +508,32 @@ class PlanSpec extends AnyFunSuite {
       "classifier joins are keyed equi-joins (doc_id / f) — no pair blowup")
   }
 
+  test("masked token packing: one seq_id hash agg, no corpus window, no join") {
+    val p = plan("pack_masked_token_ids")
+    // the layout is a prefix sum (two passes over one scan) + bounded
+    // fragment explode + ONE hash aggregation by seq_id — a window over
+    // the corpus or a self-join here would be the 100 TB regression
+    assert(!p.contains("WindowExec") && !p.contains("Window ("),
+      "no corpus-wide window in the packed layout")
+    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoopJoin") &&
+      !p.contains("CartesianProduct") && !p.contains("HashJoin"),
+      "packing must not join the corpus against anything")
+    assert(p.contains("Generate") && p.contains("explode"),
+      "fragments come from a bounded per-row explode")
+  }
+
+  test("skew report: partial/final sketch agg over a single pruned scan") {
+    val p = plan("skew_report")
+    assert(p.contains("partial_topn_add_agg"),
+      "the sketch must pre-aggregate map-side — the whole point vs groupBy.count")
+    // FormattedMode prints each node twice (tree line + detail header),
+    // so one physical scan is exactly two matching lines
+    assert(p.linesIterator.count(_.contains("Scan parquet")) <= 2,
+      "one corpus scan feeds both the sketch and the row count")
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint>"),
+      "scan must read only the profiled key column")
+  }
+
   test("sliding rank-frame: equi hash join on rank, no nested-loop range join") {
     // the frame pair table is explode(member ranks) + equi join — the rank
     // BETWEEN spelling planned as a BroadcastNestedLoopJoin and paid
