@@ -1184,6 +1184,18 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // exact nearest-rank percentiles with NO global sort (datasheet
+    // numbers: tokens-per-doc p25/p50/p90/p99) — the selectTopFraction
+    // histogram device pointed at reporting; exact integer arithmetic
+    "token_percentiles" -> ((spark, dir) => {
+      import spark.implicits._
+      val d = tbl(spark, dir, "documents").select(
+        graft.pipeline.TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
+      graft.pipeline.Selection.exactPercentiles(
+          d, "n_tokens", Seq(25, 50, 90, 99))
+        .orderBy($"pct")
+    }),
+
     // sketch-driven key-skew profile: the diagnostic an operator runs
     // BEFORE choosing salt buckets / AQE skew knobs — one pass, bounded
     // state, exact below eviction (the reference operator in its
@@ -3712,6 +3724,24 @@ object SparkEntry {
         |            ELSE 'test' END AS split_name
         |FROM b ORDER BY doc_id""".stripMargin
     },
+
+    "token_percentiles" ->
+      """WITH t AS (SELECT CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |                  AS BIGINT) AS v
+        |           FROM documents),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+        |h AS (SELECT v, COUNT(*) AS c FROM t GROUP BY 1),
+        |r AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v
+        |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        |      FROM h),
+        |p AS (SELECT CAST(UNNEST([25, 50, 90, 99]) AS BIGINT) AS pct),
+        |x AS (SELECT pct, (pct * n + 99) // 100 AS target_rank, n
+        |      FROM p CROSS JOIN n)
+        |SELECT pct, CAST(MIN(r.v) AS BIGINT) AS value,
+        |       CAST(target_rank AS BIGINT) AS target_rank,
+        |       n AS total_rows
+        |FROM x JOIN r ON r.run >= x.target_rank
+        |GROUP BY pct, target_rank, n ORDER BY pct""".stripMargin,
 
     "skew_report" ->
       """WITH c AS (SELECT CAST(o_custkey AS VARCHAR) AS key,

@@ -186,4 +186,57 @@ object Selection {
           .otherwise(lit("tail")))
       .drop("__graft_hid", "__graft_mid")
   }
+
+  /**
+   * EXACT nearest-rank percentiles of an integer column with NO global
+   * sort — the datasheet numbers (doc-length p50/p90/p99, tokens per
+   * doc, scores) computed the way [[selectTopFraction]] computes its
+   * threshold: percentile p is the smallest value v such that at least
+   * `ceil(p * n / 100)` rows have value <= v (the standard nearest-rank
+   * method; exact integer arithmetic, deterministic under ties, so the
+   * DuckDB oracle replays it row for row — interpolating quantile
+   * sketches cannot be hash-compared and a global ORDER BY costs a
+   * corpus-wide range shuffle).
+   *
+   * Output: (pct, value, target_rank, total_rows), one row per requested
+   * percentile, NULL-valued rows excluded from both n and the ranking.
+   *
+   * Scale shape: one distinct-VALUE histogram (the only corpus-sized
+   * shuffle; its size is the value cardinality, not the row count), the
+   * two-pass [[graft.operators.PrefixSum]] running count over it, then a
+   * broadcast of the |pcts|-row target table into a non-equi join —
+   * each histogram row checks a handful of targets, a linear scan, and
+   * the final agg is |pcts| groups.
+   */
+  def exactPercentiles(
+      df: DataFrame,
+      valueCol: String,
+      pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty, "pcts must be non-empty")
+    require(pcts.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1, 100], got $pcts")
+    require(pcts.distinct.size == pcts.size, s"duplicate percentiles in $pcts")
+    require(isIntegral(df.schema(valueCol).dataType),
+      s"'$valueCol' must be an integral type (byte/short/int/long): the " +
+        s"exact rank walk would truncate a float, got " +
+        df.schema(valueCol).dataType.sql)
+
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("long").as("__graft_v"))
+      .agg(count(lit(1)).as("__graft_c"))
+    val run = graft.operators.PrefixSum
+      .runningSum(hist, "__graft_v", "__graft_c", outCol = "__graft_run")
+    val targets = pcts.sorted.toDF("pct")
+      .crossJoin(broadcast(hist.agg(sum(col("__graft_c")).as("__graft_n"))))
+      .select(col("pct").cast("long").as("pct"),
+        expr("(pct * __graft_n + 99L) DIV 100L").as("target_rank"),
+        col("__graft_n").as("total_rows"))
+    run
+      .join(broadcast(targets), col("__graft_run") >= col("target_rank"))
+      .groupBy(col("pct"), col("target_rank"), col("total_rows"))
+      .agg(min(col("__graft_v")).as("value"))
+      .select(col("pct"), col("value"), col("target_rank"), col("total_rows"))
+  }
 }
