@@ -19,6 +19,10 @@ object SparkEntry {
     * sketch results are exact (no policy-B eviction fires). */
   private val ExactN = 2000000
 
+  // bpe_train iteration budget — shared by the Spark loop and the
+  // generated oracle CTE chain so the two runs cannot drift
+  private val BpeTrainIters = 8
+
   /** DSIR hashed-feature bucket count for the driver query; the oracle SQL
     * is generated from the same constant via [[graft.pipeline.Dsir.featureBucketSql]]
     * so the two spellings cannot drift. */
@@ -79,22 +83,34 @@ object SparkEntry {
     * call (Spark's CacheManager dedupes identical plans, but the
     * registration itself should still be bounded and obvious). */
   private val frontierBaseCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+    new java.util.LinkedHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
 
   private def frontierBase(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // bounded: a driver cycling SparkSessions against this object must not
     // pin stopped sessions (and their persisted plans) for the JVM's life —
     // evicted entries release their persist (best-effort: the session may
     // already be stopped), and the next call re-registers, the pre-holder
-    // behavior
-    if (frontierBaseCache.size > 4) {
-      frontierBaseCache.values().forEach { case (_, links) =>
-        try links.unpersist() catch { case _: Throwable => }
+    // behavior. Lookup, eviction, and insert all run under ONE lock so an
+    // entry can never be inserted between an eviction sweep and its clear
+    // (which would drop it without releasing its persist for the session's
+    // life); buildFrontierBase itself is lazy plan construction — no Spark
+    // job — so holding the lock across it is cheap.
+    frontierBaseCache.synchronized {
+      val key = (spark, dir)
+      val hit = frontierBaseCache.get(key)
+      if (hit != null) hit
+      else {
+        if (frontierBaseCache.size > 4) {
+          frontierBaseCache.values().forEach { case (_, links) =>
+            try links.unpersist() catch { case _: Throwable => }
+          }
+          frontierBaseCache.clear()
+        }
+        val built = buildFrontierBase(spark, dir)
+        frontierBaseCache.put(key, built)
+        built
       }
-      frontierBaseCache.clear()
     }
-    frontierBaseCache.computeIfAbsent((spark, dir),
-      _ => buildFrontierBase(spark, dir))
   }
 
   /** Stage tables of the full-curation chain, shared by
@@ -525,6 +541,27 @@ object SparkEntry {
         .orderBy($"frequency".desc, $"item")
     }),
 
+    // guaranteed count intervals: the bounded-sketch family
+    // (topn_add_agg_bounds -> topn_union_agg_bounds -> topn_with_bounds)
+    // turns the reference's accuracy ADVICE (README.md:21-23 "increase
+    // topn.number_of_counters") into a measured per-query fact — here the
+    // budget is exact, so every interval collapses: max_error = 0 IS the
+    // oracle-checked claim (the forced-eviction side of the bound is
+    // pinned by TopnStateSpec's property test; an inexact bound cannot be
+    // hash-compared against an exact engine by construction)
+    "topn_bounds_report" -> ((spark, dir) => {
+      import spark.implicits._
+      tbl(spark, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(TopnFunctions.topn_add_agg_bounds(
+          $"o_custkey".cast("string"), ExactN).as("bs"))
+        .agg(TopnFunctions.topn_union_agg_bounds($"bs", ExactN).as("u"))
+        .select(explode(TopnFunctions.topn_with_bounds($"u", lit(25))).as("r"))
+        .select($"r.item".as("item"), $"r.frequency".as("frequency"),
+          $"r.max_error".as("max_error"))
+        .orderBy($"frequency".desc, $"item")
+    }),
+
     // scalar topn_add + topn_union pipeline (§2.1 rows 2,3)
     "topn_scalar_pipeline" -> ((spark, dir) => {
       import spark.implicits._
@@ -654,6 +691,22 @@ object SparkEntry {
         .select($"doc_id", $"n_tokens",
           array_join(transform($"ids", i => i.cast("string")), " ").as("ids_str"))
         .orderBy($"doc_id")
+    }),
+
+    // BPE merge TRAINING — the step that produces the merge table the
+    // encode/count/token-id queries consume: K corpus-wide
+    // most-frequent-adjacent-pair iterations, each one scan + hash agg +
+    // one-row argmax (Bpe.trainMerges doc). The oracle replays the ENTIRE
+    // training run as unrolled CTEs with the learned pairs as scalar
+    // subqueries (the classifier/PageRank doctrine applied to tokenizer
+    // training), so DuckDB must learn the SAME rules in the SAME order
+    // with the SAME counts — training is hash-checked, not spot-checked.
+    // Parity with a transparent sequential trainer is BpeTrainSpec's.
+    "bpe_train" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.pipeline.Bpe.trainMergesDF(
+        tbl(spark, dir, "documents"), "text", iters = BpeTrainIters)
+        .orderBy($"iter")
     }),
 
     // overlapping context-window chunking (RAG / long-doc training):
@@ -2874,6 +2927,12 @@ object SparkEntry {
         |FROM orders GROUP BY 1
         |ORDER BY frequency DESC, item LIMIT 25""".stripMargin,
 
+    "topn_bounds_report" ->
+      """SELECT CAST(o_custkey AS VARCHAR) AS item, COUNT(*) AS frequency,
+        |       CAST(0 AS BIGINT) AS max_error
+        |FROM orders GROUP BY 1
+        |ORDER BY frequency DESC, item LIMIT 25""".stripMargin,
+
     "topn_scalar_pipeline" ->
       """SELECT item, frequency FROM (
         |  SELECT o_orderpriority AS item,
@@ -2954,6 +3013,14 @@ object SparkEntry {
         |  FROM events GROUP BY 1, 2) t
         |WHERE rn <= 5
         |ORDER BY event_type, frequency DESC, item""".stripMargin,
+
+    // the full K-iteration training replay, generated by the SAME code
+    // path whose constants drive the Spark loop (Bpe.trainMergesCtes)
+    "bpe_train" -> {
+      val (ctes, fin) = graft.pipeline.Bpe.trainMergesCtes(
+        "documents", BpeTrainIters)
+      s"WITH $ctes\nSELECT iter, a, b, cnt FROM $fin ORDER BY iter"
+    },
 
     // DuckDB zips multiple UNNESTs in one SELECT positionally — range()
     // supplies the ordinals posexplode emits

@@ -86,6 +86,15 @@ object TopnFunctions {
     ("topn_rows",
       "topn_rows(sketch, k) - set-returning topn for LATERAL VIEW: rows of (item, frequency)",
       arity("topn_rows", 2, 2)(exprs => TopnRows(exprs(0), exprs(1), GraftConf.numberOfCounters))),
+    ("topn_add_agg_bounds",
+      "topn_add_agg_bounds(expr) - topn_add_agg carrying a guaranteed count-interval bound: struct<entries, loss_bound>",
+      arity("topn_add_agg_bounds", 1, 1)(exprs => TopnAddAggBounds(exprs.head, GraftConf.numberOfCounters))),
+    ("topn_union_agg_bounds",
+      "topn_union_agg_bounds(bsketch) - merges bounded sketches, folding each input's loss_bound into the union's",
+      arity("topn_union_agg_bounds", 1, 1)(exprs => TopnUnionAggBounds(exprs.head, GraftConf.numberOfCounters))),
+    ("topn_with_bounds",
+      "topn_with_bounds(bsketch, k) - top k entries with their guaranteed interval: array<struct<item, frequency, max_error>>",
+      arity("topn_with_bounds", 2, 2)(exprs => TopnWithBounds(exprs(0), exprs(1), GraftConf.numberOfCounters))),
     // ---- pipeline expressions on the SQL surface -------------------------
     ("cosine_sim",
       "cosine_sim(a, b) - cosine similarity of two float/double vectors (deterministic sequential accumulation)",
@@ -251,6 +260,25 @@ object TopnFunctions {
 
   def topn_to_json(sketch: Column): Column =
     GraftShim.column(TopnToJson(GraftShim.expression(sketch)))
+
+  def topn_add_agg_bounds(item: Column): Column =
+    topn_add_agg_bounds(item, GraftConf.numberOfCounters)
+
+  def topn_add_agg_bounds(item: Column, numCounters: Int): Column =
+    GraftShim.column(
+      TopnAddAggBounds(GraftShim.expression(item), numCounters).toAggregateExpression())
+
+  def topn_union_agg_bounds(bsketch: Column): Column =
+    topn_union_agg_bounds(bsketch, GraftConf.numberOfCounters)
+
+  def topn_union_agg_bounds(bsketch: Column, numCounters: Int): Column =
+    GraftShim.column(
+      TopnUnionAggBounds(GraftShim.expression(bsketch), numCounters).toAggregateExpression())
+
+  def topn_with_bounds(bsketch: Column, k: Column): Column =
+    GraftShim.column(TopnWithBounds(
+      GraftShim.expression(bsketch), GraftShim.expression(k),
+      GraftConf.numberOfCounters))
 
   /**
    * Heavy-change detection between two sketches — "what moved between

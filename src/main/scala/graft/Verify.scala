@@ -2,8 +2,30 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare. Exits non-zero
+  * with a grep-able marker when the run could not produce evidence (empty
+  * registry, empty oracle map, or zero successful dumps) — the round-12
+  * lesson: an empty correctness artifact shipped silently and the round
+  * recorded no proof at all. */
 object Verify {
+
+  /** The empty-evidence guard, pure for the spec: Some(marker) when this
+    * run produced nothing a comparator could check. `queriesRun` is the
+    * post-filter registry size, `dumped` the successful parquet dumps,
+    * `oracles` the oracle-map size. */
+  private[graft] def emptyDumpError(
+      queriesRun: Int, dumped: Int, oracles: Int): Option[String] =
+    if (queriesRun == 0)
+      Some("[verify] FATAL EMPTY DUMP: no queries selected — the registry " +
+        "or the SPARK_GRAFT_QUERIES filter matched nothing")
+    else if (dumped == 0)
+      Some(s"[verify] FATAL EMPTY DUMP: all $queriesRun query dumps failed " +
+        "— no parquet evidence was written")
+    else if (oracles == 0)
+      Some("[verify] FATAL EMPTY DUMP: oracle_sql.json is empty — dumps " +
+        "exist but nothing can be compared")
+    else None
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -27,12 +49,15 @@ object Verify {
         System.err.println(
           s"[verify] WARNING: SPARK_GRAFT_QUERIES names match no registered query: ${unknown.toSeq.sorted.mkString(", ")}")
     }
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    var dumped = 0
+    selected.foreach { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        dumped += 1
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -52,5 +77,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    emptyDumpError(selected.size, dumped, SparkEntry.oracleSql.size).foreach {
+      msg =>
+        System.err.println(msg)
+        sys.exit(2)
+    }
   }
 }

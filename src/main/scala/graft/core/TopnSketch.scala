@@ -46,7 +46,33 @@ final class TopnState private (
 
   import TopnState._
 
+  /** Cumulative eviction-loss bound (see [[lossBound]]). */
+  private var evictLoss: Long = 0L
+
   def size: Int = counters.size
+
+  /**
+   * Guaranteed count-interval half-width: for ANY item x,
+   * `reported(x) <= true(x) <= reported(x) + lossBound` with
+   * `reported(x) = 0` when x is absent. This sketch only ever UNDERcounts
+   * — an evicted key's accumulated count is discarded, and a re-entering
+   * key restarts from its new increments (unlike classic SpaceSaving,
+   * whose takeover-inheritance OVERcounts) — so the bound accumulates one
+   * term per prune: the LARGEST discarded frequency, which dominates what
+   * any single item can have lost in that prune. 0 while no prune has
+   * discarded anything: every count is exact and the interval collapses.
+   * Merging states adds their bounds (each side's losses are independent
+   * undercounts of the merged stream). Negative frequencies (typed maps
+   * may carry them) never tighten the bound: a dropped negative
+   * contributes 0.
+   */
+  def lossBound: Long = evictLoss
+
+  /** Fold an already-materialized sketch's own loss bound into this
+    * state's (the union-with-bounds ingest path). */
+  def addLossBound(b: Long): Unit = {
+    evictLoss = saturatingAdd(evictLoss, math.max(0L, b))
+  }
 
   /** Raw view for tests / materialization. Does not copy. */
   private[graft] def underlying: java.util.HashMap[UTF8String, java.lang.Long] = counters
@@ -125,6 +151,9 @@ final class TopnState private (
       val e = it.next()
       mergeEntry(e.getKey, e.getValue.longValue, numCounters)
     }
+    // each side's prior losses are independent undercounts of the merged
+    // stream; merge-time policy-B prunes accrue via mergeEntry as usual
+    addLossBound(other.evictLoss)
   }
 
   /** Policy B: keep the `size/2` most frequent entries. */
@@ -145,6 +174,12 @@ final class TopnState private (
     while (i < keep) {
       next.put(arr(i)._1, arr(i)._2)
       i += 1
+    }
+    // eviction-loss accounting (see lossBound): the largest discarded
+    // frequency bounds any single item's loss in THIS prune; canonical
+    // order puts it at arr(keep)
+    if (keep < arr.length) {
+      evictLoss = saturatingAdd(evictLoss, math.max(0L, arr(keep)._2.longValue))
     }
     counters = next
   }
@@ -185,8 +220,11 @@ final class TopnState private (
   /**
    * Compact wire format for partial-aggregate shipping:
    * varint entryCount, then per entry: varint keyByteLen, key UTF-8 bytes,
-   * zigzag-varint frequency. (The reference ships fixed 264-byte records,
-   * topn.c:509-542; we use a denser framing — format is ours to define.)
+   * zigzag-varint frequency; then a trailing zigzag-varint [[lossBound]]
+   * (read-if-present on deserialize, so pre-bound payloads — e.g. an old
+   * streaming checkpoint — load with bound 0). (The reference ships fixed
+   * 264-byte records, topn.c:509-542; we use a denser framing — format is
+   * ours to define.)
    */
   def serialize(): Array[Byte] = {
     val bos = new ByteArrayOutputStream(16 + counters.size * 24)
@@ -200,6 +238,7 @@ final class TopnState private (
       out.write(kb)
       writeVarLong(out, zigzag(e.getValue.longValue))
     }
+    writeVarLong(out, zigzag(evictLoss))
     out.flush()
     bos.toByteArray
   }
@@ -312,6 +351,9 @@ object TopnState {
       val freq = unzigzag(readVarLong())
       st.underlying.put(key, java.lang.Long.valueOf(freq))
       i += 1
+    }
+    if (pos < bytes.length) {
+      st.addLossBound(unzigzag(readVarLong()))
     }
     st
   }

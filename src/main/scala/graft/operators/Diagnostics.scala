@@ -38,6 +38,12 @@ object Diagnostics {
       k: Int = 20,
       counters: Int = 10000): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // fail at build time in THIS operator's vocabulary — otherwise k >
+    // counters only surfaces at action time as GRAFT_K_EXCEEDS_COUNTERS,
+    // framed in sketch terms the profiler's caller never wrote
+    require(k <= counters,
+      s"keySkewReport: k ($k) must be <= counters ($counters) — the report " +
+        "can only surface keys the sketch retains")
     df.agg(
         TopnFunctions.topn_add_agg(col(keyCol).cast("string"), counters).as("__sk"),
         count(lit(1)).as("__n"))

@@ -197,6 +197,37 @@ object Rollups {
    * periods-sized, so the leak is small — unlike the corpus-sized
    * tables pageRank now releases itself).
    */
+  /** Frame width at which [[slidingUnionWideFrame]] overtakes
+    * [[slidingUnion]], from the g_sliding_*_w bench sweep (10k-period
+    * synthetic rollup, 200 uniques/day, 100 counters, local[32]): the
+    * range-join form grows with width (~0.5s at w=7 -> ~2s at w=365 — the
+    * frameRows-fold sketch replication is intrinsic to its shape) while
+    * the block-decomposed form is ~flat (~1.1-1.4s at any width); the
+    * curves cross around w ~= 100 at that shape. The constant is a
+    * heuristic for [[slidingMerge]], not a semantic knob — both forms
+    * produce identical results at every width (ScaleOpsSpec). */
+  val SlidingMergeCrossover = 100
+
+  /**
+   * Auto-dispatching sliding merge — the one entry point users should
+   * reach for: picks [[slidingUnion]] (narrow frames: smaller fixed
+   * costs, replication bounded by the narrow width) or
+   * [[slidingUnionWideFrame]] (wide frames: ~3 merges per period at any
+   * width) by the measured [[SlidingMergeCrossover]], so callers don't
+   * need to know two spellings exist. Results are identical on either
+   * side of the dispatch; only the plan shape changes.
+   */
+  def slidingMerge(
+      rollup: DataFrame,
+      periodCol: String,
+      sketchCol: String,
+      frameRows: Int,
+      numCounters: Int): DataFrame =
+    if (frameRows < SlidingMergeCrossover)
+      slidingUnion(rollup, periodCol, sketchCol, frameRows, numCounters)
+    else
+      slidingUnionWideFrame(rollup, periodCol, sketchCol, frameRows, numCounters)
+
   def slidingUnionWideFrame(
       rollup: DataFrame,
       periodCol: String,

@@ -245,6 +245,145 @@ object Bpe {
   }
 
   /**
+   * Learn a merge table FROM the corpus — the training half of BPE, the
+   * step that produces `merges.txt` in the first place (everything above
+   * only LOADS one). Classic iterative most-frequent-adjacent-pair
+   * training, distributed: each iteration is
+   *
+   *   1. one corpus scan applying the merges learned SO FAR (the exact
+   *      [[mergedDoc]] inference walk — training and inference share one
+   *      tokenization by construction),
+   *   2. a corpus-wide adjacent-pair count (explode + hash aggregate,
+   *      map-side partials; pair cardinality is bounded by the square of
+   *      the live subword inventory, never corpus-sized),
+   *   3. a deterministic argmax — count desc, then (a, b) ascending, the
+   *      engine's pinned-tie doctrine — collected to the driver (ONE row
+   *      per iteration: bounded driver state, the Classifier/PageRank
+   *      unrolled-iteration pattern).
+   *
+   * The learned pair becomes a literal in iteration k+1's replace chain,
+   * so the plan stays stateless: no growing lineage, no checkpoint — the
+   * corpus is re-walked with k literal replaces, K scans total. Word
+   * boundaries never merge (the [[Marker]] token is excluded from pair
+   * counting), and pair counting inherits the single-pass replacement
+   * semantics documented on [[mergedDoc]] — the trained rules are
+   * optimal FOR the tokenizer that will apply them.
+   *
+   * Training stops early when no pair reaches `minCount` (merging a
+   * singleton pair buys nothing). Returns (iteration, a, b, count) rows,
+   * highest priority first; the pair list `result.map(r => (r._2, r._3))`
+   * feeds [[tokenCount]]/[[encode]]/[[tokenCountVocab]]/[[encodeVocab]]/
+   * [[buildVocab]] unchanged — corpus in, training-ready token ids out,
+   * fully in-engine.
+   *
+   * Engine-neutral by the same doctrine as the inference walk:
+   * [[trainMergesCtes]] generates the identical K-iteration run as DuckDB
+   * CTEs (data-dependent learned pairs become scalar subqueries, never
+   * re-quoted literals), so the oracle replays training bit for bit.
+   */
+  def trainMerges(
+      docs: DataFrame,
+      textCol: String,
+      iters: Int,
+      minCount: Long = 2L): Seq[(Int, String, String, Long)] = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= iters && !exhausted) {
+      val walk = mergedDoc(col(textCol), learned.toSeq.map(r => (r._2, r._3)))
+      val toks = split(trim(walk), " ")
+      val pairs = transform(
+        slice(toks, lit(1), greatest(lit(0), size(toks) - 1)),
+        (t, i) => struct(t.as("a"), element_at(toks, i + 2).as("b")))
+      val best = docs
+        .select(explode(pairs).as("pr"))
+        .select(col("pr.a").as("a"), col("pr.b").as("b"))
+        .filter(col("a") =!= Marker && col("b") =!= Marker &&
+          col("a") =!= "" && col("b") =!= "")
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= minCount)
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val r = best.head
+        learned += ((k, r.getString(0), r.getString(1), r.getLong(2)))
+        k += 1
+      }
+    }
+    learned.toSeq
+  }
+
+  /** [[trainMerges]] as a DataFrame — (iter, a, b, cnt), one row per
+    * learned rule — for report/oracle surfaces. The training itself is
+    * the distributed loop above; only its K argmax rows pass through the
+    * driver. */
+  def trainMergesDF(
+      docs: DataFrame,
+      textCol: String,
+      iters: Int,
+      minCount: Long = 2L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainMerges(docs, textCol, iters, minCount)
+      .map { case (i, a, b, c) => (i.toLong, a, b, c) }
+      .toDF("iter", "a", "b", "cnt")
+  }
+
+  /**
+   * The COMPLETE training run as engine-neutral DuckDB CTE stages over a
+   * source relation `src` (any CTE/table with a `text` column) — the
+   * [[graft.pipeline.Classifier.classifierCtes]] doctrine applied to
+   * tokenizer training, kept adjacent to the Spark spelling so the two
+   * walks cannot drift. Iteration k's learned pair is data-dependent, so
+   * it enters iteration k+1's replace as SCALAR SUBQUERIES against the
+   * argmax CTE (never a re-quoted literal); an exhausted iteration
+   * (no pair at `minCount`) yields an empty argmax CTE, the COALESCE
+   * sentinel (chr(30), absent from any corpus) makes its replace a no-op,
+   * and the iteration contributes no output row — the same early-stop the
+   * Spark loop takes. Returns (ctesString, finalCteName); the final CTE
+   * yields (iter, a, b, cnt).
+   */
+  def trainMergesCtes(
+      src: String,
+      iters: Int,
+      minCount: Long = 2L,
+      prefix: String = "bt"): (String, String) = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val p = prefix
+    val header =
+      s"""${p}b0 AS (
+         |  SELECT ' ' || trim(regexp_replace(regexp_replace(trim(text), '\\s+', chr(31), 'g'), '(.)', '\\1 ', 'g')) || ' ' AS d
+         |  FROM $src)""".stripMargin
+    val iterations = (1 to iters).map { k =>
+      // DuckDB range() is stop-exclusive and lists are 1-indexed, so i
+      // pairs t[i] with t[i+1] for i in [1, len-1] — the classifier
+      // bigram pattern, and exactly the Spark side's slice+element_at
+      s"""${p}p$k AS (
+         |  SELECT pr.a AS a, pr.b AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(list_transform(range(1, len(t)),
+         |                 i -> struct_pack(a := t[i], b := t[i+1]))) AS pr
+         |        FROM (SELECT regexp_split_to_array(trim(d), ' ') AS t FROM ${p}b${k - 1}))
+         |  WHERE pr.a <> chr(31) AND pr.b <> chr(31) AND pr.a <> '' AND pr.b <> ''
+         |  GROUP BY 1, 2),
+         |${p}m$k AS (SELECT a, b, cnt FROM ${p}p$k WHERE cnt >= $minCount
+         |        ORDER BY cnt DESC, a, b LIMIT 1),
+         |${p}b$k AS (SELECT replace(d,
+         |    COALESCE((SELECT ' ' || a || ' ' || b || ' ' FROM ${p}m$k), chr(30)),
+         |    COALESCE((SELECT ' ' || a || b || ' ' FROM ${p}m$k), chr(30))) AS d
+         |  FROM ${p}b${k - 1})""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to iters)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS iter, a, b, cnt FROM ${p}m$k")
+      .mkString(s"${p}out AS (\n  ", "\n  UNION ALL ", ")")
+    (s"$header,\n$iterations,\n$out", s"${p}out")
+  }
+
+  /**
    * The same merge walk as DuckDB SQL, for oracle construction: an
    * expression over column `c` computing the document's BPE token count.
    * Kept adjacent to the Spark spelling so the two walks cannot drift.

@@ -376,8 +376,9 @@ object Pq {
    *
    * `queries` is a bounded sample batch (same contract as [[topK]]);
    * `rerank` sizes the exact side's shortlist (>= k, larger = stricter
-   * ground truth). Output: (query_id, agree_e6), one row per query that
-   * produced a full ADC top-k.
+   * ground truth). Output: (query_id, agree_e6), one row per query whose
+   * probed cells held STRICTLY more than k candidates (at <= k the two
+   * top-k sets are trivially equal — see the exclusion in the body).
    */
   def driftScore(
       index: DataFrame,
@@ -393,22 +394,29 @@ object Pq {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k) for a drift audit")
     requireBoundedQueries(queries)
-    val adcTop = searchOn(index, queries, idCol, vecCol, k, pq, ivf,
+    // ask the ADC side for k+1: the extra rank is a zero-cost candidate
+    // counter — a query returning k+1 rows had STRICTLY more than k probed
+    // candidates, so its ADC top-k was a real selection. A query with <= k
+    // candidates has ADC top-k == exact top-k trivially (both are all
+    // candidates) — including the exactly-k case, where both sides are all
+    // k candidates and agree_e6 is trivially 1e6 — so under sparse probes
+    // or heavy drift those rows would report perfect agreement and mask
+    // the decay the audit exists to detect. Keep only the k+1-row queries.
+    val adcWide = searchOn(index, queries, idCol, vecCol, k + 1, pq, ivf,
       nprobe, rerank = 0, rerankWith = None)
     val exactTop = searchOn(index, queries, idCol, vecCol, k, pq, ivf,
       nprobe, rerank, rerankWith = Some(vectors))
       .select(col("query_id").as("eq"), col("neighbor_id").as("en"))
-    // normalize by k, and keep ONLY queries whose probed cells produced a
-    // FULL ADC top-k: a query with <= k probed candidates has ADC top-k ==
-    // exact top-k trivially (both are all candidates), so under sparse
-    // probes or heavy drift those rows would report perfect agreement and
-    // mask the decay the audit exists to detect
-    adcTop
+    adcWide
       .join(exactTop,
         col("query_id") === col("eq") && col("neighbor_id") === col("en"), "left")
       .groupBy(col("query_id"))
-      .agg(count(col("en")).as("__matches"), count(lit(1)).as("__rows"))
-      .filter(col("__rows") === k)
+      // the rank-(k+1) row is the candidate probe, never a compared member:
+      // count matches over ranks <= k only (exactTop has k rows, so the
+      // extra rank could only ever match by k-vs-k+1 asymmetry anyway)
+      .agg(count(when(col("rank") <= k, col("en"))).as("__matches"),
+        count(lit(1)).as("__rows"))
+      .filter(col("__rows") === (k + 1))
       .select(col("query_id"),
         (col("__matches") * lit(1000000L) / lit(k.toLong)).cast("long")
           .as("agree_e6"))

@@ -152,9 +152,8 @@ object PqStreaming {
       rebuiltPath: String): Unit = {
     val (fs, root) = fsOf(spark, storePath)
     val (rfs, rroot) = fsOf(spark, rebuiltPath)
-    require(rfs.makeQualified(rroot) != fs.makeQualified(root),
-      s"rebuildIndex target must be a FRESH path, got the store itself: " +
-        s"$storePath (in-place compaction is unsafe for concurrent readers)")
+    requireDisjointTarget(fs.makeQualified(root), rfs.makeQualified(rroot),
+      "rebuildIndex", storePath)
     // an empty source means nothing to rebuild — stamping a retire pointer
     // at a data-less target would silently dead-end readers that follow it
     // (and a mistyped source path would retire a live store)
@@ -184,7 +183,8 @@ object PqStreaming {
   private def writeRetirePointer(
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path,
-      rebuiltPath: String): Unit = {
+      rebuiltPath: String,
+      attempts: Int = 3): Unit = {
     val dst = new org.apache.hadoop.fs.Path(root, "_retired")
     if (fs.exists(dst)) {
       val buf = new Array[Byte](fs.getFileStatus(dst).getLen.toInt)
@@ -202,9 +202,13 @@ object PqStreaming {
     out.close()
     if (!fs.rename(tmp, dst)) {
       fs.delete(tmp, false)
-      if (!fs.exists(dst)) {
+      // a concurrent writer may have won the rename with a DIFFERENT
+      // target — re-enter (bounded): content equality returns, a mismatch
+      // repoints, so this caller never proceeds as if ITS pointer landed
+      if (attempts <= 1) {
         throw new java.io.IOException(s"could not write retire pointer $dst")
       }
+      writeRetirePointer(fs, root, rebuiltPath, attempts - 1)
     }
   }
 
@@ -233,9 +237,8 @@ object PqStreaming {
       rebuiltPath: String): Unit = {
     val (fs, root) = fsOf(spark, storePath)
     val (rfs, rroot) = fsOf(spark, rebuiltPath)
-    require(rfs.makeQualified(rroot) != fs.makeQualified(root),
-      s"reencodeStore target must be a FRESH path, got the store itself: " +
-        s"$storePath (in-place re-encoding is unsafe for concurrent readers)")
+    requireDisjointTarget(fs.makeQualified(root), rfs.makeQualified(rroot),
+      "reencodeStore", storePath)
     // the claim includes a MODEL fingerprint: a retry of this exact
     // re-encode is idempotent, but a path holding a different rebuild (or
     // a re-encode under different models — possibly the SAME (m, ks)
@@ -263,15 +266,39 @@ object PqStreaming {
     f"$h1%08x-$h2%08x-m${pq.m}k${pq.ks}c${ivf.k}"
   }
 
+  /** The fresh-path contract, nesting included: the rebuild/re-encode
+    * target must not BE the store, sit INSIDE it (a target under the live
+    * store's layout would write `_markers`/`_graft_rebuild_src` trees into
+    * directories its readers scan), or CONTAIN it (retiring the store to an
+    * ancestor aliases the old data into the new store's tree). Qualified
+    * paths compared with a trailing separator so `/store2` is not treated
+    * as nested in `/store`. */
+  private def requireDisjointTarget(
+      store: org.apache.hadoop.fs.Path,
+      target: org.apache.hadoop.fs.Path,
+      op: String,
+      storePath: String): Unit = {
+    val s = store.toString.stripSuffix("/") + "/"
+    val t = target.toString.stripSuffix("/") + "/"
+    require(!s.startsWith(t) && !t.startsWith(s),
+      s"$op target must be a FRESH path disjoint from the store, got " +
+        s"target $target vs store $storePath (in-place or nested rebuild " +
+        "is unsafe for concurrent readers)")
+  }
+
   /** Bind a rebuild/re-encode target path to one producing operation via a
     * write-once `_graft_rebuild_src` stamp (temp+rename): absent -> claim
     * it; present and equal -> our own crash-retry, proceed; present and
-    * different -> fail fast. */
+    * different -> fail fast. A FAILED rename re-enters the exists-branch
+    * (bounded retries): a concurrent claimant may have won the race with a
+    * DIFFERENT claim, and only content equality — never bare existence —
+    * makes this call's claim recorded. */
   private def claimRebuildTarget(
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path,
       claim: String,
-      op: String): Unit = {
+      op: String,
+      attempts: Int = 3): Unit = {
     val dst = new org.apache.hadoop.fs.Path(root, "_graft_rebuild_src")
     if (fs.exists(dst)) {
       val buf = new Array[Byte](fs.getFileStatus(dst).getLen.toInt)
@@ -293,9 +320,10 @@ object PqStreaming {
     out.close()
     if (!fs.rename(tmp, dst)) {
       fs.delete(tmp, false)
-      if (!fs.exists(dst)) {
+      if (attempts <= 1) {
         throw new java.io.IOException(s"could not claim rebuild target $dst")
       }
+      claimRebuildTarget(fs, root, claim, op, attempts - 1)
     }
   }
 

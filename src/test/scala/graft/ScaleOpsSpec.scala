@@ -102,6 +102,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally daily.unpersist()
   }
 
+  test("slidingMerge dispatches by the measured crossover and is form-equal on both sides of it") {
+    val daily = dailyRollup.cache()
+    try {
+      // straddle the crossover: w just below dispatches to the range-join
+      // form, w at/above to the block decomposition — and the results are
+      // identical either way (the dispatch may only change the plan shape)
+      val below = Rollups.SlidingMergeCrossover - 1
+      val above = Rollups.SlidingMergeCrossover
+      for ((w, wantWide) <- Seq(below -> false, above -> true)) {
+        val merged = Rollups.slidingMerge(daily, "day", "sketch", w, 2000000)
+        val plan = merged.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        // the block column is the decomposition's signature; the range-join
+        // form never synthesizes it
+        assert(plan.contains("__blk") === wantWide,
+          s"slidingMerge(frameRows=$w) dispatched to the wrong form")
+        val expected = flattened(
+          Rollups.slidingUnion(daily, "day", "sketch", w, 2000000))
+        val got = flattened(merged)
+        assert(got.exceptAll(expected).count() === 0 &&
+          expected.exceptAll(got).count() === 0,
+          s"slidingMerge diverged from the range-join form at frameRows=$w")
+      }
+    } finally daily.unpersist()
+  }
+
   test("wide-frame sliding union pre-merges multi-row-per-period input") {
     // per-group partials: several sketch rows per day, as a per-category
     // rollup table would hold — the operator must fold them into the frame

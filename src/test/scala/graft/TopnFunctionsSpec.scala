@@ -322,6 +322,59 @@ class TopnFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("bounded sketch: exact below eviction (max_error 0), entries a bit-identical rider on the plain agg") {
+    val data = (1 to 30).flatMap(i => Seq.fill(i)(s"k$i"))
+    val df = data.toDF("t")
+    // default 1000 counters: nothing prunes — every interval collapses
+    val rows = df.agg(TopnFunctions.topn_add_agg_bounds($"t").as("bs"))
+      .select(explode(TopnFunctions.topn_with_bounds($"bs", lit(5))).as("r"))
+      .select($"r.item", $"r.frequency", $"r.max_error")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows === (26 to 30).reverse.map(i => (s"k$i", i.toLong, 0L)))
+    // under a tiny budget the entries field must still equal what the
+    // PLAIN aggregate computes — the bound is a rider, never a behavior
+    // change — while the bound turns positive and covers the truth
+    val tiny = 2
+    val plain = sketchOf(df.repartition(1).agg(
+      TopnFunctions.topn_add_agg($"t", tiny).as("s")))
+    val bounded = df.repartition(1)
+      .agg(TopnFunctions.topn_add_agg_bounds($"t", tiny).as("bs"))
+      .select($"bs.entries", $"bs.loss_bound")
+      .as[(Map[String, Long], Long)].head()
+    assert(bounded._1 === plain)
+    assert(bounded._2 > 0L, "forced eviction must surface a positive bound")
+    bounded._1.foreach { case (k, f) =>
+      val truth = k.drop(1).toLong // k<i> occurs i times
+      assert(f <= truth && truth <= f + bounded._2,
+        s"interval [${f}, ${f + bounded._2}] must cover true count $truth for $k")
+    }
+  }
+
+  test("bounded sketch union: loss bounds compose additively; SQL surface registered") {
+    TopnFunctions.register(spark)
+    val rows = spark.sql(
+      """WITH parts AS (
+        |  SELECT id % 2 AS g, CAST(id % 7 AS STRING) AS item FROM RANGE(700)),
+        |built AS (
+        |  SELECT g, topn_add_agg_bounds(item) AS bs FROM parts GROUP BY g)
+        |SELECT r.item, r.frequency, r.max_error FROM (
+        |  SELECT explode(topn_with_bounds(topn_union_agg_bounds(bs), 7)) AS r
+        |  FROM built)""".stripMargin)
+      .select($"item", $"frequency", $"max_error")
+      .as[(String, Long, Long)].collect().toSeq
+    // 700 rows over 7 items, nothing evicts anywhere: exact union, bound 0
+    assert(rows.map(_._2).forall(_ === 100L) && rows.map(_._3).forall(_ === 0L))
+    assert(rows.map(_._1).sorted === (0 to 6).map(_.toString))
+    // a positive input bound must survive the union even when the union
+    // itself never prunes (provenance composes additively)
+    val carried = spark.sql(
+      """SELECT topn_union_agg_bounds(named_struct(
+        |  'entries', map('a', 5L), 'loss_bound', 3L)) AS u
+        |FROM RANGE(2)""".stripMargin)
+      .select($"u.loss_bound").as[Long].head()
+    assert(carried === 6L, "two inputs x bound 3 -> union bound 6")
+  }
+
   test("topn_delta: movers, arrivals, departures, pinned ties, STRICT nulls, SQL surface") {
     TopnFunctions.register(spark)
     val rows = spark.sql(

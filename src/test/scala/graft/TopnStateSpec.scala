@@ -89,6 +89,29 @@ class TopnStateSpec extends AnyFunSuite {
     assert(TopnState.utf8Compare("", "") === 0)
   }
 
+  test("lossBound: zero while nothing was pruned, tracks the largest evicted frequency per prune") {
+    val n = 2 // policy-B cap = 6
+    val st = TopnState.empty()
+    (1 to 6).foreach(i => st.add(s"k$i", i.toLong, n))
+    assert(st.lossBound === 0L, "no prune yet -> exact, bound 0")
+    st.add("k7", 100L, n) // size 7 -> prune to 3: keeps k7/k6/k5, drops k4..k1
+    assert(st.lossBound === 4L, "largest dropped frequency (k4) bounds the prune's loss")
+    // pack to n=2 drops k5 (freq 5): the materialized bound covers absent items
+    st.pack(n)
+    assert(st.lossBound === 9L, "pack-prune loss folds in (4 + 5)")
+  }
+
+  test("lossBound survives the wire and adds across merges") {
+    val n = 2
+    val a = TopnState.empty()
+    (1 to 7).foreach(i => a.add(s"k$i", i.toLong, n)) // prune at k7: bound 4
+    val b = TopnState.deserialize(a.serialize())
+    assert(b.lossBound === a.lossBound, "bound must ship with the partial state")
+    b.merge(a, n)
+    assert(b.lossBound >= 2 * a.lossBound,
+      "merged bound is at least the sum of both sides' bounds")
+  }
+
   test("merge is commutative & associative below eviction threshold") {
     val n = 100
     def build(items: Seq[String]): TopnState = {
@@ -127,6 +150,24 @@ object TopnStateProps extends Properties("TopnState") {
         x._2 > y._2 || (x._2 == y._2 && TopnState.utf8Compare(x._1, y._1) < 0)
       }
       packed.length <= n && packed.toSeq == resorted.toSeq
+    }
+
+  property("count-interval guarantee under forced eviction: reported <= true <= reported + lossBound, absent items <= lossBound") =
+    Prop.forAll(Gen.listOf(Gen.chooseNum(0, 40).map(_.toString))) { items =>
+      val n = 2 // tiny budget: ~any non-trivial stream forces policy-B prunes
+      val st = TopnState.empty()
+      items.foreach(st.add(_, n))
+      st.pack(n) // the materialized form, pack-drop loss included
+      val reported = st.toStringMap
+      val bound = st.lossBound
+      val truth = items.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+      val presentOk = reported.forall { case (k, f) =>
+        val t = truth(k); f <= t && t <= f + bound
+      }
+      val absentOk = (truth.keySet -- reported.keySet)
+        .forall(k => truth(k) <= bound)
+      val exactWhenUnpruned = bound > 0 || reported == truth
+      presentOk && absentOk && exactWhenUnpruned
     }
 
   property("serialize/deserialize round-trip") =

@@ -3,9 +3,15 @@
 SparkEntry query dump (written by `sbt "runMain graft.Verify <sfDir> <out>"`)
 against its DuckDB oracle from oracle_sql.json.
 
+A FULL run (no query filter) also writes CORRECTNESS_local.json next to
+this script's repo root — the committed per-round proof the round-12
+driver artifact failure showed the tree needs (the reference's analog:
+expected/*.out ARE the committed proof in pg_regress). A filtered run is
+an iteration aid, not evidence, and writes nothing.
+
 Usage: python3 tools/local_verify.py <sfDir> <verifyOutDir> [query ...]
 """
-import json, sys, hashlib
+import json, os, sys, hashlib
 import duckdb
 import pyarrow.parquet as pq
 
@@ -26,11 +32,15 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if not oracle:
+        print("FATAL EMPTY DUMP: oracle_sql.json is empty — nothing to compare")
+        sys.exit(2)
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     fails = 0
+    results = {}
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
@@ -46,12 +56,26 @@ def main():
             ok = schema_ok and rows_ok and hash_ok
             if not ok:
                 fails += 1
+            results[name] = {"rows": len(srows), "oracle_rows": len(orows),
+                             "schema": schema_ok, "hash": hash_ok, "ok": ok}
             print(f"{'PASS' if ok else 'FAIL'} {name}: rows {len(srows)}/{len(orows)}"
                   f" schema={schema_ok} hash={hash_ok}"
                   + ("" if schema_ok else f" spark={scols} oracle={ocols}"))
         except Exception as e:
             fails += 1
+            results[name] = {"err": str(e), "ok": False}
             print(f"ERR  {name}: {e}")
+    if not results:
+        print("FATAL EMPTY DUMP: zero queries compared")
+        sys.exit(2)
+    if not only:
+        n_ok = sum(1 for r in results.values() if r["ok"])
+        summary = {"sf_dir": sf_dir, "total": len(results), "pass": n_ok,
+                   "fail": len(results) - n_ok, "queries": results}
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(root, "CORRECTNESS_local.json"), "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"wrote CORRECTNESS_local.json: {n_ok}/{len(results)} pass")
     sys.exit(1 if fails else 0)
 
 if __name__ == "__main__":
