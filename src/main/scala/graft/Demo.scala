@@ -193,6 +193,20 @@ object Demo {
       .select(col("doc_id"), col("n_tokens"), slice(col("ids"), 1, 12).as("ids_head"))
       .orderBy("doc_id").show(false)
 
+    println("== tokenizer TRAINING: learn the merge table from the corpus ==")
+    val learned = pipeline.Bpe.trainMerges(docs, "text", iters = 6)
+    learned.foreach { case (i, a, b, c) => println(s"  rule $i: '$a' + '$b' ($c occurrences)") }
+    val rules = learned.map(r => (r._2, r._3))
+    println(s"token count under the learned rules (3 docs): " +
+      docs.limit(3).select(pipeline.Bpe.tokenCountVocab(col("text"), rules))
+        .collect().map(_.get(0)).mkString(", "))
+
+    println("== sketch with guaranteed error bounds (exact here: max_error 0) ==")
+    spark.sql(
+      """SELECT r.item, r.frequency, r.max_error FROM (
+        |  SELECT explode(topn_with_bounds(topn_add_agg_bounds(language_id(text)), 5)) AS r
+        |  FROM documents)""".stripMargin).show(false)
+
     println("== corpus report card ==")
     pipeline.TextAnalysis.corpusReport(docs, "text").orderBy("metric").show(14, false)
 

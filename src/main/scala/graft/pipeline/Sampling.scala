@@ -471,8 +471,25 @@ object Sampling {
       idCol: String,
       promptLenCol: String,
       totalLenCol: String,
-      seqLen: Long): DataFrame = {
+      seqLen: Long): DataFrame =
+    packMaskedSequencesFrom(df, idCol, promptLenCol, totalLenCol, seqLen, 0L)
+
+  /** [[packMaskedSequences]] with the token stream starting at
+    * `startOffset` instead of 0 — the incremental-ingest hook: a batch of
+    * NEW documents appended to a stream whose committed length is
+    * `startOffset` lays out exactly as it would have in one global run
+    * (seq ids and in-sequence offsets are functions of the GLOBAL stream
+    * position). [[graft.streaming.ShardStreaming]] drives it per
+    * micro-batch. */
+  private[graft] def packMaskedSequencesFrom(
+      df: DataFrame,
+      idCol: String,
+      promptLenCol: String,
+      totalLenCol: String,
+      seqLen: Long,
+      startOffset: Long): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    require(startOffset >= 0, s"startOffset must be >= 0, got $startOffset")
     Seq("seq_id", "frag_start", "frag_len", "seq_off", "loss_off", "loss_len")
       .foreach { c =>
         require(!df.columns.contains(c),
@@ -481,8 +498,11 @@ object Sampling {
     require(!df.columns.contains("__graft_run"),
       "input already has a '__graft_run' column; rename it — " +
         "packMaskedSequences uses it internally")
-    val run = graft.operators.PrefixSum
+    val run0 = graft.operators.PrefixSum
       .runningSum(df, idCol, totalLenCol, outCol = "__graft_run")
+    val run =
+      if (startOffset == 0L) run0
+      else run0.withColumn("__graft_run", col("__graft_run") + lit(startOffset))
     val w = s"COALESCE(CAST(`$totalLenCol` AS BIGINT), 0L)"
     val p = s"COALESCE(CAST(`$promptLenCol` AS BIGINT), 0L)"
     run
@@ -658,7 +678,30 @@ object Sampling {
       idCol: String,
       idsCol: String,
       promptLenCol: String,
-      seqLen: Long): DataFrame = {
+      seqLen: Long): DataFrame =
+    packMaskedTokenIdsFrom(docs, idCol, idsCol, promptLenCol, seqLen, 0L)
+      .drop("row_base")
+
+  /**
+   * [[packMaskedTokenIds]] for an APPEND batch of a longer stream: the
+   * batch's documents are laid out as if they started at global stream
+   * token `startOffset` (the committed length of everything packed
+   * before them), so seq ids, loss intervals, and doc starts all land in
+   * GLOBAL coordinates. One extra column, `row_base`: the in-window
+   * offset of this row's first token — 0 except on the batch's first
+   * window when it CONTINUES a window the previous batch left partial;
+   * a reader merges such split rows by concatenating in `row_base`
+   * order ([[graft.streaming.ShardStreaming.committedPackedShards]]).
+   * With `startOffset = 0` over a whole corpus this is exactly
+   * [[packMaskedTokenIds]] plus an all-zero `row_base`.
+   */
+  def packMaskedTokenIdsFrom(
+      docs: DataFrame,
+      idCol: String,
+      idsCol: String,
+      promptLenCol: String,
+      seqLen: Long,
+      startOffset: Long): DataFrame = {
     require(seqLen > 0 && seqLen <= Int.MaxValue,
       s"seqLen must be in (0, 2^31) (array slices are Int-indexed; " +
         s"per-DOCUMENT token counts share the same 2^31 bound), got $seqLen")
@@ -669,27 +712,34 @@ object Sampling {
     val d = docs.select(col(idCol), col(promptLenCol),
         col(idsCol).cast("array<long>").as("__graft_ids"))
       .withColumn("__graft_n", size(col("__graft_ids")).cast("long"))
-    packMaskedSequences(d, idCol, promptLenCol, "__graft_n", seqLen)
+    packMaskedSequencesFrom(d, idCol, promptLenCol, "__graft_n", seqLen,
+        startOffset)
       .select(col(idCol).as("__graft_id"), col("seq_id"),
         slice(col("__graft_ids"),
           (col("frag_start") + lit(1)).cast("int"),
           col("frag_len").cast("int")).as("__graft_frag"),
-        col("frag_start"), col("loss_off"), col("loss_len"))
+        col("frag_start"), col("seq_off"), col("loss_off"), col("loss_len"))
       .groupBy(col("seq_id"))
       .agg(
         array_sort(collect_list(struct(
           col("__graft_id").as("__i"),
           col("__graft_frag").as("__ids"),
           col("frag_start").as("__fs"),
+          col("seq_off").as("__so"),
           col("loss_off").as("__lo"),
           col("loss_len").as("__ll")))).as("__graft_sorted"))
       .select(col("seq_id"),
+        // the row's tokens tile contiguously from the FIRST fragment's
+        // in-window offset — 0 for a window this batch opened, the
+        // continuation point for a window a previous batch left partial
+        expr("element_at(__graft_sorted, 1).__so").as("row_base"),
         expr("CAST(aggregate(__graft_sorted, 0L, (n, s) -> n + size(s.__ids)) AS BIGINT)")
           .as("n_tokens"),
         flatten(transform(col("__graft_sorted"), s => s.getField("__ids")))
           .as("input_ids"),
         expr("""aggregate(__graft_sorted,
-          |  named_struct('off', 0L, 'starts', CAST(array() AS ARRAY<BIGINT>)),
+          |  named_struct('off', element_at(__graft_sorted, 1).__so,
+          |               'starts', CAST(array() AS ARRAY<BIGINT>)),
           |  (acc, s) -> named_struct(
           |    'off', acc.off + CAST(size(s.__ids) AS BIGINT),
           |    'starts', IF(s.__fs = 0L, array_append(acc.starts, acc.off),

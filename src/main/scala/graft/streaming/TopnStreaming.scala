@@ -129,7 +129,7 @@ object TopnStreaming {
     writer.start()
   }
 
-  private def scopeOf(checkpointLocation: Option[String]): String =
+  private[streaming] def scopeOf(checkpointLocation: Option[String]): String =
     checkpointLocation
       .map(c => java.security.MessageDigest.getInstance("MD5")
         .digest(c.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -138,7 +138,7 @@ object TopnStreaming {
       // restart over the same rollup fail fast instead of dropping batches
       .getOrElse(s"ephemeral-${java.util.UUID.randomUUID()}")
 
-  private def fsOf(spark: org.apache.spark.sql.SparkSession, path: String) = {
+  private[streaming] def fsOf(spark: org.apache.spark.sql.SparkSession, path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
@@ -651,7 +651,7 @@ object TopnStreaming {
     * batches must match it. Catches the "fresh checkpoint over an existing
     * rollup" operator error, where batch ids restart at 0 and would be
     * silently skipped as replays (data loss) or re-merged (double count). */
-  private def checkScope(
+  private[streaming] def checkScope(
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path,
       scope: String): Unit =
@@ -667,7 +667,7 @@ object TopnStreaming {
   /** Write-once stamp file under `root`: the first writer records `value`
     * (temp+rename, so never torn); later calls must present the same value
     * or fail with `mismatch(stored, given)`. */
-  private def checkStamp(
+  private[streaming] def checkStamp(
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path,
       fileName: String,

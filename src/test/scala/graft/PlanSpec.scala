@@ -29,6 +29,45 @@ class PlanSpec extends AnyFunSuite {
       "scan must read only the two referenced columns")
   }
 
+  test("bounded-sketch report: two-phase ObjectHashAggregate over a one-column scan") {
+    // the bounds rider must not change the aggregation shape: map-side
+    // partials for both the per-group build and the bounded union, and the
+    // scan pruned to the grouped + counted columns only
+    val p = plan("topn_bounds_report")
+    assert(p.contains("partial_topn_add_agg_bounds"),
+      "bounded build must pre-aggregate map-side")
+    assert(p.contains("partial_topn_union_agg_bounds"),
+      "bounded union must pre-merge map-side")
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint,o_orderpriority:string>"),
+      "scan must read only the item + group columns")
+  }
+
+  test("bpe_train iteration: one pruned corpus scan into a partial/final pair count") {
+    // one training iteration's plan (the K-loop re-runs this shape with a
+    // longer literal replace chain): explode + hash count with map-side
+    // partials, no window, no join — the pair table is subword-bounded
+    val it = graft.pipeline.Bpe.trainMerges(
+      spark.read.parquet(s"$dir/documents.parquet"), "text", iters = 1)
+    assert(it.nonEmpty, "sf0.001 corpus must yield a first merge")
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+    val p = {
+      import org.apache.spark.sql.functions._
+      // the exact pair-count subplan trainMerges builds per iteration
+      val toks = split(trim(regexp_replace(trim(col("text")), "\\s+", "\u001f")), " ")
+      df.select(explode(transform(
+          slice(toks, lit(1), greatest(lit(0), size(toks) - 1)),
+          (t, i) => struct(t.as("a"), element_at(toks, i + 2).as("b")))).as("pr"))
+        .groupBy(col("pr.a"), col("pr.b")).agg(count(lit(1)).as("cnt"))
+        .queryExecution.explainString(FormattedMode)
+    }
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      "pair counting must pre-aggregate map-side")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      "an iteration is scan + agg only — no window, no join")
+    assert(p.contains("ReadSchema: struct<text:string>"),
+      "scan must read only the text column")
+  }
+
   test("scalar pipeline pushes the price filter into the parquet scan") {
     val p = plan("topn_scalar_pipeline")
     assert(p.contains("PushedFilters:") && p.contains("LessThan(o_totalprice"),

@@ -1228,6 +1228,90 @@ class StreamingSpec extends AnyFunSuite {
       "the committed store's drift audit must equal the batch audit over the same rows")
   }
 
+  // --- streaming SFT shard packing ---------------------------------------
+
+  /** 30 SFT docs with lengths chosen so batch boundaries never land on a
+    * window boundary — split windows are the case under test. */
+  private def sftDocs: Seq[(Long, Seq[Long], Long)] =
+    (0L until 30L).map { i =>
+      val n = (i % 7) + 3 // 3..9 tokens; batch totals not divisible by 16
+      val ids = (0L until n).map(j => i * 100 + j)
+      (i, ids, n / 2)
+    }
+
+  private def sftDF(rows: Seq[(Long, Seq[Long], Long)]) =
+    rows.toDF("doc_id", "ids", "prompt_len")
+
+  private def collectShards(df: org.apache.spark.sql.DataFrame) = df
+    .select($"seq_id", $"n_tokens", $"input_ids", $"doc_starts",
+      to_json($"loss_intervals").as("li"))
+    .as[(Long, Long, Seq[Long], Seq[Long], String)]
+    .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+
+  test("streaming SFT shards: committed store == one-shot batch pack, split windows stitched") {
+    import graft.streaming.ShardStreaming
+    val all = sftDocs
+    val dir = java.nio.file.Files.createTempDirectory("graft_sft_in").toString
+    for ((b, slice) <- Seq(all.slice(0, 11), all.slice(11, 23), all.slice(23, 30)).zipWithIndex.map(_.swap))
+      sftDF(slice).coalesce(1).write.parquet(s"$dir/tmp$b")
+    val in = java.nio.file.Files.createTempDirectory("graft_sft_src").toString
+    for (b <- 0 to 2)
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/tmp$b")).forEach { p =>
+        if (p.toString.endsWith(".parquet")) {
+          val dst = java.nio.file.Paths.get(in, s"part$b.parquet")
+          java.nio.file.Files.copy(p, dst)
+          // the file source orders batches by modification time — pin it
+          // (the append contract: ids ascend with arrival)
+          dst.toFile.setLastModified(1000000000000L + b * 60000L)
+        }
+      }
+    val store = java.nio.file.Files.createTempDirectory("graft_sft_store").toString + "/s"
+    val schema = spark.read.parquet(s"$dir/tmp0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = ShardStreaming.maintainPackedShards(
+      stream, store, "doc_id", "ids", "prompt_len", seqLen = 16L)
+    try q.processAllAvailable() finally q.stop()
+
+    val got = collectShards(ShardStreaming.committedPackedShards(spark, store))
+    val want = collectShards(graft.pipeline.Sampling.packMaskedTokenIds(
+      sftDF(all), "doc_id", "ids", "prompt_len", seqLen = 16L))
+    assert(got === want,
+      "incremental packing must reproduce the one-shot layout exactly")
+    // the case under test really occurred: some window was stored split
+    val nRows = graft.streaming.TopnStreaming.committedVersion(spark, store)
+    assert(nRows.exists(_ >= 1), "expected at least two committed batches")
+    assert(ShardStreaming.committedOffset(spark, store)
+      === all.map(_._2.size.toLong).sum)
+  }
+
+  test("SFT shard protocol: replayed batch is a no-op, crashed batch recomputes, seqLen pin fails fast") {
+    import graft.streaming.ShardStreaming
+    val all = sftDocs
+    val store = java.nio.file.Files.createTempDirectory("graft_sft_crash").toString + "/s"
+    val (b0, b1) = (sftDF(all.take(15)), sftDF(all.drop(15)))
+    ShardStreaming.packBatch(b0, 0L, store, "doc_id", "ids", "prompt_len", 16L, "sc")
+    // crash simulation: batch 1's data dir written, manifest never committed
+    graft.pipeline.Sampling.packMaskedTokenIdsFrom(
+        b1, "doc_id", "ids", "prompt_len", 16L,
+        ShardStreaming.committedOffset(spark, store))
+      .write.mode("overwrite").parquet(s"$store/data/b=1")
+    // the replay recomputes the same directory from the same offset
+    ShardStreaming.packBatch(b1, 1L, store, "doc_id", "ids", "prompt_len", 16L, "sc")
+    // a replay of an already-committed batch changes nothing
+    val before = collectShards(ShardStreaming.committedPackedShards(spark, store))
+    ShardStreaming.packBatch(b1, 1L, store, "doc_id", "ids", "prompt_len", 16L, "sc")
+    ShardStreaming.packBatch(b0, 0L, store, "doc_id", "ids", "prompt_len", 16L, "sc")
+    assert(collectShards(ShardStreaming.committedPackedShards(spark, store)) === before)
+    assert(before === collectShards(graft.pipeline.Sampling.packMaskedTokenIds(
+      sftDF(all), "doc_id", "ids", "prompt_len", 16L)))
+    // resuming under a different window length is a layout corruption —
+    // the params pin must refuse it
+    val ex = intercept[IllegalStateException](
+      ShardStreaming.packBatch(b1, 2L, store, "doc_id", "ids", "prompt_len", 32L, "sc"))
+    assert(ex.getMessage.contains("seqLen"))
+  }
+
   private implicit class JavaSetOps[A](s: java.util.Set[A]) {
     def asScala: scala.collection.mutable.Set[A] =
       scala.jdk.CollectionConverters.SetHasAsScala(s).asScala
