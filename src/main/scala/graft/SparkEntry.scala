@@ -1769,6 +1769,79 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // semantic decontamination: the embedding-space sibling of the
+    // trigram `decontaminate` family — a benchmark answer PARAPHRASED
+    // into the training corpus shares no trigram but sits at cosine ~1
+    // to the benchmark's embedding. vec_id % 13 == 0 stands in for the
+    // eval benchmark; planted paraphrases (+1e6 ids, deterministic
+    // ±0.01 per-coordinate noise on half the eval vectors) make the
+    // detection non-vacuous. k-means cells aren't SQL-reproducible, so
+    // (like semantic_dedup / the ANN tiers) the query emits in-plan
+    // exact checks — the probed-cell operator vs an independent
+    // brute-force cross-join spelling — and the oracle pins the
+    // constant booleans
+    "decontaminate_semantic" -> ((spark, dir) => {
+      import spark.implicits._
+      import graft.pipeline.{IVF, SemDedup, Similarity}
+      val tau = 0.9
+      val emb = tbl(spark, dir, "embeddings").select($"vec_id", $"embedding")
+      val evalSet = emb.filter($"vec_id" % 13 === 0)
+      val planted = evalSet.filter($"vec_id" % 2 === 0).select(
+        ($"vec_id" + 1000000L).as("vec_id"),
+        transform($"embedding", (v, j) =>
+          (v + ((pmod(xxhash64($"vec_id", j), lit(1000)) - lit(500))
+            .cast("double") / lit(50000.0d))).cast("float"))
+          .as("embedding"))
+      val train = emb.filter($"vec_id" % 13 =!= 0).unionByName(planted)
+      val model = IVF.train(train.unionByName(evalSet), "vec_id", "embedding", k = 8)
+
+      val found = SemDedup.crossContamination(
+        train, evalSet, "vec_id", "embedding", model, tau, nprobe = 2)
+
+      // independent exact spelling: brute-force cross join, same cosine gate
+      val exact = train.select($"vec_id".as("t_id"), $"embedding".as("t_vec"))
+        .crossJoin(evalSet.select($"vec_id".as("e_id"), $"embedding".as("e_vec")))
+        .filter(Similarity.cosineSim($"t_vec", $"e_vec") >= tau)
+        .select($"t_id", $"e_id")
+
+      // the decisive check: found == exact as SETS (full outer join) —
+      // a spurious pair (precision) or a cell-boundary miss (recall)
+      // both surface as a non-zero side
+      val eqAgg = found.select($"train_id".as("f_t"), $"eval_id".as("f_e"), lit(1).as("f"))
+        .join(exact.withColumn("e", lit(1)),
+          $"f_t" === $"t_id" && $"f_e" === $"e_id", "full_outer")
+        .agg(count(when(col("f").isNull, 1)).as("missed"),
+          count(when(col("e").isNull, 1)).as("spurious"),
+          count(lit(1)).as("n_pairs"))
+
+      // planted recall asserted directly (not via exact): every planted
+      // copy must be flagged against its own source eval vector
+      val plantedPairs = evalSet.filter($"vec_id" % 2 === 0)
+        .select(($"vec_id" + 1000000L).as("train_id"), $"vec_id".as("eval_id"))
+      val plantAgg = plantedPairs.join(found, Seq("train_id", "eval_id"), "left_anti")
+        .agg(count(lit(1)).as("unfound_planted"))
+      val nPlanted = plantedPairs.agg(count(lit(1)).as("n_planted"))
+
+      // removal composition: clean == train MINUS distinct flagged ids,
+      // membership checked both ways
+      val clean = SemDedup.removeContaminatedSemantic(
+        train, evalSet, "vec_id", "embedding", model, tau, nprobe = 2)
+      val flagged = found.select($"train_id").distinct()
+      val remAgg = train.select($"vec_id".as("w_id"))
+        .join(flagged, $"w_id" === $"train_id", "left_anti")
+        .withColumn("w", lit(1))
+        .join(clean.select($"vec_id".as("c_id")).withColumn("c", lit(1)),
+          $"w_id" === $"c_id", "full_outer")
+        .agg(count(when(col("w").isNull || col("c").isNull, 1)).as("rem_mismatch"))
+
+      eqAgg.crossJoin(plantAgg).crossJoin(nPlanted).crossJoin(remAgg)
+        .select(
+          ($"missed" === 0 && $"spurious" === 0).as("found_equals_exact_ok"),
+          ($"unfound_planted" === 0).as("planted_all_found_ok"),
+          ($"rem_mismatch" === 0).as("removal_ok"),
+          ($"n_pairs" > 0 && $"n_planted" > 0).as("has_contamination"))
+    }),
+
     // crawl front door: raw HTML -> text (codegen'd HtmlToText: strip
     // tags/script/style/comments, decode entities once, one line per
     // block element, pinned whitespace chain). The documents table has
@@ -2448,6 +2521,39 @@ object SparkEntry {
         .select($"doc_id", $"seq_id", $"frag_start", $"frag_len",
           $"seq_off", $"loss_off", $"loss_len")
         .orderBy($"doc_id", $"seq_id")
+    }),
+
+    // multi-turn chat SFT: documents re-shaped into conversations (conv
+    // = doc_id % 101, 8-token turns alternating user/assistant), rendered
+    // with <|role|> headers + per-assistant-turn loss intervals, then
+    // tiled into 512-token windows with the intervals clipped to sequence
+    // coordinates — the multi-interval generalization of
+    // pack_sft_sequences' single prompt prefix. Exact integer arithmetic
+    // + whitespace tokens end to end; the oracle replays turn chunking,
+    // conversation rebuild, offsets, window tiling and clipping
+    "chat_sft_pack" -> ((spark, dir) => {
+      import spark.implicits._
+      val turns = tbl(spark, dir, "documents")
+        .select($"doc_id", graft.pipeline.TextAnalysis.tokens($"text").as("toks"))
+        .filter(size($"toks") > 0)
+        .select($"doc_id",
+          explode(expr("sequence(0, CAST((size(toks) + 7) DIV 8 AS INT) - 1)")).as("c"),
+          $"toks")
+        .select(
+          ($"doc_id" % 101).as("conv_id"),
+          ($"doc_id" * 1024 + $"c").as("turn_idx"),
+          when($"c" % 2 === 0, "user").otherwise("assistant").as("role"),
+          array_join(slice($"toks", $"c" * 8 + 1, lit(8)), " ").as("text"))
+      val rendered = graft.pipeline.Chat.renderConversations(
+        turns, "conv_id", "turn_idx", "role", "text")
+      graft.pipeline.Chat.packMaskedIntervals(
+          rendered, "conv_id", "loss_ivs", "n_tokens", seqLen = 512L)
+        .select($"conv_id", $"seq_id", $"frag_start", $"frag_len", $"seq_off",
+          array_join(transform($"loss_ivs", iv =>
+            concat(iv.getField("loss_off").cast("string"), lit(":"),
+              iv.getField("loss_len").cast("string"))), " ").as("ivs_str"),
+          md5($"text").as("conv_md5"))
+        .orderBy($"conv_id", $"seq_id")
     }),
 
     // the materialized training sequences behind pack_sequences: each
@@ -4092,6 +4198,13 @@ object SparkEntry {
         |         AS clean_md5
         |FROM kept GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
+    // k-means cells aren't SQL-reproducible (semantic_dedup doctrine):
+    // the query embeds the independent brute-force spelling in-plan and
+    // the oracle pins the constant booleans
+    "decontaminate_semantic" ->
+      """SELECT TRUE AS found_equals_exact_ok, TRUE AS planted_all_found_ok,
+        |       TRUE AS removal_ok, TRUE AS has_contamination""".stripMargin,
+
     // the same fixture construction, then an RE2 replace chain
     // equivalent to the kernel on well-formed input: script/style
     // content, comments, block tags to newline, generic tag strip,
@@ -4755,6 +4868,63 @@ object SparkEntry {
         |       CAST(GREATEST(0, frag_start + frag_len - GREATEST(frag_start, p))
         |            AS BIGINT) AS loss_len
         |FROM x ORDER BY doc_id, seq_id""".stripMargin,
+
+    // turn chunking, conversation rebuild (ordered string_agg + per-turn
+    // offset window), the same window tiling as pack_sft_sequences, then
+    // interval clipping as a fragment x assistant-turn overlap join
+    "chat_sft_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE len(regexp_split_to_array(trim(text), '\s+')) > 0),
+        |ch AS (SELECT doc_id, UNNEST(range(0, (len(toks) + 7) // 8)) AS c, toks FROM t),
+        |tr AS (SELECT doc_id % 101 AS conv_id, doc_id * 1024 + c AS ti,
+        |              CASE WHEN c % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |              list_filter(toks[c*8+1 : c*8+8], x -> x <> '') AS ttoks
+        |       FROM ch),
+        |o AS (SELECT conv_id, ti, role, ttoks, len(ttoks) AS nt,
+        |             CAST(SUM(len(ttoks) + 1) OVER (PARTITION BY conv_id ORDER BY ti
+        |               ROWS UNBOUNDED PRECEDING) - (len(ttoks) + 1) AS BIGINT) AS toff
+        |      FROM tr),
+        |conv AS (SELECT conv_id,
+        |                string_agg('<|' || role || '|>' ||
+        |                  CASE WHEN nt > 0 THEN ' ' || array_to_string(ttoks, ' ')
+        |                       ELSE '' END, ' ' ORDER BY ti) AS text,
+        |                CAST(SUM(nt + 1) AS BIGINT) AS n_tokens
+        |         FROM o GROUP BY conv_id),
+        |c2 AS (SELECT conv_id, text, n_tokens,
+        |              CAST(SUM(n_tokens) OVER (ORDER BY conv_id
+        |                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        |       FROM conv),
+        |f AS (SELECT conv_id, text, n_tokens, run - n_tokens AS st FROM c2),
+        |e AS (SELECT conv_id, text, n_tokens, st,
+        |             UNNEST(range(st // 512, (st + n_tokens - 1) // 512 + 1)) AS s
+        |      FROM f WHERE n_tokens > 0),
+        |fr AS (SELECT conv_id, text, CAST(s AS BIGINT) AS seq_id,
+        |              CAST(GREATEST(0, s * 512 - st) AS BIGINT) AS frag_start,
+        |              CAST(LEAST(n_tokens, (s + 1) * 512 - st)
+        |                   - GREATEST(0, s * 512 - st) AS BIGINT) AS frag_len,
+        |              CAST(GREATEST(0, st - s * 512) AS BIGINT) AS seq_off
+        |       FROM e),
+        |iv AS (SELECT conv_id, toff + 1 AS ioff, CAST(nt AS BIGINT) AS ilen
+        |       FROM o WHERE role = 'assistant' AND nt > 0),
+        |fi AS (SELECT fr.conv_id, fr.text, fr.seq_id, fr.frag_start, fr.frag_len,
+        |              fr.seq_off, iv.ioff, iv.ilen
+        |       FROM fr LEFT JOIN iv ON fr.conv_id = iv.conv_id
+        |         AND iv.ioff < fr.frag_start + fr.frag_len
+        |         AND iv.ioff + iv.ilen > fr.frag_start)
+        |SELECT conv_id, seq_id, frag_start, frag_len, seq_off,
+        |       -- DuckDB GREATEST/LEAST SKIP NULLs (non-standard): an
+        |       -- unmatched left join would fabricate a full-fragment
+        |       -- interval, so the NULL guard must be explicit
+        |       COALESCE(string_agg(CASE WHEN ioff IS NULL THEN NULL ELSE
+        |         CAST(seq_off + GREATEST(ioff, frag_start) - frag_start AS VARCHAR)
+        |         || ':' ||
+        |         CAST(LEAST(ioff + ilen, frag_start + frag_len)
+        |              - GREATEST(ioff, frag_start) AS VARCHAR) END,
+        |         ' ' ORDER BY ioff), '') AS ivs_str,
+        |       md5(text) AS conv_md5
+        |FROM fi GROUP BY conv_id, seq_id, frag_start, frag_len, seq_off, text
+        |ORDER BY conv_id, seq_id""".stripMargin,
 
     // the same stream with an explicit global token position: sequence
     // membership is gpos // 512, text rebuilt with ordered string_agg

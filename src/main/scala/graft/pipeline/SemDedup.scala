@@ -120,4 +120,71 @@ object SemDedup {
       .select(col("doc_id").as("__graft_semdrop_id"))
     vectors.join(drop, vectors(idCol) === col("__graft_semdrop_id"), "left_anti")
   }
+
+  /**
+   * Cross-table semantic contamination: every (train_id, eval_id) pair
+   * whose EXACT cosine is >= `tau` and whose cells collide — the
+   * embedding-space sibling of [[Dedup.contamination]]'s n-gram test.
+   * Eval-set decontamination is the pipeline stage this serves: a
+   * benchmark answer paraphrased into the training corpus shares no
+   * trigram but sits at cosine ~1 to the benchmark's embedding.
+   *
+   * Candidate generation probes the EVAL side: each eval vector explodes
+   * into its `nprobe` nearest cells (recall knob across quantizer
+   * boundaries), each train vector is assigned once to its home cell,
+   * and the pair space is the cell equi-join. The eval side is the
+   * benchmark — small by definition — so it is the side that is
+   * replicated (`nprobe`×) and broadcast; the 100 TB train side is
+   * scanned once, never shuffled (the broadcast hash join needs no
+   * exchange on the probe side). A pair can meet in at most one cell
+   * (train has ONE home cell), so no post-join dedup is needed.
+   *
+   * Exact cosine gates every candidate, so precision is 1 by
+   * construction; recall is the standard IVF trade — a contaminated
+   * pair is missed only when the train copy's home cell is outside the
+   * eval vector's `nprobe` probe list (raise `nprobe` to tighten).
+   * Deterministic end to end: seeded k-means, exact cosine.
+   */
+  def crossContamination(
+      train: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: IVF.Model,
+      tau: Double,
+      nprobe: Int = 2): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val trainCells = train.select(
+      col(idCol).as("train_id"),
+      col(vecCol).as("train_vec"),
+      element_at(IVF.cells(col(vecCol), model, 1), 1).as("cell"))
+    val evalCells = evalSet.select(
+      col(idCol).as("eval_id"),
+      col(vecCol).as("eval_vec"),
+      explode(IVF.cells(col(vecCol), model, nprobe)).as("cell"))
+    trainCells
+      .join(org.apache.spark.sql.functions.broadcast(evalCells), Seq("cell"))
+      .filter(Similarity.cosineSim(col("train_vec"), col("eval_vec")) >= tau)
+      .select(col("train_id"), col("eval_id"))
+  }
+
+  /** Removal composition of [[crossContamination]]: the train rows that
+    * share NO probed-cell cosine >= `tau` neighbor with the eval set —
+    * the decontaminated corpus ([[Dedup.removeContaminated]]'s semantic
+    * sibling). Left-anti on the distinct contaminated train ids, so the
+    * train table streams through un-shuffled. */
+  def removeContaminatedSemantic(
+      train: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: IVF.Model,
+      tau: Double,
+      nprobe: Int = 2): DataFrame = {
+    val drop = crossContamination(train, evalSet, idCol, vecCol, model, tau, nprobe)
+      .select(col("train_id").as("__graft_contam_id"))
+      .distinct()
+    train.join(drop, train(idCol) === col("__graft_contam_id"), "left_anti")
+  }
 }

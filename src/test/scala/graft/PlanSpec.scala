@@ -226,6 +226,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.matches("""\(\d+\) Generate\s*""")) >= 2)
   }
 
+  test("crossContamination: eval side broadcasts, train side never shuffles") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val evalSet = emb.filter($"vec_id" % 13 === 0)
+    val train = emb.filter($"vec_id" % 13 =!= 0)
+    val model = graft.pipeline.IVF.train(emb, "vec_id", "embedding", k = 4)
+    val p = graft.pipeline.SemDedup.crossContamination(
+      train, evalSet, "vec_id", "embedding", model, tau = 0.9, nprobe = 2)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "candidates come from the cell equi-join, never an all-pairs scan")
+    assert(p.contains("BroadcastHashJoin"),
+      "the exploded eval (benchmark) side must broadcast")
+    assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"),
+      "the 100 TB train side streams through the broadcast join un-shuffled")
+  }
+
   test("span stats: one scan, hash-partitioned window, no self-join") {
     val p = plan("span_dedup_stats")
     val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
@@ -559,6 +576,31 @@ class PlanSpec extends AnyFunSuite {
       "packing must not join the corpus against anything")
     assert(p.contains("Generate") && p.contains("explode"),
       "fragments come from a bounded per-row explode")
+  }
+
+  test("chat sft: conversation rebuild is one keyed hash agg, tiling joins nothing") {
+    import spark.implicits._
+    // stage pin on renderConversations (the packing stage's prefix sum
+    // materializes its input, so the chain's returned plan is a
+    // projection over an RDD — the rebuild plan must be read pre-sum)
+    val turns = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id" % 101 as "conv_id", $"doc_id" as "turn_idx",
+        lit("user").as("role"), $"text")
+    val r = graft.pipeline.Chat.renderConversations(
+      turns, "conv_id", "turn_idx", "role", "text")
+    val rp = r.queryExecution.explainString(FormattedMode)
+    assert(!rp.contains("Window"), "no window — offsets fold inside the group")
+    assert(!rp.contains("Join"), "the rebuild joins nothing")
+    assert(!rp.contains("SinglePartition"),
+      "the conversation rebuild partitions by conv_id, never one task")
+    assert(rp.contains("ObjectHashAggregate") || rp.contains("SortAggregate"),
+      "ordered turn rebuild is a collect_list agg keyed by conv_id")
+    // chain pin: interval clipping is pure projection over the bounded
+    // fragment explode — a join or window here is the 100 TB regression
+    val p = plan("chat_sft_pack")
+    assert(!p.contains("Window ("), "no corpus-wide window in the chat path")
+    assert(!p.contains("Join"), "tiling + clipping must not join anything")
+    assert(p.contains("Generate"), "fragments come from a bounded per-row explode")
   }
 
   test("skew report: partial/final sketch agg over a single pruned scan") {

@@ -232,4 +232,94 @@ class SemanticSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       SemDedup.labels(df, "vec_id", "embedding", model, tau = 1.5))
   }
+
+  // --- crossContamination -------------------------------------------------
+
+  /** Train/eval fixture: 50 random train vectors, 12 eval vectors, plus
+    * noisy eval copies planted INTO the train side (ids 1000+). */
+  private def contaminationFixture()
+      : (Seq[(Long, Array[Float])], Seq[(Long, Array[Float])]) = {
+    val r = new Random(23)
+    def rand(): Array[Float] = Array.fill(16)(r.nextGaussian().toFloat)
+    val train = (0L until 50L).map(i => (i, rand()))
+    val evalSet = (500L until 512L).map(i => (i, rand()))
+    val planted = evalSet.take(6).map { case (id, v) =>
+      (1000L + id, v.map(x => x + (r.nextGaussian() * 1e-3).toFloat))
+    }
+    (train ++ planted, evalSet)
+  }
+
+  private def cosRef(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("crossContamination matches the celled brute-force reference exactly") {
+    val (train, evalSet) = contaminationFixture()
+    val trainDf = train.toDF("vec_id", "embedding")
+    val evalDf = evalSet.toDF("vec_id", "embedding")
+    val all = trainDf.unionByName(evalDf)
+    val model = IVF.train(all, "vec_id", "embedding", k = 4, sampleSize = 200)
+    val nprobe = 2
+    val tau = 0.9
+
+    val got = SemDedup.crossContamination(
+      trainDf, evalDf, "vec_id", "embedding", model, tau, nprobe)
+      .as[(Long, Long)].collect().toSet
+
+    // reference: operator's own cell assignment (IVF covered by its own
+    // specs), independent pairing — pair found iff train's home cell is
+    // among eval's nprobe probed cells AND exact cosine >= tau
+    val homeCell = trainDf.select($"vec_id",
+      element_at(IVF.cells($"embedding", model, 1), 1).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    val probed = evalDf.select($"vec_id",
+      IVF.cells($"embedding", model, nprobe).as("cells"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val want = (for {
+      (tid, tv) <- train
+      (eid, ev) <- evalSet
+      if probed(eid).contains(homeCell(tid)) && cosRef(tv, ev) >= tau
+    } yield (tid, eid)).toSet
+
+    assert(got == want)
+    // non-vacuous and complete on the planted copies: a near-identical
+    // copy lands in its source's home cell, so all 6 planted pairs found
+    assert(got == evalSet.take(6).map { case (id, _) => (1000L + id, id) }.toSet)
+  }
+
+  test("removeContaminatedSemantic drops exactly the flagged train rows") {
+    val (train, evalSet) = contaminationFixture()
+    val trainDf = train.toDF("vec_id", "embedding")
+    val evalDf = evalSet.toDF("vec_id", "embedding")
+    val model = IVF.train(
+      trainDf.unionByName(evalDf), "vec_id", "embedding", k = 4, sampleSize = 200)
+
+    val flagged = SemDedup.crossContamination(
+      trainDf, evalDf, "vec_id", "embedding", model, tau = 0.9)
+      .select("train_id").as[Long].collect().toSet
+    val kept = SemDedup.removeContaminatedSemantic(
+      trainDf, evalDf, "vec_id", "embedding", model, tau = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+
+    assert(kept == train.map(_._1).toSet -- flagged)
+    assert(flagged.nonEmpty && kept.nonEmpty)
+  }
+
+  test("crossContamination rejects bad tau and nprobe") {
+    val (train, evalSet) = contaminationFixture()
+    val trainDf = train.toDF("vec_id", "embedding")
+    val evalDf = evalSet.toDF("vec_id", "embedding")
+    val model = IVF.train(trainDf, "vec_id", "embedding", k = 2, sampleSize = 100)
+    intercept[IllegalArgumentException](SemDedup.crossContamination(
+      trainDf, evalDf, "vec_id", "embedding", model, tau = 0.0))
+    intercept[IllegalArgumentException](SemDedup.crossContamination(
+      trainDf, evalDf, "vec_id", "embedding", model, tau = 0.9, nprobe = 0))
+  }
 }
