@@ -132,6 +132,35 @@ object Demo {
     drift.agg(avg(col("agree_e6")).cast("long").as("mean_agree_e6"),
       count(lit(1)).as("n_queries")).show(false)
 
+    println("== decontamination tour: eval-set paraphrases caught in embedding space ==")
+    val evalSet = emb.filter(col("vec_id") % 13 === 0)
+    val contaminated = emb.filter(col("vec_id") % 13 =!= 0).unionByName(
+      evalSet.limit(5).select((col("vec_id") + 1000000L).as("vec_id"),
+        col("embedding"), col("label")))
+    val cleanTrain = pipeline.SemDedup.removeContaminatedSemantic(
+      contaminated.select(col("vec_id"), col("embedding")),
+      evalSet.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", ivf, tau = 0.95, nprobe = 2)
+    println(s"${contaminated.count()} train vectors -> ${cleanTrain.count()} after " +
+      "dropping exact-cosine matches to the eval benchmark (no shared trigram needed)")
+
+    println("== chat SFT tour: turns -> role-tagged render -> masked 16-token windows ==")
+    val turns = spark.createDataFrame(Seq(
+      (1L, 0L, "system", "be concise"),
+      (1L, 1L, "user", "what is a sketch"),
+      (1L, 2L, "assistant", "a bounded summary of a stream"),
+      (1L, 3L, "user", "name one"),
+      (1L, 4L, "assistant", "space saving"),
+      (2L, 0L, "user", "hello there"),
+      (2L, 1L, "assistant", "hi how can I help")))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val rendered = pipeline.Chat.renderConversations(
+      turns, "conv_id", "turn_idx", "role", "text")
+    rendered.select(col("conv_id"), col("text"), col("loss_ivs")).show(false)
+    pipeline.Chat.packMaskedIntervals(rendered, "conv_id", "loss_ivs", "n_tokens", 16L)
+      .select(col("conv_id"), col("seq_id"), col("seq_off"), col("loss_ivs"))
+      .show(false)
+
     println("== crawl front door: html_to_text -> normalize -> token count, from SQL ==")
     spark.sql(
       """SELECT html_to_text('<html><body><h1>Title</h1><p>Hello &amp; welcome.</p>

@@ -1347,6 +1347,17 @@ object SparkEntry {
         .orderBy($"bin")
     }),
 
+    // tokenizer evaluation: per-language fertility (BPE pieces per word)
+    // and compression (bytes per piece) of the demo merge table, exact
+    // integer ppm on group sums — the report a tokenizer-training run is
+    // judged on, closing the train -> encode -> evaluate loop
+    "bpe_fertility" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.pipeline.Bpe.fertilityReport(
+        tbl(spark, dir, "documents"), "lang", "text")
+        .orderBy($"grp")
+    }),
+
     // test-set decontamination: training docs sharing word-trigrams with
     // the held-out slice (doc_id % 7 == 0 stands in for an eval benchmark)
     "decontaminate" -> ((spark, dir) => {
@@ -3139,6 +3150,30 @@ object SparkEntry {
         |       UNNEST(pieces) AS piece
         |FROM t
         |ORDER BY doc_id, token_idx""".stripMargin,
+
+    // the merge-walk replay counted per doc, then exact ppm floors on
+    // the GROUP sums (one division per group — order-independent)
+    "bpe_fertility" ->
+      s"""WITH t AS (
+        |  SELECT lang,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_w,
+        |         ${graft.pipeline.Bpe.duckdbTokenCountSql("text")} AS n_p,
+        |         strlen(text) AS n_b
+        |  FROM documents),
+        |g AS (SELECT lang AS grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |             CAST(SUM(n_w) AS BIGINT) AS n_words,
+        |             CAST(SUM(n_p) AS BIGINT) AS n_pieces,
+        |             CAST(SUM(n_b) AS BIGINT) AS n_bytes
+        |      FROM t GROUP BY 1)
+        |SELECT grp, n_docs, n_words, n_pieces, n_bytes,
+        |       CAST(CASE WHEN n_words = 0 THEN 0
+        |                 ELSE n_pieces * 1000000 // n_words END AS BIGINT)
+        |         AS fertility_ppm,
+        |       CAST(CASE WHEN n_pieces = 0 THEN 0
+        |                 ELSE n_bytes * 1000000 // n_pieces END AS BIGINT)
+        |         AS bytes_per_piece_ppm
+        |FROM g ORDER BY grp""".stripMargin,
 
     // vocab = dense lexicographic rank over the distinct replayed pieces;
     // ids re-assembled per doc with list(... ORDER BY idx)

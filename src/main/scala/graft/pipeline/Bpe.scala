@@ -402,4 +402,51 @@ object Bpe {
     val nWords = s"len(regexp_split_to_array(trim($c), '\\s+'))"
     s"CASE WHEN length(trim($c)) = 0 THEN 0 ELSE $pieces - ($nWords - 1) END"
   }
+
+  /**
+   * Tokenizer-evaluation report: per `groupCol` value (typically
+   * language), the standard fertility/compression stats of the tokenizer
+   * `merges` defines, in exact integer arithmetic:
+   *
+   *  - `n_docs`, `n_words` (whitespace words), `n_pieces` (BPE tokens
+   *    under the PRODUCTION vocab walk — piece-identical to the literal
+   *    tier, CurationSpec-pinned), `n_bytes` (UTF-8 bytes of the text);
+   *  - `fertility_ppm` = pieces per word × 1e6 — the per-language
+   *    fertility a tokenizer-training run is judged on (a language the
+   *    merges underserve shows fertility far above the corpus mean, the
+   *    signal to re-train with a different mixture);
+   *  - `bytes_per_piece_ppm` = bytes per piece × 1e6 — compression.
+   *
+   * ppm floors are computed on the GROUP sums (one division per group,
+   * not per doc), so the report is an order-independent integer
+   * aggregate — cross-engine bit-identical. Scale shape: one corpus
+   * scan, per-row codegen'd kernels, one keyed hash agg; groups are
+   * language-cardinality (tiny).
+   */
+  def fertilityReport(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      merges: Seq[(String, String)] = DemoMerges): DataFrame = {
+    val t = col(textCol)
+    docs
+      .select(
+        col(groupCol).as("grp"),
+        when(length(trim(t)) === 0, lit(0L))
+          .otherwise(size(split(trim(t), "\\s+")).cast("long")).as("__graft_w"),
+        tokenCountVocab(t, merges).cast("long").as("__graft_p"),
+        octet_length(t).cast("long").as("__graft_b"))
+      .groupBy(col("grp"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__graft_w")).as("n_words"),
+        sum(col("__graft_p")).as("n_pieces"),
+        sum(col("__graft_b")).as("n_bytes"))
+      .select(
+        col("grp"), col("n_docs"), col("n_words"), col("n_pieces"), col("n_bytes"),
+        when(col("n_words") === 0, lit(0L))
+          .otherwise(expr("n_pieces * 1000000L DIV n_words")).as("fertility_ppm"),
+        when(col("n_pieces") === 0, lit(0L))
+          .otherwise(expr("n_bytes * 1000000L DIV n_pieces")).as("bytes_per_piece_ppm"))
+  }
 }

@@ -111,4 +111,34 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(df.as[(Long, String, String, Long)].collect().toSeq ===
       seqTrain(corpus, 3, 2L).map { case (i, a, b, c) => (i.toLong, a, b, c) })
   }
+
+  test("fertilityReport matches a plain-Scala aggregate on trained merges") {
+    val rules = Bpe.trainMerges(corpus.toDF("text"), "text", iters = 6)
+      .map { case (_, a, b, _) => (a, b) }
+    val langs = Seq("en", "de", "en", "de", "en", "en") // parallel to corpus
+    val docs = langs.zip(corpus).toDF("lang", "text")
+    val got = Bpe.fertilityReport(docs, "lang", "text", rules)
+      .orderBy("grp")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+
+    // reference: per-group integer sums + one ppm floor on the sums,
+    // piece counts from the ENGINE's own encode (its parity with the
+    // sequential walk is pinned by the tests above)
+    val enc = docs.select(col("lang"),
+        when(length(trim(col("text"))) === 0, 0)
+          .otherwise(size(split(trim(col("text")), "\\s+"))).as("w"),
+        size(Bpe.encode(col("text"), rules)).as("p"),
+        octet_length(col("text")).as("b"))
+      .as[(String, Int, Int, Int)].collect()
+    val want = enc.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rs) =>
+      val (w, p, b) =
+        (rs.map(_._2.toLong).sum, rs.map(_._3.toLong).sum, rs.map(_._4.toLong).sum)
+      (g, rs.length.toLong, w, p, b,
+        if (w == 0) 0L else p * 1000000L / w,
+        if (p == 0) 0L else b * 1000000L / p)
+    }
+    assert(got == want)
+    // non-vacuous: fertility is a real ratio, not 1
+    assert(got.exists(_._6 > 1000000L))
+  }
 }
