@@ -2775,6 +2775,17 @@ object SparkEntry {
       val model = graft.pipeline.IVF.train(emb, "vec_id", "embedding", k = 8)
       graft.pipeline.SemDedup.labels(emb, "vec_id", "embedding", model, 0.4)
     }),
+    // the decontamination a user actually runs: probed-cell operator +
+    // removal, WITHOUT the correctness row's brute-force cross-join audit
+    "decontaminate_semantic_op" -> ((spark, dir) => {
+      import spark.implicits._
+      val emb = tbl(spark, dir, "embeddings").select($"vec_id", $"embedding")
+      val evalSet = emb.filter($"vec_id" % 13 === 0)
+      val train = emb.filter($"vec_id" % 13 =!= 0)
+      val model = graft.pipeline.IVF.train(emb, "vec_id", "embedding", k = 8)
+      graft.pipeline.SemDedup.removeContaminatedSemantic(
+        train, evalSet, "vec_id", "embedding", model, tau = 0.9, nprobe = 2)
+    }),
     // the embedding a user computes (the correctness query adds the
     // integer-tier join + unit-norm audit on top)
     "hashed_embedding_op" -> ((spark, dir) => {

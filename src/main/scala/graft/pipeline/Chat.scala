@@ -120,7 +120,23 @@ object Chat {
       idCol: String,
       intervalsCol: String,
       totalLenCol: String,
-      seqLen: Long): DataFrame = {
+      seqLen: Long): DataFrame =
+    packMaskedIntervalsFrom(df, idCol, intervalsCol, totalLenCol, seqLen, 0L)
+
+  /** [[packMaskedIntervals]] with the token stream starting at
+    * `startOffset` — the incremental-ingest hook (the
+    * [[Sampling.packMaskedSequencesFrom]] contract): a batch of NEW
+    * conversations appended to a stream whose committed length is
+    * `startOffset` lays out exactly as it would have in one global run,
+    * because window coordinates are pure functions of the GLOBAL stream
+    * position. */
+  private[graft] def packMaskedIntervalsFrom(
+      df: DataFrame,
+      idCol: String,
+      intervalsCol: String,
+      totalLenCol: String,
+      seqLen: Long,
+      startOffset: Long): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     // the doc-coordinate interval column is CONSUMED (replaced by the
     // clipped sequence-coordinate `loss_ivs`), so intervalsCol may itself
@@ -145,7 +161,7 @@ object Chat {
          |     ' must be ascending, non-overlapping and within [0, total_len)')))""".stripMargin))
     Sampling.packMaskedSequencesFrom(
         checked.withColumn("__graft_p0", lit(0L)),
-        idCol, "__graft_p0", totalLenCol, seqLen, 0L)
+        idCol, "__graft_p0", totalLenCol, seqLen, startOffset)
       .drop("__graft_p0", "loss_off", "loss_len")
       .withColumn("loss_ivs", expr(
         s"""transform(

@@ -156,6 +156,35 @@ class ChatSpec extends AnyFunSuite {
       .nonEmpty)
   }
 
+  test("incremental offsets reproduce the one-shot global layout") {
+    val rows = fixture()
+    val rendered = Chat.renderConversations(
+      rows.toDF("conv_id", "turn_idx", "role", "text"),
+      "conv_id", "turn_idx", "role", "text").cache()
+    val oneShot = Chat.packMaskedIntervals(
+      rendered, "conv_id", "loss_ivs", "n_tokens", 7L)
+      .select($"conv_id", $"seq_id", $"frag_start", $"frag_len", $"seq_off",
+        expr("CAST(loss_ivs AS ARRAY<STRUCT<loss_off: BIGINT, loss_len: BIGINT>>)"))
+      .collect().toSet
+
+    // split into two "batches" by conv id (stream order IS conv order);
+    // batch 2 packs from batch 1's committed token offset
+    val b1 = rendered.filter($"conv_id" < 4)
+    val b2 = rendered.filter($"conv_id" >= 4)
+    val committed = b1.agg(sum($"n_tokens")).as[Long].head()
+    val incr =
+      Chat.packMaskedIntervals(b1, "conv_id", "loss_ivs", "n_tokens", 7L)
+        .select($"conv_id", $"seq_id", $"frag_start", $"frag_len", $"seq_off",
+          expr("CAST(loss_ivs AS ARRAY<STRUCT<loss_off: BIGINT, loss_len: BIGINT>>)"))
+        .collect().toSet ++
+      Chat.packMaskedIntervalsFrom(b2, "conv_id", "loss_ivs", "n_tokens", 7L, committed)
+        .select($"conv_id", $"seq_id", $"frag_start", $"frag_len", $"seq_off",
+          expr("CAST(loss_ivs AS ARRAY<STRUCT<loss_off: BIGINT, loss_len: BIGINT>>)"))
+        .collect().toSet
+    assert(incr == oneShot)
+    rendered.unpersist()
+  }
+
   test("seqLen must be positive") {
     val df = Seq((1L, 3L)).toDF("id", "n")
       .withColumn("ivs", expr("CAST(array() AS ARRAY<STRUCT<off: BIGINT, len: BIGINT>>)"))
