@@ -173,4 +173,85 @@ object Chat {
            |                - GREATEST(iv.off, frag_start)))""".stripMargin))
       .drop(Seq(intervalsCol).filter(_ != "loss_ivs"): _*)
   }
+
+  /**
+   * The materialized chat deliverable — [[Sampling.packMaskedTokenIds]]
+   * with interval masks: documents as token-id arrays with
+   * `intervalsCol` loss intervals (`array<struct<off, len>>` in document
+   * token coordinates, e.g. [[renderConversations]]' `loss_ivs` over the
+   * ids of the rendered text), packed into fixed `seqLen` windows of
+   * `input_ids` + `doc_starts` + `loss_intervals` (in-window
+   * coordinates, stream-ordered, non-overlapping — the loader ORs them
+   * into the loss mask). The schema is IDENTICAL to
+   * [[Sampling.packMaskedTokenIds]]'s, so everything downstream —
+   * shard export, the streaming store, readers — consumes either
+   * interchangeably. Same scale shape: one prefix sum, bounded explode,
+   * one hash agg by window.
+   */
+  def packTokenIds(
+      docs: DataFrame,
+      idCol: String,
+      idsCol: String,
+      intervalsCol: String,
+      seqLen: Long): DataFrame =
+    packTokenIdsFrom(docs, idCol, idsCol, intervalsCol, seqLen, 0L)
+      .drop("row_base")
+
+  /** [[packTokenIds]] for an APPEND batch starting at global stream
+    * token `startOffset` — the [[Sampling.packMaskedTokenIdsFrom]]
+    * contract, interval edition: adds `row_base` for windows a previous
+    * batch left partial. [[graft.streaming.ShardStreaming]] drives it
+    * per micro-batch. */
+  private[graft] def packTokenIdsFrom(
+      docs: DataFrame,
+      idCol: String,
+      idsCol: String,
+      intervalsCol: String,
+      seqLen: Long,
+      startOffset: Long): DataFrame = {
+    require(seqLen > 0 && seqLen <= Int.MaxValue,
+      s"seqLen must be in (0, 2^31) (array slices are Int-indexed; " +
+        s"per-DOCUMENT token counts share the same 2^31 bound), got $seqLen")
+    Seq("__graft_ids", "__graft_n", "__graft_sorted").foreach { c =>
+      require(!docs.columns.contains(c),
+        s"input already has a '$c' column; rename it — packTokenIds uses it internally")
+    }
+    val d = docs.select(col(idCol), col(intervalsCol),
+        col(idsCol).cast("array<long>").as("__graft_ids"))
+      .withColumn("__graft_n", size(col("__graft_ids")).cast("long"))
+    packMaskedIntervalsFrom(d, idCol, intervalsCol, "__graft_n", seqLen,
+        startOffset)
+      .select(col(idCol).as("__graft_id"), col("seq_id"),
+        slice(col("__graft_ids"),
+          (col("frag_start") + lit(1)).cast("int"),
+          col("frag_len").cast("int")).as("__graft_frag"),
+        col("frag_start"), col("seq_off"), col("loss_ivs"))
+      .groupBy(col("seq_id"))
+      .agg(
+        array_sort(collect_list(struct(
+          col("__graft_id").as("__i"),
+          col("__graft_frag").as("__ids"),
+          col("frag_start").as("__fs"),
+          col("seq_off").as("__so"),
+          col("loss_ivs").as("__ivs")))).as("__graft_sorted"))
+      .select(col("seq_id"),
+        expr("element_at(__graft_sorted, 1).__so").as("row_base"),
+        expr("CAST(aggregate(__graft_sorted, 0L, (n, s) -> n + size(s.__ids)) AS BIGINT)")
+          .as("n_tokens"),
+        flatten(transform(col("__graft_sorted"), s => s.getField("__ids")))
+          .as("input_ids"),
+        expr("""aggregate(__graft_sorted,
+          |  named_struct('off', element_at(__graft_sorted, 1).__so,
+          |               'starts', CAST(array() AS ARRAY<BIGINT>)),
+          |  (acc, s) -> named_struct(
+          |    'off', acc.off + CAST(size(s.__ids) AS BIGINT),
+          |    'starts', IF(s.__fs = 0L, array_append(acc.starts, acc.off),
+          |                 acc.starts)),
+          |  acc -> acc.starts)""".stripMargin).as("doc_starts"),
+        // fragments sort in stream order and each fragment's clipped
+        // list is ascending, so the flattened list IS the window's
+        // interval order (clipping never emits empty intervals)
+        flatten(transform(col("__graft_sorted"), s => s.getField("__ivs")))
+          .as("loss_intervals"))
+  }
 }

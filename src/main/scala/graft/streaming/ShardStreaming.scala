@@ -107,6 +107,67 @@ object ShardStreaming {
     writeOffsetManifest(fs, root, batchId, offset + written)
   }
 
+  /** [[maintainPackedShards]] for MULTI-TURN CHAT corpora: the ingest
+    * stream carries (id, token_ids, loss intervals) documents —
+    * [[graft.pipeline.Chat.renderConversations]]' interval lists over the
+    * ids of the rendered text — and each batch lays out
+    * [[graft.pipeline.Chat.packTokenIds]] windows from the committed
+    * offset. The store format is IDENTICAL to the prompt_len tier's
+    * (same schema, same manifest protocol, same seqLen pin), so
+    * [[committedPackedShards]] reads either, and a single-prefix doc is
+    * just the one-interval special case. */
+  def maintainIntervalShards(
+      docs: DataFrame,
+      shardPath: String,
+      idCol: String,
+      idsCol: String,
+      intervalsCol: String,
+      seqLen: Long,
+      checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val scope = TopnStreaming.scopeOf(checkpointLocation)
+    val writer = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        packIntervalBatch(batch, batchId, shardPath, idCol, idsCol,
+          intervalsCol, seqLen, scope)
+        ()
+      }
+    checkpointLocation.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
+
+  /** One micro-batch of the interval tier (exposed for deterministic
+    * crash-path testing; [[maintainIntervalShards]] drives it). */
+  private[graft] def packIntervalBatch(
+      batch: DataFrame,
+      batchId: Long,
+      shardPath: String,
+      idCol: String,
+      idsCol: String,
+      intervalsCol: String,
+      seqLen: Long,
+      scope: String): Unit = {
+    val spark = batch.sparkSession
+    val (fs, root) = TopnStreaming.fsOf(spark, shardPath)
+    TopnStreaming.checkScope(fs, root, scope)
+    TopnStreaming.checkStamp(fs, root, "_graft_params", s"seqLen=$seqLen",
+      (stored, given) =>
+        s"shard store at $root was packed with '$stored' but this stream " +
+          s"uses '$given' — window layouts are incompatible; resume with " +
+          "the original seqLen or start a new shard path")
+    val committed = TopnStreaming.committedVersion(spark, shardPath)
+    if (committed.exists(batchId <= _)) return // replay of a committed batch
+    if (batch.isEmpty) return // nothing to lay out, offset unchanged
+    val offset = committedOffset(spark, shardPath)
+    graft.pipeline.Chat
+      .packTokenIdsFrom(batch, idCol, idsCol, intervalsCol, seqLen, offset)
+      .write.mode("overwrite").parquet(s"$shardPath/data/b=$batchId")
+    val written = spark.read.parquet(s"$shardPath/data/b=$batchId")
+      .agg(coalesce(sum(col("n_tokens")), lit(0L))).head.getLong(0)
+    writeOffsetManifest(fs, root, batchId, offset + written)
+  }
+
   /** Total committed stream tokens (0 before the first commit). */
   def committedOffset(
       spark: org.apache.spark.sql.SparkSession, shardPath: String): Long = {

@@ -185,6 +185,28 @@ class ChatSpec extends AnyFunSuite {
     rendered.unpersist()
   }
 
+  test("packTokenIds: single-prefix intervals reproduce packMaskedTokenIds exactly") {
+    val r = new Random(41)
+    val docs = (0L until 20L).map { i =>
+      val n = 3 + r.nextInt(10)
+      (i, (0L until n.toLong).map(j => i * 100 + j), (n / 3).toLong)
+    }
+    val prefix = docs.toDF("doc_id", "ids", "prompt_len")
+    val asIvs = docs.map { case (i, ids, p) =>
+      (i, ids, Seq((p, ids.size - p)).filter(_._2 > 0)
+        .map { case (o, l) => IvRow(o, l) })
+    }.toDF("doc_id", "ids", "ivs")
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select($"seq_id", $"n_tokens", $"input_ids", $"doc_starts",
+        to_json($"loss_intervals").as("li"))
+      .as[(Long, Long, Seq[Long], Seq[Long], String)].collect().toSet
+    val got = norm(Chat.packTokenIds(asIvs, "doc_id", "ids", "ivs", 16L))
+    val want = norm(Sampling.packMaskedTokenIds(
+      prefix, "doc_id", "ids", "prompt_len", 16L))
+    assert(got == want,
+      "a prompt prefix is the one-interval special case — identical output")
+  }
+
   test("seqLen must be positive") {
     val df = Seq((1L, 3L)).toDF("id", "n")
       .withColumn("ivs", expr("CAST(array() AS ARRAY<STRUCT<off: BIGINT, len: BIGINT>>)"))

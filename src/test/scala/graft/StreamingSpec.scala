@@ -5,6 +5,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Loss-interval row for the chat-shard fixtures (top-level for the
+  * Spark encoder; field names match the operators' off/len contract). */
+case class IvRow(off: Long, len: Long)
+
 /**
  * Streaming behavior, driven through the public file-source + memory-sink
  * API: the testdata events table is split into two parquet files consumed
@@ -1310,6 +1314,71 @@ class StreamingSpec extends AnyFunSuite {
     val ex = intercept[IllegalStateException](
       ShardStreaming.packBatch(b1, 2L, store, "doc_id", "ids", "prompt_len", 32L, "sc"))
     assert(ex.getMessage.contains("seqLen"))
+  }
+
+  /** Chat docs: multi-interval masks, lengths chosen so batch boundaries
+    * split windows (seqLen=16 below; totals not divisible by 16). */
+  private def chatDocs: Seq[(Long, Seq[Long], Seq[(Long, Long)])] =
+    (0L until 24L).map { i =>
+      val n = (i % 9) + 4 // 4..12 tokens
+      val ids = (0L until n).map(j => i * 100 + j)
+      // up to two assistant spans: [1, 1+a) and [n-b, n)
+      val a = (i % 3) + 1
+      val ivs = Seq((1L, math.min(a, n - 1)), (n - 1, 1L))
+        .filter { case (o, l) => l > 0 && o + l <= n }
+        .foldLeft(Seq.empty[(Long, Long)]) { case (acc, iv) =>
+          if (acc.exists { case (o, l) => iv._1 < o + l }) acc else acc :+ iv
+        }
+      (i, ids, ivs)
+    }
+
+  private def chatDF(rows: Seq[(Long, Seq[Long], Seq[(Long, Long)])]) =
+    rows.map { case (i, ids, ivs) => (i, ids, ivs.map(x => IvRow(x._1, x._2))) }
+      .toDF("doc_id", "ids", "ivs")
+
+  test("interval shards: committed store == one-shot chat pack, replay no-op") {
+    import graft.streaming.ShardStreaming
+    val all = chatDocs
+    val store = java.nio.file.Files.createTempDirectory("graft_chat_store").toString + "/s"
+    val batches = Seq(all.slice(0, 9), all.slice(9, 17), all.slice(17, 24))
+    for ((slice, b) <- batches.zipWithIndex)
+      ShardStreaming.packIntervalBatch(
+        chatDF(slice), b.toLong, store, "doc_id", "ids", "ivs", 16L, "sc")
+
+    val got = collectShards(ShardStreaming.committedPackedShards(spark, store))
+    val want = collectShards(graft.pipeline.Chat.packTokenIds(
+      chatDF(all), "doc_id", "ids", "ivs", seqLen = 16L))
+    assert(got === want,
+      "incremental interval packing must reproduce the one-shot layout exactly")
+    // multi-interval windows genuinely occurred
+    assert(got.values.exists(_._4.count(_ == '{') >= 2))
+    // replays change nothing
+    ShardStreaming.packIntervalBatch(
+      chatDF(batches(1)), 1L, store, "doc_id", "ids", "ivs", 16L, "sc")
+    assert(collectShards(ShardStreaming.committedPackedShards(spark, store)) === got)
+    assert(ShardStreaming.committedOffset(spark, store)
+      === all.map(_._2.size.toLong).sum)
+  }
+
+  test("interval shards interoperate with the prompt_len tier's store format") {
+    import graft.streaming.ShardStreaming
+    val sft = sftDocs
+    val store = java.nio.file.Files.createTempDirectory("graft_mixed_store").toString + "/s"
+    // batch 0 from the prompt_len tier, batch 1 from the interval tier
+    // spelling the SAME masks as intervals — one store, one reader
+    val (b0, b1) = (sft.take(15), sft.drop(15))
+    ShardStreaming.packBatch(
+      sftDF(b0), 0L, store, "doc_id", "ids", "prompt_len", 16L, "sc")
+    val b1ivs = b1.map { case (i, ids, p) =>
+      (i, ids, Seq(IvRow(p, ids.size - p)).filter(_.len > 0))
+    }.toDF("doc_id", "ids", "ivs")
+    ShardStreaming.packIntervalBatch(
+      b1ivs, 1L, store, "doc_id", "ids", "ivs", 16L, "sc")
+    val got = collectShards(ShardStreaming.committedPackedShards(spark, store))
+    val want = collectShards(graft.pipeline.Sampling.packMaskedTokenIds(
+      sftDF(sft), "doc_id", "ids", "prompt_len", 16L))
+    assert(got === want,
+      "a prompt prefix is the one-interval special case — identical store")
   }
 
   private implicit class JavaSetOps[A](s: java.util.Set[A]) {
