@@ -161,6 +161,26 @@ object Demo {
       .select(col("conv_id"), col("seq_id"), col("seq_off"), col("loss_ivs"))
       .show(false)
 
+    println("== temporal tour: sessionize an event stream, as-of enrich it ==")
+    def demoTs(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val demoEv = spark.createDataFrame(Seq(
+      (1L, 10L, demoTs(0), "view"), (2L, 10L, demoTs(30), "click"),
+      (3L, 10L, demoTs(5000), "view"), (4L, 10L, demoTs(5100), "click"),
+      (5L, 20L, demoTs(100), "click")))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    operators.Sessions.stats(demoEv, Seq("user_id"), "ts",
+        gapSeconds = 3600L, orderCols = Seq("event_id"))
+      .orderBy(col("user_id"), col("session_seq")).show(false)
+    val demoViews = demoEv.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_event_id"))
+    operators.AsofJoin.latestPreceding(
+        demoEv.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        demoViews, Seq("user_id"), "ts", "view_ts",
+        payloadCols = Seq("view_event_id", "view_ts"))
+      .orderBy(col("event_id")).show(false)
+
     println("== crawl front door: html_to_text -> normalize -> token count, from SQL ==")
     spark.sql(
       """SELECT html_to_text('<html><body><h1>Title</h1><p>Hello &amp; welcome.</p>

@@ -658,6 +658,49 @@ object SparkEntry {
 
     // --- beyond-reference: training-data pipeline operators --------------
 
+    // as-of join (union-trick, one shuffle, no pair explosion): every
+    // click stamped with the user's most recent preceding view — right
+    // side pre-aggregated per (user, ts) so "latest" is well-defined
+    // under timestamp collisions. The oracle is DuckDB's NATIVE ASOF
+    // LEFT JOIN: two independent implementations of the same temporal
+    // semantics hash-agreeing
+    "asof_latest_view" -> ((spark, dir) => {
+      import spark.implicits._
+      val ev = graft.sources.Tables.events(spark, dir)
+      val views = ev.filter($"event_type" === "view")
+        .groupBy($"user_id", $"ts")
+        .agg(max($"event_id").as("view_event_id"))
+        .select($"user_id", $"ts".as("view_ts"), $"view_event_id")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts")
+      graft.operators.AsofJoin.latestPreceding(
+          clicks, views, Seq("user_id"), "ts", "view_ts",
+          payloadCols = Seq("view_event_id", "view_ts"))
+        // exact integer micros: raw TIMESTAMP reprs differ between the
+        // two engines' python drivers (the DATE gotcha, timestamp form)
+        .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+          $"view_event_id", unix_micros($"view_ts").as("view_ts_us"))
+        .orderBy($"event_id")
+    }),
+
+    // gap-based sessionization: per-user sessions at a 4h inactivity
+    // gap, rolled up to (start, end, n_events, exact micros duration,
+    // DECIMAL value sum — order-independent, hash-stable). One shuffle
+    // by user, per-key window, event_id tie-break
+    "sessionize_events" -> ((spark, dir) => {
+      import spark.implicits._
+      val ev = graft.sources.Tables.events(spark, dir)
+        .withColumn("value", $"value".cast("decimal(18,2)"))
+      graft.operators.Sessions.stats(
+          ev, Seq("user_id"), "ts", gapSeconds = 14400L,
+          valueCol = Some("value"), orderCols = Seq("event_id"))
+        .select($"user_id", $"session_seq",
+          unix_micros($"session_start").as("session_start_us"),
+          unix_micros($"session_end").as("session_end_us"),
+          $"n_events", $"duration_us", $"value_sum")
+        .orderBy($"user_id", $"session_seq")
+    }),
+
     // BPE ENCODE (not just count): the merge walk's actual pieces in
     // document order — one vocabulary join from token ids; the oracle
     // replays the identical replace chain and zips the piece list with
@@ -2567,6 +2610,60 @@ object SparkEntry {
         .orderBy($"conv_id", $"seq_id")
     }),
 
+    // the materialized chat deliverable: chat_sft_pack's conversations as
+    // word-id arrays packed by Chat.packTokenIds — rendered tokens get
+    // dense lexicographic ids (the buildVocab doctrine at word level, so
+    // the oracle replays the vocab as ROW_NUMBER over distinct tokens),
+    // and each 256-token window carries input_ids + doc_starts +
+    // in-window loss intervals, the loader-consumable form of the
+    // multi-turn mask. The oracle rebuilds the rendered token stream
+    // turn-by-turn (header + content positions), re-derives the ids, and
+    // replays the tiling, slicing and interval clipping
+    "chat_pack_token_ids" -> ((spark, dir) => {
+      import spark.implicits._
+      val turns = tbl(spark, dir, "documents")
+        .select($"doc_id", graft.pipeline.TextAnalysis.tokens($"text").as("toks"))
+        .filter(size($"toks") > 0)
+        .select($"doc_id",
+          explode(expr("sequence(0, CAST((size(toks) + 7) DIV 8 AS INT) - 1)")).as("c"),
+          $"toks")
+        .select(
+          ($"doc_id" % 101).as("conv_id"),
+          ($"doc_id" * 1024 + $"c").as("turn_idx"),
+          when($"c" % 2 === 0, "user").otherwise("assistant").as("role"),
+          array_join(slice($"toks", $"c" * 8 + 1, lit(8)), " ").as("text"))
+      val rendered = graft.pipeline.Chat.renderConversations(
+        turns, "conv_id", "turn_idx", "role", "text")
+      // word-level vocab: distinct rendered token -> dense lexicographic
+      // id (single-partition window over the VOCABULARY-sized distinct
+      // set only — the buildVocab scale shape)
+      val vocab = rendered
+        .select(explode(graft.pipeline.TextAnalysis.tokens($"text")).as("piece"))
+        .distinct()
+        .withColumn("id",
+          row_number().over(Window.orderBy($"piece")).cast("long") - 1L)
+      val ids = rendered
+        .select($"conv_id",
+          posexplode(graft.pipeline.TextAnalysis.tokens($"text"))
+            .as(Seq("__idx", "piece")))
+        .join(vocab, Seq("piece"))
+        .groupBy($"conv_id")
+        .agg(transform(array_sort(collect_list(struct($"__idx", $"id"))),
+          s => s.getField("id")).as("ids"))
+      val docs = ids.join(rendered.select($"conv_id", $"loss_ivs"), Seq("conv_id"))
+      graft.pipeline.Chat.packTokenIds(docs, "conv_id", "ids", "loss_ivs",
+          seqLen = 256L)
+        .select($"seq_id", $"n_tokens",
+          array_join(transform($"input_ids", i => i.cast("string")), " ")
+            .as("ids_str"),
+          array_join(transform($"doc_starts", i => i.cast("string")), " ")
+            .as("doc_starts_str"),
+          array_join(transform($"loss_intervals", iv =>
+            concat(iv.getField("loss_off").cast("string"), lit(":"),
+              iv.getField("loss_len").cast("string"))), " ").as("loss_str"))
+        .orderBy($"seq_id")
+    }),
+
     // the materialized training sequences behind pack_sequences: each
     // 512-token context window's actual text, assembled in stream order
     // from every document fragment it overlaps (md5 keeps the compared
@@ -3141,6 +3238,41 @@ object SparkEntry {
         |  FROM events GROUP BY 1, 2) t
         |WHERE rn <= 5
         |ORDER BY event_type, frequency DESC, item""".stripMargin,
+
+    // DuckDB's NATIVE ASOF LEFT JOIN — an independent implementation of
+    // the temporal-join semantics the union-trick window spells in Spark
+    "asof_latest_view" ->
+      """WITH v AS (SELECT user_id, ts AS view_ts, MAX(event_id) AS view_event_id
+        |           FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, v.view_event_id,
+        |       epoch_us(v.view_ts) AS view_ts_us
+        |FROM c ASOF LEFT JOIN v
+        |  ON c.user_id = v.user_id AND c.ts >= v.view_ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    // lag gap test + running-sum ordinal, then the per-session rollup;
+    // epoch_us mirrors unix_micros' exact integer micros
+    "sessionize_events" ->
+      """WITH e AS (SELECT user_id, ts, event_id, epoch_us(ts) AS tu,
+        |                  CAST(value AS DECIMAL(18,2)) AS v
+        |           FROM events),
+        |b AS (SELECT *, lag(tu) OVER (PARTITION BY user_id
+        |                              ORDER BY tu, event_id) AS p FROM e),
+        |s AS (SELECT *, SUM(CASE WHEN p IS NULL
+        |                          OR tu - p > CAST(14400 AS BIGINT) * 1000000
+        |                         THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY tu, event_id
+        |              ROWS UNBOUNDED PRECEDING) AS session_seq
+        |      FROM b)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |       CAST(MIN(tu) AS BIGINT) AS session_start_us,
+        |       CAST(MAX(tu) AS BIGINT) AS session_end_us,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(MAX(tu) - MIN(tu) AS BIGINT) AS duration_us,
+        |       SUM(v) AS value_sum
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
 
     // the full K-iteration training replay, generated by the SAME code
     // path whose constants drive the Spark loop (Bpe.trainMergesCtes)
@@ -4971,6 +5103,79 @@ object SparkEntry {
         |       md5(text) AS conv_md5
         |FROM fi GROUP BY conv_id, seq_id, frag_start, frag_len, seq_off, text
         |ORDER BY conv_id, seq_id""".stripMargin,
+
+    // chat_sft_pack's conversation rebuild continued into the id domain:
+    // the rendered token stream is reconstructed turn-by-turn (header at
+    // toff, content at toff+1..toff+nt), ids are ROW_NUMBER over the
+    // distinct tokens (the word-level buildVocab replay), then the
+    // pack_token_sequences tiling + slicing with the interval clipping
+    // aggregated separately from the fragments (a fragment overlapping
+    // two intervals must not double its length into n_tokens)
+    "chat_pack_token_ids" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE len(regexp_split_to_array(trim(text), '\s+')) > 0),
+        |ch AS (SELECT doc_id, UNNEST(range(0, (len(toks) + 7) // 8)) AS c, toks FROM t),
+        |tr AS (SELECT doc_id % 101 AS conv_id, doc_id * 1024 + c AS ti,
+        |              CASE WHEN c % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |              list_filter(toks[c*8+1 : c*8+8], x -> x <> '') AS ttoks
+        |       FROM ch),
+        |o AS (SELECT conv_id, ti, role, ttoks, len(ttoks) AS nt,
+        |             CAST(SUM(len(ttoks) + 1) OVER (PARTITION BY conv_id ORDER BY ti
+        |               ROWS UNBOUNDED PRECEDING) - (len(ttoks) + 1) AS BIGINT) AS toff
+        |      FROM tr),
+        |wt AS (SELECT conv_id, toff AS j, '<|' || role || '|>' AS tkn FROM o
+        |       UNION ALL
+        |       SELECT conv_id, toff + k + 1 AS j, ttoks[k + 1] AS tkn
+        |       FROM (SELECT conv_id, toff, ttoks, UNNEST(range(0, nt)) AS k FROM o)),
+        |v AS (SELECT tkn, CAST(ROW_NUMBER() OVER (ORDER BY tkn) - 1 AS BIGINT) AS id
+        |      FROM (SELECT DISTINCT tkn FROM wt)),
+        |d AS (SELECT wt.conv_id, list(v.id ORDER BY wt.j) AS ids,
+        |             CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM wt JOIN v USING (tkn) GROUP BY wt.conv_id),
+        |iv AS (SELECT conv_id, CAST(toff + 1 AS BIGINT) AS ioff,
+        |              CAST(nt AS BIGINT) AS ilen
+        |       FROM o WHERE role = 'assistant' AND nt > 0),
+        |c2 AS (SELECT conv_id, ids, n,
+        |              CAST(SUM(n) OVER (ORDER BY conv_id
+        |                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        |       FROM d),
+        |f AS (SELECT conv_id, ids, n, run - n AS st FROM c2 WHERE n > 0),
+        |x AS (SELECT conv_id, ids, n, st,
+        |             UNNEST(range(st // 256, (st + n - 1) // 256 + 1)) AS s
+        |      FROM f),
+        |frag AS (SELECT CAST(s AS BIGINT) AS seq_id, conv_id,
+        |                CAST(GREATEST(0, s * 256 - st) AS BIGINT) AS fs,
+        |                CAST(LEAST(n, (s + 1) * 256 - st)
+        |                     - GREATEST(0, s * 256 - st) AS BIGINT) AS fl,
+        |                ids
+        |         FROM x),
+        |sl AS (SELECT seq_id, conv_id, fs, fl,
+        |              list_slice(ids, fs + 1, fs + fl) AS frag_ids,
+        |              CAST(SUM(fl) OVER (PARTITION BY seq_id ORDER BY conv_id
+        |                ROWS UNBOUNDED PRECEDING) - fl AS BIGINT) AS seq_off
+        |       FROM frag),
+        |ivc AS (SELECT sl.seq_id, sl.conv_id, iv.ioff,
+        |               CAST(sl.seq_off + GREATEST(iv.ioff, sl.fs) - sl.fs AS BIGINT) AS lo,
+        |               CAST(LEAST(iv.ioff + iv.ilen, sl.fs + sl.fl)
+        |                    - GREATEST(iv.ioff, sl.fs) AS BIGINT) AS ll
+        |        FROM sl JOIN iv ON sl.conv_id = iv.conv_id
+        |          AND iv.ioff < sl.fs + sl.fl AND iv.ioff + iv.ilen > sl.fs),
+        |ivs AS (SELECT seq_id,
+        |               string_agg(CAST(lo AS VARCHAR) || ':' || CAST(ll AS VARCHAR),
+        |                 ' ' ORDER BY conv_id, ioff) AS loss_str
+        |        FROM ivc GROUP BY seq_id),
+        |fragagg AS (SELECT seq_id, CAST(SUM(fl) AS BIGINT) AS n_tokens,
+        |              array_to_string(flatten(list(frag_ids ORDER BY conv_id)), ' ')
+        |                AS ids_str,
+        |              COALESCE(array_to_string(
+        |                list(seq_off ORDER BY conv_id) FILTER (WHERE fs = 0),
+        |                ' '), '') AS doc_starts_str
+        |            FROM sl GROUP BY seq_id)
+        |SELECT fragagg.seq_id, n_tokens, ids_str, doc_starts_str,
+        |       COALESCE(ivs.loss_str, '') AS loss_str
+        |FROM fragagg LEFT JOIN ivs USING (seq_id)
+        |ORDER BY seq_id""".stripMargin,
 
     // the same stream with an explicit global token position: sequence
     // membership is gpos // 512, text rebuilt with ordered string_agg

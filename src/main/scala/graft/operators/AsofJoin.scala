@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * As-of join — enrich every left row with the LATEST right row at or
+ * before its timestamp, matched on equal keys: "which state/snapshot was
+ * in force when this observation happened". The classic temporal-join
+ * primitive a training-data pipeline needs to stamp examples with the
+ * config, model version, or crawl snapshot that produced them, and the
+ * standard funnel question over an events stream (which `view` preceded
+ * this `click`).
+ *
+ * Spark has no native ASOF JOIN; the naive spellings are a range join
+ * (`l.ts >= r.ts` inequality -> BroadcastNestedLoopJoin, O(L x R) pairs
+ * per key before the per-row argmax) or a per-left-row MAX subquery
+ * (self join + second shuffle). This is the UNION-TRICK spelling
+ * instead: tag both sides, union them, and run ONE per-key window
+ * ordered by (ts, side) that carries `last(right payload, ignoreNulls)`
+ * forward — every left row picks up the most recent preceding right row
+ * in a single shuffle with NO join and no pair explosion at any key
+ * cardinality. At 100 TB this is the difference between a linear pass
+ * and a quadratic one: the window partition for a key holds that key's
+ * rows only, sorted once, streamed once.
+ *
+ * Semantics are pinned by the side flag's sort position at EQUAL
+ * timestamps: inclusive (default) sorts right rows first, so a right row
+ * stamped at exactly `t` applies to a left row at `t`; `strict = true`
+ * sorts them after, so only strictly earlier right rows match. Rows with
+ * no preceding match keep NULL payload columns (LEFT OUTER semantics).
+ *
+ * Determinism contract: `right` must be unique per (keys, ts) — two
+ * right rows on the same key and timestamp have no defined "latest", and
+ * the window's tie order is not stable. Pre-aggregate the right side
+ * (e.g. `groupBy(key, ts).agg(max_by(...))`) when the source can
+ * collide; the `asof_latest_view` driver query does exactly that.
+ */
+object AsofJoin {
+
+  /**
+   * For every `left` row, the most recent `right` row with equal
+   * `keyCols` and `rightTsCol` <= (inclusive) / < (`strict`) the left
+   * row's `leftTsCol`, its `payloadCols` appended to the left row (NULL
+   * when no match). Timestamp columns must be mutually comparable
+   * (same type on both sides); payload names must not collide with left
+   * columns — rename on the right side first.
+   */
+  def latestPreceding(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String,
+      payloadCols: Seq[String],
+      strict: Boolean = false): DataFrame = {
+    require(keyCols.nonEmpty, "latestPreceding: keyCols must be non-empty")
+    require(payloadCols.nonEmpty,
+      "latestPreceding: payloadCols must be non-empty — an as-of join " +
+        "with no payload is a filter, not a join")
+    payloadCols.foreach(c => require(!left.columns.contains(c),
+      s"latestPreceding: payload column '$c' collides with a left " +
+        "column; rename it on the right side first"))
+    keyCols.foreach { c =>
+      require(left.columns.contains(c), s"left side lacks key column '$c'")
+      require(right.columns.contains(c), s"right side lacks key column '$c'")
+    }
+    Seq("__graft_ts", "__graft_side", "__graft_pay", "__graft_row").foreach {
+      c =>
+        require(!left.columns.contains(c) && !right.columns.contains(c),
+          s"input already has a '$c' column; rename it — " +
+            "latestPreceding uses it internally")
+    }
+    // the side flag's sort position at equal ts IS the strictness knob
+    val rightSide = if (strict) 1 else 0
+    val payType = right.select(payloadCols.map(col): _*).schema
+    val rowType = left.schema
+    val lTagged = left.select(
+      keyCols.map(col) ++ Seq(
+        col(leftTsCol).as("__graft_ts"),
+        lit(1 - rightSide).as("__graft_side"),
+        lit(null).cast(payType).as("__graft_pay"),
+        struct(left.columns.map(col): _*).as("__graft_row")): _*)
+    val rTagged = right.select(
+      keyCols.map(col) ++ Seq(
+        col(rightTsCol).as("__graft_ts"),
+        lit(rightSide).as("__graft_side"),
+        struct(payloadCols.map(col): _*).as("__graft_pay"),
+        lit(null).cast(rowType).as("__graft_row")): _*)
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__graft_ts").asc, col("__graft_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lTagged.unionByName(rTagged)
+      .withColumn("__graft_m", last(col("__graft_pay"), ignoreNulls = true).over(w))
+      .filter(col("__graft_row").isNotNull)
+      .select(left.columns.map(c => col(s"__graft_row.`$c`").as(c)) ++
+        payloadCols.map(c => col(s"__graft_m.`$c`").as(c)): _*)
+  }
+}

@@ -1,0 +1,161 @@
+package graft
+
+import graft.operators.{AsofJoin, Sessions}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Temporal operators: the union-trick as-of join (vs a brute-force
+ * range-join-and-argmax twin, and plan-pinned join-free) and gap-based
+ * sessionization (vs a transparent per-key replay).
+ */
+class TemporalOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+
+  test("latestPreceding equals brute-force range join + argmax (events data)") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val views = ev.filter($"event_type" === "view")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("view_event_id"))
+      .select($"user_id", $"ts".as("view_ts"), $"view_event_id")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+
+    val got = AsofJoin.latestPreceding(
+      clicks, views, Seq("user_id"), "ts", "view_ts",
+      payloadCols = Seq("view_event_id", "view_ts"))
+
+    // brute force: every (click, preceding view) pair, keep max view_ts
+    val pairs = clicks.as("c").join(views.as("v"),
+        $"c.user_id" === $"v.user_id" && $"v.view_ts" <= $"c.ts", "left")
+      .groupBy($"c.event_id", $"c.user_id", $"c.ts")
+      .agg(max($"v.view_ts").as("want_ts"))
+    val want = pairs.as("p").join(views.as("v"),
+        $"p.user_id" === $"v.user_id" && $"p.want_ts" === $"v.view_ts", "left")
+      .select($"p.event_id", $"p.user_id", $"p.ts",
+        $"v.view_event_id", $"v.view_ts")
+
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
+    // the left-join path is actually exercised
+    assert(got.filter($"view_event_id".isNull).count() > 0)
+  }
+
+  test("inclusive vs strict at an exactly-equal timestamp") {
+    val left = Seq((1L, ts(100)), (2L, ts(50))).toDF("id", "t")
+    val right = Seq((ts(100), "at100"), (ts(40), "at40"))
+      .toDF("rt", "tag")
+      .withColumn("k", lit(1L)).select($"k", $"rt", $"tag")
+    val l = left.withColumn("k", lit(1L))
+    val inc = AsofJoin.latestPreceding(l, right, Seq("k"), "t", "rt", Seq("tag"))
+      .select($"id", $"tag").as[(Long, String)].collect().toMap
+    assert(inc === Map(1L -> "at100", 2L -> "at40"),
+      "inclusive: a right row stamped at exactly t applies")
+    val st = AsofJoin.latestPreceding(l, right, Seq("k"), "t", "rt", Seq("tag"),
+        strict = true)
+      .select($"id", $"tag").as[(Long, String)].collect().toMap
+    assert(st === Map(1L -> "at40", 2L -> "at40"),
+      "strict: only strictly earlier right rows match")
+  }
+
+  test("latestPreceding plans join-free: one window, no BroadcastNestedLoopJoin") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts".as("view_ts"), $"event_id".as("view_event_id"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val plan = AsofJoin.latestPreceding(
+        clicks, views, Seq("user_id"), "ts", "view_ts", Seq("view_event_id"))
+      .queryExecution.explainString(FormattedMode)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"the union-trick must not degrade to a nested-loop range join:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"no join at all — one union + one window:\n$plan")
+    assert(plan.contains("Window"), s"expected the per-key window:\n$plan")
+  }
+
+  test("payload/key/internal-column guards fail fast") {
+    val l = Seq((1L, ts(1), "x")).toDF("k", "t", "tag")
+    val r = Seq((1L, ts(1), "y")).toDF("k", "rt", "tag")
+    val e1 = intercept[IllegalArgumentException] {
+      AsofJoin.latestPreceding(l, r, Seq("k"), "t", "rt", Seq("tag"))
+    }
+    assert(e1.getMessage.contains("collides"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsofJoin.latestPreceding(l, r, Seq("k"), "t", "rt", Nil)
+    }
+    assert(e2.getMessage.contains("payloadCols"))
+    val e3 = intercept[IllegalArgumentException] {
+      AsofJoin.latestPreceding(l,
+        r.withColumnRenamed("k", "kk").withColumnRenamed("tag", "pay"),
+        Seq("k"), "t", "rt", Seq("pay"))
+    }
+    assert(e3.getMessage.contains("key column"))
+  }
+
+  test("sessionize: ordinals and rollup match a transparent per-key replay") {
+    // user 1: events at 0s, 10s, 3700s, 3710s, 9000s with gap 3600s
+    //   -> sessions {0,10}, {3700,3710}, {9000}
+    // user 2: single event
+    // user 3: 100, 3600, 7100 — consecutive gaps of exactly 3500s, both
+    //   within the 3600s gap, so ONE session spanning 7000s
+    val rows = Seq(
+      (1L, 0L), (1L, 10L), (1L, 3700L), (1L, 3710L), (1L, 9000L),
+      (2L, 42L),
+      (3L, 100L), (3L, 3600L), (3L, 7100L))
+    val ev = rows.zipWithIndex.map { case ((u, s), i) =>
+      (i.toLong, u, ts(s), java.math.BigDecimal.valueOf(s))
+    }.toDF("event_id", "user_id", "ts", "value")
+      .withColumn("value", $"value".cast("decimal(18,2)"))
+
+    val assigned = Sessions.assign(ev, Seq("user_id"), "ts", 3600L,
+        orderCols = Seq("event_id"))
+      .select($"user_id", $"event_id", $"session_seq", $"is_session_start")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(assigned === Set(
+      (1L, 0L, 1L, true), (1L, 1L, 1L, false),
+      (1L, 2L, 2L, true), (1L, 3L, 2L, false),
+      (1L, 4L, 3L, true),
+      (2L, 5L, 1L, true),
+      (3L, 6L, 1L, true), (3L, 7L, 1L, false), (3L, 8L, 1L, false)))
+
+    val stats = Sessions.stats(ev, Seq("user_id"), "ts", 3600L,
+        valueCol = Some("value"), orderCols = Seq("event_id"))
+      .select($"user_id", $"session_seq", $"n_events", $"duration_us",
+        $"value_sum".cast("string"))
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(stats === Set(
+      (1L, 1L, 2L, 10000000L, "10.00"),
+      (1L, 2L, 2L, 10000000L, "7410.00"),
+      (1L, 3L, 1L, 0L, "9000.00"),
+      (2L, 1L, 1L, 0L, "42.00"),
+      (3L, 1L, 3L, 7000000000L, "10800.00")))
+  }
+
+  test("sessionize plans one per-key window, never a global one") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val plan = Sessions.assign(ev, Seq("user_id"), "ts", 14400L,
+        orderCols = Seq("event_id"))
+      .queryExecution.explainString(FormattedMode)
+    assert(plan.contains("Window"), plan)
+    // a missing partitionBy would plan an empty partition spec
+    assert(!plan.replaceAll("\\s+", " ").contains("Window [")
+      || plan.contains("user_id"), plan)
+  }
+
+  test("sessionize guards: gap and reserved columns fail fast") {
+    val ev = Seq((1L, ts(0))).toDF("user_id", "ts")
+    val e1 = intercept[IllegalArgumentException] {
+      Sessions.assign(ev, Seq("user_id"), "ts", 0L)
+    }
+    assert(e1.getMessage.contains("gapSeconds"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sessions.assign(ev.withColumn("session_seq", lit(1L)),
+        Seq("user_id"), "ts", 10L)
+    }
+    assert(e2.getMessage.contains("session_seq"))
+  }
+}
