@@ -37,7 +37,7 @@ object Sessions {
     * without isAdjustedToUTC read back as TIMESTAMP_NTZ, which
     * `unix_micros` rejects — interpret NTZ wall time in the session time
     * zone (value-preserving under the UTC sessions this library runs). */
-  private def tsMicros(df: DataFrame, tsCol: String): Column =
+  private[graft] def tsMicros(df: DataFrame, tsCol: String): Column =
     df.schema(tsCol).dataType match {
       case TimestampNTZType => unix_micros(col(tsCol).cast("timestamp"))
       case _                => unix_micros(col(tsCol))

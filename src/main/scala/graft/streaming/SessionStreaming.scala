@@ -1,0 +1,341 @@
+package graft.streaming
+
+import graft.operators.Sessions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Streaming sessionization: an ingest stream of events becomes an
+ * ever-growing store of per-key gap sessions — the
+ * [[graft.operators.Sessions.stats]] deliverable maintained one
+ * micro-batch at a time under the manifest commit protocol the
+ * rollup/shard/PQ maintainers share ([[TopnStreaming.maintainRollup]]
+ * has the full protocol argument).
+ *
+ * The invariant that makes incremental sessionization exact: under
+ * per-key ts-ordered arrival (the kafka-partition-per-key reality; the
+ * batch step FAILS FAST on a violation rather than emitting wrong
+ * session boundaries), only each key's LAST session can ever be extended
+ * by future events. So the store splits into
+ *
+ *  - CLOSED sessions — append-only, one directory per batch, never
+ *    rewritten (a session is closed the moment a later same-key event
+ *    arrives more than `gapSeconds` after its end, or a newer session
+ *    exists behind it);
+ *  - the OPEN state — each key's current last session, written as a
+ *    per-batch DELTA holding only the keys the batch touched; the
+ *    reader folds the chain with a per-key argmax on batch id.
+ *
+ * Per-batch work is O(batch + touched keys) — no O(history) rewrite.
+ * The delta chain grows with (batch, touched-key) pairs; [[compactStore]]
+ * is the one-call fold (the [[PqStreaming]] rebuild doctrine): a fresh
+ * path whose single data directory reproduces the committed table
+ * bit-for-bit and resumes the SAME stream (scope and params copied, next
+ * batch appends after the committed version).
+ *
+ * [[committedSessions]] == `Sessions.stats` over everything ingested so
+ * far, row for row — StreamingSpec pins the equality with sessions that
+ * straddle batch boundaries (merged across commits) and ones split by
+ * them.
+ *
+ * Store layout ([[ShardStreaming]]'s crash argument applies verbatim —
+ * data first, manifest LAST via temp+rename, replays return before
+ * writing):
+ * {{{
+ *   storePath/_graft_scope        checkpoint identity (write-once)
+ *   storePath/_graft_params       gap/keys/value pin (write-once)
+ *   storePath/_manifests/m=<id>   commit marker for batch <id>
+ *   storePath/data/b=<id>/closed  sessions closed BY batch <id>
+ *   storePath/data/b=<id>/open    open-state delta AFTER batch <id>
+ * }}}
+ */
+object SessionStreaming {
+
+  private val DeltaBatchCol = "__graft_delta_batch"
+
+  /** Start the maintenance stream. `events` is a STREAMING DataFrame;
+    * each key's events must arrive in non-decreasing `tsCol` order
+    * across batches (violations fail the batch). Read the store with
+    * [[committedSessions]]. */
+  def maintainSessions(
+      events: DataFrame,
+      storePath: String,
+      keyCols: Seq[String],
+      tsCol: String,
+      gapSeconds: Long,
+      valueCol: Option[String] = None,
+      orderCols: Seq[String] = Nil,
+      checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val scope = TopnStreaming.scopeOf(checkpointLocation)
+    val writer = events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sessionBatch(batch, batchId, storePath, keyCols, tsCol, gapSeconds,
+          valueCol, orderCols, scope)
+        ()
+      }
+    checkpointLocation.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
+
+  /** One micro-batch of the protocol (exposed for deterministic
+    * crash-path testing; [[maintainSessions]] drives it). */
+  private[graft] def sessionBatch(
+      batch: DataFrame,
+      batchId: Long,
+      storePath: String,
+      keyCols: Seq[String],
+      tsCol: String,
+      gapSeconds: Long,
+      valueCol: Option[String],
+      orderCols: Seq[String],
+      scope: String): Unit = {
+    val spark = batch.sparkSession
+    val (fs, root) = TopnStreaming.fsOf(spark, storePath)
+    TopnStreaming.checkScope(fs, root, scope)
+    TopnStreaming.checkStamp(fs, root, "_graft_params",
+      s"gapSeconds=$gapSeconds,keys=${keyCols.mkString("+")}," +
+        s"value=${valueCol.getOrElse("-")}",
+      (stored, given) =>
+        s"session store at $root was maintained with '$stored' but this " +
+          s"stream uses '$given' — session boundaries and schemas are " +
+          "incompatible; resume with the original parameters or start a " +
+          "new store path")
+    val committed = TopnStreaming.committedVersion(spark, storePath)
+    if (committed.exists(batchId <= _)) return // replay of a committed batch
+    if (batch.isEmpty) return // no events, state unchanged
+
+    val gapUs = gapSeconds * 1000000L
+    val stats0 = Sessions.stats(batch, keyCols, tsCol, gapSeconds, valueCol,
+      orderCols)
+    val stats = stats0
+      .withColumn("__graft_s_us", Sessions.tsMicros(stats0, "session_start"))
+      .withColumn("__graft_e_us", Sessions.tsMicros(stats0, "session_end"))
+    val keyC = keyCols.map(col)
+    val storeCols =
+      keyCols ++ Seq("session_seq", "session_start", "session_end",
+        "n_events", "duration_us") ++ valueCol.map(_ => "value_sum").toSeq
+
+    // per-key decision row: batch session count, first batch event's
+    // micros, and the committed open session (if any)
+    val perKey = stats.groupBy(keyC: _*).agg(
+      max(col("session_seq")).as("__graft_maxl"),
+      min(col("__graft_s_us")).as("__graft_first_us"))
+    val openOpt = committedOpenState(spark, storePath)
+    val dec = openOpt match {
+      case None =>
+        perKey
+          .withColumn("__graft_o_seq", lit(null).cast("long"))
+          .withColumn("__graft_o_start",
+            lit(null).cast(stats.schema("session_start").dataType))
+          .withColumn("__graft_o_start_us", lit(null).cast("long"))
+          .withColumn("__graft_o_end_us", lit(null).cast("long"))
+          .withColumn("__graft_o_n", lit(null).cast("long"))
+          .withColumn("__graft_o_vsum", lit(null)
+            .cast(valueCol.map(_ => stats.schema("value_sum").dataType)
+              .getOrElse(org.apache.spark.sql.types.LongType)))
+          .withColumn("__graft_merged", lit(false))
+      case Some(open0) =>
+        val open = open0
+          .withColumn("__graft_o_start_us",
+            Sessions.tsMicros(open0, "session_start"))
+          .withColumn("__graft_o_end_us",
+            Sessions.tsMicros(open0, "session_end"))
+          .select(keyC ++ Seq(
+            col("session_seq").as("__graft_o_seq"),
+            col("session_start").as("__graft_o_start"),
+            col("__graft_o_start_us"), col("__graft_o_end_us"),
+            col("n_events").as("__graft_o_n"),
+            valueCol.map(_ => col("value_sum"))
+              .getOrElse(lit(null).cast("long")).as("__graft_o_vsum")): _*)
+        perKey.join(open, keyCols, "left")
+          .withColumn("__graft_merged",
+            when(col("__graft_o_seq").isNull, lit(false))
+              .when(col("__graft_first_us") < col("__graft_o_end_us"),
+                // the ordered-arrival contract is broken: continuing
+                // would fabricate session boundaries — fail the batch
+                expr(s"""raise_error(CONCAT(
+                  |'sessionBatch: out-of-order arrival for key ',
+                  |CAST(`${keyCols.head}` AS STRING),
+                  |' — batch event at ', CAST(__graft_first_us AS STRING),
+                  |'us precedes the committed open session end at ',
+                  |CAST(__graft_o_end_us AS STRING),
+                  |'us; events must arrive per-key ts-ordered across batches'))"""
+                  .stripMargin).cast("boolean"))
+              .otherwise(
+                col("__graft_first_us") - col("__graft_o_end_us") <= gapUs))
+    }
+
+    val j = stats.join(
+      dec.select(keyC ++ Seq(col("__graft_maxl"), col("__graft_o_seq"),
+        col("__graft_o_start"), col("__graft_o_start_us"),
+        col("__graft_o_n"), col("__graft_o_vsum"),
+        col("__graft_merged")): _*),
+      keyCols, "inner")
+    // pin the LOCAL-seq predicate before session_seq is globalized —
+    // later withColumns resolve col("session_seq") against the rewrite
+    val isFirstMerged = col("__graft_merged") && col("__graft_is_l1")
+    val adjusted = j
+      .withColumn("__graft_is_l1", col("session_seq") === 1L)
+      .withColumn("session_seq",
+        col("session_seq") + coalesce(col("__graft_o_seq"), lit(0L))
+          - when(col("__graft_merged"), 1L).otherwise(0L))
+      .withColumn("n_events",
+        col("n_events") + when(isFirstMerged, col("__graft_o_n")).otherwise(0L))
+      .withColumn("__graft_s_us2",
+        when(isFirstMerged, col("__graft_o_start_us"))
+          .otherwise(col("__graft_s_us")))
+      .withColumn("session_start",
+        when(isFirstMerged, col("__graft_o_start")).otherwise(col("session_start")))
+      .withColumn("duration_us", col("__graft_e_us") - col("__graft_s_us2"))
+    val adjustedV = valueCol.map(_ => adjusted.withColumn("value_sum",
+        when(isFirstMerged, col("value_sum") + col("__graft_o_vsum"))
+          .otherwise(col("value_sum"))))
+      .getOrElse(adjusted)
+
+    // closed by this batch: every batch session but each key's last, plus
+    // open sessions the batch's first event did NOT extend (under ordered
+    // arrival no future event can reach them either)
+    val batchClosed = adjustedV
+      .filter(col("session_seq") <
+        col("__graft_maxl") + coalesce(col("__graft_o_seq"), lit(0L))
+          - when(col("__graft_merged"), 1L).otherwise(0L))
+      .select(storeCols.map(col): _*)
+    val openClosed = openOpt match {
+      case None => None
+      case Some(open) => Some(open
+        .join(dec.filter(col("__graft_o_seq").isNotNull &&
+            !col("__graft_merged"))
+          .select(keyC: _*), keyCols, "left_semi")
+        .select(storeCols.map(col): _*))
+    }
+    val closed = openClosed.map(batchClosed.unionByName(_)).getOrElse(batchClosed)
+    val openDelta = adjustedV
+      .filter(col("session_seq") ===
+        col("__graft_maxl") + coalesce(col("__graft_o_seq"), lit(0L))
+          - when(col("__graft_merged"), 1L).otherwise(0L))
+      .select((storeCols.map(col) :+ lit(batchId).as(DeltaBatchCol)): _*)
+
+    closed.coalesce(1).write.mode("overwrite")
+      .parquet(s"$storePath/data/b=$batchId/closed")
+    openDelta.coalesce(1).write.mode("overwrite")
+      .parquet(s"$storePath/data/b=$batchId/open")
+    writeCommitMarker(fs, root, batchId)
+  }
+
+  /** Batch ids with a committed manifest, ascending. */
+  private def committedIds(
+      spark: org.apache.spark.sql.SparkSession, storePath: String): Seq[Long] = {
+    val (fs, root) = TopnStreaming.fsOf(spark, storePath)
+    val dir = new org.apache.hadoop.fs.Path(root, "_manifests")
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("m=")) scala.util.Try(n.stripPrefix("m=").toLong).toOption
+      else None
+    }.sorted
+  }
+
+  /** Current open session per key: the delta chain folded with a per-key
+    * argmax on batch id. None before the first commit. */
+  private[graft] def committedOpenState(
+      spark: org.apache.spark.sql.SparkSession, storePath: String)
+      : Option[DataFrame] = {
+    val ids = committedIds(spark, storePath)
+    if (ids.isEmpty) return None
+    val all = ids.map(id => spark.read.parquet(s"$storePath/data/b=$id/open"))
+      .reduce(_ unionAll _)
+    val dataCols = all.columns.filter(_ != DeltaBatchCol)
+    val keyCols = dataCols.takeWhile(c => c != "session_seq")
+    // one delta row per (key, batch), so max(struct(batch, ...)) IS the
+    // latest row — no window, no driver state
+    Some(all
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(struct((col(DeltaBatchCol) +:
+        dataCols.filterNot(keyCols.contains).map(col)): _*)).as("__graft_m"))
+      .select((keyCols.map(col) ++ dataCols.filterNot(keyCols.contains)
+        .map(c => col(s"__graft_m.`$c`").as(c))): _*))
+  }
+
+  /** The committed session table: closed sessions plus each key's open
+    * one — `Sessions.stats` over everything ingested so far, row for
+    * row. Empty-schema DataFrame before the first commit. */
+  def committedSessions(
+      spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame = {
+    val ids = committedIds(spark, storePath)
+    if (ids.isEmpty) return spark.emptyDataFrame
+    val closed = ids.map(id => spark.read.parquet(s"$storePath/data/b=$id/closed"))
+      .reduce(_ unionAll _)
+    committedOpenState(spark, storePath)
+      .map(o => closed.unionByName(o.select(closed.columns.map(col): _*)))
+      .getOrElse(closed)
+  }
+
+  /**
+   * One-call fold of the delta chain into a FRESH store at `dstPath`
+   * (must not already hold a session store): a single data directory
+   * `b=<committed version>` whose closed rows and folded open state
+   * reproduce [[committedSessions]] bit-for-bit, with scope and params
+   * copied so the SAME stream resumes against `dstPath` — a replayed
+   * batch <= the committed version returns before writing, the next real
+   * batch appends. Run it when the chain's file count (one directory per
+   * batch) starts to dominate read planning.
+   */
+  def compactStore(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String,
+      dstPath: String): Unit = {
+    val ids = committedIds(spark, srcPath)
+    require(ids.nonEmpty, s"compactStore: no committed batches at $srcPath")
+    require(committedIds(spark, dstPath).isEmpty,
+      s"compactStore: $dstPath already holds a committed session store")
+    val v = ids.max
+    val (fs, root) = TopnStreaming.fsOf(spark, srcPath)
+    val (dfs, droot) = TopnStreaming.fsOf(spark, dstPath)
+    val closed = ids.map(id => spark.read.parquet(s"$srcPath/data/b=$id/closed"))
+      .reduce(_ unionAll _)
+    val open = committedOpenState(spark, srcPath).get
+      .withColumn(DeltaBatchCol, lit(v))
+    closed.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dstPath/data/b=$v/closed")
+    open.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dstPath/data/b=$v/open")
+    // copy the write-once stamps verbatim, then commit — marker LAST
+    Seq("_graft_scope", "_graft_params").foreach { stamp =>
+      val src = new org.apache.hadoop.fs.Path(root, stamp)
+      if (fs.exists(src)) {
+        val len = fs.getFileStatus(src).getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = fs.open(src)
+        try in.readFully(0, buf) finally in.close()
+        val out = dfs.create(new org.apache.hadoop.fs.Path(droot, stamp), true)
+        try out.write(buf) finally out.close()
+      }
+    }
+    writeCommitMarker(dfs, droot, v)
+  }
+
+  /** Atomic commit marker for batch `batchId` (temp+rename; replays
+    * return before writing, a zombie's concurrent commit is
+    * byte-identical). */
+  private def writeCommitMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      batchId: Long): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(root, "_manifests")
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".m=$batchId.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(s"b=$batchId".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(dir, s"m=$batchId")
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      if (!fs.exists(dst)) {
+        throw new java.io.IOException(s"could not commit manifest $dst")
+      }
+    }
+  }
+}

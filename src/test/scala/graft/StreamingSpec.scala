@@ -1381,6 +1381,114 @@ class StreamingSpec extends AnyFunSuite {
       "a prompt prefix is the one-interval special case — identical store")
   }
 
+  // ---- streaming sessionization -------------------------------------
+
+  /** Events as (rowset, per-key ts-ordered 3-way split on global ts).
+    * The first cut lands INSIDE the longest multi-event session — its
+    * final event falls in batch 1, so the cross-batch merge path is
+    * exercised by construction, not fixture luck. Any global-ts split
+    * preserves per-key ts order (the ingestion contract). */
+  private def sessionEvents = {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"event_id", $"user_id", $"ts",
+        $"value".cast("decimal(18,2)").as("value"))
+    val straddleEnd = graft.operators.Sessions.stats(
+        ev, Seq("user_id"), "ts", 7200L, None, Seq("event_id"))
+      .filter($"n_events" >= 2)
+      .orderBy($"duration_us".desc, $"user_id")
+      .select($"session_end".cast("string")).head.getString(0)
+    val n = ev.count()
+    val cut1a = ev.filter($"event_id" === (2L * n / 3L))
+      .select($"ts".cast("string")).head.getString(0)
+    val cut1 = if (cut1a > straddleEnd) cut1a else straddleEnd
+    val s = $"ts".cast("string")
+    (ev,
+      ev.filter(s < straddleEnd),
+      ev.filter(s >= straddleEnd && s < cut1),
+      ev.filter(s >= cut1))
+  }
+
+  private def collectSessions(df: org.apache.spark.sql.DataFrame) = df
+    .select($"user_id", $"session_seq", $"session_start".cast("string"),
+      $"session_end".cast("string"), $"n_events", $"duration_us",
+      $"value_sum".cast("string"))
+    .as[(Long, Long, String, String, Long, Long, String)].collect().toSet
+
+  test("streaming sessions: committed store == one-shot stats, merges across batches") {
+    import graft.streaming.SessionStreaming
+    val (ev, b0, b1, b2) = sessionEvents
+    val store = java.nio.file.Files.createTempDirectory("graft_sess").toString + "/s"
+    for ((b, i) <- Seq(b0, b1, b2).zipWithIndex)
+      SessionStreaming.sessionBatch(b, i.toLong, store, Seq("user_id"), "ts",
+        7200L, Some("value"), Seq("event_id"), "sc")
+    val got = collectSessions(SessionStreaming.committedSessions(spark, store))
+    val want = collectSessions(graft.operators.Sessions.stats(
+      ev, Seq("user_id"), "ts", 7200L, Some("value"), Seq("event_id")))
+    assert(got === want,
+      "incremental sessionization must reproduce the one-shot rollup exactly")
+
+    // the merge path genuinely fired: some committed session spans a
+    // batch boundary (starts in one slice's ts range, ends in a later one)
+    val b0MaxTs = b0.agg(max($"ts".cast("string"))).head.getString(0)
+    assert(want.exists(s => s._3 <= b0MaxTs && s._4 > b0MaxTs),
+      "fixture must contain at least one session straddling batch 0/1")
+
+    // replay of a committed batch is a no-op
+    SessionStreaming.sessionBatch(b1, 1L, store, Seq("user_id"), "ts",
+      7200L, Some("value"), Seq("event_id"), "sc")
+    assert(collectSessions(SessionStreaming.committedSessions(spark, store)) === got)
+  }
+
+  test("streaming sessions: out-of-order arrival fails the batch, params pin holds") {
+    import graft.streaming.SessionStreaming
+    val (_, b0, b1, _) = sessionEvents
+    val store = java.nio.file.Files.createTempDirectory("graft_sess_ooo").toString + "/s"
+    SessionStreaming.sessionBatch(b1, 0L, store, Seq("user_id"), "ts",
+      7200L, Some("value"), Seq("event_id"), "sc")
+    val ex = intercept[Exception] {
+      SessionStreaming.sessionBatch(b0, 1L, store, Seq("user_id"), "ts",
+        7200L, Some("value"), Seq("event_id"), "sc")
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("out-of-order"), s"got: $msgs")
+    // a resume with a different gap would change session boundaries
+    val ex2 = intercept[IllegalStateException] {
+      SessionStreaming.sessionBatch(b0, 2L, store, Seq("user_id"), "ts",
+        3600L, Some("value"), Seq("event_id"), "sc")
+    }
+    assert(ex2.getMessage.contains("gapSeconds=3600"))
+  }
+
+  test("streaming sessions: compactStore folds the chain bit-for-bit and resumes") {
+    import graft.streaming.SessionStreaming
+    val (_, b0, b1, b2) = sessionEvents
+    val base = java.nio.file.Files.createTempDirectory("graft_sess_cmp").toString
+    val store = base + "/s"
+    for ((b, i) <- Seq(b0, b1).zipWithIndex)
+      SessionStreaming.sessionBatch(b, i.toLong, store, Seq("user_id"), "ts",
+        7200L, Some("value"), Seq("event_id"), "sc")
+    val before = collectSessions(SessionStreaming.committedSessions(spark, store))
+    val folded = base + "/folded"
+    SessionStreaming.compactStore(spark, store, folded)
+    assert(collectSessions(SessionStreaming.committedSessions(spark, folded))
+      === before, "the fold must reproduce the committed table bit-for-bit")
+    // one data directory instead of one per batch
+    assert(new java.io.File(s"$folded/data").listFiles().length === 1)
+    // a replayed committed batch is a no-op on the fold...
+    SessionStreaming.sessionBatch(b1, 1L, folded, Seq("user_id"), "ts",
+      7200L, Some("value"), Seq("event_id"), "sc")
+    assert(collectSessions(SessionStreaming.committedSessions(spark, folded))
+      === before)
+    // ...and the next real batch lands on either store identically
+    SessionStreaming.sessionBatch(b2, 2L, store, Seq("user_id"), "ts",
+      7200L, Some("value"), Seq("event_id"), "sc")
+    SessionStreaming.sessionBatch(b2, 2L, folded, Seq("user_id"), "ts",
+      7200L, Some("value"), Seq("event_id"), "sc")
+    assert(collectSessions(SessionStreaming.committedSessions(spark, folded))
+      === collectSessions(SessionStreaming.committedSessions(spark, store)))
+  }
+
   private implicit class JavaSetOps[A](s: java.util.Set[A]) {
     def asScala: scala.collection.mutable.Set[A] =
       scala.jdk.CollectionConverters.SetHasAsScala(s).asScala
