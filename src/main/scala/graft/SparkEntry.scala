@@ -529,6 +529,25 @@ object SparkEntry {
         .orderBy($"month", $"rank")
     }),
 
+    // time-decayed consumption of the stored rollup: every month's
+    // counts are halved once per 2 months of age (exact integer
+    // right-shift, zero entries dropped) before the union — "who's hot
+    // NOW", the recency-weighted sibling of topn_union_agg_rollup. The
+    // decay is a no-shuffle map-values transform; the oracle replays the
+    // shift arithmetic in integer SQL
+    "topn_decayed_monthly" -> ((spark, dir) => {
+      import spark.implicits._
+      val monthly = tbl(spark, dir, "orders")
+        .groupBy((year($"o_orderdate") * 12 + month($"o_orderdate"))
+          .cast("long").as("midx"))
+        .agg(TopnFunctions.topn_add_agg($"o_custkey".cast("string"), ExactN).as("s"))
+      graft.operators.Rollups.decayedUnion(
+          monthly, "midx", "s", halfLifePeriods = 2, ExactN)
+        .select(explode(TopnFunctions.topn($"s", lit(10))).as("r"))
+        .select($"r.item".as("item"), $"r.frequency".as("frequency"))
+        .orderBy($"frequency".desc, $"item")
+    }),
+
     "topn_union_agg_rollup" -> ((spark, dir) => {
       import spark.implicits._
       val monthly = tbl(spark, dir, "orders")
@@ -3102,6 +3121,27 @@ object SparkEntry {
 
     // exact per-month counts; each month's item universe = the union of
     // its and the previous month's items; same pinned ranking per month
+    // the decay replayed per (month, item) count — halving each term
+    // before the sum is identical to halving the per-month sketch entries
+    // before the union (both are exact at this budget); total-zero items
+    // are excluded like zero entries never enter a sketch
+    "topn_decayed_monthly" ->
+      """WITH m AS (
+        |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS midx,
+        |         CAST(o_custkey AS VARCHAR) AS item, COUNT(*) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |mx AS (SELECT MAX(midx) AS maxp FROM m),
+        |d AS (SELECT item,
+        |             CAST(SUM(c // (CAST(1 AS BIGINT) <<
+        |               CAST(LEAST(62, (maxp - midx) // 2) AS INT))) AS BIGINT)
+        |               AS frequency
+        |      FROM m, mx GROUP BY item HAVING frequency > 0)
+        |SELECT item, frequency FROM (
+        |  SELECT item, frequency,
+        |         ROW_NUMBER() OVER (ORDER BY frequency DESC, item) AS rn
+        |  FROM d) t
+        |WHERE rn <= 10 ORDER BY frequency DESC, item""".stripMargin,
+
     "topn_delta_monthly" ->
       """WITH m AS (
         |  SELECT STRFTIME(date_trunc('month', o_orderdate), '%Y-%m') AS month,

@@ -228,6 +228,52 @@ object Rollups {
     else
       slidingUnionWideFrame(rollup, periodCol, sketchCol, frameRows, numCounters)
 
+  /**
+   * Time-decayed global merge over a stored rollup: each period's counts
+   * are HALVED once per `halfLifePeriods` of age before the union —
+   * "what's trending now" instead of "what's cumulative". Decay is an
+   * exact integer right-shift, `floor(count / 2^((max_idx - idx) DIV
+   * halfLifePeriods))`, so the result is deterministic and
+   * oracle-replayable in integer SQL — no floating-point decay drift.
+   * Entries shifted to zero are dropped BEFORE the union (they would
+   * occupy merge counters while contributing nothing, and the reference
+   * sketch never stores zero counts).
+   *
+   * `periodIdxCol` must be a NUMERIC period ordinal (a month index, a
+   * day number — not a raw timestamp): age is measured in index units.
+   *
+   * Scale shape: one periods-sized max aggregate broadcast into a
+   * map-values transform (per-row, no shuffle), then the ordinary
+   * partial/final union agg — decay adds NO shuffle and no new exchange
+   * over the rollup. The shift clamps at 62 (a BIGINT count shifted 62
+   * is 0 for any realistic count; an unclamped age would overflow the
+   * shift amount, not the count).
+   */
+  def decayedUnion(
+      rollup: DataFrame,
+      periodIdxCol: String,
+      sketchCol: String,
+      halfLifePeriods: Int,
+      numCounters: Int): DataFrame = {
+    require(halfLifePeriods >= 1,
+      s"halfLifePeriods must be >= 1, got $halfLifePeriods")
+    require(!rollup.columns.contains("__graft_maxp"),
+      "input already has a '__graft_maxp' column; rename it — " +
+        "decayedUnion uses it internally")
+    val aged = rollup
+      .crossJoin(broadcast(
+        rollup.agg(max(col(periodIdxCol).cast("long")).as("__graft_maxp"))))
+      .withColumn(sketchCol, expr(
+        s"""map_filter(
+           |  transform_values(`$sketchCol`, (k, v) ->
+           |    CAST(v AS BIGINT) DIV shiftleft(CAST(1 AS BIGINT),
+           |      CAST(LEAST(62L, (__graft_maxp - CAST(`$periodIdxCol` AS BIGINT))
+           |                      DIV ${halfLifePeriods}L) AS INT))),
+           |  (k, v) -> v > 0)""".stripMargin))
+    aged.agg(
+      TopnFunctions.topn_union_agg(col(sketchCol), numCounters).as(sketchCol))
+  }
+
   def slidingUnionWideFrame(
       rollup: DataFrame,
       periodCol: String,

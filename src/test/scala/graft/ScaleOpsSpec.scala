@@ -183,4 +183,46 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(pf.exists(l => l.contains("cell") && l.contains(" IN ")),
       s"probe scan must carry a cell IN partition filter; got: $pf")
   }
+
+  test("decayedUnion equals transparent per-item shift-and-sum, zeros dropped") {
+    // periods 0..5, item counts chosen so half-life 1 exercises shifts
+    // 0..5 incl. floor behavior (odd counts) and full decay to zero
+    val rows = for {
+      p <- 0L to 5L
+      (item, c) <- Seq("a" -> (10L + p), "b" -> 3L, "c" -> 1L)
+    } yield (p, item, c)
+    val rollup = rows.toDF("midx", "item", "c")
+      .groupBy($"midx")
+      .agg(map_from_entries(collect_list(struct($"item", $"c"))).as("s"))
+    val got = Rollups.decayedUnion(rollup, "midx", "s", halfLifePeriods = 1,
+        numCounters = 2000000)
+      .select(explode($"s").as(Seq("item", "freq")))
+      .as[(String, Long)].collect().toMap
+    val want = rows.groupBy(_._2).map { case (item, rs) =>
+      item -> rs.map { case (p, _, c) => c >> (5L - p).toInt }.sum
+    }.filter(_._2 > 0)
+    assert(got === want)
+    // "c" decays to zero everywhere except age 0 -> exactly 1 survives
+    assert(got("c") === 1L)
+    // half-life 2: ages 0..5 -> shifts 0,0,1,1,2,2
+    val got2 = Rollups.decayedUnion(rollup, "midx", "s", halfLifePeriods = 2,
+        numCounters = 2000000)
+      .select(explode($"s").as(Seq("item", "freq")))
+      .as[(String, Long)].collect().toMap
+    val want2 = rows.groupBy(_._2).map { case (item, rs) =>
+      item -> rs.map { case (p, _, c) => c >> ((5L - p) / 2L).toInt }.sum
+    }.filter(_._2 > 0)
+    assert(got2 === want2)
+    // an age far beyond the 62-bit clamp must not wrap the shift
+    val far = (Seq((0L, "a", 100L), (1000L, "a", 7L)))
+      .toDF("midx", "item", "c")
+      .groupBy($"midx")
+      .agg(map_from_entries(collect_list(struct($"item", $"c"))).as("s"))
+    val gotFar = Rollups.decayedUnion(far, "midx", "s", halfLifePeriods = 1,
+        numCounters = 2000000)
+      .select(explode($"s").as(Seq("item", "freq")))
+      .as[(String, Long)].collect().toMap
+    assert(gotFar === Map("a" -> 7L),
+      "the age-0 count survives; the 1000-period-old one shifts to zero, not to garbage")
+  }
 }
