@@ -68,6 +68,24 @@ object Bench {
     }.reduce(_.unionByName(_))
   }
 
+  /** Events replicated along the KEY axis: each copy is the same timeline
+    * under a fresh user-id block (event ids offset too) — the scaling
+    * dimension funnel/retention/sessionization actually face at 100 TB is
+    * key cardinality, not a longer timeline. */
+  private[graft] def scaledEvents(spark: SparkSession, dir: String, copies: Int): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val Array(uStride, eStride) = ev
+      .agg(max("user_id"), max("event_id")).head.toSeq
+      .map(_.asInstanceOf[Long] + 1L).toArray
+    (0 until copies).map { i =>
+      if (i == 0) ev
+      else ev.select(
+        (col("event_id") + lit(i * eStride)).as("event_id"), col("ts"),
+        (col("user_id") + lit(i * uStride)).as("user_id"), col("event_type"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Growth suite: name -> (replica counts, plan builder). Counts are kept
     * small enough that the whole suite stays in low minutes at sf0.1. */
   private def growthSuite(spark: SparkSession, dir: String)
@@ -75,6 +93,16 @@ object Bench {
     ("g_text_repetition", Seq(1, 4, 10), (c: Int) =>
       graft.pipeline.TextAnalysis.repetitionStats(
         scaledDocs(spark, dir, c), "doc_id", "text")),
+    // key-axis growth (scaledEvents): funnel + retention must stay linear
+    // in key cardinality — both are keyed hash aggs with no corpus window,
+    // so a superlinear slope here is a plan regression, not a data effect
+    ("g_funnel", Seq(1, 4, 10), (c: Int) =>
+      graft.operators.Sessions.funnelTransitions(
+        scaledEvents(spark, dir, c), Seq("user_id"), "ts", "event_type",
+        Seq("view", "click", "purchase"))),
+    ("g_retention", Seq(1, 4, 10), (c: Int) =>
+      graft.operators.Sessions.retentionCohorts(
+        scaledEvents(spark, dir, c), Seq("user_id"), "ts", 7L * 86400L)),
     ("g_dedup_exact", Seq(1, 4, 10), (c: Int) =>
       graft.pipeline.Dedup.exactGroups(scaledDocs(spark, dir, c), "doc_id", "text")),
     ("g_dedup_minhash_lsh", Seq(1, 4, 10), (c: Int) =>

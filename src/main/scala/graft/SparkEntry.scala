@@ -720,6 +720,62 @@ object SparkEntry {
         .orderBy($"user_id", $"session_seq")
     }),
 
+    // ordered-step conversion funnel: users reaching view -> click ->
+    // purchase IN ORDER (each step strictly after the key's earliest
+    // in-order completion of the previous one). Iterated conditional
+    // min — one key-equi join + hash agg per step, never a corpus
+    // window; the oracle replays the same chain
+    "funnel_events" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.operators.Sessions.funnelCounts(
+          graft.sources.Tables.events(spark, dir), Seq("user_id"), "ts",
+          "event_type", Seq("view", "click", "purchase"))
+        .orderBy($"step_idx")
+    }),
+
+    // per-transition conversion latency for the same funnel — exact
+    // integer micros (count / min / floored mean / max), all
+    // transitions folded in ONE one-row aggregate over the per-key
+    // step-time table; the oracle replays the chain plus the latency
+    // joins
+    "funnel_transitions" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.operators.Sessions.funnelTransitions(
+          graft.sources.Tables.events(spark, dir), Seq("user_id"), "ts",
+          "event_type", Seq("view", "click", "purchase"))
+        .orderBy($"step_idx")
+    }),
+
+    // cohort retention on epoch-aligned weekly periods: distinct
+    // (user, period) first, one per-key window min for the cohort, one
+    // hash agg — counting the distinct pairs IS the exact per-cell
+    // user count, no count_distinct shuffle
+    "retention_cohorts" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.operators.Sessions.retentionCohorts(
+          graft.sources.Tables.events(spark, dir), Seq("user_id"), "ts",
+          periodSeconds = 7L * 86400L)
+        .orderBy($"cohort_start_us", $"period_offset")
+    }),
+
+    // the flagship sketch composing with sessionization: top in-session
+    // event trigram paths — per-session lead windows feed
+    // topn_add_agg(path), so the report stays ONE bounded sketch at any
+    // corpus size; 5 event types -> <= 125 distinct paths << 3N, exact,
+    // so the oracle is a plain count + the sketch's tie order
+    "topn_session_paths" -> ((spark, dir) => {
+      import spark.implicits._
+      val paths = graft.operators.Sessions.sessionPaths(
+        graft.sources.Tables.events(spark, dir), Seq("user_id"), "ts",
+        "event_type", gapSeconds = 14400L, pathLen = 3,
+        orderCols = Seq("event_id"))
+      paths
+        .agg(TopnFunctions.topn_add_agg($"path", ExactN).as("sk"))
+        .select(explode(TopnFunctions.topn($"sk", lit(10))).as("r"))
+        .select($"r.item".as("path"), $"r.frequency".as("frequency"))
+        .orderBy($"frequency".desc, $"path")
+    }),
+
     // BPE ENCODE (not just count): the merge walk's actual pieces in
     // document order — one vocabulary join from token ids; the oracle
     // replays the identical replace chain and zips the piece list with
@@ -2843,6 +2899,24 @@ object SparkEntry {
         .select($"day", $"r.item".as("item"), $"r.frequency".as("frequency"))
         .orderBy($"day", $"frequency".desc, $"item")
     }),
+    // the NAIVE as-of: inequality join (user, view_ts <= ts) exploding
+    // every (click, preceding view) pair before a per-click argmax — the
+    // spelling asof_latest_view's union-trick window avoids; timed
+    // head-to-head so the plan claim is a measured fact
+    "asof_rangejoin_op" -> ((spark, dir) => {
+      import spark.implicits._
+      val ev = graft.sources.Tables.events(spark, dir)
+      val views = ev.filter($"event_type" === "view")
+        .groupBy($"user_id", $"ts").agg(max($"event_id").as("view_event_id"))
+        .select($"user_id".as("v_user"), $"ts".as("view_ts"), $"view_event_id")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts")
+      clicks.join(views, $"user_id" === $"v_user" && $"view_ts" <= $"ts", "left")
+        .groupBy($"event_id", $"user_id", $"ts")
+        .agg(max(struct($"view_ts", $"view_event_id")).as("m"))
+        .select($"event_id", $"user_id", $"ts",
+          $"m.view_event_id".as("view_event_id"), $"m.view_ts".as("view_ts"))
+    }),
     "dedup_simhash_op" -> ((spark, dir) => {
       graft.pipeline.Dedup.simhashPairs(
         tbl(spark, dir, "documents"), "doc_id", "text", maxDist = 3)
@@ -3313,6 +3387,93 @@ object SparkEntry {
         |       SUM(v) AS value_sum
         |FROM s GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    // the iterated-conditional-min chain replayed step by step
+    "funnel_events" ->
+      """WITH e AS (SELECT user_id, event_type AS step, epoch_us(ts) AS tu
+        |           FROM events),
+        |s0 AS (SELECT user_id, MIN(tu) AS t0 FROM e
+        |       WHERE step = 'view' GROUP BY user_id),
+        |s1 AS (SELECT e.user_id, MIN(tu) AS t1 FROM e JOIN s0 USING (user_id)
+        |       WHERE step = 'click' AND tu > t0 GROUP BY e.user_id),
+        |s2 AS (SELECT e.user_id, MIN(tu) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE step = 'purchase' AND tu > t1 GROUP BY e.user_id)
+        |SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+        |       CAST((SELECT COUNT(*) FROM s0) AS BIGINT) AS n_keys
+        |UNION ALL SELECT 1, 'click', CAST((SELECT COUNT(*) FROM s1) AS BIGINT)
+        |UNION ALL SELECT 2, 'purchase', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+        |ORDER BY step_idx""".stripMargin,
+
+    // same chain, then each transition's latency distribution (floor
+    // division matches Spark's DIV on these strictly-positive sums)
+    "funnel_transitions" ->
+      """WITH e AS (SELECT user_id, event_type AS step, epoch_us(ts) AS tu
+        |           FROM events),
+        |s0 AS (SELECT user_id, MIN(tu) AS t0 FROM e
+        |       WHERE step = 'view' GROUP BY user_id),
+        |s1 AS (SELECT e.user_id, MIN(tu) AS t1 FROM e JOIN s0 USING (user_id)
+        |       WHERE step = 'click' AND tu > t0 GROUP BY e.user_id),
+        |s2 AS (SELECT e.user_id, MIN(tu) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE step = 'purchase' AND tu > t1 GROUP BY e.user_id),
+        |l1 AS (SELECT t1 - t0 AS l FROM s1 JOIN s0 USING (user_id)),
+        |l2 AS (SELECT t2 - t1 AS l FROM s2 JOIN s1 USING (user_id))
+        |SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step_from,
+        |       'click' AS step_to,
+        |       CAST(COUNT(*) AS BIGINT) AS n_converted,
+        |       CAST(MIN(l) AS BIGINT) AS min_latency_us,
+        |       CAST(CASE WHEN COUNT(*) = 0 THEN NULL
+        |                 ELSE SUM(l) // COUNT(*) END AS BIGINT)
+        |         AS avg_latency_us,
+        |       CAST(MAX(l) AS BIGINT) AS max_latency_us
+        |FROM l1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'click', 'purchase',
+        |       CAST(COUNT(*) AS BIGINT), CAST(MIN(l) AS BIGINT),
+        |       CAST(CASE WHEN COUNT(*) = 0 THEN NULL
+        |                 ELSE SUM(l) // COUNT(*) END AS BIGINT),
+        |       CAST(MAX(l) AS BIGINT)
+        |FROM l2
+        |ORDER BY step_idx""".stripMargin,
+
+    // epoch-aligned weekly periods via floor division; counting the
+    // distinct (user, period) pairs is the exact per-cell user count
+    "retention_cohorts" ->
+      """WITH p AS (SELECT DISTINCT user_id,
+        |                  epoch_us(ts) // 604800000000 AS pidx
+        |           FROM events),
+        |c AS (SELECT user_id, pidx,
+        |             MIN(pidx) OVER (PARTITION BY user_id) AS c0
+        |      FROM p)
+        |SELECT CAST(c0 * 604800000000 AS BIGINT) AS cohort_start_us,
+        |       CAST(pidx - c0 AS BIGINT) AS period_offset,
+        |       CAST(COUNT(*) AS BIGINT) AS n_keys
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the sessionize CTE (same as sessionize_events), per-session lead
+    // trigrams, exact counts, the sketch's (freq desc, item asc) ties
+    "topn_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tu
+        |           FROM events),
+        |b AS (SELECT *, lag(tu) OVER (PARTITION BY user_id
+        |                              ORDER BY tu, event_id) AS p FROM e),
+        |s AS (SELECT *, SUM(CASE WHEN p IS NULL
+        |                          OR tu - p > CAST(14400 AS BIGINT) * 1000000
+        |                         THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY tu, event_id
+        |              ROWS UNBOUNDED PRECEDING) AS session_seq
+        |      FROM b),
+        |w AS (SELECT event_type AS s0,
+        |             lead(event_type, 1) OVER
+        |               (PARTITION BY user_id, session_seq
+        |                ORDER BY tu, event_id) AS s1,
+        |             lead(event_type, 2) OVER
+        |               (PARTITION BY user_id, session_seq
+        |                ORDER BY tu, event_id) AS s2
+        |      FROM s)
+        |SELECT s0 || '>' || s1 || '>' || s2 AS path,
+        |       CAST(COUNT(*) AS BIGINT) AS frequency
+        |FROM w WHERE s2 IS NOT NULL
+        |GROUP BY 1 ORDER BY frequency DESC, path LIMIT 10""".stripMargin,
 
     // the full K-iteration training replay, generated by the SAME code
     // path whose constants drive the Spark loop (Bpe.trainMergesCtes)

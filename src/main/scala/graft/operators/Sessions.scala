@@ -108,4 +108,218 @@ object Sessions {
       .groupBy((keyCols.map(col) :+ col("session_seq")): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /**
+   * Ordered-step funnel: how many keys reach each step of `steps` IN
+   * ORDER — step i+1 counts only when it happens STRICTLY after the
+   * key's earliest in-order completion of step i (the classic
+   * conversion-funnel semantics; events at the exact same timestamp do
+   * not advance the funnel). Output: one row per step,
+   * `(step_idx, step, n_keys)`, `step_idx` 0-based in `steps` order.
+   *
+   * Scale shape: the earliest-completion times build by ITERATED
+   * CONDITIONAL MIN — one key-equi join + hash agg per step, funnel
+   * length many (a handful), each keyed on the funnel key. No window
+   * over the corpus, no per-key event-list materialization: a key with
+   * a billion events costs the same per-step hash-agg pass as any
+   * other. The final count is a single one-row aggregate.
+   */
+  def funnelCounts(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      stepCol: String,
+      steps: Seq[String]): DataFrame = {
+    val full = stepTimes(events, keyCols, tsCol, stepCol, steps, "funnelCounts")
+    val counts = full.agg(
+      count(col("__graft_t0")).as("__graft_c0"),
+      steps.indices.tail.map(i =>
+        count(col(s"__graft_t$i")).as(s"__graft_c$i")): _*)
+    counts
+      .select(posexplode(array(steps.indices.map(i =>
+        col(s"__graft_c$i")): _*)).as(Seq("step_idx", "n_keys")))
+      .select(col("step_idx").cast("long").as("step_idx"),
+        element_at(
+          array(steps.map(lit): _*), col("step_idx").cast("int") + 1)
+          .as("step"),
+        col("n_keys"))
+  }
+
+  /** The funnel's per-key earliest in-order completion times: one row
+    * per key that reached step 0, columns `keyCols... , __graft_t0 ..
+    * __graft_tN` (epoch micros; `__graft_ti` NULL where the key never
+    * advanced past step i-1). Built by iterated conditional min — one
+    * key-equi join + hash agg per step, never a corpus-wide window. */
+  private def stepTimes(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      stepCol: String,
+      steps: Seq[String],
+      op: String): DataFrame = {
+    require(keyCols.nonEmpty, s"$op: keyCols must be non-empty")
+    require(steps.nonEmpty, s"$op: steps must be non-empty")
+    require(steps.distinct.size == steps.size,
+      s"$op: steps must be distinct, got $steps")
+    val keyC = keyCols.map(col)
+    val e = events.select(
+      (keyC :+ col(stepCol).as("__graft_step") :+
+        tsMicros(events, tsCol).as("__graft_tu")): _*)
+    val base = e.filter(col("__graft_step") === steps.head)
+      .groupBy(keyC: _*).agg(min(col("__graft_tu")).as("__graft_t0"))
+    steps.zipWithIndex.tail.foldLeft(base) { case (acc, (s, i)) =>
+      val nxt = e.filter(col("__graft_step") === s)
+        .join(acc.select((keyC :+ col(s"__graft_t${i - 1}")): _*), keyCols)
+        .filter(col("__graft_tu") > col(s"__graft_t${i - 1}"))
+        .groupBy(keyC: _*).agg(min(col("__graft_tu")).as(s"__graft_t$i"))
+      acc.join(nxt, keyCols, "left")
+    }
+  }
+
+  /**
+   * Per-transition funnel latency: for each adjacent step pair of the
+   * same ordered funnel as [[funnelCounts]], how many keys converted
+   * and how long conversion took — exact integer micros between the
+   * key's earliest in-order completions of the two steps. Output: one
+   * row per transition, `(step_idx, step_from, step_to, n_converted,
+   * min_latency_us, avg_latency_us, max_latency_us)` with `step_idx`
+   * the 1-based index of the DESTINATION step and `avg_latency_us` the
+   * floored integer mean (`sum DIV count`; all three latency columns
+   * NULL when nothing converted).
+   *
+   * Scale shape: [[funnelCounts]]'s iterated-conditional-min chain
+   * produces one row per step-0 key; every transition's count/min/sum/
+   * max then folds in a SINGLE one-row aggregate pass over that table
+   * (not one pass per transition). Exact integer arithmetic throughout
+   * — the sum is exact in BIGINT up to ~9.2e18 total micros.
+   */
+  def funnelTransitions(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      stepCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2,
+      s"funnelTransitions: need at least 2 steps, got $steps")
+    val full = stepTimes(events, keyCols, tsCol, stepCol, steps,
+      "funnelTransitions")
+    val lat = steps.indices.tail.map(i =>
+      (col(s"__graft_t$i") - col(s"__graft_t${i - 1}")).as(s"__graft_l$i"))
+    val aggs = steps.indices.tail.flatMap { i =>
+      val l = col(s"__graft_l$i")
+      Seq(count(l).as(s"__graft_n$i"), min(l).as(s"__graft_min$i"),
+        sum(l).as(s"__graft_sum$i"), max(l).as(s"__graft_max$i"))
+    }
+    full.select(lat: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(posexplode(array(steps.indices.tail.map(i =>
+          struct(col(s"__graft_n$i").as("count"),
+            col(s"__graft_min$i").as("mn"),
+            col(s"__graft_sum$i").as("sm"),
+            col(s"__graft_max$i").as("mx"))): _*))
+        .as(Seq("__graft_pos", "__graft_s")))
+      .select(
+        (col("__graft_pos") + 1).cast("long").as("step_idx"),
+        element_at(array(steps.dropRight(1).map(lit): _*),
+          col("__graft_pos").cast("int") + 1).as("step_from"),
+        element_at(array(steps.tail.map(lit): _*),
+          col("__graft_pos").cast("int") + 1).as("step_to"),
+        col("__graft_s.count").as("n_converted"),
+        col("__graft_s.mn").as("min_latency_us"),
+        when(col("__graft_s.count") > 0,
+          expr("__graft_s.sm DIV __graft_s.count")).as("avg_latency_us"),
+        col("__graft_s.mx").as("max_latency_us"))
+  }
+
+  /**
+   * Cohort retention: bucket each key by the epoch-aligned period of
+   * its FIRST activity (`periodSeconds`-wide periods counted from the
+   * unix epoch — convention-free, unlike week-start-sensitive
+   * `date_trunc`), then count how many of that cohort's keys were
+   * active in each later period. Output: one row per observed
+   * `(cohort, offset)`, `(cohort_start_us, period_offset, n_keys)` —
+   * `cohort_start_us` the cohort period's start in epoch micros,
+   * `period_offset` in whole periods (0 = the cohort period itself,
+   * where every key is active by construction).
+   *
+   * Scale shape: distinct-(key, period) first — the corpus collapses
+   * to at most |keys| x |periods in the timeline| rows before anything
+   * else touches it — then ONE per-key window min for the cohort and a
+   * hash agg; a key's window partition holds only its active periods
+   * (bounded by timeline length, never event count). Counting rows of
+   * the distinct pairs IS the exact distinct-key count — no
+   * count_distinct shuffle. Floor-division via `pmod` so pre-epoch
+   * timestamps land in the right period.
+   */
+  def retentionCohorts(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      periodSeconds: Long): DataFrame = {
+    require(keyCols.nonEmpty, "retentionCohorts: keyCols must be non-empty")
+    require(periodSeconds > 0,
+      s"retentionCohorts: periodSeconds must be positive, got $periodSeconds")
+    val pus = periodSeconds * MicrosPerSecond
+    val tu = tsMicros(events, tsCol)
+    val keyC = keyCols.map(col)
+    val pairs = events
+      .select((keyC :+ tu.as("__graft_tu")): _*)
+      // integer DIV, never `/` (double division would round epoch micros
+      // past 2^53); the pmod-floor keeps pre-epoch values in period -1,
+      // not 0 (truncation-toward-zero would fold them into period 0)
+      .select((keyC :+
+        expr(s"(__graft_tu - pmod(__graft_tu, ${pus}L)) DIV ${pus}L")
+          .as("__graft_pidx")): _*)
+      .distinct()
+    val w = Window.partitionBy(keyC: _*)
+    pairs
+      .withColumn("__graft_c", min(col("__graft_pidx")).over(w))
+      .groupBy((col("__graft_c") * pus).as("cohort_start_us"),
+        (col("__graft_pidx") - col("__graft_c")).as("period_offset"))
+      .agg(count(lit(1)).as("n_keys"))
+  }
+
+  /**
+   * Consecutive step paths within sessions: sessionize with [[assign]],
+   * then emit every run of `pathLen` consecutive `stepCol` values
+   * inside a session as one `path` string (values joined by `>`), one
+   * row per window position — the feed for "what do users DO" top-path
+   * reporting (`topn_add_agg(path)` over the result keeps the report
+   * one bounded sketch regardless of corpus size). Output: the key
+   * columns plus `session_seq` and `path`.
+   *
+   * Scale shape: [[assign]]'s one shuffle by key, then `pathLen - 1`
+   * `lead`s over the SAME per-key window (one window pass, no second
+   * shuffle — (key, session_seq) ordering is a refinement of the
+   * key partitioning). Sessions shorter than `pathLen` emit nothing.
+   */
+  def sessionPaths(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      stepCol: String,
+      gapSeconds: Long,
+      pathLen: Int,
+      orderCols: Seq[String] = Nil): DataFrame = {
+    require(pathLen >= 2, s"sessionPaths: pathLen must be >= 2, got $pathLen")
+    require(!events.columns.contains("path"),
+      "input already has a 'path' column; rename it — sessionPaths emits it")
+    val assigned = assign(events, keyCols, tsCol, gapSeconds, orderCols)
+    val ord = (tsMicros(events, tsCol) +: orderCols.map(col)).map(_.asc)
+    val w = Window
+      .partitionBy((keyCols.map(col) :+ col("session_seq")): _*)
+      .orderBy(ord: _*)
+    val parts = col(stepCol) +: (1 until pathLen).map(i =>
+      lead(col(stepCol), i).over(w))
+    // path and the tail test come from the SAME projection — a filter
+    // between two projections that each mention lead(...) would make
+    // Spark re-evaluate the second window over the already-filtered
+    // rows, shifting every lead
+    assigned
+      .select((keyCols.map(col) :+ col("session_seq") :+
+        concat_ws(">", parts: _*).as("path") :+
+        parts.last.isNotNull.as("__graft_full")): _*)
+      .filter(col("__graft_full"))
+      .drop("__graft_full")
+  }
 }

@@ -146,6 +146,151 @@ class TemporalOpsSpec extends AnyFunSuite {
       || plan.contains("user_id"), plan)
   }
 
+  test("funnelCounts: ordered semantics on a hand-built fixture") {
+    // u1 completes A->B->C in order; u2 does B before A (B must re-occur
+    // after A to count — it doesn't); u3 has A and C but no B, so C
+    // cannot count; u4's B is at EXACTLY A's timestamp (no advance);
+    // u5 completes with interleaved noise and a later duplicate C
+    val rows = Seq(
+      (1L, "A", 10L), (1L, "B", 20L), (1L, "C", 30L),
+      (2L, "B", 5L), (2L, "A", 10L), (2L, "C", 15L),
+      (3L, "A", 10L), (3L, "C", 20L),
+      (4L, "A", 10L), (4L, "B", 10L),
+      (5L, "B", 1L), (5L, "A", 2L), (5L, "X", 3L), (5L, "B", 4L),
+      (5L, "C", 5L), (5L, "C", 6L))
+    val ev = rows.map { case (u, s, t) => (u, s, ts(t)) }
+      .toDF("user_id", "step", "t")
+    val got = Sessions.funnelCounts(ev, Seq("user_id"), "t", "step",
+        Seq("A", "B", "C"))
+      .orderBy($"step_idx")
+      .as[(Long, String, Long)].collect().toSeq
+    // A reached by u1..u5 (all have an A); B-after-A by u1, u5;
+    // C-after-that-B by u1, u5
+    assert(got === Seq((0L, "A", 5L), (1L, "B", 2L), (2L, "C", 2L)))
+  }
+
+  test("funnelCounts matches an independent per-key replay on events data") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val steps = Seq("view", "click", "purchase")
+    val got = Sessions.funnelCounts(ev, Seq("user_id"), "ts", "event_type",
+        steps)
+      .orderBy($"step_idx").as[(Long, String, Long)].collect().toSeq
+    // transparent replay: per user, scan the sorted event list
+    val byUser = ev.select($"user_id", $"event_type",
+        $"ts".cast("string"))
+      .as[(Long, String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3)).toMap
+    val reached = Array.fill(steps.size)(0L)
+    byUser.values.foreach { evs =>
+      var i = 0
+      var lastT = ""
+      evs.foreach { case (_, step, t) =>
+        if (i < steps.size && step == steps(i) && (i == 0 || t > lastT)) {
+          lastT = t; i += 1
+        }
+      }
+      (0 until i).foreach(j => reached(j) += 1)
+    }
+    assert(got === steps.zipWithIndex.map { case (s, i) =>
+      (i.toLong, s, reached(i)) })
+    assert(got.head._3 >= got(1)._3 && got(1)._3 >= got(2)._3,
+      "the funnel must be monotone non-increasing")
+  }
+
+  test("funnelTransitions: latencies on the funnel fixture") {
+    // u1: A@10 -> B@20 -> C@30 (latencies 10s, 10s)
+    // u5: A@2 -> B@4 -> C@5 (latencies 2s, 1s); u2/u3/u4 never convert
+    val rows = Seq(
+      (1L, "A", 10L), (1L, "B", 20L), (1L, "C", 30L),
+      (2L, "B", 5L), (2L, "A", 10L), (2L, "C", 15L),
+      (3L, "A", 10L), (3L, "C", 20L),
+      (4L, "A", 10L), (4L, "B", 10L),
+      (5L, "B", 1L), (5L, "A", 2L), (5L, "X", 3L), (5L, "B", 4L),
+      (5L, "C", 5L), (5L, "C", 6L))
+    val ev = rows.map { case (u, s, t) => (u, s, ts(t)) }
+      .toDF("user_id", "step", "t")
+    val got = Sessions.funnelTransitions(ev, Seq("user_id"), "t", "step",
+        Seq("A", "B", "C"))
+      .orderBy($"step_idx")
+      .as[(Long, String, String, Long, Long, Long, Long)].collect().toSeq
+    val M = 1000000L
+    assert(got === Seq(
+      (1L, "A", "B", 2L, 2L * M, 6L * M, 10L * M),
+      (2L, "B", "C", 2L, 1L * M, 5L * M + 500000L, 10L * M)))
+  }
+
+  test("funnelTransitions: zero-conversion transition yields NULL latencies") {
+    val ev = Seq((1L, "A", ts(1)), (2L, "A", ts(2)))
+      .toDF("user_id", "step", "t")
+    val got = Sessions.funnelTransitions(ev, Seq("user_id"), "t", "step",
+        Seq("A", "B"))
+      .select($"step_idx", $"n_converted", $"min_latency_us".isNull,
+        $"avg_latency_us".isNull, $"max_latency_us".isNull)
+      .as[(Long, Long, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(got === Seq((1L, 0L, true, true, true)))
+  }
+
+  test("retentionCohorts: hand-built fixture incl. pre-epoch floor") {
+    // period = 10s. u1 first in period 0, active in 0,1,3 (two events in
+    // period 1 must not double-count); u2 first in period 1, active 1,2;
+    // u3 only period 3; u4 at t=-5s -> period -1 (floor, NOT trunc-to-0)
+    val rows = Seq(
+      (1L, 0L), (1L, 12L), (1L, 15L), (1L, 30L),
+      (2L, 11L), (2L, 25L),
+      (3L, 33L),
+      (4L, -5L))
+    val ev = rows.map { case (u, t) => (u, ts(t)) }.toDF("user_id", "t")
+    val got = Sessions.retentionCohorts(ev, Seq("user_id"), "t", 10L)
+      .orderBy($"cohort_start_us", $"period_offset")
+      .as[(Long, Long, Long)].collect().toSeq
+    val M = 10L * 1000000L
+    assert(got === Seq(
+      (-1L * M, 0L, 1L),
+      (0L * M, 0L, 1L), (0L * M, 1L, 1L), (0L * M, 3L, 1L),
+      (1L * M, 0L, 1L), (1L * M, 1L, 1L),
+      (3L * M, 0L, 1L)))
+  }
+
+  test("funnel plans keyed joins + hash aggs only: no Window, no BNLJ") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    for (df <- Seq(
+        Sessions.funnelCounts(ev, Seq("user_id"), "ts", "event_type",
+          Seq("view", "click", "purchase")),
+        Sessions.funnelTransitions(ev, Seq("user_id"), "ts", "event_type",
+          Seq("view", "click", "purchase")))) {
+      val plan = df.queryExecution.explainString(FormattedMode)
+      assert(!plan.contains("Window"),
+        s"the iterated-conditional-min chain must not plan a window:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"step joins are key-equi, never nested-loop:\n$plan")
+    }
+  }
+
+  test("retentionCohorts plans distinct-then-window, no count_distinct") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val plan = Sessions.retentionCohorts(ev, Seq("user_id"), "ts", 604800L)
+      .queryExecution.explainString(FormattedMode)
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("distinct_count") && !plan.contains("count(distinct"),
+      s"the distinct pairs themselves are the count — no count_distinct:\n$plan")
+  }
+
+  test("sessionPaths: windows stay inside sessions and emit full paths only") {
+    // u1 session 1: A,B,C,D (paths A>B>C, B>C>D); session 2 (after the
+    // 100s gap): E,F — too short for a trigram, emits nothing
+    val rows = Seq(
+      (1L, "A", 0L), (1L, "B", 1L), (1L, "C", 2L), (1L, "D", 3L),
+      (1L, "E", 1000L), (1L, "F", 1001L))
+    val ev = rows.zipWithIndex.map { case ((u, s, t), i) =>
+      (i.toLong, u, s, ts(t)) }
+      .toDF("event_id", "user_id", "step", "t")
+    val got = Sessions.sessionPaths(ev, Seq("user_id"), "t", "step",
+        gapSeconds = 100L, pathLen = 3, orderCols = Seq("event_id"))
+      .select($"user_id", $"session_seq", $"path")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got === Set((1L, 1L, "A>B>C"), (1L, 1L, "B>C>D")))
+  }
+
   test("sessionize guards: gap and reserved columns fail fast") {
     val ev = Seq((1L, ts(0))).toDF("user_id", "ts")
     val e1 = intercept[IllegalArgumentException] {
