@@ -130,8 +130,16 @@ object Sessions {
       tsCol: String,
       stepCol: String,
       steps: Seq[String]): DataFrame = {
-    val full = stepTimes(events, keyCols, tsCol, stepCol, steps, "funnelCounts")
-    val counts = full.agg(
+    countsFromTimes(
+      stepTimes(events, keyCols, tsCol, stepCol, steps, "funnelCounts"), steps)
+  }
+
+  /** [[funnelCounts]]' reporting tail over a per-key step-time table
+    * (columns `__graft_t0 .. __graft_tN`) — shared with the streaming
+    * maintainer's committed-state reader. */
+  private[graft] def countsFromTimes(
+      times: DataFrame, steps: Seq[String]): DataFrame = {
+    val counts = times.agg(
       count(col("__graft_t0")).as("__graft_c0"),
       steps.indices.tail.map(i =>
         count(col(s"__graft_t$i")).as(s"__graft_c$i")): _*)
@@ -259,23 +267,41 @@ object Sessions {
     require(keyCols.nonEmpty, "retentionCohorts: keyCols must be non-empty")
     require(periodSeconds > 0,
       s"retentionCohorts: periodSeconds must be positive, got $periodSeconds")
-    val pus = periodSeconds * MicrosPerSecond
-    val tu = tsMicros(events, tsCol)
     val keyC = keyCols.map(col)
     val pairs = events
-      .select((keyC :+ tu.as("__graft_tu")): _*)
-      // integer DIV, never `/` (double division would round epoch micros
-      // past 2^53); the pmod-floor keeps pre-epoch values in period -1,
-      // not 0 (truncation-toward-zero would fold them into period 0)
       .select((keyC :+
-        expr(s"(__graft_tu - pmod(__graft_tu, ${pus}L)) DIV ${pus}L")
-          .as("__graft_pidx")): _*)
+        periodIndex(events, tsCol, periodSeconds).as("period_idx")): _*)
       .distinct()
-    val w = Window.partitionBy(keyC: _*)
+    cohortsFromPairs(pairs, keyCols, periodSeconds)
+  }
+
+  /** Epoch-aligned period ordinal of `tsCol`. The pmod-floor keeps
+    * pre-epoch values in period -1, not 0 (truncation-toward-zero would
+    * fold them into period 0); the division runs in DECIMAL, never
+    * double (double `/` rounds epoch micros past 2^53) — the numerator
+    * is an exact multiple of the period, so the decimal quotient is the
+    * exact integer for every representable timestamp. */
+  private[graft] def periodIndex(
+      df: DataFrame, tsCol: String, periodSeconds: Long): Column = {
+    val pus = periodSeconds * MicrosPerSecond
+    val tu = tsMicros(df, tsCol)
+    ((tu - pmod(tu, lit(pus))).cast("decimal(25,0)") /
+      lit(pus).cast("decimal(25,0)")).cast("long")
+  }
+
+  /** The cohort report over already-distinct `(keyCols..., period_idx)`
+    * pairs — [[retentionCohorts]]' second half, shared with the
+    * streaming maintainer's committed-store reader. */
+  private[graft] def cohortsFromPairs(
+      pairs: DataFrame,
+      keyCols: Seq[String],
+      periodSeconds: Long): DataFrame = {
+    val pus = periodSeconds * MicrosPerSecond
+    val w = Window.partitionBy(keyCols.map(col): _*)
     pairs
-      .withColumn("__graft_c", min(col("__graft_pidx")).over(w))
+      .withColumn("__graft_c", min(col("period_idx")).over(w))
       .groupBy((col("__graft_c") * pus).as("cohort_start_us"),
-        (col("__graft_pidx") - col("__graft_c")).as("period_offset"))
+        (col("period_idx") - col("__graft_c")).as("period_offset"))
       .agg(count(lit(1)).as("n_keys"))
   }
 

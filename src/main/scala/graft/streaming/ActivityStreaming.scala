@@ -1,0 +1,218 @@
+package graft.streaming
+
+import graft.operators.Sessions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Streaming activity/retention maintenance: an ingest stream of events
+ * becomes an ever-current cohort-retention report — the
+ * [[graft.operators.Sessions.retentionCohorts]] deliverable maintained
+ * one micro-batch at a time under the manifest commit protocol the
+ * rollup/session/shard/PQ maintainers share
+ * ([[TopnStreaming.maintainRollup]] has the full protocol argument).
+ *
+ * Retention state is MONOTONE — the store is the set of distinct
+ * `(key, period)` activity pairs, and new events can only ADD pairs —
+ * so unlike sessions ([[SessionStreaming]]) or funnels
+ * ([[FunnelStreaming]]) there is NO arrival-order contract at all:
+ * late, duplicated, or shuffled events fold to the same set. Each
+ * batch appends its batch-distinct pairs as one directory; the reader
+ * deduplicates across the chain (a pair active in many batches appears
+ * in many directories until [[compactStore]] folds them).
+ *
+ * Per-batch work is O(batch): no store read, no join against history.
+ * Store growth is bounded by |keys| x |periods in the timeline| after
+ * compaction; between compactions it grows with per-batch distinct
+ * pairs (at most |batch|, typically |active keys this batch|).
+ *
+ * [[committedRetention]] == `Sessions.retentionCohorts` over everything
+ * ingested so far, row for row — StreamingSpec pins the equality with
+ * keys whose first activity and returns straddle batch boundaries.
+ *
+ * Store layout ([[ShardStreaming]]'s crash argument applies verbatim —
+ * data first, manifest LAST via temp+rename, replays return before
+ * writing):
+ * {{{
+ *   storePath/_graft_scope        checkpoint identity (write-once)
+ *   storePath/_graft_params       periodSeconds/keys pin (write-once)
+ *   storePath/_manifests/m=<id>   commit marker for batch <id>
+ *   storePath/data/b=<id>/pairs   batch-distinct (key..., period_idx)
+ * }}}
+ */
+object ActivityStreaming {
+
+  /** Start the maintenance stream. `events` is a STREAMING DataFrame;
+    * arrival order is unconstrained. Read the store with
+    * [[committedRetention]] / [[committedPairs]]. */
+  def maintainActivity(
+      events: DataFrame,
+      storePath: String,
+      keyCols: Seq[String],
+      tsCol: String,
+      periodSeconds: Long,
+      checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val scope = TopnStreaming.scopeOf(checkpointLocation)
+    val writer = events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        activityBatch(batch, batchId, storePath, keyCols, tsCol,
+          periodSeconds, scope)
+        ()
+      }
+    checkpointLocation.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
+
+  /** One micro-batch of the protocol (exposed for deterministic
+    * crash-path testing; [[maintainActivity]] drives it). */
+  private[graft] def activityBatch(
+      batch: DataFrame,
+      batchId: Long,
+      storePath: String,
+      keyCols: Seq[String],
+      tsCol: String,
+      periodSeconds: Long,
+      scope: String): Unit = {
+    require(keyCols.nonEmpty, "activityBatch: keyCols must be non-empty")
+    require(periodSeconds > 0,
+      s"activityBatch: periodSeconds must be positive, got $periodSeconds")
+    val spark = batch.sparkSession
+    val (fs, root) = TopnStreaming.fsOf(spark, storePath)
+    TopnStreaming.checkScope(fs, root, scope)
+    TopnStreaming.checkStamp(fs, root, "_graft_params",
+      s"periodSeconds=$periodSeconds,keys=${keyCols.mkString("+")}",
+      (stored, given) =>
+        s"activity store at $root was maintained with '$stored' but this " +
+          s"stream uses '$given' — period ordinals are incompatible; " +
+          "resume with the original parameters or start a new store path")
+    val committed = TopnStreaming.committedVersion(spark, storePath)
+    if (committed.exists(batchId <= _)) return // replay of a committed batch
+    if (batch.isEmpty) return // no events, state unchanged
+
+    batch
+      .select((keyCols.map(col) :+
+        Sessions.periodIndex(batch, tsCol, periodSeconds)
+          .as("period_idx")): _*)
+      .distinct()
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$storePath/data/b=$batchId/pairs")
+    writeCommitMarker(fs, root, batchId)
+  }
+
+  /** The committed distinct activity pairs `(keyCols..., period_idx)`.
+    * Empty-schema DataFrame before the first commit. */
+  def committedPairs(
+      spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame = {
+    val ids = committedIds(spark, storePath)
+    if (ids.isEmpty) return spark.emptyDataFrame
+    ids.map(id => spark.read.parquet(s"$storePath/data/b=$id/pairs"))
+      .reduce(_ unionAll _)
+      .distinct()
+  }
+
+  /** The cohort-retention report over everything ingested so far —
+    * `(cohort_start_us, period_offset, n_keys)`, row-for-row equal to
+    * `Sessions.retentionCohorts` over the full event history.
+    * `periodSeconds` must match the store's pinned value (fails fast
+    * otherwise — period ordinals are meaningless under another width). */
+  def committedRetention(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      keyCols: Seq[String],
+      periodSeconds: Long): DataFrame = {
+    val (fs, root) = TopnStreaming.fsOf(spark, storePath)
+    TopnStreaming.checkStamp(fs, root, "_graft_params",
+      s"periodSeconds=$periodSeconds,keys=${keyCols.mkString("+")}",
+      (stored, given) =>
+        s"activity store at $root was maintained with '$stored' but this " +
+          s"reader asks for '$given' — the stored period ordinals do not " +
+          "mean what this report would claim")
+    Sessions.cohortsFromPairs(
+      committedPairs(spark, storePath), keyCols, periodSeconds)
+  }
+
+  /**
+   * One-call fold of the pair chain into a FRESH store at `dstPath`
+   * (must not already hold an activity store): a single data directory
+   * `b=<committed version>` holding the chain's distinct pairs, with
+   * scope and params copied so the SAME stream resumes against
+   * `dstPath` — a replayed batch <= the committed version returns
+   * before writing, the next real batch appends. Run it when the
+   * chain's file count (one directory per batch) starts to dominate
+   * read planning.
+   */
+  def compactStore(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String,
+      dstPath: String): Unit = {
+    val ids = committedIds(spark, srcPath)
+    require(ids.nonEmpty, s"compactStore: no committed batches at $srcPath")
+    require(committedIds(spark, dstPath).isEmpty,
+      s"compactStore: $dstPath already holds a committed activity store")
+    val v = ids.max
+    val (fs, root) = TopnStreaming.fsOf(spark, srcPath)
+    val (dfs, droot) = TopnStreaming.fsOf(spark, dstPath)
+    committedPairs(spark, srcPath)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dstPath/data/b=$v/pairs")
+    copyStamps(fs, root, dfs, droot)
+    writeCommitMarker(dfs, droot, v)
+  }
+
+  /** Batch ids with a committed manifest, ascending. */
+  private[streaming] def committedIds(
+      spark: org.apache.spark.sql.SparkSession, storePath: String): Seq[Long] = {
+    val (fs, root) = TopnStreaming.fsOf(spark, storePath)
+    val dir = new org.apache.hadoop.fs.Path(root, "_manifests")
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("m=")) scala.util.Try(n.stripPrefix("m=").toLong).toOption
+      else None
+    }.sorted
+  }
+
+  /** Copy the write-once stamp files verbatim (compaction keeps the
+    * stream's identity and parameter pins). */
+  private[streaming] def copyStamps(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      dfs: org.apache.hadoop.fs.FileSystem,
+      droot: org.apache.hadoop.fs.Path): Unit =
+    Seq("_graft_scope", "_graft_params").foreach { stamp =>
+      val src = new org.apache.hadoop.fs.Path(root, stamp)
+      if (fs.exists(src)) {
+        val len = fs.getFileStatus(src).getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = fs.open(src)
+        try in.readFully(0, buf) finally in.close()
+        val out = dfs.create(new org.apache.hadoop.fs.Path(droot, stamp), true)
+        try out.write(buf) finally out.close()
+      }
+    }
+
+  /** Atomic commit marker for batch `batchId` (temp+rename; replays
+    * return before writing, a zombie's concurrent commit is
+    * byte-identical). */
+  private[streaming] def writeCommitMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      batchId: Long): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(root, "_manifests")
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".m=$batchId.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(s"b=$batchId".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(dir, s"m=$batchId")
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      if (!fs.exists(dst)) {
+        throw new java.io.IOException(s"could not commit manifest $dst")
+      }
+    }
+  }
+}

@@ -1,0 +1,239 @@
+package graft.streaming
+
+import graft.operators.Sessions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Streaming funnel maintenance: an ingest stream of events becomes an
+ * ever-current ordered-conversion funnel — the
+ * [[graft.operators.Sessions.funnelCounts]] deliverable maintained one
+ * micro-batch at a time under the manifest commit protocol the
+ * rollup/session/shard/PQ maintainers share
+ * ([[TopnStreaming.maintainRollup]] has the full protocol argument).
+ *
+ * The invariant that makes incremental funnels exact: each key's state
+ * is its earliest in-order completion time per step (`t0 .. tN`), and
+ * under per-key ts-ordered arrival a SET time can never be beaten by a
+ * later event — every new event's timestamp is >= the key's
+ * high-watermark >= every set `t_i`. So the batch step is the same
+ * iterated conditional min as the batch operator, seeded with the
+ * committed state as per-step floors: `t_i' = coalesce(t_i, min batch
+ * ts of step i strictly after t_{i-1}')` — where `t_{i-1}'` may itself
+ * have been set this batch, so a whole conversion chain arriving in
+ * one batch completes in one batch. Out-of-order arrival (a batch
+ * event before the key's committed high-watermark) FAILS the batch
+ * rather than silently under-counting conversions.
+ *
+ * Per-batch work is O(batch + touched keys): the state store is read
+ * but only the touched keys' rows are rewritten, as a per-batch DELTA
+ * folded by per-key argmax on batch id (the [[SessionStreaming]]
+ * open-state pattern). [[compactStore]] folds the chain.
+ *
+ * [[committedCounts]] == `Sessions.funnelCounts` over everything
+ * ingested so far, row for row — StreamingSpec pins the equality with
+ * conversions that STRADDLE batch boundaries (step i committed, step
+ * i+1 arriving batches later) and chains completing inside one batch.
+ *
+ * Store layout ([[ShardStreaming]]'s crash argument applies verbatim —
+ * data first, manifest LAST via temp+rename, replays return before
+ * writing):
+ * {{{
+ *   storePath/_graft_scope        checkpoint identity (write-once)
+ *   storePath/_graft_params       steps/keys pin (write-once)
+ *   storePath/_manifests/m=<id>   commit marker for batch <id>
+ *   storePath/data/b=<id>/state   touched keys' (t0..tN, hw) delta
+ * }}}
+ */
+object FunnelStreaming {
+
+  private val DeltaBatchCol = "__graft_delta_batch"
+  private val HwCol = "__graft_hw"
+
+  /** Start the maintenance stream. `events` is a STREAMING DataFrame;
+    * each key's events must arrive in non-decreasing `tsCol` order
+    * across batches (violations fail the batch; intra-batch order is
+    * free). Read the store with [[committedCounts]]. */
+  def maintainFunnel(
+      events: DataFrame,
+      storePath: String,
+      keyCols: Seq[String],
+      tsCol: String,
+      stepCol: String,
+      steps: Seq[String],
+      checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val scope = TopnStreaming.scopeOf(checkpointLocation)
+    val writer = events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        funnelBatch(batch, batchId, storePath, keyCols, tsCol, stepCol,
+          steps, scope)
+        ()
+      }
+    checkpointLocation.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
+
+  /** One micro-batch of the protocol (exposed for deterministic
+    * crash-path testing; [[maintainFunnel]] drives it). */
+  private[graft] def funnelBatch(
+      batch: DataFrame,
+      batchId: Long,
+      storePath: String,
+      keyCols: Seq[String],
+      tsCol: String,
+      stepCol: String,
+      steps: Seq[String],
+      scope: String): Unit = {
+    require(keyCols.nonEmpty, "funnelBatch: keyCols must be non-empty")
+    require(steps.nonEmpty, "funnelBatch: steps must be non-empty")
+    require(steps.distinct.size == steps.size,
+      s"funnelBatch: steps must be distinct, got $steps")
+    val spark = batch.sparkSession
+    val (fs, root) = TopnStreaming.fsOf(spark, storePath)
+    TopnStreaming.checkScope(fs, root, scope)
+    TopnStreaming.checkStamp(fs, root, "_graft_params", paramsOf(keyCols, steps),
+      (stored, given) =>
+        s"funnel store at $root was maintained with '$stored' but this " +
+          s"stream uses '$given' — step ordinals and state columns are " +
+          "incompatible; resume with the original parameters or start a " +
+          "new store path")
+    val committed = TopnStreaming.committedVersion(spark, storePath)
+    if (committed.exists(batchId <= _)) return // replay of a committed batch
+    if (batch.isEmpty) return // no events, state unchanged
+
+    val keyC = keyCols.map(col)
+    val e = batch.select(
+      (keyC :+ col(stepCol).as("__graft_step") :+
+        Sessions.tsMicros(batch, tsCol).as("__graft_tu")): _*)
+
+    // touched keys with their batch time range (bmin for the ordered-
+    // arrival check, bmax for the new high-watermark)
+    val touched = e.groupBy(keyC: _*).agg(
+      min(col("__graft_tu")).as("__graft_bmin"),
+      max(col("__graft_tu")).as("__graft_bmax"))
+
+    val stateOpt = committedState(spark, storePath)
+    val seeded = stateOpt match {
+      case None =>
+        steps.indices.foldLeft(
+          touched.withColumn(HwCol, lit(null).cast("long"))) {
+          (acc, i) => acc.withColumn(s"__graft_t$i", lit(null).cast("long"))
+        }
+      case Some(state) =>
+        touched.join(state, keyCols, "left")
+          .withColumn(HwCol,
+            when(col(HwCol).isNotNull && col("__graft_bmin") < col(HwCol),
+              // the ordered-arrival contract is broken: a set t_i may no
+              // longer be the true earliest — fail instead of under-counting
+              expr(s"""raise_error(CONCAT(
+                |'funnelBatch: out-of-order arrival for key ',
+                |CAST(`${keyCols.head}` AS STRING),
+                |' — batch event at ', CAST(__graft_bmin AS STRING),
+                |'us precedes the committed high-watermark ',
+                |CAST($HwCol AS STRING),
+                |'us; events must arrive per-key ts-ordered across batches'))"""
+                .stripMargin).cast("long"))
+              .otherwise(col(HwCol)))
+    }
+
+    // the batch operator's iterated conditional min, seeded with the
+    // committed state as per-step floors
+    val updated = steps.zipWithIndex.foldLeft(seeded) { case (acc, (s, i)) =>
+      val cand =
+        if (i == 0) e.filter(col("__graft_step") === s)
+          .groupBy(keyC: _*).agg(min(col("__graft_tu")).as("__graft_m"))
+        else e.filter(col("__graft_step") === s)
+          .join(acc.select((keyC :+ col(s"__graft_t${i - 1}")): _*), keyCols)
+          .filter(col("__graft_tu") > col(s"__graft_t${i - 1}"))
+          .groupBy(keyC: _*).agg(min(col("__graft_tu")).as("__graft_m"))
+      acc.join(cand, keyCols, "left")
+        .withColumn(s"__graft_t$i",
+          coalesce(col(s"__graft_t$i"), col("__graft_m")))
+        .drop("__graft_m")
+    }
+
+    val stateCols =
+      keyCols.map(col) ++ steps.indices.map(i => col(s"__graft_t$i")) :+
+        greatest(col(HwCol), col("__graft_bmax")).as(HwCol)
+    updated
+      .select((stateCols :+ lit(batchId).as(DeltaBatchCol)): _*)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$storePath/data/b=$batchId/state")
+    ActivityStreaming.writeCommitMarker(fs, root, batchId)
+  }
+
+  /** Current per-key state: the delta chain folded with a per-key
+    * argmax on batch id. None before the first commit. */
+  private[graft] def committedState(
+      spark: org.apache.spark.sql.SparkSession, storePath: String)
+      : Option[DataFrame] = {
+    val ids = ActivityStreaming.committedIds(spark, storePath)
+    if (ids.isEmpty) return None
+    val all = ids.map(id => spark.read.parquet(s"$storePath/data/b=$id/state"))
+      .reduce(_ unionAll _)
+    val dataCols = all.columns.filter(_ != DeltaBatchCol)
+    val keyCols = dataCols.takeWhile(c => !c.startsWith("__graft_"))
+    // one delta row per (key, batch), so max(struct(batch, ...)) IS the
+    // latest row — no window, no driver state
+    Some(all
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(struct((col(DeltaBatchCol) +:
+        dataCols.filterNot(keyCols.contains).map(col)): _*)).as("__graft_f"))
+      .select((keyCols.map(col) ++ dataCols.filterNot(keyCols.contains)
+        .map(c => col(s"__graft_f.`$c`").as(c))): _*))
+  }
+
+  /** The committed funnel report — `(step_idx, step, n_keys)`,
+    * row-for-row equal to `Sessions.funnelCounts` over the full event
+    * history. `keyCols`/`steps` must match the store's pinned values
+    * (fails fast otherwise). Empty-schema DataFrame before the first
+    * commit. */
+  def committedCounts(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      keyCols: Seq[String],
+      steps: Seq[String]): DataFrame = {
+    val (fs, root) = TopnStreaming.fsOf(spark, storePath)
+    TopnStreaming.checkStamp(fs, root, "_graft_params", paramsOf(keyCols, steps),
+      (stored, given) =>
+        s"funnel store at $root was maintained with '$stored' but this " +
+          s"reader asks for '$given' — the stored step times do not mean " +
+          "what this report would claim")
+    committedState(spark, storePath) match {
+      case None        => spark.emptyDataFrame
+      case Some(state) => Sessions.countsFromTimes(state, steps)
+    }
+  }
+
+  /**
+   * One-call fold of the state chain into a FRESH store at `dstPath`
+   * (must not already hold a funnel store): a single data directory
+   * `b=<committed version>` holding the folded per-key state, with
+   * scope and params copied so the SAME stream resumes against
+   * `dstPath`. Run it when the chain's file count starts to dominate
+   * read planning.
+   */
+  def compactStore(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String,
+      dstPath: String): Unit = {
+    val ids = ActivityStreaming.committedIds(spark, srcPath)
+    require(ids.nonEmpty, s"compactStore: no committed batches at $srcPath")
+    require(ActivityStreaming.committedIds(spark, dstPath).isEmpty,
+      s"compactStore: $dstPath already holds a committed funnel store")
+    val v = ids.max
+    val (fs, root) = TopnStreaming.fsOf(spark, srcPath)
+    val (dfs, droot) = TopnStreaming.fsOf(spark, dstPath)
+    committedState(spark, srcPath).get
+      .withColumn(DeltaBatchCol, lit(v))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dstPath/data/b=$v/state")
+    ActivityStreaming.copyStamps(fs, root, dfs, droot)
+    ActivityStreaming.writeCommitMarker(dfs, droot, v)
+  }
+
+  private def paramsOf(keyCols: Seq[String], steps: Seq[String]): String =
+    s"steps=${steps.mkString(">")},keys=${keyCols.mkString("+")}"
+}
