@@ -702,6 +702,30 @@ object SparkEntry {
         .orderBy($"event_id")
     }),
 
+    // attribution-window as-of: each purchase credited to the user's
+    // latest preceding click ONLY when it is at most 1h old — the
+    // maxGapSeconds variant of the union-trick join (bound applied
+    // after the same single window pass; stale matches null out, plan
+    // shape unchanged). Oracle: DuckDB native ASOF + an age CASE — two
+    // independent spellings of the window-bounded semantics
+    "attributed_purchases" -> ((spark, dir) => {
+      import spark.implicits._
+      val ev = graft.sources.Tables.events(spark, dir)
+      val clicks = ev.filter($"event_type" === "click")
+        .groupBy($"user_id", $"ts")
+        .agg(max($"event_id").as("click_event_id"))
+        .select($"user_id", $"ts".as("click_ts"), $"click_event_id")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      graft.operators.AsofJoin.latestPreceding(
+          purchases, clicks, Seq("user_id"), "ts", "click_ts",
+          payloadCols = Seq("click_event_id", "click_ts"),
+          maxGapSeconds = Some(3600L))
+        .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+          $"click_event_id", unix_micros($"click_ts").as("click_ts_us"))
+        .orderBy($"event_id")
+    }),
+
     // gap-based sessionization: per-user sessions at a 4h inactivity
     // gap, rolled up to (start, end, n_events, exact micros duration,
     // DECIMAL value sum — order-independent, hash-stable). One shuffle
@@ -3364,6 +3388,27 @@ object SparkEntry {
         |FROM c ASOF LEFT JOIN v
         |  ON c.user_id = v.user_id AND c.ts >= v.view_ts
         |ORDER BY c.event_id""".stripMargin,
+
+    // native ASOF, then the 1h attribution bound as an age CASE
+    "attributed_purchases" ->
+      """WITH c AS (SELECT user_id, ts AS click_ts,
+        |                  MAX(event_id) AS click_event_id
+        |           FROM events WHERE event_type = 'click'
+        |           GROUP BY user_id, ts),
+        |p AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase'),
+        |a AS (SELECT p.event_id, p.user_id, p.ts, c.click_event_id,
+        |             c.click_ts
+        |      FROM p ASOF LEFT JOIN c
+        |        ON p.user_id = c.user_id AND p.ts >= c.click_ts)
+        |SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |       CASE WHEN click_ts IS NOT NULL
+        |             AND epoch_us(ts) - epoch_us(click_ts) <= 3600000000
+        |            THEN click_event_id END AS click_event_id,
+        |       CASE WHEN click_ts IS NOT NULL
+        |             AND epoch_us(ts) - epoch_us(click_ts) <= 3600000000
+        |            THEN epoch_us(click_ts) END AS click_ts_us
+        |FROM a ORDER BY event_id""".stripMargin,
 
     // lag gap test + running-sum ordinal, then the per-session rollup;
     // epoch_us mirrors unix_micros' exact integer micros

@@ -46,6 +46,13 @@ object AsofJoin {
    * when no match). Timestamp columns must be mutually comparable
    * (same type on both sides); payload names must not collide with left
    * columns — rename on the right side first.
+   *
+   * `maxGapSeconds` bounds the match's age — the ATTRIBUTION-WINDOW
+   * variant ("credit this purchase to a click within the last hour"): a
+   * preceding right row older than the bound yields NULL payloads,
+   * exactly as if it did not exist. The bound is applied AFTER the same
+   * single window pass (the carried payload remembers its own
+   * timestamp), so the plan shape is unchanged — never a range join.
    */
   def latestPreceding(
       left: DataFrame,
@@ -54,7 +61,10 @@ object AsofJoin {
       leftTsCol: String,
       rightTsCol: String,
       payloadCols: Seq[String],
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false,
+      maxGapSeconds: Option[Long] = None): DataFrame = {
+    maxGapSeconds.foreach(g => require(g >= 0,
+      s"latestPreceding: maxGapSeconds must be >= 0, got $g"))
     require(keyCols.nonEmpty, "latestPreceding: keyCols must be non-empty")
     require(payloadCols.nonEmpty,
       "latestPreceding: payloadCols must be non-empty — an as-of join " +
@@ -66,15 +76,23 @@ object AsofJoin {
       require(left.columns.contains(c), s"left side lacks key column '$c'")
       require(right.columns.contains(c), s"right side lacks key column '$c'")
     }
-    Seq("__graft_ts", "__graft_side", "__graft_pay", "__graft_row").foreach {
+    Seq("__graft_ts", "__graft_side", "__graft_pay", "__graft_row",
+        "__graft_rts").foreach {
       c =>
         require(!left.columns.contains(c) && !right.columns.contains(c),
           s"input already has a '$c' column; rename it — " +
             "latestPreceding uses it internally")
     }
+    require(!payloadCols.contains("__graft_rts"),
+      "latestPreceding: '__graft_rts' is reserved")
     // the side flag's sort position at equal ts IS the strictness knob
     val rightSide = if (strict) 1 else 0
-    val payType = right.select(payloadCols.map(col): _*).schema
+    // under a gap bound the carried payload remembers its own timestamp
+    val payCols =
+      if (maxGapSeconds.isDefined)
+        payloadCols.map(col) :+ col(rightTsCol).as("__graft_rts")
+      else payloadCols.map(col)
+    val payType = right.select(payCols: _*).schema
     val rowType = left.schema
     val lTagged = left.select(
       keyCols.map(col) ++ Seq(
@@ -86,16 +104,28 @@ object AsofJoin {
       keyCols.map(col) ++ Seq(
         col(rightTsCol).as("__graft_ts"),
         lit(rightSide).as("__graft_side"),
-        struct(payloadCols.map(col): _*).as("__graft_pay"),
+        struct(payCols: _*).as("__graft_pay"),
         lit(null).cast(rowType).as("__graft_row")): _*)
     val w = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col("__graft_ts").asc, col("__graft_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lTagged.unionByName(rTagged)
+    val matched = lTagged.unionByName(rTagged)
       .withColumn("__graft_m", last(col("__graft_pay"), ignoreNulls = true).over(w))
       .filter(col("__graft_row").isNotNull)
-      .select(left.columns.map(c => col(s"__graft_row.`$c`").as(c)) ++
-        payloadCols.map(c => col(s"__graft_m.`$c`").as(c)): _*)
+    val payOut = maxGapSeconds match {
+      case None => payloadCols.map(c => col(s"__graft_m.`$c`").as(c))
+      case Some(g) =>
+        // micros comparison handles TIMESTAMP and TIMESTAMP_NTZ alike
+        // (the NTZ cast interprets wall time in the session zone, the
+        // same convention as Sessions.tsMicros)
+        val fresh = col("__graft_m").isNotNull &&
+          unix_micros(col("__graft_ts").cast("timestamp")) -
+            unix_micros(col("__graft_m.__graft_rts").cast("timestamp")) <=
+            g * 1000000L
+        payloadCols.map(c => when(fresh, col(s"__graft_m.`$c`")).as(c))
+    }
+    matched.select(left.columns.map(c => col(s"__graft_row.`$c`").as(c)) ++
+      payOut: _*)
   }
 }

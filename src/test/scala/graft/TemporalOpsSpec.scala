@@ -77,6 +77,35 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(plan.contains("Window"), s"expected the per-key window:\n$plan")
   }
 
+  test("maxGapSeconds: stale matches null out, exactly-at-bound is kept") {
+    // right at t=40: a left row at t=100 is 60s away — inside a 60s
+    // bound (inclusive), outside a 59s bound; a left row at t=200 only
+    // matches with no bound
+    val left = Seq((1L, ts(100)), (2L, ts(200))).toDF("id", "t")
+      .withColumn("k", lit(1L))
+    val right = Seq((ts(40), "x")).toDF("rt", "tag").withColumn("k", lit(1L))
+    def run(gap: Option[Long]) = AsofJoin.latestPreceding(
+        left, right, Seq("k"), "t", "rt", Seq("tag"), maxGapSeconds = gap)
+      .select($"id", $"tag").as[(Long, Option[String])].collect().toMap
+    assert(run(None) === Map(1L -> Some("x"), 2L -> Some("x")))
+    assert(run(Some(60L)) === Map(1L -> Some("x"), 2L -> None))
+    assert(run(Some(59L)) === Map(1L -> None, 2L -> None))
+    // the bounded variant keeps the join-free plan
+    val plan = AsofJoin.latestPreceding(left, right, Seq("k"), "t", "rt",
+        Seq("tag"), maxGapSeconds = Some(60L))
+      .queryExecution.explainString(FormattedMode)
+    assert(!plan.contains("Join") && plan.contains("Window"), plan)
+  }
+
+  test("attributed_purchases fixture exercises both branches at sf0.001") {
+    val df = SparkEntry.queries("attributed_purchases")(
+      spark, "/root/testdata/sf0.001")
+    val n = df.count()
+    val hit = df.filter($"click_event_id".isNotNull).count()
+    assert(hit > 0 && hit < n,
+      s"need attributed AND unattributed purchases, got $hit of $n")
+  }
+
   test("payload/key/internal-column guards fail fast") {
     val l = Seq((1L, ts(1), "x")).toDF("k", "t", "tag")
     val r = Seq((1L, ts(1), "y")).toDF("k", "rt", "tag")
