@@ -726,6 +726,19 @@ object SparkEntry {
         .orderBy($"event_id")
     }),
 
+    // burst detection: daily periods where a user's event count spikes
+    // > 2 sigma above their OWN span baseline (silent days count as
+    // zeros without materializing them) — exact integer moments, the
+    // z-test cross-multiplied out of division, so the report is
+    // hash-stable cross-engine
+    "rate_anomalies_daily" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.operators.Diagnostics.rateAnomalies(
+          graft.sources.Tables.events(spark, dir), Seq("user_id"), "ts",
+          periodSeconds = 86400L, k = 2)
+        .orderBy($"user_id", $"period_start_us")
+    }),
+
     // gap-based sessionization: per-user sessions at a 4h inactivity
     // gap, rolled up to (start, end, n_events, exact micros duration,
     // DECIMAL value sum — order-independent, hash-stable). One shuffle
@@ -3409,6 +3422,24 @@ object SparkEntry {
         |             AND epoch_us(ts) - epoch_us(click_ts) <= 3600000000
         |            THEN epoch_us(click_ts) END AS click_ts_us
         |FROM a ORDER BY event_id""".stripMargin,
+
+    // the same exact integer moments and cross-multiplied z-test
+    "rate_anomalies_daily" ->
+      """WITH pp AS (SELECT user_id, epoch_us(ts) // 86400000000 AS p,
+        |                   COUNT(*) AS c
+        |            FROM events GROUP BY 1, 2),
+        |m AS (SELECT user_id, MAX(p) - MIN(p) + 1 AS n, SUM(c) AS s,
+        |             SUM(c * c) AS ssq
+        |      FROM pp GROUP BY 1)
+        |SELECT pp.user_id,
+        |       CAST(pp.p * 86400000000 AS BIGINT) AS period_start_us,
+        |       CAST(c AS BIGINT) AS n_events,
+        |       CAST(n AS BIGINT) AS span_periods,
+        |       CAST(s AS BIGINT) AS total_events
+        |FROM pp JOIN m USING (user_id)
+        |WHERE (n * c - s) > 0
+        |  AND (n * c - s) * (n * c - s) > 4 * (n * ssq - s * s)
+        |ORDER BY user_id, period_start_us""".stripMargin,
 
     // lag gap test + running-sum ordinal, then the per-session rollup;
     // epoch_us mirrors unix_micros' exact integer micros

@@ -58,4 +58,75 @@ object Diagnostics {
           .as("share_e6"),
         col("__n").as("total_rows"))
   }
+
+  /**
+   * Burst detection: per-key event-rate anomalies — the periods where a
+   * key's event count spikes more than `k` standard deviations above
+   * its OWN baseline (crawl-host burst, log-spike, abuse-rate shapes).
+   * A key's baseline spans every period between its first and last
+   * activity INCLUSIVE — silent periods count as zeros (a host active
+   * once a month is not "average 100/period" because it was only
+   * observed once) — without ever materializing zero rows.
+   *
+   * All arithmetic is EXACT INTEGER moments — no float mean/stddev, so
+   * the report is hash-stable cross-engine and unaffected by
+   * distributed summation order. The spike test cross-multiplies the
+   * z-score out of division entirely:
+   * {{{
+   *   (n*c - s)^2 > k^2 * (n*ssq - s^2)   and   n*c > s
+   * }}}
+   * (n = span periods, c = the period's count, s = total events,
+   * ssq = sum of squared period counts; all in DECIMAL(38,0) — the
+   * squares wrap BIGINT at ~3e9 events per key, far below real hot-key
+   * mass). Single-period keys have zero variance and can never flag.
+   *
+   * Output: one row per flagged (key, period) —
+   * `(keyCols..., period_start_us, n_events, span_periods,
+   * total_events)`, exact integers throughout.
+   *
+   * Scale shape: ONE groupBy (key, period) collapses the corpus, one
+   * groupBy (key) over period rows (bounded by |keys| x timeline) for
+   * the moments, one keyed equi join back — no window over the corpus,
+   * no driver state, hot keys cost their period count, not their event
+   * count.
+   */
+  def rateAnomalies(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      periodSeconds: Long,
+      k: Int = 3): DataFrame = {
+    require(keyCols.nonEmpty, "rateAnomalies: keyCols must be non-empty")
+    require(periodSeconds > 0,
+      s"rateAnomalies: periodSeconds must be positive, got $periodSeconds")
+    require(k >= 1, s"rateAnomalies: k must be >= 1, got $k")
+    val keyC = keyCols.map(col)
+    val pus = periodSeconds * 1000000L
+    val perPeriod = events
+      .select((keyC :+
+        Sessions.periodIndex(events, tsCol, periodSeconds).as("__graft_p")): _*)
+      .groupBy((keyC :+ col("__graft_p")): _*)
+      .agg(count(lit(1)).as("__graft_c"))
+    val moments = perPeriod
+      .groupBy(keyC: _*)
+      .agg(
+        (max(col("__graft_p")) - min(col("__graft_p")) + 1L).as("__graft_n"),
+        sum(col("__graft_c")).as("__graft_s"),
+        sum(col("__graft_c") * col("__graft_c")).as("__graft_ssq"))
+    val d = "CAST(%s AS DECIMAL(38,0))"
+    val nD = d.format("__graft_n")
+    val cD = d.format("__graft_c")
+    val sD = d.format("__graft_s")
+    val qD = d.format("__graft_ssq")
+    perPeriod.join(moments, keyCols)
+      .filter(expr(
+        s"($nD * $cD - $sD) > 0 AND " +
+          s"($nD * $cD - $sD) * ($nD * $cD - $sD) > " +
+          s"${k.toLong * k} * ($nD * $qD - $sD * $sD)"))
+      .select((keyC :+
+        (col("__graft_p") * pus).as("period_start_us") :+
+        col("__graft_c").as("n_events") :+
+        col("__graft_n").as("span_periods") :+
+        col("__graft_s").as("total_events")): _*)
+  }
 }
