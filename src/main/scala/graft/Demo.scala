@@ -181,6 +181,34 @@ object Demo {
         payloadCols = Seq("view_event_id", "view_ts"))
       .orderBy(col("event_id")).show(false)
 
+    println("== event analytics tour: funnel -> latency -> retention -> bursts ==")
+    // user 10 converts view->click twice over, user 20 clicks with no view
+    operators.Sessions.funnelCounts(demoEv, Seq("user_id"), "ts",
+        "event_type", Seq("view", "click"))
+      .orderBy(col("step_idx")).show(false)
+    operators.Sessions.funnelTransitions(demoEv, Seq("user_id"), "ts",
+        "event_type", Seq("view", "click"))
+      .orderBy(col("step_idx")).show(false)
+    operators.Sessions.retentionCohorts(demoEv, Seq("user_id"), "ts",
+        periodSeconds = 3600L)
+      .orderBy(col("cohort_start_us"), col("period_offset")).show(false)
+    // attribution window: the t=5100 click credits the t=5000 view (100s
+    // old) under a 10-min bound; the t=30 click's view is fresh too, but
+    // user 20 never saw a view at all
+    operators.AsofJoin.latestPreceding(
+        demoEv.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        demoViews, Seq("user_id"), "ts", "view_ts",
+        payloadCols = Seq("view_event_id"), maxGapSeconds = Some(600L))
+      .orderBy(col("event_id")).show(false)
+    // burst detection: host 77 ticks once an hour, then 10x in hour 4
+    val burstDf = spark.createDataFrame(
+      (0 to 5).flatMap(p =>
+        Seq.fill(if (p == 4) 10 else 1)((77L, demoTs(p * 3600L)))))
+      .toDF("host_id", "ts")
+    operators.Diagnostics.rateAnomalies(burstDf, Seq("host_id"), "ts",
+      periodSeconds = 3600L, k = 2).show(false)
+
     println("== crawl front door: html_to_text -> normalize -> token count, from SQL ==")
     spark.sql(
       """SELECT html_to_text('<html><body><h1>Title</h1><p>Hello &amp; welcome.</p>
