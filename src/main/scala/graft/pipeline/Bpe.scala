@@ -262,12 +262,25 @@ object Bpe {
    *      unrolled-iteration pattern).
    *
    * The learned pair becomes a literal in iteration k+1's replace chain,
-   * so the plan stays stateless: no growing lineage, no checkpoint — the
-   * corpus is re-walked with k literal replaces, K scans total. Word
+   * so the plan stays stateless: no growing lineage, no checkpoint. Word
    * boundaries never merge (the [[Marker]] token is excluded from pair
    * counting), and pair counting inherits the single-pass replacement
    * semantics documented on [[mergedDoc]] — the trained rules are
    * optimal FOR the tokenizer that will apply them.
+   *
+   * Scale shape — the corpus is scanned ONCE: because merges never cross
+   * a word boundary, the corpus-wide pair count decomposes exactly as
+   * `sum over distinct words w of count(w) * pairs-in-merged(w)` — so
+   * training collapses the corpus to a persisted DISTINCT-WORD frequency
+   * table up front (the standard BPE trainer structure) and every
+   * iteration's spacing/replace/pair-explode runs over the vocabulary,
+   * weighted by word count. Iteration cost is bounded by DISTINCT-word
+   * mass — corpus-size-independent after the one word-count shuffle —
+   * which at 100 TB is the difference between K corpus scans and one.
+   * Counts, tie order, and early stopping are IDENTICAL to the corpus
+   * spelling (the oracle replays the corpus form and hash-matches; a
+   * literal [[Marker]] byte inside a word is excluded from pair counts
+   * in both spellings).
    *
    * Training stops early when no pair reaches `minCount` (merging a
    * singleton pair buys nothing). Returns (iteration, a, b, count) rows,
@@ -288,32 +301,49 @@ object Bpe {
       minCount: Long = 2L): Seq[(Int, String, String, Long)] = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    // the one corpus pass: distinct words with frequencies (merges never
+    // cross word boundaries, so all iterations count pairs off this table)
+    val words = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("__graft_w"))
+      .filter(length(col("__graft_w")) > 0)
+      .groupBy(col("__graft_w"))
+      .agg(count(lit(1)).as("__graft_wc"))
+      .persist()
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var k = 1
-    var exhausted = false
-    while (k <= iters && !exhausted) {
-      val walk = mergedDoc(col(textCol), learned.toSeq.map(r => (r._2, r._3)))
-      val toks = split(trim(walk), " ")
-      val pairs = transform(
-        slice(toks, lit(1), greatest(lit(0), size(toks) - 1)),
-        (t, i) => struct(t.as("a"), element_at(toks, i + 2).as("b")))
-      val best = docs
-        .select(explode(pairs).as("pr"))
-        .select(col("pr.a").as("a"), col("pr.b").as("b"))
-        .filter(col("a") =!= Marker && col("b") =!= Marker &&
-          col("a") =!= "" && col("b") =!= "")
-        .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") >= minCount)
-        .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1)
-        .collect()
-      if (best.isEmpty) exhausted = true
-      else {
-        val r = best.head
-        learned += ((k, r.getString(0), r.getString(1), r.getLong(2)))
-        k += 1
+    try {
+      var k = 1
+      var exhausted = false
+      while (k <= iters && !exhausted) {
+        // a single word has no whitespace, so mergedDoc's marker rewrite
+        // is the identity on it and the spacing/replace chain applies
+        // verbatim; literal Marker bytes are excluded below exactly as in
+        // the corpus spelling
+        val walk = mergedDoc(col("__graft_w"),
+          learned.toSeq.map(r => (r._2, r._3)))
+        val toks = split(trim(walk), " ")
+        val pairs = transform(
+          slice(toks, lit(1), greatest(lit(0), size(toks) - 1)),
+          (t, i) => struct(t.as("a"), element_at(toks, i + 2).as("b")))
+        val best = words
+          .select(explode(pairs).as("pr"), col("__graft_wc"))
+          .select(col("pr.a").as("a"), col("pr.b").as("b"), col("__graft_wc"))
+          .filter(col("a") =!= Marker && col("b") =!= Marker &&
+            col("a") =!= "" && col("b") =!= "")
+          .groupBy(col("a"), col("b"))
+          .agg(sum(col("__graft_wc")).as("cnt"))
+          .filter(col("cnt") >= minCount)
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1)
+          .collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val r = best.head
+          learned += ((k, r.getString(0), r.getString(1), r.getLong(2)))
+          k += 1
+        }
       }
+    } finally {
+      try words.unpersist() catch { case _: Throwable => }
     }
     learned.toSeq
   }
