@@ -100,13 +100,32 @@ object Diagnostics {
     require(periodSeconds > 0,
       s"rateAnomalies: periodSeconds must be positive, got $periodSeconds")
     require(k >= 1, s"rateAnomalies: k must be >= 1, got $k")
+    keyCols.find(c => c.startsWith("__graft_") ||
+        Seq("period_start_us", "n_events", "span_periods", "total_events")
+          .contains(c)).foreach { c =>
+      throw new IllegalArgumentException(
+        s"rateAnomalies: key column '$c' collides with an internal or " +
+          "output column; rename it")
+    }
     val keyC = keyCols.map(col)
-    val pus = periodSeconds * 1000000L
     val perPeriod = events
       .select((keyC :+
         Sessions.periodIndex(events, tsCol, periodSeconds).as("__graft_p")): _*)
       .groupBy((keyC :+ col("__graft_p")): _*)
       .agg(count(lit(1)).as("__graft_c"))
+    anomaliesFromCounts(perPeriod, keyCols, periodSeconds, k)
+  }
+
+  /** [[rateAnomalies]]' moments + spike test over already-aggregated
+    * per-period counts (columns `keyCols..., __graft_p, __graft_c`) —
+    * shared with the streaming maintainer's committed-store reader. */
+  private[graft] def anomaliesFromCounts(
+      perPeriod: DataFrame,
+      keyCols: Seq[String],
+      periodSeconds: Long,
+      k: Int): DataFrame = {
+    val keyC = keyCols.map(col)
+    val pus = periodSeconds * 1000000L
     val moments = perPeriod
       .groupBy(keyC: _*)
       .agg(

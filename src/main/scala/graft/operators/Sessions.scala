@@ -169,6 +169,11 @@ object Sessions {
     require(steps.nonEmpty, s"$op: steps must be non-empty")
     require(steps.distinct.size == steps.size,
       s"$op: steps must be distinct, got $steps")
+    keyCols.find(c => c == "__graft_step" || c == "__graft_tu" ||
+        c.matches("__graft_t\\d+")).foreach { c =>
+      throw new IllegalArgumentException(
+        s"$op: key column '$c' collides with an internal column; rename it")
+    }
     val keyC = keyCols.map(col)
     val e = events.select(
       (keyC :+ col(stepCol).as("__graft_step") :+
@@ -267,6 +272,9 @@ object Sessions {
     require(keyCols.nonEmpty, "retentionCohorts: keyCols must be non-empty")
     require(periodSeconds > 0,
       s"retentionCohorts: periodSeconds must be positive, got $periodSeconds")
+    require(!keyCols.contains("period_idx") && !keyCols.contains("__graft_c"),
+      "retentionCohorts: key columns 'period_idx'/'__graft_c' collide with " +
+        "internal columns; rename them")
     val keyC = keyCols.map(col)
     val pairs = events
       .select((keyC :+
@@ -330,6 +338,9 @@ object Sessions {
     require(pathLen >= 2, s"sessionPaths: pathLen must be >= 2, got $pathLen")
     require(!events.columns.contains("path"),
       "input already has a 'path' column; rename it — sessionPaths emits it")
+    require(!events.columns.contains("__graft_full"),
+      "input already has a '__graft_full' column; rename it — sessionPaths " +
+        "uses it internally")
     val assigned = assign(events, keyCols, tsCol, gapSeconds, orderCols)
     val ord = (tsMicros(events, tsCol) +: orderCols.map(col)).map(_.asc)
     val w = Window

@@ -71,6 +71,19 @@ class DiagnosticsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Diagnostics.keySkewReport(d, "key", k = 30, counters = 20)
     }
+    val bad = ev((1L, 0L, 1)).withColumnRenamed("key", "n_events")
+    intercept[IllegalArgumentException] {
+      Diagnostics.rateAnomalies(bad, Seq("n_events"), "t", 10L)
+    }
+  }
+
+  test("rateAnomalies is invariant to input partition layout") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Diagnostics.rateAnomalies(d, Seq("user_id"), "ts", 86400L, k = 2)
+        .select($"user_id", $"period_start_us", $"n_events")
+        .as[(Long, Long, Long)].collect().toSet
+    assert(run(events) === run(events.repartition(13, $"event_type")))
   }
 
   test("plan: one corpus groupBy, one keyed join, no window") {

@@ -118,6 +118,72 @@ class EventStreamingSpec extends AnyFunSuite {
       collectRetention(Sessions.retentionCohorts(ev, Seq("user_id"), "ts", Week)))
   }
 
+  // ---- per-period counts / bursts -----------------------------------
+
+  private def collectAnomalies(df: org.apache.spark.sql.DataFrame) = df
+    .select($"user_id", $"period_start_us", $"n_events", $"span_periods",
+      $"total_events")
+    .as[(Long, Long, Long, Long, Long)].collect().toSet
+
+  test("streaming rates: committed bursts == one-shot, spike split across batches") {
+    import graft.streaming.RateStreaming
+    // plant a user whose day-4 spike (30 events) splits ~10/10/10 across
+    // the three batches: the spike only reaches sigma-3 once the batch
+    // partials are SUMMED (a single outlier among n periods caps at
+    // z^2 = n-1, so 12 baseline days put the summed spike above 9 while
+    // any unsummed fragment of it is far below)
+    val planted = (0 to 11).flatMap { day =>
+      val n = if (day == 4) 30 else 1
+      (0 until n).map(i => (1000000L + day * 100L + i, 99999L,
+        new java.sql.Timestamp(1704067200000L + day * 86400000L + i * 1000L),
+        "view"))
+    }.toDF("event_id", "user_id", "ts", "event_type")
+    val all = ev.unionByName(planted)
+    val store = tmp("graft_rate")
+    for (i <- 0 until 3)
+      RateStreaming.rateBatch(all.filter($"event_id" % 3 === i), i.toLong,
+        store, Seq("user_id"), "ts", 86400L, "sc")
+    val got = collectAnomalies(RateStreaming.committedAnomalies(
+      spark, store, Seq("user_id"), 86400L, k = 3))
+    val want = collectAnomalies(graft.operators.Diagnostics.rateAnomalies(
+      all, Seq("user_id"), "ts", 86400L, k = 3))
+    assert(got === want)
+    assert(got.exists(_._1 == 99999L), "the planted spike must flag")
+
+    // replay no-op
+    RateStreaming.rateBatch(all.filter($"event_id" % 3 === 1), 1L, store,
+      Seq("user_id"), "ts", 86400L, "sc")
+    assert(collectAnomalies(RateStreaming.committedAnomalies(
+      spark, store, Seq("user_id"), 86400L, k = 3)) === got)
+  }
+
+  test("streaming rates: params pin, compaction, resume") {
+    import graft.streaming.RateStreaming
+    val store = tmp("graft_rate_cmp")
+    for (i <- 0 until 2)
+      RateStreaming.rateBatch(ev.filter($"event_id" % 3 === i), i.toLong,
+        store, Seq("user_id"), "ts", 86400L, "sc")
+    val e1 = intercept[IllegalStateException] {
+      RateStreaming.rateBatch(ev, 2L, store, Seq("user_id"), "ts", 3600L, "sc")
+    }
+    assert(e1.getMessage.contains("periodSeconds=3600"))
+    val e2 = intercept[IllegalStateException] {
+      RateStreaming.committedAnomalies(spark, store, Seq("user_id"), 3600L)
+    }
+    assert(e2.getMessage.contains("periodSeconds=3600"))
+    val dst = tmp("graft_rate_cmp_dst")
+    RateStreaming.compactStore(spark, store, dst)
+    assert(new java.io.File(dst + "/data").list().length === 1)
+    RateStreaming.rateBatch(ev.filter($"event_id" % 3 === 1), 1L, dst,
+      Seq("user_id"), "ts", 86400L, "sc") // replay below version: no-op
+    RateStreaming.rateBatch(ev.filter($"event_id" % 3 === 2), 2L, dst,
+      Seq("user_id"), "ts", 86400L, "sc")
+    assert(collectAnomalies(RateStreaming.committedAnomalies(
+        spark, dst, Seq("user_id"), 86400L, k = 2)) ===
+      collectAnomalies(graft.operators.Diagnostics.rateAnomalies(
+        ev, Seq("user_id"), "ts", 86400L, k = 2)))
+  }
+
   // ---- funnel --------------------------------------------------------
 
   private def collectCounts(df: org.apache.spark.sql.DataFrame) = df

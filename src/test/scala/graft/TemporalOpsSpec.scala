@@ -320,6 +320,38 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(got === Set((1L, 1L, "A>B>C"), (1L, 1L, "B>C>D")))
   }
 
+  test("funnel and retention are invariant to input partition layout") {
+    // order-dependence anywhere in the chains would show up here: the
+    // same events under a hostile repartition must produce identical rows
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val shuffled = ev.repartition(13, $"event_type")
+    def fc(d: org.apache.spark.sql.DataFrame) =
+      Sessions.funnelCounts(d, Seq("user_id"), "ts", "event_type",
+          Seq("view", "click", "purchase"))
+        .as[(Long, String, Long)].collect().toSet
+    def rc(d: org.apache.spark.sql.DataFrame) =
+      Sessions.retentionCohorts(d, Seq("user_id"), "ts", 604800L)
+        .as[(Long, Long, Long)].collect().toSet
+    assert(fc(ev) === fc(shuffled))
+    assert(rc(ev) === rc(shuffled))
+  }
+
+  test("funnel/retention reserved-column guards fail fast") {
+    val bad1 = Seq((1L, "A", ts(1))).toDF("__graft_t0", "step", "t")
+    intercept[IllegalArgumentException] {
+      Sessions.funnelCounts(bad1, Seq("__graft_t0"), "t", "step", Seq("A"))
+    }
+    val bad2 = Seq((1L, ts(1))).toDF("period_idx", "t")
+    intercept[IllegalArgumentException] {
+      Sessions.retentionCohorts(bad2, Seq("period_idx"), "t", 10L)
+    }
+    val bad3 = Seq((1L, "A", ts(1), true))
+      .toDF("user_id", "step", "t", "__graft_full")
+    intercept[IllegalArgumentException] {
+      Sessions.sessionPaths(bad3, Seq("user_id"), "t", "step", 10L, 2)
+    }
+  }
+
   test("sessionize guards: gap and reserved columns fail fast") {
     val ev = Seq((1L, ts(0))).toDF("user_id", "ts")
     val e1 = intercept[IllegalArgumentException] {
