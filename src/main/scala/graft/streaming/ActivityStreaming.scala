@@ -78,6 +78,11 @@ object ActivityStreaming {
     require(keyCols.nonEmpty, "activityBatch: keyCols must be non-empty")
     require(periodSeconds > 0,
       s"activityBatch: periodSeconds must be positive, got $periodSeconds")
+    // the reader derives key columns from the store schema by position
+    // and name — reserved names would corrupt that derivation
+    require(!keyCols.exists(c => c == "period_idx" || c.startsWith("__graft_")),
+      s"activityBatch: key columns $keyCols collide with internal names " +
+        "('period_idx' / '__graft_*'); rename them")
     val spark = batch.sparkSession
     val (fs, root) = TopnStreaming.fsOf(spark, storePath)
     TopnStreaming.checkScope(fs, root, scope)
@@ -129,8 +134,9 @@ object ActivityStreaming {
         s"activity store at $root was maintained with '$stored' but this " +
           s"reader asks for '$given' — the stored period ordinals do not " +
           "mean what this report would claim")
-    Sessions.cohortsFromPairs(
-      committedPairs(spark, storePath), keyCols, periodSeconds)
+    val pairs = committedPairs(spark, storePath)
+    if (pairs.columns.isEmpty) return spark.emptyDataFrame
+    Sessions.cohortsFromPairs(pairs, keyCols, periodSeconds)
   }
 
   /**

@@ -90,6 +90,12 @@ object FunnelStreaming {
     require(steps.nonEmpty, "funnelBatch: steps must be non-empty")
     require(steps.distinct.size == steps.size,
       s"funnelBatch: steps must be distinct, got $steps")
+    // the reader derives key columns from the store schema as the
+    // prefix before the first '__graft_' column — reserved key names
+    // would corrupt that derivation
+    require(!keyCols.exists(_.startsWith("__graft_")),
+      s"funnelBatch: key columns $keyCols collide with internal " +
+        "'__graft_*' names; rename them")
     val spark = batch.sparkSession
     val (fs, root) = TopnStreaming.fsOf(spark, storePath)
     TopnStreaming.checkScope(fs, root, scope)

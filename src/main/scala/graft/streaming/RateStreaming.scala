@@ -73,6 +73,12 @@ object RateStreaming {
     require(keyCols.nonEmpty, "rateBatch: keyCols must be non-empty")
     require(periodSeconds > 0,
       s"rateBatch: periodSeconds must be positive, got $periodSeconds")
+    // the reader derives key columns from the store schema by position
+    // and name — reserved names would corrupt that derivation
+    require(!keyCols.exists(c =>
+        c == "period_idx" || c == "n_events" || c.startsWith("__graft_")),
+      s"rateBatch: key columns $keyCols collide with internal names " +
+        "('period_idx' / 'n_events' / '__graft_*'); rename them")
     val spark = batch.sparkSession
     val (fs, root) = TopnStreaming.fsOf(spark, storePath)
     TopnStreaming.checkScope(fs, root, scope)

@@ -55,6 +55,28 @@ class EventStreamingSpec extends AnyFunSuite {
       spark, store, Seq("user_id"), Week)) === got)
   }
 
+  test("empty stores read as empty, reserved key names fail fast") {
+    import graft.streaming.RateStreaming
+    val none = tmp("graft_empty_store")
+    assert(ActivityStreaming.committedPairs(spark, none).columns.isEmpty)
+    assert(RateStreaming.committedCounts(spark, none).columns.isEmpty)
+    assert(FunnelStreaming.committedState(spark, none).isEmpty)
+    val bad = ev.withColumnRenamed("user_id", "period_idx")
+    intercept[IllegalArgumentException] {
+      ActivityStreaming.activityBatch(bad, 0L, tmp("graft_g1"),
+        Seq("period_idx"), "ts", Week, "sc")
+    }
+    intercept[IllegalArgumentException] {
+      RateStreaming.rateBatch(bad, 0L, tmp("graft_g2"),
+        Seq("period_idx"), "ts", Week, "sc")
+    }
+    val bad2 = ev.withColumnRenamed("user_id", "__graft_t0")
+    intercept[IllegalArgumentException] {
+      FunnelStreaming.funnelBatch(bad2, 0L, tmp("graft_g3"),
+        Seq("__graft_t0"), "ts", "event_type", Steps, "sc")
+    }
+  }
+
   test("streaming activity: params pin holds on write and read") {
     val store = tmp("graft_act_pin")
     ActivityStreaming.activityBatch(ev, 0L, store, Seq("user_id"), "ts",
