@@ -103,6 +103,9 @@ object Bench {
     ("g_retention", Seq(1, 4, 10), (c: Int) =>
       graft.operators.Sessions.retentionCohorts(
         scaledEvents(spark, dir, c), Seq("user_id"), "ts", 7L * 86400L)),
+    ("g_rate_anomalies", Seq(1, 4, 10), (c: Int) =>
+      graft.operators.Diagnostics.rateAnomalies(
+        scaledEvents(spark, dir, c), Seq("user_id"), "ts", 86400L, k = 2)),
     ("g_dedup_exact", Seq(1, 4, 10), (c: Int) =>
       graft.pipeline.Dedup.exactGroups(scaledDocs(spark, dir, c), "doc_id", "text")),
     ("g_dedup_minhash_lsh", Seq(1, 4, 10), (c: Int) =>

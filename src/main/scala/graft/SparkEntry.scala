@@ -783,6 +783,20 @@ object SparkEntry {
         .orderBy($"step_idx")
     }),
 
+    // WINDOWED funnel: view -> click -> purchase with every step inside
+    // 24h of the SAME step-0 view (deadline-from-first semantics, where
+    // greedy earliest-successor chaining is exact); one row per step-0
+    // event, then one earliestFollowing window pass per hop — the
+    // oracle replays the identical greedy chain with correlated MINs
+    "funnel_windowed_events" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.operators.Sessions.funnelWindowedCounts(
+          graft.sources.Tables.events(spark, dir), Seq("user_id"), "ts",
+          "event_type", Seq("view", "click", "purchase"),
+          windowSeconds = 86400L)
+        .orderBy($"step_idx")
+    }),
+
     // cohort retention on epoch-aligned weekly periods: distinct
     // (user, period) first, one per-key window min for the cohort, one
     // hash agg — counting the distinct pairs IS the exact per-cell
@@ -3509,6 +3523,34 @@ object SparkEntry {
         |                 ELSE SUM(l) // COUNT(*) END AS BIGINT),
         |       CAST(MAX(l) AS BIGINT)
         |FROM l2
+        |ORDER BY step_idx""".stripMargin,
+
+    // the greedy windowed chain replayed with correlated MINs: a NULL
+    // t_i kills the chain (NULL comparisons exclude every candidate)
+    "funnel_windowed_events" ->
+      """WITH s0 AS (SELECT DISTINCT user_id, epoch_us(ts) AS t0
+        |            FROM events WHERE event_type = 'view'),
+        |c1 AS (SELECT user_id, t0,
+        |       (SELECT MIN(epoch_us(e.ts)) FROM events e
+        |        WHERE e.user_id = s0.user_id AND e.event_type = 'click'
+        |          AND epoch_us(e.ts) > t0
+        |          AND epoch_us(e.ts) <= t0 + 86400000000) AS t1
+        |       FROM s0),
+        |c2 AS (SELECT user_id, t0, t1,
+        |       (SELECT MIN(epoch_us(e.ts)) FROM events e
+        |        WHERE e.user_id = c1.user_id AND e.event_type = 'purchase'
+        |          AND epoch_us(e.ts) > t1
+        |          AND epoch_us(e.ts) <= t0 + 86400000000) AS t2
+        |       FROM c1)
+        |SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+        |       CAST((SELECT COUNT(DISTINCT user_id) FROM c2) AS BIGINT)
+        |         AS n_keys
+        |UNION ALL SELECT 1, 'click',
+        |       CAST((SELECT COUNT(DISTINCT user_id) FROM c2
+        |             WHERE t1 IS NOT NULL) AS BIGINT)
+        |UNION ALL SELECT 2, 'purchase',
+        |       CAST((SELECT COUNT(DISTINCT user_id) FROM c2
+        |             WHERE t2 IS NOT NULL) AS BIGINT)
         |ORDER BY step_idx""".stripMargin,
 
     // epoch-aligned weekly periods via floor division; counting the

@@ -62,15 +62,52 @@ object AsofJoin {
       rightTsCol: String,
       payloadCols: Seq[String],
       strict: Boolean = false,
-      maxGapSeconds: Option[Long] = None): DataFrame = {
+      maxGapSeconds: Option[Long] = None): DataFrame =
+    directional(left, right, keyCols, leftTsCol, rightTsCol, payloadCols,
+      strict, maxGapSeconds, forward = false, op = "latestPreceding")
+
+  /**
+   * The FORWARD mirror of [[latestPreceding]]: for every `left` row,
+   * the EARLIEST `right` row with equal `keyCols` and `rightTsCol` >=
+   * (inclusive) / > (`strict`) the left row's `leftTsCol` — "the next
+   * purchase after this signup", "the first error after this deploy".
+   * Same single-shuffle union-trick plan (the per-key window simply
+   * looks forward), same LEFT OUTER NULL semantics, same right-side
+   * uniqueness contract, and `maxGapSeconds` bounds how far AHEAD the
+   * match may be (a later right row beyond the bound yields NULL
+   * payloads, exactly as if it did not exist).
+   */
+  def earliestFollowing(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String,
+      payloadCols: Seq[String],
+      strict: Boolean = false,
+      maxGapSeconds: Option[Long] = None): DataFrame =
+    directional(left, right, keyCols, leftTsCol, rightTsCol, payloadCols,
+      strict, maxGapSeconds, forward = true, op = "earliestFollowing")
+
+  private def directional(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String,
+      payloadCols: Seq[String],
+      strict: Boolean,
+      maxGapSeconds: Option[Long],
+      forward: Boolean,
+      op: String): DataFrame = {
     maxGapSeconds.foreach(g => require(g >= 0,
-      s"latestPreceding: maxGapSeconds must be >= 0, got $g"))
-    require(keyCols.nonEmpty, "latestPreceding: keyCols must be non-empty")
+      s"$op: maxGapSeconds must be >= 0, got $g"))
+    require(keyCols.nonEmpty, s"$op: keyCols must be non-empty")
     require(payloadCols.nonEmpty,
-      "latestPreceding: payloadCols must be non-empty — an as-of join " +
+      s"$op: payloadCols must be non-empty — an as-of join " +
         "with no payload is a filter, not a join")
     payloadCols.foreach(c => require(!left.columns.contains(c),
-      s"latestPreceding: payload column '$c' collides with a left " +
+      s"$op: payload column '$c' collides with a left " +
         "column; rename it on the right side first"))
     keyCols.foreach { c =>
       require(left.columns.contains(c), s"left side lacks key column '$c'")
@@ -81,12 +118,14 @@ object AsofJoin {
       c =>
         require(!left.columns.contains(c) && !right.columns.contains(c),
           s"input already has a '$c' column; rename it — " +
-            "latestPreceding uses it internally")
+            s"$op uses it internally")
     }
     require(!payloadCols.contains("__graft_rts"),
-      "latestPreceding: '__graft_rts' is reserved")
+      s"$op: '__graft_rts' is reserved")
     // the side flag's sort position at equal ts IS the strictness knob
-    val rightSide = if (strict) 1 else 0
+    // (and it mirrors with direction: at equal ts an inclusive match
+    // needs the right row INSIDE the left row's frame)
+    val rightSide = if (forward != strict) 1 else 0
     // under a gap bound the carried payload remembers its own timestamp
     val payCols =
       if (maxGapSeconds.isDefined)
@@ -106,12 +145,18 @@ object AsofJoin {
         lit(rightSide).as("__graft_side"),
         struct(payCols: _*).as("__graft_pay"),
         lit(null).cast(rowType).as("__graft_row")): _*)
-    val w = Window
+    val wBase = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col("__graft_ts").asc, col("__graft_side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried =
+      if (forward)
+        first(col("__graft_pay"), ignoreNulls = true)
+          .over(wBase.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      else
+        last(col("__graft_pay"), ignoreNulls = true)
+          .over(wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     val matched = lTagged.unionByName(rTagged)
-      .withColumn("__graft_m", last(col("__graft_pay"), ignoreNulls = true).over(w))
+      .withColumn("__graft_m", carried)
       .filter(col("__graft_row").isNotNull)
     val payOut = maxGapSeconds match {
       case None => payloadCols.map(c => col(s"__graft_m.`$c`").as(c))
@@ -119,10 +164,14 @@ object AsofJoin {
         // micros comparison handles TIMESTAMP and TIMESTAMP_NTZ alike
         // (the NTZ cast interprets wall time in the session zone, the
         // same convention as Sessions.tsMicros)
-        val fresh = col("__graft_m").isNotNull &&
-          unix_micros(col("__graft_ts").cast("timestamp")) -
-            unix_micros(col("__graft_m.__graft_rts").cast("timestamp")) <=
-            g * 1000000L
+        val ageUs =
+          if (forward)
+            unix_micros(col("__graft_m.__graft_rts").cast("timestamp")) -
+              unix_micros(col("__graft_ts").cast("timestamp"))
+          else
+            unix_micros(col("__graft_ts").cast("timestamp")) -
+              unix_micros(col("__graft_m.__graft_rts").cast("timestamp"))
+        val fresh = col("__graft_m").isNotNull && ageUs <= g * 1000000L
         payloadCols.map(c => when(fresh, col(s"__graft_m.`$c`")).as(c))
     }
     matched.select(left.columns.map(c => col(s"__graft_row.`$c`").as(c)) ++

@@ -245,6 +245,94 @@ object Sessions {
   }
 
   /**
+   * WINDOWED funnel: how many keys complete the first `i` steps IN
+   * ORDER with every later step inside `windowSeconds` of the SAME
+   * step-0 event (the deadline runs from the chain's first step — the
+   * classic "converted within 24h of first visit" semantics). Output
+   * matches [[funnelCounts]]: one row per step, `(step_idx, step,
+   * n_keys)`, where a key counts at step i if ANY of its step-0 events
+   * starts a chain reaching step i before its deadline.
+   *
+   * Exactness: with the deadline fixed by the chain's FIRST event,
+   * greedy earliest-successor chaining is optimal (any chain's step-i
+   * time is an upper bound for greedy's, and both face the same
+   * deadline — the exchange argument; NOTE this would be FALSE for
+   * per-hop windows, where taking a later predecessor can extend a
+   * later deadline).
+   *
+   * Scale shape: one row per STEP-0 EVENT (not per event), then
+   * `steps.size - 1` [[AsofJoin.earliestFollowing]] passes — each a
+   * single per-key window shuffle, no range join, no pair explosion;
+   * dead chains are set aside before each hop so the window never
+   * sorts NULL timestamps. Right sides are deduplicated to (key, ts)
+   * per the as-of uniqueness contract.
+   */
+  def funnelWindowedCounts(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      stepCol: String,
+      steps: Seq[String],
+      windowSeconds: Long): DataFrame = {
+    require(keyCols.nonEmpty, "funnelWindowedCounts: keyCols must be non-empty")
+    require(steps.size >= 2,
+      s"funnelWindowedCounts: need at least 2 steps, got $steps")
+    require(steps.distinct.size == steps.size,
+      s"funnelWindowedCounts: steps must be distinct, got $steps")
+    require(windowSeconds > 0,
+      s"funnelWindowedCounts: windowSeconds must be positive, got $windowSeconds")
+    keyCols.find(_.startsWith("__graft_")).foreach { c =>
+      throw new IllegalArgumentException(
+        s"funnelWindowedCounts: key column '$c' collides with an internal " +
+          "column; rename it")
+    }
+    val keyC = keyCols.map(col)
+    def stepRows(s: String, tsName: String) = events
+      .filter(col(stepCol) === s)
+      .select((keyC :+ col(tsCol).as(tsName)): _*)
+      .distinct()
+    // one row per step-0 event; the deadline rides along in micros
+    val base = stepRows(steps.head, "__graft_wt0")
+      .withColumn("__graft_dl",
+        unixLike(col("__graft_wt0")) + windowSeconds * MicrosPerSecond)
+    val chained = steps.zipWithIndex.tail.foldLeft(base) { case (acc, (s, i)) =>
+      val alive = acc.filter(col(s"__graft_wt${i - 1}").isNotNull)
+      val dead = acc.filter(col(s"__graft_wt${i - 1}").isNull)
+        .withColumn(s"__graft_wt$i",
+          lit(null).cast(acc.schema(s"__graft_wt${i - 1}").dataType))
+      val hopped = AsofJoin.earliestFollowing(
+          alive, stepRows(s, s"__graft_rt$i"), keyCols,
+          s"__graft_wt${i - 1}", s"__graft_rt$i", Seq(s"__graft_rt$i"),
+          strict = true)
+        .withColumn(s"__graft_wt$i",
+          when(unixLike(col(s"__graft_rt$i")) <= col("__graft_dl"),
+            col(s"__graft_rt$i")))
+        .drop(s"__graft_rt$i")
+      hopped.unionByName(dead)
+    }
+    val counts = chained.agg(
+      count_distinct(when(col("__graft_wt0").isNotNull,
+        struct(keyC: _*))).as("__graft_c0"),
+      steps.indices.tail.map(i =>
+        count_distinct(when(col(s"__graft_wt$i").isNotNull,
+          struct(keyC: _*))).as(s"__graft_c$i")): _*)
+    counts
+      .select(posexplode(array(steps.indices.map(i =>
+        col(s"__graft_c$i")): _*)).as(Seq("step_idx", "n_keys")))
+      .select(col("step_idx").cast("long").as("step_idx"),
+        element_at(
+          array(steps.map(lit): _*), col("step_idx").cast("int") + 1)
+          .as("step"),
+        col("n_keys"))
+  }
+
+  /** Epoch micros of a timestamp column value (either flavor), usable
+    * on derived columns where [[tsMicros]]' schema lookup cannot see
+    * the type: NTZ values cast to TIMESTAMP interpret wall time in the
+    * session zone — the same convention as [[tsMicros]]. */
+  private def unixLike(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  /**
    * Cohort retention: bucket each key by the epoch-aligned period of
    * its FIRST activity (`periodSeconds`-wide periods counted from the
    * unix epoch — convention-free, unlike week-start-sensitive

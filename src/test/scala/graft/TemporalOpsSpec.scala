@@ -106,6 +106,73 @@ class TemporalOpsSpec extends AnyFunSuite {
       s"need attributed AND unattributed purchases, got $hit of $n")
   }
 
+  test("earliestFollowing mirrors latestPreceding: inclusive/strict/gap") {
+    // right rows at t=100 and t=200; left at t=100 and t=150
+    val left = Seq((1L, ts(100)), (2L, ts(150))).toDF("id", "t")
+      .withColumn("k", lit(1L))
+    val right = Seq((ts(100), "a"), (ts(200), "b")).toDF("rt", "tag")
+      .withColumn("k", lit(1L))
+    def run(strict: Boolean, gap: Option[Long]) = AsofJoin.earliestFollowing(
+        left, right, Seq("k"), "t", "rt", Seq("tag"), strict, gap)
+      .select($"id", $"tag").as[(Long, Option[String])].collect().toMap
+    assert(run(strict = false, None) ===
+      Map(1L -> Some("a"), 2L -> Some("b")),
+      "inclusive: a right row at exactly t matches")
+    assert(run(strict = true, None) ===
+      Map(1L -> Some("b"), 2L -> Some("b")),
+      "strict: only strictly later right rows match")
+    assert(run(strict = true, Some(40L)) === Map(1L -> None, 2L -> None),
+      "forward gap bound: both matches are farther ahead than 40s")
+    assert(run(strict = true, Some(50L)) === Map(1L -> None, 2L -> Some("b")),
+      "exactly-at-bound is kept (150 -> 200 is 50s)")
+    assert(run(strict = true, Some(100L)) ===
+      Map(1L -> Some("b"), 2L -> Some("b")))
+  }
+
+  test("funnelWindowedCounts: hand fixture pins deadline-from-first semantics") {
+    // window 100s. u1 completes in window (C at EXACTLY the deadline);
+    // u2's C misses the deadline; u3 completes only via its SECOND
+    // step-0 event; u4 never starts; u5 stalls after A; u6's B at
+    // exactly A's ts does not advance (strict within chain)
+    val rows = Seq(
+      (1L, "A", 0L), (1L, "B", 50L), (1L, "C", 100L),
+      (2L, "A", 0L), (2L, "B", 90L), (2L, "C", 150L),
+      (3L, "A", 0L), (3L, "A", 140L), (3L, "B", 150L), (3L, "C", 200L),
+      (4L, "B", 10L), (4L, "C", 20L),
+      (5L, "A", 0L), (5L, "C", 10L),
+      (6L, "A", 10L), (6L, "B", 10L))
+    val ev = rows.map { case (u, s, t) => (u, s, ts(t)) }
+      .toDF("user_id", "step", "t")
+    val got = Sessions.funnelWindowedCounts(ev, Seq("user_id"), "t", "step",
+        Seq("A", "B", "C"), windowSeconds = 100L)
+      .orderBy($"step_idx").as[(Long, String, Long)].collect().toSeq
+    // step0: u1,u2,u3,u5,u6 = 5; step1: u1,u2,u3 = 3; step2: u1,u3 = 2
+    assert(got === Seq((0L, "A", 5L), (1L, "B", 3L), (2L, "C", 2L)))
+    // u3 is the load-bearing case: greedy from its FIRST A dies (B@150
+    // > 0+100) but the second A@140 completes — ANY-start semantics
+  }
+
+  test("funnelWindowedCounts matches unwindowed funnelCounts at a huge window") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val steps = Seq("view", "click", "purchase")
+    val wide = Sessions.funnelWindowedCounts(ev, Seq("user_id"), "ts",
+        "event_type", steps, windowSeconds = 10L * 365L * 86400L)
+      .orderBy($"step_idx").as[(Long, String, Long)].collect().toSeq
+    val un = Sessions.funnelCounts(ev, Seq("user_id"), "ts", "event_type",
+        steps)
+      .orderBy($"step_idx").as[(Long, String, Long)].collect().toSeq
+    // a window longer than the whole timeline imposes no constraint, and
+    // the windowed ANY-start existence semantics then coincide with the
+    // unwindowed earliest-chain semantics
+    assert(wide === un)
+    val narrow = Sessions.funnelWindowedCounts(ev, Seq("user_id"), "ts",
+        "event_type", steps, windowSeconds = 3600L)
+      .orderBy($"step_idx").as[(Long, String, Long)].collect().toSeq
+    assert(narrow.head._3 === un.head._3, "step 0 has no window to miss")
+    assert(narrow(2)._3 <= un(2)._3,
+      "a narrow window can only lose conversions")
+  }
+
   test("payload/key/internal-column guards fail fast") {
     val l = Seq((1L, ts(1), "x")).toDF("k", "t", "tag")
     val r = Seq((1L, ts(1), "y")).toDF("k", "rt", "tag")
