@@ -797,6 +797,17 @@ object SparkEntry {
         .orderBy($"step_idx")
     }),
 
+    // DAU/MAU-style stickiness per 28-day epoch period — one distinct
+    // over (user, day) collapses the corpus, one hash agg per period,
+    // exact integer ppm
+    "stickiness_28d" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.operators.Sessions.stickiness(
+          graft.sources.Tables.events(spark, dir), Seq("user_id"), "ts",
+          periodDays = 28)
+        .orderBy($"period_start_us")
+    }),
+
     // cohort retention on epoch-aligned weekly periods: distinct
     // (user, period) first, one per-key window min for the cohort, one
     // hash agg — counting the distinct pairs IS the exact per-cell
@@ -3552,6 +3563,20 @@ object SparkEntry {
         |       CAST((SELECT COUNT(DISTINCT user_id) FROM c2
         |             WHERE t2 IS NOT NULL) AS BIGINT)
         |ORDER BY step_idx""".stripMargin,
+
+    // same distinct day-pairs, same exact integer ppm
+    "stickiness_28d" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |                  epoch_us(ts) // 86400000000 AS day
+        |           FROM events),
+        |p AS (SELECT user_id, day, day // 28 AS per FROM d)
+        |SELECT CAST(per * CAST(28 AS BIGINT) * 86400000000 AS BIGINT)
+        |         AS period_start_us,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_keys,
+        |       CAST(COUNT(*) AS BIGINT) AS active_key_days,
+        |       CAST(COUNT(*) * 1000000 // (28 * COUNT(DISTINCT user_id))
+        |            AS BIGINT) AS stickiness_e6
+        |FROM p GROUP BY per ORDER BY 1""".stripMargin,
 
     // epoch-aligned weekly periods via floor division; counting the
     // distinct (user, period) pairs is the exact per-cell user count

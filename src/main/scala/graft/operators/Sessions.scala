@@ -333,6 +333,57 @@ object Sessions {
   private def unixLike(c: Column): Column = unix_micros(c.cast("timestamp"))
 
   /**
+   * Engagement stickiness (the DAU/MAU family): per `periodDays`-day
+   * epoch-aligned period, the distinct active keys, the total active
+   * key-days, and `stickiness_e6` = average-daily-actives / period
+   * actives in exact parts-per-million —
+   * `active_key_days * 1e6 DIV (periodDays * n_active_keys)`. A key
+   * active every day of the period contributes 1e6/n of weight; a
+   * corpus of one-day drive-bys scores near 1e6/periodDays.
+   *
+   * All integer arithmetic (counts and one exact DIV) — hash-stable
+   * cross-engine. Scale shape: ONE distinct over (key, day) collapses
+   * the corpus, then a single hash agg per period; `count_distinct` at
+   * period granularity expands only the already-collapsed day pairs.
+   */
+  def stickiness(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      periodDays: Int = 28,
+      daySeconds: Long = 86400L): DataFrame = {
+    require(keyCols.nonEmpty, "stickiness: keyCols must be non-empty")
+    require(periodDays >= 1, s"stickiness: periodDays must be >= 1, got $periodDays")
+    require(daySeconds > 0, s"stickiness: daySeconds must be positive, got $daySeconds")
+    keyCols.find(c => c.startsWith("__graft_") ||
+        Seq("period_start_us", "n_active_keys", "active_key_days",
+          "stickiness_e6").contains(c)).foreach { c =>
+      throw new IllegalArgumentException(
+        s"stickiness: key column '$c' collides with an internal or output " +
+          "column; rename it")
+    }
+    val keyC = keyCols.map(col)
+    val pus = daySeconds * MicrosPerSecond * periodDays
+    val days = events
+      .select((keyC :+ periodIndex(events, tsCol, daySeconds)
+        .as("__graft_day")): _*)
+      .distinct()
+      // floor of day/periodDays for either sign, same convention as
+      // periodIndex
+      .withColumn("__graft_per",
+        expr(s"(__graft_day - pmod(__graft_day, $periodDays)) DIV $periodDays"))
+    days
+      .groupBy((col("__graft_per") * pus).as("period_start_us"))
+      .agg(
+        count_distinct(struct(keyC: _*)).as("n_active_keys"),
+        count(lit(1)).as("active_key_days"))
+      .select(col("period_start_us"), col("n_active_keys"),
+        col("active_key_days"),
+        expr(s"active_key_days * 1000000L DIV " +
+          s"(${periodDays}L * n_active_keys)").as("stickiness_e6"))
+  }
+
+  /**
    * Cohort retention: bucket each key by the epoch-aligned period of
    * its FIRST activity (`periodSeconds`-wide periods counted from the
    * unix epoch — convention-free, unlike week-start-sensitive

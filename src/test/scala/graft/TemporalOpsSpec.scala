@@ -419,6 +419,29 @@ class TemporalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("stickiness: hand-computed exact ppm, duplicate events collapse") {
+    // "days" of 10s, periods of 2 days. period 0: u1 active both days
+    // (one day twice — must not double count), u2 one day -> 2 keys,
+    // 3 key-days, 3e6 DIV 4 = 750000. period 1: u1 and u3 one day each
+    // -> 2 keys, 2 key-days, 500000
+    val rows = Seq(
+      (1L, 0L), (1L, 5L), (1L, 12L), (1L, 25L),
+      (2L, 3L),
+      (3L, 33L))
+    val ev = rows.map { case (u, t) => (u, ts(t)) }.toDF("user_id", "t")
+    val got = Sessions.stickiness(ev, Seq("user_id"), "t",
+        periodDays = 2, daySeconds = 10L)
+      .orderBy($"period_start_us")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (0L, 2L, 3L, 750000L),
+      (20L * 1000000L, 2L, 2L, 500000L)))
+    intercept[IllegalArgumentException] {
+      Sessions.stickiness(ev.withColumnRenamed("user_id", "stickiness_e6"),
+        Seq("stickiness_e6"), "t")
+    }
+  }
+
   test("sessionize guards: gap and reserved columns fail fast") {
     val ev = Seq((1L, ts(0))).toDF("user_id", "ts")
     val e1 = intercept[IllegalArgumentException] {
