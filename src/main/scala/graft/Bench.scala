@@ -106,6 +106,28 @@ object Bench {
     ("g_rate_anomalies", Seq(1, 4, 10), (c: Int) =>
       graft.operators.Diagnostics.rateAnomalies(
         scaledEvents(spark, dir, c), Seq("user_id"), "ts", 86400L, k = 2)),
+    // the union-trick's "one linear pass, join-free at any events size"
+    // claim (AsofJoin.scala doc) as a measured slope: clicks matched to
+    // their latest preceding view per user — one union + one keyed
+    // window whatever the key cardinality
+    ("g_asof", Seq(1, 4, 10), (c: Int) => {
+      val ev = scaledEvents(spark, dir, c)
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_event_id"))
+        .select(col("user_id"), col("ts").as("view_ts"), col("view_event_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.AsofJoin.latestPreceding(
+        clicks, views, Seq("user_id"), "ts", "view_ts",
+        payloadCols = Seq("view_event_id"))
+    }),
+    // sessionization's one-shuffle claim: assign's keyed window + the
+    // superset-keyed rollup — linear in key cardinality by construction
+    ("g_sessionize", Seq(1, 4, 10), (c: Int) =>
+      graft.operators.Sessions.stats(
+        scaledEvents(spark, dir, c), Seq("user_id"), "ts",
+        gapSeconds = 14400L, orderCols = Seq("event_id"))),
     ("g_dedup_exact", Seq(1, 4, 10), (c: Int) =>
       graft.pipeline.Dedup.exactGroups(scaledDocs(spark, dir, c), "doc_id", "text")),
     ("g_dedup_minhash_lsh", Seq(1, 4, 10), (c: Int) =>

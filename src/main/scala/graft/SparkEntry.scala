@@ -581,6 +581,39 @@ object SparkEntry {
         .orderBy($"frequency".desc, $"item")
     }),
 
+    // the APPROXIMATE path under oracle watch: a counter budget of 16
+    // against ~2000 distinct part keys FORCES policy-B eviction (every
+    // partial state blows past the 3n threshold whatever the shuffle
+    // schedule), and the row asserts the bounds contract IN-PLAN against
+    // an exact GROUP BY twin: reported <= true <= reported + max_error
+    // for every reported item, with the measured max_error non-zero.
+    // Sketch CONTENT under eviction is schedule-dependent by design, so
+    // the row emits only the schedule-INdependent facts (the ANN
+    // recall-floor device): the contract booleans and the pinned report
+    // size. The approximation IS the product (reference README.md:21-23);
+    // this is the driver row that actually exercises it.
+    "topn_approx_bounds" -> ((spark, dir) => {
+      import spark.implicits._
+      val tinyBudget = 16
+      val key = $"l_partkey".cast("string")
+      val report = tbl(spark, dir, "lineitem")
+        .agg(TopnFunctions.topn_add_agg_bounds(key, tinyBudget).as("u"))
+        .select(explode(
+          TopnFunctions.topn_with_bounds($"u", lit(tinyBudget))).as("r"))
+        .select($"r.item".as("item"), $"r.frequency".as("frequency"),
+          $"r.max_error".as("max_error"))
+      val exact = tbl(spark, dir, "lineitem")
+        .groupBy(key.as("item"))
+        .agg(count(lit(1)).as("true_freq"))
+      report.join(exact, Seq("item"))
+        .agg(
+          min($"frequency" <= $"true_freq" &&
+            $"true_freq" <= $"frequency" + $"max_error")
+            .as("all_within_bounds"),
+          min($"max_error" > 0L).as("has_eviction"),
+          count(lit(1)).as("n_report"))
+    }),
+
     // scalar topn_add + topn_union pipeline (§2.1 rows 2,3)
     "topn_scalar_pipeline" -> ((spark, dir) => {
       import spark.implicits._
@@ -1138,8 +1171,9 @@ object SparkEntry {
 
     // the sub-quadratic 100 TB tier of the same scan, driver-verified
     // against the exact tier: emits the candidate-pair count and a
-    // recall-floor boolean (measured 48/50 caught at 4 bits x 16 tables;
-    // bound 40). Deterministic end to end.
+    // recall-floor boolean (bound 40/50; bits auto-sized from the corpus
+    // count — Similarity.autoBits — so the floor holds at any SF: fewer
+    // bits at small corpora only ADD candidates). Deterministic end to end.
     "lsh_neardup_pairs" -> ((spark, dir) => {
       import spark.implicits._
       val emb = tbl(spark, dir, "embeddings")
@@ -2681,6 +2715,22 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // TRAINED multi-class language-ID (the fastText lid shape): one
+    // linear head per language in the corpus, all trained at once over
+    // one shared hashed-feature scan by exact fixed-point GD, then every
+    // doc predicted by pinned argmax (score desc, class asc) — the
+    // oracle replays the ENTIRE one-vs-rest training run plus the argmax
+    // window, so the hash match covers the learned model, not just the
+    // predictions. Class list comes from the data in BOTH engines.
+    "language_classifier" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.pipeline.Classifier.trainMultiPredictions(
+        tbl(spark, dir, "documents"), "doc_id", "text", "lang",
+        numBuckets = ClsBuckets, iters = ClsIters,
+        etaNum = ClsEtaNum, etaDen = ClsEtaDen)
+        .orderBy($"doc_id")
+    }),
+
     // example packing (GPT-style pretraining layout): the corpus as one
     // token stream cut into 512-token training sequences, documents
     // SPLIT across boundaries so every context window is exactly full —
@@ -2947,6 +2997,26 @@ object SparkEntry {
    * actually runs, without its verifier. Not part of the driver's oracle
    * gate (the twinned queries stay in [[queries]]).
    */
+  /** Once-per-JVM materialized fingerprint store for
+    * `incremental_neardup_op`: the op prices a daily probe against
+    * PERSISTED state, so the state must exist before the clock starts. */
+  private val incStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def incrementalStorePath(spark: SparkSession, dir: String): String =
+    incStoreCache.computeIfAbsent(dir, _ => {
+      import graft.pipeline.{Dedup, TextAnalysis}
+      val fps = tbl(spark, dir, "documents")
+        .filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          Dedup.simhash64(TextAnalysis.tokens(col("text"))).as("fp"))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_inc_store").toString
+      fps.write.mode("overwrite").parquet(s"$out/fps")
+      fps.select(col("doc_id"), col("doc_id").as("cluster_id"))
+        .write.mode("overwrite").parquet(s"$out/labels")
+      out
+    })
+
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the NAIVE wide frame: the same 30-period merge via slidingUnion's
     // rank-range join, which replicates every period's sketch 30x — the
@@ -3049,14 +3119,22 @@ object SparkEntry {
     // comparison are verification, not operator cost — in production the
     // store's labels are PERSISTED state, so the twin seeds them as
     // singletons (a no-prior-merges store) rather than re-deriving them
+    // The store's fingerprints AND labels are PERSISTED state written by
+    // yesterday's run, so they materialize to parquet ONCE per JVM and
+    // the row prices the PROBE (fresh fp compute + candidate join +
+    // relabel) over a read store. Rebuilding the store inside the row was
+    // what made the r12/r13 recordings swing ±50%: the rebuild's
+    // shuffle-write I/O dominated and priced the machine, not the op.
     "incremental_neardup_op" -> ((spark, dir) => {
       import spark.implicits._
       import graft.pipeline.{Clustering, Dedup, TextAnalysis}
-      val fps = tbl(spark, dir, "documents")
-        .select($"doc_id", Dedup.simhash64(TextAnalysis.tokens($"text")).as("fp"))
-      val store = fps.filter($"doc_id" % 5 =!= 0)
-      val fresh = fps.filter($"doc_id" % 5 === 0)
-      val storeLabels = store.select($"doc_id", $"doc_id".as("cluster_id"))
+      val storeDir = incrementalStorePath(spark, dir)
+      val store = spark.read.parquet(s"$storeDir/fps")
+      val storeLabels = spark.read.parquet(s"$storeDir/labels")
+      val fresh = tbl(spark, dir, "documents")
+        .filter($"doc_id" % 5 === 0)
+        .select($"doc_id",
+          Dedup.simhash64(TextAnalysis.tokens($"text")).as("fp"))
       Clustering.incrementalUpdate(storeLabels,
         Dedup.incrementalFingerprintPairs(fresh, store, "doc_id", "fp", 3),
         "doc_a", "doc_b")
@@ -3333,6 +3411,12 @@ object SparkEntry {
         |       CAST(0 AS BIGINT) AS max_error
         |FROM orders GROUP BY 1
         |ORDER BY frequency DESC, item LIMIT 25""".stripMargin,
+
+    // the bounds CONTRACT is the deterministic fact; the evicted sketch's
+    // content is schedule-dependent by design (the recall-floor doctrine)
+    "topn_approx_bounds" ->
+      """SELECT TRUE AS all_within_bounds, TRUE AS has_eviction,
+        |       CAST(16 AS BIGINT) AS n_report""".stripMargin,
 
     "topn_scalar_pipeline" ->
       """SELECT item, frequency FROM (
@@ -5340,6 +5424,15 @@ object SparkEntry {
       graft.pipeline.Classifier.classifierSql(
         "lang = 'en'", ClsBuckets, ClsIters, ClsEtaNum, ClsEtaDen,
         bigrams = true),
+
+    // one-vs-rest training replayed in full with a cls key threaded
+    // through every iteration CTE, argmax as the identical
+    // row_number-over-doc window (Classifier.multiClassifierCtes)
+    "language_classifier" -> {
+      val (ctes, fin) = graft.pipeline.Classifier.multiClassifierCtes(
+        "documents", "lang", ClsBuckets, ClsIters, ClsEtaNum, ClsEtaDen)
+      s"WITH $ctes\nSELECT doc_id, cls_actual, cls_pred, score_e6 FROM $fin ORDER BY doc_id"
+    },
 
     // same stream layout: exclusive prefix sum -> the range of sequence
     // ids a doc overlaps -> clamped fragment arithmetic, all integers

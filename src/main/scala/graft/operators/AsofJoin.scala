@@ -114,7 +114,7 @@ object AsofJoin {
       require(right.columns.contains(c), s"right side lacks key column '$c'")
     }
     Seq("__graft_ts", "__graft_side", "__graft_pay", "__graft_row",
-        "__graft_rts").foreach {
+        "__graft_rts", "__graft_m").foreach {
       c =>
         require(!left.columns.contains(c) && !right.columns.contains(c),
           s"input already has a '$c' column; rename it — " +

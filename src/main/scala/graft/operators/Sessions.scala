@@ -490,11 +490,15 @@ object Sessions {
     // path and the tail test come from the SAME projection — a filter
     // between two projections that each mention lead(...) would make
     // Spark re-evaluate the second window over the already-filtered
-    // rows, shifting every lead
+    // rows, shifting every lead. EVERY position must be non-null, not
+    // just the tail: concat_ws skips NULLs, so a NULL stepCol mid-window
+    // would otherwise emit a silently shortened path ("A>C" for A,∅,C)
+    // where the SQL spelling s0||'>'||s1||'>'||s2 yields NULL and drops
+    // the row
     assigned
       .select((keyCols.map(col) :+ col("session_seq") :+
         concat_ws(">", parts: _*).as("path") :+
-        parts.last.isNotNull.as("__graft_full")): _*)
+        parts.map(_.isNotNull).reduce(_ && _).as("__graft_full")): _*)
       .filter(col("__graft_full"))
       .drop("__graft_full")
   }

@@ -369,14 +369,24 @@ object Bpe {
    * source relation `src` (any CTE/table with a `text` column) — the
    * [[graft.pipeline.Classifier.classifierCtes]] doctrine applied to
    * tokenizer training, kept adjacent to the Spark spelling so the two
-   * walks cannot drift. Iteration k's learned pair is data-dependent, so
-   * it enters iteration k+1's replace as SCALAR SUBQUERIES against the
-   * argmax CTE (never a re-quoted literal); an exhausted iteration
-   * (no pair at `minCount`) yields an empty argmax CTE, the COALESCE
-   * sentinel (chr(30), absent from any corpus) makes its replace a no-op,
-   * and the iteration contributes no output row — the same early-stop the
-   * Spark loop takes. Returns (ctesString, finalCteName); the final CTE
-   * yields (iter, a, b, cnt).
+   * walks cannot drift. Like the Spark loop in [[trainMerges]], the
+   * replay runs the DISTINCT-WORD frequency formulation: the corpus
+   * collapses to one (word, count) table up front, and every iteration's
+   * spacing/replace/pair-count runs over the vocabulary weighted by word
+   * count — `SUM(wc)` here equals the corpus spelling's `COUNT(*)`
+   * exactly, because merges never cross a word boundary (the chr(31)
+   * marker pair filter drops every cross-word pair the corpus spelling
+   * would have generated). This is what makes the K-iteration oracle
+   * tractable: iteration cost is bounded by distinct-word mass, not
+   * corpus mass — the same 638s→1.4s collapse the Spark side took.
+   * Iteration k's learned pair is data-dependent, so it enters iteration
+   * k+1's replace as SCALAR SUBQUERIES against the argmax CTE (never a
+   * re-quoted literal); an exhausted iteration (no pair at `minCount`)
+   * yields an empty argmax CTE, the COALESCE sentinel (chr(30), absent
+   * from any corpus) makes its replace a no-op, and the iteration
+   * contributes no output row — the same early-stop the Spark loop
+   * takes. Returns (ctesString, finalCteName); the final CTE yields
+   * (iter, a, b, cnt).
    */
   def trainMergesCtes(
       src: String,
@@ -385,32 +395,49 @@ object Bpe {
       prefix: String = "bt"): (String, String) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val p = prefix
+    // the one corpus pass: distinct words with frequencies (the mirror
+    // of trainMerges's `words` table), then each word spaced by the
+    // identical mergedDoc walk (the whitespace→chr(31) rewrite is the
+    // identity on a single word but is kept verbatim so a literal
+    // chr(31) byte inside a word behaves the same in both engines)
     val header =
-      s"""${p}b0 AS (
-         |  SELECT ' ' || trim(regexp_replace(regexp_replace(trim(text), '\\s+', chr(31), 'g'), '(.)', '\\1 ', 'g')) || ' ' AS d
-         |  FROM $src)""".stripMargin
+      s"""${p}w AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
+         |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |        FROM $src)
+         |  WHERE length(w) > 0 GROUP BY 1),
+         |${p}b0 AS (
+         |  SELECT ' ' || trim(regexp_replace(regexp_replace(trim(w), '\\s+', chr(31), 'g'), '(.)', '\\1 ', 'g')) || ' ' AS d,
+         |         wc
+         |  FROM ${p}w)""".stripMargin
     val iterations = (1 to iters).map { k =>
       // DuckDB range() is stop-exclusive and lists are 1-indexed, so i
       // pairs t[i] with t[i+1] for i in [1, len-1] — the classifier
       // bigram pattern, and exactly the Spark side's slice+element_at
       s"""${p}p$k AS (
-         |  SELECT pr.a AS a, pr.b AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  SELECT pr.a AS a, pr.b AS b, CAST(SUM(wc) AS BIGINT) AS cnt
          |  FROM (SELECT unnest(list_transform(range(1, len(t)),
-         |                 i -> struct_pack(a := t[i], b := t[i+1]))) AS pr
-         |        FROM (SELECT regexp_split_to_array(trim(d), ' ') AS t FROM ${p}b${k - 1}))
+         |                 i -> struct_pack(a := t[i], b := t[i+1]))) AS pr, wc
+         |        FROM (SELECT regexp_split_to_array(trim(d), ' ') AS t, wc FROM ${p}b${k - 1}))
          |  WHERE pr.a <> chr(31) AND pr.b <> chr(31) AND pr.a <> '' AND pr.b <> ''
          |  GROUP BY 1, 2),
          |${p}m$k AS (SELECT a, b, cnt FROM ${p}p$k WHERE cnt >= $minCount
          |        ORDER BY cnt DESC, a, b LIMIT 1),
          |${p}b$k AS (SELECT replace(d,
          |    COALESCE((SELECT ' ' || a || ' ' || b || ' ' FROM ${p}m$k), chr(30)),
-         |    COALESCE((SELECT ' ' || a || b || ' ' FROM ${p}m$k), chr(30))) AS d
+         |    COALESCE((SELECT ' ' || a || b || ' ' FROM ${p}m$k), chr(30))) AS d,
+         |    wc
          |  FROM ${p}b${k - 1})""".stripMargin
     }.mkString(",\n")
     val out = (1 to iters)
       .map(k => s"SELECT CAST($k AS BIGINT) AS iter, a, b, cnt FROM ${p}m$k")
       .mkString(s"${p}out AS (\n  ", "\n  UNION ALL ", ")")
-    (s"$header,\n$iterations,\n$out", s"${p}out")
+    // MATERIALIZED: each b_k reads m_k twice (the two scalar subqueries)
+    // and m_k feeds the output union too — DuckDB's default CTE inlining
+    // would re-run the whole training prefix exponentially (the
+    // pageRankCtes finding; pure evaluation-order pragma)
+    (s"$header,\n$iterations,\n$out".replace(" AS (", " AS MATERIALIZED ("),
+      s"${p}out")
   }
 
   /**
@@ -458,6 +485,13 @@ object Bpe {
       groupCol: String,
       textCol: String,
       merges: Seq[(String, String)] = DemoMerges): DataFrame = {
+    if (groupCol.startsWith("__graft_") ||
+        Seq("grp", "n_docs", "n_words", "n_pieces", "n_bytes",
+          "fertility_ppm", "bytes_per_piece_ppm").contains(groupCol)) {
+      throw new IllegalArgumentException(
+        s"fertilityReport: group column '$groupCol' collides with an " +
+          "internal or output column; rename it")
+    }
     val t = col(textCol)
     docs
       .select(

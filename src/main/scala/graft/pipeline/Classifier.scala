@@ -366,6 +366,323 @@ object Classifier {
     Model(w, buckets.toInt, metaRow.getBoolean(1))
   }
 
+  // --- multi-class (one-vs-rest) --------------------------------------------
+  //
+  // The binary trainer generalized to a LABEL COLUMN: one linear model
+  // per distinct label value, all trained simultaneously over ONE shared
+  // doc-feature scan — the weight table just gains a `cls` key, and every
+  // per-iteration shuffle carries it. The flagship use is trained
+  // language-ID (the fastText lid.176 shape: hashed token features, one
+  // linear head per language), replacing TextAnalysis.languageId's
+  // 4-language stop-word heuristic with a model the corpus itself
+  // teaches. Arithmetic, clamping, floor divisions, and the eta bound
+  // are IDENTICAL to the binary path — a K-step multi-class run is
+  // bit-identical across engines, and [[multiClassifierCtes]] replays
+  // the ENTIRE training in DuckDB. Prediction is argmax with the pinned
+  // tie order (score desc, class asc), spelled as the same
+  // row_number-over-(doc) window in both engines.
+
+  /** A trained multi-class model: (cls, f, w_e6) weights — at most
+    * nClasses × (numBuckets+1) rows — plus the feature-space pins. */
+  final case class MultiModel(weights: DataFrame, numBuckets: Int,
+      bigrams: Boolean = false)
+
+  /**
+   * Train one-vs-rest: `iters` exact GD steps for EVERY distinct value
+   * of `labelCol` at once. Returns the weight table (cls, f, w_e6).
+   *
+   * Scale shape: the corpus-sized tables are the shared doc-feature
+   * scan (ONE tokenize+hash pass, persisted — identical to binary
+   * training) and its class fan-outs (feature rows × nClasses inside
+   * the per-iteration joins — nClasses is language-cardinality, a
+   * constant). Weights stay broadcast-sized (nClasses × buckets), and
+   * each iteration is the same two bounded shuffles as the binary
+   * trainer, now keyed (doc_id, cls) and (cls, f). NULL labels are
+   * rejected up front: a NULL never equals its own class under SQL
+   * semantics, so it would train as all-negative silently.
+   */
+  def trainMulti(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      numBuckets: Int = 1 << 12,
+      iters: Int = 3,
+      etaNum: Long = 1L,
+      etaDen: Long = 256L,
+      reliableCheckpoint: Boolean = false,
+      bigrams: Boolean = false): DataFrame = {
+    val (w, feats) = trainMultiWithFeatures(docs, idCol, textCol, labelCol,
+      numBuckets, iters, etaNum, etaDen, reliableCheckpoint, bigrams)
+    feats.unpersist(blocking = false)
+    w
+  }
+
+  /**
+   * Train one-vs-rest, then predict every document: (doc_id, cls_actual,
+   * cls_pred, score_e6) — cls_pred is the argmax class under the pinned
+   * tie order (score desc, cls asc), score_e6 its raw linear score.
+   */
+  def trainMultiPredictions(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      numBuckets: Int = 1 << 12,
+      iters: Int = 3,
+      etaNum: Long = 1L,
+      etaDen: Long = 256L,
+      reliableCheckpoint: Boolean = false,
+      bigrams: Boolean = false): DataFrame = {
+    val (weights, feats) = trainMultiWithFeatures(docs, idCol, textCol,
+      labelCol, numBuckets, iters, etaNum, etaDen, reliableCheckpoint, bigrams)
+    val scores = feats
+      .join(broadcast(weights), "f")
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(col("w_e6")).as("score_e6"))
+    feats.unpersist(blocking = false)
+    // argmax via the keyed window both engines spell identically; the
+    // doc_id partitioning scales (nClasses rows per key)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_e6").desc, col("cls").asc)
+    val best = scores
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .select(col("doc_id"), col("cls").as("cls_pred"), col("score_e6"))
+    docs.select(col(idCol).as("doc_id"), col(labelCol).as("cls_actual"))
+      .join(best, "doc_id")
+      .select(col("doc_id"), col("cls_actual"), col("cls_pred"),
+        col("score_e6"))
+  }
+
+  /** Shared multi-class loop; returns (checkpointed weights, persisted
+    * feature table) so prediction can reuse the cache. */
+  private def trainMultiWithFeatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      numBuckets: Int,
+      iters: Int,
+      etaNum: Long,
+      etaDen: Long,
+      reliableCheckpoint: Boolean,
+      bigrams: Boolean): (DataFrame, DataFrame) = {
+    requireEta(iters, etaNum, etaDen)
+    if (reliableCheckpoint)
+      require(docs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliableCheckpoint = true needs spark.sparkContext.setCheckpointDir(...) first")
+
+    val feats = docFeatures(docs, idCol, textCol, numBuckets, bigrams)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val classes = docs.select(col(labelCol).as("cls")).distinct()
+    // one-vs-rest label table: every (doc, class) pair with its 0/1e6
+    // target — nClasses rows per document, bounded fan-out
+    val labels = docs
+      .select(col(idCol).as("doc_id"), col(labelCol).as("__graft_y"))
+      .crossJoin(broadcast(classes))
+      .select(col("doc_id"), col("cls"),
+        when(col("__graft_y") === col("cls"), lit(1000000L))
+          .otherwise(lit(0L)).as("y_e6"))
+    val nDocs = docs.count()
+    require(nDocs > 0L, "classifier training needs at least one document")
+    require(docs.filter(col(labelCol).isNull).isEmpty,
+      s"trainMulti: label column '$labelCol' has NULLs; filter or " +
+        "impute them first (a NULL label trains as all-negative silently)")
+
+    val clamp: Column => Column =
+      c => greatest(lit(-ClampE6), least(lit(ClampE6), c))
+
+    var weights: DataFrame = null
+    for (_ <- 1 to iters) {
+      val yhat =
+        if (weights == null)
+          labels.select(col("doc_id"), col("cls"), lit(0L).as("yhat_e6"))
+        else
+          feats.join(broadcast(weights), "f")
+            .groupBy(col("doc_id"), col("cls"))
+            .agg(sum(col("w_e6")).as("yhat_e6"))
+      val resid = labels.join(yhat, Seq("doc_id", "cls"))
+        .select(col("doc_id"), col("cls"),
+          clamp(col("yhat_e6") - col("y_e6")).as("r_e6"))
+      val contrib = resid.select(col("doc_id"), col("cls"),
+        floorDiv(col("r_e6") * lit(1000000L), lit(nDocs)).as("gc_e12"))
+      val grad = feats.join(contrib, "doc_id")
+        .groupBy(col("cls"), col("f"))
+        .agg(sum(col("gc_e12")).as("g_e12"))
+      val step = floorDiv(lit(etaNum) * col("g_e12"), lit(etaDen * 1000000L))
+      val next =
+        if (weights == null)
+          grad.select(col("cls"), col("f"), (lit(0L) - step).as("w_e6"))
+        else
+          grad.join(broadcast(weights), Seq("cls", "f"), "left")
+            .select(col("cls"), col("f"),
+              (coalesce(col("w_e6"), lit(0L)) - step).as("w_e6"))
+      weights = if (reliableCheckpoint) next.checkpoint() else next.localCheckpoint()
+    }
+    (weights, feats)
+  }
+
+  /**
+   * Per-ROW prediction with a frozen multi-class model — the
+   * [[scoreColumn]] shape generalized: each class's weight map embeds as
+   * a plan literal, per-class scores compute in one pass over the
+   * document's distinct buckets, and the argmax resolves through an
+   * ordered struct-greatest (score desc, then class ASC on ties — the
+   * pinned order, encoded as the NEGATED class rank so lexicographic
+   * struct max lands on the smaller class name). Runs anywhere a Column
+   * does: streaming micro-batches, ingest filters, other operators'
+   * projections. Literal size is nClasses × numBuckets entries — the
+   * [[MaxScoreColumnBuckets]] refusal applies to the PRODUCT.
+   */
+  def predictColumn(textCol: Column, model: MultiModel): Column = {
+    val grouped: Map[String, Map[Long, Long]] = model.weights
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (c, rows) =>
+        c -> rows.map(r => r.getLong(1) -> r.getLong(2)).toMap
+      }
+    require(grouped.nonEmpty, "predictColumn: empty weight table")
+    val classes = grouped.keys.toSeq.sorted
+    require(classes.size.toLong * model.numBuckets <= MaxScoreColumnBuckets,
+      s"predictColumn embeds nClasses × numBuckets = ${classes.size} × " +
+        s"${model.numBuckets} weights in the plan, over " +
+        s"$MaxScoreColumnBuckets — use trainMultiPredictions' " +
+        "broadcast-join path for large models")
+    val toks = TextAnalysis.tokens(textCol)
+    val words = if (model.bigrams) concat(toks, wordBigrams(toks)) else toks
+    val buckets = array_distinct(
+      transform(words, t => Dsir.featureBucket(t, model.numBuckets)))
+    val scored = classes.zipWithIndex.map { case (c, i) =>
+      val w = grouped(c)
+      val bias = w.getOrElse(BiasFeature, 0L)
+      val perBucket = w - BiasFeature
+      val s =
+        if (perBucket.isEmpty) lit(bias)
+        else aggregate(buckets, lit(bias),
+          (acc, f) => acc + coalesce(element_at(typedLit(perBucket), f), lit(0L)))
+      struct(s.as("s"), lit(-i).as("nr"))
+    }
+    val best =
+      if (scored.size == 1) scored.head else greatest(scored: _*)
+    element_at(typedLit(classes), (lit(0) - best.getField("nr")) + 1)
+  }
+
+  /** Persist a multi-class model: the (cls, f, w_e6) weight table plus
+    * the one-row meta pins — the [[save]] layout with a class key. */
+  def saveMulti(model: MultiModel, path: String): Unit = {
+    model.weights.write.mode("overwrite").parquet(s"$path/weights")
+    val spark = model.weights.sparkSession
+    import spark.implicits._
+    Seq((model.numBuckets.toLong, model.bigrams))
+      .toDF("num_buckets", "use_bigrams")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a model persisted by [[saveMulti]]; fails fast on layout
+    * drift (names AND types — the [[load]] doctrine). */
+  def loadMulti(path: String, spark: org.apache.spark.sql.SparkSession): MultiModel = {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val w = spark.read.parquet(s"$path/weights")
+    require(w.schema.fields.map(f => f.name -> f.dataType).sortBy(_._1)
+      .sameElements(Seq("cls" -> StringType, "f" -> LongType,
+        "w_e6" -> LongType)),
+      s"not a Classifier.saveMulti layout at $path (need string cls, " +
+        s"long f and w_e6; got ${w.schema.simpleString})")
+    val meta = spark.read.parquet(s"$path/meta")
+    require(meta.schema.fields.map(f => f.name -> f.dataType)
+      .sameElements(Seq("num_buckets" -> LongType,
+        "use_bigrams" -> org.apache.spark.sql.types.BooleanType)),
+      s"not a Classifier.saveMulti meta layout at $path " +
+        s"(got ${meta.schema.simpleString})")
+    val metaRow = meta.head
+    val buckets = metaRow.getLong(0)
+    require(buckets >= 2L && buckets <= (1L << 30),
+      s"persisted num_buckets out of range at $path: $buckets")
+    MultiModel(w, buckets.toInt, metaRow.getBoolean(1))
+  }
+
+  /**
+   * The COMPLETE one-vs-rest training + prediction replay as CTE stages
+   * over a source relation `src` (needs `doc_id`, `text`, and the label
+   * column named by `labelExpr`) — the [[classifierCtes]] doctrine with
+   * a `cls` key threaded through every stage. The class list is derived
+   * IN-QUERY (`SELECT DISTINCT`), so DuckDB trains whatever classes the
+   * data holds, exactly as the Spark loop does. Returns (ctesString,
+   * finalCteName); the final CTE yields (doc_id, cls_actual, cls_pred,
+   * score_e6) with the argmax spelled as the identical
+   * row_number-over-doc window.
+   */
+  def multiClassifierCtes(
+      src: String,
+      labelExpr: String,
+      numBuckets: Int = 1 << 12,
+      iters: Int = 3,
+      etaNum: Long = 1L,
+      etaDen: Long = 256L,
+      prefix: String = "mc",
+      bigrams: Boolean = false): (String, String) = {
+    requireEta(iters, etaNum, etaDen)
+    val bucket = Dsir.featureBucketSql("w", numBuckets)
+    val p = prefix
+    val wordsExpr =
+      if (bigrams)
+        "list_concat(toks, list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))"
+      else "toks"
+    val header =
+      s"""${p}t AS (
+         |  SELECT doc_id, ($labelExpr) AS cls_actual,
+         |         regexp_split_to_array(trim(text), '\\s+') AS toks FROM $src),
+         |${p}cls AS (SELECT DISTINCT cls_actual AS cls FROM ${p}t),
+         |${p}lab AS (SELECT t.doc_id, c.cls,
+         |               CASE WHEN t.cls_actual = c.cls THEN 1000000 ELSE 0 END AS y_e6
+         |        FROM ${p}t t CROSS JOIN ${p}cls c),
+         |${p}n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM ${p}t),
+         |${p}exw AS (SELECT DISTINCT doc_id, $bucket AS f
+         |        FROM (SELECT doc_id, unnest($wordsExpr) AS w FROM ${p}t)),
+         |${p}ex AS (SELECT doc_id, f FROM ${p}exw
+         |       UNION ALL SELECT doc_id, CAST($BiasFeature AS BIGINT) AS f FROM ${p}t)""".stripMargin
+    val iterations = (1 to iters).map { k =>
+      val resid =
+        if (k == 1)
+          s"""${p}r$k AS (SELECT doc_id, cls,
+             |        GREATEST(-$ClampE6, LEAST($ClampE6, 0 - y_e6)) AS r_e6 FROM ${p}lab)""".stripMargin
+        else
+          s"""${p}y$k AS (SELECT e.doc_id, w.cls, CAST(SUM(w.w_e6) AS BIGINT) AS yhat_e6
+             |       FROM ${p}ex e JOIN ${p}w${k - 1} w USING (f) GROUP BY 1, 2),
+             |${p}r$k AS (SELECT l.doc_id, l.cls,
+             |        GREATEST(-$ClampE6, LEAST($ClampE6, y.yhat_e6 - l.y_e6)) AS r_e6
+             |        FROM ${p}lab l JOIN ${p}y$k y USING (doc_id, cls))""".stripMargin
+      val update =
+        if (k == 1)
+          s"""${p}w$k AS (SELECT cls, f, CAST(0 - ${floorDivSql(s"$etaNum * g_e12", s"${etaDen}000000")} AS BIGINT) AS w_e6
+             |       FROM ${p}g$k)""".stripMargin
+        else
+          s"""${p}w$k AS (SELECT g.cls, g.f,
+             |        CAST(COALESCE(w.w_e6, 0) - ${floorDivSql(s"$etaNum * g.g_e12", s"${etaDen}000000")} AS BIGINT) AS w_e6
+             |        FROM ${p}g$k g LEFT JOIN ${p}w${k - 1} w USING (cls, f))""".stripMargin
+      s"""$resid,
+         |${p}gc$k AS (SELECT doc_id, cls, ${floorDivSql("r_e6 * 1000000", "n_docs")} AS gc_e12
+         |        FROM ${p}r$k CROSS JOIN ${p}n),
+         |${p}g$k AS (SELECT gc.cls, e.f, CAST(SUM(gc.gc_e12) AS BIGINT) AS g_e12
+         |       FROM ${p}ex e JOIN ${p}gc$k gc USING (doc_id) GROUP BY 1, 2),
+         |$update""".stripMargin
+    }.mkString(",\n")
+    val footer =
+      s"""${p}sc AS (SELECT e.doc_id, w.cls, CAST(SUM(w.w_e6) AS BIGINT) AS score_e6
+         |       FROM ${p}ex e JOIN ${p}w$iters w USING (f) GROUP BY 1, 2),
+         |${p}bst AS (SELECT doc_id, cls AS cls_pred, score_e6,
+         |        ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                           ORDER BY score_e6 DESC, cls) AS rn
+         |        FROM ${p}sc),
+         |${p}out AS (SELECT t.doc_id, t.cls_actual, b.cls_pred, b.score_e6
+         |       FROM ${p}t t JOIN ${p}bst b USING (doc_id) WHERE b.rn = 1)""".stripMargin
+    // same MATERIALIZED pragma as classifierCtes (see there)
+    (s"$header,\n$iterations,\n$footer".replace(" AS (", " AS MATERIALIZED ("),
+      s"${p}out")
+  }
+
   /**
    * The COMPLETE training + scoring run as one engine-neutral SQL
    * statement over a `documents` table — K unrolled iteration CTEs
@@ -456,6 +773,10 @@ object Classifier {
          |       FROM ${p}ex e JOIN ${p}w$iters w USING (f) GROUP BY 1),
          |${p}out AS (SELECT l.doc_id, l.is_target, sc.score_e6
          |       FROM ${p}lab l JOIN ${p}sc sc USING (doc_id))""".stripMargin
-    (s"$header,\n$iterations,\n$footer", s"${p}out")
+    // MATERIALIZED: the feature CTE feeds 2 stages per iteration and each
+    // weight stage feeds the next — DuckDB's default CTE inlining would
+    // re-run the prefix exponentially (the pageRankCtes finding)
+    (s"$header,\n$iterations,\n$footer".replace(" AS (", " AS MATERIALIZED ("),
+      s"${p}out")
   }
 }

@@ -62,6 +62,24 @@ object Similarity {
 
   /** Deterministic random hyperplanes (seeded), one bucket id per table:
     * bit i of table t = sign of dot(vec, plane[t][i]). */
+  /** `bitsPerTable` sentinel for [[lshNearDupPairs]]: size the tables from
+    * the corpus count at plan-build time (one count job) — see
+    * [[autoBits]]. A FIXED bit width is a scale bug waiting: candidate
+    * pairs per bucket grow with occupancy², so a knob tuned at 1× turns
+    * quadratic at 10× (the g_lsh_neardup growth row's r13 finding). */
+  val AutoBits = 0
+
+  /** Bits so that expected bucket occupancy n / 2^bits stays near
+    * `targetOccupancy` as the corpus grows: round(log2(n / target)),
+    * clamped to [1, 24]. At the default target the 6k-vector sf0.1
+    * corpus gets the classic 4 bits; 10× gets 7 — constant expected
+    * candidate work per vector, recall governed by `tables` as before. */
+  private[graft] def autoBits(n: Long, targetOccupancy: Long = 384L): Int = {
+    require(targetOccupancy >= 1L)
+    val ratio = math.max(1.0, n.toDouble / targetOccupancy)
+    math.max(1, math.min(24, math.round(math.log(ratio) / math.log(2.0)).toInt))
+  }
+
   private def hyperplanes(dim: Int, bitsPerTable: Int, tables: Int, seed: Long)
       : Array[Array[Array[Double]]] = {
     val rnd = new scala.util.Random(seed)
@@ -222,14 +240,18 @@ object Similarity {
       vecCol: String,
       topPairs: Int,
       dim: Int,
-      bitsPerTable: Int = 4,
+      bitsPerTable: Int = AutoBits,
       tables: Int = 16,
       seed: Long = 42L,
       maxBucket: Int = 10000,
       hardMaxBucket: Int = Int.MaxValue): DataFrame = {
+    require(bitsPerTable == AutoBits || (bitsPerTable >= 1 && bitsPerTable <= 32),
+      s"bitsPerTable must be AutoBits (0) or in [1, 32], got $bitsPerTable")
+    val bits =
+      if (bitsPerTable == AutoBits) autoBits(vectors.count()) else bitsPerTable
     val blocked = vectors.select(
       packableId(col(idCol), idCol, "lshNearDupPairs").as("vid"),
-      explode(lshBuckets(col(vecCol), dim, bitsPerTable, tables, seed)).as("bucket"))
+      explode(lshBuckets(col(vecCol), dim, bits, tables, seed)).as("bucket"))
 
     val pairs = PairGen.allPairs(
       blocked, Seq(col("bucket")), col("vid"), maxBucket,

@@ -25,10 +25,28 @@ import org.apache.spark.sql.functions._
  * event before the key's committed high-watermark) FAILS the batch
  * rather than silently under-counting conversions.
  *
- * Per-batch work is O(batch + touched keys): the state store is read
- * but only the touched keys' rows are rewritten, as a per-batch DELTA
- * folded by per-key argmax on batch id (the [[SessionStreaming]]
- * open-state pattern). [[compactStore]] folds the chain.
+ * `watermarkSeconds > 0` relaxes the ordered-arrival contract to the
+ * BOUNDED-DISORDER contract a production ingest actually delivers:
+ * events are buffered in a pending store until the event-time
+ * high-water mark has moved `watermarkSeconds` past them, then folded
+ * in (the Structured Streaming watermark device on the manifest
+ * protocol). Every MATURED event is strictly later than every committed
+ * step floor (floors come from matured events at or before the previous
+ * cut; new arrivals must be after it), so the conditional-min
+ * recurrence stays EXACT under any within-watermark shuffle — and an
+ * arrival at or before the committed cut still fails the batch loudly,
+ * because a set floor may no longer be the true minimum.
+ * `watermarkSeconds = 0` (default) is the strict contract,
+ * byte-compatible with existing stores; the watermark is pinned into
+ * `_graft_params`, so one store cannot mix the two. [[committedCounts]]
+ * reports the MATURED prefix — events above the cut are not conversions
+ * yet (a later event past the watermark flushes them).
+ *
+ * Per-batch work is O(batch + touched keys + pending): the state store
+ * is read but only the touched keys' rows are rewritten, as a per-batch
+ * DELTA folded by per-key argmax on batch id (the [[SessionStreaming]]
+ * open-state pattern); the pending buffer is bounded by the disorder
+ * window times the ingest rate. [[compactStore]] folds the chain.
  *
  * [[committedCounts]] == `Sessions.funnelCounts` over everything
  * ingested so far, row for row — StreamingSpec pins the equality with
@@ -61,14 +79,15 @@ object FunnelStreaming {
       tsCol: String,
       stepCol: String,
       steps: Seq[String],
-      checkpointLocation: Option[String] = None)
+      checkpointLocation: Option[String] = None,
+      watermarkSeconds: Long = 0L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val scope = TopnStreaming.scopeOf(checkpointLocation)
     val writer = events.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         funnelBatch(batch, batchId, storePath, keyCols, tsCol, stepCol,
-          steps, scope)
+          steps, scope, watermarkSeconds)
         ()
       }
     checkpointLocation.foreach(writer.option("checkpointLocation", _))
@@ -85,11 +104,14 @@ object FunnelStreaming {
       tsCol: String,
       stepCol: String,
       steps: Seq[String],
-      scope: String): Unit = {
+      scope: String,
+      watermarkSeconds: Long = 0L): Unit = {
     require(keyCols.nonEmpty, "funnelBatch: keyCols must be non-empty")
     require(steps.nonEmpty, "funnelBatch: steps must be non-empty")
     require(steps.distinct.size == steps.size,
       s"funnelBatch: steps must be distinct, got $steps")
+    require(watermarkSeconds >= 0L,
+      s"funnelBatch: watermarkSeconds must be >= 0, got $watermarkSeconds")
     // the reader derives key columns from the store schema as the
     // prefix before the first '__graft_' column — reserved key names
     // would corrupt that derivation
@@ -99,7 +121,8 @@ object FunnelStreaming {
     val spark = batch.sparkSession
     val (fs, root) = TopnStreaming.fsOf(spark, storePath)
     TopnStreaming.checkScope(fs, root, scope)
-    TopnStreaming.checkStamp(fs, root, "_graft_params", paramsOf(keyCols, steps),
+    TopnStreaming.checkStamp(fs, root, "_graft_params",
+      paramsOf(keyCols, steps, watermarkSeconds),
       (stored, given) =>
         s"funnel store at $root was maintained with '$stored' but this " +
           s"stream uses '$given' — step ordinals and state columns are " +
@@ -107,12 +130,44 @@ object FunnelStreaming {
           "new store path")
     val committed = TopnStreaming.committedVersion(spark, storePath)
     if (committed.exists(batchId <= _)) return // replay of a committed batch
-    if (batch.isEmpty) return // no events, state unchanged
+    if (batch.isEmpty) return // no events: state unchanged, and the
+    // high-water mark is EVENT time, so the cut cannot advance either
 
     val keyC = keyCols.map(col)
-    val e = batch.select(
+    val eNew = batch.select(
       (keyC :+ col(stepCol).as("__graft_step") :+
         Sessions.tsMicros(batch, tsCol).as("__graft_tu")): _*)
+
+    // bounded-disorder tier: fold pending with the new arrivals, advance
+    // the event-time high-water mark, and release only events at or
+    // below (hwm - watermark) — everything else buffers. New arrivals at
+    // or below the PREVIOUS cut are refused: their region is final.
+    val wmUs = watermarkSeconds * 1000000L
+    val (e, wmTail) =
+      if (watermarkSeconds == 0L) (eNew, None)
+      else {
+        val prevHwm = StreamWatermark.committedHwm(spark, storePath)
+        val Array(bMin, bMax) = eNew
+          .agg(min(col("__graft_tu")), max(col("__graft_tu")))
+          .head.toSeq.map(_.asInstanceOf[Long]).toArray
+        prevHwm.foreach { h =>
+          val prevCut = h - wmUs
+          if (bMin <= prevCut) {
+            throw new IllegalStateException(
+              s"funnelBatch: beyond-watermark arrival — batch event at " +
+                s"${bMin}us is not after the committed maturity cut " +
+                s"${prevCut}us (high-water mark ${h}us - watermark " +
+                s"${wmUs}us); its step floors are already final. Increase " +
+                "watermarkSeconds or fix the ingest ordering")
+          }
+        }
+        val hwm = math.max(prevHwm.getOrElse(Long.MinValue), bMax)
+        val cut = hwm - wmUs
+        val all = StreamWatermark.committedPending(spark, storePath)
+          .map(_.unionByName(eNew)).getOrElse(eNew)
+        (all.filter(col("__graft_tu") <= cut),
+          Some((all.filter(col("__graft_tu") > cut), hwm)))
+      }
 
     // touched keys with their batch time range (bmin for the ordered-
     // arrival check, bmax for the new high-watermark)
@@ -167,6 +222,11 @@ object FunnelStreaming {
       .select((stateCols :+ lit(batchId).as(DeltaBatchCol)): _*)
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$storePath/data/b=$batchId/state")
+    // watermark tier: pending snapshot (latest wins) + hwm row, data
+    // before the marker like everything else
+    wmTail.foreach { case (pending, hwm) =>
+      StreamWatermark.write(spark, storePath, batchId, pending, hwm)
+    }
     ActivityStreaming.writeCommitMarker(fs, root, batchId)
   }
 
@@ -200,9 +260,11 @@ object FunnelStreaming {
       spark: org.apache.spark.sql.SparkSession,
       storePath: String,
       keyCols: Seq[String],
-      steps: Seq[String]): DataFrame = {
+      steps: Seq[String],
+      watermarkSeconds: Long = 0L): DataFrame = {
     val (fs, root) = TopnStreaming.fsOf(spark, storePath)
-    TopnStreaming.checkStamp(fs, root, "_graft_params", paramsOf(keyCols, steps),
+    TopnStreaming.checkStamp(fs, root, "_graft_params",
+      paramsOf(keyCols, steps, watermarkSeconds),
       (stored, given) =>
         s"funnel store at $root was maintained with '$stored' but this " +
           s"reader asks for '$given' — the stored step times do not mean " +
@@ -236,10 +298,16 @@ object FunnelStreaming {
       .withColumn(DeltaBatchCol, lit(v))
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$dstPath/data/b=$v/state")
+    // a watermark-tier store also carries its buffered tail + hwm
+    StreamWatermark.compactInto(spark, srcPath, dstPath, v)
     ActivityStreaming.copyStamps(fs, root, dfs, droot)
     ActivityStreaming.writeCommitMarker(dfs, droot, v)
   }
 
-  private def paramsOf(keyCols: Seq[String], steps: Seq[String]): String =
-    s"steps=${steps.mkString(">")},keys=${keyCols.mkString("+")}"
+  /** `wm=` joins the pin only when the watermark tier is on, so strict
+    * stores written before the tier existed keep their stamp verbatim. */
+  private def paramsOf(
+      keyCols: Seq[String], steps: Seq[String], watermarkSeconds: Long): String =
+    s"steps=${steps.mkString(">")},keys=${keyCols.mkString("+")}" +
+      (if (watermarkSeconds > 0L) s",wm=$watermarkSeconds" else "")
 }

@@ -38,6 +38,24 @@ import org.apache.spark.sql.functions._
  * straddle batch boundaries (merged across commits) and ones split by
  * them.
  *
+ * `watermarkSeconds > 0` relaxes ordered arrival to BOUNDED disorder
+ * (the contract a production ingest actually delivers): events buffer
+ * in a pending store ([[StreamWatermark]]) until the event-time
+ * high-water mark has moved `watermarkSeconds` past them, then fold in.
+ * Exactness survives because every matured event is strictly later than
+ * every committed session end (ends come from matured events at or
+ * below the previous cut; new arrivals must be after it) — so the
+ * single-extendable-open-session invariant, the gap arithmetic, AND the
+ * closure rule hold verbatim over the matured prefix: a session closed
+ * because a later matured event lies beyond `gapSeconds` can never be
+ * reached by a future event (that event would be at or below the cut
+ * that matured the later one — refused). An arrival at or below the
+ * committed cut fails the batch loudly. `watermarkSeconds = 0` (the
+ * default) is the strict contract, byte-compatible with existing
+ * stores; the watermark is pinned into `_graft_params`.
+ * [[committedSessions]] then reports the MATURED prefix — buffered
+ * events join once the watermark passes them.
+ *
  * Store layout ([[ShardStreaming]]'s crash argument applies verbatim —
  * data first, manifest LAST via temp+rename, replays return before
  * writing):
@@ -65,14 +83,15 @@ object SessionStreaming {
       gapSeconds: Long,
       valueCol: Option[String] = None,
       orderCols: Seq[String] = Nil,
-      checkpointLocation: Option[String] = None)
+      checkpointLocation: Option[String] = None,
+      watermarkSeconds: Long = 0L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val scope = TopnStreaming.scopeOf(checkpointLocation)
     val writer = events.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sessionBatch(batch, batchId, storePath, keyCols, tsCol, gapSeconds,
-          valueCol, orderCols, scope)
+          valueCol, orderCols, scope, watermarkSeconds)
         ()
       }
     checkpointLocation.foreach(writer.option("checkpointLocation", _))
@@ -90,13 +109,19 @@ object SessionStreaming {
       gapSeconds: Long,
       valueCol: Option[String],
       orderCols: Seq[String],
-      scope: String): Unit = {
+      scope: String,
+      watermarkSeconds: Long = 0L): Unit = {
+    require(watermarkSeconds >= 0L,
+      s"sessionBatch: watermarkSeconds must be >= 0, got $watermarkSeconds")
     val spark = batch.sparkSession
     val (fs, root) = TopnStreaming.fsOf(spark, storePath)
     TopnStreaming.checkScope(fs, root, scope)
     TopnStreaming.checkStamp(fs, root, "_graft_params",
       s"gapSeconds=$gapSeconds,keys=${keyCols.mkString("+")}," +
-        s"value=${valueCol.getOrElse("-")}",
+        s"value=${valueCol.getOrElse("-")}" +
+        // wm= joins the pin only when the tier is on, so strict stores
+        // written before the tier existed keep their stamp verbatim
+        (if (watermarkSeconds > 0L) s",wm=$watermarkSeconds" else ""),
       (stored, given) =>
         s"session store at $root was maintained with '$stored' but this " +
           s"stream uses '$given' — session boundaries and schemas are " +
@@ -104,10 +129,44 @@ object SessionStreaming {
           "new store path")
     val committed = TopnStreaming.committedVersion(spark, storePath)
     if (committed.exists(batchId <= _)) return // replay of a committed batch
-    if (batch.isEmpty) return // no events, state unchanged
+    if (batch.isEmpty) return // no events: state unchanged, and the
+    // high-water mark is EVENT time, so the cut cannot advance either
+
+    // bounded-disorder tier: fold pending with the new arrivals, release
+    // only events at or below (hwm - watermark); refuse arrivals at or
+    // below the PREVIOUS cut — their region's sessions are final
+    val inCols = (keyCols :+ tsCol) ++ valueCol.toSeq ++
+      orderCols.filterNot(c => keyCols.contains(c) || c == tsCol)
+    val eNew = batch.select(inCols.distinct.map(col): _*)
+    val wmUs = watermarkSeconds * 1000000L
+    val (events, wmTail) =
+      if (watermarkSeconds == 0L) (eNew, None)
+      else {
+        val tuNew = Sessions.tsMicros(eNew, tsCol)
+        val prevHwm = StreamWatermark.committedHwm(spark, storePath)
+        val Array(bMin, bMax) = eNew.agg(min(tuNew), max(tuNew))
+          .head.toSeq.map(_.asInstanceOf[Long]).toArray
+        prevHwm.foreach { h =>
+          val prevCut = h - wmUs
+          if (bMin <= prevCut) {
+            throw new IllegalStateException(
+              s"sessionBatch: beyond-watermark arrival — batch event at " +
+                s"${bMin}us is not after the committed maturity cut " +
+                s"${prevCut}us (high-water mark ${h}us - watermark " +
+                s"${wmUs}us); its region's sessions are already final. " +
+                "Increase watermarkSeconds or fix the ingest ordering")
+          }
+        }
+        val hwm = math.max(prevHwm.getOrElse(Long.MinValue), bMax)
+        val cut = hwm - wmUs
+        val all = StreamWatermark.committedPending(spark, storePath)
+          .map(_.unionByName(eNew)).getOrElse(eNew)
+        val tuAll = Sessions.tsMicros(all, tsCol)
+        (all.filter(tuAll <= cut), Some((all.filter(tuAll > cut), hwm)))
+      }
 
     val gapUs = gapSeconds * 1000000L
-    val stats0 = Sessions.stats(batch, keyCols, tsCol, gapSeconds, valueCol,
+    val stats0 = Sessions.stats(events, keyCols, tsCol, gapSeconds, valueCol,
       orderCols)
     val stats = stats0
       .withColumn("__graft_s_us", Sessions.tsMicros(stats0, "session_start"))
@@ -221,6 +280,11 @@ object SessionStreaming {
       .parquet(s"$storePath/data/b=$batchId/closed")
     openDelta.coalesce(1).write.mode("overwrite")
       .parquet(s"$storePath/data/b=$batchId/open")
+    // watermark tier: pending snapshot (latest wins) + hwm row, data
+    // before the marker like everything else
+    wmTail.foreach { case (pending, hwm) =>
+      StreamWatermark.write(spark, storePath, batchId, pending, hwm)
+    }
     writeCommitMarker(fs, root, batchId)
   }
 
@@ -301,6 +365,8 @@ object SessionStreaming {
       .parquet(s"$dstPath/data/b=$v/closed")
     open.coalesce(1).write.mode("overwrite")
       .parquet(s"$dstPath/data/b=$v/open")
+    // a watermark-tier store also carries its buffered tail + hwm
+    StreamWatermark.compactInto(spark, srcPath, dstPath, v)
     // copy the write-once stamps verbatim, then commit — marker LAST
     Seq("_graft_scope", "_graft_params").foreach { stamp =>
       val src = new org.apache.hadoop.fs.Path(root, stamp)

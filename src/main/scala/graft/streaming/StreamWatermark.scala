@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The bounded-disorder tier shared by the event-time streaming
+ * maintainers ([[SessionStreaming]], [[FunnelStreaming]]): a per-batch
+ * PENDING buffer of events the watermark has not yet released, plus the
+ * event-time high-water mark, both living under the store's own
+ * `data/b=<id>/` directory so the manifest commit protocol covers them
+ * (data first, marker last — a crash between leaves the previous batch's
+ * snapshot authoritative).
+ *
+ * Layout per watermark-tier batch:
+ * {{{
+ *   storePath/data/b=<id>/pending   FULL snapshot of still-buffered events
+ *   storePath/data/b=<id>/wm        one row: hwm_us BIGINT
+ * }}}
+ *
+ * Pending is a snapshot, not a delta: the surviving buffer is bounded by
+ * the disorder window times the ingest rate, so rewriting it each batch
+ * is O(window), never O(history). The reader takes the LATEST committed
+ * batch's snapshot — strict-tier stores (watermark 0) simply have no
+ * such directories and read as None.
+ */
+private[streaming] object StreamWatermark {
+
+  private def latestWithDir(
+      spark: SparkSession, storePath: String, leaf: String): Option[Long] = {
+    val ids = ActivityStreaming.committedIds(spark, storePath)
+    if (ids.isEmpty) return None
+    val (fs, root) = TopnStreaming.fsOf(spark, storePath)
+    ids.sorted.reverse.find { id =>
+      fs.exists(new org.apache.hadoop.fs.Path(root, s"data/b=$id/$leaf"))
+    }
+  }
+
+  /** Event-time high-water mark after the latest committed batch; None
+    * for a fresh or strict-tier store. */
+  def committedHwm(spark: SparkSession, storePath: String): Option[Long] =
+    latestWithDir(spark, storePath, "wm").map { id =>
+      spark.read.parquet(s"$storePath/data/b=$id/wm").head.getLong(0)
+    }
+
+  /** Still-buffered events after the latest committed batch; None for a
+    * fresh or strict-tier store. */
+  def committedPending(spark: SparkSession, storePath: String): Option[DataFrame] =
+    latestWithDir(spark, storePath, "pending")
+      .map(id => spark.read.parquet(s"$storePath/data/b=$id/pending"))
+
+  /** Write this batch's buffer snapshot + hwm (before the commit marker). */
+  def write(
+      spark: SparkSession,
+      storePath: String,
+      batchId: Long,
+      pending: DataFrame,
+      hwmUs: Long): Unit = {
+    pending.coalesce(1).write.mode("overwrite")
+      .parquet(s"$storePath/data/b=$batchId/pending")
+    spark.range(1).select(lit(hwmUs).as("hwm_us"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$storePath/data/b=$batchId/wm")
+  }
+
+  /** Carry the watermark tier into a compacted store: the latest pending
+    * snapshot and hwm move to the fold directory `b=<v>`. No-op for
+    * strict-tier stores. */
+  def compactInto(
+      spark: SparkSession, srcPath: String, dstPath: String, v: Long): Unit = {
+    committedPending(spark, srcPath).foreach { pending =>
+      val hwm = committedHwm(spark, srcPath).getOrElse(
+        throw new IllegalStateException(
+          s"watermark store at $srcPath has a pending buffer but no " +
+            "committed high-water mark"))
+      write(spark, dstPath, v, pending, hwm)
+    }
+  }
+}

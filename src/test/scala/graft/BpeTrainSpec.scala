@@ -112,6 +112,16 @@ class BpeTrainSpec extends AnyFunSuite {
       seqTrain(corpus, 3, 2L).map { case (i, a, b, c) => (i.toLong, a, b, c) })
   }
 
+  test("fertilityReport refuses a group column that collides with its outputs") {
+    val docs = Seq(("en", "a b")).toDF("n_words", "text")
+    val e = intercept[IllegalArgumentException](
+      Bpe.fertilityReport(docs, "n_words", "text"))
+    assert(e.getMessage.contains("collides"))
+    intercept[IllegalArgumentException](
+      Bpe.fertilityReport(
+        Seq(("en", "a b")).toDF("__graft_w", "text"), "__graft_w", "text"))
+  }
+
   test("fertilityReport matches a plain-Scala aggregate on trained merges") {
     val rules = Bpe.trainMerges(corpus.toDF("text"), "text", iters = 6)
       .map { case (_, a, b, _) => (a, b) }

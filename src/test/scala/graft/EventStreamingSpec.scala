@@ -260,6 +260,111 @@ class EventStreamingSpec extends AnyFunSuite {
       spark, store, Seq("user_id"), Steps)) === got)
   }
 
+  // ---- bounded-disorder (watermark) tier -----------------------------
+
+  /** (user, step, seconds) -> one-row-per-event frame with a timestamp
+    * ts column and a distinct event_id. */
+  private def evFix(rows: Seq[(Long, String, Long)]) =
+    rows.zipWithIndex
+      .map { case ((u, s, sec), i) => (i.toLong, u, s, sec) }
+      .toDF("event_id", "user_id", "event_type", "sec")
+      .select($"event_id", $"user_id", $"event_type",
+        timestamp_seconds($"sec").as("ts"))
+
+  test("streaming funnel watermark: within-window shuffled arrival == batch kernel; beyond fails") {
+    val wm = 60L
+    // u4's conversion arrives step-REVERSED across batches (click@290 in
+    // b2, view@270 in b3) — only the maturity buffer can order it
+    val b0 = evFix(Seq((1L, "view", 100L), (2L, "view", 150L)))
+    val b1 = evFix(Seq((1L, "click", 200L), (3L, "view", 120L)))
+    val b2 = evFix(Seq((2L, "click", 250L), (1L, "purchase", 300L),
+      (3L, "click", 145L), (4L, "click", 290L)))
+    val b3 = evFix(Seq((4L, "view", 270L), (9L, "view", 400L))) // 400 flushes
+    val store = tmp("graft_funwm")
+    for ((b, i) <- Seq(b0, b1, b2, b3).zipWithIndex)
+      FunnelStreaming.funnelBatch(b, i.toLong, store, Seq("user_id"), "ts",
+        "event_type", Steps, "sc", watermarkSeconds = wm)
+    // matured prefix = events at or below the final cut (400 - 60)
+    val all = evFix(Seq((1L, "view", 100L), (2L, "view", 150L),
+      (1L, "click", 200L), (3L, "view", 120L), (2L, "click", 250L),
+      (1L, "purchase", 300L), (3L, "click", 145L), (4L, "click", 290L),
+      (4L, "view", 270L), (9L, "view", 400L)))
+    val matured = all.filter(Sessions.tsMicros(all, "ts") <= (400L - wm) * 1000000L)
+    val got = collectCounts(FunnelStreaming.committedCounts(
+      spark, store, Seq("user_id"), Steps, watermarkSeconds = wm))
+    val want = collectCounts(Sessions.funnelCounts(
+      matured, Seq("user_id"), "ts", "event_type", Steps))
+    assert(got === want,
+      "watermark-tier funnel must equal the batch kernel over the matured prefix")
+    // u4's reversed-arrival conversion was counted (view 270 < click 290)
+    assert(collectCounts(FunnelStreaming.committedCounts(
+      spark, store, Seq("user_id"), Steps, watermarkSeconds = wm))
+      .exists(r => r._1 == 1L && r._3 >= 2L),
+      "the step-reversed u4 chain must convert through step 1")
+    // beyond-watermark arrival fails loudly: 330 <= cut 340
+    val late = evFix(Seq((5L, "view", 330L)))
+    val eL = intercept[IllegalStateException](
+      FunnelStreaming.funnelBatch(late, 4L, store, Seq("user_id"), "ts",
+        "event_type", Steps, "sc", watermarkSeconds = wm))
+    assert(eL.getMessage.contains("beyond-watermark"))
+    // the watermark is part of the params pin: a strict reader refuses
+    val eP = intercept[IllegalStateException](
+      FunnelStreaming.committedCounts(spark, store, Seq("user_id"), Steps))
+    assert(eP.getMessage.contains("wm=60"))
+  }
+
+  test("streaming session watermark: within-window shuffled arrival == batch kernel; beyond fails") {
+    import graft.streaming.SessionStreaming
+    val gap = 100L
+    val wm = 60L
+    def sFix(rows: Seq[(Long, Long, Long)]) = rows
+      .map { case (id, u, sec) => (id, u, sec) }
+      .toDF("event_id", "user_id", "sec")
+      .select($"event_id", $"user_id", timestamp_seconds($"sec").as("ts"))
+    // u1's first two events arrive REVERSED across batches (150 then 100)
+    val b0 = sFix(Seq((1L, 1L, 150L)))
+    val b1 = sFix(Seq((2L, 1L, 100L), (3L, 2L, 120L), (4L, 1L, 400L)))
+    val b2 = sFix(Seq((9L, 9L, 1000L))) // flush: cut -> 940
+    val store = tmp("graft_sesswm")
+    for ((b, i) <- Seq(b0, b1, b2).zipWithIndex)
+      SessionStreaming.sessionBatch(b, i.toLong, store, Seq("user_id"), "ts",
+        100L, None, Seq("event_id"), "sc", watermarkSeconds = wm)
+    val all = sFix(Seq((1L, 1L, 150L), (2L, 1L, 100L), (3L, 2L, 120L),
+      (4L, 1L, 400L), (9L, 9L, 1000L)))
+    val matured = all.filter(Sessions.tsMicros(all, "ts") <= 940L * 1000000L)
+    val got = SessionStreaming.committedSessions(spark, store)
+      .select($"user_id", $"session_seq", $"session_start".cast("string"),
+        $"session_end".cast("string"), $"n_events", $"duration_us")
+      .as[(Long, Long, String, String, Long, Long)].collect().toSet
+    val want = Sessions.stats(matured, Seq("user_id"), "ts", gap,
+        None, Seq("event_id"))
+      .select($"user_id", $"session_seq", $"session_start".cast("string"),
+        $"session_end".cast("string"), $"n_events", $"duration_us")
+      .as[(Long, Long, String, String, Long, Long)].collect().toSet
+    assert(got === want,
+      "watermark-tier sessions must equal the batch kernel over the matured prefix")
+    // the reversed pair merged into ONE session [100, 150]
+    assert(got.exists(r => r._1 == 1L && r._5 == 2L && r._6 == 50000000L),
+      s"u1's reversed-arrival events must form one session, got $got")
+    // beyond-watermark arrival fails loudly: 900 <= cut 940
+    val eL = intercept[IllegalStateException](
+      SessionStreaming.sessionBatch(sFix(Seq((5L, 1L, 900L))), 3L, store,
+        Seq("user_id"), "ts", gap, None, Seq("event_id"), "sc",
+        watermarkSeconds = wm))
+    assert(eL.getMessage.contains("beyond-watermark"))
+    // within-window arrival AFTER the flush still folds in exactly:
+    // 950 > cut 940, matures when u9@1100 pushes the cut to 1040
+    SessionStreaming.sessionBatch(sFix(Seq((6L, 2L, 950L))), 4L, store,
+      Seq("user_id"), "ts", gap, None, Seq("event_id"), "sc",
+      watermarkSeconds = wm)
+    SessionStreaming.sessionBatch(sFix(Seq((10L, 9L, 1100L))), 5L, store,
+      Seq("user_id"), "ts", gap, None, Seq("event_id"), "sc",
+      watermarkSeconds = wm)
+    val got2 = SessionStreaming.committedSessions(spark, store)
+      .filter($"user_id" === 2L).count()
+    assert(got2 === 2L, "u2's late 950 event must open its second session")
+  }
+
   test("streaming funnel: out-of-order arrival fails, params pin holds") {
     val (b0, b1, _) = funnelBatches
     val store = tmp("graft_fun_ooo")

@@ -626,6 +626,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(hit >= e.size * 8 / 10, s"LSH near-dup recall too low: $hit/${e.size}")
   }
 
+  test("autoBits holds expected bucket occupancy as the corpus grows") {
+    // occupancy n / 2^bits stays near the target: the classic 4 bits at
+    // the sf0.1-sized corpus, one more bit roughly per doubling
+    assert(Similarity.autoBits(6000L) === 4)
+    assert(Similarity.autoBits(24000L) === 6)
+    assert(Similarity.autoBits(60000L) === 7)
+    assert(Similarity.autoBits(1L) === 1)         // floor
+    assert(Similarity.autoBits(Long.MaxValue >> 8) === 24) // ceiling
+    // the auto default and the explicit spelling agree end to end
+    val auto = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 20, dim = 64)
+      .orderBy("rank").as[(Long, Long, Long)].collect().toSeq
+    val explicit = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 20,
+      dim = 64, bitsPerTable = Similarity.autoBits(emb.count()))
+      .orderBy("rank").as[(Long, Long, Long)].collect().toSeq
+    assert(auto === explicit)
+    intercept[IllegalArgumentException](
+      Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 20, dim = 64,
+        bitsPerTable = -1))
+  }
+
   test("near-dup tiers raise on ids outside [0, 2^31) instead of corrupting packs") {
     def messages(t: Throwable): Seq[String] =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)

@@ -886,4 +886,138 @@ class ScoringSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Classifier.train(df, "doc_id", "text", col("tgt"), reliableCheckpoint = true))
   }
+
+  // --- multi-class (one-vs-rest) language-ID ------------------------------
+
+  /** Reference one-vs-rest: the per-class recurrence IS [[refClassifier]]
+    * run once per distinct label (the literal definition of one-vs-rest),
+    * then pinned argmax (score desc, class asc). Equality against the
+    * joint Spark loop proves the shared-scan formulation exact. */
+  private def refMulti(
+      docs: Seq[(Long, String, String)],
+      numBuckets: Int, iters: Int,
+      etaNum: Long = 1L, etaDen: Long = 256L): Map[Long, (String, String, Long)] = {
+    val classes = docs.map(_._3).distinct.sorted
+    val perClass: Map[String, Map[Long, Long]] = classes.map { c =>
+      c -> refClassifier(
+        docs.map { case (id, t, l) => (id, t, l == c) },
+        numBuckets, iters, etaNum, etaDen)
+        .map { case (id, (_, s)) => id -> s }
+    }.toMap
+    docs.map { case (id, _, actual) =>
+      val best = classes.map(c => (c, perClass(c)(id)))
+        .minBy { case (c, s) => (-s, c) }
+      id -> ((actual, best._1, best._2))
+    }.toMap
+  }
+
+  private def runMulti(
+      docs: Seq[(Long, String, String)],
+      numBuckets: Int, iters: Int = 3,
+      partitions: Int = 4): Map[Long, (String, String, Long)] = {
+    import graft.pipeline.Classifier
+    Classifier.trainMultiPredictions(
+      docs.toDF("doc_id", "text", "lang").repartition(partitions),
+      "doc_id", "text", "lang", numBuckets, iters)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3))))
+      .toMap
+  }
+
+  test("multi-class LID matches the per-class reference, collisions included") {
+    val docs = Seq(
+      (1L, "the cat and the dog", "en"),
+      (2L, "le chat et le chien", "fr"),
+      (3L, "el gato y el perro", "es"),
+      (4L, "the dog and the cat ran", "en"),
+      (5L, "le chien et le chat", "fr"),
+      (6L, "el perro y el gato", "es"),
+      (7L, "", "en"))
+    for (b <- Seq(8, 4096)) {
+      assert(runMulti(docs, b) === refMulti(docs, b, 3), s"numBuckets=$b")
+    }
+  }
+
+  test("multi-class LID recovers the labels on a random corpus, exactly as the reference") {
+    val rnd = new scala.util.Random(41)
+    val vocabs = Map(
+      "aa" -> Vector("alpha", "apex", "arc", "any"),
+      "bb" -> Vector("bolt", "bay", "bin", "bog"),
+      "cc" -> Vector("cog", "cap", "cut", "cry"))
+    val langs = vocabs.keys.toVector.sorted
+    val docs = (0L until 120L).map { id =>
+      val l = langs((id % 3).toInt)
+      val v = vocabs(l)
+      (id, Seq.fill(4 + rnd.nextInt(8))(v(rnd.nextInt(v.size))).mkString(" "), l)
+    }
+    val got = runMulti(docs, 4096, iters = 4)
+    assert(got === refMulti(docs, 4096, 4))
+    // separable vocabularies: the trained model must actually identify them
+    val acc = got.count { case (_, (a, p, _)) => a == p }
+    assert(acc >= 110, s"trained LID should recover separable labels, got $acc/120")
+  }
+
+  test("multi-class training is exact under repartitioning") {
+    val docs = Seq(
+      (1L, "x y z", "a"), (2L, "x q", "b"), (3L, "z z y", "a"),
+      (4L, "q r s", "c"), (5L, "y", "b"))
+    assert(runMulti(docs, 64, partitions = 1) === runMulti(docs, 64, partitions = 7))
+  }
+
+  test("multi-class argmax ties break by class name ascending") {
+    // symmetric corpus: classes c1/c2 see mirror-identical features, so
+    // their trained weights coincide and every score ties — the pinned
+    // order must pick c1 everywhere
+    val docs = Seq((1L, "x a", "c1"), (2L, "x a", "c2"))
+    val got = runMulti(docs, 64)
+    assert(got === refMulti(docs, 64, 3))
+    assert(got.values.forall(_._2 == "c1"))
+  }
+
+  test("predictColumn equals the join-based argmax row for row and round-trips save/load") {
+    import graft.pipeline.Classifier
+    val docs = Seq(
+      (1L, "the cat and the dog", "en"), (2L, "le chat et le chien", "fr"),
+      (3L, "el gato y el perro", "es"), (4L, "the dog ran", "en"),
+      (5L, "", "en"))
+    val df = docs.toDF("doc_id", "text", "lang")
+    val w = Classifier.trainMulti(df, "doc_id", "text", "lang",
+      numBuckets = 64, iters = 3)
+    val model = Classifier.MultiModel(w, 64)
+    val viaColumn = df.select($"doc_id",
+      Classifier.predictColumn($"text", model).as("p"))
+      .as[(Long, String)].collect().toMap
+    val viaJoin = runMulti(docs, 64).map { case (id, (_, p, _)) => id -> p }
+    assert(viaColumn === viaJoin)
+    val dir = java.nio.file.Files.createTempDirectory("lidmodel").toString
+    Classifier.saveMulti(model, s"$dir/m")
+    val loaded = Classifier.loadMulti(s"$dir/m", spark)
+    assert(loaded.numBuckets === 64 && !loaded.bigrams)
+    val reloaded = df.select($"doc_id",
+      Classifier.predictColumn($"text", loaded).as("p"))
+      .as[(Long, String)].collect().toMap
+    assert(reloaded === viaColumn)
+  }
+
+  test("multi-class parameter validation") {
+    import graft.pipeline.Classifier
+    val df = Seq((1L, "a", "en"), (2L, "b", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "lang")
+    // NULL labels train as all-negative silently — refused up front
+    val eN = intercept[IllegalArgumentException](
+      Classifier.trainMulti(df, "doc_id", "text", "lang"))
+    assert(eN.getMessage.contains("NULL"))
+    intercept[IllegalArgumentException](
+      Classifier.trainMulti(df.filter($"lang".isNotNull),
+        "doc_id", "text", "lang", iters = 0))
+    intercept[IllegalArgumentException](
+      Classifier.multiClassifierCtes("documents", "lang", etaNum = 10L))
+    // the plan-literal budget applies to the nClasses × numBuckets PRODUCT
+    val bigW = Seq(("en", Classifier.BiasFeature, 0L), ("fr", Classifier.BiasFeature, 0L))
+      .toDF("cls", "f", "w_e6")
+    val eB = intercept[IllegalArgumentException](
+      Classifier.predictColumn(col("text"),
+        Classifier.MultiModel(bigW, Classifier.MaxScoreColumnBuckets)))
+    assert(eB.getMessage.contains("broadcast"))
+  }
 }

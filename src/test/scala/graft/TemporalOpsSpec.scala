@@ -371,6 +371,43 @@ class TemporalOpsSpec extends AnyFunSuite {
       s"the distinct pairs themselves are the count — no count_distinct:\n$plan")
   }
 
+  test("sessionPaths: a NULL step mid-window drops the row instead of shortening the path") {
+    // concat_ws silently skips NULLs — "A>C" for A,NULL,C would diverge
+    // from the SQL spelling s0||'>'||s1||'>'||s2 (NULL, row dropped)
+    val rows = Seq(
+      (1L, Option("A"), 0L), (1L, None, 1L), (1L, Option("C"), 2L),
+      (1L, Option("D"), 3L))
+    val ev = rows.zipWithIndex.map { case ((u, s, t), i) =>
+      (i.toLong, u, s, ts(t)) }
+      .toDF("event_id", "user_id", "step", "t")
+    val got = Sessions.sessionPaths(ev, Seq("user_id"), "t", "step",
+        gapSeconds = 100L, pathLen = 3, orderCols = Seq("event_id"))
+      .select($"path").as[String].collect().toSet
+    // windows starting at A (A,∅,C) and at ∅ (∅,C,D) both contain a NULL;
+    // only C>D... has no third member — nothing but the full C,D window
+    // of length 2 < 3 remains, so the only survivor is none at all? No:
+    // the A,∅,C and ∅,C,D windows drop; no 3-window is NULL-free
+    assert(got === Set.empty[String], s"NULL-containing windows must drop, got $got")
+    // and a NULL-free suffix still emits: B,C,D after replacing the NULL
+    val ev2 = rows.zipWithIndex.map { case ((u, s, t), i) =>
+      (i.toLong, u, s.getOrElse("B"), ts(t)) }
+      .toDF("event_id", "user_id", "step", "t")
+    val got2 = Sessions.sessionPaths(ev2, Seq("user_id"), "t", "step",
+        gapSeconds = 100L, pathLen = 3, orderCols = Seq("event_id"))
+      .select($"path").as[String].collect().toSet
+    assert(got2 === Set("A>B>C", "B>C>D"))
+  }
+
+  test("asof reserved-column guard covers the merge marker") {
+    val left = Seq((1L, ts(1), "x")).toDF("user_id", "t", "__graft_m")
+    val right = Seq((1L, ts(0), 7L)).toDF("user_id", "rt", "pay")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.latestPreceding(left, right, Seq("user_id"), "t", "rt",
+        payloadCols = Seq("pay"))
+    }
+    assert(e.getMessage.contains("__graft_m"))
+  }
+
   test("sessionPaths: windows stay inside sessions and emit full paths only") {
     // u1 session 1: A,B,C,D (paths A>B>C, B>C>D); session 2 (after the
     // 100s gap): E,F — too short for a trigram, emits nothing

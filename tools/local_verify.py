@@ -11,7 +11,7 @@ an iteration aid, not evidence, and writes nothing.
 
 Usage: python3 tools/local_verify.py <sfDir> <verifyOutDir> [query ...]
 """
-import json, os, sys, hashlib
+import json, os, sys, hashlib, time
 import duckdb
 import pyarrow.parquet as pq
 
@@ -44,6 +44,7 @@ def main():
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         try:
             spark_tbl = pq.read_table(f"{out_dir}/{name}")
             o = con.sql(sql)
@@ -56,15 +57,19 @@ def main():
             ok = schema_ok and rows_ok and hash_ok
             if not ok:
                 fails += 1
+            sec = round(time.monotonic() - t0, 3)
             results[name] = {"rows": len(srows), "oracle_rows": len(orows),
-                             "schema": schema_ok, "hash": hash_ok, "ok": ok}
+                             "schema": schema_ok, "hash": hash_ok, "ok": ok,
+                             "oracle_sec": sec}
             print(f"{'PASS' if ok else 'FAIL'} {name}: rows {len(srows)}/{len(orows)}"
-                  f" schema={schema_ok} hash={hash_ok}"
-                  + ("" if schema_ok else f" spark={scols} oracle={ocols}"))
+                  f" schema={schema_ok} hash={hash_ok} sec={sec}"
+                  + ("" if schema_ok else f" spark={scols} oracle={ocols}"),
+                  flush=True)
         except Exception as e:
             fails += 1
-            results[name] = {"err": str(e), "ok": False}
-            print(f"ERR  {name}: {e}")
+            sec = round(time.monotonic() - t0, 3)
+            results[name] = {"err": str(e), "ok": False, "oracle_sec": sec}
+            print(f"ERR  {name}: {e} sec={sec}", flush=True)
     if not results:
         print("FATAL EMPTY DUMP: zero queries compared")
         sys.exit(2)
