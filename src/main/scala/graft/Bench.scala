@@ -138,14 +138,15 @@ object Bench {
         graft.pipeline.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
       graft.pipeline.Sampling.packByBudget(d, "doc_id", "n_tokens", budget = 2048L)
     }),
-    // bitsPerTable rises with n (4/6/7 at 1x/4x/10x) so expected bucket
-    // occupancy stays ~constant — the documented production knob; with
-    // fixed bits the candidate count itself grows quadratically and the
-    // bench would measure the algorithm's intrinsic blowup, not the engine
+    // the DEFAULT now auto-sizes bits from the corpus count
+    // (Similarity.autoBits: 4/6/7 at these 1x/4x/10x counts — the values
+    // this row was previously hand-tuned to) so expected bucket occupancy
+    // stays ~constant; with fixed bits the candidate count itself grows
+    // quadratically and the bench would measure the algorithm's intrinsic
+    // blowup, not the engine
     ("g_lsh_neardup", Seq(1, 4, 10), (c: Int) =>
       graft.pipeline.Similarity.lshNearDupPairs(
-        scaledEmb(spark, dir, c), "vec_id", "embedding", topPairs = 50, dim = 64,
-        bitsPerTable = Map(1 -> 4, 4 -> 6, 10 -> 7)(c))),
+        scaledEmb(spark, dir, c), "vec_id", "embedding", topPairs = 50, dim = 64)),
     ("g_dedup_clusters", Seq(1, 4), (c: Int) =>
       graft.pipeline.Clustering.connectedComponents(
         graft.pipeline.Dedup.minhashLshPairs(

@@ -284,6 +284,15 @@ object Demo {
         |  SELECT explode(topn_with_bounds(topn_add_agg_bounds(language_id(text)), 5)) AS r
         |  FROM documents)""".stripMargin).show(false)
 
+    println("== trained language-ID: one-vs-rest heads over hashed features ==")
+    val lidW = pipeline.Classifier.trainMulti(docs, "doc_id", "text", "lang",
+      numBuckets = 4096, iters = 3)
+    val lid = pipeline.Classifier.MultiModel(lidW, 4096)
+    docs.select(col("lang").as("labeled"),
+        pipeline.Classifier.predictColumn(col("text"), lid).as("predicted"))
+      .groupBy("labeled", "predicted").count()
+      .orderBy(col("labeled"), col("predicted")).show(false)
+
     println("== corpus report card ==")
     pipeline.TextAnalysis.corpusReport(docs, "text").orderBy("metric").show(14, false)
 

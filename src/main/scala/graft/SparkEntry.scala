@@ -2722,6 +2722,12 @@ object SparkEntry {
     // oracle replays the ENTIRE one-vs-rest training run plus the argmax
     // window, so the hash match covers the learned model, not just the
     // predictions. Class list comes from the data in BOTH engines.
+    // Fixture truth: the testdata's languages share ONE synthetic
+    // vocabulary (the lang column is text-uninformative by construction),
+    // so majority-class prediction is the data optimum here — what this
+    // row proves is cross-engine training exactness; learning CAPACITY
+    // on separable data is pinned by ScoringSpec's random-corpus test
+    // (>= 110/120 labels recovered).
     "language_classifier" -> ((spark, dir) => {
       import spark.implicits._
       graft.pipeline.Classifier.trainMultiPredictions(
@@ -2729,6 +2735,30 @@ object SparkEntry {
         numBuckets = ClsBuckets, iters = ClsIters,
         etaNum = ClsEtaNum, etaDen = ClsEtaDen)
         .orderBy($"doc_id")
+    }),
+
+    // the corpus-level language report CONSUMING the trained LID — the
+    // shape a mixture/fertility decision actually reads: per PREDICTED
+    // language, doc count, agreement with the labeled slice, and token
+    // mass. Integer aggregates over the trained predictions, so the hash
+    // match covers training -> argmax -> report end to end.
+    "lang_report_trained" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = tbl(spark, dir, "documents")
+      val preds = graft.pipeline.Classifier.trainMultiPredictions(
+        docs, "doc_id", "text", "lang",
+        numBuckets = ClsBuckets, iters = ClsIters,
+        etaNum = ClsEtaNum, etaDen = ClsEtaDen)
+      preds
+        .join(docs.select($"doc_id",
+          graft.pipeline.TextAnalysis.tokenCount($"text")
+            .cast("long").as("__graft_nt")), "doc_id")
+        .groupBy($"cls_pred".as("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"cls_actual" === $"cls_pred", 1L).otherwise(0L))
+            .as("n_correct"),
+          sum($"__graft_nt").as("n_tokens"))
+        .orderBy($"lang_pred")
     }),
 
     // example packing (GPT-style pretraining layout): the corpus as one
@@ -5432,6 +5462,20 @@ object SparkEntry {
       val (ctes, fin) = graft.pipeline.Classifier.multiClassifierCtes(
         "documents", "lang", ClsBuckets, ClsIters, ClsEtaNum, ClsEtaDen)
       s"WITH $ctes\nSELECT doc_id, cls_actual, cls_pred, score_e6 FROM $fin ORDER BY doc_id"
+    },
+
+    // the SAME training replay, aggregated the way a mixture decision
+    // reads it (token-count spelling shared with text_stats)
+    "lang_report_trained" -> {
+      val (ctes, fin) = graft.pipeline.Classifier.multiClassifierCtes(
+        "documents", "lang", ClsBuckets, ClsIters, ClsEtaNum, ClsEtaDen)
+      s"""WITH $ctes
+        |SELECT o.cls_pred AS lang_pred,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(CASE WHEN o.cls_actual = o.cls_pred THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |       CAST(SUM(len(regexp_split_to_array(trim(d.text), '\\s+'))) AS BIGINT) AS n_tokens
+        |FROM $fin o JOIN documents d USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     // same stream layout: exclusive prefix sum -> the range of sequence

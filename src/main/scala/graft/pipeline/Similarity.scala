@@ -71,10 +71,11 @@ object Similarity {
 
   /** Bits so that expected bucket occupancy n / 2^bits stays near
     * `targetOccupancy` as the corpus grows: round(log2(n / target)),
-    * clamped to [1, 24]. At the default target the 6k-vector sf0.1
-    * corpus gets the classic 4 bits; 10× gets 7 — constant expected
-    * candidate work per vector, recall governed by `tables` as before. */
-  private[graft] def autoBits(n: Long, targetOccupancy: Long = 384L): Int = {
+    * clamped to [1, 24]. The default target reproduces the tuned series
+    * at the real corpora: the 2k-vector sf0.1 table gets the classic 4
+    * bits, its 4×/10× replicas get 6/7 — constant expected candidate
+    * work per vector, recall governed by `tables` as before. */
+  private[graft] def autoBits(n: Long, targetOccupancy: Long = 128L): Int = {
     require(targetOccupancy >= 1L)
     val ratio = math.max(1.0, n.toDouble / targetOccupancy)
     math.max(1, math.min(24, math.round(math.log(ratio) / math.log(2.0)).toInt))

@@ -628,10 +628,11 @@ class PipelineSpec extends AnyFunSuite {
 
   test("autoBits holds expected bucket occupancy as the corpus grows") {
     // occupancy n / 2^bits stays near the target: the classic 4 bits at
-    // the sf0.1-sized corpus, one more bit roughly per doubling
-    assert(Similarity.autoBits(6000L) === 4)
-    assert(Similarity.autoBits(24000L) === 6)
-    assert(Similarity.autoBits(60000L) === 7)
+    // the 2k-vector sf0.1 corpus, one more bit roughly per doubling —
+    // exactly the 4/6/7 series the growth row was hand-tuned to
+    assert(Similarity.autoBits(2000L) === 4)
+    assert(Similarity.autoBits(8000L) === 6)
+    assert(Similarity.autoBits(20000L) === 7)
     assert(Similarity.autoBits(1L) === 1)         // floor
     assert(Similarity.autoBits(Long.MaxValue >> 8) === 24) // ceiling
     // the auto default and the explicit spelling agree end to end
