@@ -614,6 +614,22 @@ object SparkEntry {
           count(lit(1)).as("n_report"))
     }),
 
+    // the OTHER approximate aggregate a 100 TB profile leans on, under
+    // the same contract doctrine as topn_approx_bounds: Spark's built-in
+    // HLL++ (functions-not-UDFs; deterministic for a fixed input) must
+    // land within 5x its configured rsd of the exact distinct count,
+    // asserted in-plan against the exact twin the oracle recomputes
+    "distinct_count_bounds" -> ((spark, dir) => {
+      import spark.implicits._
+      tbl(spark, dir, "lineitem")
+        .agg(
+          countDistinct($"l_partkey").as("n_exact"),
+          approx_count_distinct($"l_partkey", 0.05).as("__graft_approx"))
+        .select($"n_exact",
+          (abs($"__graft_approx" - $"n_exact") <=
+            ($"n_exact" * 0.25).cast("long")).as("within_bound"))
+    }),
+
     // scalar topn_add + topn_union pipeline (§2.1 rows 2,3)
     "topn_scalar_pipeline" -> ((spark, dir) => {
       import spark.implicits._
@@ -3441,6 +3457,14 @@ object SparkEntry {
         |       CAST(0 AS BIGINT) AS max_error
         |FROM orders GROUP BY 1
         |ORDER BY frequency DESC, item LIMIT 25""".stripMargin,
+
+    // exact side recomputed by the oracle; the HLL estimate's bound is
+    // the constant-boolean claim (Spark's HLL++ is deterministic, DuckDB
+    // cannot replay it bit-for-bit — the recall-floor doctrine)
+    "distinct_count_bounds" ->
+      """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+        |       TRUE AS within_bound
+        |FROM lineitem""".stripMargin,
 
     // the bounds CONTRACT is the deterministic fact; the evicted sketch's
     // content is schedule-dependent by design (the recall-floor doctrine)

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
  * batch's snapshot — strict-tier stores (watermark 0) simply have no
  * such directories and read as None.
  */
-private[streaming] object StreamWatermark {
+private[graft] object StreamWatermark {
 
   private def latestWithDir(
       spark: SparkSession, storePath: String, leaf: String): Option[Long] = {

@@ -365,6 +365,51 @@ class EventStreamingSpec extends AnyFunSuite {
     assert(got2 === 2L, "u2's late 950 event must open its second session")
   }
 
+  test("watermark tier survives compaction: pending + hwm carry, stream resumes") {
+    val wm = 60L
+    val b0 = evFix(Seq((1L, "view", 100L), (2L, "view", 150L)))
+    val b1 = evFix(Seq((1L, "click", 200L), (4L, "click", 290L)))
+    val src = tmp("graft_funwm_src")
+    for ((b, i) <- Seq(b0, b1).zipWithIndex)
+      FunnelStreaming.funnelBatch(b, i.toLong, src, Seq("user_id"), "ts",
+        "event_type", Steps, "sc", watermarkSeconds = wm)
+    val dst = tmp("graft_funwm_dst")
+    FunnelStreaming.compactStore(spark, src, dst)
+    def counts(p: String) = collectCounts(FunnelStreaming.committedCounts(
+      spark, p, Seq("user_id"), Steps, watermarkSeconds = wm))
+    assert(counts(dst) === counts(src),
+      "compaction must reproduce the committed report")
+    // the buffered tail carried: the SAME flush batch (u4's view arriving
+    // step-reversed + a far event) matures identically on both stores —
+    // u4's conversion needs the PENDING click@290 from before the fold
+    val flush = evFix(Seq((4L, "view", 270L), (9L, "view", 400L)))
+    FunnelStreaming.funnelBatch(flush, 2L, src, Seq("user_id"), "ts",
+      "event_type", Steps, "sc", watermarkSeconds = wm)
+    FunnelStreaming.funnelBatch(flush, 2L, dst, Seq("user_id"), "ts",
+      "event_type", Steps, "sc", watermarkSeconds = wm)
+    val after = counts(dst)
+    assert(after === counts(src),
+      "resumed compacted store must stay equal to the original")
+    assert(after.exists(r => r._1 == 1L && r._3 >= 2L),
+      "u4's buffered click must convert once its view matures")
+    // beyond-watermark refusal carries too (hwm moved with the fold)
+    val eL = intercept[IllegalStateException](
+      FunnelStreaming.funnelBatch(evFix(Seq((5L, "view", 330L))), 3L, dst,
+        Seq("user_id"), "ts", "event_type", Steps, "sc",
+        watermarkSeconds = wm))
+    assert(eL.getMessage.contains("beyond-watermark"))
+    // uncommitted leftovers are invisible: an orphan data dir with no
+    // manifest (the crash shape) must not change any reader
+    val before = counts(dst)
+    graft.streaming.StreamWatermark.write(spark, dst, 99L,
+      evFix(Seq((7L, "view", 9999L))).select(col("user_id"),
+        col("event_type").as("__graft_step"),
+        Sessions.tsMicros(evFix(Seq((7L, "view", 9999L))), "ts").as("__graft_tu")),
+      9999000000L)
+    assert(counts(dst) === before,
+      "an uncommitted pending/wm dir must be invisible to readers")
+  }
+
   test("streaming funnel: out-of-order arrival fails, params pin holds") {
     val (b0, b1, _) = funnelBatches
     val store = tmp("graft_fun_ooo")
