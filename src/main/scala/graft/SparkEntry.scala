@@ -610,7 +610,10 @@ object SparkEntry {
           min($"frequency" <= $"true_freq" &&
             $"true_freq" <= $"frequency" + $"max_error")
             .as("all_within_bounds"),
-          min($"max_error" > 0L).as("has_eviction"),
+          // max, not min: "eviction happened" is the schedule-robust
+          // claim (today the bound is uniform per report, but a per-item
+          // bound would make min() demand EVERY item lost something)
+          (max($"max_error") > 0L).as("has_eviction"),
           count(lit(1)).as("n_report"))
     }),
 
@@ -3032,17 +3035,6 @@ object SparkEntry {
     })
   )
 
-  /**
-   * Operator-only subplans of the queries whose CORRECTNESS spelling
-   * embeds an in-plan verification twin (`dedup_simhash` carries an O(n²)
-   * brute-force check, the `ann_*`/`lsh_neardup_pairs` queries a
-   * brute-force recall comparison, `semantic_dedup` an independent
-   * self-join + CC audit). The twins are the right correctness design —
-   * approximate output is not SQL-reproducible — but they dominate the
-   * measured time, so Bench times THESE alongside: the operator a user
-   * actually runs, without its verifier. Not part of the driver's oracle
-   * gate (the twinned queries stay in [[queries]]).
-   */
   /** Once-per-JVM materialized fingerprint store for
     * `incremental_neardup_op`: the op prices a daily probe against
     * PERSISTED state, so the state must exist before the clock starts. */
@@ -3063,6 +3055,17 @@ object SparkEntry {
       out
     })
 
+  /**
+   * Operator-only subplans of the queries whose CORRECTNESS spelling
+   * embeds an in-plan verification twin (`dedup_simhash` carries an O(n²)
+   * brute-force check, the `ann_*`/`lsh_neardup_pairs` queries a
+   * brute-force recall comparison, `semantic_dedup` an independent
+   * self-join + CC audit). The twins are the right correctness design —
+   * approximate output is not SQL-reproducible — but they dominate the
+   * measured time, so Bench times THESE alongside: the operator a user
+   * actually runs, without its verifier. Not part of the driver's oracle
+   * gate (the twinned queries stay in [[queries]]).
+   */
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the NAIVE wide frame: the same 30-period merge via slidingUnion's
     // rank-range join, which replicates every period's sketch 30x — the

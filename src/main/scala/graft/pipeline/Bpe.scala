@@ -432,11 +432,9 @@ object Bpe {
     val out = (1 to iters)
       .map(k => s"SELECT CAST($k AS BIGINT) AS iter, a, b, cnt FROM ${p}m$k")
       .mkString(s"${p}out AS (\n  ", "\n  UNION ALL ", ")")
-    // MATERIALIZED: each b_k reads m_k twice (the two scalar subqueries)
-    // and m_k feeds the output union too — DuckDB's default CTE inlining
-    // would re-run the whole training prefix exponentially (the
-    // pageRankCtes finding; pure evaluation-order pragma)
-    (s"$header,\n$iterations,\n$out".replace(" AS (", " AS MATERIALIZED ("),
+    // MATERIALIZED pragma: see OracleSql.materializeCtes (each b_k reads
+    // m_k twice via the scalar subqueries, and m_k feeds the output union)
+    (OracleSql.materializeCtes(s"$header,\n$iterations,\n$out"),
       s"${p}out")
   }
 

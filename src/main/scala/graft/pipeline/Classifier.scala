@@ -678,8 +678,8 @@ object Classifier {
          |        FROM ${p}sc),
          |${p}out AS (SELECT t.doc_id, t.cls_actual, b.cls_pred, b.score_e6
          |       FROM ${p}t t JOIN ${p}bst b USING (doc_id) WHERE b.rn = 1)""".stripMargin
-    // same MATERIALIZED pragma as classifierCtes (see there)
-    (s"$header,\n$iterations,\n$footer".replace(" AS (", " AS MATERIALIZED ("),
+    // MATERIALIZED pragma: see OracleSql.materializeCtes
+    (OracleSql.materializeCtes(s"$header,\n$iterations,\n$footer"),
       s"${p}out")
   }
 
@@ -773,10 +773,9 @@ object Classifier {
          |       FROM ${p}ex e JOIN ${p}w$iters w USING (f) GROUP BY 1),
          |${p}out AS (SELECT l.doc_id, l.is_target, sc.score_e6
          |       FROM ${p}lab l JOIN ${p}sc sc USING (doc_id))""".stripMargin
-    // MATERIALIZED: the feature CTE feeds 2 stages per iteration and each
-    // weight stage feeds the next — DuckDB's default CTE inlining would
-    // re-run the prefix exponentially (the pageRankCtes finding)
-    (s"$header,\n$iterations,\n$footer".replace(" AS (", " AS MATERIALIZED ("),
+    // MATERIALIZED pragma: see OracleSql.materializeCtes (the feature
+    // CTE feeds two stages per iteration, each weight stage the next)
+    (OracleSql.materializeCtes(s"$header,\n$iterations,\n$footer"),
       s"${p}out")
   }
 }

@@ -236,13 +236,9 @@ object Graph {
          |        CAST(($baseE6 + $dampingPct * COALESCE(c.in_sum, 0)) // 100 AS BIGINT) AS rank_e6
          |        FROM ${p}n n LEFT JOIN ${p}c$k c USING (node))""".stripMargin
     }.mkString(",\n")
-    // DuckDB 1.x INLINES a CTE at every reference site by default; an
-    // unrolled K-stage chain where stage k reads stage k-1 more than once
-    // re-executes the whole prefix EXPONENTIALLY (measured: minutes for a
-    // 7-node graph). MATERIALIZED pins each stage to run once — pure
-    // evaluation-order pragma, bit-identical results.
-    (s"$header,\n$iters".replace(" AS (", " AS MATERIALIZED ("),
-      s"${p}r$iterations")
+    // MATERIALIZED pragma: see OracleSql.materializeCtes (each rank
+    // stage is read by multiple downstream stages)
+    (OracleSql.materializeCtes(s"$header,\n$iters"), s"${p}r$iterations")
   }
 
   /**
@@ -312,12 +308,9 @@ object Graph {
              |        FROM ${p}r$k a JOIN ${p}r${k - 1} b USING (node))""".stripMargin
       }
     }.mkString(",\n")
-    // same MATERIALIZED pragma as pageRankCtes: the delta stages read each
-    // rank stage twice, which under DuckDB's default CTE inlining
-    // re-executes the whole unrolled prefix exponentially
     tolE6 match {
       case None =>
-        (s"$header,\n$iters".replace(" AS (", " AS MATERIALIZED ("),
+        (OracleSql.materializeCtes(s"$header,\n$iters"),
           s"${p}r$maxIterations")
       case Some(tol) =>
         val tail =
@@ -329,7 +322,7 @@ object Graph {
             .map(k => s"SELECT $k AS k, node, rank_e6 FROM ${p}r$k").mkString(" UNION ALL ")}),
              |${p}fin AS (SELECT node, rank_e6 FROM ${p}all
              |        WHERE k = (SELECT ks FROM ${p}ks))""".stripMargin
-        (s"$header,\n$iters,\n$tail".replace(" AS (", " AS MATERIALIZED ("),
+        (OracleSql.materializeCtes(s"$header,\n$iters,\n$tail"),
           s"${p}fin")
     }
   }

@@ -138,35 +138,17 @@ object FunnelStreaming {
       (keyC :+ col(stepCol).as("__graft_step") :+
         Sessions.tsMicros(batch, tsCol).as("__graft_tu")): _*)
 
-    // bounded-disorder tier: fold pending with the new arrivals, advance
-    // the event-time high-water mark, and release only events at or
-    // below (hwm - watermark) — everything else buffers. New arrivals at
-    // or below the PREVIOUS cut are refused: their region is final.
+    // bounded-disorder tier: the shared release step
+    // (StreamWatermark.release) folds pending with the new arrivals,
+    // advances the event-time high-water mark, and returns only events
+    // at or below (hwm - watermark) — everything else buffers
     val wmUs = watermarkSeconds * 1000000L
     val (e, wmTail) =
       if (watermarkSeconds == 0L) (eNew, None)
       else {
-        val prevHwm = StreamWatermark.committedHwm(spark, storePath)
-        val Array(bMin, bMax) = eNew
-          .agg(min(col("__graft_tu")), max(col("__graft_tu")))
-          .head.toSeq.map(_.asInstanceOf[Long]).toArray
-        prevHwm.foreach { h =>
-          val prevCut = h - wmUs
-          if (bMin <= prevCut) {
-            throw new IllegalStateException(
-              s"funnelBatch: beyond-watermark arrival — batch event at " +
-                s"${bMin}us is not after the committed maturity cut " +
-                s"${prevCut}us (high-water mark ${h}us - watermark " +
-                s"${wmUs}us); its step floors are already final. Increase " +
-                "watermarkSeconds or fix the ingest ordering")
-          }
-        }
-        val hwm = math.max(prevHwm.getOrElse(Long.MinValue), bMax)
-        val cut = hwm - wmUs
-        val all = StreamWatermark.committedPending(spark, storePath)
-          .map(_.unionByName(eNew)).getOrElse(eNew)
-        (all.filter(col("__graft_tu") <= cut),
-          Some((all.filter(col("__graft_tu") > cut), hwm)))
+        val (released, tail) = StreamWatermark.release(
+          storePath, eNew, df => df("__graft_tu"), wmUs, "funnelBatch")
+        (released, Some(tail))
       }
 
     // touched keys with their batch time range (bmin for the ordered-
@@ -304,10 +286,8 @@ object FunnelStreaming {
     ActivityStreaming.writeCommitMarker(dfs, droot, v)
   }
 
-  /** `wm=` joins the pin only when the watermark tier is on, so strict
-    * stores written before the tier existed keep their stamp verbatim. */
   private def paramsOf(
       keyCols: Seq[String], steps: Seq[String], watermarkSeconds: Long): String =
     s"steps=${steps.mkString(">")},keys=${keyCols.mkString("+")}" +
-      (if (watermarkSeconds > 0L) s",wm=$watermarkSeconds" else "")
+      StreamWatermark.paramsSuffix(watermarkSeconds)
 }

@@ -119,9 +119,7 @@ object SessionStreaming {
     TopnStreaming.checkStamp(fs, root, "_graft_params",
       s"gapSeconds=$gapSeconds,keys=${keyCols.mkString("+")}," +
         s"value=${valueCol.getOrElse("-")}" +
-        // wm= joins the pin only when the tier is on, so strict stores
-        // written before the tier existed keep their stamp verbatim
-        (if (watermarkSeconds > 0L) s",wm=$watermarkSeconds" else ""),
+        StreamWatermark.paramsSuffix(watermarkSeconds),
       (stored, given) =>
         s"session store at $root was maintained with '$stored' but this " +
           s"stream uses '$given' — session boundaries and schemas are " +
@@ -132,9 +130,9 @@ object SessionStreaming {
     if (batch.isEmpty) return // no events: state unchanged, and the
     // high-water mark is EVENT time, so the cut cannot advance either
 
-    // bounded-disorder tier: fold pending with the new arrivals, release
-    // only events at or below (hwm - watermark); refuse arrivals at or
-    // below the PREVIOUS cut — their region's sessions are final
+    // bounded-disorder tier: the shared release step
+    // (StreamWatermark.release) folds pending with the new arrivals and
+    // returns only events at or below (hwm - watermark)
     val inCols = (keyCols :+ tsCol) ++ valueCol.toSeq ++
       orderCols.filterNot(c => keyCols.contains(c) || c == tsCol)
     val eNew = batch.select(inCols.distinct.map(col): _*)
@@ -142,27 +140,10 @@ object SessionStreaming {
     val (events, wmTail) =
       if (watermarkSeconds == 0L) (eNew, None)
       else {
-        val tuNew = Sessions.tsMicros(eNew, tsCol)
-        val prevHwm = StreamWatermark.committedHwm(spark, storePath)
-        val Array(bMin, bMax) = eNew.agg(min(tuNew), max(tuNew))
-          .head.toSeq.map(_.asInstanceOf[Long]).toArray
-        prevHwm.foreach { h =>
-          val prevCut = h - wmUs
-          if (bMin <= prevCut) {
-            throw new IllegalStateException(
-              s"sessionBatch: beyond-watermark arrival — batch event at " +
-                s"${bMin}us is not after the committed maturity cut " +
-                s"${prevCut}us (high-water mark ${h}us - watermark " +
-                s"${wmUs}us); its region's sessions are already final. " +
-                "Increase watermarkSeconds or fix the ingest ordering")
-          }
-        }
-        val hwm = math.max(prevHwm.getOrElse(Long.MinValue), bMax)
-        val cut = hwm - wmUs
-        val all = StreamWatermark.committedPending(spark, storePath)
-          .map(_.unionByName(eNew)).getOrElse(eNew)
-        val tuAll = Sessions.tsMicros(all, tsCol)
-        (all.filter(tuAll <= cut), Some((all.filter(tuAll > cut), hwm)))
+        val (released, tail) = StreamWatermark.release(
+          storePath, eNew, df => Sessions.tsMicros(df, tsCol), wmUs,
+          "sessionBatch")
+        (released, Some(tail))
       }
 
     val gapUs = gapSeconds * 1000000L

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -35,6 +35,68 @@ private[graft] object StreamWatermark {
       fs.exists(new org.apache.hadoop.fs.Path(root, s"data/b=$id/$leaf"))
     }
   }
+
+  /** The release step both event-time maintainers share: fold the
+    * committed pending buffer with the new arrivals, advance the
+    * event-time high-water mark, and split at `hwm - watermark` —
+    * returns (released, (stillPending, newHwm)). Refuses loudly:
+    *
+    *  - arrivals at or below the PREVIOUS cut (their region of the store
+    *    is final — folding them in would silently rewrite history);
+    *  - NULL event times (neither side of the cut can hold them: both
+    *    `<= cut` and `> cut` filter a NULL away, so they would vanish
+    *    without a trace — the strict tier at least hands them to the
+    *    batch kernel).
+    *
+    * `tuOf` maps a frame with the input's columns to its event-time
+    * micros column (the maintainers project different shapes). Exactness
+    * argument: every event this returns as released is strictly later
+    * than everything released before it was buffered — see the
+    * maintainers' object docs.
+    */
+  def release(
+      storePath: String,
+      eNew: DataFrame,
+      tuOf: DataFrame => Column,
+      wmUs: Long,
+      op: String): (DataFrame, (DataFrame, Long)) = {
+    val spark = eNew.sparkSession
+    val prevHwm = committedHwm(spark, storePath)
+    val tuNew = tuOf(eNew)
+    val agg = eNew
+      .agg(min(tuNew), max(tuNew), count(when(tuNew.isNull, lit(1))))
+      .head
+    val nNull = agg.getLong(2)
+    if (nNull > 0L) {
+      throw new IllegalStateException(
+        s"$op: $nNull event(s) with NULL event time in the batch — the " +
+          "watermark tier cannot order them; filter or repair the ingest")
+    }
+    val (bMin, bMax) = (agg.getLong(0), agg.getLong(1))
+    prevHwm.foreach { h =>
+      val prevCut = h - wmUs
+      if (bMin <= prevCut) {
+        throw new IllegalStateException(
+          s"$op: beyond-watermark arrival — batch event at ${bMin}us is " +
+            s"not after the committed maturity cut ${prevCut}us " +
+            s"(high-water mark ${h}us - watermark ${wmUs}us); that region " +
+            "of the store is already final. Increase watermarkSeconds or " +
+            "fix the ingest ordering")
+      }
+    }
+    val hwm = math.max(prevHwm.getOrElse(Long.MinValue), bMax)
+    val cut = hwm - wmUs
+    val all = committedPending(spark, storePath)
+      .map(_.unionByName(eNew)).getOrElse(eNew)
+    val tuAll = tuOf(all)
+    (all.filter(tuAll <= cut), (all.filter(tuAll > cut), hwm))
+  }
+
+  /** `wm=` joins a store's params pin only when the tier is on, so
+    * strict stores written before the tier existed keep their stamp
+    * verbatim. */
+  def paramsSuffix(watermarkSeconds: Long): String =
+    if (watermarkSeconds > 0L) s",wm=$watermarkSeconds" else ""
 
   /** Event-time high-water mark after the latest committed batch; None
     * for a fresh or strict-tier store. */

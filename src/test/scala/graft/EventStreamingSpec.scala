@@ -311,6 +311,16 @@ class EventStreamingSpec extends AnyFunSuite {
     val eP = intercept[IllegalStateException](
       FunnelStreaming.committedCounts(spark, store, Seq("user_id"), Steps))
     assert(eP.getMessage.contains("wm=60"))
+    // NULL event times cannot be ordered by the cut — refused loudly
+    // (both sides of the maturity split would silently drop them)
+    val nullTs = Seq((8L, 6L, "view"))
+      .toDF("event_id", "user_id", "event_type")
+      .select($"event_id", $"user_id", $"event_type",
+        lit(null).cast("timestamp").as("ts"))
+    val eN = intercept[IllegalStateException](
+      FunnelStreaming.funnelBatch(nullTs, 5L, store, Seq("user_id"), "ts",
+        "event_type", Steps, "sc", watermarkSeconds = wm))
+    assert(eN.getMessage.contains("NULL event time"))
   }
 
   test("streaming session watermark: within-window shuffled arrival == batch kernel; beyond fails") {

@@ -44,11 +44,15 @@ def main():
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
-        t0 = time.monotonic()
+        t0 = time.monotonic()  # re-pinned below; kept for the error path
         try:
             spark_tbl = pq.read_table(f"{out_dir}/{name}")
+            # clock the ORACLE alone (not dump read / row hashing): this
+            # timing exists to catch the next CTE-chain blowup
+            t0 = time.monotonic()
             o = con.sql(sql)
             ocols, orows = o.columns, o.fetchall()
+            sec = round(time.monotonic() - t0, 3)
             scols = spark_tbl.column_names
             srows = [tuple(r.values()) for r in spark_tbl.to_pylist()]
             schema_ok = sorted(ocols) == sorted(scols)
@@ -57,7 +61,6 @@ def main():
             ok = schema_ok and rows_ok and hash_ok
             if not ok:
                 fails += 1
-            sec = round(time.monotonic() - t0, 3)
             results[name] = {"rows": len(srows), "oracle_rows": len(orows),
                              "schema": schema_ok, "hash": hash_ok, "ok": ok,
                              "oracle_sec": sec}
