@@ -485,10 +485,13 @@ object Classifier {
       .select(col("doc_id"), col("cls"),
         when(col("__graft_y") === col("cls"), lit(1000000L))
           .otherwise(lit(0L)).as("y_e6"))
-    val nDocs = docs.count()
+    // one scan answers both pre-flight questions (count + NULL labels)
+    val pre = docs
+      .agg(count(lit(1)), count(when(col(labelCol).isNull, lit(1)))).head
+    val (nDocs, nNull) = (pre.getLong(0), pre.getLong(1))
     require(nDocs > 0L, "classifier training needs at least one document")
-    require(docs.filter(col(labelCol).isNull).isEmpty,
-      s"trainMulti: label column '$labelCol' has NULLs; filter or " +
+    require(nNull == 0L,
+      s"trainMulti: label column '$labelCol' has $nNull NULLs; filter or " +
         "impute them first (a NULL label trains as all-negative silently)")
 
     val clamp: Column => Column =
