@@ -617,6 +617,37 @@ object SparkEntry {
           count(lit(1)).as("n_report"))
     }),
 
+    // the reference's accuracy ADVICE as a measured sweep (README.md:21-23
+    // "keep ~100x N counters"): the SAME bounds contract at three counter
+    // budgets, every one far enough under the ~2000 distinct keys that
+    // policy-B eviction fires on any schedule (worst case the merge phase
+    // alone inserts all distinct keys, 2000 > 3x256) — the knob a user
+    // actually turns, under the driver gate at each setting
+    "topn_budget_sweep" -> ((spark, dir) => {
+      import spark.implicits._
+      val key = $"l_partkey".cast("string")
+      val exact = tbl(spark, dir, "lineitem")
+        .groupBy(key.as("item"))
+        .agg(count(lit(1)).as("true_freq"))
+      Seq(16, 64, 256).map { budget =>
+        tbl(spark, dir, "lineitem")
+          .agg(TopnFunctions.topn_add_agg_bounds(key, budget).as("u"))
+          .select(explode(
+            TopnFunctions.topn_with_bounds($"u", lit(budget))).as("r"))
+          .select($"r.item".as("item"), $"r.frequency".as("frequency"),
+            $"r.max_error".as("max_error"))
+          .join(exact, Seq("item"))
+          .agg(
+            min($"frequency" <= $"true_freq" &&
+              $"true_freq" <= $"frequency" + $"max_error")
+              .as("all_within_bounds"),
+            (max($"max_error") > 0L).as("has_eviction"),
+            count(lit(1)).as("n_report"))
+          .select(lit(budget.toLong).as("budget"), $"all_within_bounds",
+            $"has_eviction", $"n_report")
+      }.reduce(_ unionByName _).orderBy($"budget")
+    }),
+
     // the OTHER approximate aggregate a 100 TB profile leans on, under
     // the same contract doctrine as topn_approx_bounds: Spark's built-in
     // HLL++ (functions-not-UDFs; deterministic for a fixed input) must
@@ -3460,6 +3491,12 @@ object SparkEntry {
         |       CAST(0 AS BIGINT) AS max_error
         |FROM orders GROUP BY 1
         |ORDER BY frequency DESC, item LIMIT 25""".stripMargin,
+
+    // three budgets, one contract: the constant claims per setting
+    "topn_budget_sweep" ->
+      """SELECT CAST(b AS BIGINT) AS budget, TRUE AS all_within_bounds,
+        |       TRUE AS has_eviction, CAST(b AS BIGINT) AS n_report
+        |FROM (VALUES (16), (64), (256)) t(b) ORDER BY budget""".stripMargin,
 
     // exact side recomputed by the oracle; the HLL estimate's bound is
     // the constant-boolean claim (Spark's HLL++ is deterministic, DuckDB
