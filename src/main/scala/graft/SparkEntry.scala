@@ -398,6 +398,35 @@ object SparkEntry {
   private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The eviction bounds contract at one counter budget, shared by
+    * `topn_approx_bounds` and `topn_budget_sweep`: the bounded-sketch
+    * report joined to its exact GROUP BY twin, reduced to the
+    * schedule-INdependent facts — every reported interval contains the
+    * true count, eviction fired (max, not min: "eviction happened" is
+    * the robust claim — today the bound is uniform per report, but a
+    * per-item bound would make min() demand EVERY item lost something),
+    * and the report size is the budget. */
+  private def boundsContract(
+      spark: SparkSession, dir: String, budget: Int): DataFrame = {
+    val key = col("l_partkey").cast("string")
+    val report = tbl(spark, dir, "lineitem")
+      .agg(TopnFunctions.topn_add_agg_bounds(key, budget).as("u"))
+      .select(explode(
+        TopnFunctions.topn_with_bounds(col("u"), lit(budget))).as("r"))
+      .select(col("r.item").as("item"), col("r.frequency").as("frequency"),
+        col("r.max_error").as("max_error"))
+    val exact = tbl(spark, dir, "lineitem")
+      .groupBy(key.as("item"))
+      .agg(count(lit(1)).as("true_freq"))
+    report.join(exact, Seq("item"))
+      .agg(
+        min(col("frequency") <= col("true_freq") &&
+          col("true_freq") <= col("frequency") + col("max_error"))
+          .as("all_within_bounds"),
+        (max(col("max_error")) > 0L).as("has_eviction"),
+        count(lit(1)).as("n_report"))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * README.md:84-116 flow: per-month rollup sketches -> union -> top-10. */
   def entry(spark: SparkSession): DataFrame = {
@@ -592,30 +621,8 @@ object SparkEntry {
     // recall-floor device): the contract booleans and the pinned report
     // size. The approximation IS the product (reference README.md:21-23);
     // this is the driver row that actually exercises it.
-    "topn_approx_bounds" -> ((spark, dir) => {
-      import spark.implicits._
-      val tinyBudget = 16
-      val key = $"l_partkey".cast("string")
-      val report = tbl(spark, dir, "lineitem")
-        .agg(TopnFunctions.topn_add_agg_bounds(key, tinyBudget).as("u"))
-        .select(explode(
-          TopnFunctions.topn_with_bounds($"u", lit(tinyBudget))).as("r"))
-        .select($"r.item".as("item"), $"r.frequency".as("frequency"),
-          $"r.max_error".as("max_error"))
-      val exact = tbl(spark, dir, "lineitem")
-        .groupBy(key.as("item"))
-        .agg(count(lit(1)).as("true_freq"))
-      report.join(exact, Seq("item"))
-        .agg(
-          min($"frequency" <= $"true_freq" &&
-            $"true_freq" <= $"frequency" + $"max_error")
-            .as("all_within_bounds"),
-          // max, not min: "eviction happened" is the schedule-robust
-          // claim (today the bound is uniform per report, but a per-item
-          // bound would make min() demand EVERY item lost something)
-          (max($"max_error") > 0L).as("has_eviction"),
-          count(lit(1)).as("n_report"))
-    }),
+    "topn_approx_bounds" -> ((spark, dir) =>
+      boundsContract(spark, dir, budget = 16)),
 
     // the reference's accuracy ADVICE as a measured sweep (README.md:21-23
     // "keep ~100x N counters"): the SAME bounds contract at three counter
@@ -623,30 +630,12 @@ object SparkEntry {
     // policy-B eviction fires on any schedule (worst case the merge phase
     // alone inserts all distinct keys, 2000 > 3x256) — the knob a user
     // actually turns, under the driver gate at each setting
-    "topn_budget_sweep" -> ((spark, dir) => {
-      import spark.implicits._
-      val key = $"l_partkey".cast("string")
-      val exact = tbl(spark, dir, "lineitem")
-        .groupBy(key.as("item"))
-        .agg(count(lit(1)).as("true_freq"))
+    "topn_budget_sweep" -> ((spark, dir) =>
       Seq(16, 64, 256).map { budget =>
-        tbl(spark, dir, "lineitem")
-          .agg(TopnFunctions.topn_add_agg_bounds(key, budget).as("u"))
-          .select(explode(
-            TopnFunctions.topn_with_bounds($"u", lit(budget))).as("r"))
-          .select($"r.item".as("item"), $"r.frequency".as("frequency"),
-            $"r.max_error".as("max_error"))
-          .join(exact, Seq("item"))
-          .agg(
-            min($"frequency" <= $"true_freq" &&
-              $"true_freq" <= $"frequency" + $"max_error")
-              .as("all_within_bounds"),
-            (max($"max_error") > 0L).as("has_eviction"),
-            count(lit(1)).as("n_report"))
-          .select(lit(budget.toLong).as("budget"), $"all_within_bounds",
-            $"has_eviction", $"n_report")
-      }.reduce(_ unionByName _).orderBy($"budget")
-    }),
+        boundsContract(spark, dir, budget)
+          .select(lit(budget.toLong).as("budget"),
+            col("all_within_bounds"), col("has_eviction"), col("n_report"))
+      }.reduce(_ unionByName _).orderBy(col("budget"))),
 
     // the OTHER approximate aggregate a 100 TB profile leans on, under
     // the same contract doctrine as topn_approx_bounds: Spark's built-in
@@ -3793,7 +3782,7 @@ object SparkEntry {
         |      FROM s)
         |SELECT s0 || '>' || s1 || '>' || s2 AS path,
         |       CAST(COUNT(*) AS BIGINT) AS frequency
-        |FROM w WHERE s2 IS NOT NULL
+        |FROM w WHERE s0 IS NOT NULL AND s1 IS NOT NULL AND s2 IS NOT NULL
         |GROUP BY 1 ORDER BY frequency DESC, path LIMIT 10""".stripMargin,
 
     // the full K-iteration training replay, generated by the SAME code

@@ -456,8 +456,11 @@ object Classifier {
         col("score_e6"))
   }
 
-  /** Shared multi-class loop; returns (checkpointed weights, persisted
-    * feature table) so prediction can reuse the cache. */
+  /** Shared multi-class loop; returns (checkpointed weights, the
+    * still-persisted feature table). Prediction unpersists it before its
+    * own action runs — like the binary [[trainScores]], the returned lazy
+    * plan recomputes the feature scan once at action time (weights are
+    * checkpointed rows); the cache only serves the training loop. */
   private def trainMultiWithFeatures(
       docs: DataFrame,
       idCol: String,
@@ -569,7 +572,13 @@ object Classifier {
     }
     val best =
       if (scored.size == 1) scored.head else greatest(scored: _*)
-    element_at(typedLit(classes), (lit(0) - best.getField("nr")) + 1)
+    // NULL text must predict NULL, not the alphabetically-first class:
+    // a NULL token array makes every per-class aggregate() NULL, and
+    // greatest() would then tie purely on the rank field — a
+    // confident-looking wrong label (the binary scoreColumn returns NULL
+    // here for the same reason)
+    when(textCol.isNull, lit(null).cast("string"))
+      .otherwise(element_at(typedLit(classes), (lit(0) - best.getField("nr")) + 1))
   }
 
   /** Persist a multi-class model: the (cls, f, w_e6) weight table plus

@@ -60,13 +60,14 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"), col("r.id").as("neighbor_id"))
   }
 
-  /** Deterministic random hyperplanes (seeded), one bucket id per table:
-    * bit i of table t = sign of dot(vec, plane[t][i]). */
   /** `bitsPerTable` sentinel for [[lshNearDupPairs]]: size the tables from
-    * the corpus count at plan-build time (one count job) — see
-    * [[autoBits]]. A FIXED bit width is a scale bug waiting: candidate
-    * pairs per bucket grow with occupancy², so a knob tuned at 1× turns
-    * quadratic at 10× (the g_lsh_neardup growth row's r13 finding). */
+    * the corpus count at plan-build time — see [[autoBits]]. A FIXED bit
+    * width is a scale bug waiting: candidate pairs per bucket grow with
+    * occupancy², so a knob tuned at 1× turns quadratic at 10× (the
+    * g_lsh_neardup growth row's r13 finding). Cost note: AUTO runs one
+    * count() job over `vectors` at plan-build time — a caller whose
+    * vectors carry an expensive unpersisted lineage should persist it
+    * first or pass explicit bits. */
   val AutoBits = 0
 
   /** Bits so that expected bucket occupancy n / 2^bits stays near
@@ -81,6 +82,8 @@ object Similarity {
     math.max(1, math.min(24, math.round(math.log(ratio) / math.log(2.0)).toInt))
   }
 
+  /** Deterministic random hyperplanes (seeded), one bucket id per table:
+    * bit i of table t = sign of dot(vec, plane[t][i]). */
   private def hyperplanes(dim: Int, bitsPerTable: Int, tables: Int, seed: Long)
       : Array[Array[Array[Double]]] = {
     val rnd = new scala.util.Random(seed)

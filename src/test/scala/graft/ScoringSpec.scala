@@ -997,6 +997,14 @@ class ScoringSpec extends AnyFunSuite {
       Classifier.predictColumn($"text", loaded).as("p"))
       .as[(Long, String)].collect().toMap
     assert(reloaded === viaColumn)
+    // NULL text predicts NULL — never the alphabetically-first class
+    // (every per-class score is NULL there, and a struct-greatest over
+    // NULL scores would otherwise tie purely on the rank field)
+    val withNull = Seq((9L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val p = withNull.select(Classifier.predictColumn($"text", model).as("p"))
+      .collect().head
+    assert(p.isNullAt(0), s"NULL text must predict NULL, got ${p.get(0)}")
   }
 
   test("multi-class parameter validation") {
