@@ -375,6 +375,46 @@ class EventStreamingSpec extends AnyFunSuite {
     assert(got2 === 2L, "u2's late 950 event must open its second session")
   }
 
+  test("streaming funnel watermark end-to-end: maintainFunnel via readStream") {
+    val wm = 60L
+    val batches = Seq(
+      Seq((1L, "view", 100L), (2L, "view", 150L)),
+      Seq((1L, "click", 200L), (3L, "view", 120L)), // 120 late, in-window
+      Seq((2L, "click", 250L), (1L, "purchase", 300L),
+        (3L, "click", 145L), (4L, "click", 290L)),
+      Seq((4L, "view", 270L), (9L, "view", 400L))) // u4 step-reversed; flush
+    val dir = java.nio.file.Files.createTempDirectory("graft_fwm_in").toString
+    val in = java.nio.file.Files.createTempDirectory("graft_fwm_src").toString
+    for ((rows, i) <- batches.zipWithIndex) {
+      evFix(rows).coalesce(1).write.parquet(s"$dir/tmp$i")
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir, s"tmp$i")).forEach { p =>
+        if (p.toString.endsWith(".parquet")) {
+          val dst = java.nio.file.Paths.get(in, s"p$i.parquet")
+          java.nio.file.Files.copy(p, dst)
+          // file-source batch order follows modification time — pin it
+          dst.toFile.setLastModified(1700000000000L + i * 10000L)
+          ()
+        }
+      }
+    }
+    val store = tmp("graft_fwm_e2e")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fwm_ck").toString
+    val stream = spark.readStream.schema(evFix(batches.head).schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = FunnelStreaming.maintainFunnel(stream, store, Seq("user_id"),
+      "ts", "event_type", Steps, checkpointLocation = Some(ckpt),
+      watermarkSeconds = wm)
+    try q.processAllAvailable() finally q.stop()
+    val all = evFix(batches.flatten)
+    val matured = all.filter(
+      Sessions.tsMicros(all, "ts") <= (400L - wm) * 1000000L)
+    assert(collectCounts(FunnelStreaming.committedCounts(
+        spark, store, Seq("user_id"), Steps, watermarkSeconds = wm)) ===
+      collectCounts(Sessions.funnelCounts(
+        matured, Seq("user_id"), "ts", "event_type", Steps)),
+      "the real readStream drive must equal the batch kernel over the matured prefix")
+  }
+
   test("watermark tier survives compaction: pending + hwm carry, stream resumes") {
     val wm = 60L
     val b0 = evFix(Seq((1L, "view", 100L), (2L, "view", 150L)))
