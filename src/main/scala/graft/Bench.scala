@@ -417,6 +417,67 @@ object Bench {
       }
     }
 
+  /** Growth-point anchors from prior recorded artifacts: per (growth row,
+    * replica count), the MINIMUM value any committed `BENCH_r*.json` ever
+    * recorded. Growth entries are object-valued (`"g_name":{"x1":..,..}`),
+    * so they need their own parse; the head pattern deliberately does NOT
+    * consume the body (findAllMatchIn is non-overlapping — a body-consuming
+    * pattern would swallow the next entry's head). The `"growth"` section
+    * key itself cannot match (`g_` requires the underscore). */
+  private[graft] def loadGrowthAnchors(benchDir: String): Map[(String, Int), Double] = {
+    val files = Option(new java.io.File(benchDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+    val head = """\\?"(g_[a-z0-9_]+)\\?":\{""".r
+    val pair = """\\?"x(\d+)\\?":(-?\d+(?:\.\d+)?)""".r
+    val acc = scala.collection.mutable.Map.empty[(String, Int), Double]
+    for (f <- files) {
+      val text =
+        try java.nio.file.Files.readString(f.toPath)
+        catch { case _: Throwable => "" }
+      for (m <- head.findAllMatchIn(text)) {
+        val close = text.indexOf('}', m.end)
+        if (close > 0) {
+          val body = text.substring(m.end, close)
+          for (p <- pair.findAllMatchIn(body)) {
+            val key = (m.group(1), p.group(1).toInt)
+            val v = p.group(2).toDouble
+            if (v > 0 && acc.get(key).forall(v < _)) acc(key) = v
+          }
+        }
+      }
+    }
+    acc.toMap
+  }
+
+  /** Suite-end deferred retry for GROWTH points — [[retryOverBar]]'s shape
+    * applied to the growth suite, anchored on prior ROUNDS' artifacts. The
+    * round-14 lesson: [[measureGrowth]]'s within-run bar is relative to the
+    * operator's own previous point (1.5 x scale-ratio x prev), so a 2.6x
+    * load spike at the 4->10 hop of a sublinear operator sails under it
+    * (g_span_rewrite x10 recorded 10.7 s vs 5.0 s isolated — the bar sat at
+    * 13.5 s). Cross-round, the same point's cheapest prior recording IS a
+    * direct anchor: any point above `slack` x it re-measures once after the
+    * whole suite (the load window must span the entire run to survive) and
+    * the min ships. A genuinely regressed slope stays above the bar in both
+    * samples and records its honest minimum. Points with no prior recording
+    * (new rows, new scales) keep the within-run policy only. */
+  private[graft] def retryGrowthOverBar(
+      rows: Seq[(String, Seq[(Int, Double)])],
+      anchor: (String, Int) => Option[Double],
+      remeasure: (String, Int) => Double,
+      slack: Double = 1.5): Seq[(String, Seq[(Int, Double)])] =
+    rows.map { case (name, pts) =>
+      name -> pts.map { case (c, t) =>
+        anchor(name, c) match {
+          case Some(a) if t > slack * a =>
+            val t2 = remeasure(name, c)
+            c -> (if (t2 >= 0) math.min(t, t2) else t)
+          case _ => c -> t
+        }
+      }
+    }
+
   /** Suite-end deferred retry for ANCHORED rows that finished above their
     * bar. [[measureAnchored]]'s inline retries re-run immediately, so a
     * sustained load window longer than the row's ~5 reps still ships an
@@ -546,12 +607,16 @@ object Bench {
     // any point landing above 1.5x the proportional scaling of the
     // operator's own previous point re-runs (min kept), so one load spike
     // can no longer masquerade as a slope cliff in the recorded artifact.
-    val growth =
+    // the suite is materialized ONCE so the deferred growth retry below
+    // re-measures through the SAME builders (g_ann_ivfpq's lazy frozen
+    // models stay trained — a fresh suite instance would re-pay the
+    // one-time training inside the re-measure and inflate it)
+    val gSuite =
       if (!growthOn) Seq.empty
       else growthSuite(spark, sfDir).filter(g => selected(g._1))
-        .map { case (name, scales, build) =>
-          name -> measureGrowth(scales, c => time(build(c).count()))
-        }
+    val growth = gSuite.map { case (name, scales, build) =>
+      name -> measureGrowth(scales, c => time(build(c).count()))
+    }
 
     // Suite-end bootstrap pass for rows with no prior-artifact anchor (new
     // queries) — runs AFTER the growth suite so the re-measure is maximally
@@ -570,16 +635,37 @@ object Bench {
         name => time(SparkEntry.benchOnly(name)(spark, sfDir).count())),
       anchors.get,
       name => time(SparkEntry.benchOnly(name)(spark, sfDir).count()))
+    // growth's own deferred pass, last of all: anchored on the cheapest
+    // prior ROUND's recording of the same point (see retryGrowthOverBar)
+    val gBuilders = gSuite.map(g => g._1 -> g._3).toMap
+    val growthAnchors = loadGrowthAnchors(
+      sys.env.getOrElse("SPARK_GRAFT_ANCHOR_DIR", "."))
+    val growthFinal = retryGrowthOverBar(growth,
+      (n, c) => growthAnchors.get((n, c)),
+      (n, c) => time(gBuilders(n)(c).count()))
 
     def fmt(kvs: Seq[(String, Double)]) =
       kvs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val qs = fmt(resultsFinal)
     val opsJson = fmt(opsFinal)
-    val growthJson = growth.map { case (name, ts) =>
+    val growthJson = growthFinal.map { case (name, ts) =>
       "\"" + name + "\":" + fmt(ts.map { case (c, t) => (s"x$c", t) })
     }.mkString("{", ",", "}")
     val total = resultsFinal.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ops":$opsJson,"growth":$growthJson,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ops":$opsJson,"growth":$growthJson,"sf":"$sfDir"}"""
+    println(line)
+    // The driver records only the TAIL of the bench output, and the full
+    // line outgrew it (BENCH_r13/r14 both shipped "parsed": null). Two
+    // fixes, mirroring the CORRECTNESS_local.json pattern: (1) persist the
+    // complete line to a committable artifact; (2) print a compact,
+    // self-contained totals line LAST so whatever tail window the driver
+    // keeps always ends with parseable JSON.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")),
+      line + "\n")
+    catch { case _: Throwable => }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${resultsFinal.size},"n_ops":${opsFinal.size},"n_growth":${growthFinal.size},"full_artifact":"BENCH_local.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

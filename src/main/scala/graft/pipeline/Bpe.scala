@@ -394,6 +394,7 @@ object Bpe {
       minCount: Long = 2L,
       prefix: String = "bt"): (String, String) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    OracleSql.requireNoCteHead(src, "src")
     val p = prefix
     // the one corpus pass: distinct words with frequencies (the mirror
     // of trainMerges's `words` table), then each word spaced by the

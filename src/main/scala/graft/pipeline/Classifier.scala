@@ -636,6 +636,8 @@ object Classifier {
       prefix: String = "mc",
       bigrams: Boolean = false): (String, String) = {
     requireEta(iters, etaNum, etaDen)
+    OracleSql.requireNoCteHead(src, "src")
+    OracleSql.requireNoCteHead(labelExpr, "labelExpr")
     val bucket = Dsir.featureBucketSql("w", numBuckets)
     val p = prefix
     val wordsExpr =
@@ -733,6 +735,8 @@ object Classifier {
       prefix: String = "c",
       bigrams: Boolean = false): (String, String) = {
     requireEta(iters, etaNum, etaDen)
+    OracleSql.requireNoCteHead(src, "src")
+    OracleSql.requireNoCteHead(targetExpr, "targetExpr")
     val bucket = Dsir.featureBucketSql("w", numBuckets)
     val p = prefix
     // the same one-scan feature spelling as docFeatures: bigram strings

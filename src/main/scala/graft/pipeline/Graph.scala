@@ -219,6 +219,7 @@ object Graph {
       prefix: String = "p"): (String, String) = {
     require(iterations >= 1 && iterations <= 100)
     require(dampingPct >= 0 && dampingPct <= 100)
+    OracleSql.requireNoCteHead(src, "src")
     val p = prefix
     val baseE6 = (100L - dampingPct) * ScaleE6
     val header =
@@ -262,6 +263,8 @@ object Graph {
       tolE6: Option[Long] = None): (String, String) = {
     require(maxIterations >= 1 && maxIterations <= 100)
     require(dampingPct >= 0 && dampingPct <= 100)
+    OracleSql.requireNoCteHead(src, "src")
+    persSrc.foreach(OracleSql.requireNoCteHead(_, "persSrc"))
     val p = prefix
     val dp = dampingPct
     val eCte =

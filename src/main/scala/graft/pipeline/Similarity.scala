@@ -29,6 +29,8 @@ import org.apache.spark.sql.graftshim.GraftShim
  */
 object Similarity {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   def cosineSim(a: Column, b: Column): Column =
     GraftShim.column(CosineSim(GraftShim.expression(a), GraftShim.expression(b)))
 
@@ -237,6 +239,15 @@ object Similarity {
    * produce self-pairs: pair generation is over the sorted id list and
    * keeps strictly-increasing pairs only, matching the exact tier's
    * `id_a < id_b` join.
+   *
+   * Cost caveat (the [[AutoBits]] default): sizing the tables needs the
+   * corpus count, so a call with the default `bitsPerTable` runs one
+   * count() job over `vectors` AT PLAN-BUILD TIME — over an expensive
+   * unpersisted lineage that job re-prices the lineage. Callers that
+   * already know the corpus size (table stats, a prior count, a fixed
+   * fixture) pass it as `knownCount` and skip the job entirely; the
+   * chosen width is identical (`autoBits(knownCount)`) and is logged
+   * either way so result drift from auto-sizing stays diagnosable.
    */
   def lshNearDupPairs(
       vectors: DataFrame,
@@ -248,11 +259,20 @@ object Similarity {
       tables: Int = 16,
       seed: Long = 42L,
       maxBucket: Int = 10000,
-      hardMaxBucket: Int = Int.MaxValue): DataFrame = {
+      hardMaxBucket: Int = Int.MaxValue,
+      knownCount: Long = -1L): DataFrame = {
     require(bitsPerTable == AutoBits || (bitsPerTable >= 1 && bitsPerTable <= 32),
       s"bitsPerTable must be AutoBits (0) or in [1, 32], got $bitsPerTable")
     val bits =
-      if (bitsPerTable == AutoBits) autoBits(vectors.count()) else bitsPerTable
+      if (bitsPerTable != AutoBits) bitsPerTable
+      else {
+        val n = if (knownCount >= 0) knownCount else vectors.count()
+        val b = autoBits(n)
+        // one line per call so result drift from auto-sizing is diagnosable
+        // (the chosen width changes the candidate set, hence the report)
+        log.info(s"lshNearDupPairs: autoBits picked $b bits for n=$n vectors")
+        b
+      }
     val blocked = vectors.select(
       packableId(col(idCol), idCol, "lshNearDupPairs").as("vid"),
       explode(lshBuckets(col(vecCol), dim, bits, tables, seed)).as("bucket"))

@@ -26,14 +26,31 @@ import org.apache.spark.sql.functions._
  */
 private[graft] object StreamWatermark {
 
-  private def latestWithDir(
-      spark: SparkSession, storePath: String, leaf: String): Option[Long] = {
+  /** The latest committed batch id carrying the watermark tier's leaves —
+    * resolved ONCE for both `pending` and `wm`. [[write]] emits the two
+    * leaves together before the commit marker, so a committed batch holds
+    * both or neither; a batch found with only one means a broken writer,
+    * and silently falling back to another batch's leaf would pair a
+    * pending snapshot with a high-water mark from a DIFFERENT cut — fail
+    * loudly instead. */
+  private def latestTierBatch(
+      spark: SparkSession, storePath: String): Option[Long] = {
     val ids = ActivityStreaming.committedIds(spark, storePath)
     if (ids.isEmpty) return None
     val (fs, root) = TopnStreaming.fsOf(spark, storePath)
-    ids.sorted.reverse.find { id =>
+    def has(id: Long, leaf: String): Boolean =
       fs.exists(new org.apache.hadoop.fs.Path(root, s"data/b=$id/$leaf"))
-    }
+    ids.sorted.reverse
+      .find(id => has(id, "wm") || has(id, "pending"))
+      .map { id =>
+        if (!(has(id, "wm") && has(id, "pending")))
+          throw new IllegalStateException(
+            s"watermark store at $storePath: committed batch b=$id holds " +
+              "only one of its pending/wm leaves — the tier writes both " +
+              "before the commit marker; refusing to pair a buffer with a " +
+              "high-water mark from a different batch")
+        id
+      }
   }
 
   /** The release step both event-time maintainers share: fold the
@@ -101,14 +118,14 @@ private[graft] object StreamWatermark {
   /** Event-time high-water mark after the latest committed batch; None
     * for a fresh or strict-tier store. */
   def committedHwm(spark: SparkSession, storePath: String): Option[Long] =
-    latestWithDir(spark, storePath, "wm").map { id =>
+    latestTierBatch(spark, storePath).map { id =>
       spark.read.parquet(s"$storePath/data/b=$id/wm").head.getLong(0)
     }
 
   /** Still-buffered events after the latest committed batch; None for a
     * fresh or strict-tier store. */
   def committedPending(spark: SparkSession, storePath: String): Option[DataFrame] =
-    latestWithDir(spark, storePath, "pending")
+    latestTierBatch(spark, storePath)
       .map(id => spark.read.parquet(s"$storePath/data/b=$id/pending"))
 
   /** Write this batch's buffer snapshot + hwm (before the commit marker). */
@@ -126,16 +143,14 @@ private[graft] object StreamWatermark {
   }
 
   /** Carry the watermark tier into a compacted store: the latest pending
-    * snapshot and hwm move to the fold directory `b=<v>`. No-op for
-    * strict-tier stores. */
+    * snapshot and hwm move to the fold directory `b=<v>`. The batch id is
+    * resolved ONCE for both leaves ([[latestTierBatch]]), so the pair can
+    * never come from different batches. No-op for strict-tier stores. */
   def compactInto(
-      spark: SparkSession, srcPath: String, dstPath: String, v: Long): Unit = {
-    committedPending(spark, srcPath).foreach { pending =>
-      val hwm = committedHwm(spark, srcPath).getOrElse(
-        throw new IllegalStateException(
-          s"watermark store at $srcPath has a pending buffer but no " +
-            "committed high-water mark"))
-      write(spark, dstPath, v, pending, hwm)
+      spark: SparkSession, srcPath: String, dstPath: String, v: Long): Unit =
+    latestTierBatch(spark, srcPath).foreach { id =>
+      write(spark, dstPath, v,
+        spark.read.parquet(s"$srcPath/data/b=$id/pending"),
+        spark.read.parquet(s"$srcPath/data/b=$id/wm").head.getLong(0))
     }
-  }
 }

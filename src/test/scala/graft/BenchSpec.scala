@@ -167,6 +167,56 @@ class BenchSpec extends AnyFunSuite {
       "min wins; a failed deferred re-measure never overwrites the recorded value")
   }
 
+  test("round-14 artifact scenario: a growth spike under the within-run slope bar is repaired at suite end") {
+    // g_span_rewrite as recorded in BENCH_r14.json: x10 shipped 10.738s vs
+    // 5.04s judge-isolated. The within-run bar (1.5 x 10/4 x its own x4 =
+    // ~13.5s) never fired — a 2.6x spike at the 4->10 hop of a sublinear
+    // operator sits under a slope-relative bar by construction. The prior
+    // ROUND's artifact recorded the same point at 4.131s (BENCH_r13), so the
+    // cross-round bar is 6.2s: the deferred pass re-measures once and the
+    // fresh ~5.0s wins. The in-bar points must not pay a rep.
+    var remeasured = List.empty[(String, Int)]
+    val anchors = Map(("g_span_rewrite", 1) -> 1.057,
+      ("g_span_rewrite", 4) -> 3.703, ("g_span_rewrite", 10) -> 4.131)
+    val out = Bench.retryGrowthOverBar(
+      Seq("g_span_rewrite" -> Seq(1 -> 1.36, 4 -> 4.44, 10 -> 10.738),
+        "g_new_row" -> Seq(1 -> 0.5, 4 -> 9.9)), // no prior recording
+      anchor = (n, c) => anchors.get((n, c)),
+      remeasure = { (n, c) => remeasured ::= (n, c); 5.04 })
+    assert(out === Seq("g_span_rewrite" -> Seq(1 -> 1.36, 4 -> 4.44, 10 -> 5.04),
+      "g_new_row" -> Seq(1 -> 0.5, 4 -> 9.9)))
+    assert(remeasured === List(("g_span_rewrite", 10)),
+      "only over-bar points with a prior-round anchor pay the deferred rep")
+  }
+
+  test("growth deferred retry records a reproducing regression and tolerates a failed re-measure") {
+    val out = Bench.retryGrowthOverBar(
+      Seq("g_a" -> Seq(10 -> 8.0), "g_b" -> Seq(10 -> 8.0)),
+      anchor = (_, _) => Some(2.0),
+      remeasure = (n, c) => Map(("g_a", 10) -> 8.2, ("g_b", 10) -> -1.0)((n, c)))
+    assert(out === Seq("g_a" -> Seq(10 -> 8.0), "g_b" -> Seq(10 -> 8.0)),
+      "min wins; a failed deferred re-measure never overwrites the recorded value")
+  }
+
+  test("loadGrowthAnchors parses object-valued growth entries across artifact styles") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ganchor")
+    // escaped-"tail" style (the driver's) AND plain-line style; the minimum
+    // across rounds wins per (row, scale); the section key "growth" and the
+    // flat rows must not produce anchors
+    java.nio.file.Files.writeString(dir.resolve("BENCH_r01.json"),
+      """{"queries":{"warc_extract":0.3},"growth":{"g_span_rewrite":{"x1":1.1,"x4":3.9,"x10":4.6},"g_funnel":{"x1":0.4}},"sf":"x"}""")
+    java.nio.file.Files.writeString(dir.resolve("BENCH_r02.json"),
+      """{"n": 2, "tail": "\"growth\":{\"g_span_rewrite\":{\"x1\":1.057,\"x4\":3.703,\"x10\":4.131},\"g_funnel\":{\"x1\":0.5}}"}""")
+    java.nio.file.Files.writeString(dir.resolve("ignored.json"),
+      """{"growth":{"g_span_rewrite":{"x10":0.001}}}""")
+    val a = Bench.loadGrowthAnchors(dir.toString)
+    assert(a(("g_span_rewrite", 10)) === 4.131, "minimum across rounds wins")
+    assert(a(("g_span_rewrite", 1)) === 1.057)
+    assert(a(("g_funnel", 1)) === 0.4)
+    assert(!a.keys.exists(_._1 == "growth"), "the section key is not a row")
+    assert(!a.keys.exists(_._1 == "warc_extract"), "flat rows are loadAnchors' job")
+  }
+
   test("loadAnchors takes the minimum across artifacts and tolerates escaped tails") {
     val dir = java.nio.file.Files.createTempDirectory("graft_anchor")
     // r(N-1): plain JSON-line style; r(N): the driver's escaped-"tail" style

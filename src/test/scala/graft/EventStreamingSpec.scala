@@ -460,6 +460,35 @@ class EventStreamingSpec extends AnyFunSuite {
       "an uncommitted pending/wm dir must be invisible to readers")
   }
 
+  test("a committed batch with only one watermark leaf fails loudly, never pairs across batches") {
+    // the tier writes pending + wm together before the commit marker; a
+    // committed batch found with one leaf is a broken writer, and reading
+    // on (pairing this batch's hwm with an OLDER batch's buffer) would
+    // decouple the buffer from its cut — the readers must refuse instead
+    val store = tmp("graft_wm_orphan")
+    val pend = evFix(Seq((7L, "view", 500L)))
+      .select(col("user_id"), col("event_type").as("__graft_step"),
+        Sessions.tsMicros(evFix(Seq((7L, "view", 500L))), "ts").as("__graft_tu"))
+    graft.streaming.StreamWatermark.write(spark, store, 0L, pend, 100L)
+    // drop ONE leaf, then commit the batch by hand (file:// store)
+    def rmr(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    rmr(java.nio.file.Paths.get(s"$store/data/b=0/pending"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$store/_manifests"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$store/_manifests/m=0"), "b=0")
+    for (read <- Seq(
+        () => graft.streaming.StreamWatermark.committedHwm(spark, store),
+        () => graft.streaming.StreamWatermark.committedPending(spark, store))) {
+      val e = intercept[IllegalStateException](read())
+      assert(e.getMessage.contains("only one of its pending/wm leaves"),
+        s"got: ${e.getMessage}")
+    }
+  }
+
   test("streaming funnel: out-of-order arrival fails, params pin holds") {
     val (b0, b1, _) = funnelBatches
     val store = tmp("graft_fun_ooo")

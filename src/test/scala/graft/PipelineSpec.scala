@@ -642,6 +642,12 @@ class PipelineSpec extends AnyFunSuite {
       dim = 64, bitsPerTable = Similarity.autoBits(emb.count()))
       .orderBy("rank").as[(Long, Long, Long)].collect().toSeq
     assert(auto === explicit)
+    // a caller-supplied count (table stats) skips the plan-build count()
+    // job but must pick the identical width — same report, byte for byte
+    val known = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 20,
+      dim = 64, knownCount = emb.count())
+      .orderBy("rank").as[(Long, Long, Long)].collect().toSeq
+    assert(known === auto)
     intercept[IllegalArgumentException](
       Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 20, dim = 64,
         bitsPerTable = -1))

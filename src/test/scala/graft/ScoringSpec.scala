@@ -1028,4 +1028,24 @@ class ScoringSpec extends AnyFunSuite {
         Classifier.MultiModel(bigW, Classifier.MaxScoreColumnBuckets)))
     assert(eB.getMessage.contains("broadcast"))
   }
+
+  test("CTE generators refuse caller fragments containing ' AS (' (materializeCtes contract)") {
+    import graft.pipeline.Classifier
+    // the MATERIALIZED rewrite pattern-matches ' AS (' as a CTE head; a
+    // caller fragment carrying that substring must fail loudly at the
+    // generator boundary, not ship silently corrupted SQL
+    val bad = "x AS (SELECT 1)"
+    for (thunk <- Seq(
+        () => Classifier.multiClassifierCtes("documents", bad),
+        () => Classifier.multiClassifierCtes(bad, "lang"),
+        () => Classifier.classifierCtes("documents", bad),
+        () => graft.pipeline.Graph.pageRankCtes(bad, 2),
+        () => graft.pipeline.Graph.pageRankFlexCtes(bad, 2),
+        () => graft.pipeline.Bpe.trainMergesCtes(bad, 2))) {
+      val e = intercept[IllegalArgumentException](thunk())
+      assert(e.getMessage.contains(" AS ("), s"got: ${e.getMessage}")
+    }
+    // the benign spellings still generate
+    assert(Classifier.multiClassifierCtes("documents", "lang")._1.nonEmpty)
+  }
 }
