@@ -456,6 +456,92 @@ object Classifier {
         col("score_e6"))
   }
 
+  /**
+   * Calibrate a per-(doc, cls) score table into a per-doc report with
+   * confidence columns, in the same EXACT fixed-point doctrine as
+   * training (no floats, both engines replay it bit-for-bit):
+   *
+   *  - `cls_pred` / `score_e6`: the argmax under the pinned tie order
+   *    (score desc, cls asc) — identical to [[trainMultiPredictions]];
+   *  - `margin_e6 = top1 - top2` (0 for a single-class model): the
+   *    rank-stability confidence a thresholded LID gate reads — raw
+   *    one-vs-rest sums are comparable WITHIN a document, so the
+   *    difference is meaningful where the absolute score is not;
+   *  - `share_bp`: the predicted class's share of the document's total
+   *    shifted score mass in basis points,
+   *    `floor(10000 * (top1 - min) / sum_c (score_c - min))` — the
+   *    exact-arithmetic stand-in for a softmax share (shift-invariant
+   *    like softmax, order-preserving, integer): what a mixture weighter
+   *    consumes. All classes tied (degenerate doc) → the uniform
+   *    `floor(10000 / nClasses)`.
+   *
+   * Magnitudes: share's numerator is `(top1 - min) * 10000`; with e6
+   * fixed-point scores clamped by training, it stays well inside the
+   * 2^53 exactness domain of [[floorDiv]].
+   *
+   * Input: (doc_id, cls, score_e6). One keyed window + one keyed agg —
+   * nClasses rows per doc, the same scale shape as the argmax path.
+   */
+  def calibrateScores(scores: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_e6").desc, col("cls").asc)
+    val ranked = scores.withColumn("__graft_rn", row_number().over(w))
+    val agg = scores.groupBy(col("doc_id")).agg(
+      min(col("score_e6")).as("__graft_smin"),
+      sum(col("score_e6")).as("__graft_ssum"),
+      count(lit(1)).as("__graft_n"))
+    val top = ranked.filter(col("__graft_rn") <= 2)
+      .groupBy(col("doc_id")).agg(
+        max(when(col("__graft_rn") === 1,
+          struct(col("cls"), col("score_e6")))).as("__graft_t1"),
+        max(when(col("__graft_rn") === 2, col("score_e6"))).as("__graft_s2"))
+    top.join(agg, "doc_id").select(
+      col("doc_id"),
+      col("__graft_t1.cls").as("cls_pred"),
+      col("__graft_t1.score_e6").as("score_e6"),
+      coalesce(col("__graft_t1.score_e6") - col("__graft_s2"), lit(0L))
+        .as("margin_e6"),
+      {
+        val denom = col("__graft_ssum") - col("__graft_n") * col("__graft_smin")
+        when(denom === 0L, floorDiv(lit(10000L), col("__graft_n")))
+          .otherwise(floorDiv(
+            (col("__graft_t1.score_e6") - col("__graft_smin")) * 10000L,
+            denom))
+      }.as("share_bp"))
+  }
+
+  /**
+   * [[trainMultiPredictions]] plus the calibrated confidence columns of
+   * [[calibrateScores]]: (doc_id, cls_actual, cls_pred, score_e6,
+   * margin_e6, share_bp). Same one-shared-feature-scan training, same
+   * pinned argmax; the extra cost is one keyed agg over the nClasses-
+   * per-doc score table.
+   */
+  def trainMultiCalibrated(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      numBuckets: Int = 1 << 12,
+      iters: Int = 3,
+      etaNum: Long = 1L,
+      etaDen: Long = 256L,
+      reliableCheckpoint: Boolean = false,
+      bigrams: Boolean = false): DataFrame = {
+    val (weights, feats) = trainMultiWithFeatures(docs, idCol, textCol,
+      labelCol, numBuckets, iters, etaNum, etaDen, reliableCheckpoint, bigrams)
+    val scores = feats
+      .join(broadcast(weights), "f")
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(col("w_e6")).as("score_e6"))
+    feats.unpersist(blocking = false)
+    docs.select(col(idCol).as("doc_id"), col(labelCol).as("cls_actual"))
+      .join(calibrateScores(scores), "doc_id")
+      .select(col("doc_id"), col("cls_actual"), col("cls_pred"),
+        col("score_e6"), col("margin_e6"), col("share_bp"))
+  }
+
   /** Shared multi-class loop; returns (checkpointed weights, the
     * still-persisted feature table). Prediction unpersists it before its
     * own action runs — like the binary [[trainScores]], the returned lazy
@@ -634,7 +720,8 @@ object Classifier {
       etaNum: Long = 1L,
       etaDen: Long = 256L,
       prefix: String = "mc",
-      bigrams: Boolean = false): (String, String) = {
+      bigrams: Boolean = false,
+      calibrated: Boolean = false): (String, String) = {
     requireEta(iters, etaNum, etaDen)
     OracleSql.requireNoCteHead(src, "src")
     OracleSql.requireNoCteHead(labelExpr, "labelExpr")
@@ -683,15 +770,42 @@ object Classifier {
          |       FROM ${p}ex e JOIN ${p}gc$k gc USING (doc_id) GROUP BY 1, 2),
          |$update""".stripMargin
     }.mkString(",\n")
-    val footer =
+    val scoreRank =
       s"""${p}sc AS (SELECT e.doc_id, w.cls, CAST(SUM(w.w_e6) AS BIGINT) AS score_e6
          |       FROM ${p}ex e JOIN ${p}w$iters w USING (f) GROUP BY 1, 2),
          |${p}bst AS (SELECT doc_id, cls AS cls_pred, score_e6,
          |        ROW_NUMBER() OVER (PARTITION BY doc_id
          |                           ORDER BY score_e6 DESC, cls) AS rn
-         |        FROM ${p}sc),
-         |${p}out AS (SELECT t.doc_id, t.cls_actual, b.cls_pred, b.score_e6
-         |       FROM ${p}t t JOIN ${p}bst b USING (doc_id) WHERE b.rn = 1)""".stripMargin
+         |        FROM ${p}sc)""".stripMargin
+    val footer =
+      if (!calibrated)
+        s"""$scoreRank,
+           |${p}out AS (SELECT t.doc_id, t.cls_actual, b.cls_pred, b.score_e6
+           |       FROM ${p}t t JOIN ${p}bst b USING (doc_id) WHERE b.rn = 1)""".stripMargin
+      else
+        // the calibrateScores replay: per-doc shifted-mass stats, the
+        // top-2 pivot, then margin + share in the identical floor
+        // division ([[floorDivSql]]); all-tied docs take the uniform
+        // floor(10000 / n)
+        s"""$scoreRank,
+           |${p}ag AS (SELECT doc_id, MIN(score_e6) AS smin,
+           |        CAST(SUM(score_e6) AS BIGINT) AS ssum,
+           |        CAST(COUNT(*) AS BIGINT) AS n
+           |        FROM ${p}sc GROUP BY 1),
+           |${p}tp AS (SELECT doc_id,
+           |        MAX(CASE WHEN rn = 1 THEN cls_pred END) AS cls_pred,
+           |        MAX(CASE WHEN rn = 1 THEN score_e6 END) AS s1,
+           |        MAX(CASE WHEN rn = 2 THEN score_e6 END) AS s2
+           |        FROM ${p}bst WHERE rn <= 2 GROUP BY doc_id),
+           |${p}out AS (SELECT t.doc_id, t.cls_actual, b.cls_pred,
+           |        CAST(b.s1 AS BIGINT) AS score_e6,
+           |        CAST(COALESCE(b.s1 - b.s2, 0) AS BIGINT) AS margin_e6,
+           |        CASE WHEN a.ssum - a.n * a.smin = 0
+           |             THEN ${floorDivSql("10000", "a.n")}
+           |             ELSE ${floorDivSql("(b.s1 - a.smin) * 10000", "a.ssum - a.n * a.smin")}
+           |        END AS share_bp
+           |       FROM ${p}t t JOIN ${p}tp b USING (doc_id)
+           |       JOIN ${p}ag a USING (doc_id))""".stripMargin
     // MATERIALIZED pragma: see OracleSql.materializeCtes
     (OracleSql.materializeCtes(s"$header,\n$iterations,\n$footer"),
       s"${p}out")

@@ -1029,6 +1029,66 @@ class ScoringSpec extends AnyFunSuite {
     assert(eB.getMessage.contains("broadcast"))
   }
 
+  test("calibrateScores: exact margin + share vs a plain-Scala reference") {
+    import graft.pipeline.Classifier
+    val scores = Seq(
+      (1L, "en", 100L), (1L, "fr", 40L), (1L, "de", -20L),
+      (2L, "en", 5L), (2L, "fr", 5L), (2L, "de", 5L), // all tied
+      (3L, "en", 7L), (3L, "fr", 7L), (3L, "de", 0L), // tie at the top
+      (4L, "en", 42L), // single-class doc
+      (5L, "aa", -10L), (5L, "bb", -30L)) // all-negative scores
+    val df = scores.toDF("doc_id", "cls", "score_e6")
+    val got = Classifier.calibrateScores(df)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    // independent plain-Scala reference with BigInt floor division
+    def fd(a: BigInt, n: BigInt): Long = {
+      val q = a / n; val r = a % n
+      (if (r != 0 && (r < 0) != (n < 0)) q - 1 else q).toLong
+    }
+    val exp = scores.groupBy(_._1).toSeq.sortBy(_._1).map { case (doc, rows) =>
+      val sorted = rows.sortBy(r => (-r._3, r._2))
+      val (s1, c1) = (sorted.head._3, sorted.head._2)
+      val margin = if (sorted.size > 1) s1 - sorted(1)._3 else 0L
+      val smin = rows.map(_._3).min
+      val denom = rows.map(_._3).sum - rows.size * smin
+      val share =
+        if (denom == 0) fd(10000, rows.size)
+        else fd(BigInt(s1 - smin) * 10000, denom)
+      (doc, c1, s1, margin, share)
+    }
+    assert(got === exp)
+    // the handcrafted expectations, spelled out: (margin_e6, share_bp)
+    //   doc 1: shifted mass (120, 60, 0) -> share 120*1e4/180 = 6666
+    //   doc 2: all tied -> uniform floor(10000/3); doc 3: top tie -> 5000
+    //   doc 4: single class -> 10000; doc 5: runner-up AT the min -> 10000
+    assert(got.map(g => g._1 -> (g._4, g._5)).toMap === Map(
+      1L -> ((60L, 6666L)), 2L -> ((0L, 3333L)), 3L -> ((0L, 5000L)),
+      4L -> ((0L, 10000L)), 5L -> ((20L, 10000L))))
+  }
+
+  test("trainMultiCalibrated agrees with trainMultiPredictions on argmax and score") {
+    import graft.pipeline.Classifier
+    val docs = Seq(
+      (1L, "the cat sat", "en"), (2L, "le chat noir", "fr"),
+      (3L, "the dog ran", "en"), (4L, "le chien brun", "fr"),
+      (5L, "der hund lief", "de"), (6L, "die katze sass", "de"))
+      .toDF("doc_id", "text", "lang")
+    val plain = Classifier.trainMultiPredictions(
+      docs, "doc_id", "text", "lang", numBuckets = 256, iters = 2)
+      .select($"doc_id", $"cls_pred", $"score_e6")
+      .orderBy("doc_id").collect().toSeq
+    val cal = Classifier.trainMultiCalibrated(
+      docs, "doc_id", "text", "lang", numBuckets = 256, iters = 2)
+      .orderBy("doc_id")
+    assert(cal.select($"doc_id", $"cls_pred", $"score_e6").collect().toSeq === plain,
+      "the calibrated tier must not move the argmax or its score")
+    val rows = cal.as[(Long, String, String, Long, Long, Long)].collect()
+    assert(rows.forall(_._5 >= 0L), "margin = top1 - top2 is non-negative")
+    assert(rows.forall(r => r._6 >= 0L && r._6 <= 10000L),
+      "share is in basis points [0, 10000]")
+  }
+
   test("CTE generators refuse caller fragments containing ' AS (' (materializeCtes contract)") {
     import graft.pipeline.Classifier
     // the MATERIALIZED rewrite pattern-matches ' AS (' as a CTE head; a
