@@ -660,12 +660,19 @@ object Bench {
     // complete line to a committable artifact; (2) print a compact,
     // self-contained totals line LAST so whatever tail window the driver
     // keeps always ends with parseable JSON.
+    // An isolated SPARK_GRAFT_ONLY run must not clobber the committed
+    // full-suite artifact with a partial one (the r15 lesson: a one-row
+    // funnel run shipped as BENCH_local.json) — filtered runs land in a
+    // side file unless the caller names an out path explicitly.
+    val defaultOut =
+      if (only.isEmpty) "BENCH_local.json" else "BENCH_only.json"
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")),
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)),
       line + "\n")
     catch { case _: Throwable => }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${resultsFinal.size},"n_ops":${opsFinal.size},"n_growth":${growthFinal.size},"full_artifact":"BENCH_local.json","sf":"$sfDir"}""")
+    val outName = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${resultsFinal.size},"n_ops":${opsFinal.size},"n_growth":${growthFinal.size},"full_artifact":"$outName","sf":"$sfDir"}""")
     spark.stop()
   }
 }
