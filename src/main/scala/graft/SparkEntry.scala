@@ -2915,6 +2915,34 @@ object SparkEntry {
         .orderBy($"lang_pred")
     }),
 
+    // the thresholded-LID view of the SAME trained model: predictions
+    // whose top1-top2 margin clears the corpus-median floor keep their
+    // label, the rest land in an explicit 'und' bucket — the gate a
+    // mixture weighter applies before trusting a language share. The
+    // floor is the exact nearest-rank p50 of margin_e6 (self-calibrating
+    // at any SF — raw one-vs-rest sums scale with corpus statistics, a
+    // fixed e6 floor would not replay across scales), so training,
+    // calibration, the percentile walk, the gate, and the rollup are ALL
+    // inside the hash match
+    "lang_report_gated" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = tbl(spark, dir, "documents")
+      val calibrated = graft.pipeline.Classifier.trainMultiCalibrated(
+        docs, "doc_id", "text", "lang",
+        numBuckets = ClsBuckets, iters = ClsIters,
+        etaNum = ClsEtaNum, etaDen = ClsEtaDen)
+      graft.pipeline.Classifier.gateAtMedianMargin(calibrated)
+        .join(docs.select($"doc_id",
+          graft.pipeline.TextAnalysis.tokenCount($"text")
+            .cast("long").as("__graft_nt")), "doc_id")
+        .groupBy($"cls_gated".as("lang_gated"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"cls_actual" === $"cls_gated", 1L).otherwise(0L))
+            .as("n_correct"),
+          sum($"__graft_nt").as("n_tokens"))
+        .orderBy($"lang_gated")
+    }),
+
     // example packing (GPT-style pretraining layout): the corpus as one
     // token stream cut into 512-token training sequences, documents
     // SPLIT across boundaries so every context window is exactly full —
@@ -5715,6 +5743,32 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN o.cls_actual = o.cls_pred THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
         |       CAST(SUM(len(regexp_split_to_array(trim(d.text), '\\s+'))) AS BIGINT) AS n_tokens
         |FROM $fin o JOIN documents d USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // the calibrated replay + the exact nearest-rank p50 walk over
+    // margin_e6 (the token_percentiles device) + the CASE gate + the
+    // rollup — the whole thresholded-LID chain inside one hash match
+    "lang_report_gated" -> {
+      val (ctes, fin) = graft.pipeline.Classifier.multiClassifierCtes(
+        "documents", "lang", ClsBuckets, ClsIters, ClsEtaNum, ClsEtaDen,
+        calibrated = true)
+      s"""WITH $ctes,
+        |gn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM $fin),
+        |gh AS (SELECT margin_e6 AS v, COUNT(*) AS c FROM $fin GROUP BY 1),
+        |gr AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run FROM gh),
+        |gf AS (SELECT CAST(MIN(gr.v) AS BIGINT) AS fl
+        |       FROM gr CROSS JOIN gn WHERE gr.run >= (50 * gn.n + 99) // 100),
+        |gg AS (SELECT o.doc_id, o.cls_actual,
+        |              CASE WHEN o.margin_e6 >= gf.fl THEN o.cls_pred
+        |                   ELSE 'und' END AS cls_gated
+        |       FROM $fin o CROSS JOIN gf)
+        |SELECT g.cls_gated AS lang_gated,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(CASE WHEN g.cls_actual = g.cls_gated THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |       CAST(SUM(len(regexp_split_to_array(trim(d.text), '\\s+'))) AS BIGINT) AS n_tokens
+        |FROM gg g JOIN documents d USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin
     },
 

@@ -542,6 +542,55 @@ object Classifier {
         col("score_e6"), col("margin_e6"), col("share_bp"))
   }
 
+  /**
+   * Confidence-gate calibrated predictions: `cls_gated = cls_pred` where
+   * `margin_e6 >= marginFloor`, else the `und` (undetermined) bucket —
+   * the thresholded-LID pattern: downstream mixture / filter decisions
+   * read only predictions whose top-1/top-2 margin clears the floor,
+   * and the rest stay visible as an explicit bucket instead of
+   * silently keeping a low-confidence label.
+   *
+   * `und` must not collide with a real class label (the buckets would
+   * merge in any per-language rollup); the testdata's ISO-ish codes
+   * never use "und", which is ISO 639's own undetermined code.
+   */
+  def gatePredictions(
+      calibrated: DataFrame,
+      marginFloor: Column,
+      und: String = "und"): DataFrame =
+    calibrated.withColumn("cls_gated",
+      when(col("margin_e6") >= marginFloor, col("cls_pred"))
+        .otherwise(lit(und)))
+
+  /**
+   * [[gatePredictions]] at a SELF-CALIBRATING floor: the exact
+   * nearest-rank MEDIAN of `margin_e6` over the scored corpus
+   * ([[Selection.exactPercentiles]] — histogram + prefix sum, no global
+   * sort, no collect; the 1-row floor is broadcast). A fixed e6 floor
+   * is meaningless across corpora/training lengths (raw one-vs-rest
+   * sums scale with corpus statistics); the median is scale-free and
+   * exercises both branches on any corpus with a non-degenerate margin
+   * distribution (>= half the docs clear it by definition).
+   *
+   * The input is consumed twice (median pass + gate pass) — at scale,
+   * persist `calibrated` first if its lineage is expensive; training
+   * itself never re-runs (weights are checkpointed eagerly).
+   */
+  def gateAtMedianMargin(
+      calibrated: DataFrame,
+      und: String = "und"): DataFrame = {
+    require(!calibrated.columns.contains("margin_floor"),
+      "'margin_floor' is reserved by gateAtMedianMargin (it carries the " +
+        "broadcast p50 into the gate and stays in the output)")
+    val p50 = Selection
+      .exactPercentiles(calibrated.select(col("margin_e6")),
+        "margin_e6", Seq(50))
+      .select(col("value").as("margin_floor"))
+    gatePredictions(
+      calibrated.crossJoin(broadcast(p50)),
+      col("margin_floor"), und)
+  }
+
   /** Shared multi-class loop; returns (checkpointed weights, the
     * still-persisted feature table). Prediction unpersists it before its
     * own action runs — like the binary [[trainScores]], the returned lazy

@@ -1089,6 +1089,58 @@ class ScoringSpec extends AnyFunSuite {
       "share is in basis points [0, 10000]")
   }
 
+  test("gatePredictions: floor semantics and the explicit und bucket") {
+    import graft.pipeline.Classifier
+    val cal = Seq(
+      (1L, "en", "en", 100L, 60L, 6666L),
+      (2L, "fr", "en", 10L, 0L, 3333L),
+      (3L, "de", "de", 50L, 20L, 5000L),
+      (4L, "en", "fr", 7L, 5L, 4000L))
+      .toDF("doc_id", "cls_actual", "cls_pred", "score_e6", "margin_e6",
+        "share_bp")
+    // floor 0: margins are non-negative by construction — identity gating
+    val ungated = Classifier.gatePredictions(cal, lit(0L))
+      .select($"doc_id", $"cls_gated").as[(Long, String)].collect().toMap
+    assert(ungated === Map(1L -> "en", 2L -> "en", 3L -> "de", 4L -> "fr"))
+    // a floor above every margin: everything lands in und
+    val all = Classifier.gatePredictions(cal, lit(1000L))
+      .select($"cls_gated").as[String].collect()
+    assert(all.forall(_ == "und"))
+    // mid floor: boundary INCLUSIVE (>= keeps), below gates out; und
+    // label is a parameter
+    val mid = Classifier.gatePredictions(cal, lit(20L), und = "zz")
+      .select($"doc_id", $"cls_gated").as[(Long, String)].collect().toMap
+    assert(mid === Map(1L -> "en", 2L -> "zz", 3L -> "de", 4L -> "zz"))
+  }
+
+  test("gateAtMedianMargin: floor is the exact nearest-rank p50, both buckets fill") {
+    import graft.pipeline.Classifier
+    def mk(margins: Seq[Long]) = margins.zipWithIndex.map { case (m, i) =>
+      ((i + 1).toLong, "en", "en", m * 10L, m, 100L)
+    }.toDF("doc_id", "cls_actual", "cls_pred", "score_e6", "margin_e6",
+      "share_bp")
+    // margins 1..7: nearest-rank p50 target = (50*7+99)//100 = 4 -> floor 4
+    val rows = Classifier.gateAtMedianMargin(mk(1L to 7L))
+      .select($"doc_id", $"margin_floor", $"cls_gated")
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(rows.forall(_._2 == 4L), "floor = exact nearest-rank median")
+    assert(rows.map(r => r._1 -> r._3).toMap ===
+      (1L to 7L).map(i => i -> (if (i >= 4) "en" else "und")).toMap)
+    // even count: target (50*6+99)//100 = 3 -> floor 3
+    val f6 = Classifier.gateAtMedianMargin(mk(1L to 6L))
+      .select($"margin_floor").distinct().as[Long].collect()
+    assert(f6.toSeq === Seq(3L))
+    // degenerate corpus (all margins equal): everything clears, und empty
+    val flat = Classifier.gateAtMedianMargin(mk(Seq(5L, 5L, 5L, 5L)))
+    assert(flat.filter($"cls_gated" === "und").count() === 0L)
+    // reserved output column refused on input
+    val bad = mk(1L to 3L).withColumn("margin_floor", lit(1L))
+    val e = intercept[IllegalArgumentException] {
+      Classifier.gateAtMedianMargin(bad)
+    }
+    assert(e.getMessage.contains("margin_floor"))
+  }
+
   test("CTE generators refuse caller fragments containing ' AS (' (materializeCtes contract)") {
     import graft.pipeline.Classifier
     // the MATERIALIZED rewrite pattern-matches ' AS (' as a CTE head; a
