@@ -200,6 +200,36 @@ object SparkEntry {
       out
     })
 
+  /** Once-per-JVM trained LID model (the stage-store doctrine applied to
+    * the MODEL stage): `language_classifier` keeps pricing a FULL
+    * training run — it IS the training benchmark — while the downstream
+    * consumers (calibration, the trained/gated reports, gated mixture)
+    * load the model trained here once per fixture and price only their
+    * own scoring pass. Every consumer's oracle still replays the ENTIRE
+    * training chain in DuckDB, so the hash match keeps covering the
+    * learned weights; [[graft.pipeline.Classifier.scoreMulti]] is
+    * spelled identically to the in-training score table, so the loaded
+    * model reproduces it bit for bit. Same [[fixtureKey]] staleness rule
+    * + exit-time reaping as the other stores. */
+  private val lidModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def lidModelPath(spark: SparkSession, dir: String): String =
+    lidModelCache.computeIfAbsent(fixtureKey(dir, "documents"), _ => {
+      val w = graft.pipeline.Classifier.trainMulti(
+        tbl(spark, dir, "documents"), "doc_id", "text", "lang",
+        numBuckets = ClsBuckets, iters = ClsIters,
+        etaNum = ClsEtaNum, etaDen = ClsEtaDen)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_lid_model").toString
+      tempDirs.add(out)
+      graft.pipeline.Classifier.saveMulti(
+        graft.pipeline.Classifier.MultiModel(w, ClsBuckets), out)
+      out
+    })
+  private def lidModel(spark: SparkSession, dir: String)
+      : graft.pipeline.Classifier.MultiModel =
+    graft.pipeline.Classifier.loadMulti(lidModelPath(spark, dir), spark)
+
   /** The planted crawl fixture SHARED by the two frontier queries: pages
     * with two outlinks each, the fetched canonical set, and ONE persisted
     * link explode feeding both the candidate set and the rank edges (the
@@ -2884,10 +2914,9 @@ object SparkEntry {
     // match covers the calibration arithmetic end to end
     "language_classifier_calibrated" -> ((spark, dir) => {
       import spark.implicits._
-      graft.pipeline.Classifier.trainMultiCalibrated(
-        tbl(spark, dir, "documents"), "doc_id", "text", "lang",
-        numBuckets = ClsBuckets, iters = ClsIters,
-        etaNum = ClsEtaNum, etaDen = ClsEtaDen)
+      graft.pipeline.Classifier.calibratedFrom(
+        lidModel(spark, dir), tbl(spark, dir, "documents"),
+        "doc_id", "text", "lang")
         .orderBy($"doc_id")
     }),
 
@@ -2899,10 +2928,8 @@ object SparkEntry {
     "lang_report_trained" -> ((spark, dir) => {
       import spark.implicits._
       val docs = tbl(spark, dir, "documents")
-      val preds = graft.pipeline.Classifier.trainMultiPredictions(
-        docs, "doc_id", "text", "lang",
-        numBuckets = ClsBuckets, iters = ClsIters,
-        etaNum = ClsEtaNum, etaDen = ClsEtaDen)
+      val preds = graft.pipeline.Classifier.predictionsFrom(
+        lidModel(spark, dir), docs, "doc_id", "text", "lang")
       preds
         .join(docs.select($"doc_id",
           graft.pipeline.TextAnalysis.tokenCount($"text")
@@ -2927,10 +2954,8 @@ object SparkEntry {
     "lang_report_gated" -> ((spark, dir) => {
       import spark.implicits._
       val docs = tbl(spark, dir, "documents")
-      val calibrated = graft.pipeline.Classifier.trainMultiCalibrated(
-        docs, "doc_id", "text", "lang",
-        numBuckets = ClsBuckets, iters = ClsIters,
-        etaNum = ClsEtaNum, etaDen = ClsEtaDen)
+      val calibrated = graft.pipeline.Classifier.calibratedFrom(
+        lidModel(spark, dir), docs, "doc_id", "text", "lang")
       graft.pipeline.Classifier.gateAtMedianMargin(calibrated)
         .join(docs.select($"doc_id",
           graft.pipeline.TextAnalysis.tokenCount($"text")
@@ -2940,6 +2965,42 @@ object SparkEntry {
           sum(when($"cls_actual" === $"cls_gated", 1L).otherwise(0L))
             .as("n_correct"),
           sum($"__graft_nt").as("n_tokens"))
+        .orderBy($"lang_gated")
+    }),
+
+    // the gate FEEDING the mixing decision: confident 'en' kept whole,
+    // the undetermined bucket down-sampled hard (25%), everything else
+    // at half — mixCorpus' deterministic hash keep over the GATED label,
+    // reported as in/kept doc + token counts per bucket (the table a
+    // mixture weighter actually ships). The keep rule is the portable
+    // hash bucket, so training -> calibration -> gate -> sample ->
+    // rollup hash-replays end to end
+    "mixture_gated_lid" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = tbl(spark, dir, "documents")
+      val gated = graft.pipeline.Classifier.gateAtMedianMargin(
+        graft.pipeline.Classifier.calibratedFrom(
+          lidModel(spark, dir), docs, "doc_id", "text", "lang"))
+      val labeled = docs
+        .select($"doc_id", graft.pipeline.TextAnalysis.tokenCount($"text")
+          .cast("long").as("__graft_nt"))
+        .join(gated.select($"doc_id", $"cls_gated"), "doc_id")
+      val kept = graft.pipeline.Sampling.mixCorpus(labeled, "doc_id",
+        "cls_gated", pctByGroup = Map("en" -> 100, "und" -> 25),
+        defaultPct = 50)
+      labeled
+        .groupBy($"cls_gated".as("lang_gated"))
+        .agg(count(lit(1)).as("n_docs_in"),
+          sum($"__graft_nt").as("n_tokens_in"))
+        .join(
+          kept.groupBy($"cls_gated".as("lang_gated"))
+            .agg(count(lit(1)).as("n_docs_kept"),
+              sum($"__graft_nt").as("n_tokens_kept")),
+          Seq("lang_gated"), "left")
+        .select($"lang_gated", $"n_docs_in",
+          coalesce($"n_docs_kept", lit(0L)).as("n_docs_kept"),
+          $"n_tokens_in",
+          coalesce($"n_tokens_kept", lit(0L)).as("n_tokens_kept"))
         .orderBy($"lang_gated")
     }),
 
@@ -5770,6 +5831,46 @@ object SparkEntry {
         |       CAST(SUM(len(regexp_split_to_array(trim(d.text), '\\s+'))) AS BIGINT) AS n_tokens
         |FROM gg g JOIN documents d USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // gate + mixCorpus replay: the same calibrated/gate chain, then the
+    // portable hash-bucket keep at the per-bucket percentage and the
+    // in/kept rollup
+    "mixture_gated_lid" -> {
+      val (ctes, fin) = graft.pipeline.Classifier.multiClassifierCtes(
+        "documents", "lang", ClsBuckets, ClsIters, ClsEtaNum, ClsEtaDen,
+        calibrated = true)
+      val bucket = graft.pipeline.Sampling.portableBucketSql("d.doc_id")
+      s"""WITH $ctes,
+        |gn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM $fin),
+        |gh AS (SELECT margin_e6 AS v, COUNT(*) AS c FROM $fin GROUP BY 1),
+        |gr AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run FROM gh),
+        |gf AS (SELECT CAST(MIN(gr.v) AS BIGINT) AS fl
+        |       FROM gr CROSS JOIN gn WHERE gr.run >= (50 * gn.n + 99) // 100),
+        |gg AS (SELECT o.doc_id,
+        |              CASE WHEN o.margin_e6 >= gf.fl THEN o.cls_pred
+        |                   ELSE 'und' END AS cls_gated
+        |       FROM $fin o CROSS JOIN gf),
+        |gm AS (SELECT g.cls_gated AS lang_gated, d.doc_id,
+        |              CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS nt,
+        |              CAST($bucket AS BIGINT) AS bucket
+        |       FROM gg g JOIN documents d USING (doc_id)),
+        |gi AS (SELECT lang_gated, CAST(COUNT(*) AS BIGINT) AS n_docs_in,
+        |              CAST(SUM(nt) AS BIGINT) AS n_tokens_in
+        |       FROM gm GROUP BY 1),
+        |gk AS (SELECT lang_gated, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+        |              CAST(SUM(nt) AS BIGINT) AS n_tokens_kept
+        |       FROM gm
+        |       WHERE bucket < (CASE lang_gated WHEN 'en' THEN 100
+        |                            WHEN 'und' THEN 25 ELSE 50 END)
+        |       GROUP BY 1)
+        |SELECT gi.lang_gated, gi.n_docs_in,
+        |       CAST(COALESCE(gk.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+        |       gi.n_tokens_in,
+        |       CAST(COALESCE(gk.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept
+        |FROM gi LEFT JOIN gk USING (lang_gated)
+        |ORDER BY 1""".stripMargin
     },
 
     // same stream layout: exclusive prefix sum -> the range of sequence

@@ -436,11 +436,42 @@ object Classifier {
       bigrams: Boolean = false): DataFrame = {
     val (weights, feats) = trainMultiWithFeatures(docs, idCol, textCol,
       labelCol, numBuckets, iters, etaNum, etaDen, reliableCheckpoint, bigrams)
-    val scores = feats
-      .join(broadcast(weights), "f")
+    feats.unpersist(blocking = false)
+    predictionsFrom(MultiModel(weights, numBuckets, bigrams),
+      docs, idCol, textCol, labelCol)
+  }
+
+  /**
+   * Score every (doc, class) pair of `docs` under an ALREADY-TRAINED
+   * model: (doc_id, cls, score_e6) — the identical feature scan +
+   * broadcast weight join + keyed sum the trainers run, factored out so
+   * a model trained once (or loaded via [[loadMulti]]) can serve many
+   * consumers — argmax, calibration, gating, mixture weighting —
+   * without re-running GD. Bit-equal to the score table inside
+   * [[trainMultiPredictions]] by construction (same spelling).
+   */
+  def scoreMulti(
+      model: MultiModel,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame =
+    docFeatures(docs, idCol, textCol, model.numBuckets, model.bigrams)
+      .join(broadcast(model.weights), "f")
       .groupBy(col("doc_id"), col("cls"))
       .agg(sum(col("w_e6")).as("score_e6"))
-    feats.unpersist(blocking = false)
+
+  /**
+   * [[trainMultiPredictions]]'s output — (doc_id, cls_actual, cls_pred,
+   * score_e6) under the pinned argmax (score desc, cls asc) — computed
+   * from an already-trained model instead of training in place.
+   */
+  def predictionsFrom(
+      model: MultiModel,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String): DataFrame = {
+    val scores = scoreMulti(model, docs, idCol, textCol)
     // argmax via the keyed window both engines spell identically; the
     // doc_id partitioning scales (nClasses rows per key)
     val w = org.apache.spark.sql.expressions.Window
@@ -455,6 +486,22 @@ object Classifier {
       .select(col("doc_id"), col("cls_actual"), col("cls_pred"),
         col("score_e6"))
   }
+
+  /**
+   * [[trainMultiCalibrated]]'s output — predictions plus margin_e6 /
+   * share_bp — computed from an already-trained model.
+   */
+  def calibratedFrom(
+      model: MultiModel,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(labelCol).as("cls_actual"))
+      .join(calibrateScores(scoreMulti(model, docs, idCol, textCol)),
+        "doc_id")
+      .select(col("doc_id"), col("cls_actual"), col("cls_pred"),
+        col("score_e6"), col("margin_e6"), col("share_bp"))
 
   /**
    * Calibrate a per-(doc, cls) score table into a per-doc report with
@@ -531,15 +578,9 @@ object Classifier {
       bigrams: Boolean = false): DataFrame = {
     val (weights, feats) = trainMultiWithFeatures(docs, idCol, textCol,
       labelCol, numBuckets, iters, etaNum, etaDen, reliableCheckpoint, bigrams)
-    val scores = feats
-      .join(broadcast(weights), "f")
-      .groupBy(col("doc_id"), col("cls"))
-      .agg(sum(col("w_e6")).as("score_e6"))
     feats.unpersist(blocking = false)
-    docs.select(col(idCol).as("doc_id"), col(labelCol).as("cls_actual"))
-      .join(calibrateScores(scores), "doc_id")
-      .select(col("doc_id"), col("cls_actual"), col("cls_pred"),
-        col("score_e6"), col("margin_e6"), col("share_bp"))
+    calibratedFrom(MultiModel(weights, numBuckets, bigrams),
+      docs, idCol, textCol, labelCol)
   }
 
   /**

@@ -1089,6 +1089,31 @@ class ScoringSpec extends AnyFunSuite {
       "share is in basis points [0, 10000]")
   }
 
+  test("predictionsFrom / calibratedFrom on a saved+loaded model equal train-in-place") {
+    import graft.pipeline.Classifier
+    val docs = Seq(
+      (1L, "the cat sat", "en"), (2L, "le chat noir", "fr"),
+      (3L, "the dog ran", "en"), (4L, "le chien brun", "fr"),
+      (5L, "der hund lief", "de"), (6L, "die katze sass", "de"))
+      .toDF("doc_id", "text", "lang")
+    val w = Classifier.trainMulti(
+      docs, "doc_id", "text", "lang", numBuckets = 256, iters = 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_gate_model").toString
+    Classifier.saveMulti(Classifier.MultiModel(w, 256), dir)
+    val loaded = Classifier.loadMulti(dir, spark)
+    // the scoring pass factored out of the trainers must reproduce the
+    // train-in-place outputs bit for bit through a disk round-trip
+    assert(Classifier.predictionsFrom(loaded, docs, "doc_id", "text", "lang")
+      .orderBy("doc_id").collect().toSeq ===
+      Classifier.trainMultiPredictions(docs, "doc_id", "text", "lang",
+        numBuckets = 256, iters = 2).orderBy("doc_id").collect().toSeq)
+    assert(Classifier.calibratedFrom(loaded, docs, "doc_id", "text", "lang")
+      .orderBy("doc_id").collect().toSeq ===
+      Classifier.trainMultiCalibrated(docs, "doc_id", "text", "lang",
+        numBuckets = 256, iters = 2).orderBy("doc_id").collect().toSeq)
+  }
+
   test("gatePredictions: floor semantics and the explicit und bucket") {
     import graft.pipeline.Classifier
     val cal = Seq(
