@@ -2954,8 +2954,11 @@ object SparkEntry {
     "lang_report_gated" -> ((spark, dir) => {
       import spark.implicits._
       val docs = tbl(spark, dir, "documents")
+      // persist boundary: the gate consumes its input twice (median
+      // pass + gate pass) — scoreMulti's doc scan must not re-run
       val calibrated = graft.pipeline.Classifier.calibratedFrom(
         lidModel(spark, dir), docs, "doc_id", "text", "lang")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.pipeline.Classifier.gateAtMedianMargin(calibrated)
         .join(docs.select($"doc_id",
           graft.pipeline.TextAnalysis.tokenCount($"text")
@@ -2978,13 +2981,19 @@ object SparkEntry {
     "mixture_gated_lid" -> ((spark, dir) => {
       import spark.implicits._
       val docs = tbl(spark, dir, "documents")
-      val gated = graft.pipeline.Classifier.gateAtMedianMargin(
-        graft.pipeline.Classifier.calibratedFrom(
-          lidModel(spark, dir), docs, "doc_id", "text", "lang"))
+      // persist boundaries: the gate reads its input twice, and the
+      // in/kept rollups read the labeled table twice — without them the
+      // whole scoring chain re-executes 4x (measured 3.5s -> ~1s at
+      // sf0.1)
+      val calibrated = graft.pipeline.Classifier.calibratedFrom(
+        lidModel(spark, dir), docs, "doc_id", "text", "lang")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val gated = graft.pipeline.Classifier.gateAtMedianMargin(calibrated)
       val labeled = docs
         .select($"doc_id", graft.pipeline.TextAnalysis.tokenCount($"text")
           .cast("long").as("__graft_nt"))
         .join(gated.select($"doc_id", $"cls_gated"), "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val kept = graft.pipeline.Sampling.mixCorpus(labeled, "doc_id",
         "cls_gated", pctByGroup = Map("en" -> 100, "und" -> 25),
         defaultPct = 50)
@@ -3002,6 +3011,39 @@ object SparkEntry {
           $"n_tokens_in",
           coalesce($"n_tokens_kept", lit(0L)).as("n_tokens_kept"))
         .orderBy($"lang_gated")
+    }),
+
+    // train/serve split: the model trained on the EVEN half scores the
+    // ODD half it never saw — the production serve pattern (frozen
+    // model, out-of-sample docs; every other classifier row scores its
+    // own training corpus). Report per language: training-slice label
+    // counts vs held-out predictions + agreement, full-outer so a class
+    // absent on either side still shows. Training on the half, scoring
+    // of the other, the argmax, and the rollup all hash-replay
+    "lang_holdout_report" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = tbl(spark, dir, "documents")
+      val train = docs.filter($"doc_id" % 2 === 0)
+      val holdout = docs.filter($"doc_id" % 2 =!= 0)
+      val w = graft.pipeline.Classifier.trainMulti(
+        train, "doc_id", "text", "lang",
+        numBuckets = ClsBuckets, iters = ClsIters,
+        etaNum = ClsEtaNum, etaDen = ClsEtaDen)
+      val preds = graft.pipeline.Classifier.predictionsFrom(
+        graft.pipeline.Classifier.MultiModel(w, ClsBuckets),
+        holdout, "doc_id", "text", "lang")
+      val ta = train.groupBy($"lang")
+        .agg(count(lit(1)).as("n_train_docs"))
+      val ha = preds.groupBy($"cls_pred".as("lang"))
+        .agg(count(lit(1)).as("n_holdout_pred"),
+          sum(when($"cls_actual" === $"cls_pred", 1L).otherwise(0L))
+            .as("n_holdout_agree"))
+      ta.join(ha, Seq("lang"), "full_outer")
+        .select($"lang",
+          coalesce($"n_train_docs", lit(0L)).as("n_train_docs"),
+          coalesce($"n_holdout_pred", lit(0L)).as("n_holdout_pred"),
+          coalesce($"n_holdout_agree", lit(0L)).as("n_holdout_agree"))
+        .orderBy($"lang")
     }),
 
     // example packing (GPT-style pretraining layout): the corpus as one
@@ -5871,6 +5913,33 @@ object SparkEntry {
         |       CAST(COALESCE(gk.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept
         |FROM gi LEFT JOIN gk USING (lang_gated)
         |ORDER BY 1""".stripMargin
+    },
+
+    // train on the even half (the full unrolled GD replay over that
+    // slice), score the odd half under the trained weights CTE
+    // (Classifier.scoreCtes — the identical feature + argmax spelling),
+    // then the full-outer per-language rollup
+    "lang_holdout_report" -> {
+      val (ctes, _, wcte) = graft.pipeline.Classifier.multiClassifierCtesW(
+        "(SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 0)",
+        "lang", ClsBuckets, ClsIters, ClsEtaNum, ClsEtaDen)
+      val (sctes, sfin) = graft.pipeline.Classifier.scoreCtes(
+        "(SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 <> 0)",
+        "lang", wcte, ClsBuckets)
+      s"""WITH $ctes,
+        |$sctes,
+        |ta AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_train_docs
+        |       FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |ha AS (SELECT cls_pred AS lang,
+        |       CAST(COUNT(*) AS BIGINT) AS n_holdout_pred,
+        |       CAST(SUM(CASE WHEN cls_actual = cls_pred THEN 1 ELSE 0 END) AS BIGINT) AS n_holdout_agree
+        |       FROM $sfin GROUP BY 1)
+        |SELECT lang,
+        |       CAST(COALESCE(n_train_docs, 0) AS BIGINT) AS n_train_docs,
+        |       CAST(COALESCE(n_holdout_pred, 0) AS BIGINT) AS n_holdout_pred,
+        |       CAST(COALESCE(n_holdout_agree, 0) AS BIGINT) AS n_holdout_agree
+        |FROM ta FULL OUTER JOIN ha USING (lang)
+        |ORDER BY lang""".stripMargin
     },
 
     // same stream layout: exclusive prefix sum -> the range of sequence

@@ -902,6 +902,71 @@ object Classifier {
   }
 
   /**
+   * [[multiClassifierCtes]] plus the NAME of the final weights CTE
+   * (`{prefix}w{iters}` — pinned here so oracles that score a DIFFERENT
+   * doc set under the trained model don't reverse-engineer the
+   * generator's naming). Returns (ctes, finalCte, weightsCte).
+   */
+  def multiClassifierCtesW(
+      src: String,
+      labelExpr: String,
+      numBuckets: Int = 1 << 12,
+      iters: Int = 3,
+      etaNum: Long = 1L,
+      etaDen: Long = 256L,
+      prefix: String = "mc",
+      bigrams: Boolean = false,
+      calibrated: Boolean = false): (String, String, String) = {
+    val (ctes, fin) = multiClassifierCtes(src, labelExpr, numBuckets,
+      iters, etaNum, etaDen, prefix, bigrams, calibrated)
+    (ctes, fin, s"${prefix}w$iters")
+  }
+
+  /**
+   * Score CTEs for a doc set under an ALREADY-TRAINED weights CTE — the
+   * SQL twin of [[scoreMulti]]+[[predictionsFrom]] for the
+   * out-of-sample serve pattern (train on one slice, score another):
+   * the identical distinct-hashed-feature + bias spelling as training,
+   * the identical pinned argmax. Returns (ctes, finalCte); the final
+   * CTE yields (doc_id, cls_actual, cls_pred, score_e6). `weightsCte`
+   * must expose (cls, f, w_e6) — e.g. [[multiClassifierCtesW]]'s third
+   * element.
+   */
+  def scoreCtes(
+      src: String,
+      labelExpr: String,
+      weightsCte: String,
+      numBuckets: Int = 1 << 12,
+      prefix: String = "hs",
+      bigrams: Boolean = false): (String, String) = {
+    OracleSql.requireNoCteHead(src, "src")
+    OracleSql.requireNoCteHead(labelExpr, "labelExpr")
+    val bucket = Dsir.featureBucketSql("w", numBuckets)
+    val p = prefix
+    val wordsExpr =
+      if (bigrams)
+        "list_concat(toks, list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))"
+      else "toks"
+    val block =
+      s"""${p}t AS (
+         |  SELECT doc_id, ($labelExpr) AS cls_actual,
+         |         regexp_split_to_array(trim(text), '\\s+') AS toks FROM $src),
+         |${p}exw AS (SELECT DISTINCT doc_id, $bucket AS f
+         |        FROM (SELECT doc_id, unnest($wordsExpr) AS w FROM ${p}t)),
+         |${p}ex AS (SELECT doc_id, f FROM ${p}exw
+         |       UNION ALL SELECT doc_id, CAST($BiasFeature AS BIGINT) AS f FROM ${p}t),
+         |${p}sc AS (SELECT e.doc_id, w.cls, CAST(SUM(w.w_e6) AS BIGINT) AS score_e6
+         |       FROM ${p}ex e JOIN $weightsCte w USING (f) GROUP BY 1, 2),
+         |${p}bst AS (SELECT doc_id, cls AS cls_pred, score_e6,
+         |        ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                           ORDER BY score_e6 DESC, cls) AS rn
+         |        FROM ${p}sc),
+         |${p}out AS (SELECT t.doc_id, t.cls_actual, b.cls_pred, b.score_e6
+         |       FROM ${p}t t JOIN ${p}bst b USING (doc_id) WHERE b.rn = 1)""".stripMargin
+    (OracleSql.materializeCtes(block), s"${p}out")
+  }
+
+  /**
    * The COMPLETE training + scoring run as one engine-neutral SQL
    * statement over a `documents` table — K unrolled iteration CTEs
    * generated from the same constants as the Spark plan, so the two

@@ -1089,6 +1089,51 @@ class ScoringSpec extends AnyFunSuite {
       "share is in basis points [0, 10000]")
   }
 
+  test("out-of-sample serve: frozen weights score held-out docs exactly") {
+    import graft.pipeline.Classifier
+    val rnd = new scala.util.Random(43)
+    val vocabs = Map(
+      "aa" -> Vector("alpha", "apex", "arc", "any"),
+      "bb" -> Vector("bolt", "bay", "bin", "bog"),
+      "cc" -> Vector("cog", "cap", "cut", "cry"))
+    val langs = vocabs.keys.toVector.sorted
+    val docs = (0L until 80L).map { id =>
+      val l = langs((id % 3).toInt)
+      val v = vocabs(l)
+      (id, Seq.fill(4 + rnd.nextInt(8))(v(rnd.nextInt(v.size))).mkString(" "), l)
+    }
+    val train = docs.filter(_._1 % 2 == 0)
+    val hold = docs.filter(_._1 % 2 == 1)
+    val b = 4096
+    val w = Classifier.trainMulti(
+      train.toDF("doc_id", "text", "lang"), "doc_id", "text", "lang",
+      numBuckets = b, iters = 4)
+    val got = Classifier.predictionsFrom(
+      Classifier.MultiModel(w, b),
+      hold.toDF("doc_id", "text", "lang"), "doc_id", "text", "lang")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3))))
+      .toMap
+    // plain-Scala serve reference over the COLLECTED weight table: the
+    // same hashed presence features + bias, the same pinned argmax —
+    // independent of how training produced the weights
+    val wt = w.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap.withDefaultValue(0L)
+    val classes = w.collect().map(_.getString(0)).toVector.distinct.sorted
+    val exp = hold.map { case (id, t, actual) =>
+      val fs = toks(t).map(refBucket(_, b)).toSet + Classifier.BiasFeature
+      val best = classes.map(c => c -> fs.toSeq.map(f => wt((c, f))).sum)
+        .minBy { case (c, s) => (-s, c) }
+      id -> ((actual, best._1, best._2))
+    }.toMap
+    assert(got === exp)
+    // capacity: the frozen model identifies docs it never trained on
+    val acc = got.count { case (_, (a, p, _)) => a == p }
+    assert(acc >= hold.size - 4,
+      s"out-of-sample recovery on a separable corpus, got $acc/${hold.size}")
+  }
+
   test("predictionsFrom / calibratedFrom on a saved+loaded model equal train-in-place") {
     import graft.pipeline.Classifier
     val docs = Seq(
