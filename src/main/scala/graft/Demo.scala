@@ -293,6 +293,23 @@ object Demo {
       .groupBy("labeled", "predicted").count()
       .orderBy(col("labeled"), col("predicted")).show(false)
 
+    println("== LID confidence gate: median-margin floor -> explicit 'und' bucket ==")
+    val lidCal = pipeline.Classifier.calibratedFrom(
+      lid, docs, "doc_id", "text", "lang")
+    pipeline.Classifier.gateAtMedianMargin(lidCal)
+      .groupBy(col("cls_gated")).count()
+      .orderBy(col("cls_gated")).show(false)
+
+    println("== out-of-sample serve: even-half model scores the odd half ==")
+    val halfW = pipeline.Classifier.trainMulti(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", "lang",
+      numBuckets = 4096, iters = 3)
+    pipeline.Classifier.predictionsFrom(
+        pipeline.Classifier.MultiModel(halfW, 4096),
+        docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", "lang")
+      .groupBy(col("cls_pred")).count()
+      .orderBy(col("cls_pred")).show(false)
+
     println("== corpus report card ==")
     pipeline.TextAnalysis.corpusReport(docs, "text").orderBy("metric").show(14, false)
 

@@ -226,6 +226,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.matches("""\(\d+\) Generate\s*""")) >= 2)
   }
 
+  test("scoreMulti serve path: weights broadcast, corpus side never sort-merges") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val w = graft.pipeline.Classifier.trainMulti(
+      docs.limit(50), "doc_id", "text", "lang", numBuckets = 256, iters = 1)
+    val p = graft.pipeline.Classifier.scoreMulti(
+      graft.pipeline.Classifier.MultiModel(w, 256),
+      docs, "doc_id", "text")
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastHashJoin"),
+      "the bounded (nClasses x buckets) weight table must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus-sized feature side must never sort-merge against weights")
+    assert(!p.contains("CartesianProduct"),
+      "serving is an equi-join on the feature id")
+  }
+
   test("crossContamination: eval side broadcasts, train side never shuffles") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
