@@ -1,0 +1,188 @@
+package graft.streaming
+
+import graft.pipeline.Classifier
+import graft.pipeline.Classifier.MultiModel
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Streaming model SERVING: an ingest stream of documents is scored one
+ * micro-batch at a time under a FROZEN multi-class model — the
+ * production inference shape (train offline, serve the firehose) —
+ * maintained under the manifest commit protocol the other maintainers
+ * share. Each batch appends its calibrated predictions
+ * (doc_id, cls_pred, score_e6, margin_e6, share_bp, n_tokens); the
+ * store is the ever-current scored corpus.
+ *
+ * Scoring is PER-DOCUMENT and deterministic
+ * ([[Classifier.scoreMulti]] + [[Classifier.calibrateScores]] — pure
+ * integer arithmetic over hashed presence features), so like the
+ * additive maintainers there is NO arrival-order contract: any split of
+ * the corpus into batches commits the same per-doc rows, and
+ * [[committedPredictions]] equals the batch kernel over everything
+ * ingested (ScoreStreamingSpec pins it with a shuffled split).
+ * Re-ingesting a doc_id appends a duplicate row — at-least-once sources
+ * must dedup upstream (the store records arrivals, not identities).
+ *
+ * The frozen-model contract is PINNED: `_graft_params` stores the
+ * feature-space shape and an order-independent weight fingerprint, so
+ * resuming the stream (or reading a report) with a different model
+ * fails fast instead of silently mixing incomparable scores.
+ *
+ * Store layout ([[ShardStreaming]]'s crash argument applies verbatim —
+ * data first, manifest LAST via temp+rename, replays return before
+ * writing):
+ * {{{
+ *   storePath/_graft_scope        checkpoint identity (write-once)
+ *   storePath/_graft_params      buckets/bigrams/weight-fingerprint pin
+ *   storePath/_manifests/m=<id>   commit marker for batch <id>
+ *   storePath/data/b=<id>/preds   batch predictions
+ * }}}
+ */
+object ScoreStreaming {
+
+  /** Start the serving stream. `docs` is a STREAMING DataFrame of
+    * (idCol, textCol) rows; the model is frozen for the stream's life.
+    * Read the store with [[committedPredictions]] /
+    * [[committedGatedReport]]. */
+  def maintainPredictions(
+      docs: DataFrame,
+      model: MultiModel,
+      storePath: String,
+      idCol: String,
+      textCol: String,
+      checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val scope = TopnStreaming.scopeOf(checkpointLocation)
+    val fp = modelFingerprint(model)
+    val writer = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        scoreBatch(batch, batchId, model, fp, storePath, idCol, textCol,
+          scope)
+        ()
+      }
+    checkpointLocation.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
+
+  /** Order-independent fingerprint of the weight table (bounded:
+    * nClasses × buckets rows) — the resume/read guard's identity for
+    * "the same model". */
+  private[graft] def modelFingerprint(model: MultiModel): Long = {
+    val r = model.weights
+      .agg(sum(pmod(xxhash64(col("cls"), col("f"), col("w_e6")),
+        lit(1000003L))).as("h")).head
+    val h = if (r.isNullAt(0)) 0L else r.getLong(0)
+    // fold in the feature-space pins: same weights under a different
+    // bucket count hash words differently
+    h * 31L + model.numBuckets.toLong * (if (model.bigrams) 7L else 3L)
+  }
+
+  private def paramsOf(model: MultiModel, fp: Long): String =
+    s"buckets=${model.numBuckets},bigrams=${model.bigrams},wfp=$fp"
+
+  /** One micro-batch of the protocol (exposed for deterministic
+    * crash-path testing; [[maintainPredictions]] drives it). */
+  private[graft] def scoreBatch(
+      batch: DataFrame,
+      batchId: Long,
+      model: MultiModel,
+      modelFp: Long,
+      storePath: String,
+      idCol: String,
+      textCol: String,
+      scope: String): Unit = {
+    require(idCol != textCol, "scoreBatch: idCol and textCol must differ")
+    require(!Seq("cls_pred", "score_e6", "margin_e6", "share_bp",
+        "n_tokens").contains(idCol) && !idCol.startsWith("__graft_"),
+      s"scoreBatch: id column '$idCol' collides with an output name")
+    val spark = batch.sparkSession
+    val (fs, root) = TopnStreaming.fsOf(spark, storePath)
+    TopnStreaming.checkScope(fs, root, scope)
+    TopnStreaming.checkStamp(fs, root, "_graft_params",
+      paramsOf(model, modelFp),
+      (stored, given) =>
+        s"score store at $root was maintained with '$stored' but this " +
+          s"stream serves '$given' — a different model's scores are not " +
+          "comparable; resume with the original model or start a new " +
+          "store path")
+    val committed = TopnStreaming.committedVersion(spark, storePath)
+    if (committed.exists(batchId <= _)) return // replay of a committed batch
+    if (batch.isEmpty) return // no documents, state unchanged
+
+    val preds = Classifier.calibrateScores(
+      Classifier.scoreMulti(model, batch, idCol, textCol))
+    preds
+      .join(batch.select(col(idCol).as("doc_id"),
+        graft.pipeline.TextAnalysis.tokenCount(col(textCol))
+          .cast("long").as("n_tokens")), "doc_id")
+      .select(col("doc_id"), col("cls_pred"), col("score_e6"),
+        col("margin_e6"), col("share_bp"), col("n_tokens"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$storePath/data/b=$batchId/preds")
+    ActivityStreaming.writeCommitMarker(fs, root, batchId)
+  }
+
+  /** Every committed prediction — the union of the batch chain; equal to
+    * `calibrateScores(scoreMulti(model, <all ingested docs>))` plus the
+    * token counts, row for row. Empty-schema DataFrame before the first
+    * commit. */
+  def committedPredictions(
+      spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame = {
+    val ids = ActivityStreaming.committedIds(spark, storePath)
+    if (ids.isEmpty) return spark.emptyDataFrame
+    ids.map(id => spark.read.parquet(s"$storePath/data/b=$id/preds"))
+      .reduce(_ unionAll _)
+  }
+
+  /** The thresholded-LID view of everything served so far:
+    * [[Classifier.gateAtMedianMargin]] over the committed predictions
+    * (the median is the full history's — recomputed at read time, not
+    * frozen per batch), rolled up per gated bucket as (lang_gated,
+    * n_docs, n_tokens). Equal to the batch gate over the same corpus.
+    * `model` must be the serving model (fingerprint-checked). */
+  def committedGatedReport(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      model: MultiModel): DataFrame = {
+    val (fs, root) = TopnStreaming.fsOf(spark, storePath)
+    TopnStreaming.checkStamp(fs, root, "_graft_params",
+      paramsOf(model, modelFingerprint(model)),
+      (stored, given) =>
+        s"score store at $root was maintained with '$stored' but this " +
+          s"reader asks for '$given' — the stored scores came from a " +
+          "different model")
+    val preds = committedPredictions(spark, storePath)
+    if (preds.columns.isEmpty) return spark.emptyDataFrame
+    Classifier.gateAtMedianMargin(preds)
+      .groupBy(col("cls_gated").as("lang_gated"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+  }
+
+  /**
+   * One-call fold of the prediction chain into a FRESH store at
+   * `dstPath` (must not already hold a score store): a single data
+   * directory `b=<committed version>` holding every prediction, with
+   * scope and params copied so the SAME stream resumes against
+   * `dstPath`. Run it when the chain's file count starts to dominate
+   * read planning.
+   */
+  def compactStore(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String,
+      dstPath: String): Unit = {
+    val ids = ActivityStreaming.committedIds(spark, srcPath)
+    require(ids.nonEmpty, s"compactStore: no committed batches at $srcPath")
+    require(ActivityStreaming.committedIds(spark, dstPath).isEmpty,
+      s"compactStore: $dstPath already holds a committed score store")
+    val v = ids.max
+    val (fs, root) = TopnStreaming.fsOf(spark, srcPath)
+    val (dfs, droot) = TopnStreaming.fsOf(spark, dstPath)
+    committedPredictions(spark, srcPath)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dstPath/data/b=$v/preds")
+    ActivityStreaming.copyStamps(fs, root, dfs, droot)
+    ActivityStreaming.writeCommitMarker(dfs, droot, v)
+  }
+}
