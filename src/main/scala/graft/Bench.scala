@@ -363,9 +363,14 @@ object Bench {
     * backslash escapes; names are filtered to the live query/op set so
     * totals, scale keys (x1/x4/x10) and metadata never become anchors. */
   private[graft] def loadAnchors(benchDir: String, names: Set[String]): Map[String, Double] = {
+    // BENCH_local.json is the committed FULL artifact; the driver's
+    // BENCH_r*.json tails truncate, so without it most rows have no
+    // anchor and a loaded run ships uncorrected (the r15 finding: eight
+    // unrelated rows 1.3-1.9x under one load window, zero retries fired)
     val files = Option(new java.io.File(benchDir).listFiles())
       .getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json") ||
+        f.getName == "BENCH_local.json")
     val pat = """\\?"([a-z0-9_]+)\\?":(-?\d+(?:\.\d+)?)""".r
     val acc = scala.collection.mutable.Map.empty[String, Double]
     for (f <- files) {
@@ -449,9 +454,12 @@ object Bench {
     * pattern would swallow the next entry's head). The `"growth"` section
     * key itself cannot match (`g_` requires the underscore). */
   private[graft] def loadGrowthAnchors(benchDir: String): Map[(String, Int), Double] = {
+    // same file set as loadAnchors: the committed full artifact carries
+    // the growth series the driver tails truncate
     val files = Option(new java.io.File(benchDir).listFiles())
       .getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json") ||
+        f.getName == "BENCH_local.json")
     val head = """\\?"(g_[a-z0-9_]+)\\?":\{""".r
     val pair = """\\?"x(\d+)\\?":(-?\d+(?:\.\d+)?)""".r
     val acc = scala.collection.mutable.Map.empty[(String, Int), Double]
