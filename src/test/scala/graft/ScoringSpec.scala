@@ -1067,6 +1067,47 @@ class ScoringSpec extends AnyFunSuite {
       4L -> ((0L, 10000L)), 5L -> ((20L, 10000L))))
   }
 
+  test("calibrateScores: randomized score tables match the BigInt reference") {
+    import graft.pipeline.Classifier
+    // tie-heavy generator: few distinct score values force top-1/top-2
+    // ties, all-tied docs, and runner-up-at-the-min configurations the
+    // handcrafted fixture can't enumerate
+    val rnd = new scala.util.Random(11)
+    def fd(a: BigInt, n: BigInt): Long = {
+      val q = a / n; val r = a % n
+      (if (r != 0 && (r < 0) != (n < 0)) q - 1 else q).toLong
+    }
+    for (trial <- 1 to 8) {
+      val classes = Seq("aa", "bb", "cc", "dd").take(1 + rnd.nextInt(4))
+      val scores = (1L to 30L).flatMap { doc =>
+        classes.filter(_ => rnd.nextBoolean() || doc % 7 == 0)
+          .map(c => (doc, c, (rnd.nextInt(7) - 3) * 10L))
+      }
+      val present = scores.map(_._1).distinct
+      if (present.nonEmpty) {
+        val got = Classifier.calibrateScores(
+          scores.toDF("doc_id", "cls", "score_e6"))
+          .orderBy("doc_id")
+          .as[(Long, String, Long, Long, Long)].collect().toSeq
+        val exp = scores.groupBy(_._1).toSeq.sortBy(_._1).map {
+          case (doc, rows) =>
+            val sorted = rows.sortBy(r => (-r._3, r._2))
+            val (s1, c1) = (sorted.head._3, sorted.head._2)
+            val margin = if (sorted.size > 1) s1 - sorted(1)._3 else 0L
+            val smin = rows.map(_._3).min
+            val denom = rows.map(_._3).sum - rows.size * smin
+            val share =
+              if (denom == 0) fd(10000, rows.size)
+              else fd(BigInt(s1 - smin) * 10000, denom)
+            (doc, c1, s1, margin, share)
+        }
+        assert(got === exp, s"trial $trial")
+        assert(got.forall(r => r._4 >= 0 && r._5 >= 0 && r._5 <= 10000),
+          s"trial $trial: margin >= 0, share in [0, 10000]")
+      }
+    }
+  }
+
   test("trainMultiCalibrated agrees with trainMultiPredictions on argmax and score") {
     import graft.pipeline.Classifier
     val docs = Seq(
