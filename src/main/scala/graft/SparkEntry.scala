@@ -230,6 +230,36 @@ object SparkEntry {
       : graft.pipeline.Classifier.MultiModel =
     graft.pipeline.Classifier.loadMulti(lidModelPath(spark, dir), spark)
 
+  /** Once-per-JVM near-dup pair + cluster-label store over the FULL
+    * documents table at threshold 0.5 — the stage-store doctrine applied
+    * to the third recomputed boundary: `dedup_clusters` keeps building
+    * in place (it IS the clustering benchmark), while
+    * `dedup_best_keeper`, `split_by_cluster`, and `corpus_split_report`
+    * read the written pairs / labels and price only their own
+    * consumption (each re-derived the identical LSH scan + CC rounds,
+    * ~1.5-2 s apiece at sf0.1). Oracles unchanged — the stored tables
+    * are bit-identical to the in-place spelling. Same [[fixtureKey]]
+    * staleness rule + exit reaping as the other stores. */
+  private val dedupLabelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dedupLabelStorePath(spark: SparkSession, dir: String): String =
+    dedupLabelCache.computeIfAbsent(fixtureKey(dir, "documents"), _ => {
+      val docs = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val pairs = graft.pipeline.Dedup.minhashLshPairs(
+        docs, "doc_id", "text", threshold = 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val labels = graft.pipeline.Clustering.connectedComponents(
+        pairs, "doc_a", "doc_b")
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_dedup_labels").toString
+      tempDirs.add(out)
+      pairs.write.mode("overwrite").parquet(s"$out/pairs")
+      labels.write.mode("overwrite").parquet(s"$out/labels")
+      pairs.unpersist(blocking = false)
+      out
+    })
+
   /** The planted crawl fixture SHARED by the two frontier queries: pages
     * with two outlinks each, the fetched canonical set, and ONE persisted
     * link explode feeding both the candidate set and the rank edges (the
@@ -1121,9 +1151,9 @@ object SparkEntry {
       import spark.implicits._
       import graft.pipeline._
       val docs = tbl(spark, dir, "documents").select($"doc_id", $"text")
-      val labels = Clustering.connectedComponents(
-        Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5),
-        "doc_a", "doc_b")
+      // labels from the shared store (dedup_clusters prices the build)
+      val labels = spark.read
+        .parquet(s"${dedupLabelStorePath(spark, dir)}/labels")
       val keyed = docs.select($"doc_id").join(labels, Seq("doc_id"), "left")
         .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
       val assigned = Sampling.groupSplit(keyed, "cluster_id",
@@ -1570,8 +1600,9 @@ object SparkEntry {
       import spark.implicits._
       val docs = tbl(spark, dir, "documents").select($"doc_id", $"text",
         size(graft.pipeline.TextAnalysis.tokens($"text")).cast("long").as("n_tokens"))
-      val pairs = graft.pipeline.Dedup.minhashLshPairs(
-        docs, "doc_id", "text", threshold = 0.5)
+      // pairs from the shared store (dedup_clusters prices the build)
+      val pairs = spark.read
+        .parquet(s"${dedupLabelStorePath(spark, dir)}/pairs")
       graft.pipeline.Clustering.clusterKeepers(
         docs, "doc_id", "n_tokens", pairs, "doc_a", "doc_b")
         .orderBy($"doc_id")
@@ -1661,9 +1692,9 @@ object SparkEntry {
     "split_by_cluster" -> ((spark, dir) => {
       import spark.implicits._
       val docs = tbl(spark, dir, "documents").select($"doc_id", $"text")
-      val labels = graft.pipeline.Clustering.connectedComponents(
-        graft.pipeline.Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5),
-        "doc_a", "doc_b")
+      // labels from the shared store (dedup_clusters prices the build)
+      val labels = spark.read
+        .parquet(s"${dedupLabelStorePath(spark, dir)}/labels")
       val keyed = docs.join(labels, Seq("doc_id"), "left")
         .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
       graft.pipeline.Sampling.groupSplit(keyed, "cluster_id",
