@@ -3338,12 +3338,20 @@ object SparkEntry {
   )
 
   /** Cache key for per-JVM fixture-derived state: the data dir PLUS a
-    * cheap fixture fingerprint (last-modified of the table path — a
-    * parquet rewrite replaces part files, which bumps the directory
-    * mtime), so a fixture regenerated at the same dir within one JVM gets
-    * a fresh entry instead of a stale cache hit. */
-  private def fixtureKey(dir: String, name: String): String =
-    s"$dir/$name@${new java.io.File(s"$dir/$name.parquet").lastModified()}"
+    * cheap fixture fingerprint, so a fixture regenerated at the same dir
+    * within one JVM gets a fresh entry instead of a stale cache hit.
+    * The fingerprint folds in the part files' total length, count, and
+    * max mtime — not the directory mtime alone, whose 1-second (or
+    * coarser) resolution on several filesystems would let a same-second
+    * rewrite serve the old corpus from the stores. */
+  private def fixtureKey(dir: String, name: String): String = {
+    val root = new java.io.File(s"$dir/$name.parquet")
+    val parts = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+    val sig = parts.foldLeft((0L, 0L, root.lastModified())) {
+      case ((len, n, mt), f) => (len + f.length(), n + 1, math.max(mt, f.lastModified()))
+    }
+    s"$dir/$name@${sig._1}:${sig._2}:${sig._3}"
+  }
 
   /** Temp directories created by per-JVM caches, deleted recursively at
     * JVM exit (File.deleteOnExit cannot remove non-empty directories). */

@@ -160,10 +160,13 @@ object ActivityStreaming {
     val v = ids.max
     val (fs, root) = TopnStreaming.fsOf(spark, srcPath)
     val (dfs, droot) = TopnStreaming.fsOf(spark, dstPath)
+    // stamps FIRST: a destination pinned to another stream fails before
+    // any data lands there (copyStamps enforces write-once); the commit
+    // marker still goes last, so a crash mid-fold leaves no committed dst
+    copyStamps(fs, root, dfs, droot)
     committedPairs(spark, srcPath)
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$dstPath/data/b=$v/pairs")
-    copyStamps(fs, root, dfs, droot)
     writeCommitMarker(dfs, droot, v)
   }
 
@@ -181,7 +184,12 @@ object ActivityStreaming {
   }
 
   /** Copy the write-once stamp files verbatim (compaction keeps the
-    * stream's identity and parameter pins). */
+    * stream's identity and parameter pins). The stamps are WRITE-ONCE at
+    * the destination too: a droot that already carries a DIFFERENT stamp
+    * (a store initialized but never committed, or another stream's path)
+    * fails loudly instead of having its identity pins silently clobbered
+    * — mirroring [[TopnStreaming.checkStamp]]'s semantics. An equal
+    * existing stamp is a no-op (idempotent compaction retry). */
   private[streaming] def copyStamps(
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path,
@@ -190,12 +198,28 @@ object ActivityStreaming {
     Seq("_graft_scope", "_graft_params").foreach { stamp =>
       val src = new org.apache.hadoop.fs.Path(root, stamp)
       if (fs.exists(src)) {
-        val len = fs.getFileStatus(src).getLen.toInt
-        val buf = new Array[Byte](len)
-        val in = fs.open(src)
-        try in.readFully(0, buf) finally in.close()
-        val out = dfs.create(new org.apache.hadoop.fs.Path(droot, stamp), true)
-        try out.write(buf) finally out.close()
+        def readAll(f: org.apache.hadoop.fs.FileSystem,
+            p: org.apache.hadoop.fs.Path): Array[Byte] = {
+          val len = f.getFileStatus(p).getLen.toInt
+          val buf = new Array[Byte](len)
+          val in = f.open(p)
+          try in.readFully(0, buf) finally in.close()
+          buf
+        }
+        val buf = readAll(fs, src)
+        val dst = new org.apache.hadoop.fs.Path(droot, stamp)
+        if (dfs.exists(dst)) {
+          if (!java.util.Arrays.equals(readAll(dfs, dst), buf)) {
+            throw new IllegalStateException(
+              s"compactStore: destination $droot already carries a " +
+                s"different $stamp pin — it belongs to another stream " +
+                "(or was initialized under other parameters); compact " +
+                "into a fresh path instead of overwriting its identity")
+          }
+        } else {
+          val out = dfs.create(dst, false)
+          try out.write(buf) finally out.close()
+        }
       }
     }
 

@@ -276,13 +276,15 @@ object FunnelStreaming {
     val v = ids.max
     val (fs, root) = TopnStreaming.fsOf(spark, srcPath)
     val (dfs, droot) = TopnStreaming.fsOf(spark, dstPath)
+    // stamps FIRST: a destination pinned to another stream fails before
+    // any data lands there (copyStamps enforces write-once)
+    ActivityStreaming.copyStamps(fs, root, dfs, droot)
     committedState(spark, srcPath).get
       .withColumn(DeltaBatchCol, lit(v))
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$dstPath/data/b=$v/state")
     // a watermark-tier store also carries its buffered tail + hwm
     StreamWatermark.compactInto(spark, srcPath, dstPath, v)
-    ActivityStreaming.copyStamps(fs, root, dfs, droot)
     ActivityStreaming.writeCommitMarker(dfs, droot, v)
   }
 

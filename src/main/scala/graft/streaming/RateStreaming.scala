@@ -161,10 +161,12 @@ object RateStreaming {
     val v = ids.max
     val (fs, root) = TopnStreaming.fsOf(spark, srcPath)
     val (dfs, droot) = TopnStreaming.fsOf(spark, dstPath)
+    // stamps FIRST: a destination pinned to another stream fails before
+    // any data lands there (copyStamps enforces write-once)
+    ActivityStreaming.copyStamps(fs, root, dfs, droot)
     committedCounts(spark, srcPath)
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$dstPath/data/b=$v/counts")
-    ActivityStreaming.copyStamps(fs, root, dfs, droot)
     ActivityStreaming.writeCommitMarker(dfs, droot, v)
   }
 }

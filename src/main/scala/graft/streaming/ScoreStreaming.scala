@@ -43,15 +43,18 @@ object ScoreStreaming {
 
   /** Start the serving stream. `docs` is a STREAMING DataFrame of
     * (idCol, textCol) rows; the model is frozen for the stream's life.
-    * Read the store with [[committedPredictions]] /
-    * [[committedGatedReport]]. */
+    * `filesPerBatch` caps each batch's parquet file count — 1 keeps
+    * micro-batch stores compact; raise it when a batch is large enough
+    * that one writer task is the throughput ceiling. Read the store with
+    * [[committedPredictions]] / [[committedGatedReport]]. */
   def maintainPredictions(
       docs: DataFrame,
       model: MultiModel,
       storePath: String,
       idCol: String,
       textCol: String,
-      checkpointLocation: Option[String] = None)
+      checkpointLocation: Option[String] = None,
+      filesPerBatch: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val scope = TopnStreaming.scopeOf(checkpointLocation)
     val fp = modelFingerprint(model)
@@ -59,7 +62,7 @@ object ScoreStreaming {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         scoreBatch(batch, batchId, model, fp, storePath, idCol, textCol,
-          scope)
+          scope, filesPerBatch)
         ()
       }
     checkpointLocation.foreach(writer.option("checkpointLocation", _))
@@ -68,22 +71,35 @@ object ScoreStreaming {
 
   /** Order-independent fingerprint of the weight table (bounded:
     * nClasses × buckets rows) — the resume/read guard's identity for
-    * "the same model". */
+    * "the same model". Wrapping 64-bit sum of the full per-row
+    * `xxhash64` (v2 — v1 reduced each row mod 1,000,003 first, leaving
+    * ~20 effective bits per term and a plausible birthday collision at
+    * nClasses × buckets rows; the params stamp carries `v=2` so a store
+    * written under v1 fails the pin loudly instead of mixing scores —
+    * restart or [[compactStore]]-reseed such a store under v2). */
   private[graft] def modelFingerprint(model: MultiModel): Long = {
+    // decimal-sum then low-64-bits = wrapping 64-bit addition (a LongType
+    // sum would throw on overflow under ANSI, and saturating would lose
+    // order-independence)
     val r = model.weights
-      .agg(sum(pmod(xxhash64(col("cls"), col("f"), col("w_e6")),
-        lit(1000003L))).as("h")).head
-    val h = if (r.isNullAt(0)) 0L else r.getLong(0)
+      .agg(sum(xxhash64(col("cls"), col("f"), col("w_e6"))
+        .cast("decimal(38,0)")).as("h")).head
+    val h = if (r.isNullAt(0)) 0L
+      else r.getDecimal(0).toBigInteger.longValue()
     // fold in the feature-space pins: same weights under a different
     // bucket count hash words differently
     h * 31L + model.numBuckets.toLong * (if (model.bigrams) 7L else 3L)
   }
 
   private def paramsOf(model: MultiModel, fp: Long): String =
-    s"buckets=${model.numBuckets},bigrams=${model.bigrams},wfp=$fp"
+    s"v=2,buckets=${model.numBuckets},bigrams=${model.bigrams},wfp=$fp"
 
   /** One micro-batch of the protocol (exposed for deterministic
-    * crash-path testing; [[maintainPredictions]] drives it). */
+    * crash-path testing; [[maintainPredictions]] drives it).
+    * Fails fast on intra-batch duplicate ids: scoring is keyed per doc,
+    * so a duplicated id would fan the token-count join out k×k and
+    * commit ambiguous rows — at-least-once sources must dedup upstream
+    * (cross-batch re-ingestion still appends, per the store contract). */
   private[graft] def scoreBatch(
       batch: DataFrame,
       batchId: Long,
@@ -92,7 +108,10 @@ object ScoreStreaming {
       storePath: String,
       idCol: String,
       textCol: String,
-      scope: String): Unit = {
+      scope: String,
+      filesPerBatch: Int = 1): Unit = {
+    require(filesPerBatch >= 1,
+      s"scoreBatch: filesPerBatch must be >= 1 (got $filesPerBatch)")
     require(idCol != textCol, "scoreBatch: idCol and textCol must differ")
     require(!Seq("cls_pred", "score_e6", "margin_e6", "share_bp",
         "n_tokens").contains(idCol) && !idCol.startsWith("__graft_"),
@@ -111,16 +130,37 @@ object ScoreStreaming {
     if (committed.exists(batchId <= _)) return // replay of a committed batch
     if (batch.isEmpty) return // no documents, state unchanged
 
-    val preds = Classifier.calibrateScores(
-      Classifier.scoreMulti(model, batch, idCol, textCol))
-    preds
-      .join(batch.select(col(idCol).as("doc_id"),
+    // one keyed agg serves double duty: the per-doc token counts the
+    // store carries AND the duplicate-id guard (count per id) — no
+    // second batch scan for the check, and the join side is unique-keyed
+    // by construction
+    val toks = batch
+      .select(col(idCol).as("doc_id"),
         graft.pipeline.TextAnalysis.tokenCount(col(textCol))
-          .cast("long").as("n_tokens")), "doc_id")
-      .select(col("doc_id"), col("cls_pred"), col("score_e6"),
-        col("margin_e6"), col("share_bp"), col("n_tokens"))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$storePath/data/b=$batchId/preds")
+          .cast("long").as("n_tokens"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__graft_n"), max(col("n_tokens")).as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dups = toks.filter(col("__graft_n") > 1L)
+        .select(col("doc_id")).limit(3).collect().map(_.get(0)).toSeq
+      if (dups.nonEmpty) {
+        throw new IllegalArgumentException(
+          s"scoreBatch: batch $batchId carries duplicate ids " +
+            s"(e.g. ${dups.mkString(", ")}) — scoring is keyed per doc " +
+            "and duplicates would fan the prediction join out; dedup " +
+            "upstream (at-least-once sources must collapse replays " +
+            "within a batch)")
+      }
+      val preds = Classifier.calibrateScores(
+        Classifier.scoreMulti(model, batch, idCol, textCol))
+      preds
+        .join(toks.select(col("doc_id"), col("n_tokens")), "doc_id")
+        .select(col("doc_id"), col("cls_pred"), col("score_e6"),
+          col("margin_e6"), col("share_bp"), col("n_tokens"))
+        .coalesce(filesPerBatch).write.mode("overwrite")
+        .parquet(s"$storePath/data/b=$batchId/preds")
+    } finally toks.unpersist(blocking = false)
     ActivityStreaming.writeCommitMarker(fs, root, batchId)
   }
 
@@ -179,10 +219,13 @@ object ScoreStreaming {
     val v = ids.max
     val (fs, root) = TopnStreaming.fsOf(spark, srcPath)
     val (dfs, droot) = TopnStreaming.fsOf(spark, dstPath)
+    // stamps FIRST: a destination pinned to another stream fails before
+    // any data lands there (copyStamps enforces write-once); the commit
+    // marker still goes last, so a crash mid-fold leaves no committed dst
+    ActivityStreaming.copyStamps(fs, root, dfs, droot)
     committedPredictions(spark, srcPath)
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$dstPath/data/b=$v/preds")
-    ActivityStreaming.copyStamps(fs, root, dfs, droot)
     ActivityStreaming.writeCommitMarker(dfs, droot, v)
   }
 }

@@ -217,6 +217,20 @@ class BenchSpec extends AnyFunSuite {
     assert(!a.keys.exists(_._1 == "warc_extract"), "flat rows are loadAnchors' job")
   }
 
+  test("only a genuinely full run may write the committed artifact path") {
+    // the r15 clobber, generalized (r15 ADVICE): a run deviating from
+    // the default row set in ANY way — a filter, growth off, audit rows
+    // on — must divert, or it degrades every later run's anchors
+    assert(Bench.defaultOutFile(None, growthOn = true, skipAudits = true)
+      === "BENCH_local.json")
+    assert(Bench.defaultOutFile(Some(Seq("funnel")), growthOn = true,
+      skipAudits = true) === "BENCH_only.json")
+    assert(Bench.defaultOutFile(None, growthOn = false, skipAudits = true)
+      === "BENCH_only.json")
+    assert(Bench.defaultOutFile(None, growthOn = true, skipAudits = false)
+      === "BENCH_only.json")
+  }
+
   test("loadAnchors takes the minimum across artifacts and tolerates escaped tails") {
     val dir = java.nio.file.Files.createTempDirectory("graft_anchor")
     // r(N-1): plain JSON-line style; r(N): the driver's escaped-"tail" style

@@ -120,6 +120,111 @@ class ScoreStreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("collides"))
   }
 
+  test("intra-batch duplicate ids fail fast (join would fan out k×k)") {
+    val store = tmp("graft_score_dup")
+    val slice = docs.filter($"doc_id" % 7 === 0)
+    val dup = docs.unionAll(slice)
+    val e = intercept[IllegalArgumentException] {
+      ScoreStreaming.scoreBatch(dup, 0L, model, fp, store,
+        "doc_id", "text", "sc")
+    }
+    assert(e.getMessage.contains("duplicate ids"))
+    // nothing committed: the guard fired before any data write
+    assert(ScoreStreaming.committedPredictions(spark, store).columns.isEmpty)
+  }
+
+  test("filesPerBatch parameterizes the batch write's file count") {
+    val store = tmp("graft_score_fpb")
+    intercept[IllegalArgumentException] {
+      ScoreStreaming.scoreBatch(docs, 0L, model, fp, store,
+        "doc_id", "text", "sc", filesPerBatch = 0)
+    }
+    // filesPerBatch is a CAP (coalesce — no shuffle), not a floor: at
+    // micro-batch scale AQE folds the plan to one partition regardless,
+    // so observe the lifted ceiling with AQE off for this one write
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      ScoreStreaming.scoreBatch(docs, 0L, model, fp, store,
+        "doc_id", "text", "sc", filesPerBatch = 4)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val parts = Option(new java.io.File(s"$store/data/b=0/preds").listFiles())
+      .getOrElse(Array.empty).count(_.getName.startsWith("part-"))
+    assert(parts > 1 && parts <= 4,
+      s"expected 2..4 part files under filesPerBatch=4, got $parts")
+    // contents identical to the single-file spelling
+    assert(rows(ScoreStreaming.committedPredictions(spark, store)) ===
+      rows(batchKernel))
+  }
+
+  test("modelFingerprint: order-independent, one-row deltas never collide") {
+    def m(rows: Seq[(String, Long, Long)]): Classifier.MultiModel =
+      Classifier.MultiModel(rows.toDF("cls", "f", "w_e6"), 512)
+    val base = Seq(("en", 1L, 10L), ("fr", 2L, -7L), ("de", 3L, 42L))
+    // same rows, any order -> same fingerprint (wrapping sum)
+    assert(ScoreStreaming.modelFingerprint(m(base)) ===
+      ScoreStreaming.modelFingerprint(m(base.reverse)))
+    // every single-row weight perturbation lands on a distinct fingerprint
+    val fps = (Seq(m(base)) ++ (1L to 50L).map(d =>
+      m(base.updated(0, ("en", 1L, 10L + d)))))
+      .map(ScoreStreaming.modelFingerprint)
+    assert(fps.distinct.size === fps.size,
+      "one-row weight deltas must not collide")
+    // the feature-space pins fold in: same weights, different buckets
+    assert(ScoreStreaming.modelFingerprint(m(base)) !==
+      ScoreStreaming.modelFingerprint(
+        Classifier.MultiModel(base.toDF("cls", "f", "w_e6"), 1024)))
+  }
+
+  test("compaction refuses a destination pinned to another stream") {
+    val store = tmp("graft_score_cl")
+    ScoreStreaming.scoreBatch(docs.filter($"doc_id" % 2 === 0), 0L,
+      model, fp, store, "doc_id", "text", "sc")
+    // dst initialized (stamps written) under a DIFFERENT scope but never
+    // committed — exactly the state the write-once guard must protect
+    val dst = tmp("graft_score_cl2")
+    ScoreStreaming.scoreBatch(docs.limit(0), 0L, model, fp, dst,
+      "doc_id", "text", "other-scope")
+    val e = intercept[IllegalStateException] {
+      ScoreStreaming.compactStore(spark, store, dst)
+    }
+    assert(e.getMessage.contains("different _graft_scope"))
+    // and no data landed at the refused destination
+    assert(ScoreStreaming.committedPredictions(spark, dst).columns.isEmpty)
+  }
+
+  test("streamed store feeds gate + mixture, equal to the batch chain") {
+    val store = tmp("graft_score_mix")
+    for (i <- 0 until 3)
+      ScoreStreaming.scoreBatch(docs.filter($"doc_id" % 3 === i),
+        i.toLong, model, fp, store, "doc_id", "text", "sc")
+    // the mixture_gated_lid composition (gate -> mixCorpus keep -> per-
+    // bucket rollup) applied to the STREAMED store vs the batch kernel:
+    // the keep rule is a deterministic hash, so the kept ID SETS must
+    // match, not just the counts
+    def keptAndReport(preds: org.apache.spark.sql.DataFrame) = {
+      val labeled = Classifier.gateAtMedianMargin(preds)
+        .select($"doc_id", $"cls_gated", $"n_tokens")
+      val kept = graft.pipeline.Sampling.mixCorpus(labeled, "doc_id",
+        "cls_gated", pctByGroup = Map("en" -> 100, "und" -> 25),
+        defaultPct = 50)
+      val report = labeled.groupBy($"cls_gated")
+        .agg(count(lit(1)).as("n_in"), sum($"n_tokens").as("t_in"))
+        .join(kept.groupBy($"cls_gated")
+          .agg(count(lit(1)).as("n_kept"), sum($"n_tokens").as("t_kept")),
+          Seq("cls_gated"), "left")
+        .na.fill(0L, Seq("n_kept", "t_kept"))
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      (kept.select($"doc_id").as[Long].collect().toSet, report)
+    }
+    val (keptS, repS) =
+      keptAndReport(ScoreStreaming.committedPredictions(spark, store))
+    val (keptB, repB) = keptAndReport(batchKernel)
+    assert(repS === repB)
+    assert(keptS === keptB)
+    assert(keptS.nonEmpty && repS.nonEmpty)
+  }
+
   test("end-to-end: maintainPredictions via readStream") {
     val src = java.nio.file.Files
       .createTempDirectory("graft_score_src").toString
