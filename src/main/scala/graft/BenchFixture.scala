@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Materialize the growth suite's replicated fixture as PARQUET, so the
+ * cross-engine anchor basket ([[docs/BENCH_NOTES.md]], tools/
+ * anchor_basket.py) times BOTH engines over byte-identical input files.
+ *
+ * Why this exists: at sf0.1 several basket rows finish in tens of
+ * milliseconds on a native columnar engine while Spark pays its fixed
+ * per-query floor (plan + codegen + schedule, ~0.3 s on local[32]) —
+ * the ratio there measures the floor, not throughput. Replicating the
+ * input 10x puts real work on both sides of the ratio while keeping
+ * every basket operator EXACT (the rollup's budget, ExactN = 2,000,000,
+ * dwarfs 10x the custkey cardinality), so the identical declared SQL
+ * still computes the identical answer.
+ *
+ * Replication mirrors Bench's in-plan scaling doctrine:
+ *  - events: the KEY axis (fresh user/event id block per copy) — the
+ *    dimension sessionize/retention actually face at 100 TB;
+ *  - documents: per-copy marker tokens decorrelate shingles, so each
+ *    copy reproduces the original's internal near-dup structure without
+ *    cross-copy floods (pair count grows linearly, not quadratically);
+ *    n_chars is recomputed over the marked text;
+ *  - orders: fresh custkey/orderkey block per copy, timeline unchanged.
+ *
+ * Usage: runMain graft.BenchFixture <sfDir> <outDir> <copies>
+ */
+object BenchFixture {
+
+  private def replicate(df: DataFrame, copies: Int)(
+      copyOf: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until copies).map(i => if (i == 0) df else copyOf(df, i))
+      .reduce(_.unionByName(_))
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, copiesStr) = args.take(3)
+    val copies = copiesStr.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench-fixture")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val Array(uStride, eStride) = ev.agg(max("user_id"), max("event_id"))
+      .head.toSeq.map(_.asInstanceOf[Long] + 1L).toArray
+    replicate(ev, copies)((d, i) => d
+        .withColumn("event_id", col("event_id") + lit(i * eStride))
+        .withColumn("user_id", col("user_id") + lit(i * uStride)))
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dStride = docs.agg(max("doc_id")).head.getLong(0) + 1L
+    replicate(docs, copies)((d, i) => d
+        .withColumn("doc_id", col("doc_id") + lit(i * dStride))
+        .withColumn("text", regexp_replace(col("text"), " ", s" x$i ")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    val Array(cStride, oStride) = ord.agg(max("o_custkey"), max("o_orderkey"))
+      .head.toSeq.map(_.asInstanceOf[Long] + 1L).toArray
+    replicate(ord, copies)((d, i) => d
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i * oStride))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * cStride)))
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    println(s"""{"fixture":"$outDir","copies":$copies,"from":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -718,10 +718,13 @@ object SparkEntry {
 
     // the reference's accuracy ADVICE as a measured sweep (README.md:21-23
     // "keep ~100x N counters"): the SAME bounds contract at three counter
-    // budgets, every one far enough under the ~2000 distinct keys that
-    // policy-B eviction fires on any schedule (worst case the merge phase
-    // alone inserts all distinct keys, 2000 > 3x256) — the knob a user
-    // actually turns, under the driver gate at each setting
+    // budgets — the knob a user actually turns, under the driver gate at
+    // each setting. Whether policy-B eviction fires is schedule-INdependent
+    // per budget (distinct keys > 3b forces it in the merge phase alone;
+    // <= 3b no partial can ever overflow), so the oracle COMPUTES it from
+    // the distinct count — at sf0.01 all three budgets evict (~2000 keys),
+    // at sf0.001 the 256 budget does not (200 keys < 768) and both
+    // engines say so
     "topn_budget_sweep" -> ((spark, dir) =>
       Seq(16, 64, 256).map { budget =>
         boundsContract(spark, dir, budget)
@@ -3413,6 +3416,23 @@ object SparkEntry {
    * gate (the twinned queries stay in [[queries]]).
    */
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the monthly rollup at the reference's DEFAULT budget (1000
+    // counters, topn.c:49) — what a production user pays for the
+    // mergeable sketch. topn_union_agg_rollup keeps ExactN (2M) because
+    // hash-matching the DuckDB oracle IS the correctness gate, but that
+    // budget is ~2000x the default and prices verification, not use
+    // (the r16 anchor-basket note quantifies the gap)
+    "topn_rollup_budget1000_op" -> ((spark, dir) => {
+      import spark.implicits._
+      val monthly = tbl(spark, dir, "orders")
+        .groupBy(date_trunc("month", $"o_orderdate").as("month"))
+        .agg(TopnFunctions.topn_add_agg($"o_custkey".cast("string"), 1000).as("sketch"))
+      monthly
+        .agg(TopnFunctions.topn_union_agg($"sketch", 1000).as("merged"))
+        .select(explode(TopnFunctions.topn($"merged", lit(25))).as("r"))
+        .select($"r.item".as("item"), $"r.frequency".as("frequency"))
+        .orderBy($"frequency".desc, $"item")
+    }),
     // the NAIVE wide frame: the same 30-period merge via slidingUnion's
     // rank-range join, which replicates every period's sketch 30x — the
     // head-to-head twin that prices slidingUnionWideFrame's decomposition
@@ -3809,10 +3829,19 @@ object SparkEntry {
         |ORDER BY frequency DESC, item LIMIT 25""".stripMargin,
 
     // three budgets, one contract: the constant claims per setting
+    // eviction is a COMPUTED fact, not a constant: policy B fires iff the
+    // distinct-key count exceeds 3 x budget (a partial never holds more
+    // entries than the corpus has distinct keys, so below that it cannot
+    // overflow on ANY schedule; above it the final merge alone must), and
+    // the report holds least(budget, distinct). Hard-coding TRUE/budget
+    // was an sf0.01+ fact — sf0.001's 200 distinct part keys never trip
+    // the 256 budget (3 x 256 = 768), and the engine correctly said so
     "topn_budget_sweep" ->
-      """SELECT CAST(b AS BIGINT) AS budget, TRUE AS all_within_bounds,
-        |       TRUE AS has_eviction, CAST(b AS BIGINT) AS n_report
-        |FROM (VALUES (16), (64), (256)) t(b) ORDER BY budget""".stripMargin,
+      """WITH d AS (SELECT COUNT(DISTINCT l_partkey) AS nd FROM lineitem)
+        |SELECT CAST(b AS BIGINT) AS budget, TRUE AS all_within_bounds,
+        |       nd > 3 * b AS has_eviction,
+        |       CAST(LEAST(b, nd) AS BIGINT) AS n_report
+        |FROM (VALUES (16), (64), (256)) t(b), d ORDER BY budget""".stripMargin,
 
     // the oracle recomputes the exact anchors (distinct harmonic keys,
     // the true top-25 threshold) from the same derived key; the
@@ -3843,10 +3872,12 @@ object SparkEntry {
         |FROM lineitem""".stripMargin,
 
     // the bounds CONTRACT is the deterministic fact; the evicted sketch's
-    // content is schedule-dependent by design (the recall-floor doctrine)
+    // content is schedule-dependent by design (the recall-floor doctrine).
+    // Eviction/report size computed like topn_budget_sweep's, SF-robust
     "topn_approx_bounds" ->
-      """SELECT TRUE AS all_within_bounds, TRUE AS has_eviction,
-        |       CAST(16 AS BIGINT) AS n_report""".stripMargin,
+      """WITH d AS (SELECT COUNT(DISTINCT l_partkey) AS nd FROM lineitem)
+        |SELECT TRUE AS all_within_bounds, nd > 48 AS has_eviction,
+        |       CAST(LEAST(16, nd) AS BIGINT) AS n_report FROM d""".stripMargin,
 
     "topn_scalar_pipeline" ->
       """SELECT item, frequency FROM (

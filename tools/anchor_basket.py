@@ -12,7 +12,7 @@ join/generator row makes the 2x-of-baseline claim robust
 
 Usage: python3 tools/anchor_basket.py <sfDir> <oracle_sql.json> [row ...]
 """
-import json, sys, time
+import json, os, sys, time
 import duckdb
 
 DEFAULT_BASKET = [
@@ -30,7 +30,14 @@ def main():
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # plain-file layout (testdata) or Spark directory layout (scaled
+        # fixtures, which carry only the tables the basket reads)
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            src += "/*.parquet"
+        elif not os.path.exists(src):
+            continue
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     out = {}
     for name in basket:
         sql = oracle[name]
