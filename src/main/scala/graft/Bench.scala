@@ -116,11 +116,14 @@ object Bench {
     // key-axis growth (scaledEvents): funnel + retention must stay linear
     // in key cardinality — both are keyed hash aggs with no corpus window,
     // so a superlinear slope here is a plan regression, not a data effect
-    ("g_funnel", Seq(1, 4, 10), (c: Int) =>
+    // x32 tier on funnel/retention too: both are basket-adjacent rows
+    // whose sf0.1 snapshot is floor-bound (docs/BENCH_NOTES.md r16) —
+    // the recorded linear-in-keys slope is the claim that matters
+    ("g_funnel", Seq(1, 4, 10, 32), (c: Int) =>
       graft.operators.Sessions.funnelTransitions(
         scaledEvents(spark, dir, c), Seq("user_id"), "ts", "event_type",
         Seq("view", "click", "purchase"))),
-    ("g_retention", Seq(1, 4, 10), (c: Int) =>
+    ("g_retention", Seq(1, 4, 10, 32), (c: Int) =>
       graft.operators.Sessions.retentionCohorts(
         scaledEvents(spark, dir, c), Seq("user_id"), "ts", 7L * 86400L)),
     ("g_rate_anomalies", Seq(1, 4, 10), (c: Int) =>

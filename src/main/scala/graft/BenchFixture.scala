@@ -37,7 +37,6 @@ object BenchFixture {
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, copiesStr) = args.take(3)
-    val copies = copiesStr.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -48,7 +47,14 @@ object BenchFixture {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    materialize(spark, sfDir, outDir, copiesStr.toInt)
+    spark.stop()
+  }
 
+  /** Write the replicated events/documents/orders tables under `outDir`
+    * (the body of [[main]], session-agnostic so the spec can drive it). */
+  def materialize(
+      spark: SparkSession, sfDir: String, outDir: String, copies: Int): Unit = {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     val Array(uStride, eStride) = ev.agg(max("user_id"), max("event_id"))
       .head.toSeq.map(_.asInstanceOf[Long] + 1L).toArray
@@ -74,6 +80,5 @@ object BenchFixture {
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
 
     println(s"""{"fixture":"$outDir","copies":$copies,"from":"$sfDir"}""")
-    spark.stop()
   }
 }
