@@ -30,10 +30,21 @@ import org.apache.spark.sql.functions._
 object Bench {
 
   /** `copies` decorrelated replicas of the documents table. Copy i > 0
-    * shifts ids by i*10M and inserts a per-copy marker token between every
-    * word, so word-trigram shingles differ across copies (no cross-copy
-    * near-dups) while each copy's INTERNAL similarity structure — including
-    * its dup floods — replicates the original's. */
+    * shifts ids by i*stride and applies a per-copy BIJECTIVE token remap
+    * (suffix `_g<i>` on every whitespace token): each copy's internal
+    * structure — exact-dup groups, shingle sets, pair similarities, token
+    * counts — replicates the original's EXACTLY, while tokens (and hence
+    * shingles, fingerprints, hashed features) never collide across
+    * copies. This replaced the r9-r15 interleaved-marker scheme, which
+    * decorrelated shingles but DOUBLED each copy's token count, made
+    * marker-adjacent n-grams artificially hot (dedup slopes part fixture
+    * artifact), and correlated SimHash across copies (markers dominated
+    * the token multiset) — the bijection has none of those artifacts, so
+    * the recorded growth slopes are the operators' organic ones
+    * (docs/BENCH_NOTES.md round 16 re-baselines the affected rows).
+    * In-band caveat: a corpus token literally ending in `_g<i>` could
+    * collide with copy i's remap of its prefix — harmless unless whole
+    * n-gram windows coincide, which the driver corpus does not contain. */
   private[graft] def scaledDocs(spark: SparkSession, dir: String, copies: Int): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
@@ -45,7 +56,7 @@ object Bench {
       if (i == 0) docs
       else docs.select(
         (col("doc_id") + lit(i * stride)).as("doc_id"),
-        regexp_replace(col("text"), " ", s" x$i ").as("text"))
+        regexp_replace(col("text"), "(\\S+)", s"$$1_g$i").as("text"))
     }.reduce(_.unionByName(_))
   }
 
@@ -205,11 +216,10 @@ object Bench {
     // growth costs a constant batch (one compact fingerprint scan +
     // join; never store-vs-store pairs). Fingerprints are SYNTHETIC
     // (xxhash64 of the id, every 10th batch doc a 2-bit-flip twin of a
-    // store doc) so pair DENSITY stays constant as the store grows: the
-    // docs-table marker decorrelation serves shingle-based operators but
-    // CORRELATES SimHash (markers dominate the token multiset, pulling a
-    // copy's fingerprints together), which would measure that artifact's
-    // pair flood instead of the operator.
+    // store doc) so pair DENSITY stays constant as the store grows —
+    // replicated docs (under any decorrelation scheme) multiply the
+    // batch's match count with the store, which would measure pair-flood
+    // growth instead of the operator.
     ("g_incremental_neardup", Seq(1, 4, 10, 32), (c: Int) => {
       val n = 50000L
       val store = spark.range(c * n)
@@ -255,9 +265,10 @@ object Bench {
       graft.pipeline.Classifier.scoreMulti(
         lidServeModel(spark, dir), scaledDocs(spark, dir, c),
         "doc_id", "text")),
-    // frozen x1 vocabulary applied to the scaled corpus (the injected
-    // copy markers exercise the OOV path); the size filter keeps the
-    // id-assembly aggregate load-bearing under the runner's count()
+    // frozen x1 vocabulary applied to the scaled corpus (the per-copy
+    // token remap makes every copy-i token OOV, exercising that path);
+    // the size filter keeps the id-assembly aggregate load-bearing under
+    // the runner's count()
     ("g_token_ids", Seq(1, 4, 10), (c: Int) => {
       val vocab = graft.pipeline.Bpe.buildVocab(
         scaledDocs(spark, dir, 1), "text", graft.pipeline.Bpe.DemoMerges)

@@ -20,10 +20,11 @@ import org.apache.spark.sql.functions._
  * Replication mirrors Bench's in-plan scaling doctrine:
  *  - events: the KEY axis (fresh user/event id block per copy) — the
  *    dimension sessionize/retention actually face at 100 TB;
- *  - documents: per-copy marker tokens decorrelate shingles, so each
- *    copy reproduces the original's internal near-dup structure without
- *    cross-copy floods (pair count grows linearly, not quadratically);
- *    n_chars is recomputed over the marked text;
+ *  - documents: a per-copy BIJECTIVE token remap (Bench.scaledDocs'
+ *    scheme) — each copy's internal structure (dup groups, shingle
+ *    sets, token counts) replicates the original's exactly while
+ *    nothing collides across copies, so pair counts grow linearly, not
+ *    quadratically; n_chars is recomputed over the remapped text;
  *  - orders: fresh custkey/orderkey block per copy, timeline unchanged.
  *
  * Usage: runMain graft.BenchFixture <sfDir> <outDir> <copies>
@@ -67,7 +68,8 @@ object BenchFixture {
     val dStride = docs.agg(max("doc_id")).head.getLong(0) + 1L
     replicate(docs, copies)((d, i) => d
         .withColumn("doc_id", col("doc_id") + lit(i * dStride))
-        .withColumn("text", regexp_replace(col("text"), " ", s" x$i ")))
+        .withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", s"$$1_g$i")))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 

@@ -8,9 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
  * The replicated cross-engine fixture must actually have the properties
  * the anchor basket's validity rests on: exact c-fold row growth,
  * id-disjoint copies (no silent key collisions corrupting keyed aggs),
- * marker-decorrelated document text (copies must not become cross-copy
- * exact/near dups, which would turn linear pair growth quadratic), and
- * a recomputed n_chars (the marked text invalidates the original).
+ * token-remapped document text (copies must not become cross-copy
+ * exact/near dups, which would turn linear pair growth quadratic —
+ * and the remap must be BIJECTIVE so each copy's internal dup
+ * structure and token counts replicate the original's exactly), and
+ * a recomputed n_chars (the remapped text invalidates the original).
  */
 class BenchFixtureSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
@@ -52,6 +54,14 @@ class BenchFixtureSpec extends AnyFunSuite {
     assert(scaledMax === baseMax,
       "a cross-copy exact dup would inflate the largest text group")
     assert(docs.filter($"n_chars" =!= length($"text").cast("long")).count() === 0,
-      "n_chars must be recomputed over the marked text")
+      "n_chars must be recomputed over the remapped text")
+    // the bijection invariant: token counts replicate exactly — the old
+    // interleaved-marker scheme DOUBLED them, making every token-volume
+    // slope part fixture artifact
+    def toks(df: org.apache.spark.sql.DataFrame) = df
+      .agg(sum(graft.pipeline.TextAnalysis.tokenCount($"text").cast("long")))
+      .head.getLong(0)
+    assert(toks(docs) ===
+      3 * toks(spark.read.parquet(s"$sf/documents.parquet")))
   }
 }
