@@ -102,6 +102,81 @@ object ScoreStreaming {
   private def paramsOf(model: MultiModel, fp: Long): String =
     s"v=2,buckets=${model.numBuckets},bigrams=${model.bigrams},wfp=$fp"
 
+  /** The LEGACY (pre-v2) fingerprint — kept ONLY so [[migrateStore]]
+    * can verify that the model presented for migration is the one a v1
+    * store was written under (its stamp holds this value). Never used
+    * for new stamps. */
+  private[graft] def fingerprintV1(model: MultiModel): Long = {
+    val r = model.weights
+      .agg(sum(pmod(xxhash64(col("cls"), col("f"), col("w_e6")),
+        lit(1000003L))).as("h")).head
+    val h = if (r.isNullAt(0)) 0L else r.getLong(0)
+    h * 31L + model.numBuckets.toLong * (if (model.bigrams) 7L else 3L)
+  }
+
+  private[graft] def paramsV1Of(model: MultiModel, fp: Long): String =
+    s"buckets=${model.numBuckets},bigrams=${model.bigrams},wfp=$fp"
+
+  /**
+   * Migrate a score store written under the PRE-v2 fingerprint to a
+   * fresh store at `dstPath` with v2 stamps, so the same stream (and
+   * readers) resume against it after an upgrade. The presented model is
+   * VERIFIED, not trusted: its legacy fingerprint must equal the one in
+   * the source's v1 params stamp (the weight table itself is the
+   * identity — recomputing the old hash over it proves this is the
+   * serving model up to the v1 pin's strength). Data is folded like
+   * [[compactStore]]; the scope stamp is copied verbatim so the
+   * original checkpoint's batch ids stay meaningful. A source already
+   * on v2 is rejected — use [[compactStore]], which keeps stamps as-is.
+   */
+  def migrateStore(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String,
+      dstPath: String,
+      model: MultiModel): Unit = {
+    val ids = ActivityStreaming.committedIds(spark, srcPath)
+    require(ids.nonEmpty, s"migrateStore: no committed batches at $srcPath")
+    require(ActivityStreaming.committedIds(spark, dstPath).isEmpty,
+      s"migrateStore: $dstPath already holds a committed score store")
+    val (fs, root) = TopnStreaming.fsOf(spark, srcPath)
+    // the v1 stamp must exist and match the presented model's LEGACY
+    // fingerprint — checkStamp's equality path does the comparison and
+    // its mismatch path the refusal; a v2 source fails here too (its
+    // stamp starts with "v=2," which the v1 spelling never does)
+    TopnStreaming.checkStamp(fs, root, "_graft_params",
+      paramsV1Of(model, fingerprintV1(model)),
+      (stored, given) =>
+        s"migrateStore: store at $root was maintained with '$stored' " +
+          s"but the presented model fingerprints as '$given' — refusing " +
+          "to re-stamp a store under a model that did not write it " +
+          "(for a v2 store, use compactStore)")
+    val v = ids.max
+    val (dfs, droot) = TopnStreaming.fsOf(spark, dstPath)
+    // v2 identity first (fail before data, like compactStore): scope
+    // copied verbatim, params re-stamped under the v2 fingerprint
+    Seq(("_graft_scope", None),
+        ("_graft_params", Some(paramsOf(model, modelFingerprint(model)))))
+      .foreach { case (stamp, value) =>
+        val src = new org.apache.hadoop.fs.Path(root, stamp)
+        val content = value.getOrElse {
+          val len = fs.getFileStatus(src).getLen.toInt
+          val buf = new Array[Byte](len)
+          val in = fs.open(src)
+          try in.readFully(0, buf) finally in.close()
+          new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+        }
+        TopnStreaming.checkStamp(dfs, droot, stamp, content,
+          (stored, given) =>
+            s"migrateStore: destination $droot already carries a " +
+              s"different $stamp pin ('$stored' vs '$given') — it " +
+              "belongs to another stream; migrate into a fresh path")
+      }
+    committedPredictions(spark, srcPath)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dstPath/data/b=$v/preds")
+    ActivityStreaming.writeCommitMarker(dfs, droot, v)
+  }
+
   /** One micro-batch of the protocol (exposed for deterministic
     * crash-path testing; [[maintainPredictions]] drives it).
     * Fails fast on intra-batch duplicate ids: scoring is keyed per doc,

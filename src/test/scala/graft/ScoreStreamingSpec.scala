@@ -225,6 +225,52 @@ class ScoreStreamingSpec extends AnyFunSuite {
     assert(keptS.nonEmpty && repS.nonEmpty)
   }
 
+  test("migrateStore: a v1-stamped store re-stamps to v2 under the verified model") {
+    // build a store, then rewind its params stamp to the LEGACY (pre-v2)
+    // spelling — exactly what an upgraded deployment finds on disk
+    val store = tmp("graft_score_v1")
+    for (i <- 0 until 2)
+      ScoreStreaming.scoreBatch(docs.filter($"doc_id" % 2 === i),
+        i.toLong, model, fp, store, "doc_id", "text", "sc")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(store, "_graft_params"),
+      ScoreStreaming.paramsV1Of(model, ScoreStreaming.fingerprintV1(model)))
+    // drop the Hadoop LocalFileSystem checksum sidecar the raw rewrite
+    // invalidated (a real v1 store's crc matches its v1 stamp)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(store, "._graft_params.crc"))
+    // the upgrade break this helper exists for: v2 readers/streams refuse
+    val eRead = intercept[IllegalStateException] {
+      ScoreStreaming.committedGatedReport(spark, store, model)
+    }
+    assert(eRead.getMessage.contains("different model"))
+    // a model that did NOT write the store is refused with the reason
+    val other = Classifier.MultiModel(
+      Classifier.trainMulti(docs, "doc_id", "text", "lang",
+        numBuckets = 512, iters = 1), 512)
+    val eWrong = intercept[IllegalStateException] {
+      ScoreStreaming.migrateStore(spark, store, tmp("graft_score_v1w"), other)
+    }
+    assert(eWrong.getMessage.contains("did not write it"))
+    // the writing model migrates; the dst serves reads AND resumes
+    val dst = tmp("graft_score_v2")
+    ScoreStreaming.migrateStore(spark, store, dst, model)
+    assert(rows(ScoreStreaming.committedPredictions(spark, dst)) ===
+      rows(batchKernel))
+    assert(ScoreStreaming.committedGatedReport(spark, dst, model)
+      .count() > 0)
+    // replay of an already-committed batch id is still a no-op at dst
+    ScoreStreaming.scoreBatch(docs.filter($"doc_id" % 2 === 0), 1L,
+      model, fp, dst, "doc_id", "text", "sc")
+    assert(rows(ScoreStreaming.committedPredictions(spark, dst)) ===
+      rows(batchKernel))
+    // a v2 source is not migratable — compactStore is the tool there
+    val eV2 = intercept[IllegalStateException] {
+      ScoreStreaming.migrateStore(spark, dst, tmp("graft_score_v2m"), model)
+    }
+    assert(eV2.getMessage.contains("compactStore"))
+  }
+
   test("end-to-end: maintainPredictions via readStream") {
     val src = java.nio.file.Files
       .createTempDirectory("graft_score_src").toString
