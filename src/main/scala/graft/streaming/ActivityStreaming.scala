@@ -112,8 +112,7 @@ object ActivityStreaming {
       spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame = {
     val ids = committedIds(spark, storePath)
     if (ids.isEmpty) return spark.emptyDataFrame
-    ids.map(id => spark.read.parquet(s"$storePath/data/b=$id/pairs"))
-      .reduce(_ unionAll _)
+    readChain(spark, ids.map(id => s"$storePath/data/b=$id/pairs"))
       .distinct()
   }
 
@@ -169,6 +168,21 @@ object ActivityStreaming {
       .parquet(s"$dstPath/data/b=$v/pairs")
     writeCommitMarker(dfs, droot, v)
   }
+
+  /** One multi-root parquet read over a committed chain: a SINGLE scan
+    * node whatever the chain length. The per-batch read-then-unionAll
+    * spelling builds O(batches) plan nodes, and on a long-lived store
+    * plan construction itself becomes the reader's bottleneck — the
+    * file listing work is identical either way, the plan size is not.
+    * Row order across roots is unspecified (as with union); no caller
+    * depends on it. REQUIRES a schema-stable chain: unlike union, a
+    * multi-root read performs no type coercion, so a store whose
+    * per-batch column types drift (SessionStreaming's decimal widths)
+    * must keep the union spelling. */
+  private[streaming] def readChain(
+      spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String]): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(paths: _*)
 
   /** Batch ids with a committed manifest, ascending. */
   private[streaming] def committedIds(

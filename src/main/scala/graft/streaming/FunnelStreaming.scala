@@ -219,8 +219,8 @@ object FunnelStreaming {
       : Option[DataFrame] = {
     val ids = ActivityStreaming.committedIds(spark, storePath)
     if (ids.isEmpty) return None
-    val all = ids.map(id => spark.read.parquet(s"$storePath/data/b=$id/state"))
-      .reduce(_ unionAll _)
+    val all = ActivityStreaming.readChain(spark,
+      ids.map(id => s"$storePath/data/b=$id/state"))
     val dataCols = all.columns.filter(_ != DeltaBatchCol)
     val keyCols = dataCols.takeWhile(c => !c.startsWith("__graft_"))
     // one delta row per (key, batch), so max(struct(batch, ...)) IS the

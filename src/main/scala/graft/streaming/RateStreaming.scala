@@ -109,8 +109,8 @@ object RateStreaming {
       spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame = {
     val ids = ActivityStreaming.committedIds(spark, storePath)
     if (ids.isEmpty) return spark.emptyDataFrame
-    val all = ids.map(id => spark.read.parquet(s"$storePath/data/b=$id/counts"))
-      .reduce(_ unionAll _)
+    val all = ActivityStreaming.readChain(spark,
+      ids.map(id => s"$storePath/data/b=$id/counts"))
     val keyCols = all.columns.takeWhile(_ != "period_idx")
     all
       .groupBy((keyCols.map(col) :+ col("period_idx")): _*)

@@ -260,8 +260,8 @@ object ScoreStreaming {
         "batches — read planning pays per-batch file overhead; consider " +
         "ScoreStreaming.compactStore to fold the chain")
     }
-    ids.map(id => spark.read.parquet(s"$storePath/data/b=$id/preds"))
-      .reduce(_ unionAll _)
+    ActivityStreaming.readChain(spark,
+      ids.map(id => s"$storePath/data/b=$id/preds"))
   }
 
   /** The thresholded-LID view of everything served so far:

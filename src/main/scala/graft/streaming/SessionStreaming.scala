@@ -289,6 +289,11 @@ object SessionStreaming {
       : Option[DataFrame] = {
     val ids = committedIds(spark, storePath)
     if (ids.isEmpty) return None
+    // NOT readChain: per-batch decimal widths drift (the seeded merge
+    // widens value_sum's precision vs the first batch's plain sum), and
+    // only union's type coercion reconciles them — a multi-root read
+    // fails on the parquet type mismatch. Chain length is bounded by
+    // compaction, so the O(batches) plan here is acceptable.
     val all = ids.map(id => spark.read.parquet(s"$storePath/data/b=$id/open"))
       .reduce(_ unionAll _)
     val dataCols = all.columns.filter(_ != DeltaBatchCol)
@@ -310,6 +315,7 @@ object SessionStreaming {
       spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame = {
     val ids = committedIds(spark, storePath)
     if (ids.isEmpty) return spark.emptyDataFrame
+    // union, not readChain — same decimal-width drift as the open state
     val closed = ids.map(id => spark.read.parquet(s"$storePath/data/b=$id/closed"))
       .reduce(_ unionAll _)
     committedOpenState(spark, storePath)
@@ -338,6 +344,7 @@ object SessionStreaming {
     val v = ids.max
     val (fs, root) = TopnStreaming.fsOf(spark, srcPath)
     val (dfs, droot) = TopnStreaming.fsOf(spark, dstPath)
+    // union, not readChain — same decimal-width drift as the open state
     val closed = ids.map(id => spark.read.parquet(s"$srcPath/data/b=$id/closed"))
       .reduce(_ unionAll _)
     val open = committedOpenState(spark, srcPath).get

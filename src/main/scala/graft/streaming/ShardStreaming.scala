@@ -222,9 +222,8 @@ object ShardStreaming {
       else None
     }
     if (ids.isEmpty) return spark.emptyDataFrame
-    val all = ids.sorted
-      .map(id => spark.read.parquet(s"$shardPath/data/b=$id"))
-      .reduce(_ unionAll _)
+    val all = ActivityStreaming.readChain(spark,
+      ids.sorted.map(id => s"$shardPath/data/b=$id"))
     // a window split across batches is several rows with one seq_id,
     // disjoint [row_base, row_base + n_tokens) spans: concatenate in
     // row_base order (leading-field struct sort; bases are distinct

@@ -120,6 +120,21 @@ class ScoreStreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("collides"))
   }
 
+  test("the chain read is ONE scan node, not a per-batch union") {
+    val store = tmp("graft_score_plan")
+    for (i <- 0 until 3)
+      ScoreStreaming.scoreBatch(docs.filter($"doc_id" % 3 === i),
+        i.toLong, model, fp, store, "doc_id", "text", "sc")
+    // a union chain builds O(batches) plan nodes and plan construction
+    // itself becomes the reader's bottleneck on a long-lived store; the
+    // multi-root read must keep the plan flat at any chain length
+    val plan = ScoreStreaming.committedPredictions(spark, store)
+      .queryExecution.optimizedPlan
+    val unions = plan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u }
+    assert(unions.isEmpty, s"expected no Union in the chain read:\n$plan")
+  }
+
   test("intra-batch duplicate ids fail fast (join would fan out k×k)") {
     val store = tmp("graft_score_dup")
     val slice = docs.filter($"doc_id" % 7 === 0)
