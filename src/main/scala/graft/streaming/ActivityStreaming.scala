@@ -176,9 +176,10 @@ object ActivityStreaming {
     * file listing work is identical either way, the plan size is not.
     * Row order across roots is unspecified (as with union); no caller
     * depends on it. REQUIRES a schema-stable chain: unlike union, a
-    * multi-root read performs no type coercion, so a store whose
-    * per-batch column types drift (SessionStreaming's decimal widths)
-    * must keep the union spelling. */
+    * multi-root read performs no type coercion — every maintainer pins
+    * its written types per batch (SessionStreaming casts the merge-
+    * widened value_sum back to the batch-kernel decimal for exactly
+    * this reason). */
   private[streaming] def readChain(
       spark: org.apache.spark.sql.SparkSession,
       paths: Seq[String]): org.apache.spark.sql.DataFrame =

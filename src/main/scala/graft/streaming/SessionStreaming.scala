@@ -229,9 +229,16 @@ object SessionStreaming {
       .withColumn("session_start",
         when(isFirstMerged, col("__graft_o_start")).otherwise(col("session_start")))
       .withColumn("duration_us", col("__graft_e_us") - col("__graft_s_us2"))
+    // the merge addition widens decimal precision (sum(decimal(p,s)) +
+    // stored = decimal(p+1,s)); cast back to the batch-kernel type so
+    // EVERY batch writes the identical schema — the store stays
+    // schema-stable (one multi-root read, no per-batch coercion) and
+    // committedSessions' type equals Sessions.stats' exactly. ANSI casts
+    // throw on a genuine overflow instead of truncating
     val adjustedV = valueCol.map(_ => adjusted.withColumn("value_sum",
         when(isFirstMerged, col("value_sum") + col("__graft_o_vsum"))
-          .otherwise(col("value_sum"))))
+          .otherwise(col("value_sum"))
+          .cast(stats.schema("value_sum").dataType)))
       .getOrElse(adjusted)
 
     // closed by this batch: every batch session but each key's last, plus
@@ -289,13 +296,8 @@ object SessionStreaming {
       : Option[DataFrame] = {
     val ids = committedIds(spark, storePath)
     if (ids.isEmpty) return None
-    // NOT readChain: per-batch decimal widths drift (the seeded merge
-    // widens value_sum's precision vs the first batch's plain sum), and
-    // only union's type coercion reconciles them — a multi-root read
-    // fails on the parquet type mismatch. Chain length is bounded by
-    // compaction, so the O(batches) plan here is acceptable.
-    val all = ids.map(id => spark.read.parquet(s"$storePath/data/b=$id/open"))
-      .reduce(_ unionAll _)
+    val all = ActivityStreaming.readChain(spark,
+      ids.map(id => s"$storePath/data/b=$id/open"))
     val dataCols = all.columns.filter(_ != DeltaBatchCol)
     val keyCols = dataCols.takeWhile(c => c != "session_seq")
     // one delta row per (key, batch), so max(struct(batch, ...)) IS the
@@ -315,9 +317,8 @@ object SessionStreaming {
       spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame = {
     val ids = committedIds(spark, storePath)
     if (ids.isEmpty) return spark.emptyDataFrame
-    // union, not readChain — same decimal-width drift as the open state
-    val closed = ids.map(id => spark.read.parquet(s"$storePath/data/b=$id/closed"))
-      .reduce(_ unionAll _)
+    val closed = ActivityStreaming.readChain(spark,
+      ids.map(id => s"$storePath/data/b=$id/closed"))
     committedOpenState(spark, storePath)
       .map(o => closed.unionByName(o.select(closed.columns.map(col): _*)))
       .getOrElse(closed)
@@ -344,9 +345,8 @@ object SessionStreaming {
     val v = ids.max
     val (fs, root) = TopnStreaming.fsOf(spark, srcPath)
     val (dfs, droot) = TopnStreaming.fsOf(spark, dstPath)
-    // union, not readChain — same decimal-width drift as the open state
-    val closed = ids.map(id => spark.read.parquet(s"$srcPath/data/b=$id/closed"))
-      .reduce(_ unionAll _)
+    val closed = ActivityStreaming.readChain(spark,
+      ids.map(id => s"$srcPath/data/b=$id/closed"))
     val open = committedOpenState(spark, srcPath).get
       .withColumn(DeltaBatchCol, lit(v))
     closed.coalesce(1).write.mode("overwrite")
