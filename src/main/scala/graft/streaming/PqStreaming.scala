@@ -105,6 +105,11 @@ object PqStreaming {
     * (cand_id, codes, cell). Empty-schema DataFrame before the first
     * commit. Orphan (uncommitted) directories are never read. */
   def committedIndex(spark: SparkSession, storePath: String): DataFrame =
+    // union, not a multi-root read: the roots are partition-style `b=N`
+    // directories holding cell=* subdirs — multi-root discovery rejects
+    // that as a conflicting structure. rebuildIndex is this store's
+    // chain-length bound (it collapses to one batch tree), so the
+    // O(batches) plan between rebuilds is acceptable
     committedBatches(spark, storePath)
       .map(id => spark.read.parquet(s"$storePath/data/b=$id"))
       .reduceOption(_ unionByName _)

@@ -619,6 +619,11 @@ object TopnStreaming {
         .filter(_ < beforeBatch).map(_ => st.getPath.toString)
     }
     if (dirs.isEmpty) None
+    // union, not a multi-root read: the roots are partition-style `b=N`
+    // directories, which multi-root partition discovery rejects as a
+    // conflicting structure (ActivityStreaming.readChain's callers read
+    // non-partition-named leaves); the vectors chain is bounded by the
+    // snapshot fold, so the O(batches) plan is acceptable here
     else Some(dirs.map(spark.read.parquet(_)).reduce(_ unionByName _))
   }
 
