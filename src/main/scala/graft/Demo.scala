@@ -310,6 +310,24 @@ object Demo {
       .groupBy(col("cls_pred")).count()
       .orderBy(col("cls_pred")).show(false)
 
+    println("== streaming serve store: frozen model, manifest commits, gated read ==")
+    // the production inference shape on the batch protocol kernel: two
+    // micro-batches append calibrated predictions under the model's
+    // fingerprint pin (a different model refuses to resume or read;
+    // migrateStore is the verified v1->v2 upgrade path), and the gated
+    // report over the store equals the batch gate over the same corpus
+    val serveModel = pipeline.Classifier.MultiModel(halfW, 4096)
+    val scoreStore = java.nio.file.Files
+      .createTempDirectory("graft_demo_score").toString + "/s"
+    val serveFp = streaming.ScoreStreaming.modelFingerprint(serveModel)
+    Seq(0, 1).foreach { i =>
+      streaming.ScoreStreaming.scoreBatch(
+        docs.filter(col("doc_id") % 2 === i), i.toLong, serveModel,
+        serveFp, scoreStore, "doc_id", "text", "demo")
+    }
+    streaming.ScoreStreaming.committedGatedReport(spark, scoreStore, serveModel)
+      .orderBy(col("lang_gated")).show(false)
+
     println("== corpus report card ==")
     pipeline.TextAnalysis.corpusReport(docs, "text").orderBy("metric").show(14, false)
 
