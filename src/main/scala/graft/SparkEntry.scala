@@ -3349,7 +3349,11 @@ object SparkEntry {
     * rewrite serve the old corpus from the stores. */
   private def fixtureKey(dir: String, name: String): String = {
     val root = new java.io.File(s"$dir/$name.parquet")
-    val parts = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+    // a table may be one parquet FILE (the driver fixtures) or a Spark
+    // directory of part files — fold length(s) + count + max mtime into
+    // the key either way, so a same-second rewrite still misses
+    val parts = Option(root.listFiles()).filter(_.nonEmpty)
+      .getOrElse(Array(root))
     val sig = parts.foldLeft((0L, 0L, root.lastModified())) {
       case ((len, n, mt), f) => (len + f.length(), n + 1, math.max(mt, f.lastModified()))
     }

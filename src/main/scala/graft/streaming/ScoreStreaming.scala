@@ -139,10 +139,16 @@ object ScoreStreaming {
     require(ActivityStreaming.committedIds(spark, dstPath).isEmpty,
       s"migrateStore: $dstPath already holds a committed score store")
     val (fs, root) = TopnStreaming.fsOf(spark, srcPath)
-    // the v1 stamp must exist and match the presented model's LEGACY
-    // fingerprint — checkStamp's equality path does the comparison and
-    // its mismatch path the refusal; a v2 source fails here too (its
-    // stamp starts with "v=2," which the v1 spelling never does)
+    // the stamp must EXIST before checkStamp runs — its absent path
+    // would write the presented spelling onto the SOURCE, mutating the
+    // store this function must only read
+    require(fs.exists(new org.apache.hadoop.fs.Path(root, "_graft_params")),
+      s"migrateStore: $root has committed batches but no params stamp — " +
+        "not a score store")
+    // the v1 stamp must match the presented model's LEGACY fingerprint —
+    // checkStamp's equality path does the comparison and its mismatch
+    // path the refusal; a v2 source fails here too (its stamp starts
+    // with "v=2," which the v1 spelling never does)
     TopnStreaming.checkStamp(fs, root, "_graft_params",
       paramsV1Of(model, fingerprintV1(model)),
       (stored, given) =>
