@@ -84,7 +84,7 @@ object ScoreStreaming {
     * ~20 effective bits per term and a plausible birthday collision at
     * nClasses × buckets rows; the params stamp carries `v=2` so a store
     * written under v1 fails the pin loudly instead of mixing scores —
-    * restart or [[compactStore]]-reseed such a store under v2). */
+    * [[migrateStore]] is the verified upgrade path). */
   private[graft] def modelFingerprint(model: MultiModel): Long = {
     // decimal-sum then low-64-bits = wrapping 64-bit addition (a LongType
     // sum would throw on overflow under ANSI, and saturating would lose
