@@ -43,22 +43,24 @@ import org.apache.spark.sql.functions._
 object ActivityStreaming {
 
   /** Start the maintenance stream. `events` is a STREAMING DataFrame;
-    * arrival order is unconstrained. Read the store with
-    * [[committedRetention]] / [[committedPairs]]. */
+    * arrival order is unconstrained. `filesPerBatch` caps each batch
+    * directory's parquet file count (see [[writeBatchDir]]). Read the
+    * store with [[committedRetention]] / [[committedPairs]]. */
   def maintainActivity(
       events: DataFrame,
       storePath: String,
       keyCols: Seq[String],
       tsCol: String,
       periodSeconds: Long,
-      checkpointLocation: Option[String] = None)
+      checkpointLocation: Option[String] = None,
+      filesPerBatch: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val scope = TopnStreaming.scopeOf(checkpointLocation)
     val writer = events.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         activityBatch(batch, batchId, storePath, keyCols, tsCol,
-          periodSeconds, scope)
+          periodSeconds, scope, filesPerBatch)
         ()
       }
     checkpointLocation.foreach(writer.option("checkpointLocation", _))
@@ -74,7 +76,8 @@ object ActivityStreaming {
       keyCols: Seq[String],
       tsCol: String,
       periodSeconds: Long,
-      scope: String): Unit = {
+      scope: String,
+      filesPerBatch: Int = 1): Unit = {
     require(keyCols.nonEmpty, "activityBatch: keyCols must be non-empty")
     require(periodSeconds > 0,
       s"activityBatch: periodSeconds must be positive, got $periodSeconds")
@@ -96,13 +99,13 @@ object ActivityStreaming {
     if (committed.exists(batchId <= _)) return // replay of a committed batch
     if (batch.isEmpty) return // no events, state unchanged
 
-    batch
-      .select((keyCols.map(col) :+
-        Sessions.periodIndex(batch, tsCol, periodSeconds)
-          .as("period_idx")): _*)
-      .distinct()
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$storePath/data/b=$batchId/pairs")
+    writeBatchDir(
+      batch
+        .select((keyCols.map(col) :+
+          Sessions.periodIndex(batch, tsCol, periodSeconds)
+            .as("period_idx")): _*)
+        .distinct(),
+      filesPerBatch, s"$storePath/data/b=$batchId/pairs")
     writeCommitMarker(fs, root, batchId)
   }
 
@@ -146,12 +149,15 @@ object ActivityStreaming {
    * `dstPath` — a replayed batch <= the committed version returns
    * before writing, the next real batch appends. Run it when the
    * chain's file count (one directory per batch) starts to dominate
-   * read planning.
+   * read planning. `files` > 1 parallelizes the fold's write (see
+   * [[writeFoldDir]]) — the knob that matters when the folded history
+   * is large.
    */
   def compactStore(
       spark: org.apache.spark.sql.SparkSession,
       srcPath: String,
-      dstPath: String): Unit = {
+      dstPath: String,
+      files: Int = 1): Unit = {
     val ids = committedIds(spark, srcPath)
     require(ids.nonEmpty, s"compactStore: no committed batches at $srcPath")
     require(committedIds(spark, dstPath).isEmpty,
@@ -163,10 +169,40 @@ object ActivityStreaming {
     // any data lands there (copyStamps enforces write-once); the commit
     // marker still goes last, so a crash mid-fold leaves no committed dst
     copyStamps(fs, root, dfs, droot)
-    committedPairs(spark, srcPath)
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$dstPath/data/b=$v/pairs")
+    writeFoldDir(committedPairs(spark, srcPath), files,
+      s"$dstPath/data/b=$v/pairs")
     writeCommitMarker(dfs, droot, v)
+  }
+
+  /** Per-batch data-directory writer shared by the maintainers:
+    * `filesPerBatch` caps the directory's parquet file count (coalesce —
+    * a CAP, not a floor; no shuffle). 1, the default everywhere, keeps
+    * micro-batch stores compact; raise it when a batch is large enough
+    * that one writer task is the throughput ceiling (the firehose
+    * regime). */
+  private[streaming] def writeBatchDir(
+      df: DataFrame, filesPerBatch: Int, path: String): Unit = {
+    require(filesPerBatch >= 1,
+      s"filesPerBatch must be >= 1 (got $filesPerBatch)")
+    df.coalesce(filesPerBatch).write.mode("overwrite").parquet(path)
+  }
+
+  /** Fold writer for compaction/migration: `files` == 1 keeps the classic
+    * single-file fold (byte-compatible with every store written so far);
+    * `files` > 1 REPARTITIONS on every column — a deterministic
+    * row-to-file assignment, stable across retries — so the fold's final
+    * stage and its write run with `files` parallel tasks instead of one.
+    * Compacting a long chain is exactly where the one-writer ceiling
+    * bites at scale (the whole committed history flows through the
+    * fold), so unlike the per-batch cap this path buys parallelism with
+    * one extra shuffle. */
+  private[streaming] def writeFoldDir(
+      df: DataFrame, files: Int, path: String): Unit = {
+    require(files >= 1, s"files must be >= 1 (got $files)")
+    val out =
+      if (files == 1) df.coalesce(1)
+      else df.repartition(files, df.columns.toSeq.map(col): _*)
+    out.write.mode("overwrite").parquet(path)
   }
 
   /** One multi-root parquet read over a committed chain: a SINGLE scan

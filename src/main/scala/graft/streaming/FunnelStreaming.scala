@@ -80,14 +80,15 @@ object FunnelStreaming {
       stepCol: String,
       steps: Seq[String],
       checkpointLocation: Option[String] = None,
-      watermarkSeconds: Long = 0L)
+      watermarkSeconds: Long = 0L,
+      filesPerBatch: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val scope = TopnStreaming.scopeOf(checkpointLocation)
     val writer = events.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         funnelBatch(batch, batchId, storePath, keyCols, tsCol, stepCol,
-          steps, scope, watermarkSeconds)
+          steps, scope, watermarkSeconds, filesPerBatch)
         ()
       }
     checkpointLocation.foreach(writer.option("checkpointLocation", _))
@@ -105,7 +106,8 @@ object FunnelStreaming {
       stepCol: String,
       steps: Seq[String],
       scope: String,
-      watermarkSeconds: Long = 0L): Unit = {
+      watermarkSeconds: Long = 0L,
+      filesPerBatch: Int = 1): Unit = {
     require(keyCols.nonEmpty, "funnelBatch: keyCols must be non-empty")
     require(steps.nonEmpty, "funnelBatch: steps must be non-empty")
     require(steps.distinct.size == steps.size,
@@ -200,14 +202,14 @@ object FunnelStreaming {
     val stateCols =
       keyCols.map(col) ++ steps.indices.map(i => col(s"__graft_t$i")) :+
         greatest(col(HwCol), col("__graft_bmax")).as(HwCol)
-    updated
-      .select((stateCols :+ lit(batchId).as(DeltaBatchCol)): _*)
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$storePath/data/b=$batchId/state")
+    ActivityStreaming.writeBatchDir(
+      updated.select((stateCols :+ lit(batchId).as(DeltaBatchCol)): _*),
+      filesPerBatch, s"$storePath/data/b=$batchId/state")
     // watermark tier: pending snapshot (latest wins) + hwm row, data
     // before the marker like everything else
     wmTail.foreach { case (pending, hwm) =>
-      StreamWatermark.write(spark, storePath, batchId, pending, hwm)
+      StreamWatermark.write(spark, storePath, batchId, pending, hwm,
+        filesPerBatch)
     }
     ActivityStreaming.writeCommitMarker(fs, root, batchId)
   }
@@ -263,12 +265,14 @@ object FunnelStreaming {
    * `b=<committed version>` holding the folded per-key state, with
    * scope and params copied so the SAME stream resumes against
    * `dstPath`. Run it when the chain's file count starts to dominate
-   * read planning.
+   * read planning. `files` > 1 parallelizes the fold's write
+   * ([[ActivityStreaming.writeFoldDir]]).
    */
   def compactStore(
       spark: org.apache.spark.sql.SparkSession,
       srcPath: String,
-      dstPath: String): Unit = {
+      dstPath: String,
+      files: Int = 1): Unit = {
     val ids = ActivityStreaming.committedIds(spark, srcPath)
     require(ids.nonEmpty, s"compactStore: no committed batches at $srcPath")
     require(ActivityStreaming.committedIds(spark, dstPath).isEmpty,
@@ -279,12 +283,11 @@ object FunnelStreaming {
     // stamps FIRST: a destination pinned to another stream fails before
     // any data lands there (copyStamps enforces write-once)
     ActivityStreaming.copyStamps(fs, root, dfs, droot)
-    committedState(spark, srcPath).get
-      .withColumn(DeltaBatchCol, lit(v))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$dstPath/data/b=$v/state")
+    ActivityStreaming.writeFoldDir(
+      committedState(spark, srcPath).get.withColumn(DeltaBatchCol, lit(v)),
+      files, s"$dstPath/data/b=$v/state")
     // a watermark-tier store also carries its buffered tail + hwm
-    StreamWatermark.compactInto(spark, srcPath, dstPath, v)
+    StreamWatermark.compactInto(spark, srcPath, dstPath, v, files)
     ActivityStreaming.writeCommitMarker(dfs, droot, v)
   }
 

@@ -38,7 +38,9 @@ import org.apache.spark.sql.functions._
 object RateStreaming {
 
   /** Start the maintenance stream. `events` is a STREAMING DataFrame;
-    * arrival order is unconstrained. Read the store with
+    * arrival order is unconstrained. `filesPerBatch` caps each batch
+    * directory's parquet file count
+    * ([[ActivityStreaming.writeBatchDir]]). Read the store with
     * [[committedCounts]] / [[committedAnomalies]]. */
   def maintainPeriodCounts(
       events: DataFrame,
@@ -46,14 +48,15 @@ object RateStreaming {
       keyCols: Seq[String],
       tsCol: String,
       periodSeconds: Long,
-      checkpointLocation: Option[String] = None)
+      checkpointLocation: Option[String] = None,
+      filesPerBatch: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val scope = TopnStreaming.scopeOf(checkpointLocation)
     val writer = events.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         rateBatch(batch, batchId, storePath, keyCols, tsCol, periodSeconds,
-          scope)
+          scope, filesPerBatch)
         ()
       }
     checkpointLocation.foreach(writer.option("checkpointLocation", _))
@@ -69,7 +72,8 @@ object RateStreaming {
       keyCols: Seq[String],
       tsCol: String,
       periodSeconds: Long,
-      scope: String): Unit = {
+      scope: String,
+      filesPerBatch: Int = 1): Unit = {
     require(keyCols.nonEmpty, "rateBatch: keyCols must be non-empty")
     require(periodSeconds > 0,
       s"rateBatch: periodSeconds must be positive, got $periodSeconds")
@@ -92,14 +96,14 @@ object RateStreaming {
     if (committed.exists(batchId <= _)) return // replay of a committed batch
     if (batch.isEmpty) return // no events, state unchanged
 
-    batch
-      .select((keyCols.map(col) :+
-        Sessions.periodIndex(batch, tsCol, periodSeconds)
-          .as("period_idx")): _*)
-      .groupBy((keyCols.map(col) :+ col("period_idx")): _*)
-      .agg(count(lit(1)).as("n_events"))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$storePath/data/b=$batchId/counts")
+    ActivityStreaming.writeBatchDir(
+      batch
+        .select((keyCols.map(col) :+
+          Sessions.periodIndex(batch, tsCol, periodSeconds)
+            .as("period_idx")): _*)
+        .groupBy((keyCols.map(col) :+ col("period_idx")): _*)
+        .agg(count(lit(1)).as("n_events")),
+      filesPerBatch, s"$storePath/data/b=$batchId/counts")
     ActivityStreaming.writeCommitMarker(fs, root, batchId)
   }
 
@@ -149,11 +153,14 @@ object RateStreaming {
    * `b=<committed version>` holding the summed counts, with scope and
    * params copied so the SAME stream resumes against `dstPath`. Run it
    * when the chain's file count starts to dominate read planning.
+   * `files` > 1 parallelizes the fold's write
+   * ([[ActivityStreaming.writeFoldDir]]).
    */
   def compactStore(
       spark: org.apache.spark.sql.SparkSession,
       srcPath: String,
-      dstPath: String): Unit = {
+      dstPath: String,
+      files: Int = 1): Unit = {
     val ids = ActivityStreaming.committedIds(spark, srcPath)
     require(ids.nonEmpty, s"compactStore: no committed batches at $srcPath")
     require(ActivityStreaming.committedIds(spark, dstPath).isEmpty,
@@ -164,9 +171,8 @@ object RateStreaming {
     // stamps FIRST: a destination pinned to another stream fails before
     // any data lands there (copyStamps enforces write-once)
     ActivityStreaming.copyStamps(fs, root, dfs, droot)
-    committedCounts(spark, srcPath)
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$dstPath/data/b=$v/counts")
+    ActivityStreaming.writeFoldDir(committedCounts(spark, srcPath), files,
+      s"$dstPath/data/b=$v/counts")
     ActivityStreaming.writeCommitMarker(dfs, droot, v)
   }
 }

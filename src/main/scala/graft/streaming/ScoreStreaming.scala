@@ -23,6 +23,10 @@ import org.apache.spark.sql.functions._
  * ingested (ScoreStreamingSpec pins it with a shuffled split).
  * Re-ingesting a doc_id appends a duplicate row — at-least-once sources
  * must dedup upstream (the store records arrivals, not identities).
+ * The tested recipe: [[TopnStreaming.streamingFirstById]] composed in
+ * front of the scoring sink collapses both intra-batch duplicates and
+ * cross-batch replays, so each document commits exactly once
+ * (ScoreStreamingSpec pins it under a replaying source).
  *
  * The frozen-model contract is PINNED: `_graft_params` stores the
  * feature-space shape and an order-independent weight fingerprint, so
@@ -133,7 +137,8 @@ object ScoreStreaming {
       spark: org.apache.spark.sql.SparkSession,
       srcPath: String,
       dstPath: String,
-      model: MultiModel): Unit = {
+      model: MultiModel,
+      files: Int = 1): Unit = {
     val ids = ActivityStreaming.committedIds(spark, srcPath)
     require(ids.nonEmpty, s"migrateStore: no committed batches at $srcPath")
     require(ActivityStreaming.committedIds(spark, dstPath).isEmpty,
@@ -177,9 +182,8 @@ object ScoreStreaming {
               s"different $stamp pin ('$stored' vs '$given') — it " +
               "belongs to another stream; migrate into a fresh path")
       }
-    committedPredictions(spark, srcPath)
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$dstPath/data/b=$v/preds")
+    ActivityStreaming.writeFoldDir(committedPredictions(spark, srcPath),
+      files, s"$dstPath/data/b=$v/preds")
     ActivityStreaming.writeCommitMarker(dfs, droot, v)
   }
 
@@ -243,12 +247,12 @@ object ScoreStreaming {
       }
       val preds = Classifier.calibrateScores(
         Classifier.scoreMulti(model, batch, idCol, textCol))
-      preds
-        .join(toks.select(col("doc_id"), col("n_tokens")), "doc_id")
-        .select(col("doc_id"), col("cls_pred"), col("score_e6"),
-          col("margin_e6"), col("share_bp"), col("n_tokens"))
-        .coalesce(filesPerBatch).write.mode("overwrite")
-        .parquet(s"$storePath/data/b=$batchId/preds")
+      ActivityStreaming.writeBatchDir(
+        preds
+          .join(toks.select(col("doc_id"), col("n_tokens")), "doc_id")
+          .select(col("doc_id"), col("cls_pred"), col("score_e6"),
+            col("margin_e6"), col("share_bp"), col("n_tokens")),
+        filesPerBatch, s"$storePath/data/b=$batchId/preds")
     } finally toks.unpersist(blocking = false)
     ActivityStreaming.writeCommitMarker(fs, root, batchId)
   }
@@ -300,12 +304,16 @@ object ScoreStreaming {
    * directory `b=<committed version>` holding every prediction, with
    * scope and params copied so the SAME stream resumes against
    * `dstPath`. Run it when the chain's file count starts to dominate
-   * read planning.
+   * read planning. `files` > 1 parallelizes the fold's write
+   * ([[ActivityStreaming.writeFoldDir]]) — at firehose scale the
+   * compaction of a long chain is exactly when one writer task is the
+   * ceiling.
    */
   def compactStore(
       spark: org.apache.spark.sql.SparkSession,
       srcPath: String,
-      dstPath: String): Unit = {
+      dstPath: String,
+      files: Int = 1): Unit = {
     val ids = ActivityStreaming.committedIds(spark, srcPath)
     require(ids.nonEmpty, s"compactStore: no committed batches at $srcPath")
     require(ActivityStreaming.committedIds(spark, dstPath).isEmpty,
@@ -317,9 +325,8 @@ object ScoreStreaming {
     // any data lands there (copyStamps enforces write-once); the commit
     // marker still goes last, so a crash mid-fold leaves no committed dst
     ActivityStreaming.copyStamps(fs, root, dfs, droot)
-    committedPredictions(spark, srcPath)
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$dstPath/data/b=$v/preds")
+    ActivityStreaming.writeFoldDir(committedPredictions(spark, srcPath),
+      files, s"$dstPath/data/b=$v/preds")
     ActivityStreaming.writeCommitMarker(dfs, droot, v)
   }
 }

@@ -84,14 +84,15 @@ object SessionStreaming {
       valueCol: Option[String] = None,
       orderCols: Seq[String] = Nil,
       checkpointLocation: Option[String] = None,
-      watermarkSeconds: Long = 0L)
+      watermarkSeconds: Long = 0L,
+      filesPerBatch: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val scope = TopnStreaming.scopeOf(checkpointLocation)
     val writer = events.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sessionBatch(batch, batchId, storePath, keyCols, tsCol, gapSeconds,
-          valueCol, orderCols, scope, watermarkSeconds)
+          valueCol, orderCols, scope, watermarkSeconds, filesPerBatch)
         ()
       }
     checkpointLocation.foreach(writer.option("checkpointLocation", _))
@@ -110,7 +111,8 @@ object SessionStreaming {
       valueCol: Option[String],
       orderCols: Seq[String],
       scope: String,
-      watermarkSeconds: Long = 0L): Unit = {
+      watermarkSeconds: Long = 0L,
+      filesPerBatch: Int = 1): Unit = {
     require(watermarkSeconds >= 0L,
       s"sessionBatch: watermarkSeconds must be >= 0, got $watermarkSeconds")
     val spark = batch.sparkSession
@@ -264,14 +266,15 @@ object SessionStreaming {
           - when(col("__graft_merged"), 1L).otherwise(0L))
       .select((storeCols.map(col) :+ lit(batchId).as(DeltaBatchCol)): _*)
 
-    closed.coalesce(1).write.mode("overwrite")
-      .parquet(s"$storePath/data/b=$batchId/closed")
-    openDelta.coalesce(1).write.mode("overwrite")
-      .parquet(s"$storePath/data/b=$batchId/open")
+    ActivityStreaming.writeBatchDir(closed, filesPerBatch,
+      s"$storePath/data/b=$batchId/closed")
+    ActivityStreaming.writeBatchDir(openDelta, filesPerBatch,
+      s"$storePath/data/b=$batchId/open")
     // watermark tier: pending snapshot (latest wins) + hwm row, data
     // before the marker like everything else
     wmTail.foreach { case (pending, hwm) =>
-      StreamWatermark.write(spark, storePath, batchId, pending, hwm)
+      StreamWatermark.write(spark, storePath, batchId, pending, hwm,
+        filesPerBatch)
     }
     writeCommitMarker(fs, root, batchId)
   }
@@ -296,18 +299,23 @@ object SessionStreaming {
       : Option[DataFrame] = {
     val ids = committedIds(spark, storePath)
     if (ids.isEmpty) return None
-    val all = ActivityStreaming.readChain(spark,
-      ids.map(id => s"$storePath/data/b=$id/open"))
+    Some(foldOpen(ActivityStreaming.readChain(spark,
+      ids.map(id => s"$storePath/data/b=$id/open"))))
+  }
+
+  /** The delta-chain fold behind [[committedOpenState]]: one delta row
+    * per (key, batch), so max(struct(batch, ...)) IS the latest row — no
+    * window, no driver state. Shared with [[migrateStore]], whose legacy
+    * chain arrives via a coercing union instead of the multi-root read. */
+  private def foldOpen(all: DataFrame): DataFrame = {
     val dataCols = all.columns.filter(_ != DeltaBatchCol)
     val keyCols = dataCols.takeWhile(c => c != "session_seq")
-    // one delta row per (key, batch), so max(struct(batch, ...)) IS the
-    // latest row — no window, no driver state
-    Some(all
+    all
       .groupBy(keyCols.map(col): _*)
       .agg(max(struct((col(DeltaBatchCol) +:
         dataCols.filterNot(keyCols.contains).map(col)): _*)).as("__graft_m"))
       .select((keyCols.map(col) ++ dataCols.filterNot(keyCols.contains)
-        .map(c => col(s"__graft_m.`$c`").as(c))): _*))
+        .map(c => col(s"__graft_m.`$c`").as(c))): _*)
   }
 
   /** The committed session table: closed sessions plus each key's open
@@ -337,7 +345,8 @@ object SessionStreaming {
   def compactStore(
       spark: org.apache.spark.sql.SparkSession,
       srcPath: String,
-      dstPath: String): Unit = {
+      dstPath: String,
+      files: Int = 1): Unit = {
     val ids = committedIds(spark, srcPath)
     require(ids.nonEmpty, s"compactStore: no committed batches at $srcPath")
     require(committedIds(spark, dstPath).isEmpty,
@@ -345,28 +354,75 @@ object SessionStreaming {
     val v = ids.max
     val (fs, root) = TopnStreaming.fsOf(spark, srcPath)
     val (dfs, droot) = TopnStreaming.fsOf(spark, dstPath)
+    // stamps FIRST: a destination pinned to another stream fails before
+    // any data lands there (copyStamps enforces write-once); the commit
+    // marker still goes last, so a crash mid-fold leaves no committed dst
+    ActivityStreaming.copyStamps(fs, root, dfs, droot)
     val closed = ActivityStreaming.readChain(spark,
       ids.map(id => s"$srcPath/data/b=$id/closed"))
     val open = committedOpenState(spark, srcPath).get
       .withColumn(DeltaBatchCol, lit(v))
-    closed.coalesce(1).write.mode("overwrite")
-      .parquet(s"$dstPath/data/b=$v/closed")
-    open.coalesce(1).write.mode("overwrite")
-      .parquet(s"$dstPath/data/b=$v/open")
+    ActivityStreaming.writeFoldDir(closed, files,
+      s"$dstPath/data/b=$v/closed")
+    ActivityStreaming.writeFoldDir(open, files,
+      s"$dstPath/data/b=$v/open")
     // a watermark-tier store also carries its buffered tail + hwm
-    StreamWatermark.compactInto(spark, srcPath, dstPath, v)
-    // copy the write-once stamps verbatim, then commit — marker LAST
-    Seq("_graft_scope", "_graft_params").foreach { stamp =>
-      val src = new org.apache.hadoop.fs.Path(root, stamp)
-      if (fs.exists(src)) {
-        val len = fs.getFileStatus(src).getLen.toInt
-        val buf = new Array[Byte](len)
-        val in = fs.open(src)
-        try in.readFully(0, buf) finally in.close()
-        val out = dfs.create(new org.apache.hadoop.fs.Path(droot, stamp), true)
-        try out.write(buf) finally out.close()
-      }
+    StreamWatermark.compactInto(spark, srcPath, dstPath, v, files)
+    writeCommitMarker(dfs, droot, v)
+  }
+
+  /**
+   * Migrate a session store written BEFORE the schema-stable `value_sum`
+   * pin (the batch-kernel cast in [[sessionBatch]]) to a fresh store at
+   * `dstPath` readable by today's coercion-free multi-root
+   * [[ActivityStreaming.readChain]]. Legacy stores with a value column
+   * carry per-batch WIDENED decimal `value_sum` schemas — every merge of
+   * an open session added one digit of precision — so the modern reader
+   * refuses the chain and [[sessionBatch]] would append the narrower
+   * kernel type into a widened history. This helper reads the chain the
+   * way the legacy reader did (per-batch reads folded with `unionByName`,
+   * whose set-operation coercion absorbs the precision drift), casts
+   * `value_sum` back to the FIRST batch's written type — batch 0 had no
+   * open state to merge, so its schema IS the batch-kernel type; the cast
+   * is ANSI, a genuine overflow fails loudly rather than truncating —
+   * and folds everything into `dstPath` exactly like [[compactStore]]
+   * (stamps copied, watermark tier carried, marker last). The SAME stream
+   * resumes against `dstPath`; a schema-stable source migrates too (the
+   * casts are no-ops), though [[compactStore]] is the cheaper tool there.
+   */
+  def migrateStore(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String,
+      dstPath: String,
+      files: Int = 1): Unit = {
+    val ids = committedIds(spark, srcPath)
+    require(ids.nonEmpty, s"migrateStore: no committed batches at $srcPath")
+    require(committedIds(spark, dstPath).isEmpty,
+      s"migrateStore: $dstPath already holds a committed session store")
+    val v = ids.max
+    val (fs, root) = TopnStreaming.fsOf(spark, srcPath)
+    val (dfs, droot) = TopnStreaming.fsOf(spark, dstPath)
+    ActivityStreaming.copyStamps(fs, root, dfs, droot)
+    // coercing per-batch fold — the pre-multi-root reader's spelling
+    def chain(leaf: String): DataFrame = ids
+      .map(id => spark.read.parquet(s"$srcPath/data/b=$id/$leaf"))
+      .reduce(_.unionByName(_))
+    // batch-kernel value type = the first batch's written type (no merge
+    // had widened it yet); stores without a value column skip the cast
+    val kernel = spark.read.parquet(s"$srcPath/data/b=${ids.min}/closed")
+      .schema.find(_.name == "value_sum").map(_.dataType)
+    def atKernel(df: DataFrame): DataFrame = kernel match {
+      case Some(t) => df.withColumn("value_sum", col("value_sum").cast(t))
+      case None    => df
     }
+    val closed = atKernel(chain("closed"))
+    val open = atKernel(foldOpen(chain("open")))
+      .withColumn(DeltaBatchCol, lit(v))
+    ActivityStreaming.writeFoldDir(closed, files,
+      s"$dstPath/data/b=$v/closed")
+    ActivityStreaming.writeFoldDir(open, files,
+      s"$dstPath/data/b=$v/open")
+    StreamWatermark.compactInto(spark, srcPath, dstPath, v, files)
     writeCommitMarker(dfs, droot, v)
   }
 

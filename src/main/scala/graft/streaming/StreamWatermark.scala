@@ -128,15 +128,21 @@ private[graft] object StreamWatermark {
     latestTierBatch(spark, storePath)
       .map(id => spark.read.parquet(s"$storePath/data/b=$id/pending"))
 
-  /** Write this batch's buffer snapshot + hwm (before the commit marker). */
+  /** Write this batch's buffer snapshot + hwm (before the commit marker).
+    * `files` caps the pending snapshot's file count
+    * ([[ActivityStreaming.writeBatchDir]] — the buffer is bounded by the
+    * disorder window times the ingest rate, so at firehose scale it
+    * deserves the same ceiling lift as the data directories); the hwm
+    * leaf is one row and stays one file. */
   def write(
       spark: SparkSession,
       storePath: String,
       batchId: Long,
       pending: DataFrame,
-      hwmUs: Long): Unit = {
-    pending.coalesce(1).write.mode("overwrite")
-      .parquet(s"$storePath/data/b=$batchId/pending")
+      hwmUs: Long,
+      files: Int = 1): Unit = {
+    ActivityStreaming.writeBatchDir(pending, files,
+      s"$storePath/data/b=$batchId/pending")
     spark.range(1).select(lit(hwmUs).as("hwm_us"))
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$storePath/data/b=$batchId/wm")
@@ -147,10 +153,12 @@ private[graft] object StreamWatermark {
     * resolved ONCE for both leaves ([[latestTierBatch]]), so the pair can
     * never come from different batches. No-op for strict-tier stores. */
   def compactInto(
-      spark: SparkSession, srcPath: String, dstPath: String, v: Long): Unit =
+      spark: SparkSession, srcPath: String, dstPath: String, v: Long,
+      files: Int = 1): Unit =
     latestTierBatch(spark, srcPath).foreach { id =>
       write(spark, dstPath, v,
         spark.read.parquet(s"$srcPath/data/b=$id/pending"),
-        spark.read.parquet(s"$srcPath/data/b=$id/wm").head.getLong(0))
+        spark.read.parquet(s"$srcPath/data/b=$id/wm").head.getLong(0),
+        files)
     }
 }

@@ -711,6 +711,7 @@ object TopnStreaming {
   case class KeyedItem(key: String, item: String)
   case class TopEntry(key: String, item: String, frequency: Long)
   case class KeptDoc(fingerprint: String, doc_id: Long)
+  case class KeptDocText(doc_id: Long, text: String)
   case class NearDupPair(doc_a: Long, doc_b: Long, hamming: Int)
   case class BucketState(ids: Seq[Long], hashes: Seq[Long])
 
@@ -850,6 +851,46 @@ object TopnStreaming {
             state.update(true)
             stateTtl.foreach(state.setTimeoutDuration)
             if (isNew && rows.hasNext) Iterator.single(KeptDoc(fp, rows.map(_.doc_id).min))
+            else Iterator.empty
+          }
+      }
+  }
+
+  /**
+   * [[streamingExactDedup]] keyed by the DOCUMENT ID, payload carried:
+   * across the stream's life, emit each id's FIRST (id, text) row and
+   * swallow every later arrival of the same id. This is the at-least-once
+   * ingestion mitigation the append-only stores ask for (e.g.
+   * [[ScoreStreaming.maintainPredictions]], whose store records arrivals,
+   * not identities): composed in front of a maintainer it collapses both
+   * intra-batch duplicates and cross-batch replays, so each document
+   * commits exactly once. Within one batch the first row in arrival order
+   * wins (replays carry identical payloads, so the choice is immaterial);
+   * `stateTtl` trades state size for replay-window length as in
+   * [[streamingExactDedup]].
+   */
+  def streamingFirstById(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      stateTtl: Option[String] = None): Dataset[KeptDocText] = {
+    import docs.sparkSession.implicits._
+    val timeout = if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[KeptDocText]
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Boolean, KeptDocText](OutputMode.Update(), timeout) {
+        (_: Long, rows: Iterator[KeptDocText], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val isNew = !state.exists
+            state.update(true)
+            stateTtl.foreach(state.setTimeoutDuration)
+            if (isNew && rows.hasNext) Iterator.single(rows.next())
             else Iterator.empty
           }
       }

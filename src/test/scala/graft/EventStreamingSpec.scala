@@ -538,4 +538,71 @@ class EventStreamingSpec extends AnyFunSuite {
       collectCounts(Sessions.funnelCounts(
         ev, Seq("user_id"), "ts", "event_type", Steps)))
   }
+
+  test("filesPerBatch lifts the one-writer ceiling; files>1 parallelizes the fold") {
+    import graft.streaming.RateStreaming
+    def parts(dir: String): Int =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .count(_.getName.startsWith("part-"))
+    val actStore = tmp("graft_act_fpb")
+    val rateStore = tmp("graft_rate_fpb")
+    val funStore = tmp("graft_fun_fpb")
+    // the cap is a coalesce (no floor): at micro-batch scale AQE folds the
+    // plan to one partition regardless, so observe the lifted ceiling with
+    // AQE off, like ScoreStreamingSpec's filesPerBatch case
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      ActivityStreaming.activityBatch(ev, 0L, actStore, Seq("user_id"),
+        "ts", Week, "sc", filesPerBatch = 4)
+      RateStreaming.rateBatch(ev, 0L, rateStore, Seq("user_id"), "ts",
+        86400L, "sc", filesPerBatch = 4)
+      FunnelStreaming.funnelBatch(ev, 0L, funStore, Seq("user_id"), "ts",
+        "event_type", Steps, "sc", filesPerBatch = 4)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    assert(parts(s"$actStore/data/b=0/pairs") > 1)
+    assert(parts(s"$rateStore/data/b=0/counts") > 1)
+    assert(parts(s"$funStore/data/b=0/state") > 1)
+    // contents identical to the single-file spelling: every committed
+    // report equals its one-shot batch operator
+    assert(collectRetention(ActivityStreaming.committedRetention(
+        spark, actStore, Seq("user_id"), Week)) ===
+      collectRetention(Sessions.retentionCohorts(ev, Seq("user_id"), "ts", Week)))
+    assert(collectAnomalies(RateStreaming.committedAnomalies(
+        spark, rateStore, Seq("user_id"), 86400L, k = 2)) ===
+      collectAnomalies(graft.operators.Diagnostics.rateAnomalies(
+        ev, Seq("user_id"), "ts", 86400L, k = 2)))
+    assert(collectCounts(FunnelStreaming.committedCounts(
+        spark, funStore, Seq("user_id"), Steps)) ===
+      collectCounts(Sessions.funnelCounts(
+        ev, Seq("user_id"), "ts", "event_type", Steps)))
+    // files > 1 parallelizes the compaction fold (repartition on every
+    // column — deterministic row-to-file assignment) without changing the
+    // committed reads
+    val actDst = tmp("graft_act_fpb_dst")
+    ActivityStreaming.compactStore(spark, actStore, actDst, files = 3)
+    assert(parts(s"$actDst/data/b=0/pairs") > 1)
+    assert(collectRetention(ActivityStreaming.committedRetention(
+        spark, actDst, Seq("user_id"), Week)) ===
+      collectRetention(Sessions.retentionCohorts(ev, Seq("user_id"), "ts", Week)))
+    val rateDst = tmp("graft_rate_fpb_dst")
+    RateStreaming.compactStore(spark, rateStore, rateDst, files = 3)
+    assert(parts(s"$rateDst/data/b=0/counts") > 1)
+    assert(collectAnomalies(RateStreaming.committedAnomalies(
+        spark, rateDst, Seq("user_id"), 86400L, k = 2)) ===
+      collectAnomalies(RateStreaming.committedAnomalies(
+        spark, rateStore, Seq("user_id"), 86400L, k = 2)))
+    val funDst = tmp("graft_fun_fpb_dst")
+    FunnelStreaming.compactStore(spark, funStore, funDst, files = 3)
+    assert(parts(s"$funDst/data/b=0/state") > 1)
+    assert(collectCounts(FunnelStreaming.committedCounts(
+        spark, funDst, Seq("user_id"), Steps)) ===
+      collectCounts(FunnelStreaming.committedCounts(
+        spark, funStore, Seq("user_id"), Steps)))
+    // the cap refuses nonsense
+    intercept[IllegalArgumentException] {
+      ActivityStreaming.activityBatch(ev, 1L, actStore, Seq("user_id"),
+        "ts", Week, "sc", filesPerBatch = 0)
+    }
+  }
 }

@@ -286,6 +286,61 @@ class ScoreStreamingSpec extends AnyFunSuite {
     assert(eV2.getMessage.contains("compactStore"))
   }
 
+  test("compactStore files>1 writes a parallel fold with identical reads") {
+    val store = tmp("graft_score_pf")
+    for (i <- 0 until 2)
+      ScoreStreaming.scoreBatch(docs.filter($"doc_id" % 2 === i),
+        i.toLong, model, fp, store, "doc_id", "text", "sc")
+    val dst = tmp("graft_score_pf2")
+    ScoreStreaming.compactStore(spark, store, dst, files = 3)
+    val parts = Option(new java.io.File(s"$dst/data/b=1/preds").listFiles())
+      .getOrElse(Array.empty).count(_.getName.startsWith("part-"))
+    assert(parts > 1 && parts <= 3,
+      s"expected 2..3 part files under files=3, got $parts")
+    assert(rows(ScoreStreaming.committedPredictions(spark, dst)) ===
+      rows(batchKernel))
+  }
+
+  test("at-least-once recipe: streamingFirstById in front of the store commits each doc once") {
+    import graft.streaming.TopnStreaming
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_score_alo_src").toString
+    val store = tmp("graft_score_alo")
+    val half0 = docs.filter($"doc_id" % 2 === 0)
+    half0.write.mode("overwrite").parquet(s"$src/b0")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
+    // THE RECIPE the store contract documents: first-arrival-wins keyed
+    // state in front of the scoring sink — intra-batch duplicates collapse
+    // (the scoreBatch guard never fires) and cross-batch replays are
+    // swallowed before they can append
+    val q = TopnStreaming.streamingFirstById(stream, "doc_id", "text")
+      .toDF()
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", tmp("graft_score_alo_ck"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        ScoreStreaming.scoreBatch(b, id, model, fp, store,
+          "doc_id", "text", "alo")
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // the at-least-once reality: batch 1 REPLAYS batch 0's docs (and a
+      // doc duplicated within the batch) alongside the genuinely new half
+      half0.unionAll(half0.limit(1))
+        .unionAll(docs.filter($"doc_id" % 2 === 1))
+        .write.mode("overwrite").parquet(s"$src/b1")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = ScoreStreaming.committedPredictions(spark, store)
+    // duplicate-free: every doc committed exactly once despite the replay
+    assert(got.groupBy($"doc_id").count().filter($"count" > 1).isEmpty,
+      "replayed ids must not append duplicate prediction rows")
+    assert(rows(got) === rows(batchKernel))
+  }
+
   test("end-to-end: maintainPredictions via readStream") {
     val src = java.nio.file.Files
       .createTempDirectory("graft_score_src").toString

@@ -1489,6 +1489,99 @@ class StreamingSpec extends AnyFunSuite {
       === collectSessions(SessionStreaming.committedSessions(spark, store)))
   }
 
+  test("streaming sessions: filesPerBatch caps batch files; files>1 parallelizes the fold") {
+    import graft.streaming.SessionStreaming
+    val (ev, b0, b1, b2) = sessionEvents
+    val base = java.nio.file.Files.createTempDirectory("graft_sess_fpb").toString
+    val store = base + "/s"
+    def parts(dir: String): Int =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .count(_.getName.startsWith("part-"))
+    // AQE folds micro-batch plans to one partition; disable it to observe
+    // the lifted ceiling (the ScoreStreamingSpec pattern)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      for ((b, i) <- Seq(b0, b1).zipWithIndex)
+        SessionStreaming.sessionBatch(b, i.toLong, store, Seq("user_id"),
+          "ts", 7200L, Some("value"), Seq("event_id"), "sc",
+          filesPerBatch = 4)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    // the open delta touches every key the batch saw — the sure spread
+    assert(parts(s"$store/data/b=0/open") > 1)
+    val before = collectSessions(SessionStreaming.committedSessions(spark, store))
+    assert(before === collectSessions(graft.operators.Sessions.stats(
+      b0.unionByName(b1), Seq("user_id"), "ts", 7200L, Some("value"),
+      Seq("event_id"))))
+    // parallel fold: multiple part files, identical committed table, resume
+    val folded = base + "/folded"
+    SessionStreaming.compactStore(spark, store, folded, files = 3)
+    assert(parts(s"$folded/data/b=1/open") > 1)
+    assert(collectSessions(SessionStreaming.committedSessions(spark, folded))
+      === before)
+    SessionStreaming.sessionBatch(b2, 2L, folded, Seq("user_id"), "ts",
+      7200L, Some("value"), Seq("event_id"), "sc")
+    assert(collectSessions(SessionStreaming.committedSessions(spark, folded))
+      === collectSessions(graft.operators.Sessions.stats(
+        ev, Seq("user_id"), "ts", 7200L, Some("value"), Seq("event_id"))))
+  }
+
+  test("streaming sessions: migrateStore recovers a legacy widened-decimal chain") {
+    import graft.streaming.SessionStreaming
+    val (ev, b0, b1, b2) = sessionEvents
+    val base = java.nio.file.Files.createTempDirectory("graft_sess_mig").toString
+    val store = base + "/s"
+    for ((b, i) <- Seq(b0, b1).zipWithIndex)
+      SessionStreaming.sessionBatch(b, i.toLong, store, Seq("user_id"), "ts",
+        7200L, Some("value"), Seq("event_id"), "sc")
+    // forge the PRE-schema-stable layout: before the batch-kernel cast,
+    // every merge widened value_sum's decimal by one digit, so later
+    // batches sat at a wider precision than batch 0 — rewrite batch 1's
+    // leaves one digit wider, exactly what such a store holds on disk
+    def widen(leaf: String): Unit = {
+      val p = s"$store/data/b=1/$leaf"
+      val df = spark.read.parquet(p).cache()
+      df.count() // materialize before the source dir is replaced
+      df.withColumn("value_sum", $"value_sum".cast("decimal(29,2)"))
+        .coalesce(1).write.parquet(p + ".w")
+      df.unpersist(blocking = true)
+      def rm(q: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(q)) {
+          val s = java.nio.file.Files.list(q)
+          try s.forEach(rm(_)) finally s.close()
+        }
+        java.nio.file.Files.delete(q)
+      }
+      rm(java.nio.file.Paths.get(p))
+      java.nio.file.Files.move(java.nio.file.Paths.get(p + ".w"),
+        java.nio.file.Paths.get(p))
+    }
+    widen("closed"); widen("open")
+    val want = collectSessions(graft.operators.Sessions.stats(
+      b0.unionByName(b1), Seq("user_id"), "ts", 7200L, Some("value"),
+      Seq("event_id")))
+    // the modern coercion-free multi-root reader cannot serve this chain
+    val legacy = scala.util.Try(
+      collectSessions(SessionStreaming.committedSessions(spark, store)))
+    assert(legacy.toOption.forall(_ !== want),
+      "fixture must actually break the coercion-free read")
+    // migrate: the dst reads at the batch-kernel type and the SAME stream
+    // resumes against it
+    val dst = base + "/migrated"
+    SessionStreaming.migrateStore(spark, store, dst)
+    assert(collectSessions(SessionStreaming.committedSessions(spark, dst))
+      === want)
+    val kernel = graft.operators.Sessions.stats(ev, Seq("user_id"), "ts",
+      7200L, Some("value"), Seq("event_id")).schema("value_sum").dataType
+    assert(SessionStreaming.committedSessions(spark, dst)
+      .schema("value_sum").dataType === kernel)
+    SessionStreaming.sessionBatch(b2, 2L, dst, Seq("user_id"), "ts",
+      7200L, Some("value"), Seq("event_id"), "sc")
+    assert(collectSessions(SessionStreaming.committedSessions(spark, dst))
+      === collectSessions(graft.operators.Sessions.stats(
+        ev, Seq("user_id"), "ts", 7200L, Some("value"), Seq("event_id"))))
+  }
+
   private implicit class JavaSetOps[A](s: java.util.Set[A]) {
     def asScala: scala.collection.mutable.Set[A] =
       scala.jdk.CollectionConverters.SetHasAsScala(s).asScala
