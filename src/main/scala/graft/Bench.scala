@@ -42,12 +42,21 @@ object Bench {
     * the token multiset) — the bijection has none of those artifacts, so
     * the recorded growth slopes are the operators' organic ones
     * (docs/BENCH_NOTES.md round 16 re-baselines the affected rows).
-    * In-band caveat: a corpus token literally ending in `_g<i>` could
-    * collide with copy i's remap of its prefix — harmless unless whole
-    * n-gram windows coincide, which the driver corpus does not contain. */
+    * The in-band `_g<i>` caveat is now a CHECKED precondition: a corpus
+    * token literally ending in `_g<i>` would collide with copy i's remap
+    * of its prefix, so the first scaling of each dir asserts none exists
+    * ([[BenchFixture.assertRemapSafe]]) — memoized per dir, one scan,
+    * landing inside the first timed x1 rep that min-of-2 discards (the
+    * lazy-model-training doctrine). */
+  private val remapSafeDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private[graft] def scaledDocs(spark: SparkSession, dir: String, copies: Int): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
+    if (copies > 1 && !remapSafeDirs.contains(dir)) {
+      BenchFixture.assertRemapSafe(docs, "text", s"scaledDocs($dir)")
+      remapSafeDirs.add(dir)
+    }
     // stride derived from the data, not a fixed constant — a corpus whose
     // ids exceed a hard-coded stride would silently collide across copies
     // and corrupt the growth measurements
@@ -101,21 +110,28 @@ object Bench {
     * corpus, so every g_lid_serve point prices only the scoring pass.
     * main RESOLVES this before the growth suite's clock starts (training
     * must not land inside the first timed x1 sample — the pricing claim
-    * holds by construction, not by the min-of-2 anchor policy). Keyed per
-    * (session, dir): the weights DataFrame is session-bound, so a second
-    * SparkSession in the same JVM must not receive a model tied to a
-    * stopped one. */
-  private val lidServeModels =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.pipeline.Classifier.MultiModel]()
+    * holds by construction, not by the min-of-2 anchor policy). The cache
+    * stores the OWNING session next to each model and only serves an
+    * entry whose session is THIS session object (`eq`) — a bare
+    * identityHashCode key could recur after a stopped session is GC'd and
+    * hand out a model whose weights DataFrame is bound to a dead session
+    * (r16 ADVICE); entries of stopped sessions are evicted on access, so
+    * the map never pins dead-session state for the JVM's life either. */
+  private val lidServeModels = new java.util.concurrent.ConcurrentHashMap[
+    String, (SparkSession, graft.pipeline.Classifier.MultiModel)]()
   private def lidServeModel(spark: SparkSession, dir: String)
-      : graft.pipeline.Classifier.MultiModel =
-    lidServeModels.computeIfAbsent(
-      s"${System.identityHashCode(spark)}@$dir", _ =>
-      graft.pipeline.Classifier.MultiModel(
+      : graft.pipeline.Classifier.MultiModel = {
+    lidServeModels.entrySet()
+      .removeIf(e => e.getValue._1.sparkContext.isStopped)
+    lidServeModels.compute(
+      s"${System.identityHashCode(spark)}@$dir", (_, held) =>
+      if (held != null && (held._1 eq spark)) held
+      else (spark, graft.pipeline.Classifier.MultiModel(
         graft.pipeline.Classifier.trainMulti(
           spark.read.parquet(s"$dir/documents.parquet"),
           "doc_id", "text", "lang", numBuckets = 4096, iters = 2),
-        4096))
+        4096)))._2
+  }
 
   /** Growth suite: name -> (replica counts, plan builder). Counts are kept
     * small enough that the whole suite stays in low minutes at sf0.1. */
@@ -177,8 +193,11 @@ object Bench {
     // this row was previously hand-tuned to) so expected bucket occupancy
     // stays ~constant; with fixed bits the candidate count itself grows
     // quadratically and the bench would measure the algorithm's intrinsic
-    // blowup, not the engine
-    ("g_lsh_neardup", Seq(1, 4, 10), (c: Int) =>
+    // blowup, not the engine. x32 + the untimed candidate-count diagnostic
+    // (main prints g_lsh_neardup_candidates) decompose the slope: if
+    // candidates/input stays ~flat, the growth is verify-side cost +
+    // occupancy drift between autoBits steps, not a pair blowup
+    ("g_lsh_neardup", Seq(1, 4, 10, 32), (c: Int) =>
       graft.pipeline.Similarity.lshNearDupPairs(
         scaledEmb(spark, dir, c), "vec_id", "embedding", topPairs = 50, dim = 64)),
     // clustering is the operator whose work grows with near-dup density
@@ -384,6 +403,36 @@ object Bench {
       skipAudits: Boolean): String =
     if (only.isEmpty && growthOn && skipAudits) "BENCH_local.json"
     else "BENCH_only.json"
+
+  /** The committed full-suite total recorded in BENCH_local.json (None
+    * when the file is absent or unparseable). */
+  private[graft] def committedTotal(benchDir: String): Option[Double] =
+    try {
+      val t = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(benchDir, "BENCH_local.json"))
+      """"metric":"total","value":(-?\d+(?:\.\d+)?)""".r
+        .findFirstMatchIn(t).map(_.group(1).toDouble)
+    } catch { case _: Throwable => None }
+
+  /** Promotion policy for a FULL run's artifact — the r16 clobber
+    * mechanized: BENCH_local.json is the committed PROOF the anchor
+    * policies load from, and until now any full pass overwrote it in
+    * place, so a run under machine load (the driver's r15 AND r16 passes,
+    * ~13% over) silently shadowed the honest artifact. Now a full run
+    * promotes to BENCH_local.json only when its total is within `slack`
+    * of the committed one (improvements and noise promote; a loaded pass
+    * diverts to the STAGING file BENCH_full.json, still inspectable);
+    * `force` (env SPARK_GRAFT_PROMOTE=1) overrides — the conscious act a
+    * legitimately costlier suite (new rows) records with. Anchors load
+    * only from BENCH_local.json / BENCH_r*.json, never the staging file,
+    * so a diverted run can no longer degrade any later run. */
+  private[graft] def promotionTarget(
+      newTotal: Double,
+      committed: Option[Double],
+      force: Boolean,
+      slack: Double = 1.05): String =
+    if (force || committed.forall(newTotal <= slack * _)) "BENCH_local.json"
+    else "BENCH_full.json"
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime()
@@ -722,6 +771,19 @@ object Bench {
       (n, c) => growthAnchors.get((n, c)),
       (n, c) => time(gBuilders(n)(c).count()))
 
+    // g_lsh_neardup slope decomposition (untimed, after every timed pass):
+    // the DISTINCT candidate-pair count per scale. Candidates/input staying
+    // ~flat means AutoBits is holding bucket occupancy and the recorded
+    // slope is verify-side work, not a candidate blowup.
+    if (gSuite.exists(_._1 == "g_lsh_neardup")) {
+      val cands = Seq(1, 4, 10, 32).map { c =>
+        val n = graft.pipeline.Similarity.lshCandidatePairs(
+          scaledEmb(spark, sfDir, c), "vec_id", "embedding", dim = 64).count()
+        s""""x$c":$n"""
+      }
+      println(s"""{"diag":"g_lsh_neardup_candidates",${cands.mkString(",")}}""")
+    }
+
     def fmt(kvs: Seq[(String, Double)]) =
       kvs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val qs = fmt(resultsFinal)
@@ -742,7 +804,13 @@ object Bench {
     // (the r15 lesson: a one-row funnel run shipped as BENCH_local.json)
     // — see defaultOutFile: ANY deviation from the default row set
     // diverts to the side file unless the caller names an out path.
-    val defaultOut = defaultOutFile(only, growthOn, skipAudits)
+    // And a LOADED full run must not shadow the committed proof either
+    // (the r16 lesson) — see promotionTarget.
+    val defaultOut0 = defaultOutFile(only, growthOn, skipAudits)
+    val defaultOut =
+      if (defaultOut0 != "BENCH_local.json") defaultOut0
+      else promotionTarget(total, committedTotal("."),
+        sys.env.getOrElse("SPARK_GRAFT_PROMOTE", "0") == "1")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)),

@@ -36,6 +36,28 @@ object BenchFixture {
     (0 until copies).map(i => if (i == 0) df else copyOf(df, i))
       .reduce(_.unionByName(_))
 
+  /** The per-copy token remap (`_g<i>` suffixed onto every whitespace
+    * token) is IN-BAND: a source token already ending in `_g<k>` would
+    * collide with copy k's remap image of its prefix, silently creating
+    * cross-copy duplicates that bend the linear-pair-growth property the
+    * replication scheme guarantees. The driver corpus contains no such
+    * token; this assert turns that fixture fact into a CHECKED
+    * precondition of every materialization/scaling, so the bijectivity
+    * claim holds on ANY input corpus — a colliding one fails fast instead
+    * of corrupting slopes (r16 ADVICE / verdict item 4). One scan. */
+  private[graft] def assertRemapSafe(
+      docs: DataFrame, textCol: String, where: String): Unit = {
+    val bad = docs
+      .filter(col(textCol).rlike("(^|\\s)\\S*_g\\d+(\\s|$)"))
+      .select(col(textCol)).limit(1).collect()
+    require(bad.isEmpty,
+      s"$where: the corpus contains a whitespace token ending in the " +
+        "per-copy remap suffix '_g<i>' (e.g. in: \"" +
+        bad.headOption.map(_.getString(0).take(80)).getOrElse("") +
+        "\") — replication would create cross-copy collisions; use a " +
+        "different corpus or change the suffix scheme")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, copiesStr) = args.take(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -65,6 +87,7 @@ object BenchFixture {
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    if (copies > 1) assertRemapSafe(docs, "text", s"materialize($sfDir)")
     val dStride = docs.agg(max("doc_id")).head.getLong(0) + 1L
     replicate(docs, copies)((d, i) => d
         .withColumn("doc_id", col("doc_id") + lit(i * dStride))

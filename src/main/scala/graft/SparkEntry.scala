@@ -497,7 +497,14 @@ object SparkEntry {
     * true count, eviction fired (max, not min: "eviction happened" is
     * the robust claim — today the bound is uniform per report, but a
     * per-item bound would make min() demand EVERY item lost something),
-    * and the report size is the budget. */
+    * and the report size is the budget. `has_eviction` is the sketch's
+    * STICKY loss bound surfacing as max_error > 0: it accrues on every
+    * prune that discards positive mass, INCLUDING the final policy-A
+    * pack, so on an add path it equals `distinct > budget` exactly — not
+    * `distinct > 3*budget`, which misses the window (b, 3b] where the
+    * pack discards without policy B ever firing (the oracle SQL's
+    * equivalence note has the full argument; TopnStateSpec pins the
+    * window case). */
   private def boundsContract(
       spark: SparkSession, dir: String, budget: Int): DataFrame = {
     val key = col("l_partkey").cast("string")
@@ -3833,17 +3840,25 @@ object SparkEntry {
         |ORDER BY frequency DESC, item LIMIT 25""".stripMargin,
 
     // three budgets, one contract: the constant claims per setting
-    // eviction is a COMPUTED fact, not a constant: policy B fires iff the
-    // distinct-key count exceeds 3 x budget (a partial never holds more
-    // entries than the corpus has distinct keys, so below that it cannot
-    // overflow on ANY schedule; above it the final merge alone must), and
-    // the report holds least(budget, distinct). Hard-coding TRUE/budget
-    // was an sf0.01+ fact — sf0.001's 200 distinct part keys never trip
-    // the 256 budget (3 x 256 = 768), and the engine correctly said so
+    // eviction is a COMPUTED fact, not a constant: the engine's flag is
+    // max(max_error) > 0, i.e. the sketch's sticky loss bound, which
+    // accrues whenever ANY prune — the mid-stream policy-B halving OR the
+    // final policy-A pack — discards an entry with positive count. For an
+    // add-path aggregation (every count >= 1) that is EXACTLY nd > b on
+    // any distribution and any schedule: nd <= b means no partial can
+    // ever exceed 3b (a state never holds more keys than it has seen)
+    // and the final pack keeps everything, so the bound stays 0; nd > b
+    // means the final pack alone must discard nd - b positive entries
+    // even if no partial ever tripped policy B. The r16 spelling
+    // (nd > 3*b) happened to agree at every driver SF because the
+    // fixture's nd sits outside (b, 3b] for all three budgets — on a
+    // distribution inside that window it would claim no eviction while
+    // the pack provably discarded mass (the r16 ADVICE finding). The
+    // report holds least(budget, distinct)
     "topn_budget_sweep" ->
       """WITH d AS (SELECT COUNT(DISTINCT l_partkey) AS nd FROM lineitem)
         |SELECT CAST(b AS BIGINT) AS budget, TRUE AS all_within_bounds,
-        |       nd > 3 * b AS has_eviction,
+        |       nd > b AS has_eviction,
         |       CAST(LEAST(b, nd) AS BIGINT) AS n_report
         |FROM (VALUES (16), (64), (256)) t(b), d ORDER BY budget""".stripMargin,
 
@@ -3877,10 +3892,11 @@ object SparkEntry {
 
     // the bounds CONTRACT is the deterministic fact; the evicted sketch's
     // content is schedule-dependent by design (the recall-floor doctrine).
-    // Eviction/report size computed like topn_budget_sweep's, SF-robust
+    // Eviction/report size computed like topn_budget_sweep's (nd > budget
+    // — the pack-inclusive equivalence argued there), SF-robust
     "topn_approx_bounds" ->
       """WITH d AS (SELECT COUNT(DISTINCT l_partkey) AS nd FROM lineitem)
-        |SELECT TRUE AS all_within_bounds, nd > 48 AS has_eviction,
+        |SELECT TRUE AS all_within_bounds, nd > 16 AS has_eviction,
         |       CAST(LEAST(16, nd) AS BIGINT) AS n_report FROM d""".stripMargin,
 
     "topn_scalar_pipeline" ->

@@ -261,28 +261,8 @@ object Similarity {
       maxBucket: Int = 10000,
       hardMaxBucket: Int = Int.MaxValue,
       knownCount: Long = -1L): DataFrame = {
-    require(bitsPerTable == AutoBits || (bitsPerTable >= 1 && bitsPerTable <= 32),
-      s"bitsPerTable must be AutoBits (0) or in [1, 32], got $bitsPerTable")
-    val bits =
-      if (bitsPerTable != AutoBits) bitsPerTable
-      else {
-        val n = if (knownCount >= 0) knownCount else vectors.count()
-        val b = autoBits(n)
-        // one line per call so result drift from auto-sizing is diagnosable
-        // (the chosen width changes the candidate set, hence the report)
-        log.info(s"lshNearDupPairs: autoBits picked $b bits for n=$n vectors")
-        b
-      }
-    val blocked = vectors.select(
-      packableId(col(idCol), idCol, "lshNearDupPairs").as("vid"),
-      explode(lshBuckets(col(vecCol), dim, bits, tables, seed)).as("bucket"))
-
-    val pairs = PairGen.allPairs(
-      blocked, Seq(col("bucket")), col("vid"), maxBucket,
-      "vid_a", "vid_b", hardMaxBucket)
-      .filter(col("vid_a") < col("vid_b")) // drop self-pairs from duplicate ids
-      .select(packPair(col("vid_a"), col("vid_b")).as("pair"))
-      .distinct() // multi-table collision dedup on 8-byte keys
+    val pairs = lshCandidatePairs(vectors, idCol, vecCol, dim, bitsPerTable,
+      tables, seed, maxBucket, hardMaxBucket, knownCount)
 
     val va = vectors.select(col(idCol).as("ja"), col(vecCol).as("vec_a"))
     val vb = vectors.select(col(idCol).as("jb"), col(vecCol).as("vec_b"))
@@ -300,5 +280,46 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rank"),
         unpackA(col("r.id")).as("doc_a"),
         unpackB(col("r.id")).as("doc_b"))
+  }
+
+  /** Stage 1-3 of [[lshNearDupPairs]] — the DISTINCT candidate-pair table
+    * (one packed 8-byte id per pair) before any vector is joined back.
+    * Shared with the verify stage and exposed so operators (and the
+    * bench's slope decomposition) can measure candidate volume directly:
+    * candidates/input staying ~flat across corpus growth means AutoBits
+    * is holding occupancy, and the scan cost is verify-side. */
+  private[graft] def lshCandidatePairs(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      bitsPerTable: Int = AutoBits,
+      tables: Int = 16,
+      seed: Long = 42L,
+      maxBucket: Int = 10000,
+      hardMaxBucket: Int = Int.MaxValue,
+      knownCount: Long = -1L): DataFrame = {
+    require(bitsPerTable == AutoBits || (bitsPerTable >= 1 && bitsPerTable <= 32),
+      s"bitsPerTable must be AutoBits (0) or in [1, 32], got $bitsPerTable")
+    val bits =
+      if (bitsPerTable != AutoBits) bitsPerTable
+      else {
+        val n = if (knownCount >= 0) knownCount else vectors.count()
+        val b = autoBits(n)
+        // one line per call so result drift from auto-sizing is diagnosable
+        // (the chosen width changes the candidate set, hence the report)
+        log.info(s"lshNearDupPairs: autoBits picked $b bits for n=$n vectors")
+        b
+      }
+    val blocked = vectors.select(
+      packableId(col(idCol), idCol, "lshNearDupPairs").as("vid"),
+      explode(lshBuckets(col(vecCol), dim, bits, tables, seed)).as("bucket"))
+
+    PairGen.allPairs(
+      blocked, Seq(col("bucket")), col("vid"), maxBucket,
+      "vid_a", "vid_b", hardMaxBucket)
+      .filter(col("vid_a") < col("vid_b")) // drop self-pairs from duplicate ids
+      .select(packPair(col("vid_a"), col("vid_b")).as("pair"))
+      .distinct() // multi-table collision dedup on 8-byte keys
   }
 }

@@ -64,4 +64,24 @@ class BenchFixtureSpec extends AnyFunSuite {
     assert(toks(docs) ===
       3 * toks(spark.read.parquet(s"$sf/documents.parquet")))
   }
+
+  test("a corpus with an in-band remap-suffix token is refused, not silently bent") {
+    // the bijectivity claim's checked precondition (r16 verdict item 4 /
+    // ADVICE): a source token ending in _g<i> collides with copy i's remap
+    // image of its prefix — materialization must fail fast on such input
+    val poisoned = Seq(
+      (1L, "perfectly normal words"),
+      (2L, "this token collides_g1 with copy one")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      BenchFixture.assertRemapSafe(poisoned, "text", "spec")
+    }
+    assert(e.getMessage.contains("_g<i>"))
+    // mid-token digits or a non-terminal suffix are NOT collisions
+    BenchFixture.assertRemapSafe(
+      Seq((1L, "fine_g1x also x_g tok_g1suffix g1 _g")).toDF("doc_id", "text"),
+      "text", "spec")
+    // and the driver corpus passes — the fixture fact the assert pins
+    BenchFixture.assertRemapSafe(
+      spark.read.parquet(s"$sf/documents.parquet"), "text", "spec")
+  }
 }

@@ -231,6 +231,31 @@ class BenchSpec extends AnyFunSuite {
       === "BENCH_only.json")
   }
 
+  test("a loaded full run cannot shadow the committed proof: promotion is gated") {
+    // the r16 clobber mechanized: the driver's loaded pass (100.07s) over
+    // the committed quiet-machine artifact (88.26s) must divert to the
+    // staging file; improvements and noise promote; SPARK_GRAFT_PROMOTE
+    // forces (the conscious act for a legitimately costlier suite)
+    assert(Bench.promotionTarget(100.07, Some(88.26), force = false)
+      === "BENCH_full.json")
+    assert(Bench.promotionTarget(91.0, Some(88.26), force = false)
+      === "BENCH_local.json", "within-slack noise promotes")
+    assert(Bench.promotionTarget(70.0, Some(88.26), force = false)
+      === "BENCH_local.json", "improvements promote")
+    assert(Bench.promotionTarget(100.07, Some(88.26), force = true)
+      === "BENCH_local.json", "the explicit flag promotes anything")
+    assert(Bench.promotionTarget(100.07, None, force = false)
+      === "BENCH_local.json", "no committed artifact -> first recording lands")
+    // and the committed total parses from the artifact's own head
+    val dir = java.nio.file.Files.createTempDirectory("graft_ptotal")
+    java.nio.file.Files.writeString(dir.resolve("BENCH_local.json"),
+      """{"metric":"total","value":88.260,"unit":"sec","queries":{"a":1.0}}""")
+    assert(Bench.committedTotal(dir.toString) === Some(88.26))
+    assert(Bench.committedTotal(
+      java.nio.file.Files.createTempDirectory("graft_ptotal_e").toString)
+      === None)
+  }
+
   test("loadAnchors takes the minimum across artifacts and tolerates escaped tails") {
     val dir = java.nio.file.Files.createTempDirectory("graft_anchor")
     // r(N-1): plain JSON-line style; r(N): the driver's escaped-"tail" style

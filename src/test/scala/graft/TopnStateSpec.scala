@@ -101,6 +101,29 @@ class TopnStateSpec extends AnyFunSuite {
     assert(st.lossBound === 9L, "pack-prune loss folds in (4 + 5)")
   }
 
+  test("lossBound fires in the (budget, 3*budget] window: the pack discards without policy B") {
+    // the r16 ADVICE case: distinct count ABOVE the budget but BELOW the
+    // policy-B threshold — mid-stream eviction never fires, yet the final
+    // pack must discard positive mass, so the sticky bound (and with it
+    // the bounds report's has_eviction) reads true. This is why the
+    // driver oracle computes eviction as `distinct > budget`, NOT
+    // `distinct > 3*budget`.
+    val n = 16 // policy-B cap = 48
+    val st = TopnState.empty()
+    (1 to 30).foreach(i => st.add(s"k$i", i.toLong, n)) // 30 in (16, 48]
+    assert(st.size === 30 && st.lossBound === 0L,
+      "no policy-B prune below 3*budget")
+    val packed = st.pack(n)
+    assert(packed.length === n)
+    assert(st.lossBound > 0L,
+      "the pack dropped 14 positive-count entries — the bound must say so")
+    // and the complementary side: distinct <= budget stays provably exact
+    val ex = TopnState.empty()
+    (1 to 16).foreach(i => ex.add(s"k$i", i.toLong, n))
+    ex.pack(n)
+    assert(ex.lossBound === 0L, "nd <= budget never loses mass")
+  }
+
   test("lossBound survives the wire and adds across merges") {
     val n = 2
     val a = TopnState.empty()
