@@ -42,6 +42,24 @@ import org.apache.spark.sql.functions._
  */
 object ActivityStreaming {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Committed-chain length past which the chain readers WARN that read
+    * planning is paying per-batch file overhead — the signal to run the
+    * store's `compactStore`. Advisory only; reads stay correct at any
+    * length ([[ScoreStreaming.CompactionAdviceLength]] originated the
+    * doctrine; shared here so every maintainer's reader advises). */
+  private[streaming] val CompactionAdviceLength = 64
+
+  /** One WARN when a committed chain has outgrown the advice length. */
+  private[streaming] def adviseCompaction(
+      batches: Int, storePath: String, maintainer: String): Unit =
+    if (batches > CompactionAdviceLength) {
+      log.warn(s"$maintainer store at $storePath holds $batches committed " +
+        "batches — read planning pays per-batch file overhead; consider " +
+        s"$maintainer.compactStore to fold the chain")
+    }
+
   /** Start the maintenance stream. `events` is a STREAMING DataFrame;
     * arrival order is unconstrained. `filesPerBatch` caps each batch
     * directory's parquet file count (see [[writeBatchDir]]). Read the
@@ -115,6 +133,7 @@ object ActivityStreaming {
       spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame = {
     val ids = committedIds(spark, storePath)
     if (ids.isEmpty) return spark.emptyDataFrame
+    adviseCompaction(ids.size, storePath, "ActivityStreaming")
     readChain(spark, ids.map(id => s"$storePath/data/b=$id/pairs"))
       .distinct()
   }

@@ -221,6 +221,7 @@ object FunnelStreaming {
       : Option[DataFrame] = {
     val ids = ActivityStreaming.committedIds(spark, storePath)
     if (ids.isEmpty) return None
+    ActivityStreaming.adviseCompaction(ids.size, storePath, "FunnelStreaming")
     val all = ActivityStreaming.readChain(spark,
       ids.map(id => s"$storePath/data/b=$id/state"))
     val dataCols = all.columns.filter(_ != DeltaBatchCol)

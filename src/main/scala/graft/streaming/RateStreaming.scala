@@ -113,6 +113,7 @@ object RateStreaming {
       spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame = {
     val ids = ActivityStreaming.committedIds(spark, storePath)
     if (ids.isEmpty) return spark.emptyDataFrame
+    ActivityStreaming.adviseCompaction(ids.size, storePath, "RateStreaming")
     val all = ActivityStreaming.readChain(spark,
       ids.map(id => s"$storePath/data/b=$id/counts"))
     val keyCols = all.columns.takeWhile(_ != "period_idx")

@@ -45,13 +45,13 @@ import org.apache.spark.sql.functions._
  */
 object ScoreStreaming {
 
-  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
-
   /** Committed-chain length past which [[committedPredictions]] WARNs
     * that read planning is paying per-batch file overhead — the signal
     * to run [[compactStore]]. Advisory only; reads stay correct at any
-    * length. */
-  private[graft] val CompactionAdviceLength = 64
+    * length. Shared doctrine: every maintainer's reader advises via
+    * [[ActivityStreaming.adviseCompaction]]. */
+  private[graft] val CompactionAdviceLength =
+    ActivityStreaming.CompactionAdviceLength
 
   /** Start the serving stream. `docs` is a STREAMING DataFrame of
     * (idCol, textCol) rows; the model is frozen for the stream's life.
@@ -265,11 +265,7 @@ object ScoreStreaming {
       spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame = {
     val ids = ActivityStreaming.committedIds(spark, storePath)
     if (ids.isEmpty) return spark.emptyDataFrame
-    if (ids.size > CompactionAdviceLength) {
-      log.warn(s"score store at $storePath holds ${ids.size} committed " +
-        "batches — read planning pays per-batch file overhead; consider " +
-        "ScoreStreaming.compactStore to fold the chain")
-    }
+    ActivityStreaming.adviseCompaction(ids.size, storePath, "ScoreStreaming")
     ActivityStreaming.readChain(spark,
       ids.map(id => s"$storePath/data/b=$id/preds"))
   }

@@ -325,6 +325,7 @@ object SessionStreaming {
       spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame = {
     val ids = committedIds(spark, storePath)
     if (ids.isEmpty) return spark.emptyDataFrame
+    ActivityStreaming.adviseCompaction(ids.size, storePath, "SessionStreaming")
     val closed = ActivityStreaming.readChain(spark,
       ids.map(id => s"$storePath/data/b=$id/closed"))
     committedOpenState(spark, storePath)
