@@ -264,8 +264,18 @@ object Similarity {
     val pairs = lshCandidatePairs(vectors, idCol, vecCol, dim, bitsPerTable,
       tables, seed, maxBucket, hardMaxBucket, knownCount)
 
+    // The verify joins are CANDIDATES x VECTORS — the candidate table is
+    // ~tables x occupancy/2 (≈1000x) ROWS-larger than the vector table,
+    // and without a hint Spark picks sort-merge once the vector side
+    // outgrows the broadcast threshold, SORTING the huge candidate table
+    // twice (measured: the x32 growth point's GC pressure was exactly
+    // these sorts). Build the hash table on the small vectors side
+    // instead: per-partition build memory is |vectors|/partitions — the
+    // side that scales gently — and the candidate stream is never sorted.
     val va = vectors.select(col(idCol).as("ja"), col(vecCol).as("vec_a"))
+      .hint("shuffle_hash")
     val vb = vectors.select(col(idCol).as("jb"), col(vecCol).as("vec_b"))
+      .hint("shuffle_hash")
 
     pairs
       .join(va, unpackA(col("pair")) === col("ja"))
