@@ -694,6 +694,12 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // broadcast when small, shuffled-hash when a partition's build side
+      // fits an executor, sort-merge only giant x giant — the candidate x
+      // vectors / candidate x shingle-sets verify joins in Similarity /
+      // Dedup / SemDedup depend on this ladder past the broadcast
+      // threshold (Similarity.lshNearDupPairs has the measurement)
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -11,6 +11,10 @@ object Demo {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // the recommended deployment conf (see Similarity.lshNearDupPairs):
+      // broadcast small sides, shuffled-hash medium, sort-merge only
+      // giant x giant
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

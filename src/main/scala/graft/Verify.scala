@@ -32,6 +32,12 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // broadcast when small, shuffled-hash when a partition's build side
+      // fits an executor, sort-merge only giant x giant — the candidate x
+      // vectors / candidate x shingle-sets verify joins in Similarity /
+      // Dedup / SemDedup depend on this ladder past the broadcast
+      // threshold (Similarity.lshNearDupPairs has the measurement)
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -261,21 +261,49 @@ object Similarity {
       maxBucket: Int = 10000,
       hardMaxBucket: Int = Int.MaxValue,
       knownCount: Long = -1L): DataFrame = {
-    val pairs = lshCandidatePairs(vectors, idCol, vecCol, dim, bitsPerTable,
+    // resolve the corpus count ONCE: AutoBits needs it anyway, and it
+    // also decides the verify-join strategy below. Explicit-bits callers
+    // without knownCount keep their no-count-job promise (None).
+    val nOpt: Option[Long] =
+      if (knownCount >= 0) Some(knownCount)
+      else if (bitsPerTable == AutoBits) Some(vectors.count())
+      else None
+    val bits =
+      if (bitsPerTable != AutoBits) bitsPerTable
+      else {
+        val b = autoBits(nOpt.get)
+        log.info(s"lshNearDupPairs: autoBits picked $b bits for n=${nOpt.get} vectors")
+        b
+      }
+    val pairs = lshCandidatePairs(vectors, idCol, vecCol, dim, bits,
       tables, seed, maxBucket, hardMaxBucket, knownCount)
 
     // The verify joins are CANDIDATES x VECTORS — the candidate table is
     // ~tables x occupancy/2 (≈1000x) ROWS-larger than the vector table,
-    // and without a hint Spark picks sort-merge once the vector side
-    // outgrows the broadcast threshold, SORTING the huge candidate table
-    // twice (measured: the x32 growth point's GC pressure was exactly
-    // these sorts). Build the hash table on the small vectors side
-    // instead: per-partition build memory is |vectors|/partitions — the
-    // side that scales gently — and the candidate stream is never sorted.
-    val va = vectors.select(col(idCol).as("ja"), col(vecCol).as("vec_a"))
-      .hint("shuffle_hash")
-    val vb = vectors.select(col(idCol).as("jb"), col(vecCol).as("vec_b"))
-      .hint("shuffle_hash")
+    // but its STATS are structurally underestimated (a generator's
+    // fanout is invisible to the planner), so the stats ladder alone
+    // keeps sort-merge past the broadcast threshold and SORTS the huge
+    // candidate table (measured: the g_lsh_neardup x32 point was 109 s
+    // with two sorts, 53 s as shuffled hash joins). Strategy, using the
+    // count already paid for AutoBits: vectors that fit the broadcast
+    // threshold get NO hint — Spark's size-based BroadcastHashJoin is
+    // strictly best and a hint would bypass it (measured: x1 2.1 s
+    // broadcast vs 2.7 s hinted) — while a vector side provably past the
+    // threshold is hinted shuffle_hash, building the hash table on the
+    // side whose per-partition memory scales gently
+    // (|vectors|/partitions) and never sorting the candidate stream.
+    // Unknown count (explicit bits, no knownCount): no hint; set
+    // `spark.sql.join.preferSortMergeJoin=false` (every main here does —
+    // the recommended deployment conf) so the stats ladder can still
+    // pick shuffled-hash where its estimates allow.
+    val vecBytes = nOpt.map(_ * (8L + 4L * dim))
+    val threshold = org.apache.spark.sql.internal.SQLConf.get
+      .autoBroadcastJoinThreshold
+    val hintBuild = vecBytes.exists(b => threshold < 0 || b > threshold)
+    def side(named: DataFrame): DataFrame =
+      if (hintBuild) named.hint("shuffle_hash") else named
+    val va = side(vectors.select(col(idCol).as("ja"), col(vecCol).as("vec_a")))
+    val vb = side(vectors.select(col(idCol).as("jb"), col(vecCol).as("vec_b")))
 
     pairs
       .join(va, unpackA(col("pair")) === col("ja"))

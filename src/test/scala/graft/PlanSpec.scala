@@ -713,4 +713,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "latest-pick and change-count must stay keyed")
   }
+
+  test("lshNearDupPairs verify joins: broadcast under the threshold, shuffled-hash past it") {
+    // the candidate table's stats are generator-underestimated, so join
+    // strategy is decided from the corpus count the operator already
+    // holds: small vectors broadcast (strictly best), a side provably
+    // past the broadcast threshold is hinted shuffle_hash — NEVER a
+    // sort-merge that sorts the ~1000x-larger candidate stream (the
+    // g_lsh_neardup x32 finding: 109 s with the sorts, 55 s without)
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    def joins(knownCount: Long): String =
+      graft.pipeline.Similarity.lshNearDupPairs(
+        emb, "vec_id", "embedding", topPairs = 10, dim = 64,
+        knownCount = knownCount)
+        .queryExecution.executedPlan.toString
+    val small = joins(knownCount = 1000) // 264 KB of vectors: broadcasts
+    assert(small.contains("BroadcastHashJoin") &&
+      !small.contains("SortMergeJoin"), small.take(400))
+    val big = joins(knownCount = 10000000) // 2.6 GB of vectors: hash-builds
+    assert(big.contains("ShuffledHashJoin") &&
+      !big.contains("SortMergeJoin"), big.take(400))
+  }
 }
