@@ -45,18 +45,26 @@ object Bench {
     * The in-band `_g<i>` caveat is now a CHECKED precondition: a corpus
     * token literally ending in `_g<i>` would collide with copy i's remap
     * of its prefix, so the first scaling of each dir asserts none exists
-    * ([[BenchFixture.assertRemapSafe]]) — memoized per dir, one scan,
-    * landing inside the first timed x1 rep that min-of-2 discards (the
-    * lazy-model-training doctrine). */
+    * ([[BenchFixture.assertRemapSafe]]) — memoized per dir, one scan.
+    * main PRE-RESOLVES the check before the growth clock starts
+    * ([[preflightRemapCheck]], the lidServeModel doctrine: the x1 sample
+    * has copies == 1 and skips the gate, so without the preflight the
+    * scan would land inside the first TIMED copies>1 sample and inflate
+    * that recorded point); direct callers outside the bench pay it once
+    * on their first copies>1 use. */
   private val remapSafeDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[graft] def preflightRemapCheck(spark: SparkSession, dir: String): Unit =
+    if (!remapSafeDirs.contains(dir)) {
+      BenchFixture.assertRemapSafe(
+        spark.read.parquet(s"$dir/documents.parquet"), "text",
+        s"scaledDocs($dir)")
+      remapSafeDirs.add(dir)
+    }
   private[graft] def scaledDocs(spark: SparkSession, dir: String, copies: Int): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
-    if (copies > 1 && !remapSafeDirs.contains(dir)) {
-      BenchFixture.assertRemapSafe(docs, "text", s"scaledDocs($dir)")
-      remapSafeDirs.add(dir)
-    }
+    if (copies > 1) preflightRemapCheck(spark, dir)
     // stride derived from the data, not a fixed constant — a corpus whose
     // ids exceed a hard-coded stride would silently collide across copies
     // and corrupt the growth measurements
@@ -423,15 +431,21 @@ object Bench {
     * of the committed one (improvements and noise promote; a loaded pass
     * diverts to the STAGING file BENCH_full.json, still inspectable);
     * `force` (env SPARK_GRAFT_PROMOTE=1) overrides — the conscious act a
-    * legitimately costlier suite (new rows) records with. Anchors load
-    * only from BENCH_local.json / BENCH_r*.json, never the staging file,
-    * so a diverted run can no longer degrade any later run. */
+    * legitimately costlier suite (new rows) records with. A run with ANY
+    * failed row (`anyFailed`: a -1 recording) never promotes, forced or
+    * not — a crash LOWERS the total, so it would otherwise sail under
+    * the slack bar, ship a broken proof, and divert every later honest
+    * run against its bogus low baseline. Anchors load only from
+    * BENCH_local.json / BENCH_r*.json, never the staging file, so a
+    * diverted run can no longer degrade any later run. */
   private[graft] def promotionTarget(
       newTotal: Double,
       committed: Option[Double],
       force: Boolean,
+      anyFailed: Boolean = false,
       slack: Double = 1.05): String =
-    if (force || committed.forall(newTotal <= slack * _)) "BENCH_local.json"
+    if (!anyFailed && (force || committed.forall(newTotal <= slack * _)))
+      "BENCH_local.json"
     else "BENCH_full.json"
 
   private def time(body: => Unit): Double = {
@@ -747,6 +761,10 @@ object Bench {
     // starts — computeIfAbsent inside the thunk would otherwise pay the
     // one-time training inside the first timed x1 sample
     if (gSuite.exists(_._1 == "g_lid_serve")) lidServeModel(spark, sfDir)
+    // the remap-safety scan likewise resolves BEFORE any growth clock:
+    // the gate only fires at copies > 1, so without this it would land
+    // inside the first timed scaled sample, not a discarded x1 rep
+    if (gSuite.nonEmpty) preflightRemapCheck(spark, sfDir)
     val growth = gSuite.map { case (name, scales, build) =>
       name -> measureGrowth(scales, c => time(build(c).count()))
     }
@@ -781,10 +799,17 @@ object Bench {
     // the DISTINCT candidate-pair count per scale. Candidates/input staying
     // ~flat means AutoBits is holding bucket occupancy and the recorded
     // slope is verify-side work, not a candidate blowup.
-    if (gSuite.exists(_._1 == "g_lsh_neardup")) {
-      val cands = Seq(1, 4, 10, 32).map { c =>
+    gSuite.find(_._1 == "g_lsh_neardup").foreach { case (_, scales, _) =>
+      // scales come from the suite row itself (a hardcoded list would
+      // silently desync when the row's tiers change), and knownCount
+      // skips four per-scale count() jobs over the replicated lineage —
+      // c x base is EXACTLY the count the timed row measures, so the
+      // chosen bit widths (hence the candidate sets) are identical
+      val base = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+      val cands = scales.map { c =>
         val n = graft.pipeline.Similarity.lshCandidatePairs(
-          scaledEmb(spark, sfDir, c), "vec_id", "embedding", dim = 64).count()
+          scaledEmb(spark, sfDir, c), "vec_id", "embedding", dim = 64,
+          knownCount = c * base).count()
         s""""x$c":$n"""
       }
       println(s"""{"diag":"g_lsh_neardup_candidates",${cands.mkString(",")}}""")
@@ -813,10 +838,19 @@ object Bench {
     // And a LOADED full run must not shadow the committed proof either
     // (the r16 lesson) — see promotionTarget.
     val defaultOut0 = defaultOutFile(only, growthOn, skipAudits)
+    // a crashed row records -1, LOWERING the total — such a run must
+    // never promote (it would both ship a broken proof and divert every
+    // later honest run); and the committed total is read from the same
+    // dir the anchor policies load from, not an incidental cwd
+    val anyFailed = resultsFinal.exists(_._2 < 0) ||
+      opsFinal.exists(_._2 < 0) ||
+      growthFinal.exists(_._2.exists(_._2 < 0))
     val defaultOut =
       if (defaultOut0 != "BENCH_local.json") defaultOut0
-      else promotionTarget(total, committedTotal("."),
-        sys.env.getOrElse("SPARK_GRAFT_PROMOTE", "0") == "1")
+      else promotionTarget(total,
+        committedTotal(sys.env.getOrElse("SPARK_GRAFT_ANCHOR_DIR", ".")),
+        force = sys.env.getOrElse("SPARK_GRAFT_PROMOTE", "0") == "1",
+        anyFailed = anyFailed)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)),

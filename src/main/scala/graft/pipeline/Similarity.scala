@@ -296,8 +296,11 @@ object Similarity {
     // `spark.sql.join.preferSortMergeJoin=false` (every main here does —
     // the recommended deployment conf) so the stats ladder can still
     // pick shuffled-hash where its estimates allow.
+    // the threshold is read from the VECTORS' OWN session (SQLConf.get is
+    // the thread-local active session — in a multi-session JVM it can be
+    // another session's conf and flip the decision)
     val vecBytes = nOpt.map(_ * (8L + 4L * dim))
-    val threshold = org.apache.spark.sql.internal.SQLConf.get
+    val threshold = vectors.sparkSession.sessionState.conf
       .autoBroadcastJoinThreshold
     val hintBuild = vecBytes.exists(b => threshold < 0 || b > threshold)
     def side(named: DataFrame): DataFrame =

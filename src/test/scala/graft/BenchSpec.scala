@@ -246,6 +246,13 @@ class BenchSpec extends AnyFunSuite {
       === "BENCH_local.json", "the explicit flag promotes anything")
     assert(Bench.promotionTarget(100.07, None, force = false)
       === "BENCH_local.json", "no committed artifact -> first recording lands")
+    // a crashed row records -1 and LOWERS the total — such a run must
+    // never promote, not even forced: it would ship a broken proof AND
+    // divert every later honest run against its bogus low baseline
+    assert(Bench.promotionTarget(80.0, Some(88.26), force = false,
+      anyFailed = true) === "BENCH_full.json")
+    assert(Bench.promotionTarget(80.0, Some(88.26), force = true,
+      anyFailed = true) === "BENCH_full.json")
     // and the committed total parses from the artifact's own head
     val dir = java.nio.file.Files.createTempDirectory("graft_ptotal")
     java.nio.file.Files.writeString(dir.resolve("BENCH_local.json"),
