@@ -412,15 +412,23 @@ object Bench {
     if (only.isEmpty && growthOn && skipAudits) "BENCH_local.json"
     else "BENCH_only.json"
 
-  /** The committed full-suite total recorded in BENCH_local.json (None
-    * when the file is absent or unparseable). */
-  private[graft] def committedTotal(benchDir: String): Option[Double] =
-    try {
-      val t = java.nio.file.Files.readString(
-        java.nio.file.Paths.get(benchDir, "BENCH_local.json"))
+  /** The committed full-suite total recorded in BENCH_local.json. None
+    * ONLY when no artifact exists (the legitimate first-recording case,
+    * which promotes). An artifact that EXISTS but cannot be read or
+    * parsed returns Some(NaN) — fail CLOSED: promotionTarget's
+    * comparison is false against NaN, so a transient read error or a
+    * corrupt artifact diverts the run to staging instead of silently
+    * opening the gate (the r16 clobber through the back door). */
+  private[graft] def committedTotal(benchDir: String): Option[Double] = {
+    val p = java.nio.file.Paths.get(benchDir, "BENCH_local.json")
+    if (!java.nio.file.Files.exists(p)) return None
+    (try {
       """"metric":"total","value":(-?\d+(?:\.\d+)?)""".r
-        .findFirstMatchIn(t).map(_.group(1).toDouble)
-    } catch { case _: Throwable => None }
+        .findFirstMatchIn(java.nio.file.Files.readString(p))
+        .map(_.group(1).toDouble)
+    } catch { case _: Throwable => None })
+      .orElse(Some(Double.NaN))
+  }
 
   /** Promotion policy for a FULL run's artifact — the r16 clobber
     * mechanized: BENCH_local.json is the committed PROOF the anchor
@@ -763,7 +771,10 @@ object Bench {
     if (gSuite.exists(_._1 == "g_lid_serve")) lidServeModel(spark, sfDir)
     // the remap-safety scan likewise resolves BEFORE any growth clock:
     // the gate only fires at copies > 1, so without this it would land
-    // inside the first timed scaled sample, not a discarded x1 rep
+    // inside the first timed scaled sample, not a discarded x1 rep.
+    // (Deliberately unconditional on which rows were selected: the scan
+    // is UNTIMED wall-clock only — a name-list of doc-scaling rows would
+    // be a desync hazard for a ~1s saving.)
     if (gSuite.nonEmpty) preflightRemapCheck(spark, sfDir)
     val growth = gSuite.map { case (name, scales, build) =>
       name -> measureGrowth(scales, c => time(build(c).count()))
@@ -799,7 +810,7 @@ object Bench {
     // the DISTINCT candidate-pair count per scale. Candidates/input staying
     // ~flat means AutoBits is holding bucket occupancy and the recorded
     // slope is verify-side work, not a candidate blowup.
-    gSuite.find(_._1 == "g_lsh_neardup").foreach { case (_, scales, _) =>
+    gSuite.find(_._1 == "g_lsh_neardup").foreach { case (_, scales, _) => try {
       // scales come from the suite row itself (a hardcoded list would
       // silently desync when the row's tiers change), and knownCount
       // skips four per-scale count() jobs over the replicated lineage —
@@ -813,7 +824,13 @@ object Bench {
         s""""x$c":$n"""
       }
       println(s"""{"diag":"g_lsh_neardup_candidates",${cands.mkString(",")}}""")
-    }
+    } catch { case e: Throwable =>
+      // the diagnostic must never cost the run its artifact: every TIMED
+      // row is crash-isolated (time() -> -1 -> anyFailed diverts), and
+      // this untimed pass — including an x32 count — gets the same
+      // courtesy
+      println(s"""{"diag":"g_lsh_neardup_candidates","error":"${e.getClass.getSimpleName}"}""")
+    } }
 
     def fmt(kvs: Seq[(String, Double)]) =
       kvs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")

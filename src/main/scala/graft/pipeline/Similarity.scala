@@ -298,8 +298,15 @@ object Similarity {
     // pick shuffled-hash where its estimates allow.
     // the threshold is read from the VECTORS' OWN session (SQLConf.get is
     // the thread-local active session — in a multi-session JVM it can be
-    // another session's conf and flip the decision)
-    val vecBytes = nOpt.map(_ * (8L + 4L * dim))
+    // another session's conf and flip the decision), and the per-element
+    // width from the column's actual schema: an array<double> corpus is
+    // 2x the float estimate, exactly the margin that decides the regime
+    // this fix targets
+    val elemBytes = vectors.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(et, _) => math.max(4L, et.defaultSize.toLong)
+      case _ => 4L
+    }
+    val vecBytes = nOpt.map(_ * (8L + elemBytes * dim))
     val threshold = vectors.sparkSession.sessionState.conf
       .autoBroadcastJoinThreshold
     val hintBuild = vecBytes.exists(b => threshold < 0 || b > threshold)

@@ -221,7 +221,9 @@ object FunnelStreaming {
       : Option[DataFrame] = {
     val ids = ActivityStreaming.committedIds(spark, storePath)
     if (ids.isEmpty) return None
-    ActivityStreaming.adviseCompaction(ids.size, storePath, "FunnelStreaming")
+    // no advice here: funnelBatch calls this on EVERY micro-batch (the
+    // delta-merge seed), and a >64-batch store would WARN once per
+    // trigger — the advisory lives in committedCounts, the external read
     val all = ActivityStreaming.readChain(spark,
       ids.map(id => s"$storePath/data/b=$id/state"))
     val dataCols = all.columns.filter(_ != DeltaBatchCol)
@@ -254,6 +256,9 @@ object FunnelStreaming {
         s"funnel store at $root was maintained with '$stored' but this " +
           s"reader asks for '$given' — the stored step times do not mean " +
           "what this report would claim")
+    ActivityStreaming.adviseCompaction(
+      ActivityStreaming.committedIds(spark, storePath).size, storePath,
+      "FunnelStreaming")
     committedState(spark, storePath) match {
       case None        => spark.emptyDataFrame
       case Some(state) => Sessions.countsFromTimes(state, steps)

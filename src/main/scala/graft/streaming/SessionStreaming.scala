@@ -383,19 +383,28 @@ object SessionStreaming {
    * kernel type into a widened history. This helper reads the chain the
    * way the legacy reader did (per-batch reads folded with `unionByName`,
    * whose set-operation coercion absorbs the precision drift), casts
-   * `value_sum` back to the FIRST batch's written type — batch 0 had no
-   * open state to merge, so its schema IS the batch-kernel type; the cast
-   * is ANSI, a genuine overflow fails loudly rather than truncating —
-   * and folds everything into `dstPath` exactly like [[compactStore]]
-   * (stamps copied, watermark tier carried, marker last). The SAME stream
-   * resumes against `dstPath`; a schema-stable source migrates too (the
-   * casts are no-ops), though [[compactStore]] is the cheaper tool there.
+   * `value_sum` back to the batch-kernel type — inferred as the
+   * NARROWEST `value_sum` type across the chain's closed leaves: the
+   * first unmerged batch wrote at kernel precision and merges only ever
+   * WIDENED, so the narrowest on-disk type is the kernel whenever any
+   * unwidened leaf survives; the cast is ANSI, a genuine overflow fails
+   * loudly rather than truncating — and folds everything into `dstPath`
+   * exactly like [[compactStore]] (stamps copied, watermark tier
+   * carried, marker last). The SAME stream resumes against `dstPath`; a
+   * schema-stable source migrates too (the casts are no-ops), though
+   * [[compactStore]] is the cheaper tool there. FINE PRINT: a legacy
+   * store whose every leaf is already widened (e.g. a legacy COMPACTED
+   * fold — one batch, widened) has no on-disk evidence of the kernel;
+   * pass `valueType` explicitly (the type `Sessions.stats` produces for
+   * the stream's value column — `sum(decimal(p,s))` = `decimal(p+10,s)`
+   * capped at 38) or the next appended batch would re-mix precisions.
    */
   def migrateStore(
       spark: org.apache.spark.sql.SparkSession,
       srcPath: String,
       dstPath: String,
-      files: Int = 1): Unit = {
+      files: Int = 1,
+      valueType: Option[org.apache.spark.sql.types.DataType] = None): Unit = {
     val ids = committedIds(spark, srcPath)
     require(ids.nonEmpty, s"migrateStore: no committed batches at $srcPath")
     require(committedIds(spark, dstPath).isEmpty,
@@ -408,10 +417,21 @@ object SessionStreaming {
     def chain(leaf: String): DataFrame = ids
       .map(id => spark.read.parquet(s"$srcPath/data/b=$id/$leaf"))
       .reduce(_.unionByName(_))
-    // batch-kernel value type = the first batch's written type (no merge
-    // had widened it yet); stores without a value column skip the cast
-    val kernel = spark.read.parquet(s"$srcPath/data/b=${ids.min}/closed")
-      .schema.find(_.name == "value_sum").map(_.dataType)
+    // batch-kernel value type: explicit override, else the narrowest
+    // written type across the chain (merges only ever widened, so any
+    // surviving unwidened leaf IS the kernel — see the fine print above);
+    // stores without a value column skip the cast
+    val kernel: Option[org.apache.spark.sql.types.DataType] =
+      valueType.orElse {
+        val seen = ids.flatMap { id =>
+          spark.read.parquet(s"$srcPath/data/b=$id/closed")
+            .schema.find(_.name == "value_sum").map(_.dataType)
+        }
+        seen.sortBy {
+          case d: org.apache.spark.sql.types.DecimalType => d.precision
+          case _ => Int.MaxValue
+        }.headOption
+      }
     def atKernel(df: DataFrame): DataFrame = kernel match {
       case Some(t) => df.withColumn("value_sum", col("value_sum").cast(t))
       case None    => df

@@ -261,6 +261,16 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.committedTotal(
       java.nio.file.Files.createTempDirectory("graft_ptotal_e").toString)
       === None)
+    // an artifact that EXISTS but cannot be parsed fails CLOSED: the gate
+    // must divert rather than treat corruption as "no prior recording"
+    val cdir = java.nio.file.Files.createTempDirectory("graft_ptotal_c")
+    java.nio.file.Files.writeString(cdir.resolve("BENCH_local.json"),
+      "not json at all")
+    val corrupt = Bench.committedTotal(cdir.toString)
+    assert(corrupt.exists(_.isNaN))
+    assert(Bench.promotionTarget(50.0, corrupt, force = false)
+      === "BENCH_full.json",
+      "a corrupt committed artifact must divert, not open the gate")
   }
 
   test("loadAnchors takes the minimum across artifacts and tolerates escaped tails") {
