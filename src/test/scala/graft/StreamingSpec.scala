@@ -1582,6 +1582,52 @@ class StreamingSpec extends AnyFunSuite {
         ev, Seq("user_id"), "ts", 7200L, Some("value"), Seq("event_id"))))
   }
 
+  test("migrateStore: all-leaves-widened legacy store needs the explicit kernel override") {
+    import graft.streaming.SessionStreaming
+    // a legacy store that was COMPACTED before migrating: ONE batch, its
+    // value_sum already merge-widened — no unwidened leaf survives, so
+    // the narrowest-leaf inference has no kernel evidence and the caller
+    // must pass the type Sessions.stats produces (the documented fine
+    // print; the second self-review's finding)
+    val (ev, b0, b1, b2) = sessionEvents
+    val base = java.nio.file.Files.createTempDirectory("graft_sess_mig2").toString
+    val store = base + "/s"
+    for ((b, i) <- Seq(b0.unionByName(b1)).zipWithIndex)
+      SessionStreaming.sessionBatch(b, i.toLong, store, Seq("user_id"), "ts",
+        7200L, Some("value"), Seq("event_id"), "sc")
+    def widen(leaf: String): Unit = {
+      val p = s"$store/data/b=0/$leaf"
+      val df = spark.read.parquet(p).cache(); df.count()
+      df.withColumn("value_sum", $"value_sum".cast("decimal(30,2)"))
+        .coalesce(1).write.parquet(p + ".w")
+      df.unpersist(blocking = true)
+      def rm(q: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(q)) {
+          val s = java.nio.file.Files.list(q)
+          try s.forEach(rm(_)) finally s.close()
+        }
+        java.nio.file.Files.delete(q)
+      }
+      rm(java.nio.file.Paths.get(p))
+      java.nio.file.Files.move(java.nio.file.Paths.get(p + ".w"),
+        java.nio.file.Paths.get(p))
+    }
+    widen("closed"); widen("open")
+    val kernel = graft.operators.Sessions.stats(ev, Seq("user_id"), "ts",
+      7200L, Some("value"), Seq("event_id")).schema("value_sum").dataType
+    val dst = base + "/migrated"
+    SessionStreaming.migrateStore(spark, store, dst, valueType = Some(kernel))
+    assert(SessionStreaming.committedSessions(spark, dst)
+      .schema("value_sum").dataType === kernel,
+      "the override must re-pin the batch-kernel type, not the widened fold's")
+    // and the SAME stream appends at the kernel type without remixing
+    SessionStreaming.sessionBatch(b2, 1L, dst, Seq("user_id"), "ts",
+      7200L, Some("value"), Seq("event_id"), "sc")
+    assert(collectSessions(SessionStreaming.committedSessions(spark, dst))
+      === collectSessions(graft.operators.Sessions.stats(
+        ev, Seq("user_id"), "ts", 7200L, Some("value"), Seq("event_id"))))
+  }
+
   private implicit class JavaSetOps[A](s: java.util.Set[A]) {
     def asScala: scala.collection.mutable.Set[A] =
       scala.jdk.CollectionConverters.SetHasAsScala(s).asScala
