@@ -130,10 +130,21 @@ object ActivityStreaming {
   /** The committed distinct activity pairs `(keyCols..., period_idx)`.
     * Empty-schema DataFrame before the first commit. */
   def committedPairs(
-      spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame = {
+      spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame =
+    committedPairs(spark, storePath, advise = true)
+
+  /** [[committedPairs]] with the compaction advisory switchable off —
+    * [[compactStore]] reads the chain through here, and advising
+    * "consider compactStore" from inside compactStore itself is noise
+    * (the r17 ADVICE item; every maintainer's fold threads the same
+    * flag through its advised reader). */
+  private[streaming] def committedPairs(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      advise: Boolean): DataFrame = {
     val ids = committedIds(spark, storePath)
     if (ids.isEmpty) return spark.emptyDataFrame
-    adviseCompaction(ids.size, storePath, "ActivityStreaming")
+    if (advise) adviseCompaction(ids.size, storePath, "ActivityStreaming")
     readChain(spark, ids.map(id => s"$storePath/data/b=$id/pairs"))
       .distinct()
   }
@@ -188,7 +199,7 @@ object ActivityStreaming {
     // any data lands there (copyStamps enforces write-once); the commit
     // marker still goes last, so a crash mid-fold leaves no committed dst
     copyStamps(fs, root, dfs, droot)
-    writeFoldDir(committedPairs(spark, srcPath), files,
+    writeFoldDir(committedPairs(spark, srcPath, advise = false), files,
       s"$dstPath/data/b=$v/pairs")
     writeCommitMarker(dfs, droot, v)
   }

@@ -220,22 +220,34 @@ object FunnelStreaming {
       spark: org.apache.spark.sql.SparkSession, storePath: String)
       : Option[DataFrame] = {
     val ids = ActivityStreaming.committedIds(spark, storePath)
-    if (ids.isEmpty) return None
-    // no advice here: funnelBatch calls this on EVERY micro-batch (the
-    // delta-merge seed), and a >64-batch store would WARN once per
-    // trigger — the advisory lives in committedCounts, the external read
+    if (ids.isEmpty) None
+    else Some(committedStateFromIds(spark, storePath, ids))
+  }
+
+  /** [[committedState]] over an ALREADY-LISTED commit chain — so a
+    * caller that needed the ids anyway (committedCounts lists them for
+    * the compaction advisory) folds the state without a second
+    * commit-marker directory listing (the r17 ADVICE item).
+    * No advice here either way: funnelBatch seeds its delta merge from
+    * this fold on EVERY micro-batch, and a >64-batch store would WARN
+    * once per trigger — the advisory lives in committedCounts, the
+    * external read. */
+  private def committedStateFromIds(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      ids: Seq[Long]): DataFrame = {
     val all = ActivityStreaming.readChain(spark,
       ids.map(id => s"$storePath/data/b=$id/state"))
     val dataCols = all.columns.filter(_ != DeltaBatchCol)
     val keyCols = dataCols.takeWhile(c => !c.startsWith("__graft_"))
     // one delta row per (key, batch), so max(struct(batch, ...)) IS the
     // latest row — no window, no driver state
-    Some(all
+    all
       .groupBy(keyCols.map(col): _*)
       .agg(max(struct((col(DeltaBatchCol) +:
         dataCols.filterNot(keyCols.contains).map(col)): _*)).as("__graft_f"))
       .select((keyCols.map(col) ++ dataCols.filterNot(keyCols.contains)
-        .map(c => col(s"__graft_f.`$c`").as(c))): _*))
+        .map(c => col(s"__graft_f.`$c`").as(c))): _*)
   }
 
   /** The committed funnel report — `(step_idx, step, n_keys)`,
@@ -256,13 +268,13 @@ object FunnelStreaming {
         s"funnel store at $root was maintained with '$stored' but this " +
           s"reader asks for '$given' — the stored step times do not mean " +
           "what this report would claim")
-    ActivityStreaming.adviseCompaction(
-      ActivityStreaming.committedIds(spark, storePath).size, storePath,
-      "FunnelStreaming")
-    committedState(spark, storePath) match {
-      case None        => spark.emptyDataFrame
-      case Some(state) => Sessions.countsFromTimes(state, steps)
-    }
+    // ONE commit-marker listing serves both the advisory and the state
+    // fold (the per-read double listing was the r17 ADVICE item)
+    val ids = ActivityStreaming.committedIds(spark, storePath)
+    ActivityStreaming.adviseCompaction(ids.size, storePath, "FunnelStreaming")
+    if (ids.isEmpty) spark.emptyDataFrame
+    else Sessions.countsFromTimes(
+      committedStateFromIds(spark, storePath, ids), steps)
   }
 
   /**

@@ -110,10 +110,21 @@ object RateStreaming {
   /** The committed exact per-(key, period) counts — the chain's partial
     * counts summed. Empty-schema DataFrame before the first commit. */
   def committedCounts(
-      spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame = {
+      spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame =
+    committedCounts(spark, storePath, advise = true)
+
+  /** [[committedCounts]] with the compaction advisory switchable off —
+    * [[compactStore]]'s fold reads through here (advising "consider
+    * compactStore" from inside compactStore itself is noise). */
+  private[streaming] def committedCounts(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      advise: Boolean): DataFrame = {
     val ids = ActivityStreaming.committedIds(spark, storePath)
     if (ids.isEmpty) return spark.emptyDataFrame
-    ActivityStreaming.adviseCompaction(ids.size, storePath, "RateStreaming")
+    if (advise) {
+      ActivityStreaming.adviseCompaction(ids.size, storePath, "RateStreaming")
+    }
     val all = ActivityStreaming.readChain(spark,
       ids.map(id => s"$storePath/data/b=$id/counts"))
     val keyCols = all.columns.takeWhile(_ != "period_idx")
@@ -172,7 +183,8 @@ object RateStreaming {
     // stamps FIRST: a destination pinned to another stream fails before
     // any data lands there (copyStamps enforces write-once)
     ActivityStreaming.copyStamps(fs, root, dfs, droot)
-    ActivityStreaming.writeFoldDir(committedCounts(spark, srcPath), files,
+    ActivityStreaming.writeFoldDir(
+      committedCounts(spark, srcPath, advise = false), files,
       s"$dstPath/data/b=$v/counts")
     ActivityStreaming.writeCommitMarker(dfs, droot, v)
   }

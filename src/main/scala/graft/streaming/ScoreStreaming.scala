@@ -23,10 +23,16 @@ import org.apache.spark.sql.functions._
  * ingested (ScoreStreamingSpec pins it with a shuffled split).
  * Re-ingesting a doc_id appends a duplicate row — at-least-once sources
  * must dedup upstream (the store records arrivals, not identities).
- * The tested recipe: [[TopnStreaming.streamingFirstById]] composed in
- * front of the scoring sink collapses both intra-batch duplicates and
- * cross-batch replays, so each document commits exactly once
- * (ScoreStreamingSpec pins it under a replaying source).
+ * The tested recipe: [[maintainPredictionsFirstById]] —
+ * [[TopnStreaming.streamingFirstById]] in front of the scoring sink
+ * collapses both intra-batch duplicates and cross-batch replays, so
+ * each document commits exactly once (ScoreStreamingSpec pins it under
+ * a replaying source). Spelling matters: streamingFirstById is an
+ * Update-mode `flatMapGroupsWithState`, so its output CANNOT be passed
+ * to [[maintainPredictions]] (whose writeStream is append-mode — the
+ * composition throws AnalysisException at query start); the recipe
+ * method wires the required Update-mode foreachBatch around the
+ * scoring step.
  *
  * The frozen-model contract is PINNED: `_graft_params` stores the
  * feature-space shape and an order-independent weight fingerprint, so
@@ -74,6 +80,50 @@ object ScoreStreaming {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         scoreBatch(batch, batchId, model, fp, storePath, idCol, textCol,
+          scope, filesPerBatch)
+        ()
+      }
+    checkpointLocation.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
+
+  /**
+   * [[maintainPredictions]] with the at-least-once front door built in —
+   * the tested spelling of the recipe the store contract documents.
+   * The docs stream passes through [[TopnStreaming.streamingFirstById]]
+   * (first-arrival-wins keyed state: intra-batch duplicates collapse,
+   * cross-batch replays are swallowed before they can append), and the
+   * scoring sink runs inside the Update-mode foreachBatch that
+   * composition REQUIRES — an Update-mode flatMapGroupsWithState cannot
+   * feed an append-mode writeStream, so handing streamingFirstById's
+   * output to [[maintainPredictions]] throws at query start; this
+   * method exists so callers never have to discover that.
+   *
+   * Output columns are the dedup stage's canonical (doc_id, text)
+   * whatever `idCol`/`textCol` name in the source — identical to what
+   * the store records anyway. `stateTtl` bounds the dedup state as in
+   * [[TopnStreaming.streamingFirstById]] (match it to the source's
+   * replay window; expired ids re-admit).
+   */
+  def maintainPredictionsFirstById(
+      docs: DataFrame,
+      model: MultiModel,
+      storePath: String,
+      idCol: String,
+      textCol: String,
+      checkpointLocation: Option[String] = None,
+      filesPerBatch: Int = 1,
+      stateTtl: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val scope = TopnStreaming.scopeOf(checkpointLocation)
+    val fp = modelFingerprint(model)
+    val writer = TopnStreaming
+      .streamingFirstById(docs, idCol, textCol, stateTtl)
+      .toDF()
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        scoreBatch(batch, batchId, model, fp, storePath, "doc_id", "text",
           scope, filesPerBatch)
         ()
       }
@@ -182,7 +232,8 @@ object ScoreStreaming {
               s"different $stamp pin ('$stored' vs '$given') — it " +
               "belongs to another stream; migrate into a fresh path")
       }
-    ActivityStreaming.writeFoldDir(committedPredictions(spark, srcPath),
+    ActivityStreaming.writeFoldDir(
+      committedPredictions(spark, srcPath, advise = false),
       files, s"$dstPath/data/b=$v/preds")
     ActivityStreaming.writeCommitMarker(dfs, droot, v)
   }
@@ -262,10 +313,21 @@ object ScoreStreaming {
     * token counts, row for row. Empty-schema DataFrame before the first
     * commit. */
   def committedPredictions(
-      spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame = {
+      spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame =
+    committedPredictions(spark, storePath, advise = true)
+
+  /** [[committedPredictions]] with the compaction advisory switchable
+    * off — the compaction/migration folds read through here (advising
+    * "consider compactStore" from inside the compaction is noise). */
+  private[streaming] def committedPredictions(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      advise: Boolean): DataFrame = {
     val ids = ActivityStreaming.committedIds(spark, storePath)
     if (ids.isEmpty) return spark.emptyDataFrame
-    ActivityStreaming.adviseCompaction(ids.size, storePath, "ScoreStreaming")
+    if (advise) {
+      ActivityStreaming.adviseCompaction(ids.size, storePath, "ScoreStreaming")
+    }
     ActivityStreaming.readChain(spark,
       ids.map(id => s"$storePath/data/b=$id/preds"))
   }
@@ -321,7 +383,8 @@ object ScoreStreaming {
     // any data lands there (copyStamps enforces write-once); the commit
     // marker still goes last, so a crash mid-fold leaves no committed dst
     ActivityStreaming.copyStamps(fs, root, dfs, droot)
-    ActivityStreaming.writeFoldDir(committedPredictions(spark, srcPath),
+    ActivityStreaming.writeFoldDir(
+      committedPredictions(spark, srcPath, advise = false),
       files, s"$dstPath/data/b=$v/preds")
     ActivityStreaming.writeCommitMarker(dfs, droot, v)
   }

@@ -387,8 +387,10 @@ object SessionStreaming {
    * NARROWEST `value_sum` type across the chain's closed leaves: the
    * first unmerged batch wrote at kernel precision and merges only ever
    * WIDENED, so the narrowest on-disk type is the kernel whenever any
-   * unwidened leaf survives; the cast is ANSI, a genuine overflow fails
-   * loudly rather than truncating — and folds everything into `dstPath`
+   * unwidened leaf survives; the cast carries ANSI eval mode in the
+   * expression itself — a genuine overflow fails loudly rather than
+   * truncating, REGARDLESS of the session's `spark.sql.ansi.enabled`
+   * setting — and folds everything into `dstPath`
    * exactly like [[compactStore]] (stamps copied, watermark tier
    * carried, marker last). The SAME stream resumes against `dstPath`; a
    * schema-stable source migrates too (the casts are no-ops), though
@@ -432,8 +434,19 @@ object SessionStreaming {
           case _ => Int.MaxValue
         }.headOption
       }
+    // the fail-loudly-on-overflow guarantee is enforced IN the plan, not
+    // assumed from session defaults: Column.cast follows
+    // spark.sql.ansi.enabled, so under ansi=false an overflowing legacy
+    // value would be silently NULLed mid-migration (the r17 ADVICE item)
+    // — build the Cast expression with ANSI eval mode explicitly instead
     def atKernel(df: DataFrame): DataFrame = kernel match {
-      case Some(t) => df.withColumn("value_sum", col("value_sum").cast(t))
+      case Some(t) => df.withColumn("value_sum",
+        org.apache.spark.sql.graftshim.GraftShim.column(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.graftshim.GraftShim.expression(
+              col("value_sum")),
+            t, None,
+            org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI)))
       case None    => df
     }
     val closed = atKernel(chain("closed"))

@@ -865,9 +865,26 @@ object TopnStreaming {
    * not identities): composed in front of a maintainer it collapses both
    * intra-batch duplicates and cross-batch replays, so each document
    * commits exactly once. Within one batch the first row in arrival order
-   * wins (replays carry identical payloads, so the choice is immaterial);
-   * `stateTtl` trades state size for replay-window length as in
-   * [[streamingExactDedup]].
+   * wins (replays carry identical payloads, so the choice is immaterial).
+   *
+   * TTL doctrine (same contract as [[streamingExactDedup]]): with the
+   * default `stateTtl = None`, the keyed boolean state holds one flag
+   * per DISTINCT id for the stream's entire life — fine for bounded
+   * corpora and replay windows, a slow leak at firehose scale where ids
+   * never stop arriving. There, pass a `stateTtl` at least as long as
+   * the source's replay window (processing-time timeout): an id idle
+   * longer than the TTL is forgotten, and a re-ingestion AFTER that
+   * re-emits the row — the guarantee weakens from exactly-once to
+   * at-most-once-per-TTL-window, the standard state-size/recall trade,
+   * decided by the caller. A TTL shorter than the replay window is the
+   * one misconfiguration: a replay arriving after state expiry commits
+   * a duplicate downstream (StreamingSpec pins the expiry-then-re-emit
+   * behavior). Operational note: with a processing-time timeout armed,
+   * the engine treats a future deadline as "another batch may be
+   * required", so `StreamingQuery.processAllAvailable` never sees the
+   * no-new-data signal (it blocks indefinitely) and one-shot triggers
+   * like `Trigger.AvailableNow` can park awaiting a wake-up no source
+   * will deliver — drive TTL'd streams with a real periodic trigger.
    */
   def streamingFirstById(
       docs: DataFrame,
@@ -881,20 +898,30 @@ object TopnStreaming {
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
       .as[KeptDocText]
       .groupByKey(_.doc_id)
-      .flatMapGroupsWithState[Boolean, KeptDocText](OutputMode.Update(), timeout) {
-        (_: Long, rows: Iterator[KeptDocText], state: GroupState[Boolean]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            val isNew = !state.exists
-            state.update(true)
-            stateTtl.foreach(state.setTimeoutDuration)
-            if (isNew && rows.hasNext) Iterator.single(rows.next())
-            else Iterator.empty
-          }
-      }
+      .flatMapGroupsWithState[Boolean, KeptDocText](
+        OutputMode.Update(), timeout)(firstByIdTransition(stateTtl))
   }
+
+  /** The state-transition function behind [[streamingFirstById]], named
+    * so the TTL contract is unit-testable against
+    * `org.apache.spark.sql.streaming.TestGroupState` (real-clock drives
+    * of ProcessingTimeTimeout deadlock every one-shot test harness —
+    * see the operational note above): a timed-out group forgets its
+    * flag (the NEXT arrival of that id re-emits); a live group swallows
+    * every arrival after the first and re-arms its TTL. */
+  private[graft] def firstByIdTransition(stateTtl: Option[String])
+      : (Long, Iterator[KeptDocText], GroupState[Boolean]) => Iterator[KeptDocText] =
+    (_: Long, rows: Iterator[KeptDocText], state: GroupState[Boolean]) =>
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val isNew = !state.exists
+        state.update(true)
+        stateTtl.foreach(state.setTimeoutDuration)
+        if (isNew && rows.hasNext) Iterator.single(rows.next())
+        else Iterator.empty
+      }
 
   /**
    * Continuously-updated per-key top-k over an unwindowed stream.

@@ -605,4 +605,72 @@ class EventStreamingSpec extends AnyFunSuite {
         "ts", Week, "sc", filesPerBatch = 0)
     }
   }
+
+  /** Collect every WARN-or-above log message emitted while `body` runs
+    * (a capture appender on the log4j2 root logger). */
+  private def capturedWarns(body: => Unit): Seq[String] = {
+    import org.apache.logging.log4j.LogManager
+    val ctx = LogManager.getContext(false)
+      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    val msgs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val app = new org.apache.logging.log4j.core.appender.AbstractAppender(
+        "graft-warn-capture", null, null, true,
+        org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        msgs.add(e.getMessage.getFormattedMessage)
+    }
+    app.start()
+    val root = ctx.getConfiguration.getRootLogger
+    root.addAppender(app, org.apache.logging.log4j.Level.WARN, null)
+    ctx.updateLoggers()
+    try body finally {
+      root.removeAppender("graft-warn-capture")
+      ctx.updateLoggers()
+      app.stop()
+    }
+    scala.jdk.CollectionConverters.IteratorHasAsScala(msgs.iterator())
+      .asScala.toSeq
+  }
+
+  test("compacting a long chain does not self-advise; the external read still does") {
+    // a >CompactionAdviceLength chain, built cheaply: one real committed
+    // batch, then filesystem clones of its data dir + commit markers (the
+    // marker format is one plain file per batch — public store layout)
+    val store = tmp("graft_act_advise")
+    ActivityStreaming.activityBatch(ev.limit(50), 0L, store,
+      Seq("user_id"), "ts", Week, "sc")
+    val root = java.nio.file.Paths.get(store)
+    def cloneDir(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      java.nio.file.Files.createDirectories(to)
+      java.nio.file.Files.list(from).forEach { p =>
+        java.nio.file.Files.copy(p, to.resolve(p.getFileName.toString))
+      }
+    }
+    for (i <- 1 to 66) {
+      cloneDir(root.resolve("data/b=0/pairs"), root.resolve(s"data/b=$i/pairs"))
+      java.nio.file.Files.write(root.resolve(s"_manifests/m=$i"),
+        s"b=$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    // the fold itself must be advisory-silent (r17 ADVICE: compactStore
+    // read through the advised reader and told the user to run the very
+    // compaction in progress)
+    val dst = tmp("graft_act_advise_dst")
+    val during = capturedWarns {
+      ActivityStreaming.compactStore(spark, store, dst)
+    }
+    assert(!during.exists(_.contains("consider")),
+      s"compactStore must not self-advise; got: ${during.mkString(" | ")}")
+    // positive control, proving the capture works: the ADVISED external
+    // read over the same 67-batch source chain does WARN
+    val external = capturedWarns {
+      ActivityStreaming.committedPairs(spark, store).count()
+    }
+    assert(external.exists(m =>
+        m.contains("consider") && m.contains("ActivityStreaming.compactStore")),
+      s"the external reader should advise; got: ${external.mkString(" | ")}")
+    // and the fold was correct: same pairs, one data dir
+    assert(ActivityStreaming.committedPairs(spark, dst).count() ===
+      ActivityStreaming.committedPairs(spark, store).count())
+    assert(new java.io.File(s"$dst/data").list().length === 1)
+  }
 }

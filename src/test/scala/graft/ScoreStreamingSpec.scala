@@ -302,7 +302,6 @@ class ScoreStreamingSpec extends AnyFunSuite {
   }
 
   test("at-least-once recipe: streamingFirstById in front of the store commits each doc once") {
-    import graft.streaming.TopnStreaming
     val src = java.nio.file.Files
       .createTempDirectory("graft_score_alo_src").toString
     val store = tmp("graft_score_alo")
@@ -310,21 +309,15 @@ class ScoreStreamingSpec extends AnyFunSuite {
     half0.write.mode("overwrite").parquet(s"$src/b0")
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
-    // THE RECIPE the store contract documents: first-arrival-wins keyed
-    // state in front of the scoring sink — intra-batch duplicates collapse
-    // (the scoreBatch guard never fires) and cross-batch replays are
-    // swallowed before they can append
-    val q = TopnStreaming.streamingFirstById(stream, "doc_id", "text")
-      .toDF()
-      .writeStream
-      .outputMode("update")
-      .option("checkpointLocation", tmp("graft_score_alo_ck"))
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-        ScoreStreaming.scoreBatch(b, id, model, fp, store,
-          "doc_id", "text", "alo")
-        ()
-      }
-      .start()
+    // THE RECIPE the store contract documents, via its public spelling
+    // (maintainPredictionsFirstById — the Update-mode foreachBatch wiring
+    // an Update-mode flatMapGroupsWithState requires): first-arrival-wins
+    // keyed state in front of the scoring sink — intra-batch duplicates
+    // collapse (the scoreBatch guard never fires) and cross-batch replays
+    // are swallowed before they can append
+    val q = ScoreStreaming.maintainPredictionsFirstById(
+      stream, model, store, "doc_id", "text",
+      checkpointLocation = Some(tmp("graft_score_alo_ck")))
     try {
       q.processAllAvailable()
       // the at-least-once reality: batch 1 REPLAYS batch 0's docs (and a

@@ -148,6 +148,65 @@ class StreamingSpec extends AnyFunSuite {
       "min id of the first batch wins; later duplicates are swallowed")
   }
 
+  test("streamingFirstById stateTtl: expired ids re-admit (at-most-once per window)") {
+    // the TTL doctrine on the scaladoc, pinned against TestGroupState —
+    // the deterministic harness Spark ships for exactly this, because a
+    // real-clock drive of ProcessingTimeTimeout deadlocks every one-shot
+    // test harness (processAllAvailable never sees no-new-data,
+    // AvailableNow parks awaiting a wake-up no source delivers; the
+    // operational note on the operator). The lifecycle under TTL:
+    //   t=1000  id 1 first seen       -> emits, TTL armed at t+1000
+    //   t=1500  id 1 replayed (live)  -> swallowed, TTL re-armed
+    //   t=2600  deadline passed       -> timed-out invocation removes state
+    //   t=3000  id 1 re-ingested      -> NEW again, re-emits (new payload)
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.streaming.TopnStreaming.KeptDocText
+    val fn = TopnStreaming.firstByIdTransition(Some("1 second"))
+    val conf = GroupStateTimeout.ProcessingTimeTimeout()
+    def state(held: Option[Boolean], nowMs: Long, timedOut: Boolean) =
+      TestGroupState.create[Boolean](
+        // explicit of/empty branch: ofNullable over a boxed-then-orNull
+        // value coerces through scala's Boolean unboxing and loses the
+        // absent case
+        held.map(org.apache.spark.api.java.Optional.of[Boolean])
+          .getOrElse(org.apache.spark.api.java.Optional.empty[Boolean]()),
+        conf, nowMs, org.apache.spark.api.java.Optional.empty[Long](),
+        timedOut)
+
+    // first arrival: emits and arms the TTL one second out
+    val s0 = state(None, 1000L, timedOut = false)
+    assert(fn(1L, Iterator(KeptDocText(1L, "one-a")), s0).toList ===
+      List(KeptDocText(1L, "one-a")))
+    assert(s0.exists && s0.getTimeoutTimestampMs.get() === 2000L)
+
+    // replay INSIDE the window: swallowed, TTL re-armed from now
+    val s1 = state(Some(true), 1500L, timedOut = false)
+    assert(fn(1L, Iterator(KeptDocText(1L, "one-a")), s1).isEmpty)
+    assert(s1.exists && s1.getTimeoutTimestampMs.get() === 2500L)
+
+    // deadline passed: the timed-out invocation forgets the id
+    val s2 = state(Some(true), 2600L, timedOut = true)
+    assert(fn(1L, Iterator.empty, s2).isEmpty)
+    assert(s2.isRemoved, "expired state must be removed, not re-armed")
+
+    // re-ingestion AFTER expiry: new again -> re-emits (the documented
+    // at-most-once-per-window weakening)
+    val s3 = state(None, 3000L, timedOut = false)
+    assert(fn(1L, Iterator(KeptDocText(1L, "one-b")), s3).toList ===
+      List(KeptDocText(1L, "one-b")))
+
+    // and with NO TTL the transition never arms a deadline (life-of-
+    // stream state, the default contract)
+    val fnNoTtl = TopnStreaming.firstByIdTransition(None)
+    val s4 = TestGroupState.create[Boolean](
+      org.apache.spark.api.java.Optional.empty[Boolean](),
+      GroupStateTimeout.NoTimeout(), 1000L,
+      org.apache.spark.api.java.Optional.empty[Long](), false)
+    assert(fnNoTtl(2L, Iterator(KeptDocText(2L, "two")), s4).toList ===
+      List(KeptDocText(2L, "two")))
+    assert(!s4.getTimeoutTimestampMs.isPresent)
+  }
+
   test("crawl-frontier dedup: urlNormalize + streaming exact dedup across batches") {
     // the frontier recipe: canonicalize each discovered URL (a pure
     // projection, so it runs inside the stream), then first-seen-wins
@@ -1626,6 +1685,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(collectSessions(SessionStreaming.committedSessions(spark, dst))
       === collectSessions(graft.operators.Sessions.stats(
         ev, Seq("user_id"), "ts", 7200L, Some("value"), Seq("event_id"))))
+  }
+
+  test("migrateStore: overflow fails loudly even under spark.sql.ansi.enabled=false") {
+    import graft.streaming.SessionStreaming
+    // the fail-loudly guarantee must live in the migration's own cast,
+    // not in the session default (r17 ADVICE): Column.cast under
+    // ansi=false silently NULLs an overflowing legacy value mid-migration
+    val (_, b0, _, _) = sessionEvents
+    val base = java.nio.file.Files.createTempDirectory("graft_sess_mig3").toString
+    val store = base + "/s"
+    SessionStreaming.sessionBatch(b0, 0L, store, Seq("user_id"), "ts",
+      7200L, Some("value"), Seq("event_id"), "sc")
+    // forge a widened leaf whose value cannot fit the target kernel
+    def blow(leaf: String): Unit = {
+      val p = s"$store/data/b=0/$leaf"
+      val df = spark.read.parquet(p).cache(); df.count()
+      df.withColumn("value_sum",
+          lit("123456789012345678901234567890.12").cast("decimal(38,2)"))
+        .coalesce(1).write.parquet(p + ".w")
+      df.unpersist(blocking = true)
+      def rm(q: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(q)) {
+          val s = java.nio.file.Files.list(q)
+          try s.forEach(rm(_)) finally s.close()
+        }
+        java.nio.file.Files.delete(q)
+      }
+      rm(java.nio.file.Paths.get(p))
+      java.nio.file.Files.move(java.nio.file.Paths.get(p + ".w"),
+        java.nio.file.Paths.get(p))
+    }
+    blow("closed"); blow("open")
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val e = intercept[Exception] {
+        SessionStreaming.migrateStore(spark, store, base + "/migrated",
+          valueType = Some(org.apache.spark.sql.types.DecimalType(20, 2)))
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(t =>
+          Option(t.getMessage).exists(m =>
+            m.contains("Decimal") || m.toLowerCase.contains("overflow"))),
+        s"expected a decimal-overflow failure, got: $e")
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
   }
 
   private implicit class JavaSetOps[A](s: java.util.Set[A]) {
