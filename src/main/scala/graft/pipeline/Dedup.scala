@@ -174,6 +174,19 @@ object Dedup {
    * band hash). Probability a pair at jaccard j collides somewhere:
    * 1-(1-j^rows)^bands — with 8 bands x 4 rows, j=0.7 is caught w.p. ~0.97,
    * j=0.3 w.p. ~0.06.
+   *
+   * Verify-join strategy (the [[Similarity.lshNearDupPairs]] ladder,
+   * shared via [[VerifyJoin]]): the candidate table's stats are
+   * generator-underestimated, so the shingle-set fetch joins decide
+   * their build side from the CORPUS COUNT — under the broadcast
+   * threshold the sets side broadcasts (Spark's own choice, unhinted);
+   * provably over it the sets side is hinted `shuffle_hash` so the
+   * candidate stream is never sorted. Cost note: resolving the count
+   * runs one COLUMN-PRUNED count() job over `docs` at plan-build —
+   * trivial next to the operator's own triple tokenization of the same
+   * corpus; callers that already know the corpus size pass it as
+   * `knownCount` and skip the job (the [[Similarity.AutoBits]]
+   * precedent).
    */
   def minhashLshPairs(
       docs: DataFrame,
@@ -185,9 +198,11 @@ object Dedup {
       n: Int = 3,
       seed: Long = 42L,
       maxBucket: Int = 10000,
-      hardMaxBucket: Int = Int.MaxValue): DataFrame = {
+      hardMaxBucket: Int = Int.MaxValue,
+      knownCount: Long = -1L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
+    val nDocs = if (knownCount >= 0) knownCount else docs.count()
 
     val withShingles = docs.select(
       col(idCol).as("doc_id"),
@@ -221,11 +236,15 @@ object Dedup {
       "doc_a", "doc_b", hardMaxBucket)
       .distinct()
 
-    // exact-Jaccard verification of candidates only
+    // exact-Jaccard verification of candidates only; build side decided
+    // from the corpus count (see the contract above)
     val sets = withShingles.select($"doc_id", $"shingles")
+    val setBytes = Some(nDocs * VerifyJoin.ShingleSetRowBytes)
+    def side(named: DataFrame): DataFrame =
+      VerifyJoin.sizeAwareBuild(named, setBytes)
     candidates
-      .join(sets.select($"doc_id".as("doc_a"), $"shingles".as("sh_a")), "doc_a")
-      .join(sets.select($"doc_id".as("doc_b"), $"shingles".as("sh_b")), "doc_b")
+      .join(side(sets.select($"doc_id".as("doc_a"), $"shingles".as("sh_a"))), "doc_a")
+      .join(side(sets.select($"doc_id".as("doc_b"), $"shingles".as("sh_b"))), "doc_b")
       .withColumn("n_shared", size(array_intersect($"sh_a", $"sh_b")))
       .withColumn("jaccard",
         $"n_shared".cast("double") /
@@ -417,6 +436,14 @@ object Dedup {
    * re-hashed (its rows carry bands + shingles from ingest time). The
    * verify join fetches only candidate docs' shingle sets by id. Ids
    * must be globally unique across both frames.
+   *
+   * (No [[VerifyJoin]] ladder here, deliberately: the pathology that
+   * ladder prevents — a corpus-scale candidate stream sorted by a
+   * sort-merge fallback — cannot arise in the incremental shape, where
+   * candidates are NEW-BATCH-sized by construction. The stats ladder
+   * under `preferSortMergeJoin=false` broadcasts the small candidate
+   * side on its own, and a per-micro-batch count() of the store to feed
+   * the ladder would be pure overhead on the hot path.)
    */
   def incrementalMinhashPairs(
       newRows: DataFrame,

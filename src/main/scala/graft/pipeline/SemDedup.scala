@@ -54,6 +54,16 @@ object SemDedup {
    * maintenance ([[Clustering.incrementalUpdate]] /
    * [[graft.streaming.TopnStreaming.maintainClusters]]) when a daily
    * ingest only needs NEW edges, not a full relabel.
+   *
+   * Verify-join strategy (the [[Similarity.lshNearDupPairs]] ladder via
+   * [[VerifyJoin]]): the within-cell candidate table's stats are
+   * generator-underestimated, so the vector fetch joins decide their
+   * build side from the corpus count × the exact per-row vector width
+   * (8 B id + element width × dim, dim from the model's centroids) —
+   * broadcast under the threshold, `shuffle_hash` provably over it,
+   * never a sort of the candidate stream. Resolving the count runs one
+   * column-pruned count() job at plan-build unless the caller passes
+   * `knownCount` (the [[Similarity.AutoBits]] precedent).
    */
   def edges(
       vectors: DataFrame,
@@ -61,7 +71,8 @@ object SemDedup {
       vecCol: String,
       model: IVF.Model,
       tau: Double,
-      tileSize: Int = 10000): DataFrame = {
+      tileSize: Int = 10000,
+      knownCount: Long = -1L): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
     val assigned = vectors.select(
       col(idCol).as("doc_id"),
@@ -72,8 +83,19 @@ object SemDedup {
       assigned.select(col("doc_id"), col("cell")),
       Seq(col("cell")), col("doc_id"), tileSize, "id_a", "id_b")
 
-    val va = assigned.select(col("doc_id").as("id_a"), col("vec").as("vec_a"))
-    val vb = assigned.select(col("doc_id").as("id_b"), col("vec").as("vec_b"))
+    val n = if (knownCount >= 0) knownCount else vectors.count()
+    val elemBytes = vectors.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(et, _) =>
+        math.max(4L, et.defaultSize.toLong)
+      case _ => 4L
+    }
+    val dim = model.centroids.headOption.map(_.length.toLong).getOrElse(64L)
+    val vecBytes = Some(n * (8L + elemBytes * dim))
+    def side(named: DataFrame): DataFrame =
+      VerifyJoin.sizeAwareBuild(named, vecBytes)
+
+    val va = side(assigned.select(col("doc_id").as("id_a"), col("vec").as("vec_a")))
+    val vb = side(assigned.select(col("doc_id").as("id_b"), col("vec").as("vec_b")))
     candidates
       .join(va, Seq("id_a"))
       .join(vb, Seq("id_b"))
@@ -87,14 +109,16 @@ object SemDedup {
       vecCol: String,
       model: IVF.Model,
       tau: Double,
-      tileSize: Int = 10000): DataFrame = {
+      tileSize: Int = 10000,
+      knownCount: Long = -1L): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
     val assigned = vectors.select(
       col(idCol).as("doc_id"),
       element_at(IVF.cells(col(vecCol), model, 1), 1).as("cell"))
 
     val groups = Clustering.connectedComponents(
-      edges(vectors, idCol, vecCol, model, tau, tileSize), "id_a", "id_b")
+      edges(vectors, idCol, vecCol, model, tau, tileSize, knownCount),
+      "id_a", "id_b")
       .withColumnRenamed("cluster_id", "__graft_cc_id")
 
     assigned
@@ -114,8 +138,9 @@ object SemDedup {
       vecCol: String,
       model: IVF.Model,
       tau: Double,
-      tileSize: Int = 10000): DataFrame = {
-    val drop = labels(vectors, idCol, vecCol, model, tau, tileSize)
+      tileSize: Int = 10000,
+      knownCount: Long = -1L): DataFrame = {
+    val drop = labels(vectors, idCol, vecCol, model, tau, tileSize, knownCount)
       .filter(!col("keep"))
       .select(col("doc_id").as("__graft_semdrop_id"))
     vectors.join(drop, vectors(idCol) === col("__graft_semdrop_id"), "left_anti")

@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Size-aware build-side selection for CANDIDATES × PAYLOAD verify joins —
+ * the ladder [[Similarity.lshNearDupPairs]] shipped in round 17 (measured
+ * there at x32: 109 s with the sort-merge fallback, 66.8 s conf-only,
+ * 55.3 s size-aware — the full three-design table is in
+ * docs/BENCH_NOTES.md), factored out so the Dedup/SemDedup verify joins
+ * ride the same decision instead of conf-only.
+ *
+ * The problem shape: the candidate side of a verify join comes out of a
+ * pair GENERATOR, whose fanout is invisible to the planner — its stats
+ * are structurally underestimated — while the payload side (shingle
+ * arrays, vectors) carries heavy build rows. Past the broadcast
+ * threshold the stats ladder can keep sort-merge even under
+ * `spark.sql.join.preferSortMergeJoin=false`, sorting the ~1000×-larger
+ * candidate stream. The fix needs ONE trustworthy number: the payload
+ * side's size, estimated from its row count (already known, or one
+ * column-pruned count() at plan-build — the [[Similarity.AutoBits]]
+ * precedent) times a per-row width.
+ *
+ * Decision (identical to Similarity's shipped design):
+ *  - estimate AT OR UNDER the session's autoBroadcastJoinThreshold, or
+ *    UNKNOWN (`estBytes = None`): NO hint — Spark's size-based
+ *    BroadcastHashJoin is strictly best below the threshold (measured:
+ *    x1 2.1 s broadcast vs 2.7 s hinted) and a hint would bypass it;
+ *    unknown sizes fall to the stats ladder under the recommended
+ *    `preferSortMergeJoin=false` deployment conf.
+ *  - estimate provably OVER the threshold (or broadcast disabled):
+ *    hint `shuffle_hash` on the payload side — the hash table builds on
+ *    the side whose per-partition memory scales gently
+ *    (|payload|/partitions) and the candidate stream is never sorted.
+ *
+ * The threshold is read from the payload frame's OWN session (the
+ * thread-local active session can belong to another session in a
+ * multi-session JVM — the r17 fix).
+ */
+private[graft] object VerifyJoin {
+
+  /** Conservative per-document width of a word-n-gram shingle-set build
+    * row, used when the only known quantity is the document count: a
+    * shingle set is ~(tokens − n + 1) UTF8 strings of ~3 words each —
+    * at the corpus's ~54-token documents that is ~50 × (20 B chars +
+    * 16 B object overhead) ≈ 1.8 KB, rounded down to keep the boundary
+    * conservative toward broadcast (the regime both designs price
+    * within ~25% of each other; the catastrophic choice this ladder
+    * prevents — sorting the candidate stream — only needs the estimate
+    * to be the right order of magnitude). */
+  val ShingleSetRowBytes = 1024L
+
+  /** The payload side of a verify join, hinted `shuffle_hash` iff its
+    * estimated bytes provably exceed the broadcast threshold; unhinted
+    * (Spark broadcasts / stats ladder decides) otherwise. */
+  def sizeAwareBuild(payload: DataFrame, estBytes: Option[Long]): DataFrame = {
+    val threshold =
+      payload.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val over = estBytes.exists(b => threshold < 0 || b > threshold)
+    if (over) payload.hint("shuffle_hash") else payload
+  }
+}

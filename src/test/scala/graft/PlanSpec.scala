@@ -737,4 +737,45 @@ class PlanSpec extends AnyFunSuite {
     assert(big.contains("ShuffledHashJoin") &&
       !big.contains("SortMergeJoin"), big.take(400))
   }
+
+  test("minhashLshPairs verify joins: broadcast under the threshold, shuffled-hash past it") {
+    // the same ladder, extended from Similarity to the Dedup verify
+    // joins (r17 verdict task 1): the shingle-set fetch joins' build
+    // side is decided from the corpus count — the candidate table's
+    // generator-underestimated stats never get to pick a sort-merge
+    // that sorts the candidate stream
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    def joins(knownCount: Long): String =
+      graft.pipeline.Dedup.minhashLshPairs(
+        docs, "doc_id", "text", threshold = 0.5, knownCount = knownCount)
+        .queryExecution.executedPlan.toString
+    val small = joins(knownCount = 1000) // ~1 MB of shingle sets: broadcasts
+    assert(small.contains("BroadcastHashJoin") &&
+      !small.contains("SortMergeJoin"), small.take(400))
+    val big = joins(knownCount = 10000000) // ~10 GB of sets: hash-builds
+    assert(big.contains("ShuffledHashJoin") &&
+      !big.contains("SortMergeJoin"), big.take(400))
+  }
+
+  test("SemDedup.edges verify joins: broadcast under the threshold, shuffled-hash past it") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val model = graft.pipeline.IVF.train(emb, "vec_id", "embedding", k = 4)
+    def joins(knownCount: Long): String =
+      graft.pipeline.SemDedup.edges(
+        emb, "vec_id", "embedding", model, tau = 0.9,
+        knownCount = knownCount)
+        .queryExecution.executedPlan.toString
+    val small = joins(knownCount = 1000) // 264 KB of vectors: broadcasts
+    assert(small.contains("BroadcastHashJoin") &&
+      !small.contains("SortMergeJoin"), small.take(400))
+    val big = joins(knownCount = 10000000) // 2.6 GB of vectors: hash-builds
+    assert(big.contains("ShuffledHashJoin") &&
+      !big.contains("SortMergeJoin"), big.take(400))
+  }
 }
