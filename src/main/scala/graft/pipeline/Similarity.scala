@@ -62,6 +62,21 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"), col("r.id").as("neighbor_id"))
   }
 
+  /** `shortlist` sentinel for [[lshNearDupPairs]] opting IN to the
+    * two-pass signature verify at the default size,
+    * `max(1024 * topPairs, 65536)`. NOT the default — see the verify
+    * contract on the operator: on a low-margin corpus (organic top-k,
+    * no true near-dups) a signature rank cannot separate the boundary
+    * pairs and the report drifts (measured: 45/50 overlap on sf0.1's
+    * 1.28M candidates), so the knob is for the HIGH-MARGIN near-dup
+    * regime where the top pairs sit far above the candidate crowd. */
+  val AutoShortlist = 0
+
+  /** `shortlist` default for [[lshNearDupPairs]]: every candidate pair
+    * fetches full vectors and is reranked exactly — results depend only
+    * on the candidate set (bits/tables), never on a signature rank. */
+  val NoShortlist = -1
+
   /** `bitsPerTable` sentinel for [[lshNearDupPairs]]: size the tables from
     * the corpus count at plan-build time — see [[autoBits]]. A FIXED bit
     * width is a scale bug waiting: candidate pairs per bucket grow with
@@ -240,6 +255,36 @@ object Similarity {
    * keeps strictly-increasing pairs only, matching the exact tier's
    * `id_a < id_b` join.
    *
+   * Verify stage: by DEFAULT every candidate fetches both full vectors
+   * and is scored exactly — the report depends only on the candidate
+   * set (bits/tables), never on a rank approximation.
+   *
+   * `shortlist > 0` (or [[AutoShortlist]]) opts into the TWO-PASS
+   * verify for the extreme-candidate-volume regime: pass 1 joins the
+   * candidate stream against a 128-BIT HYPERPLANE SIGNATURE table
+   * (24 B/row — broadcastable to ~400k vectors, `shuffle_hash`-hinted
+   * past that), ranks pairs by signature Hamming distance (an unbiased
+   * angle estimate: E[ham] = 128·theta/pi), keeps the best `shortlist`
+   * pairs; pass 2 fetches full vectors for the SHORTLIST ONLY
+   * (broadcast pair list, bounded by construction) and reranks with
+   * exact cosine. The candidate stream never meets a vector payload —
+   * the measured x100 spill regime (230.8M candidates through two
+   * shuffled-hash joins carrying 256-B embedding rows, per-candidate
+   * cost drifting 0.65 -> 1.11 us on one 32-core JVM) shrinks to a
+   * map-side signature pass.
+   *
+   * WHY opt-in and not the default: a true top pair is lost iff its
+   * signature Hamming ranks below `shortlist` among all candidates —
+   * which only has margin when the top pairs sit far above the crowd
+   * (the DEDUP regime: planted/replicated near-dups at cosine 0.9+,
+   * E[ham] <= 15 vs a crowd at 30+; PipelineSpec pins two-pass ==
+   * exact there). On a LOW-MARGIN corpus (organic top-k over random-ish
+   * embeddings, boundary pairs within a few degrees of the crowd) no
+   * practical signature width separates them — measured on sf0.1's
+   * 1.28M candidates: 45/50 overlap at the default shortlist. The
+   * default therefore stays exact; callers hunting true near-dups at
+   * 100 TB volumes opt in, like choosing bits/tables.
+   *
    * Cost caveat (the [[AutoBits]] default): sizing the tables needs the
    * corpus count, so a call with the default `bitsPerTable` runs one
    * count() job over `vectors` AT PLAN-BUILD TIME — over an expensive
@@ -260,7 +305,8 @@ object Similarity {
       seed: Long = 42L,
       maxBucket: Int = 10000,
       hardMaxBucket: Int = Int.MaxValue,
-      knownCount: Long = -1L): DataFrame = {
+      knownCount: Long = -1L,
+      shortlist: Int = NoShortlist): DataFrame = {
     // resolve the corpus count ONCE: AutoBits needs it anyway, and it
     // also decides the verify-join strategy below. Explicit-bits callers
     // without knownCount keep their no-count-job promise (None).
@@ -306,19 +352,100 @@ object Similarity {
       case org.apache.spark.sql.types.ArrayType(et, _) => math.max(4L, et.defaultSize.toLong)
       case _ => 4L
     }
-    val vecBytes = nOpt.map(_ * (8L + elemBytes * dim))
     val threshold = vectors.sparkSession.sessionState.conf
       .autoBroadcastJoinThreshold
-    val hintBuild = vecBytes.exists(b => threshold < 0 || b > threshold)
-    def side(named: DataFrame): DataFrame =
-      if (hintBuild) named.hint("shuffle_hash") else named
-    val va = side(vectors.select(col(idCol).as("ja"), col(vecCol).as("vec_a")))
-    val vb = side(vectors.select(col(idCol).as("jb"), col(vecCol).as("vec_b")))
+    def sized(named: DataFrame, rowBytes: Long): DataFrame =
+      if (nOpt.map(_ * rowBytes).exists(b => threshold < 0 || b > threshold))
+        named.hint("shuffle_hash")
+      else named
 
-    pairs
-      .join(va, unpackA(col("pair")) === col("ja"))
-      .join(vb, unpackB(col("pair")) === col("jb"))
-      .select(col("pair"), cosineSim(col("vec_a"), col("vec_b")).as("sim"))
+    require(shortlist == AutoShortlist || shortlist == NoShortlist ||
+      shortlist >= topPairs,
+      s"shortlist must be AutoShortlist (0), NoShortlist (-1), or >= " +
+        s"topPairs=$topPairs, got $shortlist")
+    val shortlistN =
+      if (shortlist == AutoShortlist) math.max(1024 * topPairs, 65536)
+      else shortlist
+
+    val scored =
+      if (shortlistN <= 0) {
+        // single-pass exact verify of every candidate (NoShortlist):
+        // both full vectors fetched per pair, the pre-r18 plan
+        val va = sized(
+          vectors.select(col(idCol).as("ja"), col(vecCol).as("vec_a")),
+          8L + elemBytes * dim)
+        val vb = sized(
+          vectors.select(col(idCol).as("jb"), col(vecCol).as("vec_b")),
+          8L + elemBytes * dim)
+        pairs
+          .join(va, unpackA(col("pair")) === col("ja"))
+          .join(vb, unpackB(col("pair")) === col("jb"))
+          .select(col("pair"), cosineSim(col("vec_a"), col("vec_b")).as("sim"))
+      } else {
+        // PASS 1 — signature rank: one row per id carrying a 128-bit
+        // hyperplane signature (independent seed — signatures correlated
+        // with the bucketing planes would compress Hamming resolution on
+        // exactly the pairs the buckets already agree on), packed into
+        // two longs from four 32-bit tables. The per-id collapse (min
+        // struct) is defensive against duplicate input ids, mirroring
+        // the exact tier's max(sim); it also guarantees unique build
+        // keys for the broadcast.
+        val sigSeed = seed ^ 0x5EEDC0DEL
+        val mask32 = lit(0xFFFFFFFFL)
+        val sigs = vectors
+          .select(
+            packableId(col(idCol), idCol, "lshNearDupPairs").as("sid"),
+            lshBuckets(col(vecCol), dim, 32, 4, sigSeed).as("sb"))
+          .select(col("sid"),
+            shiftleft(element_at(col("sb"), 1).bitwiseAND(mask32), 32)
+              .bitwiseOR(element_at(col("sb"), 2).bitwiseAND(mask32)).as("sig1"),
+            shiftleft(element_at(col("sb"), 3).bitwiseAND(mask32), 32)
+              .bitwiseOR(element_at(col("sb"), 4).bitwiseAND(mask32)).as("sig2"))
+          .groupBy(col("sid"))
+          .agg(min(struct(col("sig1"), col("sig2"))).as("s"))
+          .select(col("sid"), col("s.sig1").as("sig1"), col("s.sig2").as("sig2"))
+        val sa = sized(sigs.select(col("sid").as("ja"),
+          col("sig1").as("a1"), col("sig2").as("a2")), 24L)
+        val sb = sized(sigs.select(col("sid").as("jb"),
+          col("sig1").as("b1"), col("sig2").as("b2")), 24L)
+        // the candidate stream meets only 24-byte signature rows — with
+        // the sig table broadcast (every corpus to ~400k vectors) the
+        // whole pass is map-side on the distinct output, and the global
+        // TopKAgg ships at most `shortlist` rows per partition
+        val short = pairs
+          .join(sa, unpackA(col("pair")) === col("ja"))
+          .join(sb, unpackB(col("pair")) === col("jb"))
+          .select(col("pair"),
+            (bit_count(col("a1").bitwiseXOR(col("b1"))) +
+              bit_count(col("a2").bitwiseXOR(col("b2")))).as("ham"))
+          .agg(topkByScore(col("pair"),
+            (lit(0) - col("ham")).cast("double"), shortlistN).as("top"))
+          .select(explode(col("top")).as("r"))
+          .select(col("r.id").as("pair"))
+        // PASS 2 — exact rerank of the shortlist only. Shape: the pair
+        // list (bounded at `shortlist` rows by construction) broadcasts
+        // against the vector table ONCE PER SIDE — the corpus streams
+        // through un-shuffled, each map-side join emits one
+        // (pair, vector) row per shortlist hit — and the two
+        // shortlist-sized halves meet in a trivial pair-keyed join.
+        // (The tempting pairs->join(va)->join(vb) chain would carry
+        // vec_a through the second join with join-output stats past the
+        // broadcast threshold — a wide-row sort-merge hazard at large
+        // dim; two half-fetches never put a vector on a big join's
+        // build or sort path.)
+        val aHalf = vectors
+          .join(broadcast(short.select(col("pair"),
+            unpackA(col("pair")).as("ja"))), col(idCol) === col("ja"))
+          .select(col("pair"), col(vecCol).as("vec_a"))
+        val bHalf = vectors
+          .join(broadcast(short.select(col("pair"),
+            unpackB(col("pair")).as("jb"))), col(idCol) === col("jb"))
+          .select(col("pair"), col(vecCol).as("vec_b"))
+        aHalf.join(bHalf, Seq("pair"))
+          .select(col("pair"), cosineSim(col("vec_a"), col("vec_b")).as("sim"))
+      }
+
+    scored
       // duplicate input ids multiply pairs through the joins; collapse so
       // each (a, b) holds at most one rank in the top-k
       .groupBy("pair").agg(max(col("sim")).as("sim"))

@@ -626,6 +626,63 @@ class PipelineSpec extends AnyFunSuite {
     assert(hit >= e.size * 8 / 10, s"LSH near-dup recall too low: $hit/${e.size}")
   }
 
+  test("lshNearDupPairs two-pass shortlist: exact on the near-dup regime, bounded drift off it") {
+    // The r18 two-pass verify (128-bit signature rank -> exact rerank of
+    // the shortlist) is an OPT-IN for the high-margin near-dup regime.
+    // Regime 1 — planted near-dups (the regime the knob is for): 2,000
+    // random 64-dim vectors plus 40 planted twins at cosine ~0.999; the
+    // candidate set is ~2M pairs, so the 65,536 shortlist is a genuine
+    // ~30x prune, and the report must be BIT-IDENTICAL to exactly
+    // scoring every candidate (twins sit ~50 Hamming bits above the
+    // crowd — no boundary to misrank).
+    val n = 2000
+    def coord(id: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(63)), j =>
+        ((pmod(xxhash64(id, j), lit(1000)) - 500).cast("double") / 500.0))
+    val base = spark.range(n).select(col("id").as("vec_id"),
+      coord(col("id")).cast("array<float>").as("embedding"))
+    val twins = spark.range(40).select((col("id") + n).as("vec_id"),
+      zip_with(coord(col("id")),
+        transform(sequence(lit(0), lit(63)), j =>
+          (pmod(xxhash64(col("id") + n, j), lit(100)) - 50)
+            .cast("double") / 5000.0),
+        (v, eps) => v + eps).cast("array<float>").as("embedding"))
+    val planted = base.unionByName(twins)
+    val exact = Similarity.lshNearDupPairs(planted, "vec_id", "embedding",
+      40, dim = 64, knownCount = n + 40L)
+      .orderBy("rank").as[(Long, Long, Long)].collect().toSeq
+    val two = Similarity.lshNearDupPairs(planted, "vec_id", "embedding",
+      40, dim = 64, knownCount = n + 40L,
+      shortlist = Similarity.AutoShortlist)
+      .orderBy("rank").as[(Long, Long, Long)].collect().toSeq
+    assert(exact.size === 40 &&
+      exact.forall(r => r._3 === r._2 + n),
+      s"fixture defect: top-40 should be the planted twins, got $exact")
+    assert(two === exact,
+      "near-dup regime: the signature shortlist must not change the report")
+
+    // Regime 2 — organic low-margin top-k (what the scaladoc warns
+    // about): boundary pairs sit within a few degrees of the crowd, so
+    // the shortlist drifts the tail. Record the measured bound instead
+    // of pretending exactness: >= 40/50 overlap on sf0.1's 1.28M
+    // candidates (deterministic: fixed corpus, seeded planes; measured
+    // 45/50 when the knob shipped).
+    val emb01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val n01 = emb01.count()
+    val oneOrg = Similarity.lshNearDupPairs(emb01, "vec_id", "embedding", 50,
+      dim = 64, knownCount = n01)
+      .as[(Long, Long, Long)].collect().map(r => (r._2, r._3)).toSet
+    val twoOrg = Similarity.lshNearDupPairs(emb01, "vec_id", "embedding", 50,
+      dim = 64, knownCount = n01, shortlist = Similarity.AutoShortlist)
+      .as[(Long, Long, Long)].collect().map(r => (r._2, r._3)).toSet
+    val overlap = oneOrg.intersect(twoOrg).size
+    assert(overlap >= 40,
+      s"organic-corpus shortlist overlap collapsed: $overlap/50")
+    intercept[IllegalArgumentException](
+      Similarity.lshNearDupPairs(emb01, "vec_id", "embedding", 50,
+        dim = 64, shortlist = 10)) // positive but < topPairs
+  }
+
   test("autoBits holds expected bucket occupancy as the corpus grows") {
     // occupancy n / 2^bits stays near the target: the classic 4 bits at
     // the 2k-vector sf0.1 corpus, one more bit roughly per doubling —
