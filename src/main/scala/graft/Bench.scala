@@ -152,6 +152,8 @@ object Bench {
     // and c × base is EXACTLY the count the operator would compute
     lazy val nDocsBase = spark.read
       .parquet(s"$dir/documents.parquet").count()
+    lazy val nEmbBase = spark.read
+      .parquet(s"$dir/embeddings.parquet").count()
     Seq(
     ("g_text_repetition", Seq(1, 4, 10), (c: Int) =>
       graft.pipeline.TextAnalysis.repetitionStats(
@@ -342,6 +344,21 @@ object Bench {
         graft.pipeline.Pq.topK(scaledEmb(spark, dir, c),
           base.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10,
           pq, ivf, nprobe = 8, rerank = 50)
+    }),
+    // SemDeDup end to end (cell assignment -> within-cell pair gen ->
+    // vector-fetch verify joins -> cosine gate -> CC labels) under a
+    // FROZEN x1 coarse quantizer (lazy; the one-time training lands in
+    // the min-of-2-discarded first x1 rep, the g_ann_ivfpq doctrine).
+    // This is the measured slope for the r18 VerifyJoin ladder's
+    // SemDedup.edges path; knownCount keeps the ladder decision free
+    // inside the timed thunk. tau at the paper's near-dup bar.
+    ("g_semdedup", Seq(1, 4, 10), {
+      lazy val ivf = graft.pipeline.IVF.train(
+        scaledEmb(spark, dir, 1), "vec_id", "embedding", k = 16)
+      (c: Int) =>
+        graft.pipeline.SemDedup.labels(
+          scaledEmb(spark, dir, c), "vec_id", "embedding", ivf,
+          tau = 0.95, knownCount = c * nEmbBase)
     }),
     // fixed eval set (the x1 %7 slice) against a train corpus growing
     // 1x -> 10x: the slope is the train side's stride-1 window generate +

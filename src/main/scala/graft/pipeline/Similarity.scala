@@ -390,20 +390,7 @@ object Similarity {
         // struct) is defensive against duplicate input ids, mirroring
         // the exact tier's max(sim); it also guarantees unique build
         // keys for the broadcast.
-        val sigSeed = seed ^ 0x5EEDC0DEL
-        val mask32 = lit(0xFFFFFFFFL)
-        val sigs = vectors
-          .select(
-            packableId(col(idCol), idCol, "lshNearDupPairs").as("sid"),
-            lshBuckets(col(vecCol), dim, 32, 4, sigSeed).as("sb"))
-          .select(col("sid"),
-            shiftleft(element_at(col("sb"), 1).bitwiseAND(mask32), 32)
-              .bitwiseOR(element_at(col("sb"), 2).bitwiseAND(mask32)).as("sig1"),
-            shiftleft(element_at(col("sb"), 3).bitwiseAND(mask32), 32)
-              .bitwiseOR(element_at(col("sb"), 4).bitwiseAND(mask32)).as("sig2"))
-          .groupBy(col("sid"))
-          .agg(min(struct(col("sig1"), col("sig2"))).as("s"))
-          .select(col("sid"), col("s.sig1").as("sig1"), col("s.sig2").as("sig2"))
+        val sigs = signatureTable(vectors, idCol, vecCol, dim, seed)
         val sa = sized(sigs.select(col("sid").as("ja"),
           col("sig1").as("a1"), col("sig2").as("a2")), 24L)
         val sb = sized(sigs.select(col("sid").as("jb"),
@@ -455,6 +442,148 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rank"),
         unpackA(col("r.id")).as("doc_a"),
         unpackB(col("r.id")).as("doc_b"))
+  }
+
+  /** The 128-bit hyperplane signature table behind the two-pass verify:
+    * one row per id, two longs from four 32-bit tables at an independent
+    * seed (signatures correlated with the bucketing planes would
+    * compress Hamming resolution on exactly the pairs the buckets
+    * already agree on). The per-id collapse (min struct) is defensive
+    * against duplicate input ids — mirroring the exact tier's max(sim) —
+    * and guarantees unique build keys for the broadcast. */
+  private def signatureTable(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      seed: Long): DataFrame = {
+    val sigSeed = seed ^ 0x5EEDC0DEL
+    val mask32 = lit(0xFFFFFFFFL)
+    vectors
+      .select(
+        packableId(col(idCol), idCol, "lshNearDupPairs").as("sid"),
+        lshBuckets(col(vecCol), dim, 32, 4, sigSeed).as("sb"))
+      .select(col("sid"),
+        shiftleft(element_at(col("sb"), 1).bitwiseAND(mask32), 32)
+          .bitwiseOR(element_at(col("sb"), 2).bitwiseAND(mask32)).as("sig1"),
+        shiftleft(element_at(col("sb"), 3).bitwiseAND(mask32), 32)
+          .bitwiseOR(element_at(col("sb"), 4).bitwiseAND(mask32)).as("sig2"))
+      .groupBy(col("sid"))
+      .agg(min(struct(col("sig1"), col("sig2"))).as("s"))
+      .select(col("sid"), col("s.sig1").as("sig1"), col("s.sig2").as("sig2"))
+  }
+
+  /**
+   * Margin AUDIT for the two-pass shortlist — answers "is this corpus in
+   * the regime where `shortlist` is safe?" with a measurement instead of
+   * a guess (the scaladoc's high-margin/low-margin doctrine, made
+   * checkable). One row:
+   *
+   *  - `n_candidates` — the distinct candidate-pair count;
+   *  - `ham_shortlist` — the `shortlist`-th smallest 128-bit signature
+   *    Hamming among candidates (the CUT LINE pass 1 applies);
+   *  - `sim_top` — the exact cosine of the `topPairs`-th best pair
+   *    found within the shortlist (where the report's boundary lives);
+   *  - `expected_ham_top` — the Hamming a pair AT that cosine draws in
+   *    expectation: 128·arccos(sim_top)/pi;
+   *  - `margin` — `ham_shortlist - expected_ham_top`, in bits;
+   *  - `ham_median` — the candidate crowd's median, for context.
+   *
+   * Why this is the right statistic (and not the naive "k-th smallest
+   * Hamming vs the cut", which reads safe exactly when it is not): a
+   * true top pair is lost iff ITS Hamming draw exceeds the cut, and its
+   * draw is Binomial(128, theta/pi) around `expected_ham_top` with
+   * sigma <= sqrt(128)/2 = 5.66 bits. So `margin >= 18` (~3 sigma)
+   * means a pair at the boundary cosine essentially cannot cross the
+   * cut and the shortlist report will match exact verification; a
+   * margin near or below ~11 means boundary pairs sit inside the crowd
+   * and the tail WILL drift (use [[NoShortlist]]). The estimate is
+   * CONSERVATIVE: if true top pairs are already missing from the
+   * shortlist, the measured `sim_top` is an underestimate, which
+   * inflates `expected_ham_top` and shrinks the reported margin —
+   * an unsafe corpus cannot audit as safe. PipelineSpec pins the
+   * discriminator on both regimes: the planted near-dup fixture audits
+   * wide, the organic sf0.1 corpus (measured 45/50 overlap) audits
+   * thin.
+   *
+   * Cost: two passes over the candidate Hamming stream (cut stats +
+   * shortlist extraction) plus the shortlist-sized exact rerank — run
+   * it once per corpus family before choosing the knob.
+   */
+  def shortlistMargin(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      topPairs: Int,
+      dim: Int,
+      bitsPerTable: Int = AutoBits,
+      tables: Int = 16,
+      seed: Long = 42L,
+      maxBucket: Int = 10000,
+      hardMaxBucket: Int = Int.MaxValue,
+      knownCount: Long = -1L,
+      shortlist: Int = AutoShortlist): DataFrame = {
+    require(topPairs >= 1, s"topPairs must be >= 1, got $topPairs")
+    val shortlistN =
+      if (shortlist == AutoShortlist) math.max(1024 * topPairs, 65536)
+      else shortlist
+    require(shortlistN >= topPairs,
+      s"shortlist must be >= topPairs=$topPairs, got $shortlistN")
+    val pairs = lshCandidatePairs(vectors, idCol, vecCol, dim, bitsPerTable,
+      tables, seed, maxBucket, hardMaxBucket, knownCount)
+    val sigs = signatureTable(vectors, idCol, vecCol, dim, seed)
+    val hams = pairs
+      .join(sigs.select(col("sid").as("ja"),
+        col("sig1").as("a1"), col("sig2").as("a2")),
+        unpackA(col("pair")) === col("ja"))
+      .join(sigs.select(col("sid").as("jb"),
+        col("sig1").as("b1"), col("sig2").as("b2")),
+        unpackB(col("pair")) === col("jb"))
+      .select(col("pair"),
+        (bit_count(col("a1").bitwiseXOR(col("b1"))) +
+          bit_count(col("a2").bitwiseXOR(col("b2")))).as("ham"))
+
+    // cut-line stats over the full candidate Hamming stream
+    val stats = hams.agg(
+      count(lit(1)).as("n_candidates"),
+      topkByScore(col("pair"),
+        (lit(0) - col("ham")).cast("double"), shortlistN).as("__top"),
+      percentile_approx(col("ham"), lit(0.5), lit(10000)).as("__med"))
+      .select(
+        col("n_candidates"),
+        (-col("__top")(size(col("__top")) - 1).getField("score"))
+          .cast("int").as("ham_shortlist"),
+        col("__med").cast("int").as("ham_median"))
+
+    // the report boundary: exact cosine of the topPairs-th best pair in
+    // the shortlist (same deterministic plan as the operator's pass 2)
+    val short = hams
+      .agg(topkByScore(col("pair"),
+        (lit(0) - col("ham")).cast("double"), shortlistN).as("top"))
+      .select(explode(col("top")).as("r"))
+      .select(col("r.id").as("pair"))
+    val aHalf = vectors
+      .join(broadcast(short.select(col("pair"),
+        unpackA(col("pair")).as("ja"))), col(idCol) === col("ja"))
+      .select(col("pair"), col(vecCol).as("vec_a"))
+    val bHalf = vectors
+      .join(broadcast(short.select(col("pair"),
+        unpackB(col("pair")).as("jb"))), col(idCol) === col("jb"))
+      .select(col("pair"), col(vecCol).as("vec_b"))
+    val simTop = aHalf.join(bHalf, Seq("pair"))
+      .select(col("pair"), cosineSim(col("vec_a"), col("vec_b")).as("sim"))
+      .groupBy("pair").agg(max(col("sim")).as("sim"))
+      .agg(topkByScore(col("pair"), col("sim"), topPairs).as("t"))
+      .select(col("t")(least(lit(topPairs), size(col("t"))) - 1)
+        .getField("score").as("sim_top"))
+
+    stats.crossJoin(simTop)
+      .withColumn("expected_ham_top",
+        round(acos(least(lit(1.0), greatest(lit(-1.0), col("sim_top"))))
+          * 128.0 / math.Pi).cast("int"))
+      .withColumn("margin", col("ham_shortlist") - col("expected_ham_top"))
+      .select(col("n_candidates"), col("ham_shortlist"), col("sim_top"),
+        col("expected_ham_top"), col("margin"), col("ham_median"))
   }
 
   /** Stage 1-3 of [[lshNearDupPairs]] — the DISTINCT candidate-pair table

@@ -681,6 +681,23 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Similarity.lshNearDupPairs(emb01, "vec_id", "embedding", 50,
         dim = 64, shortlist = 10)) // positive but < topPairs
+
+    // the margin AUDIT discriminates the two regimes (the shortlist
+    // doctrine as a measurement): planted near-dups sit far above the
+    // crowd (wide margin — shortlist safe), the organic corpus's
+    // boundary pairs sit inside it (thin margin — use NoShortlist)
+    val mPlanted = Similarity.shortlistMargin(planted, "vec_id",
+      "embedding", 40, dim = 64, knownCount = n + 40L).collect().head
+    val mOrganic = Similarity.shortlistMargin(emb01, "vec_id",
+      "embedding", 50, dim = 64, knownCount = n01).collect().head
+    val (plantedMargin, organicMargin) =
+      (mPlanted.getAs[Int]("margin"), mOrganic.getAs[Int]("margin"))
+    assert(plantedMargin >= 18,
+      s"planted fixture must audit as safe (>= 18 bits), got $mPlanted")
+    assert(organicMargin < 18,
+      s"organic corpus must audit as thin-margin (< 18 bits), got $mOrganic")
+    assert(mOrganic.getAs[Long]("n_candidates") > 1000000L,
+      s"fixture defect: expected ~1.28M organic candidates, got $mOrganic")
   }
 
   test("autoBits holds expected bucket occupancy as the corpus grows") {
