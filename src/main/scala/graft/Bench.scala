@@ -736,7 +736,13 @@ object Bench {
    * operator point over in-plan x100 embeddings with its DISTINCT-
    * candidate diagnostic — re-runnable in one command:
    *
-   *   SPARK_GRAFT_X100=1 sbt "runMain graft.Bench"
+   *   SPARK_GRAFT_X100=1 SPARK_DRIVER_MEM=24g sbt "runMain graft.Bench"
+   *
+   * (SPARK_DRIVER_MEM matters: the exact-verify x100 point pushes 231M
+   * candidate pairs through a single 32-thread JVM — the documented
+   * spill regime — and the default 8g heap sits at the OOM boundary;
+   * a crashed row records -1 and the artifact says so rather than
+   * promoting anywhere.)
    *
    * Emits one JSON line `{"metric":"x100",...}` and writes it to
    * BENCH_x100.json — a STAGING artifact only: the anchor loaders read
@@ -752,7 +758,11 @@ object Bench {
     if (!new java.io.File(s"$fixDir/documents.parquet").exists()) {
       BenchFixture.materialize(spark, sfDir, fixDir, 100)
     }
-    val basket = Seq("dedup_jaccard_pairs", "bm25_search")
+    // the three work-comparable basket families: generator+join,
+    // broadcast term scoring, keyed window (the row whose x100 ratio
+    // crossed to 0.22x in r16 — the floor-amortization evidence)
+    val basket = Seq("dedup_jaccard_pairs", "bm25_search",
+      "sessionize_events")
     // JVM/codegen warm-up on the smallest SF, as in the main suite
     basket.foreach { n =>
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
