@@ -186,7 +186,13 @@ object Dedup {
    * trivial next to the operator's own triple tokenization of the same
    * corpus; callers that already know the corpus size pass it as
    * `knownCount` and skip the job (the [[Similarity.AutoBits]]
-   * precedent).
+   * precedent). `setRowBytes` is the assumed per-document shingle-set
+   * build-row width ([[VerifyJoin.ShingleSetRowBytes]] fits the ~50-token
+   * documents of the test corpora); a long-document corpus (1k+ tokens,
+   * ~20 KB of shingles per doc) should pass its own average so the
+   * regime boundary lands where the memory actually is — a wrong width
+   * only ever trades broadcast vs shuffled-hash near the boundary
+   * (both measured within ~25%), never a candidate-stream sort.
    */
   def minhashLshPairs(
       docs: DataFrame,
@@ -199,8 +205,10 @@ object Dedup {
       seed: Long = 42L,
       maxBucket: Int = 10000,
       hardMaxBucket: Int = Int.MaxValue,
-      knownCount: Long = -1L): DataFrame = {
+      knownCount: Long = -1L,
+      setRowBytes: Long = VerifyJoin.ShingleSetRowBytes): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    require(setRowBytes >= 1L, s"setRowBytes must be >= 1, got $setRowBytes")
     val rowsPerBand = numHashes / bands
     val nDocs = if (knownCount >= 0) knownCount else docs.count()
 
@@ -239,7 +247,7 @@ object Dedup {
     // exact-Jaccard verification of candidates only; build side decided
     // from the corpus count (see the contract above)
     val sets = withShingles.select($"doc_id", $"shingles")
-    val setBytes = Some(nDocs * VerifyJoin.ShingleSetRowBytes)
+    val setBytes = Some(nDocs * setRowBytes)
     def side(named: DataFrame): DataFrame =
       VerifyJoin.sizeAwareBuild(named, setBytes)
     candidates

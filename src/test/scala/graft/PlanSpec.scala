@@ -758,6 +758,15 @@ class PlanSpec extends AnyFunSuite {
     val big = joins(knownCount = 10000000) // ~10 GB of sets: hash-builds
     assert(big.contains("ShuffledHashJoin") &&
       !big.contains("SortMergeJoin"), big.take(400))
+    // a long-document corpus corrects the regime via setRowBytes: the
+    // same small count with a 20 KB/doc width is provably past the
+    // threshold and must hash-build
+    val longDocs = graft.pipeline.Dedup.minhashLshPairs(
+      docs, "doc_id", "text", threshold = 0.5, knownCount = 1000,
+      setRowBytes = 20480L)
+      .queryExecution.executedPlan.toString
+    assert(longDocs.contains("ShuffledHashJoin") &&
+      !longDocs.contains("SortMergeJoin"), longDocs.take(400))
   }
 
   test("SemDedup.edges verify joins: broadcast under the threshold, shuffled-hash past it") {
