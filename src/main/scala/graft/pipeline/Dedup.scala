@@ -181,16 +181,23 @@ object Dedup {
    * their build side from the CORPUS COUNT — under the broadcast
    * threshold the sets side broadcasts (Spark's own choice, unhinted);
    * provably over it the sets side is hinted `shuffle_hash` so the
-   * candidate stream is never sorted. Cost note: resolving the count
-   * runs one COLUMN-PRUNED count() job over `docs` at plan-build —
-   * trivial next to the operator's own triple tokenization of the same
-   * corpus; callers that already know the corpus size pass it as
-   * `knownCount` and skip the job (the [[Similarity.AutoBits]]
-   * precedent). `setRowBytes` is the assumed per-document shingle-set
-   * build-row width ([[VerifyJoin.ShingleSetRowBytes]] fits the ~50-token
-   * documents of the test corpora); a long-document corpus (1k+ tokens,
-   * ~20 KB of shingles per doc) should pass its own average so the
-   * regime boundary lands where the memory actually is — a wrong width
+   * candidate stream is never sorted.
+   *
+   * Cost note (plan-build jobs): a caller that passes NEITHER
+   * `knownCount` nor `setRowBytes` pays two bounded jobs at plan-build —
+   * a count() over `docs` (a cheap metadata count for a raw parquet
+   * scan, but a FULL re-execution of the upstream for a derived plan;
+   * such callers should persist first or pass `knownCount` — when the
+   * optimizer already carries a row-count statistic it is used and the
+   * count job is skipped, an estimate being exactly enough for a join
+   * regime) and a [[VerifyJoin.sampledShingleRowBytes]] sample
+   * (LocalLimit over 256 docs) that MEASURES the per-document
+   * shingle-set build-row width, so a long-document corpus (1k+ tokens,
+   * ~20 KB of shingles per doc) flips its verify-join regime with no
+   * caller hint. Passing `knownCount` is a promise of ZERO plan-build
+   * jobs: the width sample is skipped too and
+   * [[VerifyJoin.ShingleSetRowBytes]] stands in — long-document corpora
+   * on that path should pass their own `setRowBytes`. A wrong width
    * only ever trades broadcast vs shuffled-hash near the boundary
    * (both measured within ~25%), never a candidate-stream sort.
    */
@@ -206,11 +213,20 @@ object Dedup {
       maxBucket: Int = 10000,
       hardMaxBucket: Int = Int.MaxValue,
       knownCount: Long = -1L,
-      setRowBytes: Long = VerifyJoin.ShingleSetRowBytes): DataFrame = {
+      setRowBytes: Long = VerifyJoin.AutoRowBytes): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    require(setRowBytes >= 1L, s"setRowBytes must be >= 1, got $setRowBytes")
+    require(setRowBytes == VerifyJoin.AutoRowBytes || setRowBytes >= 1L,
+      s"setRowBytes must be AutoRowBytes (-1) or >= 1, got $setRowBytes")
     val rowsPerBand = numHashes / bands
-    val nDocs = if (knownCount >= 0) knownCount else docs.count()
+    val nDocs =
+      if (knownCount >= 0) knownCount
+      else docs.queryExecution.optimizedPlan.stats.rowCount
+        .map(_.toLong)
+        .getOrElse(docs.count())
+    val rowBytes =
+      if (setRowBytes != VerifyJoin.AutoRowBytes) setRowBytes
+      else if (knownCount >= 0) VerifyJoin.ShingleSetRowBytes
+      else VerifyJoin.sampledShingleRowBytes(docs, textCol, n)
 
     val withShingles = docs.select(
       col(idCol).as("doc_id"),
@@ -247,7 +263,7 @@ object Dedup {
     // exact-Jaccard verification of candidates only; build side decided
     // from the corpus count (see the contract above)
     val sets = withShingles.select($"doc_id", $"shingles")
-    val setBytes = Some(nDocs * setRowBytes)
+    val setBytes = Some(nDocs * rowBytes)
     def side(named: DataFrame): DataFrame =
       VerifyJoin.sizeAwareBuild(named, setBytes)
     candidates

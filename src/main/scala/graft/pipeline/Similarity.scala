@@ -77,6 +77,37 @@ object Similarity {
     * on the candidate set (bits/tables), never on a signature rank. */
   val NoShortlist = -1
 
+  /** `shortlist` sentinel for [[lshNearDupPairs]] delegating the regime
+    * question to a MEASUREMENT: run [[shortlistMargin]] once at
+    * plan-build and choose the two-pass signature verify iff the
+    * measured margin clears [[SafeMarginBits]], exact otherwise — the
+    * r18 doctrine ("high-margin corpora may opt in") wired to its own
+    * audit so the 4× x100 win is mechanically safe, not doctrine-safe.
+    * Cost: the audit is an ACTION at plan-build (two passes over the
+    * candidate Hamming stream + a shortlist-sized exact rerank — see
+    * [[shortlistMargin]]'s cost note); callers on a stable corpus
+    * family should run [[auditShortlist]] once themselves and pass
+    * [[AutoShortlist]] / [[NoShortlist]] explicitly thereafter. */
+  val AuditedShortlist = -2
+
+  /** The audited-mode safety bar, in signature-Hamming bits: a true top
+    * pair's Hamming draw is Binomial(128, theta/pi) around its expected
+    * value with sigma <= sqrt(128)/2 = 5.66 bits, so a cut line >= 18
+    * bits (~3 sigma) above the boundary pair's expectation means the
+    * shortlist report matches exact verification essentially surely
+    * (the [[shortlistMargin]] contract; PipelineSpec pins both regimes:
+    * planted near-dups audit >= 18, the organic sf0.1 corpus audits 7). */
+  val SafeMarginBits = 18
+
+  /** [[AutoShortlist]]'s resolved size, Long-safe: `1024 * topPairs`
+    * would overflow Int for topPairs > 2^21 and silently truncate the
+    * report below `topPairs` (r18 ADVICE) — compute in Long, clamp to
+    * Int.MaxValue. The result is >= topPairs for every positive input:
+    * 1024 * topPairs >= topPairs until the clamp, and the clamp itself
+    * is >= any Int topPairs. */
+  private[graft] def autoShortlistN(topPairs: Int): Int =
+    math.min(Int.MaxValue.toLong, math.max(1024L * topPairs, 65536L)).toInt
+
   /** `bitsPerTable` sentinel for [[lshNearDupPairs]]: size the tables from
     * the corpus count at plan-build time — see [[autoBits]]. A FIXED bit
     * width is a scale bug waiting: candidate pairs per bucket grow with
@@ -283,7 +314,18 @@ object Similarity {
    * practical signature width separates them — measured on sf0.1's
    * 1.28M candidates: 45/50 overlap at the default shortlist. The
    * default therefore stays exact; callers hunting true near-dups at
-   * 100 TB volumes opt in, like choosing bits/tables.
+   * 100 TB volumes opt in, like choosing bits/tables — or pass
+   * [[AuditedShortlist]] to let the measured margin choose
+   * ([[auditShortlist]]; two-pass iff margin >= [[SafeMarginBits]]).
+   *
+   * Two-pass fine print on DUPLICATE ids: pass 1 signs ONE
+   * representative vector per id (min-struct collapse in
+   * [[signatureTable]]) while the exact tier scores every duplicate row
+   * and keeps max(sim) — so the bit-identical-to-exact guarantee
+   * assumes unique ids (or identical payloads per id). Ids duplicated
+   * with DIFFERENT vectors can rank a pair by the wrong copy's
+   * signature in pass 1 and drop a true top pair; dedupe ids first (or
+   * use [[NoShortlist]]) in that case.
    *
    * Cost caveat (the [[AutoBits]] default): sizing the tables needs the
    * corpus count, so a call with the default `bitsPerTable` runs one
@@ -360,12 +402,44 @@ object Similarity {
       else named
 
     require(shortlist == AutoShortlist || shortlist == NoShortlist ||
-      shortlist >= topPairs,
-      s"shortlist must be AutoShortlist (0), NoShortlist (-1), or >= " +
-        s"topPairs=$topPairs, got $shortlist")
+      shortlist == AuditedShortlist || shortlist >= topPairs,
+      s"shortlist must be AutoShortlist (0), NoShortlist (-1), " +
+        s"AuditedShortlist (-2), or >= topPairs=$topPairs, got $shortlist")
+    // AUDITED mode: measure the margin once at plan-build and let the
+    // documented bar choose — two-pass only when a boundary pair provably
+    // cannot cross the cut line (see AuditedShortlist / SafeMarginBits)
+    val resolvedShortlist =
+      if (shortlist != AuditedShortlist) shortlist
+      else {
+        val (_, useTwoPass) = auditShortlist(vectors, idCol, vecCol,
+          topPairs, dim, bitsPerTable, tables, seed, maxBucket,
+          hardMaxBucket, knownCount = nOpt.getOrElse(-1L))
+        if (useTwoPass) AutoShortlist else NoShortlist
+      }
     val shortlistN =
-      if (shortlist == AutoShortlist) math.max(1024 * topPairs, 65536)
-      else shortlist
+      if (resolvedShortlist == AutoShortlist) autoShortlistN(topPairs)
+      else resolvedShortlist
+    require(shortlistN <= 0 || shortlistN >= topPairs,
+      s"resolved shortlist $shortlistN < topPairs=$topPairs")
+
+    // Candidate-volume advisory (plan-build, exact-verify path only): the
+    // expected candidate stream times the verify-row width, against the
+    // measured single-JVM spill boundary — the documented "x100 exact
+    // verify needs SPARK_DRIVER_MEM=24g" doctrine observable AT THE
+    // OPERATOR instead of only in docs. Cluster deployments size executors
+    // instead; the WARN names both knobs.
+    if (shortlistN <= 0) nOpt.foreach { n =>
+      val est = expectedVerifyBytes(n, bits, tables, elemBytes, dim)
+      if (est > SingleJvmSpillAdvisoryBytes)
+        log.warn(f"lshNearDupPairs: expected candidate volume ~${est / (1L << 30)}%.0f GiB " +
+          f"(n=$n, $bits bits x $tables tables, ${elemBytes}B x $dim dims) is past the " +
+          f"measured single-JVM spill regime (~${SingleJvmSpillAdvisoryBytes / (1L << 30)} GiB; " +
+          "the 8g-heap OOM boundary sat at 231M candidates x 536 B). On one JVM set " +
+          "SPARK_DRIVER_MEM >= 24g, or audit the corpus with auditShortlist and opt " +
+          "into shortlist = AutoShortlist (measured 4x cheaper, exact when the margin clears " +
+          s"$SafeMarginBits bits); on a cluster, size executor memory for " +
+          "|vectors|/partitions hash builds.")
+    }
 
     val scored =
       if (shortlistN <= 0) {
@@ -442,6 +516,64 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rank"),
         unpackA(col("r.id")).as("doc_a"),
         unpackB(col("r.id")).as("doc_b"))
+  }
+
+  /** Expected bytes flowing through the exact verify stage: candidate
+    * pairs (`tables * n * occupancy / 2` with occupancy `n / 2^bits` —
+    * the expectation under uniform hashing; real corpora run ~1.1-1.5x
+    * from bucket skew, the right order for an advisory) times the
+    * verify-row width (8 B packed pair + two fetched vectors). At the
+    * measured x100 point (n=200k, 11 bits, 16 tables, 4 B x 64 dims)
+    * this is ~78 GiB vs 231M distinct candidates observed — the regime
+    * where the 8g single-JVM heap hit its OOM boundary. */
+  private[graft] def expectedVerifyBytes(
+      n: Long, bits: Int, tables: Int, elemBytes: Long, dim: Int): Double = {
+    val occupancy = n.toDouble / (1L << bits)
+    val expCandidates = tables.toDouble * n.toDouble * occupancy / 2.0
+    expCandidates * (8.0 + 2.0 * (8.0 + elemBytes.toDouble * dim))
+  }
+
+  /** Advisory boundary for [[expectedVerifyBytes]] on one JVM: the x32
+    * growth point (~34 GiB expected, 64M candidates) ran clean on the
+    * default 8g heap while the x100 point (~78 GiB expected, 231M
+    * candidates) sat at the 8g OOM boundary and needed 24g — the bar
+    * sits between them, at the start of the measured spill regime. */
+  val SingleJvmSpillAdvisoryBytes: Long = 64L << 30
+
+  /**
+   * The audited-shortlist decision as a reusable measurement: runs
+   * [[shortlistMargin]] (an ACTION — see its cost note) and applies the
+   * [[SafeMarginBits]] bar. Returns `(marginBits, useTwoPass)`; a corpus
+   * with no candidates (or a null margin) reports `Int.MinValue` and
+   * chooses exact — the safe default. One INFO line records the choice
+   * so report provenance stays diagnosable. Run once per corpus family,
+   * then pass [[AutoShortlist]]/[[NoShortlist]] explicitly on the hot
+   * path; or pass `shortlist = AuditedShortlist` to fold the audit into
+   * the operator's own plan-build.
+   */
+  def auditShortlist(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      topPairs: Int,
+      dim: Int,
+      bitsPerTable: Int = AutoBits,
+      tables: Int = 16,
+      seed: Long = 42L,
+      maxBucket: Int = 10000,
+      hardMaxBucket: Int = Int.MaxValue,
+      knownCount: Long = -1L): (Int, Boolean) = {
+    val row = shortlistMargin(vectors, idCol, vecCol, topPairs, dim,
+      bitsPerTable, tables, seed, maxBucket, hardMaxBucket, knownCount)
+      .head()
+    val margin =
+      if (row.isNullAt(row.fieldIndex("margin"))) Int.MinValue
+      else row.getAs[Int]("margin")
+    val useTwoPass = margin >= SafeMarginBits
+    log.info(s"auditShortlist: margin=$margin bits vs bar $SafeMarginBits -> " +
+      (if (useTwoPass) "two-pass signature shortlist (safe: a boundary pair cannot cross the cut)"
+       else "exact verify (thin margin: the shortlist tail would drift)"))
+    (margin, useTwoPass)
   }
 
   /** The 128-bit hyperplane signature table behind the two-pass verify:
@@ -525,7 +657,7 @@ object Similarity {
       shortlist: Int = AutoShortlist): DataFrame = {
     require(topPairs >= 1, s"topPairs must be >= 1, got $topPairs")
     val shortlistN =
-      if (shortlist == AutoShortlist) math.max(1024 * topPairs, 65536)
+      if (shortlist == AutoShortlist) autoShortlistN(topPairs)
       else shortlist
     require(shortlistN >= topPairs,
       s"shortlist must be >= topPairs=$topPairs, got $shortlistN")

@@ -39,16 +39,51 @@ import org.apache.spark.sql.DataFrame
  */
 private[graft] object VerifyJoin {
 
-  /** Conservative per-document width of a word-n-gram shingle-set build
-    * row, used when the only known quantity is the document count: a
-    * shingle set is ~(tokens − n + 1) UTF8 strings of ~3 words each —
-    * at the corpus's ~54-token documents that is ~50 × (20 B chars +
-    * 16 B object overhead) ≈ 1.8 KB, rounded down to keep the boundary
-    * conservative toward broadcast (the regime both designs price
-    * within ~25% of each other; the catastrophic choice this ladder
-    * prevents — sorting the candidate stream — only needs the estimate
-    * to be the right order of magnitude). */
+  /** Sentinel for per-row-width parameters ([[Dedup.minhashLshPairs]]'
+    * `setRowBytes`): MEASURE the width from a bounded sample of the
+    * data instead of assuming a constant — the r18 nit closed: a
+    * long-document corpus (1k+ tokens, ~20 KB of shingles per doc)
+    * flips its verify-join regime with no caller hint, because the
+    * estimate comes from its own documents. */
+  val AutoRowBytes = -1L
+
+  /** Fallback per-document width of a word-n-gram shingle-set build
+    * row, used when the caller supplied `knownCount` (a promise of
+    * zero plan-build jobs — so no width sample runs either) but no
+    * width: a shingle set is ~(tokens − n + 1) UTF8 strings of ~3
+    * words each — at the corpus's ~54-token documents that is ~50 ×
+    * (20 B chars + 16 B object overhead) ≈ 1.8 KB, rounded down to
+    * keep the boundary conservative toward broadcast (the regime both
+    * designs price within ~25% of each other; the catastrophic choice
+    * this ladder prevents — sorting the candidate stream — only needs
+    * the estimate to be the right order of magnitude). Long-document
+    * corpora that also pass `knownCount` should pass their own width. */
   val ShingleSetRowBytes = 1024L
+
+  /** Measured [[ShingleSetRowBytes]]: the average estimated in-memory
+    * build-row size of a document's shingle set over (up to)
+    * `sampleDocs` documents — per shingle its UTF-8 bytes + 16 B object
+    * overhead, + 24 B per row (8 B id + array header). One BOUNDED job
+    * at plan-build (a LocalLimit: executes only until `sampleDocs` rows
+    * are collected); an empty corpus falls back to the constant. */
+  private[graft] def sampledShingleRowBytes(
+      docs: DataFrame,
+      textCol: String,
+      n: Int,
+      sampleDocs: Int = 256): Long = {
+    import org.apache.spark.sql.functions._
+    val row = docs
+      .select(TextAnalysis.wordShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .limit(sampleDocs)
+      .select((aggregate(col("sh"), lit(0L),
+        (acc, s) => acc + octet_length(s).cast("long") + lit(16L)) +
+        lit(24L)).as("bytes"))
+      .agg(avg(col("bytes")).as("avg_bytes"))
+      .head()
+    if (row.isNullAt(0)) ShingleSetRowBytes
+    else math.max(1L, math.ceil(row.getDouble(0)).toLong)
+  }
 
   /** The payload side of a verify join, hinted `shuffle_hash` iff its
     * estimated bytes provably exceed the broadcast threshold; unhinted

@@ -589,8 +589,17 @@ object TopnStreaming {
           .unionByName(norm)
     }
     // resident×resident pairs in touched cells were already committed by
-    // earlier batches — keep only pairs involving a NEW vector
-    val tagged = SemDedup.edges(scanSet, "doc_id", "vec", model, tau, tileSize)
+    // earlier batches — keep only pairs involving a NEW vector.
+    // knownCount = 0 is the streaming exemption from the verify-join
+    // ladder's plan-build count (the incrementalMinhashPairs doctrine):
+    // the scan set is batch + touched-cell residents — bounded by
+    // construction, and counting it would re-execute the whole union on
+    // EVERY micro-batch. At 0 estimated bytes the ladder never hints;
+    // Spark's own size estimate of the in-memory batch plan decides
+    // (broadcast when small, shuffled-hash via the recommended
+    // preferSortMergeJoin=false deployment conf otherwise).
+    val tagged = SemDedup.edges(scanSet, "doc_id", "vec", model, tau, tileSize,
+      knownCount = 0L)
     val involvingNew = tagged
       .join(newIds, tagged("id_a") === col("__new_id"), "left_semi")
       .unionByName(tagged.join(newIds, tagged("id_b") === col("__new_id"), "left_semi"))

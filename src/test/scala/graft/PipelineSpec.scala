@@ -698,6 +698,34 @@ class PipelineSpec extends AnyFunSuite {
       s"organic corpus must audit as thin-margin (< 18 bits), got $mOrganic")
     assert(mOrganic.getAs[Long]("n_candidates") > 1000000L,
       s"fixture defect: expected ~1.28M organic candidates, got $mOrganic")
+
+    // AUDITED mode (r18 verdict task 3): the bar is wired, not doctrine —
+    // the audit itself chooses. Planted regime: wide margin -> two-pass;
+    // organic: thin margin -> exact. auditShortlist returns the same
+    // margins the raw audit rows carry.
+    val (auditPlantedMargin, usePlanted) = Similarity.auditShortlist(
+      planted, "vec_id", "embedding", 40, dim = 64, knownCount = n + 40L)
+    assert(usePlanted && auditPlantedMargin === plantedMargin,
+      s"planted regime must audit into the two-pass path ($auditPlantedMargin)")
+    val (auditOrganicMargin, useOrganic) = Similarity.auditShortlist(
+      emb01, "vec_id", "embedding", 50, dim = 64, knownCount = n01)
+    assert(!useOrganic && auditOrganicMargin === organicMargin,
+      s"organic corpus must audit into the exact path ($auditOrganicMargin)")
+    // end to end: AuditedShortlist on the organic corpus must produce the
+    // EXACT report (the audit chose NoShortlist), not the drifted one
+    val auditedOrg = Similarity.lshNearDupPairs(emb01, "vec_id", "embedding",
+      50, dim = 64, knownCount = n01, shortlist = Similarity.AuditedShortlist)
+      .as[(Long, Long, Long)].collect().map(r => (r._2, r._3)).toSet
+    assert(auditedOrg === oneOrg,
+      "audited mode on a thin-margin corpus must ship the exact report")
+
+    // AutoShortlist resolution is Long-safe (r18 ADVICE): 1024 * topPairs
+    // overflowed Int past 2^21 topPairs and silently truncated the report
+    assert(Similarity.autoShortlistN(10) === 65536)
+    assert(Similarity.autoShortlistN(1000000) === 1024000000)
+    assert(Similarity.autoShortlistN(3000000) === Int.MaxValue,
+      "past the Int boundary the clamp must keep shortlist >= topPairs")
+    assert(Similarity.autoShortlistN(Int.MaxValue) === Int.MaxValue)
   }
 
   test("autoBits holds expected bucket occupancy as the corpus grows") {

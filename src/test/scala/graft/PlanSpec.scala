@@ -769,6 +769,101 @@ class PlanSpec extends AnyFunSuite {
       !longDocs.contains("SortMergeJoin"), longDocs.take(400))
   }
 
+  test("minhashLshPairs with NO caller hints: the measured width flips a long-doc corpus") {
+    // the r18 nit closed (r18 verdict task 5): when the caller supplies
+    // neither knownCount nor setRowBytes, the per-document shingle-set
+    // width is SAMPLED from the corpus itself — a long-document corpus
+    // (~600 tokens -> ~25 KB of shingles per doc) lands provably past
+    // the broadcast threshold at a count where the old 1 KB constant
+    // said broadcast, and must hash-build with no hint from the caller
+    import org.apache.spark.sql.functions._
+    val longDocs = spark.range(2000).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(1), lit(600)),
+        i => concat(lit("tok"), pmod(xxhash64(col("id"), i), lit(50000)))))
+        .as("text"))
+    val widthLong = graft.pipeline.VerifyJoin.sampledShingleRowBytes(
+      longDocs, "text", 3)
+    val shortDocs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val widthShort = graft.pipeline.VerifyJoin.sampledShingleRowBytes(
+      shortDocs, "text", 3)
+    assert(widthLong > 10L * widthShort && widthLong > 20000L,
+      s"long docs must sample an order wider: $widthLong vs $widthShort")
+    // 2000 long docs x ~25 KB = ~50 MB of build rows: hash-build, unhinted
+    val flipped = graft.pipeline.Dedup.minhashLshPairs(
+      longDocs, "doc_id", "text", threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(flipped.contains("ShuffledHashJoin") &&
+      !flipped.contains("SortMergeJoin"), flipped.take(400))
+    // the short-doc control at the same hint-lessness stays broadcast
+    // (600 docs x ~1.9 KB sampled = ~1 MB)
+    val control = graft.pipeline.Dedup.minhashLshPairs(
+      shortDocs, "doc_id", "text", threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(control.contains("BroadcastHashJoin") &&
+      !control.contains("SortMergeJoin"), control.take(400))
+  }
+
+  /** Collect every WARN-or-above log message emitted while `body` runs
+    * (a capture appender on the log4j2 root logger — the
+    * EventStreamingSpec pattern). */
+  private def capturedWarns(body: => Unit): Seq[String] = {
+    import org.apache.logging.log4j.LogManager
+    val ctx = LogManager.getContext(false)
+      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    val msgs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val app = new org.apache.logging.log4j.core.appender.AbstractAppender(
+        "graft-plan-warn-capture", null, null, true,
+        org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        msgs.add(e.getMessage.getFormattedMessage)
+    }
+    app.start()
+    val root = ctx.getConfiguration.getRootLogger
+    root.addAppender(app, org.apache.logging.log4j.Level.WARN, null)
+    ctx.updateLoggers()
+    try body finally {
+      root.removeAppender("graft-plan-warn-capture")
+      ctx.updateLoggers()
+      app.stop()
+    }
+    scala.jdk.CollectionConverters.IteratorHasAsScala(msgs.iterator())
+      .asScala.toSeq
+  }
+
+  test("candidate-volume advisory: WARN at x100-shaped inputs, silence at sf0.1 shape") {
+    // r18 verdict task 6: the documented single-JVM spill boundary
+    // (exact verify at x100 needed SPARK_DRIVER_MEM=24g) becomes
+    // observable AT THE OPERATOR — one plan-build WARN naming the
+    // shortlist knob — instead of only in docs. The estimator itself:
+    // x100 shape (200k vectors, 11 auto bits) sits past the bar, the
+    // x32 shape (64k, 9 bits — ran clean on the 8g default) under it.
+    val bar = graft.pipeline.Similarity.SingleJvmSpillAdvisoryBytes.toDouble
+    assert(graft.pipeline.Similarity.expectedVerifyBytes(
+      200000L, 11, 16, 4L, 64) > bar)
+    assert(graft.pipeline.Similarity.expectedVerifyBytes(
+      64000L, 9, 16, 4L, 64) < bar)
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    def planWarns(knownCount: Long, shortlist: Int): Seq[String] =
+      capturedWarns {
+        graft.pipeline.Similarity.lshNearDupPairs(
+          emb, "vec_id", "embedding", topPairs = 50, dim = 64,
+          knownCount = knownCount, shortlist = shortlist)
+          .queryExecution.executedPlan
+      }.filter(_.contains("single-JVM spill regime"))
+    assert(planWarns(200000L, graft.pipeline.Similarity.NoShortlist).nonEmpty,
+      "the x100 shape must advise at plan-build")
+    assert(planWarns(2000L, graft.pipeline.Similarity.NoShortlist).isEmpty,
+      "the sf0.1 shape must stay silent")
+    assert(planWarns(200000L, graft.pipeline.Similarity.AutoShortlist).isEmpty,
+      "taking the advised escape hatch silences the advisory")
+  }
+
   test("SemDedup.edges verify joins: broadcast under the threshold, shuffled-hash past it") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
