@@ -164,6 +164,72 @@ object Dedup {
     GraftShim.column(graft.expressions.MinHashSignature(
       GraftShim.expression(shingles), numHashes, seed))
 
+  /** Stages 1-2 of [[minhashLshPairs]] from a prepared (doc_id, shingles)
+    * frame: band the MinHash signature, shuffle once by (band, bandHash),
+    * stream candidate ID pairs out of each bucket, dedupe multi-band
+    * collisions. Shared with [[minhashLshCandidates]] so the diagnostic
+    * cannot drift from the operator. */
+  private def lshCandidatesFrom(
+      withShingles: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      seed: Long,
+      maxBucket: Int,
+      hardMaxBucket: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sig = withShingles.select(
+      $"doc_id", $"shingles",
+      minhashSignature($"shingles", numHashes, seed).as("sig"))
+
+    // one scan -> one shuffle by (band, bandHash); pairs generated inside
+    // each bucket from the collected sorted id list (no self-join). The
+    // signature is bound once per row before the 8-way band fan-out.
+    val banded = sig.select(
+      $"doc_id",
+      explode(TextAnalysis.bindOnce($"sig") { s =>
+        array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice(s, b * rowsPerBand + 1, rowsPerBand)).as("bh"))
+        }: _*)
+      }).as("bk"))
+      .select($"doc_id", $"bk.band", $"bk.bh")
+
+    // Hot-bucket handling: a band bucket of b docs carries b^2/2 candidate
+    // pairs — a duplication flood, the case dedup exists for. Buckets past
+    // `maxBucket` are TILED (recall-preserving, work spread across tasks;
+    // see [[PairGen.allPairs]]), never dropped; `hardMaxBucket` is the
+    // explicit opt-in bound for callers that prefer bounded work.
+    PairGen.allPairs(
+      banded, Seq($"band", $"bh"), $"doc_id", maxBucket,
+      "doc_a", "doc_b", hardMaxBucket)
+      .distinct()
+  }
+
+  /** The DISTINCT candidate-pair table of [[minhashLshPairs]] before any
+    * shingle set is joined back — [[Similarity.lshCandidatePairs]]'s
+    * sibling, exposed so the bench's x100 tier can record candidate
+    * volume for the dedup family directly (candidates/input staying
+    * ~flat across corpus growth means the band scheme is holding, and
+    * the timed slope is verify-side work). */
+  private[graft] def minhashLshCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      n: Int = 3,
+      seed: Long = 42L,
+      maxBucket: Int = 10000,
+      hardMaxBucket: Int = Int.MaxValue): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val withShingles = docs.select(
+      col(idCol).as("doc_id"),
+      TextAnalysis.wordShingles(col(textCol), n).as("shingles"))
+      .filter(size($"shingles") > 0)
+    lshCandidatesFrom(withShingles, numHashes, bands, seed, maxBucket,
+      hardMaxBucket)
+  }
+
   /**
    * MinHash + LSH near-duplicate pairs: signatures banded into
    * `bands` groups of `rowsPerBand`; docs colliding in any band become
@@ -217,7 +283,6 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     require(setRowBytes == VerifyJoin.AutoRowBytes || setRowBytes >= 1L,
       s"setRowBytes must be AutoRowBytes (-1) or >= 1, got $setRowBytes")
-    val rowsPerBand = numHashes / bands
     val nDocs =
       if (knownCount >= 0) knownCount
       else docs.queryExecution.optimizedPlan.stats.rowCount
@@ -233,32 +298,8 @@ object Dedup {
       TextAnalysis.wordShingles(col(textCol), n).as("shingles"))
       .filter(size($"shingles") > 0)
 
-    val sig = withShingles.select(
-      $"doc_id", $"shingles",
-      minhashSignature($"shingles", numHashes, seed).as("sig"))
-
-    // one scan -> one shuffle by (band, bandHash); pairs generated inside
-    // each bucket from the collected sorted id list (no self-join). The
-    // signature is bound once per row before the 8-way band fan-out.
-    val banded = sig.select(
-      $"doc_id",
-      explode(TextAnalysis.bindOnce($"sig") { s =>
-        array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64(slice(s, b * rowsPerBand + 1, rowsPerBand)).as("bh"))
-        }: _*)
-      }).as("bk"))
-      .select($"doc_id", $"bk.band", $"bk.bh")
-
-    // Hot-bucket handling: a band bucket of b docs carries b^2/2 candidate
-    // pairs — a duplication flood, the case dedup exists for. Buckets past
-    // `maxBucket` are TILED (recall-preserving, work spread across tasks;
-    // see [[PairGen.allPairs]]), never dropped; `hardMaxBucket` is the
-    // explicit opt-in bound for callers that prefer bounded work.
-    val candidates = PairGen.allPairs(
-      banded, Seq($"band", $"bh"), $"doc_id", maxBucket,
-      "doc_a", "doc_b", hardMaxBucket)
-      .distinct()
+    val candidates = lshCandidatesFrom(withShingles, numHashes, bands,
+      seed, maxBucket, hardMaxBucket)
 
     // exact-Jaccard verification of candidates only; build side decided
     // from the corpus count (see the contract above)

@@ -273,6 +273,64 @@ class BenchSpec extends AnyFunSuite {
       "a corrupt committed artifact must divert, not open the gate")
   }
 
+  test("host factor: ratio of measured to quietest committed sentinel, clamped [1.0, 1.5]") {
+    // the r18 lesson mechanized: bars were absolute seconds on a host
+    // drifting +-25%, so four honest full passes diverted. The factor
+    // only ever LOOSENS bars (floor clamp 1.0 keeps committed floors on
+    // a fast host) and refuses to stretch past 1.5 (a window that
+    // hostile should divert, not bend the bars around itself)
+    assert(math.abs(Bench.hostFactor(1.32, Some(1.1)) - 1.2) < 1e-9)
+    assert(Bench.hostFactor(0.9, Some(1.1)) === 1.0, "fast host clamps to 1.0")
+    assert(Bench.hostFactor(9.9, Some(1.1)) === 1.5, "hi clamp")
+    assert(Bench.hostFactor(1.32, None) === 1.0, "no committed sentinel yet")
+    assert(Bench.hostFactor(-1.0, Some(1.1)) === 1.0, "failed measurement")
+    assert(Bench.hostFactor(1.32, Some(Double.NaN)) === 1.0, "corrupt ref")
+  }
+
+  test("committed sentinel: minimum across artifacts, escaped tails tolerated") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sentinel")
+    java.nio.file.Files.writeString(dir.resolve("BENCH_r19.json"),
+      """{"metric":"total","value":9.9,"sentinel_sec":1.312,"queries":{"a":1.0}}""")
+    java.nio.file.Files.writeString(dir.resolve("BENCH_r20.json"),
+      """{"n": 2, "rc": 0, "tail": "\"sentinel_sec\":1.104,\"host_factor\":1.000"}""")
+    java.nio.file.Files.writeString(dir.resolve("BENCH_x100.json"),
+      """{"metric":"x100","sentinel_sec":0.001}""")
+    assert(Bench.committedSentinel(dir.toString) === Some(1.104),
+      "quietest committed recording wins; staging files are never read")
+    assert(Bench.committedSentinel(
+      java.nio.file.Files.createTempDirectory("graft_sentinel_e").toString)
+      === None, "pre-r19 artifacts carry no sentinel")
+  }
+
+  test("normalized promotion: a full pass on a slow host promotes by its normalized total") {
+    // the r18 verdict's Done-criterion, as a synthetic-factor spec: raw
+    // 95 s measured under host factor 1.2 normalizes to 79.2 s — within
+    // the 1.05 gate over a committed 80 s @ factor 1.0 — and promotes;
+    // the SAME raw total at factor 1.0 (a genuinely slower suite) diverts
+    assert(Bench.promotionTarget(95.0 / 1.2, Some(80.0 / 1.0), force = false)
+      === "BENCH_local.json", "normalized-in-gate slow-host pass promotes")
+    assert(Bench.promotionTarget(95.0 / 1.0, Some(80.0 / 1.0), force = false)
+      === "BENCH_full.json", "the same raw total on a quiet host diverts")
+    // and a committed proof recorded ON a slow host is normalized by its
+    // own factor, so it cannot ratchet the bar upward: committed raw 95
+    // @ 1.2 gates at 79.2, not 95
+    assert(Bench.promotionTarget(90.0 / 1.0, Some(95.0 / 1.2), force = false)
+      === "BENCH_full.json",
+      "a slow-host committed proof must not loosen the gate to its raw total")
+    // committedHostFactor parses the committed proof's factor (1.0 when
+    // absent — every pre-r19 artifact)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hf")
+    java.nio.file.Files.writeString(dir.resolve("BENCH_local.json"),
+      """{"metric":"total","value":95.0,"sentinel_sec":1.32,"host_factor":1.200,"queries":{"a":1.0}}""")
+    assert(Bench.committedHostFactor(dir.toString) === 1.2)
+    val dirOld = java.nio.file.Files.createTempDirectory("graft_hf_old")
+    java.nio.file.Files.writeString(dirOld.resolve("BENCH_local.json"),
+      """{"metric":"total","value":79.1,"queries":{"a":1.0}}""")
+    assert(Bench.committedHostFactor(dirOld.toString) === 1.0)
+    assert(Bench.committedHostFactor(
+      java.nio.file.Files.createTempDirectory("graft_hf_e").toString) === 1.0)
+  }
+
   test("loadAnchors takes the minimum across artifacts and tolerates escaped tails") {
     val dir = java.nio.file.Files.createTempDirectory("graft_anchor")
     // r(N-1): plain JSON-line style; r(N): the driver's escaped-"tail" style
