@@ -464,15 +464,18 @@ object Bench {
     if (reps.isEmpty) -1.0 else reps.min
   }
 
-  /** The QUIETEST committed sentinel recording (minimum `"sentinel_sec"`
-    * across BENCH_local.json / BENCH_r*.json — load only ever ADDS time,
-    * the loadAnchors doctrine). None until a sentinel-bearing artifact is
-    * committed (this round's first run records one). */
+  /** The QUIETEST recorded sentinel (minimum `"sentinel_sec"` across ALL
+    * BENCH_*.json artifacts — committed AND staging, unlike the anchor
+    * loaders): the sentinel workload is frozen and load only ever ADDS
+    * time, so a staging recording (a diverted pass, a filtered run, an
+    * x100 run) is exactly as valid a quiet floor as a committed one —
+    * and including them bootstraps the reference in the same round the
+    * sentinel ships instead of waiting for a pass to promote. Crashed
+    * recordings (-1) are filtered. */
   private[graft] def committedSentinel(benchDir: String): Option[Double] = {
     val files = Option(new java.io.File(benchDir).listFiles())
       .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.getName.matches("BENCH_r\\d+\\.json") ||
-        f.getName == "BENCH_local.json")
+      .filter(f => f.getName.matches("BENCH_[A-Za-z0-9_]+\\.json"))
     val pat = """\\?"sentinel_sec\\?":(\d+(?:\.\d+)?)""".r
     val vals = files.flatMap { f =>
       val text =

@@ -293,10 +293,19 @@ class BenchSpec extends AnyFunSuite {
       """{"metric":"total","value":9.9,"sentinel_sec":1.312,"queries":{"a":1.0}}""")
     java.nio.file.Files.writeString(dir.resolve("BENCH_r20.json"),
       """{"n": 2, "rc": 0, "tail": "\"sentinel_sec\":1.104,\"host_factor\":1.000"}""")
+    // staging artifacts COUNT for the sentinel (unlike anchors): the
+    // workload is frozen and load only adds time, so any recording is a
+    // valid quiet floor — this is what bootstraps the reference in the
+    // round the sentinel ships
     java.nio.file.Files.writeString(dir.resolve("BENCH_x100.json"),
-      """{"metric":"x100","sentinel_sec":0.001}""")
-    assert(Bench.committedSentinel(dir.toString) === Some(1.104),
-      "quietest committed recording wins; staging files are never read")
+      """{"metric":"x100","sentinel_sec":0.904}""")
+    java.nio.file.Files.writeString(dir.resolve("BENCH_full.json"),
+      """{"metric":"total","sentinel_sec":-1.000,"queries":{}}""")
+    java.nio.file.Files.writeString(dir.resolve("not_bench.txt"),
+      """{"sentinel_sec":0.001}""")
+    assert(Bench.committedSentinel(dir.toString) === Some(0.904),
+      "quietest recording across committed AND staging artifacts wins; " +
+        "crashed (-1) recordings and non-artifact files are ignored")
     assert(Bench.committedSentinel(
       java.nio.file.Files.createTempDirectory("graft_sentinel_e").toString)
       === None, "pre-r19 artifacts carry no sentinel")
