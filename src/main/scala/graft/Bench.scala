@@ -444,7 +444,7 @@ object Bench {
     else "BENCH_only.json"
 
   /** Host-speed SENTINEL: one FROZEN Spark job — range + xxhash64 + sum
-    * over 1B rows on 32 partitions — whose quiet-host cost is recorded in
+    * over 4B rows on 32 partitions — whose quiet-host cost is recorded in
     * every committed artifact (`"sentinel_sec"`). The workload is all
     * built-ins, so engine changes cannot move it; only the host can. It
     * exercises the same stack the suite does (codegen, scheduler, all 32
@@ -452,10 +452,12 @@ object Bench {
     * round-18 verdict asked for: r18 burned four full passes and a
     * letter-vs-spirit record on a ±25% host window because every bar was
     * in absolute seconds — the sentinel turns those bars ratio-anchored.
-    * NEVER change the constants once a sentinel has been committed: a
-    * changed workload silently re-bases every later host factor. */
+    * NEVER change the constants once a sentinel has been recorded
+    * without bumping [[SentinelVersion]]: a changed workload silently
+    * re-bases every later host factor. */
+  private[graft] val SentinelVersion = 2
   private[graft] def sentinelOnce(spark: SparkSession): Double =
-    time(spark.range(0L, 1000000000L, 1L, 32)
+    time(spark.range(0L, 4000000000L, 1L, 32)
       .select(bit_xor(xxhash64(col("id")))).head())
 
   /** min-of-3 of [[sentinelOnce]]; -1 when every rep fails. */
@@ -471,12 +473,17 @@ object Bench {
     * x100 run) is exactly as valid a quiet floor as a committed one —
     * and including them bootstraps the reference in the same round the
     * sentinel ships instead of waiting for a pass to promote. Crashed
-    * recordings (-1) are filtered. */
+    * recordings (-1) are filtered, and only recordings carrying the
+    * CURRENT [[SentinelVersion]] count — a recording of a different
+    * workload is not a reference, it is a re-basing accident (a 1B-row
+    * staging recording meeting a 4B-row measurement would clamp the
+    * factor to 1.5 and falsely normalize the promotion gate). */
   private[graft] def committedSentinel(benchDir: String): Option[Double] = {
     val files = Option(new java.io.File(benchDir).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.getName.matches("BENCH_[A-Za-z0-9_]+\\.json"))
-    val pat = """\\?"sentinel_sec\\?":(\d+(?:\.\d+)?)""".r
+    val pat = ("""\\?"sentinel_v\\?":""" + SentinelVersion +
+      """,\\?"sentinel_sec\\?":(\d+(?:\.\d+)?)""").r
     val vals = files.flatMap { f =>
       val text =
         try java.nio.file.Files.readString(f.toPath)
@@ -921,7 +928,7 @@ object Bench {
       s""""g_dedup_minhash_lsh_candidates":$dedupCands,""" +
       s""""g_dedup_minhash_lsh_pairs":$dedupPairsLadder,""" +
       s""""g_dedup_minhash_lsh_pairs_confonly":$dedupPairsConfOnly,""" +
-      f""""sentinel_sec":$sentinelSec%.3f,"fixture":"$fixDir","sf":"$sfDir"}"""
+      f""""sentinel_v":$SentinelVersion%d,"sentinel_sec":$sentinelSec%.3f,"fixture":"$fixDir","sf":"$sfDir"}"""
     println(line)
     // a DEDICATED out var (r18 ADVICE): the x100 staging line must never
     // ride SPARK_GRAFT_BENCH_OUT into a committed BENCH_r*.json that the
@@ -1108,7 +1115,7 @@ object Bench {
       "\"" + name + "\":" + fmt(ts.map { case (c, t) => (s"x$c", t) })
     }.mkString("{", ",", "}")
     val total = resultsFinal.map(_._2).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sentinel_sec":$sentinelSec%.3f,"host_factor":$hf%.3f,"queries":$qs,"ops":$opsJson,"growth":$growthJson,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sentinel_v":$SentinelVersion%d,"sentinel_sec":$sentinelSec%.3f,"host_factor":$hf%.3f,"queries":$qs,"ops":$opsJson,"growth":$growthJson,"sf":"$sfDir"}"""
     println(line)
     // The driver records only the TAIL of the bench output, and the full
     // line outgrew it (BENCH_r13/r14 both shipped "parsed": null). Two
@@ -1148,7 +1155,7 @@ object Bench {
       line + "\n")
     catch { case _: Throwable => }
     val outName = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sentinel_sec":$sentinelSec%.3f,"host_factor":$hf%.3f,"n_queries":${resultsFinal.size},"n_ops":${opsFinal.size},"n_growth":${growthFinal.size},"full_artifact":"$outName","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sentinel_v":$SentinelVersion%d,"sentinel_sec":$sentinelSec%.3f,"host_factor":$hf%.3f,"n_queries":${resultsFinal.size},"n_ops":${opsFinal.size},"n_growth":${growthFinal.size},"full_artifact":"$outName","sf":"$sfDir"}""")
     spark.stop()
   }
 }
