@@ -1002,11 +1002,22 @@ object Bench {
     // the host's, not JIT's): the factor scales every cross-round bar —
     // retry bars, growth bars, the promotion gate — so a slow machine
     // window stretches bars instead of burning retries and diverting
-    // honest passes (the r18 lesson; see hostFactor).
+    // honest passes (the r18 lesson; see hostFactor). The sentinel is
+    // sampled THREE times — here, after the flat queries/ops phase, and
+    // after the growth suite — because a single start sample misses a
+    // window that arrives mid-run (measured the day this shipped: start
+    // sample quiet at 0.722 s, then the whole flat phase drifted a
+    // uniform 1.29x). The run's factor is the MEDIAN of the samples
+    // (robust to one blip in either direction: a brief spike at one
+    // sample cannot inflate the factor, a quiet blip at one sample
+    // cannot hide a sustained window); inline retry bars use the start
+    // sample (the only one available then — conservative), deferred
+    // bars and the promotion gate use the median.
     val anchorDir = sys.env.getOrElse("SPARK_GRAFT_ANCHOR_DIR", ".")
-    val sentinelSec = measureSentinel(spark)
-    val hf = hostFactor(sentinelSec, committedSentinel(anchorDir))
-    println(f"""{"diag":"host_sentinel","sentinel_sec":$sentinelSec%.3f,"host_factor":$hf%.3f}""")
+    val sentinelRef = committedSentinel(anchorDir)
+    val s1 = measureSentinel(spark)
+    val hf1 = hostFactor(s1, sentinelRef)
+    println(f"""{"diag":"host_sentinel","sample":"start","sentinel_sec":$s1%.3f,"host_factor":$hf1%.3f}""")
 
     // min-of-3 per query (docs/BENCH_NOTES.md) + the anchored re-run policy
     // (sustained-load windows outlive 3 reps; see measureAnchored). Growth
@@ -1017,9 +1028,9 @@ object Bench {
     // against quiet-floor x host-window, and a recorded value stays RAW
     // (the artifact carries sentinel_sec + host_factor so readers can
     // normalize; minima across rounds keep anchors honest).
-    val anchors = loadAnchors(anchorDir,
+    val anchorsRaw = loadAnchors(anchorDir,
       SparkEntry.queries.keySet ++ SparkEntry.benchOnly.keySet)
-      .view.mapValues(_ * hf).toMap
+    val anchors = anchorsRaw.view.mapValues(_ * hf1).toMap
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => selected(kv._1)).map { case (name, fn) =>
         name -> measureAnchored(() => time(fn(spark, sfDir).count()), anchors.get(name))
@@ -1028,6 +1039,9 @@ object Bench {
       .filter(kv => selected(kv._1)).map { case (name, fn) =>
         name -> measureAnchored(() => time(fn(spark, sfDir).count()), anchors.get(name))
       }
+    // second sentinel sample: the flat phase (everything the TOTAL sums)
+    // is now bracketed by s1 and s2
+    val s2 = measureSentinel(spark)
     // growth: single-run normally (the slope WITHIN a run is the signal,
     // and load shifts it uniformly) — with measureGrowth's re-run policy:
     // any point landing above 1.5x the proportional scaling of the
@@ -1055,6 +1069,18 @@ object Bench {
       name -> measureGrowth(scales, c => time(build(c).count()))
     }
 
+    // third sentinel sample, then the run's factor: median of the three
+    // (each itself min-of-3). The recorded reference value is the MIN of
+    // the positive samples — the quietest observed floor is what future
+    // runs compare against.
+    val s3 = measureSentinel(spark)
+    val samples = Seq(s1, s2, s3).filter(_ > 0).sorted
+    val sentinelSec = if (samples.isEmpty) -1.0 else samples.head
+    val hf = hostFactor(
+      if (samples.isEmpty) -1.0 else samples(samples.size / 2), sentinelRef)
+    println(f"""{"diag":"host_sentinel","samples":[$s1%.3f,$s2%.3f,$s3%.3f],"host_factor":$hf%.3f}""")
+    val anchorsDeferred = anchorsRaw.view.mapValues(_ * hf).toMap
+
     // Suite-end bootstrap pass for rows with no prior-artifact anchor (new
     // queries) — runs AFTER the growth suite so the re-measure is maximally
     // separated in time from the row's main-pass slot (see
@@ -1063,14 +1089,14 @@ object Bench {
     // bar after the inline retries (see retryOverBar — the r12 lesson:
     // a sustained load window outlives inline retries, not the suite).
     val resultsFinal = retryOverBar(
-      bootstrapAnchorless(results, anchors.contains,
+      bootstrapAnchorless(results, anchorsDeferred.contains,
         name => time(SparkEntry.queries(name)(spark, sfDir).count())),
-      anchors.get,
+      anchorsDeferred.get,
       name => time(SparkEntry.queries(name)(spark, sfDir).count()))
     val opsFinal = retryOverBar(
-      bootstrapAnchorless(ops, anchors.contains,
+      bootstrapAnchorless(ops, anchorsDeferred.contains,
         name => time(SparkEntry.benchOnly(name)(spark, sfDir).count())),
-      anchors.get,
+      anchorsDeferred.get,
       name => time(SparkEntry.benchOnly(name)(spark, sfDir).count()))
     // growth's own deferred pass, last of all: anchored on the cheapest
     // prior ROUND's recording of the same point (see retryGrowthOverBar)
