@@ -443,7 +443,7 @@ object Bench {
     if (only.isEmpty && growthOn && skipAudits) "BENCH_local.json"
     else "BENCH_only.json"
 
-  /** Host-speed SENTINEL: one FROZEN Spark job — range + xxhash64 + sum
+  /** Host-speed SENTINEL: one FROZEN Spark job — range + xxhash64 + bit_xor
     * over 4B rows on 32 partitions — whose quiet-host cost is recorded in
     * every committed artifact (`"sentinel_sec"`). The workload is all
     * built-ins, so engine changes cannot move it; only the host can. It
@@ -1077,7 +1077,8 @@ object Bench {
     val samples = Seq(s1, s2, s3).filter(_ > 0).sorted
     val sentinelSec = if (samples.isEmpty) -1.0 else samples.head
     val hf = hostFactor(
-      if (samples.isEmpty) -1.0 else samples(samples.size / 2), sentinelRef)
+      if (samples.isEmpty) -1.0 else samples((samples.size - 1) / 2),
+      sentinelRef)
     println(f"""{"diag":"host_sentinel","samples":[$s1%.3f,$s2%.3f,$s3%.3f],"host_factor":$hf%.3f}""")
     val anchorsDeferred = anchorsRaw.view.mapValues(_ * hf).toMap
 
