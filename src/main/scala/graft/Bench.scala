@@ -473,7 +473,8 @@ object Bench {
     * x100 run) is exactly as valid a quiet floor as a committed one —
     * and including them bootstraps the reference in the same round the
     * sentinel ships instead of waiting for a pass to promote. Crashed
-    * recordings (-1) are filtered, and only recordings carrying the
+    * recordings (-1) are filtered; only SUITE-CONFIG recordings count
+    * (see the pattern note below); and only recordings carrying the
     * CURRENT [[SentinelVersion]] count — a recording of a different
     * workload is not a reference, it is a re-basing accident (a 1B-row
     * staging recording meeting a 4B-row measurement would clamp the
@@ -482,8 +483,14 @@ object Bench {
     val files = Option(new java.io.File(benchDir).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.getName.matches("BENCH_[A-Za-z0-9_]+\\.json"))
+    // the trailing host_factor field is REQUIRED: it marks a recording
+    // made by a suite-config run (default heap). The x100 mode's line
+    // carries its sentinel WITHOUT that field, deliberately — its 24g
+    // long-settled JVM floors ~10% lower (measured 0.628 vs the suite
+    // JVM's 0.666-0.720), and a cross-config reference inflates every
+    // later factor (the pass-4 miscalibration this guard closes).
     val pat = ("""\\?"sentinel_v\\?":""" + SentinelVersion +
-      """,\\?"sentinel_sec\\?":(\d+(?:\.\d+)?)""").r
+      """,\\?"sentinel_sec\\?":(\d+(?:\.\d+)?),\\?"host_factor""").r
     val vals = files.flatMap { f =>
       val text =
         try java.nio.file.Files.readString(f.toPath)

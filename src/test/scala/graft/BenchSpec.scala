@@ -291,28 +291,33 @@ class BenchSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_sentinel")
     val v = Bench.SentinelVersion
     java.nio.file.Files.writeString(dir.resolve("BENCH_r19.json"),
-      s"""{"metric":"total","value":9.9,"sentinel_v":$v,"sentinel_sec":1.312,"queries":{"a":1.0}}""")
+      s"""{"metric":"total","value":9.9,"sentinel_v":$v,"sentinel_sec":1.312,"host_factor":1.050,"queries":{"a":1.0}}""")
     java.nio.file.Files.writeString(dir.resolve("BENCH_r20.json"),
       s"""{"n": 2, "rc": 0, "tail": "\\"sentinel_v\\":$v,\\"sentinel_sec\\":1.104,\\"host_factor\\":1.000"}""")
     // staging artifacts COUNT for the sentinel (unlike anchors): the
-    // workload is frozen and load only adds time, so any recording is a
-    // valid quiet floor — this is what bootstraps the reference in the
-    // round the sentinel ships
+    // workload is frozen and load only adds time, so any suite-config
+    // recording is a valid quiet floor — this is what bootstraps the
+    // reference in the round the sentinel ships. But the x100 mode's
+    // recording (no host_factor field after the value) is EXCLUDED:
+    // its 24g long-settled JVM floors ~10% lower than the suite JVM,
+    // and the round-19 pass-4 miscalibration showed a cross-config
+    // reference inflating every later factor (rows 1.06x slower than
+    // the prior pass, yet a LOWER normalized total promoted)
     java.nio.file.Files.writeString(dir.resolve("BENCH_x100.json"),
-      s"""{"metric":"x100","sentinel_v":$v,"sentinel_sec":0.904}""")
+      s"""{"metric":"x100","sentinel_v":$v,"sentinel_sec":0.904,"fixture":"/tmp/f"}""")
     java.nio.file.Files.writeString(dir.resolve("BENCH_full.json"),
-      s"""{"metric":"total","sentinel_v":$v,"sentinel_sec":-1.000,"queries":{}}""")
+      s"""{"metric":"total","sentinel_v":$v,"sentinel_sec":-1.000,"host_factor":1.000,"queries":{}}""")
     // a recording of a DIFFERENT workload version is not a reference —
     // the round-19 near-miss: a stale staging recording of a shorter
     // sentinel would clamp every later factor to the hi bound
     java.nio.file.Files.writeString(dir.resolve("BENCH_r18.json"),
-      s"""{"metric":"total","sentinel_v":${v - 1},"sentinel_sec":0.213,"queries":{"a":1.0}}""")
+      s"""{"metric":"total","sentinel_v":${v - 1},"sentinel_sec":0.213,"host_factor":1.000,"queries":{"a":1.0}}""")
     java.nio.file.Files.writeString(dir.resolve("not_bench.txt"),
-      s"""{"sentinel_v":$v,"sentinel_sec":0.001}""")
-    assert(Bench.committedSentinel(dir.toString) === Some(0.904),
-      "quietest SAME-VERSION recording across committed AND staging " +
-        "artifacts wins; crashed (-1), other-version, and non-artifact " +
-        "recordings are ignored")
+      s"""{"sentinel_v":$v,"sentinel_sec":0.001,"host_factor":1.000}""")
+    assert(Bench.committedSentinel(dir.toString) === Some(1.104),
+      "quietest SAME-VERSION, SUITE-CONFIG recording across committed " +
+        "AND staging artifacts wins; crashed (-1), other-version, " +
+        "cross-config (x100), and non-artifact recordings are ignored")
     assert(Bench.committedSentinel(
       java.nio.file.Files.createTempDirectory("graft_sentinel_e").toString)
       === None, "pre-r19 artifacts carry no sentinel")
