@@ -531,6 +531,27 @@ object Bench {
     } catch { case _: Throwable => None }).getOrElse(1.0)
   }
 
+  /** The committed proof's recorded MEDIAN sentinel sample
+    * (BENCH_local.json's `"sentinel_med"`), None when absent (pre-r19.3
+    * artifacts). When present, the promotion gate normalizes BOTH sides
+    * against the CURRENT reference — raw/hostFactor(med, ref) on each —
+    * so the reference cancels and the comparison is invariant to the
+    * reference floor tightening between the two recordings. (Observed
+    * without this: pass 3 recorded its factor against a 0.720 floor,
+    * pass 5 against the meanwhile-tightened 0.666 floor, and a
+    * raw-slower pass displaced a raw-faster proof on normalization
+    * arithmetic alone.) Absent → fall back to the artifact's recorded
+    * host_factor. */
+  private[graft] def committedSentinelMed(benchDir: String): Option[Double] = {
+    val p = java.nio.file.Paths.get(benchDir, "BENCH_local.json")
+    if (!java.nio.file.Files.exists(p)) return None
+    try {
+      """"sentinel_med":(\d+(?:\.\d+)?)""".r
+        .findFirstMatchIn(java.nio.file.Files.readString(p))
+        .map(_.group(1).toDouble).filter(_ > 0)
+    } catch { case _: Throwable => None }
+  }
+
   /** The committed full-suite total recorded in BENCH_local.json. None
     * ONLY when no artifact exists (the legitimate first-recording case,
     * which promotes). An artifact that EXISTS but cannot be read or
@@ -1083,9 +1104,9 @@ object Bench {
     val s3 = measureSentinel(spark)
     val samples = Seq(s1, s2, s3).filter(_ > 0).sorted
     val sentinelSec = if (samples.isEmpty) -1.0 else samples.head
-    val hf = hostFactor(
-      if (samples.isEmpty) -1.0 else samples((samples.size - 1) / 2),
-      sentinelRef)
+    val sentinelMed =
+      if (samples.isEmpty) -1.0 else samples((samples.size - 1) / 2)
+    val hf = hostFactor(sentinelMed, sentinelRef)
     println(f"""{"diag":"host_sentinel","samples":[$s1%.3f,$s2%.3f,$s3%.3f],"host_factor":$hf%.3f}""")
     val anchorsDeferred = anchorsRaw.view.mapValues(_ * hf).toMap
 
@@ -1149,7 +1170,7 @@ object Bench {
       "\"" + name + "\":" + fmt(ts.map { case (c, t) => (s"x$c", t) })
     }.mkString("{", ",", "}")
     val total = resultsFinal.map(_._2).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sentinel_v":$SentinelVersion%d,"sentinel_sec":$sentinelSec%.3f,"host_factor":$hf%.3f,"queries":$qs,"ops":$opsJson,"growth":$growthJson,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sentinel_v":$SentinelVersion%d,"sentinel_sec":$sentinelSec%.3f,"sentinel_med":$sentinelMed%.3f,"host_factor":$hf%.3f,"queries":$qs,"ops":$opsJson,"growth":$growthJson,"sf":"$sfDir"}"""
     println(line)
     // The driver records only the TAIL of the bench output, and the full
     // line outgrew it (BENCH_r13/r14 both shipped "parsed": null). Two
@@ -1177,10 +1198,19 @@ object Bench {
     // (its artifact carries the factor for readers), and a slow-host
     // promotion cannot ratchet the committed bar because the committed
     // side is normalized by ITS recorded factor too
+    // the committed side normalizes by hostFactor(ITS median, the SAME
+    // current reference) when its artifact recorded one — the reference
+    // cancels and the gate is invariant to the floor tightening between
+    // recordings; pre-median artifacts fall back to their recorded factor
+    val committedNorm = committedTotal(anchorDir).map { t =>
+      committedSentinelMed(anchorDir) match {
+        case Some(med) => t / hostFactor(med, sentinelRef)
+        case None => t / committedHostFactor(anchorDir)
+      }
+    }
     val defaultOut =
       if (defaultOut0 != "BENCH_local.json") defaultOut0
-      else promotionTarget(total / hf,
-        committedTotal(anchorDir).map(_ / committedHostFactor(anchorDir)),
+      else promotionTarget(total / hf, committedNorm,
         force = sys.env.getOrElse("SPARK_GRAFT_PROMOTE", "0") == "1",
         anyFailed = anyFailed)
     try java.nio.file.Files.writeString(
@@ -1189,7 +1219,7 @@ object Bench {
       line + "\n")
     catch { case _: Throwable => }
     val outName = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sentinel_v":$SentinelVersion%d,"sentinel_sec":$sentinelSec%.3f,"host_factor":$hf%.3f,"n_queries":${resultsFinal.size},"n_ops":${opsFinal.size},"n_growth":${growthFinal.size},"full_artifact":"$outName","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sentinel_v":$SentinelVersion%d,"sentinel_sec":$sentinelSec%.3f,"sentinel_med":$sentinelMed%.3f,"host_factor":$hf%.3f,"n_queries":${resultsFinal.size},"n_ops":${opsFinal.size},"n_growth":${growthFinal.size},"full_artifact":"$outName","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -352,6 +352,35 @@ class BenchSpec extends AnyFunSuite {
       java.nio.file.Files.createTempDirectory("graft_hf_e").toString) === 1.0)
   }
 
+  test("drift-invariant gate: both sides normalize against the CURRENT reference") {
+    // the round-19 pass-5 lesson: pass 3 recorded its factor against a
+    // 0.720 reference, the floor then tightened to 0.666, and pass 5
+    // (raw-SLOWER, 90.408 @ med 0.759 vs 83.154 @ med 0.749) promoted on
+    // normalization arithmetic alone. With the committed median recorded,
+    // both sides normalize by hostFactor(their med, the SAME current ref)
+    // — the reference cancels and the decision is the same at every floor
+    val dir = java.nio.file.Files.createTempDirectory("graft_med")
+    java.nio.file.Files.writeString(dir.resolve("BENCH_local.json"),
+      """{"metric":"total","value":83.154,"unit":"sec","sentinel_v":2,"sentinel_sec":0.666,"sentinel_med":0.749,"host_factor":1.041,"queries":{"a":1.0}}""")
+    assert(Bench.committedSentinelMed(dir.toString) === Some(0.749))
+    for (ref <- Seq(Some(0.666), Some(0.720), Some(0.800), None)) {
+      val newNorm = 90.408 / Bench.hostFactor(0.759, ref)
+      val comNorm = 83.154 / Bench.hostFactor(0.749, ref)
+      assert(Bench.promotionTarget(newNorm, Some(comNorm), force = false)
+        === "BENCH_full.json",
+        s"a raw-slower, similar-window pass must divert at ref=$ref")
+      val cheaper = 80.0 / Bench.hostFactor(0.759, ref)
+      assert(Bench.promotionTarget(cheaper, Some(comNorm), force = false)
+        === "BENCH_local.json",
+        s"a genuinely cheaper pass must promote at ref=$ref")
+    }
+    // a pre-median committed artifact falls back to its recorded factor
+    val dirOld = java.nio.file.Files.createTempDirectory("graft_med_old")
+    java.nio.file.Files.writeString(dirOld.resolve("BENCH_local.json"),
+      """{"metric":"total","value":79.1,"host_factor":1.000,"queries":{"a":1.0}}""")
+    assert(Bench.committedSentinelMed(dirOld.toString) === None)
+  }
+
   test("loadAnchors takes the minimum across artifacts and tolerates escaped tails") {
     val dir = java.nio.file.Files.createTempDirectory("graft_anchor")
     // r(N-1): plain JSON-line style; r(N): the driver's escaped-"tail" style
