@@ -484,13 +484,14 @@ object Bench {
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.getName.matches("BENCH_[A-Za-z0-9_]+\\.json"))
     // the trailing host_factor field is REQUIRED: it marks a recording
-    // made by a suite-config run (default heap). The x100 mode's line
-    // carries its sentinel WITHOUT that field, deliberately — its 24g
+    // made by a suite-config run (default heap) — sentinel_med (the
+    // current writer layout) or host_factor (the pre-median layout).
+    // The x100 mode's line carries NEITHER, deliberately — its 24g
     // long-settled JVM floors ~10% lower (measured 0.628 vs the suite
     // JVM's 0.666-0.720), and a cross-config reference inflates every
     // later factor (the pass-4 miscalibration this guard closes).
     val pat = ("""\\?"sentinel_v\\?":""" + SentinelVersion +
-      """,\\?"sentinel_sec\\?":(\d+(?:\.\d+)?),\\?"host_factor""").r
+      """,\\?"sentinel_sec\\?":(\d+(?:\.\d+)?),\\?"(?:sentinel_med|host_factor)""").r
     val vals = files.flatMap { f =>
       val text =
         try java.nio.file.Files.readString(f.toPath)

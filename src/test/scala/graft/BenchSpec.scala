@@ -290,8 +290,12 @@ class BenchSpec extends AnyFunSuite {
   test("committed sentinel: minimum across artifacts, escaped tails tolerated") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sentinel")
     val v = Bench.SentinelVersion
+    // the CURRENT writer layout: sentinel_med sits between sentinel_sec
+    // and host_factor (the round-19 pass-6 regression: a pattern
+    // requiring host_factor directly after the value silently stopped
+    // parsing every reference the moment the med field shipped)
     java.nio.file.Files.writeString(dir.resolve("BENCH_r19.json"),
-      s"""{"metric":"total","value":9.9,"sentinel_v":$v,"sentinel_sec":1.312,"host_factor":1.050,"queries":{"a":1.0}}""")
+      s"""{"metric":"total","value":9.9,"sentinel_v":$v,"sentinel_sec":1.312,"sentinel_med":1.400,"host_factor":1.050,"queries":{"a":1.0}}""")
     java.nio.file.Files.writeString(dir.resolve("BENCH_r20.json"),
       s"""{"n": 2, "rc": 0, "tail": "\\"sentinel_v\\":$v,\\"sentinel_sec\\":1.104,\\"host_factor\\":1.000"}""")
     // staging artifacts COUNT for the sentinel (unlike anchors): the
