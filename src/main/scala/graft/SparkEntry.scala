@@ -1371,8 +1371,13 @@ object SparkEntry {
     // exact O(n^2) tier)
     "cosine_neardup_pairs" -> ((spark, dir) => {
       import spark.implicits._
+      // knownCount keeps the auto-dispatch bar's n resolution job-free
+      // (the r20 dispatch: past ExactTierMaxRows this tier self-routes
+      // to lshNearDupPairs; every test SF sits far under the bar, so
+      // the oracle keeps certifying the exact plan)
       graft.pipeline.Similarity.cosineNearDupPairs(
-        tbl(spark, dir, "embeddings"), "vec_id", "embedding", topPairs = 50)
+        tbl(spark, dir, "embeddings"), "vec_id", "embedding", topPairs = 50,
+        knownCount = fixtureCount(spark, dir, "embeddings"))
         .orderBy($"rank")
     }),
 
@@ -1385,7 +1390,8 @@ object SparkEntry {
       import spark.implicits._
       val emb = tbl(spark, dir, "embeddings")
       val exact = graft.pipeline.Similarity.cosineNearDupPairs(
-        emb, "vec_id", "embedding", topPairs = 50)
+        emb, "vec_id", "embedding", topPairs = 50,
+        knownCount = fixtureCount(spark, dir, "embeddings"))
         .select($"doc_a".as("ea"), $"doc_b".as("eb"))
       graft.pipeline.Similarity.lshNearDupPairs(
         emb, "vec_id", "embedding", topPairs = 50, dim = 64,

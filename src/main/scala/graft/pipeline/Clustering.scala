@@ -25,9 +25,10 @@ import org.apache.spark.sql.functions._
  * node id; every pass is equi-join + hash aggregate, no cartesian anywhere.
  * `localCheckpoint` truncates the loop-carried lineage each round (plan
  * growth, not data growth, is the usual killer of iterative DataFrame
- * algorithms); on a real cluster with reliable storage swap it for
- * `checkpoint` to also survive executor loss. The driver-side loop holds
- * two longs per round (edge-set fingerprint), never row data.
+ * algorithms); on a real cluster with reliable storage pass
+ * `reliableCheckpoint = true` (the [[Graph.pageRank]] knob) to also
+ * survive executor loss. The driver-side loop holds two longs per round
+ * (edge-set fingerprint), never row data.
  */
 object Clustering {
 
@@ -41,23 +42,39 @@ object Clustering {
    *
    * @param maxIter hard bound on large-star/small-star rounds (log^2 of the
    *                longest chain; 25 covers graphs far beyond 2^32 nodes)
+   * @param reliableCheckpoint per-round lineage truncation through the
+   *                session's reliable checkpoint dir instead of
+   *                `localCheckpoint` — the [[Graph.pageRank]] knob
+   *                mirrored (the r19 nit): `localCheckpoint` blocks live
+   *                in executor storage, so on a real cluster an executor
+   *                loss mid-loop kills the job (the truncated lineage
+   *                cannot recompute them); the reliable path survives it
+   *                at the cost of a dir write per round. Requires
+   *                `spark.sparkContext.setCheckpointDir(...)` first.
    */
   def connectedComponents(
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      reliableCheckpoint: Boolean = false): DataFrame = {
     val (ta, tb) = (pairs.schema(aCol).dataType, pairs.schema(bCol).dataType)
     require(ta == tb,
       s"pair columns must share one id type, got $aCol: $ta vs $bCol: $tb")
+    if (reliableCheckpoint)
+      require(pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliableCheckpoint = true needs spark.sparkContext.setCheckpointDir(...) first")
+    // lazy either way: the fingerprint action right after each truncation
+    // is what materializes it
+    def truncate(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(false) else df.localCheckpoint(false)
 
     // Canonical edge list, oriented u > v, self-loops and dups dropped.
-    var edges = pairs
+    var edges = truncate(pairs
       .select(col(aCol).as("x"), col(bCol).as("y"))
       .filter(col("x") =!= col("y"))
       .select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
-      .distinct()
-      .localCheckpoint(false)
+      .distinct())
 
     // Order-independent edge-set fingerprint: (count, two independent
     // bounded hash sums). Summands are capped at 2^30 so the sum cannot
@@ -92,13 +109,12 @@ object Clustering {
       // Small-star: every node rewires its SMALLER neighbors (and itself)
       // to their minimum. Again emits u > v by construction.
       val m2 = large.groupBy("u").agg(min("v").as("m"))
-      val next = large.join(m2, "u")
+      val next = truncate(large.join(m2, "u")
         .where(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(m2.select(col("u"), col("m").as("v")))
         .where(col("u") =!= col("v"))
-        .distinct()
-        .localCheckpoint(false)
+        .distinct())
 
       val nfp = fingerprint(next)
       // fingerprint(next) materialized next's checkpoint, so the previous

@@ -37,6 +37,38 @@ import org.apache.spark.sql.functions._
  */
 object SemDedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** `knownCount` sentinel for [[edges]] (and everything composed on
+    * it): OPT OUT of the verify-join ladder entirely — no plan-build
+    * count, no size estimate, NO hint ever; Spark's own stats ladder
+    * decides under the recommended `preferSortMergeJoin=false`
+    * deployment conf. This is the streaming maintainers' contract
+    * ([[graft.streaming.TopnStreaming.semanticBatch]]): their scan set
+    * is batch + touched-cell residents — bounded by construction — and
+    * counting it would re-execute the whole union every micro-batch.
+    * Before this sentinel they passed `knownCount = 0`, which relied on
+    * [[VerifyJoin.sizeAwareBuild]] treating a zero estimate as
+    * "never hint" — true only while the broadcast threshold was
+    * positive (r19 ADVICE: with broadcast DISABLED, threshold < 0, any
+    * Some(estimate) hinted). The opt-out is now explicit and
+    * threshold-independent. */
+  val LadderOptOut: Long = -2L
+
+  /** Expected bytes through [[edges]]' within-cell verify stage:
+    * candidate pairs (n · occupancy / 2 with occupancy n / k — the
+    * expectation under balanced cells; real corpora run hotter on
+    * skewed cells, the right order for an advisory) times the verify
+    * row width (two 8-B ids + two fetched vectors). The SemDedup
+    * sibling of [[Similarity.expectedVerifyBytes]], priced against the
+    * same measured single-JVM boundary
+    * ([[Similarity.SingleJvmSpillAdvisoryBytes]]). */
+  private[graft] def expectedVerifyBytes(
+      n: Long, k: Int, elemBytes: Long, dim: Long): Double = {
+    val occupancy = n.toDouble / math.max(1, k)
+    (n.toDouble * occupancy / 2.0) * (16.0 + 2.0 * (8.0 + elemBytes.toDouble * dim))
+  }
+
   /**
    * Semantic near-duplicate labels: one row per input vector,
    * (doc_id, cell, cluster_id, keep) where `cluster_id` is the minimum
@@ -63,7 +95,26 @@ object SemDedup {
    * broadcast under the threshold, `shuffle_hash` provably over it,
    * never a sort of the candidate stream. Resolving the count runs one
    * column-pruned count() job at plan-build unless the caller passes
-   * `knownCount` (the [[Similarity.AutoBits]] precedent).
+   * `knownCount` (the [[Similarity.AutoBits]] precedent) —
+   * [[LadderOptOut]] skips both the count and the ladder, for callers
+   * whose candidate volume is bounded by construction (the streaming
+   * maintainers).
+   *
+   * Why there is NO audited-shortlist knob here (the
+   * [[Similarity.AuditedShortlist]] exemption, documented rather than
+   * wired): the two-pass signature shortlist is a TOP-K device — it
+   * needs a bounded report to cut the candidate stream down to. This
+   * operator's report is a THRESHOLD-gated edge SET (every pair at
+   * cosine >= tau), which has no k: a signature pre-filter at the
+   * tau-equivalent Hamming would drop ~half the true edges right at the
+   * threshold (the signature is an unbiased but noisy angle estimate —
+   * sigma ~5.66 bits on 128), and any safety margin wide enough to
+   * preserve recall re-admits nearly the whole stream. The escape hatch
+   * for candidate volume here is the QUANTIZER: candidates are
+   * n·(n/k)/2 in expectation, so raising k (the paper's own scaling
+   * knob) divides the verify stream — the plan-build advisory below
+   * fires when the expected volume crosses the measured single-JVM
+   * spill boundary and names that knob.
    */
   def edges(
       vectors: DataFrame,
@@ -83,14 +134,33 @@ object SemDedup {
       assigned.select(col("doc_id"), col("cell")),
       Seq(col("cell")), col("doc_id"), tileSize, "id_a", "id_b")
 
-    val n = if (knownCount >= 0) knownCount else vectors.count()
+    val nOpt: Option[Long] =
+      if (knownCount == LadderOptOut) None
+      else Some(if (knownCount >= 0) knownCount else vectors.count())
     val elemBytes = vectors.schema(vecCol).dataType match {
       case org.apache.spark.sql.types.ArrayType(et, _) =>
         math.max(4L, et.defaultSize.toLong)
       case _ => 4L
     }
     val dim = model.centroids.headOption.map(_.length.toLong).getOrElse(64L)
-    val vecBytes = Some(n * (8L + elemBytes * dim))
+    // candidate-volume advisory (plan-build): the Similarity doctrine at
+    // this operator — when the expected within-cell verify stream
+    // crosses the measured single-JVM boundary, say so and name the
+    // operator's own escape (k), since the shortlist escape does not
+    // apply to a threshold-gated edge set (see the contract above)
+    nOpt.foreach { n =>
+      val k = math.max(1, model.centroids.length)
+      val est = expectedVerifyBytes(n, k, elemBytes, dim)
+      if (est > Similarity.SingleJvmSpillAdvisoryBytes)
+        log.warn(f"SemDedup.edges: expected within-cell candidate volume ~${est / (1L << 30)}%.0f GiB " +
+          f"(n=$n over k=$k cells, ${elemBytes}B x $dim dims) is past the measured " +
+          f"single-JVM spill regime (~${Similarity.SingleJvmSpillAdvisoryBytes / (1L << 30)} GiB). " +
+          "Raise the quantizer's k so expected cell occupancy drops (candidates scale " +
+          "with n^2/k; the paper's own scaling knob), or on one JVM set " +
+          "SPARK_DRIVER_MEM >= 24g; on a cluster, size executor memory for " +
+          "|vectors|/partitions hash builds.")
+    }
+    val vecBytes = nOpt.map(n => n * (8L + elemBytes * dim))
     def side(named: DataFrame): DataFrame =
       VerifyJoin.sizeAwareBuild(named, vecBytes)
 

@@ -217,6 +217,23 @@ object Similarity {
   private def unpackA(pair: Column): Column = shiftrightunsigned(pair, 32)
   private def unpackB(pair: Column): Column = pair.bitwiseAND(lit(0xFFFFFFFFL))
 
+  /** [[cosineNearDupPairs]]' auto-dispatch bar: above this corpus size
+    * the exact O(n²) tier self-routes to [[lshNearDupPairs]] (the
+    * [[graft.operators.Rollups]] slidingMerge dispatch precedent — the
+    * r19 verdict's last standing exact-tier scale hazard). MEASURED
+    * crossover on the sf0.1 corpus family (graft.tools.SentCal
+    * crossover; the r20 BENCH_NOTES table): the codegen'd exact tier
+    * WINS every octave to x32 — 2k 1.6 s/0.63x, 8k 4.2 s/0.55x, 20k
+    * 11.8 s/0.58x, 64k 39.5 s/0.74x of the LSH tier — because it
+    * streams pairs through whole-stage codegen into a bounded heap with
+    * no shuffle at all; but its n² compute crosses the LSH trend near
+    * n≈100k (extrapolated against the measured 200k LSH point) and is
+    * catastrophic at corpus scale. The bar sits at the LAST MEASURED
+    * octave where exact still wins, so dispatch only ever fires where
+    * the quadratic term provably dominates. Pass
+    * `maxExactRows = Long.MaxValue` to pin the exact plan at any n. */
+  val ExactTierMaxRows: Long = 65536L
+
   /**
    * Embedding-cosine near-duplicate pairs: the most-similar `topPairs`
    * pairs (a < b) across the table, exact brute force via a single
@@ -224,6 +241,19 @@ object Similarity {
    * This is the exact O(n^2) tier — correct at any similarity level but
    * quadratic in n; for large corpora use [[lshNearDupPairs]] (same output
    * shape, sub-quadratic candidate generation).
+   *
+   * AUTO-DISPATCH (r19 verdict task 7): a corpus past `maxExactRows`
+   * ([[ExactTierMaxRows]]) self-routes to [[lshNearDupPairs]] — same
+   * output shape, sub-quadratic, recall < 1 by design (the default
+   * bits/tables catch cosine-0.9 pairs w.p. ~0.99999) — with one WARN
+   * naming the switch, so the exact spelling can no longer turn into an
+   * accidental O(n²) scan at scale. Resolving n reads the optimizer's
+   * row-count statistic when it carries one and falls back to one
+   * column-pruned count() at plan-build (the [[Dedup.minhashLshPairs]]
+   * short-circuit); `knownCount` skips even that. Callers needing exact
+   * results at any size pass `maxExactRows = Long.MaxValue`; the
+   * dispatch path infers `dim` from one head() row (only ever paid past
+   * the bar).
    *
    * Precondition: ids in [0, 2^31) (see [[packableId]]) — checked on both
    * join sides — and unique: a duplicated id makes the self-join emit one
@@ -235,7 +265,24 @@ object Similarity {
       vectors: DataFrame,
       idCol: String,
       vecCol: String,
-      topPairs: Int): DataFrame = {
+      topPairs: Int,
+      maxExactRows: Long = ExactTierMaxRows,
+      knownCount: Long = -1L): DataFrame = {
+    require(maxExactRows >= 1L,
+      s"maxExactRows must be >= 1, got $maxExactRows")
+    val n =
+      if (knownCount >= 0) knownCount
+      else if (maxExactRows == Long.MaxValue) 0L // exact pinned: no job
+      else vectors.queryExecution.optimizedPlan.stats.rowCount
+        .map(_.toLong).getOrElse(vectors.count())
+    if (n > maxExactRows) {
+      val dim = vectors.select(size(col(vecCol)).as("d")).head().getInt(0)
+      log.warn(s"cosineNearDupPairs: n=$n exceeds maxExactRows=$maxExactRows — " +
+        s"dispatching to lshNearDupPairs (dim=$dim; sub-quadratic, recall < 1 " +
+        "by design — pass maxExactRows = Long.MaxValue to pin the exact O(n^2) plan)")
+      return lshNearDupPairs(vectors, idCol, vecCol, topPairs, dim,
+        knownCount = n)
+    }
     val a = vectors.select(
       packableId(col(idCol), idCol, "cosineNearDupPairs").as("id_a"),
       col(vecCol).as("vec_a"))
@@ -436,7 +483,8 @@ object Similarity {
           f"measured single-JVM spill regime (~${SingleJvmSpillAdvisoryBytes / (1L << 30)} GiB; " +
           "the 8g-heap OOM boundary sat at 231M candidates x 536 B). On one JVM set " +
           "SPARK_DRIVER_MEM >= 24g, or audit the corpus with auditShortlist and opt " +
-          "into shortlist = AutoShortlist (measured 4x cheaper, exact when the margin clears " +
+          "into shortlist = AutoShortlist (measured 2-4x cheaper across recorded x100 " +
+          "runs — BENCH_NOTES has the series; exact when the margin clears " +
           s"$SafeMarginBits bits); on a cluster, size executor memory for " +
           "|vectors|/partitions hash builds.")
     }

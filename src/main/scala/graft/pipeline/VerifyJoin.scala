@@ -65,13 +65,51 @@ private[graft] object VerifyJoin {
     * `sampleDocs` documents — per shingle its UTF-8 bytes + 16 B object
     * overhead, + 24 B per row (8 B id + array header). One BOUNDED job
     * at plan-build (a LocalLimit: executes only until `sampleDocs` rows
-    * are collected); an empty corpus falls back to the constant. */
+    * are collected); an empty corpus falls back to the constant.
+    *
+    * MEMOIZED per (session, corpus plan, textCol, n): the r19 default
+    * path paid the sample once per OPERATOR CALL, which cost the bench's
+    * dedup family 1.4-1.7x (the round's one measured regression) — a
+    * corpus's width is a property of the corpus, so one sample per
+    * corpus per session is the honest price. The key is the analyzed
+    * plan's SEMANTIC hash (two independent reads of the same parquet
+    * path canonicalize equal — the CacheManager's own matching rule);
+    * the session guard is the [[graft.Bench]] lidServeModels pattern
+    * (entry served only to the session object that built it, stopped
+    * sessions evicted on access). Same caveat as Spark's plan cache:
+    * content changing UNDER an identical plan (an appended file) is
+    * invisible until a new session — a width estimate only ever trades
+    * broadcast vs shuffled-hash near the boundary, so staleness is
+    * benign by the operator's own contract. */
+  private val widthCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.SparkSession, Long)]()
+
+  /** Count of width-sample JOBS actually executed (cache misses) — the
+    * spec's observability hook for "one sample job per corpus". */
+  private[graft] val widthSampleJobs = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[graft] def sampledShingleRowBytes(
       docs: DataFrame,
       textCol: String,
       n: Int,
       sampleDocs: Int = 256): Long = {
+    val spark = docs.sparkSession
+    widthCache.entrySet()
+      .removeIf(e => e.getValue._1.sparkContext.isStopped)
+    val key = s"${System.identityHashCode(spark)}:" +
+      s"${docs.queryExecution.analyzed.semanticHash()}:$textCol:$n:$sampleDocs"
+    widthCache.compute(key, (_, held) =>
+      if (held != null && (held._1 eq spark)) held
+      else (spark, measureShingleRowBytes(docs, textCol, n, sampleDocs)))._2
+  }
+
+  private def measureShingleRowBytes(
+      docs: DataFrame,
+      textCol: String,
+      n: Int,
+      sampleDocs: Int): Long = {
     import org.apache.spark.sql.functions._
+    widthSampleJobs.incrementAndGet()
     val row = docs
       .select(TextAnalysis.wordShingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -87,11 +125,18 @@ private[graft] object VerifyJoin {
 
   /** The payload side of a verify join, hinted `shuffle_hash` iff its
     * estimated bytes provably exceed the broadcast threshold; unhinted
-    * (Spark broadcasts / stats ladder decides) otherwise. */
+    * (Spark broadcasts / stats ladder decides) otherwise. A
+    * NON-POSITIVE estimate never hints — before the `b > 0` guard,
+    * `Some(0)` under a DISABLED broadcast threshold (`threshold < 0`)
+    * hinted shuffle_hash, contradicting the "at 0 estimated bytes the
+    * ladder never hints" contract streaming callers relied on (r19
+    * ADVICE; those callers now pass an explicit opt-out, see
+    * [[SemDedup.LadderOptOut]], but the guard keeps the zero-estimate
+    * semantics honest for anyone else). */
   def sizeAwareBuild(payload: DataFrame, estBytes: Option[Long]): DataFrame = {
     val threshold =
       payload.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-    val over = estBytes.exists(b => threshold < 0 || b > threshold)
+    val over = estBytes.exists(b => b > 0 && (threshold < 0 || b > threshold))
     if (over) payload.hint("shuffle_hash") else payload
   }
 }

@@ -590,16 +590,19 @@ object TopnStreaming {
     }
     // resident×resident pairs in touched cells were already committed by
     // earlier batches — keep only pairs involving a NEW vector.
-    // knownCount = 0 is the streaming exemption from the verify-join
-    // ladder's plan-build count (the incrementalMinhashPairs doctrine):
-    // the scan set is batch + touched-cell residents — bounded by
-    // construction, and counting it would re-execute the whole union on
-    // EVERY micro-batch. At 0 estimated bytes the ladder never hints;
-    // Spark's own size estimate of the in-memory batch plan decides
-    // (broadcast when small, shuffled-hash via the recommended
-    // preferSortMergeJoin=false deployment conf otherwise).
+    // LadderOptOut is the streaming exemption from the verify-join
+    // ladder (the incrementalMinhashPairs doctrine): the scan set is
+    // batch + touched-cell residents — bounded by construction, and
+    // counting it would re-execute the whole union on EVERY micro-batch.
+    // The opt-out is EXPLICIT (no estimate reaches the ladder, so no
+    // hint can ship under ANY broadcast-threshold setting — the r19
+    // ADVICE: the previous knownCount = 0 spelling hinted shuffle_hash
+    // whenever broadcast was disabled); Spark's own size estimate of the
+    // in-memory batch plan decides (broadcast when small, shuffled-hash
+    // via the recommended preferSortMergeJoin=false deployment conf
+    // otherwise).
     val tagged = SemDedup.edges(scanSet, "doc_id", "vec", model, tau, tileSize,
-      knownCount = 0L)
+      knownCount = SemDedup.LadderOptOut)
     val involvingNew = tagged
       .join(newIds, tagged("id_a") === col("__new_id"), "left_semi")
       .unionByName(tagged.join(newIds, tagged("id_b") === col("__new_id"), "left_semi"))

@@ -253,6 +253,17 @@ class BenchSpec extends AnyFunSuite {
       anyFailed = true) === "BENCH_full.json")
     assert(Bench.promotionTarget(80.0, Some(88.26), force = true,
       anyFailed = true) === "BENCH_full.json")
+    // the RAW backstop (r19 ADVICE): an engine change that inflates the
+    // sentinel itself (heap/GC pressure) can normalize a slower build
+    // through the gate — the caller bounds the raw total at
+    // slack x clampHi x committed raw, and a pass over that bound
+    // diverts regardless of its normalized total; only force overrides
+    assert(Bench.promotionTarget(85.0, Some(88.26), force = false,
+      rawOk = false) === "BENCH_full.json",
+      "normalized-in-gate but raw-backstop-failing pass must divert")
+    assert(Bench.promotionTarget(85.0, Some(88.26), force = true,
+      rawOk = false) === "BENCH_local.json",
+      "force is the conscious override, as for the gate itself")
     // and the committed total parses from the artifact's own head
     val dir = java.nio.file.Files.createTempDirectory("graft_ptotal")
     java.nio.file.Files.writeString(dir.resolve("BENCH_local.json"),
@@ -287,44 +298,76 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.hostFactor(1.32, Some(Double.NaN)) === 1.0, "corrupt ref")
   }
 
-  test("committed sentinel: minimum across artifacts, escaped tails tolerated") {
+  test("committed sentinel: explicit cfg marker, robust floor, escaped tails tolerated") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sentinel")
     val v = Bench.SentinelVersion
-    // the CURRENT writer layout: sentinel_med sits between sentinel_sec
-    // and host_factor (the round-19 pass-6 regression: a pattern
-    // requiring host_factor directly after the value silently stopped
-    // parsing every reference the moment the med field shipped)
+    // the CURRENT writer contract: the (sentinel_v, sentinel_cfg,
+    // sentinel_sec) triplet is written atomically in this order by every
+    // writer — the EXPLICIT cfg field replaced the r19 field-adjacency
+    // discrimination (host_factor trailing the value), which silently
+    // broke once mid-round when sentinel_med shipped between them
+    // (the pass-6 regression; r19 ADVICE)
     java.nio.file.Files.writeString(dir.resolve("BENCH_r19.json"),
-      s"""{"metric":"total","value":9.9,"sentinel_v":$v,"sentinel_sec":1.312,"sentinel_med":1.400,"host_factor":1.050,"queries":{"a":1.0}}""")
-    java.nio.file.Files.writeString(dir.resolve("BENCH_r20.json"),
-      s"""{"n": 2, "rc": 0, "tail": "\\"sentinel_v\\":$v,\\"sentinel_sec\\":1.104,\\"host_factor\\":1.000"}""")
+      s"""{"metric":"total","value":9.9,"sentinel_v":$v,"sentinel_cfg":"suite","sentinel_sec":1.312,"sentinel_med":1.400,"host_factor":1.050,"queries":{"a":1.0}}""")
     // staging artifacts COUNT for the sentinel (unlike anchors): the
-    // workload is frozen and load only adds time, so any suite-config
-    // recording is a valid quiet floor — this is what bootstraps the
-    // reference in the round the sentinel ships. But the x100 mode's
-    // recording (no host_factor field after the value) is EXCLUDED:
-    // its 24g long-settled JVM floors ~10% lower than the suite JVM,
-    // and the round-19 pass-4 miscalibration showed a cross-config
-    // reference inflating every later factor (rows 1.06x slower than
-    // the prior pass, yet a LOWER normalized total promoted)
-    java.nio.file.Files.writeString(dir.resolve("BENCH_x100.json"),
-      s"""{"metric":"x100","sentinel_v":$v,"sentinel_sec":0.904,"fixture":"/tmp/f"}""")
+    // workload is frozen and load only adds time — this is what
+    // bootstraps the reference in the round a sentinel version ships.
+    // 1.320 corroborates 1.312 (within 5%), so 1.312 is the reference
+    // even though an uncorroborated 1.104 sits below it: a lone
+    // anomalously fast recording (turbo burst, timer glitch) must not
+    // permanently tighten the floor and loosen every later bar (r19
+    // ADVICE)
     java.nio.file.Files.writeString(dir.resolve("BENCH_full.json"),
-      s"""{"metric":"total","sentinel_v":$v,"sentinel_sec":-1.000,"host_factor":1.000,"queries":{}}""")
+      s"""{"metric":"total","sentinel_v":$v,"sentinel_cfg":"suite","sentinel_sec":1.320,"sentinel_med":1.410,"host_factor":1.000,"queries":{}}""")
+    java.nio.file.Files.writeString(dir.resolve("BENCH_r20.json"),
+      s"""{"n": 2, "rc": 0, "tail": "\\"sentinel_v\\":$v,\\"sentinel_cfg\\":\\"suite\\",\\"sentinel_sec\\":1.104,\\"host_factor\\":1.000"}""")
+    // the x100 mode's recording is EXCLUDED by its explicit cfg: its 24g
+    // long-settled JVM floors ~10% lower than the suite JVM, and the
+    // round-19 pass-4 miscalibration showed a cross-config reference
+    // inflating every later factor
+    java.nio.file.Files.writeString(dir.resolve("BENCH_x100.json"),
+      s"""{"metric":"x100","sentinel_v":$v,"sentinel_cfg":"x100","sentinel_sec":0.904,"fixture":"/tmp/f"}""")
+    java.nio.file.Files.writeString(dir.resolve("BENCH_crash.json"),
+      s"""{"metric":"total","sentinel_v":$v,"sentinel_cfg":"suite","sentinel_sec":-1.000,"host_factor":1.000,"queries":{}}""")
     // a recording of a DIFFERENT workload version is not a reference —
     // the round-19 near-miss: a stale staging recording of a shorter
     // sentinel would clamp every later factor to the hi bound
     java.nio.file.Files.writeString(dir.resolve("BENCH_r18.json"),
-      s"""{"metric":"total","sentinel_v":${v - 1},"sentinel_sec":0.213,"host_factor":1.000,"queries":{"a":1.0}}""")
+      s"""{"metric":"total","sentinel_v":${v - 1},"sentinel_cfg":"suite","sentinel_sec":0.213,"host_factor":1.000,"queries":{"a":1.0}}""")
     java.nio.file.Files.writeString(dir.resolve("not_bench.txt"),
-      s"""{"sentinel_v":$v,"sentinel_sec":0.001,"host_factor":1.000}""")
-    assert(Bench.committedSentinel(dir.toString) === Some(1.104),
-      "quietest SAME-VERSION, SUITE-CONFIG recording across committed " +
-        "AND staging artifacts wins; crashed (-1), other-version, " +
+      s"""{"sentinel_v":$v,"sentinel_cfg":"suite","sentinel_sec":0.001,"host_factor":1.000}""")
+    assert(Bench.committedSentinel(dir.toString) === Some(1.312),
+      "smallest CORROBORATED same-version suite-config recording wins; " +
+        "a lone outlier minimum, crashed (-1), other-version, " +
         "cross-config (x100), and non-artifact recordings are ignored")
     assert(Bench.committedSentinel(
       java.nio.file.Files.createTempDirectory("graft_sentinel_e").toString)
       === None, "pre-r19 artifacts carry no sentinel")
+    // single recording: its own bootstrap reference
+    val one = java.nio.file.Files.createTempDirectory("graft_sentinel_1")
+    java.nio.file.Files.writeString(one.resolve("BENCH_full.json"),
+      s"""{"metric":"total","sentinel_v":$v,"sentinel_cfg":"suite","sentinel_sec":1.500,"queries":{}}""")
+    assert(Bench.committedSentinel(one.toString) === Some(1.5))
+    // two recordings too far apart to corroborate: the MEDIAN (= the
+    // larger of two) stands — conservative, a larger reference only
+    // ever tightens bars
+    val two = java.nio.file.Files.createTempDirectory("graft_sentinel_2")
+    java.nio.file.Files.writeString(two.resolve("BENCH_full.json"),
+      s"""{"metric":"total","sentinel_v":$v,"sentinel_cfg":"suite","sentinel_sec":0.600,"queries":{}}""")
+    java.nio.file.Files.writeString(two.resolve("BENCH_r01.json"),
+      s"""{"metric":"total","sentinel_v":$v,"sentinel_cfg":"suite","sentinel_sec":0.900,"queries":{}}""")
+    assert(Bench.committedSentinel(two.toString) === Some(0.9))
+    // one recording DUPLICATED across files (the driver tail copies the
+    // committed line) cannot corroborate itself: values are deduplicated
+    val dup = java.nio.file.Files.createTempDirectory("graft_sentinel_d")
+    java.nio.file.Files.writeString(dup.resolve("BENCH_local.json"),
+      s"""{"metric":"total","sentinel_v":$v,"sentinel_cfg":"suite","sentinel_sec":0.600,"queries":{}}""")
+    java.nio.file.Files.writeString(dup.resolve("BENCH_r01.json"),
+      s"""{"n": 1, "tail": "\\"sentinel_v\\":$v,\\"sentinel_cfg\\":\\"suite\\",\\"sentinel_sec\\":0.600"}""")
+    java.nio.file.Files.writeString(dup.resolve("BENCH_r02.json"),
+      s"""{"metric":"total","sentinel_v":$v,"sentinel_cfg":"suite","sentinel_sec":0.900,"queries":{}}""")
+    assert(Bench.committedSentinel(dup.toString) === Some(0.9),
+      "a copied recording must not corroborate its own outlier value")
   }
 
   test("normalized promotion: a full pass on a slow host promotes by its normalized total") {
@@ -365,8 +408,16 @@ class BenchSpec extends AnyFunSuite {
     // — the reference cancels and the decision is the same at every floor
     val dir = java.nio.file.Files.createTempDirectory("graft_med")
     java.nio.file.Files.writeString(dir.resolve("BENCH_local.json"),
-      """{"metric":"total","value":83.154,"unit":"sec","sentinel_v":2,"sentinel_sec":0.666,"sentinel_med":0.749,"host_factor":1.041,"queries":{"a":1.0}}""")
+      s"""{"metric":"total","value":83.154,"unit":"sec","sentinel_v":${Bench.SentinelVersion},"sentinel_cfg":"suite","sentinel_sec":0.666,"sentinel_med":0.749,"host_factor":1.041,"queries":{"a":1.0}}""")
     assert(Bench.committedSentinelMed(dir.toString) === Some(0.749))
+    // a committed median recorded under a DIFFERENT sentinel version is
+    // NOT comparable to the current reference (the v2->v3 workload
+    // change ~triples the sentinel): fall back to the recorded factor
+    val dirV = java.nio.file.Files.createTempDirectory("graft_med_v")
+    java.nio.file.Files.writeString(dirV.resolve("BENCH_local.json"),
+      s"""{"metric":"total","value":83.154,"unit":"sec","sentinel_v":${Bench.SentinelVersion - 1},"sentinel_cfg":"suite","sentinel_sec":0.666,"sentinel_med":0.749,"host_factor":1.041,"queries":{"a":1.0}}""")
+    assert(Bench.committedSentinelMed(dirV.toString) === None,
+      "an other-version median must not normalize against the current reference")
     for (ref <- Seq(Some(0.666), Some(0.720), Some(0.800), None)) {
       val newNorm = 90.408 / Bench.hostFactor(0.759, ref)
       val comNorm = 83.154 / Bench.hostFactor(0.749, ref)

@@ -94,6 +94,47 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents reliableCheckpoint: same labels through the checkpoint dir") {
+    // r19 verdict task 6: the Graph.pageRank knob mirrored — on a real
+    // cluster localCheckpoint blocks die with an executor and the
+    // truncated lineage cannot recompute them; the reliable path rides
+    // the session checkpoint dir. Same labels either way, and the
+    // missing-dir misuse fails loudly before any work.
+    val pairs = ((0L until 40L).map(i => (i, (i * 11) % 41)) ++
+      Seq((100L, 101L), (101L, 102L))).filter { case (a, b) => a != b }
+    val df = pairs.toDF("a", "b")
+    val sc = spark.sparkContext
+    val hadDir = sc.getCheckpointDir
+    if (hadDir.isEmpty) {
+      assertThrows[IllegalArgumentException] {
+        Clustering.connectedComponents(df, "a", "b", reliableCheckpoint = true)
+      }
+    }
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft_cc_ckpt").toString
+    sc.setCheckpointDir(ckptDir)
+    try {
+      val reliable = Clustering.connectedComponents(
+        df, "a", "b", reliableCheckpoint = true)
+        .as[(Long, Long)].collect().toMap
+      val local = Clustering.connectedComponents(df, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(reliable === local)
+      assert(reliable === unionFind(pairs))
+      // the reliable path really went through the dir
+      assert(new java.io.File(ckptDir).listFiles().nonEmpty,
+        "reliableCheckpoint must write checkpoint state under the dir")
+    } finally {
+      // restore the SHARED session's no-dir state too (leaving the dir
+      // set silences every other spec's missing-dir guard assertion):
+      // setCheckpointDir(null) clears it in local mode
+      hadDir match {
+        case Some(d) => sc.setCheckpointDir(d)
+        case None => sc.setCheckpointDir(null)
+      }
+    }
+  }
+
   test("connectedComponents is stable under repartitioning") {
     val pairs = (0L until 30L).map(i => (i, (i * 7) % 31)).filter { case (a, b) => a != b }
     val df = pairs.toDF("a", "b")

@@ -882,4 +882,181 @@ class PlanSpec extends AnyFunSuite {
     assert(big.contains("ShuffledHashJoin") &&
       !big.contains("SortMergeJoin"), big.take(400))
   }
+
+  test("sampled shingle width is memoized per corpus: one sample job across operator calls") {
+    // r19 verdict task 2: the default (no-hint) path paid the width
+    // sample once per OPERATOR CALL — the round's one measured
+    // regression (the dedup bench family 1.4-1.7x). The width is a
+    // property of the corpus: two calls over the same corpus — even
+    // through two SEPARATELY built reads of the same path — must run
+    // exactly one sample job; a different corpus runs its own.
+    import org.apache.spark.sql.functions._
+    def freshRead() = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val before = graft.pipeline.VerifyJoin.widthSampleJobs.get()
+    val w1 = graft.pipeline.VerifyJoin.sampledShingleRowBytes(freshRead(), "text", 3)
+    graft.pipeline.Dedup.minhashLshPairs(
+      freshRead(), "doc_id", "text", threshold = 0.5)
+      .queryExecution.executedPlan
+    graft.pipeline.Dedup.minhashLshPairs(
+      freshRead(), "doc_id", "text", threshold = 0.5)
+      .queryExecution.executedPlan
+    val w2 = graft.pipeline.VerifyJoin.sampledShingleRowBytes(freshRead(), "text", 3)
+    assert(graft.pipeline.VerifyJoin.widthSampleJobs.get() - before <= 1,
+      "same corpus, four width resolutions -> at most one sample job")
+    assert(w1 === w2, "memoized width must be the measured one")
+    // a DIFFERENT corpus (different plan) runs its own sample
+    val other = spark.range(50).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", lit("a"), lit("b"), lit("c"), col("id").cast("string"))
+        .as("text"))
+    val b2 = graft.pipeline.VerifyJoin.widthSampleJobs.get()
+    graft.pipeline.VerifyJoin.sampledShingleRowBytes(other, "text", 3)
+    assert(graft.pipeline.VerifyJoin.widthSampleJobs.get() - b2 === 1)
+    // ... and a different n over the SAME corpus is a different key
+    // (the width genuinely differs with the shingle order)
+    val b3 = graft.pipeline.VerifyJoin.widthSampleJobs.get()
+    graft.pipeline.VerifyJoin.sampledShingleRowBytes(freshRead(), "text", 5)
+    assert(graft.pipeline.VerifyJoin.widthSampleJobs.get() - b3 === 1)
+  }
+
+  test("sizeAwareBuild: a non-positive estimate never hints, even with broadcast disabled") {
+    // r19 ADVICE: with autoBroadcastJoinThreshold < 0 (broadcast
+    // disabled) the old predicate hinted shuffle_hash for ANY
+    // Some(estimate) — including Some(0), which streaming callers used
+    // as "never hint". sizeAwareBuild returns the payload UNCHANGED
+    // (reference-equal) when it does not hint, so the contract is
+    // directly observable.
+    val payload = spark.range(10).toDF("id")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(graft.pipeline.VerifyJoin.sizeAwareBuild(payload, Some(0L)) eq payload,
+        "zero estimate must not hint under a disabled threshold")
+      assert(graft.pipeline.VerifyJoin.sizeAwareBuild(payload, None) eq payload,
+        "no estimate must never hint")
+      assert(!(graft.pipeline.VerifyJoin.sizeAwareBuild(payload, Some(1000L)) eq payload),
+        "a real estimate under a disabled threshold hints (broadcast is off)")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString)
+      assert(graft.pipeline.VerifyJoin.sizeAwareBuild(payload, Some(1000L)) eq payload,
+        "an estimate under a positive threshold leaves Spark's broadcast choice alone")
+      assert(!(graft.pipeline.VerifyJoin.sizeAwareBuild(payload, Some(100L << 20)) eq payload),
+        "an estimate provably over the threshold hints")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("SemDedup LadderOptOut: no plan-build count job, no hint — the streaming exemption") {
+    // r19 ADVICE: the streaming maintainers' knownCount = 0 spelling
+    // relied on zero-estimate behavior that inverted under a disabled
+    // broadcast threshold; the opt-out is now EXPLICIT (no estimate
+    // reaches the ladder at all) and threshold-independent
+    import org.apache.spark.sql.functions._
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val model = graft.pipeline.IVF.train(emb, "vec_id", "embedding", k = 4)
+    // a poisoned lineage: any plan-build count() would throw loudly
+    val poisoned = emb.filter(
+      when(col("vec_id") >= 0, true).otherwise(
+        raise_error(lit("plan-build job executed")).cast("boolean")))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // reaching the optimized plan at all IS the no-count-job pin (the
+      // poisoned filter throws on any execution); no shuffle_hash hint
+      // may appear in it — the r19 inversion hinted here
+      val plan = graft.pipeline.SemDedup.edges(
+        poisoned, "vec_id", "embedding", model, tau = 0.9,
+        knownCount = graft.pipeline.SemDedup.LadderOptOut)
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.contains("shuffle_hash"), plan.take(400))
+      // control: the old knownCount = 0 spelling routed Some(0) into the
+      // ladder — the b > 0 guard now keeps even that from hinting
+      val zero = graft.pipeline.SemDedup.edges(
+        emb, "vec_id", "embedding", model, tau = 0.9, knownCount = 0L)
+        .queryExecution.optimizedPlan.toString
+      assert(!zero.contains("shuffle_hash"), zero.take(400))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("SemDedup candidate-volume advisory: WARN past the spill bar, naming the k knob") {
+    // r19 verdict task 5: the AuditedShortlist question answered at the
+    // SemDedup ladder caller — the two-pass shortlist is a TOP-K device
+    // and cannot apply to a threshold-gated edge set (the operator's
+    // scaladoc carries the exemption), so the operator gets the
+    // Similarity-style advisory instead, naming ITS escape hatch (k).
+    // Estimator shape: n^2/(2k) candidates x the verify row width.
+    val bar = graft.pipeline.Similarity.SingleJvmSpillAdvisoryBytes.toDouble
+    assert(graft.pipeline.SemDedup.expectedVerifyBytes(
+      1000000L, 16, 4L, 64) > bar, "1M vectors over 16 cells: past the bar")
+    assert(graft.pipeline.SemDedup.expectedVerifyBytes(
+      1000000L, 65536, 4L, 64) < bar,
+      "the same corpus over 64k cells: the k knob divides the stream under it")
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val model = graft.pipeline.IVF.train(emb, "vec_id", "embedding", k = 4)
+    def warns(knownCount: Long): Seq[String] = capturedWarns {
+      graft.pipeline.SemDedup.edges(
+        emb, "vec_id", "embedding", model, tau = 0.9,
+        knownCount = knownCount).queryExecution.executedPlan
+    }.filter(_.contains("single-JVM spill regime"))
+    assert(warns(1000000L).nonEmpty, "x100-shaped corpus over 4 cells must advise")
+    assert(warns(1000L).isEmpty, "the test-SF shape must stay silent")
+    assert(warns(graft.pipeline.SemDedup.LadderOptOut).isEmpty,
+      "the streaming opt-out is exempt: its candidate volume is bounded " +
+        "by construction (batch x touched-cell residents)")
+  }
+
+  test("cosineNearDupPairs self-routes past the exact-tier bar (the slidingMerge dispatch)") {
+    // r19 verdict task 7: the one remaining exact-tier scale hazard —
+    // the O(n^2) self-join — dispatches to lshNearDupPairs above a
+    // measured corpus size, with a WARN naming the switch; small
+    // corpora (every test SF) keep the oracle-certified exact plan,
+    // and maxExactRows = Long.MaxValue pins it at any size.
+    import org.apache.spark.sql.functions._
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def planOf(knownCount: Long, maxExact: Long = graft.pipeline.Similarity.ExactTierMaxRows) =
+      graft.pipeline.Similarity.cosineNearDupPairs(
+        emb, "vec_id", "embedding", topPairs = 10,
+        maxExactRows = maxExact, knownCount = knownCount)
+        .queryExecution.optimizedPlan.toString
+    // under the bar: the exact tier's n^2 range-condition join
+    val exact = planOf(knownCount = 100)
+    assert(exact.contains("id_a") && exact.contains("id_b"), exact.take(300))
+    // past the bar: the LSH tier's bucket explode (no O(n^2) join), and
+    // the WARN names the dispatch
+    val ws = capturedWarns {
+      val dispatched = planOf(knownCount = 100000)
+      assert(dispatched.contains("hyperplanebuckets") ||
+        dispatched.contains("HyperplaneBuckets") ||
+        dispatched.contains("vid_a"), dispatched.take(400))
+    }
+    assert(ws.exists(_.contains("dispatching to lshNearDupPairs")))
+    // the escape hatch pins exact at any claimed size, with no n job
+    val pinned = planOf(knownCount = 100000, maxExact = Long.MaxValue)
+    assert(pinned.contains("id_a") && pinned.contains("id_b"))
+    // both tiers agree on a planted high-margin corpus through the
+    // dispatch seam: same top pair either way
+    val planted = spark.range(200).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(16)), i =>
+        when(col("id") === 7 || col("id") === 123,
+          sin(i.cast("double")))
+          .otherwise(sin(xxhash64(col("id"), i).cast("double")))
+          .cast("float")).as("embedding"))
+    val exactTop = graft.pipeline.Similarity.cosineNearDupPairs(
+      planted, "vec_id", "embedding", topPairs = 1,
+      maxExactRows = Long.MaxValue).collect().head
+    val lshTop = graft.pipeline.Similarity.cosineNearDupPairs(
+      planted, "vec_id", "embedding", topPairs = 1,
+      maxExactRows = 10, knownCount = 200).collect().head
+    assert((exactTop.getLong(1), exactTop.getLong(2)) === (7L, 123L))
+    assert((lshTop.getLong(1), lshTop.getLong(2)) === (7L, 123L),
+      "the dispatched tier must find the planted pair")
+  }
 }
