@@ -641,12 +641,34 @@ object Bench {
     if (!java.nio.file.Files.exists(p)) return None
     try {
       val text = java.nio.file.Files.readString(p)
-      val sameVersion = s""""sentinel_v":$SentinelVersion[,}]""".r
-        .findFirstIn(text).isDefined
-      if (!sameVersion) None
+      if (!committedSentinelVersion(benchDir).contains(SentinelVersion)) None
       else """"sentinel_med":(\d+(?:\.\d+)?)""".r
         .findFirstMatchIn(text)
         .map(_.group(1).toDouble).filter(_ > 0)
+    } catch { case _: Throwable => None }
+  }
+
+  /** The committed proof's recorded sentinel VERSION (None for
+    * pre-sentinel artifacts or an unreadable file). Drives the
+    * version-transition promotion rule in main: a committed artifact
+    * whose sentinel is another version cannot normalize — neither by
+    * its med (different workload units) nor by its RECORDED factor,
+    * which was computed against a reference floor that may since have
+    * drifted (the r19 pass-5 lesson; observed at the v2→v3 bump: the
+    * r19 round-close proof recorded factor 1.153 against a
+    * late-tightened v2 floor, and dividing by it set a ~74 s bar that
+    * diverted every honest ~85 s-raw pass). For the one transition
+    * round the gate compares RAW vs RAW (committed window assumed
+    * quiet — the conservative direction is covered by the raw
+    * backstop), and the first promoted artifact carries a
+    * current-version med, restoring drift invariance. */
+  private[graft] def committedSentinelVersion(benchDir: String): Option[Int] = {
+    val p = java.nio.file.Paths.get(benchDir, "BENCH_local.json")
+    if (!java.nio.file.Files.exists(p)) return None
+    try {
+      """"sentinel_v":(\d+)""".r
+        .findFirstMatchIn(java.nio.file.Files.readString(p))
+        .map(_.group(1).toInt)
     } catch { case _: Throwable => None }
   }
 
@@ -1409,6 +1431,11 @@ object Bench {
     val committedNorm = committedRaw.map { t =>
       committedSentinelMed(anchorDir) match {
         case Some(med) => t / hostFactor(med, sentinelRef)
+        // version transition (committed sentinel is another version):
+        // raw vs raw — see committedSentinelVersion; pre-sentinel
+        // artifacts keep the recorded-factor fallback
+        case None if committedSentinelVersion(anchorDir)
+          .exists(_ != SentinelVersion) => t
         case None => t / committedHostFactor(anchorDir)
       }
     }

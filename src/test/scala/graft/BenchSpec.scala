@@ -418,6 +418,17 @@ class BenchSpec extends AnyFunSuite {
       s"""{"metric":"total","value":83.154,"unit":"sec","sentinel_v":${Bench.SentinelVersion - 1},"sentinel_cfg":"suite","sentinel_sec":0.666,"sentinel_med":0.749,"host_factor":1.041,"queries":{"a":1.0}}""")
     assert(Bench.committedSentinelMed(dirV.toString) === None,
       "an other-version median must not normalize against the current reference")
+    // ... and the transition rule has the version to key on: another
+    // version -> the gate compares RAW vs RAW (dividing by the RECORDED
+    // factor is the non-invariant arithmetic the med fix deprecated —
+    // observed at the v2->v3 bump, where the r19 proof's 1.153 factor
+    // set a ~74 s bar that diverted every honest ~85 s-raw pass);
+    // pre-sentinel artifacts (no version at all) keep the recorded-
+    // factor fallback
+    assert(Bench.committedSentinelVersion(dirV.toString)
+      === Some(Bench.SentinelVersion - 1))
+    assert(Bench.committedSentinelVersion(dir.toString)
+      === Some(Bench.SentinelVersion))
     for (ref <- Seq(Some(0.666), Some(0.720), Some(0.800), None)) {
       val newNorm = 90.408 / Bench.hostFactor(0.759, ref)
       val comNorm = 83.154 / Bench.hostFactor(0.749, ref)
@@ -434,6 +445,8 @@ class BenchSpec extends AnyFunSuite {
     java.nio.file.Files.writeString(dirOld.resolve("BENCH_local.json"),
       """{"metric":"total","value":79.1,"host_factor":1.000,"queries":{"a":1.0}}""")
     assert(Bench.committedSentinelMed(dirOld.toString) === None)
+    assert(Bench.committedSentinelVersion(dirOld.toString) === None,
+      "pre-sentinel artifacts carry no version: recorded-factor fallback")
   }
 
   test("loadAnchors takes the minimum across artifacts and tolerates escaped tails") {
