@@ -1088,7 +1088,12 @@ object SparkEntry {
       tbl(spark, dir, "documents")
         .filter($"doc_id" % 25 === 0)
         .select($"doc_id",
-          posexplode(graft.pipeline.Bpe.encode($"text")).as(Seq("token_idx", "piece")))
+          // the PRODUCTION walk (one plan node, executor-memory merge
+          // table) — piece-identical to the literal chain the oracle
+          // replays, CurationSpec-proven, and ~cheaper per row than the
+          // 30-replace literal plan
+          posexplode(graft.pipeline.Bpe.encodeVocab(
+            $"text", graft.pipeline.Bpe.DemoMerges)).as(Seq("token_idx", "piece")))
         .select($"doc_id", $"token_idx".cast("long").as("token_idx"), $"piece")
         .orderBy($"doc_id", $"token_idx")
     }),
@@ -1768,8 +1773,13 @@ object SparkEntry {
     // DuckDB replays it bit-for-bit (Bpe.duckdbTokenCountSql).
     "pack_bins_bpe" -> ((spark, dir) => {
       import spark.implicits._
+      // production-vocabulary count tier: same integers as the literal
+      // replace chain (CurationSpec pins parity, fine print included),
+      // one plan node instead of 30 whole-document replaces — the oracle
+      // keeps replaying the literal chain
       val withTokens = tbl(spark, dir, "documents").select($"doc_id",
-        graft.pipeline.Bpe.tokenCount($"text").cast("long").as("n_tokens"))
+        graft.pipeline.Bpe.tokenCountVocab(
+          $"text", graft.pipeline.Bpe.DemoMerges).cast("long").as("n_tokens"))
       graft.pipeline.Sampling.packByBudget(withTokens, "doc_id", "n_tokens", budget = 2048L)
         .groupBy($"bin")
         .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("bin_tokens"))
@@ -2781,11 +2791,21 @@ object SparkEntry {
       val parsed = Warc.warcDocuments(files)
         .select($"target_uri".as("url"), $"html")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // container-leg audit: every planted page comes back byte-identical
-      val warcOk = parsed
-        .join(base.select($"url", $"html".as("want")), Seq("url"), "full_outer")
+      // container-leg audit: every planted page comes back byte-identical.
+      // The equality is decided on a per-page (length, xxhash64) DIGEST
+      // computed BEFORE the exchange (guide §2.3: shuffle keys + metadata,
+      // not payloads) — the full_outer join previously shuffled every html
+      // body twice just to compare bytes; the 16-byte digest pair carries
+      // the same verdict (a silent corruption would need an xxhash64
+      // collision AT the same length on the same URL), and byte-level
+      // parser fidelity itself stays spec-pinned in WarcSpec.
+      val digest = (h: org.apache.spark.sql.Column) =>
+        struct(length(h).as("l"), xxhash64(h).as("h"))
+      val warcOk = parsed.select($"url", digest($"html").as("got"))
+        .join(base.select($"url", digest($"html").as("want")),
+          Seq("url"), "full_outer")
         .agg(count(lit(1)).as("n"),
-          sum(when($"html".isNull || $"want".isNull || $"html" =!= $"want",
+          sum(when($"got".isNull || $"want".isNull || $"got" =!= $"want",
             lit(1)).otherwise(lit(0))).as("bad"))
         .crossJoin(base.agg(count(lit(1)).as("n_base")))
         .select(($"n_base" > 0 && $"n" === $"n_base" && $"bad" === 0)
@@ -3181,8 +3201,14 @@ object SparkEntry {
           ($"doc_id" * 1024 + $"c").as("turn_idx"),
           when($"c" % 2 === 0, "user").otherwise("assistant").as("role"),
           array_join(slice($"toks", $"c" * 8 + 1, lit(8)), " ").as("text"))
+      // THREE consumers read the rendered table (vocab distinct, the id
+      // posexplode, the loss_ivs join) — materialize the per-conversation
+      // window + concat once (the tokenIdsSelfVocab doctrine; blocks are
+      // ContextCleaner-reaped when unreferenced) instead of re-rendering
+      // per consumer
       val rendered = graft.pipeline.Chat.renderConversations(
         turns, "conv_id", "turn_idx", "role", "text")
+        .localCheckpoint()
       // word-level vocab: distinct rendered token -> dense lexicographic
       // id (single-partition window over the VOCABULARY-sized distinct
       // set only — the buildVocab scale shape)
@@ -3236,10 +3262,10 @@ object SparkEntry {
     "pack_token_sequences" -> ((spark, dir) => {
       import spark.implicits._
       val docs = tbl(spark, dir, "documents")
-      val vocab = graft.pipeline.Bpe.buildVocab(
-        docs, "text", graft.pipeline.Bpe.DemoMerges)
-      val ids = graft.pipeline.Bpe.tokenIds(
-        docs, "doc_id", "text", vocab, graft.pipeline.Bpe.DemoMerges)
+      // one shared encode scan for vocab + ids (tokenIdsSelfVocab) — the
+      // composed buildVocab + tokenIds spelling paid the merge walk twice
+      val ids = graft.pipeline.Bpe.tokenIdsSelfVocab(
+        docs, "doc_id", "text", graft.pipeline.Bpe.DemoMerges)
       graft.pipeline.Sampling.packTokenIds(ids, "doc_id", "ids", seqLen = 256L)
         .select($"seq_id", $"n_tokens",
           array_join(transform($"input_ids", i => i.cast("string")), " ")
@@ -3257,10 +3283,10 @@ object SparkEntry {
     "pack_masked_token_ids" -> ((spark, dir) => {
       import spark.implicits._
       val docs = tbl(spark, dir, "documents")
-      val vocab = graft.pipeline.Bpe.buildVocab(
-        docs, "text", graft.pipeline.Bpe.DemoMerges)
-      val ids = graft.pipeline.Bpe.tokenIds(
-        docs, "doc_id", "text", vocab, graft.pipeline.Bpe.DemoMerges)
+      // one shared encode scan for vocab + ids (tokenIdsSelfVocab) — the
+      // composed buildVocab + tokenIds spelling paid the merge walk twice
+      val ids = graft.pipeline.Bpe.tokenIdsSelfVocab(
+        docs, "doc_id", "text", graft.pipeline.Bpe.DemoMerges)
         .select($"doc_id", $"ids",
           (size($"ids") / 3).cast("long").as("prompt_len"))
       graft.pipeline.Sampling.packMaskedTokenIds(

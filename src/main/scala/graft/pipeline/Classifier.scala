@@ -142,6 +142,19 @@ object Classifier {
    * roughly double a document's distinct-feature count m, and the
    * GD-stability bound eta < 2/m tightens accordingly — the default
    * 1/256 remains safe for documents to ~250 tokens.
+   *
+   * Output partitioning contract: the table comes back HASH-PARTITIONED
+   * BY doc_id. Every consumer is keyed by doc_id — the trainers'
+   * per-iteration `groupBy(doc_id)` forward pass and gradient join, the
+   * scorers' per-doc sum — and hashpartitioning(doc_id) satisfies each
+   * of those ClusteredDistributions, so once the persisted table carries
+   * it, NO later corpus-sized exchange is needed anywhere in training or
+   * scoring (one exchange total, vs one per consumer before). The
+   * distinct itself rides the same exchange: dedup on (doc_id, f) only
+   * needs all copies of a doc_id co-located. The bias feature rides the
+   * same exploded array (prepended, so a NULL/empty-text doc still emits
+   * exactly its bias row — the previous union's contract), keeping the
+   * whole table one generate + one exchange.
    */
   def docFeatures(
       docs: DataFrame,
@@ -151,12 +164,14 @@ object Classifier {
       bigrams: Boolean = false): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
     val words = if (bigrams) concat(toks, wordBigrams(toks)) else toks
-    val tokens = docs
-      .select(col(idCol).as("doc_id"), explode(words).as("w"))
-      .select(col("doc_id"), Dsir.featureBucket(col("w"), numBuckets).as("f"))
+    val feats = concat(
+      array(lit(BiasFeature)),
+      coalesce(transform(words, w => Dsir.featureBucket(w, numBuckets)),
+        array().cast("array<long>")))
+    docs
+      .select(col(idCol).as("doc_id"), explode(feats).as("f"))
+      .repartition(col("doc_id"))
       .distinct()
-    tokens.unionByName(
-      docs.select(col(idCol).as("doc_id"), lit(BiasFeature).as("f")))
   }
 
   /**

@@ -520,6 +520,31 @@ class CurationSpec extends AnyFunSuite {
     assert(oov._3.forall(_ === -7L) && oov._2 > 0L)
   }
 
+  test("tokenIdsSelfVocab equals the composed buildVocab + tokenIds spelling") {
+    import graft.pipeline.Bpe
+    // the shared-scan spelling (one localCheckpoint'ed posexplode feeds
+    // both the vocabulary and the id assembly) must be row-identical to
+    // the composed two-scan spelling — ids, counts, and the empty-doc
+    // absence contract included
+    val docs = Seq(
+      (1L, "the quick fox"),
+      (2L, "the the fox"),
+      (3L, ""),
+      (4L, "  rather bother  "),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    def render(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"n_tokens",
+        array_join(transform($"ids", i => i.cast("string")), " ").as("s"))
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    val composed = render(Bpe.tokenIds(
+      docs, "doc_id", "text",
+      Bpe.buildVocab(docs, "text", Bpe.DemoMerges), Bpe.DemoMerges))
+    val shared = render(Bpe.tokenIdsSelfVocab(
+      docs, "doc_id", "text", Bpe.DemoMerges))
+    assert(shared === composed)
+    assert(shared.map(_._1).toSet === Set(1L, 2L, 4L))
+  }
+
   test("vocab-table BPE accepts a 50k-rule merges.txt and runs") {
     import graft.pipeline.Bpe
     // DemoMerges up front, then 50k synthetic rules whose multi-char

@@ -545,6 +545,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), "positions come from the per-shard window")
   }
 
+  test("classifier feature table: ONE shuffle serves dedup, weight join, and per-doc sum") {
+    // docFeatures hash-partitions by doc_id up front; the (doc_id, f)
+    // distinct rides that exchange (partition-local dedup), the weight
+    // join broadcasts, and the per-doc score aggregation reuses the
+    // partitioning — so a full scoring pass is exactly one corpus-sized
+    // shuffle. Before r20 each of the distinct and the per-doc sum paid
+    // its own exchange; the trainers' per-iteration forward/gradient
+    // passes lean on the same contract via the persisted feature table.
+    import graft.pipeline.Classifier
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val w = Classifier.train(docs, "doc_id", "text",
+      col("lang") === "en", numBuckets = 64, iters = 1)
+    val p = Classifier.score(docs, "doc_id", "text",
+      Classifier.Model(w, 64)).queryExecution.explainString(FormattedMode)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length === 1,
+      s"scoring must carry exactly ONE shuffle (the doc_id repartition):\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "the bounded weight table must broadcast")
+    assert(p.contains("hashpartitioning(doc_id"),
+      "the one exchange must be the doc_id hash partition")
+  }
+
   test("corpus upsampling is a shuffle-free generate + filter") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("source"))

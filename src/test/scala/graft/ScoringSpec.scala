@@ -1271,4 +1271,35 @@ class ScoringSpec extends AnyFunSuite {
     // the benign spellings still generate
     assert(Classifier.multiClassifierCtes("documents", "lang")._1.nonEmpty)
   }
+
+  test("docFeatures: bias row for every doc (null/empty text included), set matches reference spelling") {
+    import graft.pipeline.{Classifier, Dsir}
+    // the one-generate spelling (bias prepended to the exploded feature
+    // array, table hash-partitioned by doc_id) must produce the IDENTICAL
+    // (doc_id, f) set as the reference explode+distinct+union-bias
+    // spelling — the NULL-text doc keeps exactly its bias row, the
+    // empty-string doc keeps its empty-token bucket, nothing duplicates
+    val docs = Seq(
+      (1L, "good clean prose"),
+      (2L, null.asInstanceOf[String]),
+      (3L, ""),
+      (4L, "   "),
+      (5L, "dup dup dup")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().sortBy(identity).toSeq
+    val got = rows(Classifier.docFeatures(docs, "doc_id", "text", 64))
+    val ref = rows(docs
+      .select($"doc_id", explode(graft.pipeline.TextAnalysis.tokens($"text")).as("w"))
+      .select($"doc_id", Dsir.featureBucket($"w", 64).as("f"))
+      .distinct()
+      .unionByName(docs.select($"doc_id", lit(Classifier.BiasFeature).as("f"))))
+    assert(got === ref)
+    assert(got.count(_._2 == Classifier.BiasFeature) === 5,
+      "every doc must carry exactly one bias row")
+    // bigram tier: same set contract against its reference spelling
+    val gotB = rows(Classifier.docFeatures(docs, "doc_id", "text", 64, bigrams = true))
+    assert(gotB.count(_._2 == Classifier.BiasFeature) === 5)
+    assert(got.toSet.subsetOf(gotB.toSet),
+      "bigrams only ADD features over the unigram set")
+  }
 }
