@@ -46,13 +46,6 @@ object Graph {
 
   val ScaleE6: Long = 1000000L
 
-  /** Fixed-K rank-loop checkpoint cadence: materialize the node-sized
-    * rank table every this many iterations (and always on the last).
-    * Lineage depth between checkpoints stays bounded at
-    * 2·(CheckpointEvery-1) extra stages — safe for any K ≤ 100 — while
-    * the loop pays K/CheckpointEvery eager jobs instead of K. */
-  private val CheckpointEvery = 3
-
   /**
    * Exact integer PageRank. `edges` is any DataFrame with the two named
    * columns (cast to string); returns `(node, rank_e6)`.
@@ -142,36 +135,18 @@ object Graph {
         weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L)).as("w"))
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
     // unweighted: DISTINCT pairs at weight 1 (parallel edges collapse);
-    // weighted: parallel edges aggregate by weight sum, non-positive drop.
-    // PERSISTED: three consumers (nodes, wOut, edgesW) read this table —
-    // un-cached, each re-ran the whole upstream edge lineage (for a crawl
-    // corpus: the html-links explode + domain extraction, measured 3x the
-    // cleanup cost at sf0.1).
-    val e = (weightCol match {
+    // weighted: parallel edges aggregate by weight sum, non-positive drop
+    val e = weightCol match {
       case None => base.select(col("src"), col("dst")).distinct()
         .withColumn("w", lit(1L))
       case Some(_) => base.groupBy(col("src"), col("dst"))
         .agg(sum(col("w")).as("w")).filter(col("w") > 0)
-    }).persist(StorageLevel.MEMORY_AND_DISK)
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val wOut = e.groupBy(col("src")).agg(sum(col("w")).as("w_out"))
-    // repartition by src AT PERSIST TIME: every iteration's contribs join
-    // clusters edgesW by src — without this the edge table re-shuffled
-    // once per iteration (the persisted join output is clustered by
-    // (src, dst) from the distinct, which does NOT satisfy a src-keyed
-    // join); with it, iterations shuffle only the node-sized rank table.
-    // One edge-sized exchange total instead of K.
-    val edgesW = e.join(wOut, "src").repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // resolve the shared edge scan ONCE, eagerly: the first loop action
-    // otherwise materializes e under several concurrent subtrees of one
-    // job (cache population is not a scheduling barrier — racing stages
-    // can each recompute the lineage). nodes is node-sized; counting it
-    // populates e's cache as a side effect, so edgesW/share build from
-    // the cache deterministically.
-    nodes.count()
+    val edgesW = e.join(wOut, "src").persist(StorageLevel.MEMORY_AND_DISK)
 
     // per-node teleport share (e6): uniform 1e6, or prior-proportional
     val share = (personalization match {
@@ -207,24 +182,9 @@ object Graph {
         .select(col("node"),
           expr(s"((${100 - dp}) * share_e6 + $dp * coalesce(in_sum, 0L)) div 100")
             .as("rank_e6"))
-      // Materialize the bounded (node-sized) rank table so the loop
-      // never grows an unbounded lineage — but only every
-      // [[CheckpointEvery]] steps on the fixed-K path: each checkpoint
-      // is an EAGER job, and for small graphs (the domain-graph case)
-      // per-iteration job launch dominates the loop's wall-clock.
-      // Un-checkpointed intermediate steps just deepen the next job's
-      // plan by two bounded stages each; the cached edge/share tables
-      // serve every step. The LAST iteration always checkpoints (the
-      // returned ranks must not hold lineage into the caches unpersisted
-      // below), and the convergence path checkpoints every step — its
-      // per-step L1-delta aggregation is an action over `next` anyway,
-      // so skipping the checkpoint there would recompute, not save.
-      val atBoundary = tolE6.isDefined ||
-        (ran + 1) % CheckpointEvery == 0 || ran + 1 == iterations
-      val next =
-        if (!atBoundary) next0
-        else if (reliableCheckpoint) next0.checkpoint()
-        else next0.localCheckpoint()
+      // materialize the bounded (node-sized) rank table each step so the
+      // K-iteration loop never grows a K-deep lineage
+      val next = if (reliableCheckpoint) next0.checkpoint() else next0.localCheckpoint()
       tolE6.foreach { tol =>
         val row = next.withColumnRenamed("rank_e6", "__next")
           .join(ranks, "node")
@@ -238,7 +198,6 @@ object Graph {
     // The returned ranks are checkpointed — lineage no longer reaches the
     // cached tables. Without this, every pageRank call in a long-lived
     // session leaks cached tables until LRU pressure evicts them.
-    e.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     edgesW.unpersist(blocking = false)
     share.unpersist(blocking = false)
