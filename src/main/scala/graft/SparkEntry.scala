@@ -3201,14 +3201,8 @@ object SparkEntry {
           ($"doc_id" * 1024 + $"c").as("turn_idx"),
           when($"c" % 2 === 0, "user").otherwise("assistant").as("role"),
           array_join(slice($"toks", $"c" * 8 + 1, lit(8)), " ").as("text"))
-      // THREE consumers read the rendered table (vocab distinct, the id
-      // posexplode, the loss_ivs join) — materialize the per-conversation
-      // window + concat once (the tokenIdsSelfVocab doctrine; blocks are
-      // ContextCleaner-reaped when unreferenced) instead of re-rendering
-      // per consumer
       val rendered = graft.pipeline.Chat.renderConversations(
         turns, "conv_id", "turn_idx", "role", "text")
-        .localCheckpoint()
       // word-level vocab: distinct rendered token -> dense lexicographic
       // id (single-partition window over the VOCABULARY-sized distinct
       // set only — the buildVocab scale shape)
@@ -3262,10 +3256,10 @@ object SparkEntry {
     "pack_token_sequences" -> ((spark, dir) => {
       import spark.implicits._
       val docs = tbl(spark, dir, "documents")
-      // one shared encode scan for vocab + ids (tokenIdsSelfVocab) — the
-      // composed buildVocab + tokenIds spelling paid the merge walk twice
-      val ids = graft.pipeline.Bpe.tokenIdsSelfVocab(
-        docs, "doc_id", "text", graft.pipeline.Bpe.DemoMerges)
+      val vocab = graft.pipeline.Bpe.buildVocab(
+        docs, "text", graft.pipeline.Bpe.DemoMerges)
+      val ids = graft.pipeline.Bpe.tokenIds(
+        docs, "doc_id", "text", vocab, graft.pipeline.Bpe.DemoMerges)
       graft.pipeline.Sampling.packTokenIds(ids, "doc_id", "ids", seqLen = 256L)
         .select($"seq_id", $"n_tokens",
           array_join(transform($"input_ids", i => i.cast("string")), " ")
@@ -3283,10 +3277,10 @@ object SparkEntry {
     "pack_masked_token_ids" -> ((spark, dir) => {
       import spark.implicits._
       val docs = tbl(spark, dir, "documents")
-      // one shared encode scan for vocab + ids (tokenIdsSelfVocab) — the
-      // composed buildVocab + tokenIds spelling paid the merge walk twice
-      val ids = graft.pipeline.Bpe.tokenIdsSelfVocab(
-        docs, "doc_id", "text", graft.pipeline.Bpe.DemoMerges)
+      val vocab = graft.pipeline.Bpe.buildVocab(
+        docs, "text", graft.pipeline.Bpe.DemoMerges)
+      val ids = graft.pipeline.Bpe.tokenIds(
+        docs, "doc_id", "text", vocab, graft.pipeline.Bpe.DemoMerges)
         .select($"doc_id", $"ids",
           (size($"ids") / 3).cast("long").as("prompt_len"))
       graft.pipeline.Sampling.packMaskedTokenIds(

@@ -245,51 +245,6 @@ object Bpe {
   }
 
   /**
-   * [[buildVocab]] + [[tokenIds]] over the SAME corpus, sharing ONE
-   * encode scan. The composed spelling
-   * `tokenIds(docs, ..., buildVocab(docs, ...), ...)` runs the merge
-   * walk — the dominant per-row cost — twice: once under the vocab's
-   * distinct, once under the id join (two independent subtrees; Catalyst
-   * reuses exchanges, not arbitrary subtrees). Here the posexploded
-   * (id, idx, piece) table is localCheckpoint'ed EAGERLY — one walk,
-   * blocks freed by the ContextCleaner when unreferenced — and both the
-   * vocabulary (distinct pieces, vocabulary-sized window) and the id
-   * assembly read it back. Output and semantics are IDENTICAL to the
-   * composed spelling by construction: same distinct-piece set, same
-   * lexicographic dense ids, same join/agg — a self-built vocab never
-   * produces an OOV, so the joined `id` is never null.
-   *
-   * Same localCheckpoint trade as the trainers: executor-storage blocks
-   * are not recomputable after executor loss — at that point re-run, or
-   * compose the two public operators and pay the second walk.
-   */
-  def tokenIdsSelfVocab(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
-    val exploded = docs
-      .select(col(idCol),
-        posexplode(encodeVocab(col(textCol), merges)).as(Seq("__idx", "piece")))
-      .localCheckpoint()
-    val vocab = exploded.select(col("piece")).distinct()
-      .withColumn("id",
-        row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("piece")))
-          .cast("long") - 1L)
-    exploded
-      .join(vocab, Seq("piece"), "left")
-      .select(col(idCol), col("__idx"),
-        coalesce(col("id"), lit(-1L)).as("__id"))
-      .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        transform(
-          array_sort(collect_list(struct(col("__idx"), col("__id")))),
-          s => s.getField("__id")).as("ids"))
-  }
-
-  /**
    * Learn a merge table FROM the corpus — the training half of BPE, the
    * step that produces `merges.txt` in the first place (everything above
    * only LOADS one). Classic iterative most-frequent-adjacent-pair

@@ -155,12 +155,17 @@ object Selection {
    * `tail`. The two keep sets nest by construction (same rule, larger
    * k), so the labels partition the corpus.
    *
-   * Scale shape: two threshold computations (each a distinct-score
-   * histogram + O(#partitions) prefix sum — the corpus is never
-   * globally sorted and never windowed) and two id-keyed joins of the
-   * corpus against its head / head+middle id sets. AQE sizes the joins;
-   * nothing is broadcast-hinted (the keep sets are corpus-fraction-
-   * sized, not bounded).
+   * Scale shape: ONE distinct-score histogram + ONE O(#partitions)
+   * prefix sum serve BOTH thresholds (the r20 change — the composed
+   * two-[[selectTopFraction]] spelling built each twice; the running
+   * count's range-shuffle files are reused across the two threshold
+   * reads, so the histogram is paid once). The corpus is never globally
+   * sorted and never windowed; per-row bucketing compares against the
+   * two broadcast 1-row thresholds, and only the TIE rows at each
+   * threshold (tie-count-sized, not corpus-sized) pay an id-rank prefix
+   * sum and a join back. Membership is EXACTLY the composed spelling's —
+   * same ceil-k, same (score desc, id asc) tie rule, nested by
+   * construction — CurationSpec pins equality on adversarial tie data.
    */
   def assignFractionBuckets(
       df: DataFrame,
@@ -173,18 +178,61 @@ object Selection {
     require(!df.columns.contains("bucket"),
       "input already has a 'bucket' column; rename it — " +
         "assignFractionBuckets appends it")
-    val head = selectTopFraction(df, idCol, scoreCol, headPct)
-      .select(col(idCol).as("__graft_hid"))
-    val headMiddle = selectTopFraction(df, idCol, scoreCol, headPct + middlePct)
-      .select(col(idCol).as("__graft_mid"))
-    df
-      .join(head, col(idCol) === col("__graft_hid"), "left")
-      .join(headMiddle, col(idCol) === col("__graft_mid"), "left")
+    require(isIntegral(df.schema(scoreCol).dataType),
+      s"assignFractionBuckets needs an integral score column (the exact " +
+        s"threshold walk is defined on longs); '$scoreCol' is " +
+        s"${df.schema(scoreCol).dataType.simpleString} — scale to fixed " +
+        "point first (e.g. (score * 1e6).cast(\"long\")).")
+    Seq("__graft_th", "__graft_hm", "__graft_tm", "__graft_mm",
+      "__graft_hid", "__graft_mid").foreach { c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column; rename it — " +
+          "assignFractionBuckets uses it internally")
+    }
+    val score = col(scoreCol).cast("long")
+    val ranked = df.filter(score.isNotNull)
+    // shared descending-walk running count (selectTopFraction's exact
+    // spelling: bitwise_not is the overflow-safe descending bijection)
+    val hist = ranked.groupBy(score.as("__s")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__neg", bitwise_not(col("__s")))
+    val cum = graft.operators.PrefixSum.runningSum(hist, "__neg", "__cnt", "__cum")
+    val nRow = cum.agg(max(col("__cum")).as("__n"))
+    // threshold row for pct: first histogram row (walking scores down)
+    // whose running count reaches k = ceil(pct*n/100) — the max __s among
+    // qualifying rows. Spelled as an AGGREGATE (not orderBy+limit) so an
+    // empty ranked set yields ONE null-valued row: the crossJoin below
+    // must not drop the NULL-score rows that still need 'tail'.
+    def tRow(pct: Int, t: String, m: String): DataFrame = cum
+      .crossJoin(broadcast(nRow))
+      .withColumn("__k", expr(s"($pct * __n + 99) DIV 100"))
+      .filter(col("__cum") >= col("__k"))
+      .agg(max_by(struct(col("__s").as("t"),
+        (col("__k") - (col("__cum") - col("__cnt"))).as("m")), col("__s")).as("r"))
+      .select(col("r.t").as(t), col("r.m").as(m))
+    val headT = tRow(headPct, "__graft_th", "__graft_hm")
+    val hmT = tRow(headPct + middlePct, "__graft_tm", "__graft_mm")
+    // kept ties at a threshold: the first m tie rows by id order — the
+    // selectTopFraction tie prefix sum, over the tie subset only
+    def keptTies(tT: DataFrame, t: String, m: String, out: String): DataFrame = {
+      val ties = ranked.crossJoin(broadcast(tT))
+        .filter(score === col(t)).withColumn("__one", lit(1L))
+      graft.operators.PrefixSum.runningSum(ties, idCol, "__one", "__rank")
+        .filter(col("__rank") <= col(m))
+        .select(col(idCol).as(out))
+    }
+    val hTies = keptTies(headT, "__graft_th", "__graft_hm", "__graft_hid")
+    val mTies = keptTies(hmT, "__graft_tm", "__graft_mm", "__graft_mid")
+    df.crossJoin(broadcast(headT)).crossJoin(broadcast(hmT))
+      .join(hTies, col(idCol) === col("__graft_hid"), "left")
+      .join(mTies, col(idCol) === col("__graft_mid"), "left")
       .withColumn("bucket",
-        when(col("__graft_hid").isNotNull, lit("head"))
-          .when(col("__graft_mid").isNotNull, lit("middle"))
+        when(score > col("__graft_th") || col("__graft_hid").isNotNull,
+          lit("head"))
+          .when(score > col("__graft_tm") || col("__graft_mid").isNotNull,
+            lit("middle"))
           .otherwise(lit("tail")))
-      .drop("__graft_hid", "__graft_mid")
+      .drop("__graft_th", "__graft_hm", "__graft_tm", "__graft_mm",
+        "__graft_hid", "__graft_mid")
   }
 
   /**

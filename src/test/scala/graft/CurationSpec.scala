@@ -520,31 +520,6 @@ class CurationSpec extends AnyFunSuite {
     assert(oov._3.forall(_ === -7L) && oov._2 > 0L)
   }
 
-  test("tokenIdsSelfVocab equals the composed buildVocab + tokenIds spelling") {
-    import graft.pipeline.Bpe
-    // the shared-scan spelling (one localCheckpoint'ed posexplode feeds
-    // both the vocabulary and the id assembly) must be row-identical to
-    // the composed two-scan spelling — ids, counts, and the empty-doc
-    // absence contract included
-    val docs = Seq(
-      (1L, "the quick fox"),
-      (2L, "the the fox"),
-      (3L, ""),
-      (4L, "  rather bother  "),
-      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
-    def render(df: org.apache.spark.sql.DataFrame) = df
-      .select($"doc_id", $"n_tokens",
-        array_join(transform($"ids", i => i.cast("string")), " ").as("s"))
-      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
-    val composed = render(Bpe.tokenIds(
-      docs, "doc_id", "text",
-      Bpe.buildVocab(docs, "text", Bpe.DemoMerges), Bpe.DemoMerges))
-    val shared = render(Bpe.tokenIdsSelfVocab(
-      docs, "doc_id", "text", Bpe.DemoMerges))
-    assert(shared === composed)
-    assert(shared.map(_._1).toSet === Set(1L, 2L, 4L))
-  }
-
   test("vocab-table BPE accepts a 50k-rule merges.txt and runs") {
     import graft.pipeline.Bpe
     // DemoMerges up front, then 50k synthetic rules whose multi-char
@@ -674,6 +649,42 @@ class CurationSpec extends AnyFunSuite {
     val eF = intercept[IllegalArgumentException](
       Selection.selectTopFraction(floats, "id", "score", 50))
     assert(eF.getMessage.contains("integral"))
+  }
+
+  test("assignFractionBuckets == composed selectTopFraction spelling on adversarial data") {
+    import graft.pipeline.Selection
+    // the r20 shared-histogram rewrite must keep EXACT membership: same
+    // ceil-k, same (score desc, id asc) tie rule, nested sets
+    def reference(df: org.apache.spark.sql.DataFrame, h: Int, m: Int): Map[Long, String] = {
+      val head = Selection.selectTopFraction(df, "id", "score", h)
+        .select($"id").as[Long].collect().toSet
+      val hm = Selection.selectTopFraction(df, "id", "score", h + m)
+        .select($"id").as[Long].collect().toSet
+      df.select($"id").as[Long].collect().map { i =>
+        i -> (if (head(i)) "head" else if (hm(i)) "middle" else "tail")
+      }.toMap
+    }
+    def got(df: org.apache.spark.sql.DataFrame, h: Int, m: Int): Map[Long, String] =
+      Selection.assignFractionBuckets(df, "id", "score", h, m)
+        .select($"id", $"bucket").as[(Long, String)].collect().toMap
+    // heavy ties (mod 7), several pct splits incl. both thresholds
+    // landing inside ONE tie block (1+1 over a flat corpus)
+    val ties = (0L until 237L).map(i => (i, (i * 31) % 7)).toDF("id", "score")
+    for ((h, m) <- Seq((30, 40), (1, 1), (50, 50), (99, 1)))
+      assert(got(ties, h, m) === reference(ties, h, m), s"h=$h m=$m")
+    val flat = (0L until 50L).map((_, 3L)).toDF("id", "score")
+    for ((h, m) <- Seq((10, 10), (1, 1)))
+      assert(got(flat, h, m) === reference(flat, h, m), s"flat h=$h m=$m")
+    // NULL scores land in tail and never shift k
+    val withNull = Seq((1L, Some(5L)), (2L, None), (3L, Some(4L)),
+      (4L, Some(3L)), (5L, None)).toDF("id", "score")
+    assert(got(withNull, 34, 33) === reference(withNull, 34, 33))
+    assert(got(withNull, 34, 33)(2L) === "tail")
+    // all-NULL corpus: every row tail, nothing dropped
+    val allNull = Seq((1L, None: Option[Long]), (2L, None)).toDF("id", "score")
+    assert(got(allNull, 30, 40) === Map(1L -> "tail", 2L -> "tail"))
+    // stable under repartitioning
+    assert(got(ties.repartition(11), 30, 40) === reference(ties, 30, 40))
   }
 
   // --- Gopher quality rules ------------------------------------------------
