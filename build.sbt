@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench's one-line JSON contract: the driver parses `sbt "runMain
+// graft.Bench"` stdout, and sbt's default logger prefixes every forked
+// line with "[info] ", which breaks JSON parsing (BENCH_r01..r20 all
+// carry "parsed": null for exactly this reason). StdoutOutput passes the
+// forked JVM's stdout through bare; showSuccess drops the trailing
+// "[success] Total time" line so the contract line stays last.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

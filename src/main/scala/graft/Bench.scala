@@ -563,7 +563,22 @@ object Bench {
     * recording is its own bootstrap reference. Values are deduplicated
     * first so one recording copied across artifact files (the driver
     * tails duplicate the committed line) cannot corroborate itself. */
-  private[graft] def committedSentinel(benchDir: String): Option[Double] = {
+  /** The core-count an artifact was recorded under: first `"cpus":N`
+    * in the file (the driver's wrapper JSON carries it, and every line
+    * this bench writes from r21 on carries it too). Absent -> 32, the
+    * driver's main-bench config: every pre-r21 committed artifact except
+    * BENCH_r20_c8.json (which has the driver's own `"cpus": 8` field)
+    * was recorded at 32 cores. A recording's seconds are only comparable
+    * to runs at the SAME core count — the r20 promotion accident: the
+    * driver's local[8] run beat the 32-core gate on normalization
+    * arithmetic and became the committed proof, so gate, sentinel
+    * reference and anchors now all filter on this. */
+  private[graft] def artifactCpus(text: String): Int =
+    """"cpus":\s*(\d+)""".r.findFirstMatchIn(text)
+      .map(_.group(1).toInt).getOrElse(32)
+
+  private[graft] def committedSentinel(
+      benchDir: String, cpus: Int = 32): Option[Double] = {
     val files = Option(new java.io.File(benchDir).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.getName.matches("BENCH_[A-Za-z0-9_]+\\.json"))
@@ -579,7 +594,10 @@ object Bench {
       val text =
         try java.nio.file.Files.readString(f.toPath)
         catch { case _: Throwable => "" }
-      pat.findAllMatchIn(text).map(_.group(1).toDouble).filter(_ > 0)
+      // same-core-count recordings only: a local[8] sentinel floor is a
+      // different machine profile, not a quieter window of this one
+      if (artifactCpus(text) != cpus) Iterator.empty
+      else pat.findAllMatchIn(text).map(_.group(1).toDouble).filter(_ > 0)
     }
     val distinctSorted = vals.distinct.sorted
     distinctSorted.length match {
@@ -690,6 +708,22 @@ object Bench {
       .orElse(Some(Double.NaN))
   }
 
+  /** The core-count recorded in the committed proof (BENCH_local.json):
+    * Some(n) when the artifact carries a `"cpus"` field, None when the
+    * file is missing OR predates the field (legacy artifacts — including
+    * the r20-promoted local[8] run, which is exactly why a legacy proof
+    * only yields to an explicit SPARK_GRAFT_PROMOTE=1). Callers combine
+    * this with [[committedTotal]]'s file-existence signal. */
+  private[graft] def committedProofCpus(benchDir: String): Option[Int] = {
+    val p = java.nio.file.Paths.get(benchDir, "BENCH_local.json")
+    if (!java.nio.file.Files.exists(p)) return None
+    try {
+      """"cpus":\s*(\d+)""".r
+        .findFirstMatchIn(java.nio.file.Files.readString(p))
+        .map(_.group(1).toInt)
+    } catch { case _: Throwable => None }
+  }
+
   /** Promotion policy for a FULL run's artifact — the r16 clobber
     * mechanized: BENCH_local.json is the committed PROOF the anchor
     * policies load from, and until now any full pass overwrote it in
@@ -744,7 +778,8 @@ object Bench {
     * line as an escaped string ("tail"), so the pattern tolerates the
     * backslash escapes; names are filtered to the live query/op set so
     * totals, scale keys (x1/x4/x10) and metadata never become anchors. */
-  private[graft] def loadAnchors(benchDir: String, names: Set[String]): Map[String, Double] = {
+  private[graft] def loadAnchors(
+      benchDir: String, names: Set[String], cpus: Int = 32): Map[String, Double] = {
     // BENCH_local.json is the committed FULL artifact; the driver's
     // BENCH_r*.json tails truncate, so without it most rows have no
     // anchor and a loaded run ships uncorrected (the r15 finding: eight
@@ -756,9 +791,13 @@ object Bench {
     val pat = """\\?"([a-z0-9_]+)\\?":(-?\d+(?:\.\d+)?)""".r
     val acc = scala.collection.mutable.Map.empty[String, Double]
     for (f <- files) {
-      val text =
+      val text0 =
         try java.nio.file.Files.readString(f.toPath)
         catch { case _: Throwable => "" }
+      // anchors are per-core-count: a local[8] minimum is not a bar any
+      // local[32] rep should be retried against (half the r20 suite ran
+      // FASTER at 8 cores — scheduling floor, not compute)
+      val text = if (artifactCpus(text0) == cpus) text0 else ""
       for (m <- pat.findAllMatchIn(text)) {
         val k = m.group(1)
         val v = m.group(2).toDouble
@@ -835,7 +874,8 @@ object Bench {
     * consume the body (findAllMatchIn is non-overlapping — a body-consuming
     * pattern would swallow the next entry's head). The `"growth"` section
     * key itself cannot match (`g_` requires the underscore). */
-  private[graft] def loadGrowthAnchors(benchDir: String): Map[(String, Int), Double] = {
+  private[graft] def loadGrowthAnchors(
+      benchDir: String, cpus: Int = 32): Map[(String, Int), Double] = {
     // same file set as loadAnchors: the committed full artifact carries
     // the growth series the driver tails truncate
     val files = Option(new java.io.File(benchDir).listFiles())
@@ -846,9 +886,11 @@ object Bench {
     val pair = """\\?"x(\d+)\\?":(-?\d+(?:\.\d+)?)""".r
     val acc = scala.collection.mutable.Map.empty[(String, Int), Double]
     for (f <- files) {
-      val text =
+      val text0 =
         try java.nio.file.Files.readString(f.toPath)
         catch { case _: Throwable => "" }
+      // same-core-count recordings only (see loadAnchors)
+      val text = if (artifactCpus(text0) == cpus) text0 else ""
       for (m <- head.findAllMatchIn(text)) {
         val close = text.indexOf('}', m.end)
         if (close > 0) {
@@ -1258,7 +1300,8 @@ object Bench {
     // sample (the only one available then — conservative), deferred
     // bars and the promotion gate use the median.
     val anchorDir = sys.env.getOrElse("SPARK_GRAFT_ANCHOR_DIR", ".")
-    val sentinelRef = committedSentinel(anchorDir)
+    val nCpus = cpus.toInt
+    val sentinelRef = committedSentinel(anchorDir, nCpus)
     val s1 = measureSentinel(spark)
     val hf1 = hostFactor(s1, sentinelRef)
     println(f"""{"diag":"host_sentinel","sample":"start","sentinel_sec":$s1%.3f,"host_factor":$hf1%.3f}""")
@@ -1273,7 +1316,7 @@ object Bench {
     // (the artifact carries sentinel_sec + host_factor so readers can
     // normalize; minima across rounds keep anchors honest).
     val anchorsRaw = loadAnchors(anchorDir,
-      SparkEntry.queries.keySet ++ SparkEntry.benchOnly.keySet)
+      SparkEntry.queries.keySet ++ SparkEntry.benchOnly.keySet, nCpus)
     val anchors = anchorsRaw.view.mapValues(_ * hf1).toMap
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => selected(kv._1)).map { case (name, fn) =>
@@ -1351,7 +1394,7 @@ object Bench {
     // growth's own deferred pass, last of all: anchored on the cheapest
     // prior ROUND's recording of the same point (see retryGrowthOverBar)
     val gBuilders = gSuite.map(g => g._1 -> g._3).toMap
-    val growthAnchors = loadGrowthAnchors(anchorDir)
+    val growthAnchors = loadGrowthAnchors(anchorDir, nCpus)
       .view.mapValues(_ * hf).toMap
     val growthFinal = retryGrowthOverBar(growth,
       (n, c) => growthAnchors.get((n, c)),
@@ -1395,14 +1438,7 @@ object Bench {
     // committedSentinel contract — written atomically, new fields land
     // AFTER sentinel_sec (the r19 pass-6 layout regression, closed by
     // the explicit cfg marker)
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sentinel_v":$SentinelVersion%d,"sentinel_cfg":"suite","sentinel_sec":$sentinelSec%.3f,"sentinel_med":$sentinelMed%.3f,"host_factor":$hf%.3f,"queries":$qs,"ops":$opsJson,"growth":$growthJson,"sf":"$sfDir"}"""
-    println(line)
-    // The driver records only the TAIL of the bench output, and the full
-    // line outgrew it (BENCH_r13/r14 both shipped "parsed": null). Two
-    // fixes, mirroring the CORRECTNESS_local.json pattern: (1) persist the
-    // complete line to a committable artifact; (2) print a compact,
-    // self-contained totals line LAST so whatever tail window the driver
-    // keeps always ends with parseable JSON.
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sentinel_v":$SentinelVersion%d,"sentinel_cfg":"suite","sentinel_sec":$sentinelSec%.3f,"sentinel_med":$sentinelMed%.3f,"host_factor":$hf%.3f,"cpus":$nCpus%d,"queries":$qs,"ops":$opsJson,"growth":$growthJson,"sf":"$sfDir"}"""
     // A partial run must not clobber the committed full-suite artifact
     // (the r15 lesson: a one-row funnel run shipped as BENCH_local.json)
     // — see defaultOutFile: ANY deviation from the default row set
@@ -1444,18 +1480,35 @@ object Bench {
     // than the clamp-adjusted gate (1.05 x 1.5) — the bound a legitimate
     // host window could reach; a NaN committed raw fails closed
     val rawOk = committedRaw.forall(t => total <= 1.05 * 1.5 * t)
+    // core-count guard on the proof (the r20 promotion accident: the
+    // driver's local[8] run normalized its way into BENCH_local.json) —
+    // a proof recorded at ANOTHER core count never yields to this run,
+    // forced or not (re-base consciously by deleting the file); a LEGACY
+    // proof (no "cpus" field — includes the r20 local[8] artifact)
+    // yields only to an explicit SPARK_GRAFT_PROMOTE=1
+    val proofCpus = committedProofCpus(anchorDir)
+    val cpusHardBlock = proofCpus.exists(_ != nCpus)
+    val cpusOk = committedRaw.isEmpty || proofCpus.contains(nCpus)
     val defaultOut =
       if (defaultOut0 != "BENCH_local.json") defaultOut0
+      else if (cpusHardBlock) "BENCH_full.json"
       else promotionTarget(total / hf, committedNorm,
         force = sys.env.getOrElse("SPARK_GRAFT_PROMOTE", "0") == "1",
-        anyFailed = anyFailed, rawOk = rawOk)
+        anyFailed = anyFailed, rawOk = rawOk && cpusOk)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)),
       line + "\n")
     catch { case _: Throwable => }
     val outName = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sentinel_v":$SentinelVersion%d,"sentinel_cfg":"suite","sentinel_sec":$sentinelSec%.3f,"sentinel_med":$sentinelMed%.3f,"host_factor":$hf%.3f,"n_queries":${resultsFinal.size},"n_ops":${opsFinal.size},"n_growth":${growthFinal.size},"full_artifact":"$outName","sf":"$sfDir"}""")
+    // summary first (human-readable provenance), the FULL contract line
+    // LAST: the driver parses stdout for ONE JSON line of the shape
+    // {"metric","value","unit","queries",...,"sf"} — with build.sbt's
+    // StdoutOutput/showSuccess fix the full line now lands bare and
+    // final (BENCH_r01..r20 all shipped "parsed": null because sbt
+    // prefixed every line with "[info] ")
+    println(f"""{"diag":"bench_summary","total_sec":$total%.3f,"sentinel_v":$SentinelVersion%d,"sentinel_cfg":"suite","sentinel_sec":$sentinelSec%.3f,"sentinel_med":$sentinelMed%.3f,"host_factor":$hf%.3f,"cpus":$nCpus%d,"n_queries":${resultsFinal.size},"n_ops":${opsFinal.size},"n_growth":${growthFinal.size},"full_artifact":"$outName","sf":"$sfDir"}""")
+    println(line)
     spark.stop()
   }
 }

@@ -370,6 +370,50 @@ class BenchSpec extends AnyFunSuite {
       "a copied recording must not corroborate its own outlier value")
   }
 
+  test("core-count guard: sentinel reference, anchors and the proof filter on cpus") {
+    // the r20 promotion accident: the driver's local[8] full run beat the
+    // 32-core gate on normalization arithmetic and became the committed
+    // proof — its per-row minima (half the suite ran FASTER at 8 cores)
+    // then poison every 32-core retry bar. From r21 every artifact line
+    // carries "cpus" and each loader only reads same-cpus recordings.
+    val v = Bench.SentinelVersion
+    val dir = java.nio.file.Files.createTempDirectory("graft_cpus")
+    java.nio.file.Files.writeString(dir.resolve("BENCH_r21.json"),
+      s"""{"metric":"total","value":9.9,"sentinel_v":$v,"sentinel_cfg":"suite","sentinel_sec":1.000,"sentinel_med":1.1,"host_factor":1.0,"cpus":32,"queries":{"a":2.000},"growth":{"g_x":{"x4":3.000}}}""")
+    // an 8-core proof at the committed path (exactly the r20 state, but
+    // with the cpus field recorded)
+    java.nio.file.Files.writeString(dir.resolve("BENCH_local.json"),
+      s"""{"metric":"total","value":5.0,"sentinel_v":$v,"sentinel_cfg":"suite","sentinel_sec":0.700,"sentinel_med":0.9,"host_factor":1.0,"cpus":8,"queries":{"a":0.500},"growth":{"g_x":{"x4":1.000}}}""")
+    assert(Bench.committedSentinel(dir.toString, 32) === Some(1.0),
+      "an 8-core sentinel recording is not a 32-core floor")
+    assert(Bench.committedSentinel(dir.toString, 8) === Some(0.7))
+    assert(Bench.loadAnchors(dir.toString, Set("a"), 32) === Map("a" -> 2.0),
+      "8-core minima must not become 32-core retry bars")
+    assert(Bench.loadAnchors(dir.toString, Set("a"), 8) === Map("a" -> 0.5))
+    assert(Bench.loadGrowthAnchors(dir.toString, 32) === Map(("g_x", 4) -> 3.0))
+    assert(Bench.loadGrowthAnchors(dir.toString, 8) === Map(("g_x", 4) -> 1.0))
+    assert(Bench.committedProofCpus(dir.toString) === Some(8))
+    // legacy artifacts (no cpus field) are 32-core recordings — every
+    // pre-r21 committed BENCH_r*.json was — and a legacy PROOF yields
+    // only to an explicit force (main's cpusOk gate)
+    assert(Bench.artifactCpus("""{"metric":"total","value":1.0}""") === 32)
+    val legacy = java.nio.file.Files.createTempDirectory("graft_cpus_l")
+    java.nio.file.Files.writeString(legacy.resolve("BENCH_local.json"),
+      s"""{"metric":"total","value":5.0,"queries":{"a":0.500}}""")
+    assert(Bench.committedProofCpus(legacy.toString) === None)
+    assert(Bench.committedProofCpus(
+      java.nio.file.Files.createTempDirectory("graft_cpus_e").toString)
+      === None)
+    // the driver's wrapper artifact style: top-level "cpus": 8 (with
+    // space) ahead of the tail — the filter must read it
+    java.nio.file.Files.writeString(dir.resolve("BENCH_r22.json"),
+      s"""{"n": 2, "rc": 0, "cpus": 8, "tail": "\\"sentinel_v\\":$v,\\"sentinel_cfg\\":\\"suite\\",\\"sentinel_sec\\":0.690"}""")
+    assert(Bench.committedSentinel(dir.toString, 32) === Some(1.0),
+      "driver-wrapped 8-core tails stay out of the 32-core reference")
+    assert(Bench.committedSentinel(dir.toString, 8) === Some(0.69),
+      "0.690 corroborates 0.700 within 5% and becomes the 8-core floor")
+  }
+
   test("normalized promotion: a full pass on a slow host promotes by its normalized total") {
     // the r18 verdict's Done-criterion, as a synthetic-factor spec: raw
     // 95 s measured under host factor 1.2 normalizes to 79.2 s — within
