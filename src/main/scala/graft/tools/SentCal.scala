@@ -33,8 +33,36 @@ object SentCal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.headOption.contains("crossover")) crossover(spark)
+    else if (args.headOption.contains("bridge")) bridge(spark)
     else legs(spark)
     spark.stop()
+  }
+
+  /** v2↔v3 sentinel BRIDGE (r20 verdict task 3): the v2→v3 workload bump
+    * shipped with no conversion pass, so r19 totals (v2 units) and r20+
+    * totals (v3 units) cannot be normalized onto one scale. This mode
+    * measures BOTH frozen workloads interleaved in the same host window,
+    * each under the exact [[graft.Bench.measureSentinel]] protocol
+    * (System.gc(), two discarded warm reps, min-of-5), and prints the
+    * v2:v3 ratio per pair. Two pairs = the two corroborating samples
+    * BENCH_NOTES records. v2 is the r19 workload verbatim (4B-row
+    * range→xxhash64→bit_xor, no shuffle leg); v3 delegates to
+    * [[graft.Bench.sentinelOnce]] so it can never drift from the live
+    * sentinel. */
+  private def bridge(spark: SparkSession): Unit = {
+    def v2Once(): Double = time(
+      spark.range(0L, 4000000000L, 1L, 32)
+        .select(bit_xor(xxhash64(col("id")))).head())
+    def protocol(once: () => Double): Double = {
+      System.gc()
+      once(); once()
+      (1 to 5).map(_ => once()).min
+    }
+    for (i <- 1 to 2) {
+      val s3 = protocol(() => graft.Bench.sentinelOnce(spark))
+      val s2 = protocol(v2Once)
+      println(f"pair $i  v3 $s3%.3f s  v2 $s2%.3f s  v2/v3 ${s2 / s3}%.3f")
+    }
   }
 
   private def time(body: => Unit): Double = {
