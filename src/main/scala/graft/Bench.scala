@@ -167,6 +167,12 @@ object Bench {
       })._2
   }
 
+  /** [[growthSuite]] for the PlanDump tool: growth rows are where the
+    * verify-join ladder changes shape (x32/x100 regimes), so plan dumps
+    * must be able to address a (row, scale) point. */
+  private[graft] def growthSuiteForPlans(spark: SparkSession, dir: String)
+      : Seq[(String, Seq[Int], Int => DataFrame)] = growthSuite(spark, dir)
+
   /** Growth suite: name -> (replica counts, plan builder). Counts are kept
     * small enough that the whole suite stays in low minutes at sf0.1. */
   private def growthSuite(spark: SparkSession, dir: String)

@@ -423,10 +423,12 @@ object Similarity {
     // count already paid for AutoBits: vectors that fit the broadcast
     // threshold get NO hint — Spark's size-based BroadcastHashJoin is
     // strictly best and a hint would bypass it (measured: x1 2.1 s
-    // broadcast vs 2.7 s hinted) — while a vector side provably past the
-    // threshold is hinted shuffle_hash, building the hash table on the
-    // side whose per-partition memory scales gently
-    // (|vectors|/partitions) and never sorting the candidate stream.
+    // broadcast vs 2.7 s hinted) — a vector side past the threshold but
+    // under the verify broadcast cap is hinted broadcast (r21: the
+    // candidate stream then never shuffles at all), and one past the cap
+    // is hinted shuffle_hash, building the hash table on the side whose
+    // per-partition memory scales gently (|vectors|/partitions) and
+    // never sorting the candidate stream.
     // Unknown count (explicit bits, no knownCount): no hint; set
     // `spark.sql.join.preferSortMergeJoin=false` (every main here does —
     // the recommended deployment conf) so the stats ladder can still
@@ -441,12 +443,13 @@ object Similarity {
       case org.apache.spark.sql.types.ArrayType(et, _) => math.max(4L, et.defaultSize.toLong)
       case _ => 4L
     }
-    val threshold = vectors.sparkSession.sessionState.conf
-      .autoBroadcastJoinThreshold
+    // the shared three-tier ladder (VerifyJoin): no hint under the session
+    // broadcast threshold, explicit broadcast up to the verify cap — the
+    // candidate stream then never shuffles; measured at the x32 growth
+    // point this removed the two ~280 B/row stream shuffles that were the
+    // bulk of the 61.8 s — shuffle_hash past the cap
     def sized(named: DataFrame, rowBytes: Long): DataFrame =
-      if (nOpt.map(_ * rowBytes).exists(b => threshold < 0 || b > threshold))
-        named.hint("shuffle_hash")
-      else named
+      VerifyJoin.sizeAwareBuild(named, nOpt.map(_ * rowBytes))
 
     require(shortlist == AutoShortlist || shortlist == NoShortlist ||
       shortlist == AuditedShortlist || shortlist >= topPairs,

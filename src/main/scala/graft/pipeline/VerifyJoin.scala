@@ -21,21 +21,32 @@ import org.apache.spark.sql.DataFrame
  * column-pruned count() at plan-build — the [[Similarity.AutoBits]]
  * precedent) times a per-row width.
  *
- * Decision (identical to Similarity's shipped design):
+ * Decision (Similarity's shipped design, plus the r21 broadcast tier):
  *  - estimate AT OR UNDER the session's autoBroadcastJoinThreshold, or
  *    UNKNOWN (`estBytes = None`): NO hint — Spark's size-based
  *    BroadcastHashJoin is strictly best below the threshold (measured:
  *    x1 2.1 s broadcast vs 2.7 s hinted) and a hint would bypass it;
  *    unknown sizes fall to the stats ladder under the recommended
  *    `preferSortMergeJoin=false` deployment conf.
- *  - estimate provably OVER the threshold (or broadcast disabled):
+ *  - estimate over the session threshold but AT OR UNDER
+ *    [[BroadcastMaxBytesKey]] (default 256 MiB), broadcast enabled:
+ *    hint `broadcast` — the candidate stream is then NEVER shuffled at
+ *    all (the 10 MB session default is tuned for arbitrary joins, not
+ *    for a verify join whose stream side is ~1000x more rows; measured
+ *    at the g_lsh_neardup x32 point, 64M candidates x ~280 B verify
+ *    rows: the two stream shuffles this removes were the bulk of the
+ *    row's 61.8 s — see OPTIMIZATION_r21.md). A few hundred MB of
+ *    broadcast is routine executor memory at production scale; the cap
+ *    is a session conf so deployments size it to their executors, and
+ *    0 disables the tier outright.
+ *  - estimate provably OVER the cap (or broadcast disabled):
  *    hint `shuffle_hash` on the payload side — the hash table builds on
  *    the side whose per-partition memory scales gently
  *    (|payload|/partitions) and the candidate stream is never sorted.
  *
- * The threshold is read from the payload frame's OWN session (the
- * thread-local active session can belong to another session in a
- * multi-session JVM — the r17 fix).
+ * The threshold and the cap are read from the payload frame's OWN
+ * session (the thread-local active session can belong to another
+ * session in a multi-session JVM — the r17 fix).
  */
 private[graft] object VerifyJoin {
 
@@ -123,9 +134,28 @@ private[graft] object VerifyJoin {
     else math.max(1L, math.ceil(row.getDouble(0)).toLong)
   }
 
-  /** The payload side of a verify join, hinted `shuffle_hash` iff its
-    * estimated bytes provably exceed the broadcast threshold; unhinted
-    * (Spark broadcasts / stats ladder decides) otherwise. A
+  /** Session conf: upper bound (bytes; size suffixes like "256m" accepted)
+    * for the ladder's explicit-broadcast tier. The session's own
+    * autoBroadcastJoinThreshold stays authoritative BELOW itself; this cap
+    * only governs payloads the 10 MB-default threshold would have sent to
+    * shuffled-hash. 0 (or negative) disables the tier — the pre-r21
+    * two-tier ladder. */
+  val BroadcastMaxBytesKey = "spark.graft.verify.broadcastMaxBytes"
+  val DefaultBroadcastMaxBytes: Long = 256L << 20
+
+  private def broadcastMaxBytes(payload: DataFrame): Long = {
+    val raw = payload.sparkSession.conf
+      .get(BroadcastMaxBytesKey, DefaultBroadcastMaxBytes.toString)
+    try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+    catch { case _: NumberFormatException => DefaultBroadcastMaxBytes }
+  }
+
+  /** The payload side of a verify join: unhinted at or under the session
+    * broadcast threshold (Spark's own size-based BroadcastHashJoin is
+    * strictly best there); hinted `broadcast` when the estimate exceeds
+    * the threshold but fits [[BroadcastMaxBytesKey]] and broadcasting is
+    * enabled (the r21 tier — the candidate stream never shuffles);
+    * hinted `shuffle_hash` past the cap or with broadcast disabled. A
     * NON-POSITIVE estimate never hints — before the `b > 0` guard,
     * `Some(0)` under a DISABLED broadcast threshold (`threshold < 0`)
     * hinted shuffle_hash, contradicting the "at 0 estimated bytes the
@@ -137,6 +167,9 @@ private[graft] object VerifyJoin {
     val threshold =
       payload.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
     val over = estBytes.exists(b => b > 0 && (threshold < 0 || b > threshold))
-    if (over) payload.hint("shuffle_hash") else payload
+    if (!over) payload
+    else if (threshold >= 0 && estBytes.exists(_ <= broadcastMaxBytes(payload)))
+      payload.hint("broadcast")
+    else payload.hint("shuffle_hash")
   }
 }

@@ -36,9 +36,21 @@ object PlanDump {
     graft.TopnFunctions.register(spark)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val all = graft.SparkEntry.queries ++ graft.SparkEntry.benchOnly
+    // growth rows address a (row, scale) point: "g_lsh_neardup@x32" plans
+    // the row's builder at that replica count — the x32/x100 regimes are
+    // where the verify-join ladder changes shape, invisible at sf-scale
+    val growth: Map[String, Int => org.apache.spark.sql.DataFrame] =
+      graft.Bench.growthSuiteForPlans(spark, sfDir)
+        .map(g => g._1 -> g._3).toMap
     names.foreach { name =>
-      val fn = all.getOrElse(name,
-        sys.error(s"unknown query '$name'; known: ${all.keys.toSeq.sorted.take(20).mkString(", ")}..."))
+      val fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+        name.split("@x") match {
+          case Array(g, c) if growth.contains(g) =>
+            (_, _) => growth(g)(c.toInt)
+          case _ =>
+            all.getOrElse(name,
+              sys.error(s"unknown query '$name'; known: ${all.keys.toSeq.sorted.take(20).mkString(", ")}..."))
+        }
       spark.sparkContext.setJobDescription(s"plandump: $name")
       val df = fn(spark, sfDir)
       val plan = df.queryExecution.explainString(
@@ -46,10 +58,19 @@ object PlanDump {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(outDir, s"$name.txt"), plan)
       if (doTime) {
-        // warm-up on the smallest SF as the bench does
-        try fn(spark, "/root/testdata/sf0.001")
-          .write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => }
+        // warm-up on the smallest SF as the bench does (growth points
+        // close over their own dir+scale — a "warm-up" would run the
+        // full point, so they skip it; the r20 ADVICE nit applied:
+        // NonFatal only, say so when it fails, dir from the env)
+        val warmDir = sys.env.getOrElse(
+          "SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+        if (!name.contains("@x")) {
+          try fn(spark, warmDir)
+            .write.format("noop").mode("overwrite").save()
+          catch { case scala.util.control.NonFatal(e) =>
+            println(s"""{"plandump":"$name","warmup_failed":"${e.getClass.getSimpleName}"}""")
+          }
+        }
         val ts = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()

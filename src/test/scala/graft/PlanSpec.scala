@@ -755,6 +755,13 @@ class PlanSpec extends AnyFunSuite {
     val small = joins(knownCount = 1000) // 264 KB of vectors: broadcasts
     assert(small.contains("BroadcastHashJoin") &&
       !small.contains("SortMergeJoin"), small.take(400))
+    // r21 broadcast tier: past the session threshold but under the verify
+    // cap (64k x 264 B ~= 17 MB — the x32 growth shape) the vector side is
+    // broadcast-hinted and the candidate stream never shuffles
+    val mid = joins(knownCount = 64000)
+    assert(mid.contains("BroadcastHashJoin") &&
+      !mid.contains("ShuffledHashJoin") && !mid.contains("SortMergeJoin"),
+      mid.take(400))
     val big = joins(knownCount = 10000000) // 2.6 GB of vectors: hash-builds
     assert(big.contains("ShuffledHashJoin") &&
       !big.contains("SortMergeJoin"), big.take(400))
@@ -780,15 +787,25 @@ class PlanSpec extends AnyFunSuite {
     val big = joins(knownCount = 10000000) // ~10 GB of sets: hash-builds
     assert(big.contains("ShuffledHashJoin") &&
       !big.contains("SortMergeJoin"), big.take(400))
-    // a long-document corpus corrects the regime via setRowBytes: the
-    // same small count with a 20 KB/doc width is provably past the
-    // threshold and must hash-build
+    // a long-document corpus corrects the regime via setRowBytes: a count
+    // whose 20 KB/doc width lands provably past the verify broadcast cap
+    // (100k x 20 KB ~= 2 GB) must hash-build
     val longDocs = graft.pipeline.Dedup.minhashLshPairs(
-      docs, "doc_id", "text", threshold = 0.5, knownCount = 1000,
+      docs, "doc_id", "text", threshold = 0.5, knownCount = 100000,
       setRowBytes = 20480L)
       .queryExecution.executedPlan.toString
     assert(longDocs.contains("ShuffledHashJoin") &&
       !longDocs.contains("SortMergeJoin"), longDocs.take(400))
+    // ... while the same width at a mid count (1000 x 20 KB = 20 MB —
+    // over the session threshold, under the cap) rides the r21
+    // broadcast tier: the candidate stream never shuffles
+    val midDocs = graft.pipeline.Dedup.minhashLshPairs(
+      docs, "doc_id", "text", threshold = 0.5, knownCount = 1000,
+      setRowBytes = 20480L)
+      .queryExecution.executedPlan.toString
+    assert(midDocs.contains("BroadcastHashJoin") &&
+      !midDocs.contains("ShuffledHashJoin") &&
+      !midDocs.contains("SortMergeJoin"), midDocs.take(400))
   }
 
   test("minhashLshPairs with NO caller hints: the measured width flips a long-doc corpus") {
@@ -813,10 +830,25 @@ class PlanSpec extends AnyFunSuite {
       shortDocs, "text", 3)
     assert(widthLong > 10L * widthShort && widthLong > 20000L,
       s"long docs must sample an order wider: $widthLong vs $widthShort")
-    // 2000 long docs x ~25 KB = ~50 MB of build rows: hash-build, unhinted
-    val flipped = graft.pipeline.Dedup.minhashLshPairs(
-      longDocs, "doc_id", "text", threshold = 0.5)
-      .queryExecution.executedPlan.toString
+    // 2000 long docs x ~25 KB = ~50 MB of build rows: past the session
+    // threshold. Pin the width-driven regime flip against a 20 MB verify
+    // cap so the estimate must route to shuffled-hash (at the 256 MiB
+    // default cap the same estimate rides the broadcast tier — also a
+    // width-driven decision, but indistinguishable in the plan string
+    // from the sub-threshold control)
+    val savedCap = spark.conf.getOption(
+      graft.pipeline.VerifyJoin.BroadcastMaxBytesKey)
+    val flipped = try {
+      spark.conf.set(graft.pipeline.VerifyJoin.BroadcastMaxBytesKey, "20m")
+      graft.pipeline.Dedup.minhashLshPairs(
+        longDocs, "doc_id", "text", threshold = 0.5)
+        .queryExecution.executedPlan.toString
+    } finally savedCap match {
+      case Some(v) => spark.conf.set(
+        graft.pipeline.VerifyJoin.BroadcastMaxBytesKey, v)
+      case None => spark.conf.unset(
+        graft.pipeline.VerifyJoin.BroadcastMaxBytesKey)
+    }
     assert(flipped.contains("ShuffledHashJoin") &&
       !flipped.contains("SortMergeJoin"), flipped.take(400))
     // the short-doc control at the same hint-lessness stays broadcast
@@ -900,6 +932,12 @@ class PlanSpec extends AnyFunSuite {
     val small = joins(knownCount = 1000) // 264 KB of vectors: broadcasts
     assert(small.contains("BroadcastHashJoin") &&
       !small.contains("SortMergeJoin"), small.take(400))
+    // r21 broadcast tier: the x100-shaped vector table (200k x 264 B
+    // ~= 53 MB) broadcasts; the candidate stream never shuffles
+    val mid = joins(knownCount = 200000)
+    assert(mid.contains("BroadcastHashJoin") &&
+      !mid.contains("ShuffledHashJoin") && !mid.contains("SortMergeJoin"),
+      mid.take(400))
     val big = joins(knownCount = 10000000) // 2.6 GB of vectors: hash-builds
     assert(big.contains("ShuffledHashJoin") &&
       !big.contains("SortMergeJoin"), big.take(400))
@@ -941,6 +979,39 @@ class PlanSpec extends AnyFunSuite {
     val b3 = graft.pipeline.VerifyJoin.widthSampleJobs.get()
     graft.pipeline.VerifyJoin.sampledShingleRowBytes(freshRead(), "text", 5)
     assert(graft.pipeline.VerifyJoin.widthSampleJobs.get() - b3 === 1)
+  }
+
+  test("sizeAwareBuild broadcast tier: threshold < estimate <= cap hints broadcast") {
+    import org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint
+    val payload = spark.range(10).toDF("id")
+    def hintOf(est: Option[Long]): Option[String] =
+      graft.pipeline.VerifyJoin.sizeAwareBuild(payload, est)
+        .queryExecution.logical.collectFirst {
+          case h: UnresolvedHint => h.name
+        }
+    val savedT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString)
+      assert(hintOf(Some(5L << 20)).isEmpty, "under threshold: Spark decides")
+      assert(hintOf(Some(53L << 20)).contains("broadcast"),
+        "threshold < est <= 256 MiB default cap: broadcast tier")
+      assert(hintOf(Some(300L << 20)).contains("shuffle_hash"),
+        "past the default cap: shuffled hash")
+      // the cap is a session conf (deployments size it to their executors)
+      spark.conf.set(graft.pipeline.VerifyJoin.BroadcastMaxBytesKey, "512m")
+      assert(hintOf(Some(300L << 20)).contains("broadcast"))
+      spark.conf.set(graft.pipeline.VerifyJoin.BroadcastMaxBytesKey, "0")
+      assert(hintOf(Some(53L << 20)).contains("shuffle_hash"),
+        "cap 0 disables the tier: the pre-r21 two-tier ladder")
+      spark.conf.unset(graft.pipeline.VerifyJoin.BroadcastMaxBytesKey)
+      // broadcast disabled by the session: never broadcast-hint
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(hintOf(Some(53L << 20)).contains("shuffle_hash"),
+        "a disabled broadcast threshold must keep the tier off")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedT)
+      spark.conf.unset(graft.pipeline.VerifyJoin.BroadcastMaxBytesKey)
+    }
   }
 
   test("sizeAwareBuild: a non-positive estimate never hints, even with broadcast disabled") {
