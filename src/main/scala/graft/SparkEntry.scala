@@ -2805,7 +2805,13 @@ object SparkEntry {
         .join(base.select($"url", digest($"html").as("want")),
           Seq("url"), "full_outer")
         .agg(count(lit(1)).as("n"),
-          sum(when($"got".isNull || $"want".isNull || $"got" =!= $"want",
+          // the digest STRUCT of a NULL html is non-null with NULL fields,
+          // and struct equality treats NULL fields as equal — without the
+          // explicit field checks a page NULL on both sides would pass
+          // the audit where the oracle's `html IS NULL` spelling flags it
+          // (r20 ADVICE)
+          sum(when($"got".isNull || $"want".isNull ||
+            $"got.l".isNull || $"want.l".isNull || $"got" =!= $"want",
             lit(1)).otherwise(lit(0))).as("bad"))
         .crossJoin(base.agg(count(lit(1)).as("n_base")))
         .select(($"n_base" > 0 && $"n" === $"n_base" && $"bad" === 0)

@@ -123,8 +123,11 @@ object Bpe {
    * node per rule — fine for the 30-rule demo vocabulary, un-analyzable
    * at a real 50k-merge vocabulary; this tier is one plan node at any
    * vocabulary size, fed directly from [[loadMerges]]. Prefer it for any
-   * model-sized merges table; prefer [[tokenCount]] when the walk must be
-   * replayable as engine-neutral SQL (the `pack_bins_bpe` oracle).
+   * model-sized merges table; prefer [[tokenCount]] only when the count
+   * must be SPELLED as engine-neutral SQL. (Since r20 the `pack_bins_bpe`
+   * bench query runs THIS tier on the Spark side while its DuckDB oracle
+   * keeps replaying the literal [[tokenCount]] chain — the parity pin is
+   * exactly what makes that safe.)
    */
   def tokenCountVocab(text: Column, merges: Seq[(String, String)]): Column =
     org.apache.spark.sql.graftshim.GraftShim.column(
@@ -137,9 +140,11 @@ object Bpe {
    * (CurationSpec asserts parity), computed by the
    * [[graft.expressions.BpeEncodeVocab]] expression — one plan node at
    * any vocabulary size, same worklist walk as [[tokenCountVocab]].
-   * Prefer it for model-sized merges tables; prefer [[encode]] when the
-   * walk must be replayable as engine-neutral SQL (the `bpe_encode`
-   * oracle).
+   * Prefer it for model-sized merges tables; prefer [[encode]] only when
+   * the walk must be SPELLED as engine-neutral SQL. (Since r20 the
+   * `bpe_encode` bench query runs THIS tier on the Spark side while its
+   * DuckDB oracle keeps replaying the literal [[encode]] chain — the
+   * parity pin is exactly what makes that safe.)
    */
   def encodeVocab(text: Column, merges: Seq[(String, String)]): Column =
     org.apache.spark.sql.graftshim.GraftShim.column(
